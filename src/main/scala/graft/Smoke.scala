@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner mirroring the driver's t1 check: SparkEntry.entry
+  * on sf0.001 must return rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"[smoke] entry rows=${rows.length}")
+    rows.take(5).foreach(r => println(s"[smoke] $r"))
+    assert(rows.nonEmpty, "entry returned no rows")
+    spark.stop()
+  }
+}
