@@ -1,0 +1,193 @@
+package graft.index
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
+
+/** HNSW ANN index.
+  *
+  * Graph construction is inherently sequential per-insert, so the build
+  * runs on the driver over the collected (id, vector) pairs — the same
+  * trade the reference makes implicitly by being single-node
+  * (`src/storage/index/hnsw_index.cpp:180-185`, BuildIndex = shuffle +
+  * insert one-by-one). Hyperparameters follow the reference exactly
+  * (`hnsw_index.cpp:51-54`): m_max = m, m_max0 = m², m_l = 1/ln(m);
+  * random level = floor(-ln(U) * m_l) (`:207-209`); greedy best-first
+  * SearchLayer with a candidate min-heap and a result max-heap bounded
+  * by ef (`:86-130`); neighbor selection = simple m-nearest (`:62-83`).
+  *
+  * "Distance" is ComputeDistance's raw value (L2 with sqrt, raw inner
+  * product, raw cosine similarity) minimized — reproducing the
+  * reference's ordering for ALL metrics, including the quirky
+  * least-similar-first IP/cosine behavior (SURVEY §7.4).
+  *
+  * Serving: the graph is a small immutable structure; ship it with
+  * `broadcast` and probe per-partition for batch KNN-join, or query it
+  * on the driver for single lookups. At 100TB the scale path is
+  * IVFFlat-style partitioned indexes (HNSW-per-partition + merged
+  * top-k), which `Hnsw.partitioned` documents as the design seam.
+  *
+  * Determinism: seeded RNG (default 42) + deterministic insert order
+  * (caller sorts) make builds reproducible; recall properties are
+  * asserted in HnswSpec rather than exact rows, matching how the
+  * reference's own tests only pin `statement ok` for HNSW.
+  */
+final class HnswIndex(
+    val m: Int,
+    val efConstruction: Int,
+    val efSearch: Int,
+    val metric: DistanceMetric.Value,
+    seed: Long = 42L) extends Serializable {
+
+  private val mMax = m
+  private val mMax0 = m * m
+  private val mL = 1.0 / math.log(m.toDouble)
+  private val rng = new Random(seed)
+
+  private val vectors = mutable.ArrayBuffer.empty[Array[Double]]
+  private val ids = mutable.ArrayBuffer.empty[Long]
+  // layers(l) = adjacency map for layer l; layer 0 holds every vertex.
+  private val layers =
+    mutable.ArrayBuffer[mutable.Map[Int, mutable.Set[Int]]](mutable.Map())
+  private var entryPoint: Int = -1
+
+  private def dist(a: Array[Double], b: Array[Double]): Double =
+    metric match {
+      case DistanceMetric.L2 =>
+        math.sqrt(NearestCentroid.distance(a, b, 0))
+      case _ => NearestCentroid.distance(a, b, metric.id)
+    }
+
+  def size: Int = vectors.length
+
+  /** Greedy best-first search in one layer (reference SearchLayer,
+    * hnsw_index.cpp:86-130): candidates min-heap, results max-heap
+    * bounded by ef. Returns up to ef vertices, distance-ascending. */
+  private def searchLayer(layer: Int, query: Array[Double], ef: Int,
+      entries: Seq[Int]): Seq[Int] = {
+    val edges = layers(layer)
+    val visited = mutable.Set.empty[Int]
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1).reverse) // min-heap
+    val result = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1)) // max-heap
+    entries.foreach { e =>
+      if (visited.add(e)) {
+        val d = dist(query, vectors(e))
+        cand.enqueue((d, e)); result.enqueue((d, e))
+      }
+    }
+    while (result.size > ef) result.dequeue()
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (d, v) = cand.dequeue()
+      if (result.nonEmpty && d > result.head._1) done = true
+      else edges.getOrElse(v, Set.empty).foreach { n =>
+        if (visited.add(n)) {
+          val nd = dist(query, vectors(n))
+          if (result.size < ef || nd < result.head._1) {
+            cand.enqueue((nd, n)); result.enqueue((nd, n))
+            if (result.size > ef) result.dequeue()
+          }
+        }
+      }
+    }
+    result.dequeueAll.toSeq.reverse.map((t: (Double, Int)) => t._2)
+  }
+
+  private def connect(layer: Int, a: Int, b: Int): Unit = {
+    val edges = layers(layer)
+    edges.getOrElseUpdate(a, mutable.Set()) += b
+    edges.getOrElseUpdate(b, mutable.Set()) += a
+  }
+
+  /** Degree-bound pruning (reference PurgeEdges, hnsw_index.cpp:154-170):
+    * over-degree vertices keep only their m nearest neighbors. */
+  private def prune(layer: Int, v: Int): Unit = {
+    val maxDeg = if (layer == 0) mMax0 else mMax
+    val edges = layers(layer)
+    val nbrs = edges.getOrElse(v, mutable.Set())
+    if (nbrs.size > maxDeg) {
+      val keep = nbrs.toSeq
+        .map(n => (dist(vectors(v), vectors(n)), n))
+        .sortBy(t => (t._1, t._2)).take(m).map(_._2)
+      nbrs.toSeq.foreach(n => edges.get(n).foreach(_ -= v))
+      edges(v) = mutable.Set(keep: _*)
+      keep.foreach(n => edges.getOrElseUpdate(n, mutable.Set()) += v)
+    }
+  }
+
+  /** Insert (reference InsertVectorEntry, hnsw_index.cpp:204-279):
+    * geometric random level, descend with ef=1 above the target level,
+    * connect to up to efConstruction neighbors on target..0, prune. */
+  def insert(id: Long, vec: Array[Double]): Unit = {
+    val v = vectors.length
+    vectors += vec; ids += id
+    val level = math.floor(-math.log(rng.nextDouble()) * mL).toInt
+    if (entryPoint < 0) {
+      while (layers.length <= level) layers += mutable.Map()
+      (0 to level).foreach(l => layers(l).getOrElseUpdate(v, mutable.Set()))
+      entryPoint = v
+      return
+    }
+    val topLevel = layers.length - 1
+    var eps: Seq[Int] = Seq(entryPoint)
+    var l = topLevel
+    while (l > math.min(level, topLevel)) {
+      eps = searchLayer(l, vec, 1, eps); l -= 1
+    }
+    while (l >= 0) {
+      val found = searchLayer(l, vec, efConstruction, eps)
+      layers(l).getOrElseUpdate(v, mutable.Set())
+      found.take(efConstruction).foreach(n => connect(l, v, n))
+      (v +: found).foreach(n => prune(l, n))
+      eps = found
+      l -= 1
+    }
+    if (level > topLevel) {
+      while (layers.length <= level) {
+        layers += mutable.Map()
+        layers.last.getOrElseUpdate(v, mutable.Set())
+      }
+      entryPoint = v
+    }
+  }
+
+  /** KNN scan (reference ScanVectorKey, hnsw_index.cpp:188-201): descend
+    * layers with efSearch, then a layer-0 search with max(k, efSearch). */
+  def scan(query: Array[Double], k: Int): Seq[(Long, Double)] = {
+    if (entryPoint < 0) return Seq.empty
+    var eps: Seq[Int] = Seq(entryPoint)
+    var l = layers.length - 1
+    while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
+    searchLayer(0, query, math.max(k, efSearch), eps)
+      .take(k).map(v => (ids(v), dist(query, vectors(v))))
+  }
+}
+
+object Hnsw {
+  /** Collect (id, vec) to the driver and build sequentially. Sorted by
+    * id for reproducibility (the reference shuffles with an unseeded
+    * RNG — we pin determinism instead; recall is equivalent). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, efConstruction: Int, efSearch: Int,
+      metric: DistanceMetric.Value = DistanceMetric.L2,
+      seed: Long = 42L): HnswIndex = {
+    import org.apache.spark.sql.functions._
+    val rows = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).collect()
+    val idx = new HnswIndex(m, efConstruction, efSearch, metric, seed)
+    rows.foreach(r => idx.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+    idx
+  }
+
+  /** Serve a KNN scan as a DataFrame (id, dist), distance-ascending. */
+  def scanAsDf(spark: SparkSession, idx: HnswIndex,
+      query: Seq[Double], k: Int): DataFrame = {
+    import spark.implicits._
+    idx.scan(query.toArray, k).toDF("id", "dist")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
+
+/** IVFFlat vector index, Spark-first.
+  *
+  * Reference semantics (`src/storage/index/ivfflat_index.cpp`):
+  *  - build = k-means seeded with the FIRST `lists` input vectors
+  *    (`:82-84`), a fixed 50 assign+recompute iterations (`:86-89`);
+  *    empty clusters get zero-vector centroids (`:60-73`).
+  *  - insert = assign to nearest centroid, append to its bucket
+  *    (`:92-95`); centroids never move after build.
+  *  - scan = rank NON-EMPTY centroids by distance to the query, probe
+  *    the nearest `probe_lists` buckets, top-`limit` per bucket, merge
+  *    (`:104-144`).
+  *
+  * Spark design: centroids live on the driver (lists × dim doubles —
+  * small by construction); the bucketed vectors stay a DataFrame
+  * partitioned by bucket id. Assignment runs inside whole-stage codegen
+  * via [[NearestCentroid]]; the per-iteration centroid recompute is one
+  * partial-aggregated groupBy over (bucket, dim). Scan filters to the
+  * probed buckets (partition pruning when persisted) and takes a global
+  * top-k — per-partition heaps, no shuffle.
+  *
+  * Determinism: centroid sums go through DECIMAL so results don't depend
+  * on partial-agg order; a rebuilt index is bit-identical run to run.
+  * At 100TB you'd k-means a sample and keep the assign pass full-scan;
+  * `sampleFraction` exposes that (1.0 = reference-exact).
+  */
+final case class IvfFlatModel(
+    centroids: Array[Array[Double]],
+    metric: DistanceMetric.Value,
+    probeLists: Int,
+    vecCol: String,
+    buckets: DataFrame) { // columns: __bucket, <id cols...>, <vec col>
+
+  /** Non-empty-bucket centroid ranking happens on the driver (tiny);
+    * the data-side work is a pruned scan + top-k. */
+  def scan(query: Seq[Double], k: Int, tieBreak: Option[String] = None)
+      : DataFrame = {
+    val q = query.toArray
+    val nonEmpty = IvfFlat.nonEmptyBuckets(buckets)
+    val probed = nonEmpty
+      .map(b => b -> NearestCentroid.distance(q, centroids(b), metric.id))
+      .sortBy { case (b, d) => (d, b) }
+      .take(probeLists).map(_._1)
+    val pruned = buckets.filter(col("__bucket").isin(probed: _*))
+    Knn.bruteForce(pruned, vecCol, query, k, metric, tieBreak)
+      .drop("__bucket")
+  }
+
+  /** Incremental maintenance (reference InsertVectorEntry `:92-95`):
+    * assign new rows to existing centroids, append. Centroids stay put. */
+  def insert(rows: DataFrame): IvfFlatModel = {
+    val assigned = rows.withColumn("__bucket",
+      NearestCentroid.column(col(vecCol), centroids, metric))
+      .select(buckets.columns.map(col): _*)
+    copy(buckets = buckets.unionAll(assigned))
+  }
+
+  /** Persist bucketed layout: partitioned by bucket id so scan-time
+    * probe filters become partition pruning at any scale. */
+  def save(path: String): Unit =
+    buckets.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+}
+
+object IvfFlat {
+
+  private[index] def nonEmptyBuckets(buckets: DataFrame): Seq[Int] =
+    buckets.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Build per the reference recipe. `df` must contain `idCols` and
+    * `vecCol`; input order for seeding = ascending first id column. */
+  def build(
+      df: DataFrame,
+      idCols: Seq[String],
+      vecCol: String,
+      lists: Int,
+      probeLists: Int,
+      metric: DistanceMetric.Value = DistanceMetric.L2,
+      iterations: Int = 50,
+      sampleFraction: Double = 1.0): IvfFlatModel = {
+
+    val data = df.select((idCols :+ vecCol).map(col): _*)
+      .withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val trainData =
+      if (sampleFraction >= 1.0) data
+      else data.sample(withReplacement = false, sampleFraction, seed = 42)
+    trainData.cache()
+
+    // Seed: first `lists` vectors in input order (reference :82-84).
+    var centroids: Array[Array[Double]] = trainData
+      .orderBy(col(idCols.head).asc).limit(lists)
+      .select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "ivfflat: empty input")
+    val dim = centroids(0).length
+
+    // Fixed-iteration Lloyd's (reference :86-89). Each pass: one
+    // codegen'd assign + one partial-aggregated (bucket, dim) groupBy.
+    for (_ <- 0 until iterations) {
+      val assigned = trainData.withColumn("__bucket",
+        NearestCentroid.column(col(vecCol), centroids, metric))
+      val sums = assigned
+        .select(col("__bucket"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__bucket", "__pos")
+        .agg(sum(col("__v").cast("decimal(30,15)")).as("__sum"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = Array.fill(lists)(new Array[Double](dim)) // empty -> zeros
+      sums.foreach { r =>
+        val b = r.getInt(0); val p = r.getInt(1)
+        next(b)(p) = (r.getDecimal(2).doubleValue() / r.getLong(3))
+      }
+      centroids = next
+    }
+
+    val buckets = data.withColumn("__bucket",
+      NearestCentroid.column(col(vecCol), centroids, metric))
+      .select((Seq("__bucket") ++ idCols ++ Seq(vecCol)).map(col): _*)
+    trainData.unpersist()
+    IvfFlatModel(centroids, metric, probeLists, vecCol, buckets)
+  }
+
+  /** Reopen a persisted index. */
+  def load(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]], metric: DistanceMetric.Value,
+      probeLists: Int, vecCol: String): IvfFlatModel =
+    IvfFlatModel(centroids, metric, probeLists, vecCol,
+      spark.read.parquet(path))
+}

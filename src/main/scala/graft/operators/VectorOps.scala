@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DistanceMetric
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.index.{Hnsw, IvfFlat, Knn}
+
+/** Vector capability suite over the embeddings table (500 rows × dim 64
+  * at sf0.01; Array[Float] cast to Array[Double] = reference VECTOR).
+  *
+  * Oracles use DuckDB's list_distance / list_inner_product /
+  * list_cosine_similarity over DOUBLE[] casts; distances are rounded to
+  * 6 decimals on both sides. IVFFlat with probe_lists = lists is EXACT,
+  * so its results must hash-match the brute-force oracle — that is the
+  * correctness gate for the index build itself (the reference pins the
+  * same property in vector.04 via small exact scans).
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The constant query vector: embedding of vec_id 0 (single-row
+    * driver lookup — the reference's constant ARRAY[..] literal). */
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    Tables.load(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // Pure distance-expression eval, no table (vector.01-insert-scan.slt
+    // shape) — exercises the SQL registration path.
+    "q29_vector_expr_eval" -> ((s, _) => {
+      VectorFunctions.register(s)
+      s.sql("""SELECT round(l2_dist(array(1.0D,1.0D,1.0D), array(-1.0D,-1.0D,-1.0D)), 6) AS l2,
+               round(inner_product(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)), 6) AS ip,
+               round(cosine_similarity(array(1.0D,0.0D), array(1.0D,1.0D)), 6) AS cos""")
+    }),
+
+    // Naive KNN, no index (vector.02-naive-knn.slt): ORDER BY dist LIMIT k
+    // -> TakeOrderedAndProject.
+    "q30_knn_l2" -> ((s, d) => {
+      Knn.bruteForce(emb(s, d), "embedding", queryVec(s, d), 10,
+          DistanceMetric.L2, Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+    "q31_knn_cosine" -> ((s, d) => {
+      // reference quirk: ascending raw cosine similarity = least similar
+      // first (vector_expression.h:40-58) — reproduced literally.
+      Knn.bruteForce(emb(s, d), "embedding", queryVec(s, d), 10,
+          DistanceMetric.Cosine, Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("sim"))
+    }),
+    "q32_knn_ip" -> ((s, d) => {
+      Knn.bruteForce(emb(s, d), "embedding", queryVec(s, d), 10,
+          DistanceMetric.InnerProduct, Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("ip"))
+    }),
+
+    // IVFFlat with probe_lists = lists: exact -> must match the
+    // brute-force oracle (index-build correctness gate).
+    "q33_ivfflat_exact" -> ((s, d) => {
+      val model = IvfFlat.build(emb(s, d), Seq("vec_id"), "embedding",
+        lists = 8, probeLists = 8)
+      model.scan(queryVec(s, d), 10, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // Insert-after-index (vector.04/05.slt semantics): build on a prefix,
+    // insert the rest, KNN must see the new rows. probe=lists keeps it
+    // exact so the full-table oracle applies.
+    "q34_ivfflat_insert" -> ((s, d) => {
+      val all = emb(s, d)
+      val model = IvfFlat.build(all.filter(col("vec_id") < 400),
+        Seq("vec_id"), "embedding", lists = 8, probeLists = 8)
+      val updated = model.insert(all.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), col("embedding").cast("array<double>")))
+      updated.scan(queryVec(s, d), 10, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // Approximate paths — no SQL oracle (driver records rows-only);
+    // recall vs brute force is asserted in ScalaTest specs.
+    "q35_ivfflat_probe" -> ((s, d) => {
+      val model = IvfFlat.build(emb(s, d), Seq("vec_id"), "embedding",
+        lists = 8, probeLists = 2)
+      model.scan(queryVec(s, d), 10, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+    "q36_hnsw_knn" -> ((s, d) => {
+      val idx = Hnsw.build(emb(s, d), "vec_id", "embedding",
+        m = 8, efConstruction = 64, efSearch = 40)
+      Hnsw.scanAsDf(s, idx, queryVec(s, d), 10)
+        .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    })
+  )
+
+  private val bruteOracle =
+    """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS dist
+      |FROM embeddings
+      |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+      |LIMIT 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q29_vector_expr_eval" ->
+      """SELECT round(list_distance([1.0,1.0,1.0]::DOUBLE[], [-1.0,-1.0,-1.0]::DOUBLE[]), 6) AS l2,
+        |  round(list_inner_product([1.0,2.0,3.0]::DOUBLE[], [4.0,5.0,6.0]::DOUBLE[]), 6) AS ip,
+        |  round(list_cosine_similarity([1.0,0.0]::DOUBLE[], [1.0,1.0]::DOUBLE[]), 6) AS cos""".stripMargin,
+    "q30_knn_l2" -> bruteOracle,
+    "q31_knn_cosine" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+        |LIMIT 10""".stripMargin,
+    "q32_knn_ip" ->
+      """SELECT vec_id, round(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS ip
+        |FROM embeddings
+        |ORDER BY list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+        |LIMIT 10""".stripMargin,
+    "q33_ivfflat_exact" -> bruteOracle,
+    "q34_ivfflat_insert" -> bruteOracle
+  )
+}

@@ -138,10 +138,10 @@ object VectorDistanceApi {
     def wrap(m: DistanceMetric.Value)(exprs: Seq[Expression]): Expression =
       VectorDistance(exprs(0), exprs(1), m)
     reg.createOrReplaceTempFunction("l2_dist",
-      wrap(DistanceMetric.L2), "builtin")
+      wrap(DistanceMetric.L2), "built-in")
     reg.createOrReplaceTempFunction("inner_product",
-      wrap(DistanceMetric.InnerProduct), "builtin")
+      wrap(DistanceMetric.InnerProduct), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity",
-      wrap(DistanceMetric.Cosine), "builtin")
+      wrap(DistanceMetric.Cosine), "built-in")
   }
 }
