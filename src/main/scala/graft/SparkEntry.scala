@@ -12,10 +12,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalOps.queries ++ operators.VectorOps.queries
+    operators.RelationalOps.queries ++ operators.VectorOps.queries ++
+      operators.TextOps.queries ++ operators.DedupOps.queries ++
+      operators.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalOps.oracles ++ operators.VectorOps.oracles
+    operators.RelationalOps.oracles ++ operators.VectorOps.oracles ++
+      operators.TextOps.oracles ++ operators.DedupOps.oracles ++
+      operators.MultimodalOps.oracles
 }

@@ -68,8 +68,61 @@ final case class IvfFlatModel(
 
 object IvfFlat {
 
+  /** Max training-set size (rows × dim doubles) trained driver-locally:
+    * 2^23 doubles = 64 MB. Above it, iterations run distributed. */
+  val driverTrainLimit: Long = 1L << 23
+
   private[index] def nonEmptyBuckets(buckets: DataFrame): Seq[Int] =
     buckets.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]],
+      metricId: Int): Int = {
+    var best = 0
+    var bestD = NearestCentroid.distance(v, cs(0), metricId)
+    var i = 1
+    while (i < cs.length) {
+      val d = NearestCentroid.distance(v, cs(i), metricId)
+      if (d < bestD) { best = i; bestD = d }
+      i += 1
+    }
+    best
+  }
+
+  private def recompute(sums: Array[Array[Double]], counts: Array[Long],
+      lists: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(lists) { b =>
+      if (counts(b) == 0) new Array[Double](dim) // empty -> zeros (ref :69-73)
+      else {
+        val a = new Array[Double](dim); var p = 0
+        while (p < dim) { a(p) = sums(b)(p) / counts(b); p += 1 }
+        a
+      }
+    }
+
+  /** Sequential Lloyd's over driver-held vectors — bit-exact analogue of
+    * the reference loop (`ivfflat_index.cpp:86-89`). */
+  private def localLloyd(vecs: Array[Array[Double]],
+      init: Array[Array[Double]], lists: Int, iterations: Int,
+      metric: DistanceMetric.Value): Array[Array[Double]] = {
+    var cs = init
+    val dim = init(0).length
+    val metricId = metric.id
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(lists)(new Array[Double](dim))
+      val counts = new Array[Long](lists)
+      var j = 0
+      while (j < vecs.length) {
+        val v = vecs(j)
+        val b = nearest(v, cs, metricId)
+        val s = sums(b); var p = 0
+        while (p < dim) { s(p) += v(p); p += 1 }
+        counts(b) += 1
+        j += 1
+      }
+      cs = recompute(sums, counts, lists, dim)
+    }
+    cs
+  }
 
   /** Build per the reference recipe. `df` must contain `idCols` and
     * `vecCol`; input order for seeding = ascending first id column. */
@@ -98,23 +151,45 @@ object IvfFlat {
     require(centroids.nonEmpty, "ivfflat: empty input")
     val dim = centroids(0).length
 
-    // Fixed-iteration Lloyd's (reference :86-89). Each pass: one
-    // codegen'd assign + one partial-aggregated (bucket, dim) groupBy.
-    for (_ <- 0 until iterations) {
-      val assigned = trainData.withColumn("__bucket",
-        NearestCentroid.column(col(vecCol), centroids, metric))
-      val sums = assigned
-        .select(col("__bucket"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-        .groupBy("__bucket", "__pos")
-        .agg(sum(col("__v").cast("decimal(30,15)")).as("__sum"),
-          count(lit(1)).as("__n"))
-        .collect()
-      val next = Array.fill(lists)(new Array[Double](dim)) // empty -> zeros
-      sums.foreach { r =>
-        val b = r.getInt(0); val p = r.getInt(1)
-        next(b)(p) = (r.getDecimal(2).doubleValue() / r.getLong(3))
+    // Fixed-iteration Lloyd's (reference :86-89). The at-scale recipe is
+    // "train on a (sampled) set that fits the driver, assign full-scan
+    // distributed" — same as the reference, whose BuildIndex holds every
+    // vector in memory anyway. When the training set is too big even
+    // sampled, fall back to one shuffle-free treeAggregate job per
+    // iteration (per-bucket running sums; no posexplode, no groupBy).
+    val n = trainData.count()
+    if (n * dim <= driverTrainLimit) {
+      val vecs = trainData.select(vecCol).collect()
+        .map(_.getSeq[Double](0).toArray)
+      centroids = localLloyd(vecs, centroids, lists, iterations, metric)
+    } else {
+      val vecRdd = trainData.select(vecCol).rdd
+        .map(_.getSeq[Double](0).toArray)
+      vecRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val metricId = metric.id
+      for (_ <- 0 until iterations) {
+        val c = centroids
+        val (sums, counts) = vecRdd.treeAggregate(
+          (Array.fill(lists)(new Array[Double](dim)), new Array[Long](lists)))(
+          seqOp = { case (acc @ (s, cnt), v) =>
+            val b = nearest(v, c, metricId)
+            val sb = s(b); var p = 0
+            while (p < dim) { sb(p) += v(p); p += 1 }
+            cnt(b) += 1
+            acc
+          },
+          combOp = { case (a @ (s1, n1), (s2, n2)) =>
+            var b = 0
+            while (b < lists) {
+              val x = s1(b); val y = s2(b); var p = 0
+              while (p < dim) { x(p) += y(p); p += 1 }
+              n1(b) += n2(b); b += 1
+            }
+            a
+          })
+        centroids = recompute(sums, counts, lists, dim)
       }
-      centroids = next
+      vecRdd.unpersist()
     }
 
     val buckets = data.withColumn("__bucket",

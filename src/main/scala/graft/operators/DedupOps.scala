@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication + pairwise-similarity operators over `documents` and
+  * `embeddings` — the LLM-training-pipeline surface (SURVEY.md §7.4).
+  *
+  * Scale notes (the part the small-SF oracle can't see):
+  *  - Exact dedup is a hash groupBy — one shuffle on the fingerprint.
+  *  - The n-gram Jaccard join is an inverted-index similarity join
+  *    (explode shingles, self-join on shingle, count intersections):
+  *    exact for any threshold > 0 because similar pairs share >= 1
+  *    shingle. Hot shingles are the skew risk at 100TB — AQE skew-join
+  *    handles moderate skew; PPJoin-style prefix filtering is the
+  *    aggressive fix when posting lists explode.
+  *  - MinHash/SimHash signatures are computed by EXPLODING postings and
+  *    aggregating 64 codegen'd min()/sum() columns — NOT with
+  *    higher-order array lambdas (transform/aggregate), which are
+  *    CodegenFallback in Spark and run interpreted: ~10x slower on the
+  *    hot path and recomputed per self-join branch. The explode+agg
+  *    shape is also the right distributed plan: one shuffle on doc_id,
+  *    partial aggregation map-side.
+  *  - MinHash-LSH: candidates = pairs agreeing on >= 1 of 16 bands of 4
+  *    hashes, then exact-verified. Deterministic (xxhash64, fixed
+  *    seeds): P[candidate | j=0.8] = 1-(1-0.8^4)^16 ~ 0.9998 — at
+  *    sf0.01 it finds every pair >= 0.8 (checked against the exact
+  *    join), hence it shares q45's oracle.
+  *  - SimHash blocking is EXACT by pigeonhole: 8 segments of 8 bits;
+  *    hamming <= 7 implies some segment matches exactly.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-gram word shingle sets per doc. Built with posexplode +
+    * window lead + collect_set — NOT an array-transform lambda: Spark
+    * higher-order functions are CodegenFallback (interpreted), ~10x
+    * slower per pass and re-evaluated per self-join branch. The window
+    * and the groupBy share the doc_id hash partitioning: one shuffle. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("doc_id")
+      .agg(collect_set(concat_ws(" ", col("t"), col("t2"), col("t3")))
+        .as("sh"))
+  }
+
+  /** Exploded (doc_id, shingle) postings with per-doc set size. */
+  private def postings(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+
+  /** Exact pairwise Jaccard >= `thr` via inverted-index self-join. */
+  private def jaccardPairs(sh: DataFrame, thr: Double): DataFrame = {
+    val inv = postings(sh).cache() // both self-join branches read it
+    val a = inv.as("a"); val b = inv.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= thr)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val JaccardThr = 0.8
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    // canonical = min doc_id (one shuffle; at scale this is THE dedup
+    // primitive).
+    "q44_dedup_exact" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("copies"))
+        .groupBy("copies")
+        .agg(count(lit(1)).as("groups"), min("canonical_id").as("first_canonical"))
+    }),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs.
+    "q45_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(docShingles(s, d), JaccardThr)),
+
+    // MinHash(64) + LSH(16 bands x 4) candidates, exact-verified.
+    // Deterministic; at sf0.01 output == q45 (same oracle).
+    "q46_minhash_lsh" -> ((s, d) => {
+      val sh = docShingles(s, d).cache()
+      // 64 minhash columns in ONE codegen'd hash-aggregate pass.
+      val sig = postings(sh).groupBy("doc_id").agg(
+        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        (1 until 64).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 16).map(bnd => struct(lit(bnd).as("band"),
+          xxhash64(lit(bnd) +: (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*)
+            .as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bkey"))
+        .cache()
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      withSets
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= JaccardThr)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash(64) near-dup pairs, hamming <= 3, EXACT via 8x8-bit
+    // segment blocking (pigeonhole: exact for hamming <= 7). xxhash64
+    // values differ from any other engine's hash -> no SQL oracle;
+    // DedupSpec cross-checks brute-force hamming == blocked result.
+    "q47_simhash" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("tk"))
+      // Per-bit set-counts as 64 codegen'd sums over exploded tokens.
+      val post = toks.select(col("doc_id"), size(col("tk")).as("ntk"),
+        explode(col("tk")).as("t"))
+      val h = xxhash64(col("t"))
+      val counts = post.groupBy("doc_id").agg(
+        first(col("ntk")).as("ntk"),
+        (0 until 64).map(i => sum(shiftright(h, i).bitwiseAND(1))
+          .as(s"c$i")): _*)
+      // simhash bit i = (2 * count_set(i) > n_tokens)
+      val sim = counts.select(col("doc_id"), array(
+        (0 until 64).map(i => (col(s"c$i") * 2) > col("ntk")): _*).as("sim"))
+        .cache()
+      val seg = sim.select(col("doc_id"), col("sim"),
+        explode(array((0 until 8).map(g => struct(lit(g).as("g"),
+          xxhash64(lit(g), slice(col("sim"), g * 8 + 1, 8)).as("gkey"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("sim"), col("b.g"), col("b.gkey"))
+      val cand = seg.as("x").join(seg.as("y"),
+          col("x.g") === col("y.g") && col("x.gkey") === col("y.gkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val ham = size(filter(zip_with(col("sa"), col("sb"),
+        (x, y) => x =!= y), v => v))
+      cand
+        .join(sim.select(col("doc_id").as("a_id"), col("sim").as("sa")), "a_id")
+        .join(sim.select(col("doc_id").as("b_id"), col("sim").as("sb")), "b_id")
+        .select(col("a_id"), col("b_id"), ham.as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Embedding-cosine near-dup pairs, exact (broadcast nested-loop;
+    // the LSH-bucketed scale path is q37_ann_lsh).
+    "q48_embed_cosine_dup" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cos = graft.functions.VectorFunctions
+        .cosineSimilarity(col("a.v"), col("b.v"))
+      e.as("a").join(broadcast(e.as("b")),
+          col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(cos, 6).as("cos"))
+    })
+  )
+
+  private val pairOracle =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    for i in range(1, len(toks)-1)]) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThr""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q44_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id,
+        |    count(*) AS copies
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
+        |FROM g GROUP BY copies""".stripMargin,
+    "q45_ngram_jaccard" -> pairOracle,
+    "q46_minhash_lsh" -> pairOracle,
+    "q48_embed_cosine_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface beyond reference parity (SURVEY.md
+  * §7.4 north-star): token counting, quality scoring, language-ID,
+  * document fingerprinting.
+  *
+  * Everything is pure `functions._` (whole-stage codegen; no UDFs) and
+  * embarrassingly parallel — per-row narrow transforms that scale
+  * linearly with partitions, no shuffle anywhere. Each query has an
+  * exact DuckDB oracle (same formula, same rounding).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Lowercased whitespace tokens — shared by every query and by the
+    * dedup suite (DedupOps). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  // Minimal per-language stopword lists for the n-gram/stopword
+  // heuristic language-ID (deterministic priority en > de > fr > es).
+  private val En = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val De = Seq("der", "die", "das", "und", "ist")
+  private val Fr = Seq("le", "les", "et", "est", "une")
+  private val Es = Seq("el", "los", "y", "es", "una")
+
+  private def sqlIn(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + a BPE-ish regex tokenization
+    // (letter runs / digit runs / single punctuation marks).
+    "q40_token_count" -> ((s, d) => {
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+    }),
+
+    // Quality scoring: length, stopword ratio, punctuation ratio,
+    // average word length -> one score in [0,1].
+    "q41_quality_score" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val wordCnt = size(toks).cast("double")
+      val stopRatio = stopHits(toks, En).cast("double") / wordCnt
+      val punctRatio =
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("double") / col("n_chars").cast("double")
+      val avgWlen =
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") / wordCnt
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        wordCnt.cast("long").as("word_cnt"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(avgWlen, 6).as("avg_wlen"),
+        round(least(lit(1.0), wordCnt / lit(100.0)) * 0.4
+          + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3, 6).as("quality"))
+    }),
+
+    // Language-ID: stopword-hit scores per language, argmax with fixed
+    // priority; no hits at all -> 'und'.
+    "q42_lang_id" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val (en, de, fr, es) = (stopHits(toks, En), stopHits(toks, De),
+        stopHits(toks, Fr), stopHits(toks, Es))
+      Tables.load(s, d, "documents").select(
+        col("doc_id"), en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
+        es.as("s_es"),
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("lang_pred"))
+    }),
+
+    // Document fingerprinting: md5 over the normalized text (exact-dup
+    // key) + a 64-bit prefix as BIGINT for compact storage.
+    "q43_fingerprint" -> ((s, d) => {
+      val fp = md5(lower(trim(col("text"))).cast("binary"))
+      Tables.load(s, d, "documents").select(
+        col("doc_id"), fp.as("fp"),
+        conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp64"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "q41_quality_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n_chars, text,
+        |    len(toks)::DOUBLE AS word_cnt,
+        |    len(list_filter(toks, t -> t IN ${sqlIn(En)}))::DOUBLE AS stop_hits,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS punct_cnt
+        |  FROM t
+        |)
+        |SELECT doc_id, word_cnt::BIGINT AS word_cnt,
+        |  round(stop_hits / word_cnt, 6) AS stop_ratio,
+        |  round(punct_cnt / n_chars::DOUBLE, 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / word_cnt, 6) AS avg_wlen,
+        |  round(least(1.0, word_cnt / 100.0) * 0.4
+        |    + (stop_hits / word_cnt) * 0.3
+        |    + (1.0 - punct_cnt / n_chars::DOUBLE) * 0.3, 6) AS quality
+        |FROM m""".stripMargin,
+    "q42_lang_id" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ${sqlIn(En)})) AS s_en,
+        |    len(list_filter(toks, t -> t IN ${sqlIn(De)})) AS s_de,
+        |    len(list_filter(toks, t -> t IN ${sqlIn(Fr)})) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ${sqlIn(Es)})) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "q43_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
+        |FROM documents""".stripMargin
+  )
+}

@@ -97,6 +97,40 @@ object VectorOps {
         m = 8, efConstruction = 64, efSearch = 40)
       Hnsw.scanAsDf(s, idx, queryVec(s, d), 10)
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // Random-hyperplane LSH ANN, 8 tables x 8 bits with multi-probe
+    // (accept per-table hamming <= 1): candidates = rows near the query
+    // bucket in >= 1 table — a narrow, codegen'd filter (no shuffle) —
+    // then exact top-k cosine among candidates. The 100TB shape:
+    // persist bucket keys once, partition by them, and probing becomes
+    // partition pruning. Approximate -> rows-only check here; recall
+    // asserted in DedupSpec.
+    "q37_ann_lsh" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val dim = q.length
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
+      val qbits: Seq[Boolean] =
+        planes.map(p => p.zip(q).map { case (a, b) => a * b }.sum > 0)
+      val v = col("embedding").cast("array<double>")
+      val bits = transform(typedlit(planes),
+        p => aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x) > 0)
+      val anyTable = (0 until 8).map { t =>
+        val ham = size(filter(zip_with(slice(bits, lit(t * 8 + 1), lit(8)),
+          typedlit(qbits.slice(t * 8, t * 8 + 8)),
+          (x, y) => x =!= y), b => b))
+        ham <= 1
+      }.reduce(_ || _)
+      emb(s, d).filter(anyTable)
+        .withColumn("cos",
+          Knn.distCol(col("embedding").cast("array<double>"), q,
+            DistanceMetric.Cosine))
+        .orderBy(col("cos").desc, col("vec_id").asc) // true nearest: max cos
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     })
   )
 

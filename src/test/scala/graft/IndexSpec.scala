@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DistanceMetric
+
+import graft.index.{Hnsw, IvfFlat, Knn, VectorIndexes}
+
+/** Vector-index correctness: exactness when probing everything, recall
+  * bounds for approximate configs, insert maintenance, k-means
+  * invariants, and the index-selection quirk — mirroring what the
+  * reference pins via vector.01-05.slt. */
+class IndexSpec extends SparkSpecBase {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .cache()
+
+  private lazy val query: Seq[Double] =
+    emb.filter(col("vec_id") === 7).select("v").head().getSeq[Double](0)
+
+  private def bruteIds(k: Int): Seq[Long] =
+    Knn.bruteForce(emb, "v", query, k, DistanceMetric.L2, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("ivfflat probe=lists is exact (order and ids match brute force)") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10, probeLists = 10)
+    val got = m.scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(15))
+  }
+
+  test("ivfflat partial probe keeps recall >= 0.6 at k=20") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10, probeLists = 3)
+    val got = m.scan(query, 20, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(bruteIds(20).toSet).size / 20.0
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("ivfflat bucket invariants: <= lists buckets, all rows assigned") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10, probeLists = 10)
+    assert(m.buckets.count() == emb.count())
+    val ids = m.buckets.select("__bucket").distinct()
+      .collect().map(_.getInt(0))
+    assert(ids.length <= 10 && ids.forall(b => b >= 0 && b < 10))
+  }
+
+  test("ivfflat insert-after-build is visible and exact (vector.04/05)") {
+    val m = IvfFlat.build(emb.filter(col("vec_id") < 400), Seq("vec_id"),
+      "v", lists = 8, probeLists = 8)
+    val m2 = m.insert(emb.filter(col("vec_id") >= 400))
+    val got = m2.scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(15))
+  }
+
+  test("hnsw recall >= 0.8 at k=10 with generous ef") {
+    val idx = Hnsw.build(emb, "vec_id", "v", m = 12, efConstruction = 100,
+      efSearch = 80)
+    val got = idx.scan(query.toArray, 10).map(_._1).toSet
+    val recall = got.intersect(bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("hnsw distances ascend and match true L2") {
+    val idx = Hnsw.build(emb, "vec_id", "v", m = 8, efConstruction = 64,
+      efSearch = 40)
+    val res = idx.scan(query.toArray, 10)
+    assert(res.map(_._2) == res.map(_._2).sorted)
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    res.foreach { case (id, d) =>
+      val exp = math.sqrt(byId(id).zip(query)
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(d - exp) < 1e-9)
+    }
+  }
+
+  test("index selection honors vector_index_method (vector.03 semantics)") {
+    VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
+    VectorIndexes.createIvfFlat("t_ivf", "emb_t", emb, "vec_id", "v", 8, 8)
+    VectorIndexes.createHnsw("t_hnsw", "emb_t", emb, "vec_id", "v", 8, 64, 40)
+    def pick(method: String) =
+      VectorIndexes.select("emb_t", "v", DistanceMetric.L2, method).map(_.method)
+    assert(pick("ivfflat").contains("ivfflat"))
+    assert(pick("hnsw").contains("hnsw"))
+    assert(pick("none").isEmpty)
+    assert(pick("").nonEmpty) // unset: any matching-metric index
+    // unset + wrong metric still matches some index (reference quirk :52-59)
+    assert(VectorIndexes.select("emb_t", "v", DistanceMetric.Cosine, "")
+      .nonEmpty)
+    VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
+  }
+}

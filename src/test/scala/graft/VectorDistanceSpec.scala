@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distance-function identities (reference vector_expression.h:19-63)
+  * checked property-style over seeded random vectors, plus
+  * codegen-vs-interpreted agreement. */
+class VectorDistanceSpec extends SparkSpecBase {
+
+  private val rnd = new scala.util.Random(7)
+  private def randVec(): List[Double] = {
+    val n = 2 + rnd.nextInt(15)
+    List.fill(n)(rnd.nextDouble() * 200 - 100)
+  }
+
+  private def evalPair(a: Seq[Double], b: Seq[Double]): (Double, Double, Double) = {
+    import spark.implicits._
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      l2Dist(col("a"), col("b")),
+      innerProduct(col("a"), col("b")),
+      cosineSimilarity(col("a"), col("b"))).head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  test("l2(a,a)=0, symmetry, ip bilinear, cosine bounds") {
+    (1 to 15).foreach { _ =>
+      val a = randVec()
+      val (l2aa, ipaa, cosaa) = evalPair(a, a)
+      assert(l2aa == 0.0)
+      assert(math.abs(ipaa - a.map(x => x * x).sum) < 1e-6 * (1 + ipaa.abs))
+      assert(math.abs(cosaa - 1.0) < 1e-9 || a.forall(_ == 0.0))
+      val b = a.map(_ + 1.0) // same dim
+      val (l2ab, ipab, cosab) = evalPair(a, b)
+      val (l2ba, ipba, cosba) = evalPair(b, a)
+      assert(l2ab == l2ba && ipab == ipba && cosab == cosba)
+      assert(cosab >= -1.0 - 1e-9 && cosab <= 1.0 + 1e-9)
+      // reference semantics: l2 has sqrt; ip raw (not negated)
+      val exp = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(l2ab - exp) < 1e-9 * (1 + exp))
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(-4.0, 5.5, 0.25))).toDF("a", "b")
+    val cg = df.select(l2Dist(col("a"), col("b")),
+      innerProduct(col("a"), col("b")),
+      cosineSimilarity(col("a"), col("b"))).head()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(l2Dist(col("a"), col("b")),
+        innerProduct(col("a"), col("b")),
+        cosineSimilarity(col("a"), col("b"))).head()
+      assert(cg == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("dimension mismatch throws") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(l2Dist(col("a"), col("b"))).collect())
+    assert(e.getMessage.contains("dimension mismatch")
+      || e.getCause != null)
+  }
+
+  test("SQL registration serves all three functions") {
+    VectorFunctionsRegistrar.ensure(spark)
+    val r = spark.sql(
+      """SELECT l2_dist(array(0D,3D), array(4D,0D)) l2,
+        |inner_product(array(1D,2D), array(3D,4D)) ip,
+        |cosine_similarity(array(1D,0D), array(0D,1D)) c""".stripMargin).head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 11.0
+      && r.getDouble(2) == 0.0)
+  }
+}
+
+object VectorFunctionsRegistrar {
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.VectorFunctions.register(spark)
+}
