@@ -35,7 +35,14 @@ object VectorIndexes {
 
   final case class IndexMeta(
       name: String, table: String, column: String, method: String,
-      metric: DistanceMetric.Value, model: Model)
+      metric: DistanceMetric.Value, model: Model,
+      idCol: String = "",
+      /** Canonicalized leaf of the indexed table's plan — how the
+        * optimizer rule recognizes the table inside arbitrary queries
+        * (the reference matches SeqScan table OIDs instead,
+        * vector_index_scan.cpp:44-50). */
+      leaf: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+        None)
 
   private val registry = TrieMap.empty[String, IndexMeta]
 
@@ -44,12 +51,17 @@ object VectorIndexes {
   def get(name: String): Option[IndexMeta] = registry.get(name)
   def list(): Seq[IndexMeta] = registry.values.toSeq
 
+  private def leafOf(df: DataFrame) = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.length == 1) Some(leaves.head.canonicalized) else None
+  }
+
   def createIvfFlat(name: String, table: String, df: DataFrame,
       idCol: String, vecCol: String, lists: Int, probeLists: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2): IvfFlatModel = {
     val m = IvfFlat.build(df, Seq(idCol), vecCol, lists, probeLists, metric)
     register(IndexMeta(name, table, vecCol, "ivfflat", metric,
-      IvfModel(m, idCol)))
+      IvfModel(m, idCol), idCol, leafOf(df)))
     m
   }
 
@@ -60,16 +72,30 @@ object VectorIndexes {
     val idx = Hnsw.build(df, idCol, vecCol, m, efConstruction, efSearch,
       metric)
     register(IndexMeta(name, table, vecCol, "hnsw", metric,
-      HnswModel(idx, idCol)))
+      HnswModel(idx, idCol), idCol, leafOf(df)))
     idx
   }
 
   /** Index selection per MatchVectorIndex (see object doc). */
   def select(table: String, column: String,
+      metric: DistanceMetric.Value, method: String): Option[IndexMeta] =
+    pick(registry.values
+      .filter(m => m.table == table && m.column == column).toSeq,
+      metric, method)
+
+  /** Same selection keyed by the indexed table's canonicalized plan
+    * leaf — used by the optimizer rule, where only the plan is known. */
+  def selectByLeaf(
+      leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      column: String, metric: DistanceMetric.Value,
+      method: String): Option[IndexMeta] =
+    pick(registry.values
+      .filter(m => m.leaf.contains(leaf) && m.column == column).toSeq,
+      metric, method)
+
+  private def pick(candidatesUnsorted: Seq[IndexMeta],
       metric: DistanceMetric.Value, method: String): Option[IndexMeta] = {
-    val candidates = registry.values
-      .filter(m => m.table == table && m.column == column).toSeq
-      .sortBy(_.name)
+    val candidates = candidatesUnsorted.sortBy(_.name)
     method match {
       case "none" => None
       case "ivfflat" | "hnsw" =>
@@ -77,6 +103,16 @@ object VectorIndexes {
       case _ => // unset: prefer matching metric, else any (reference :52-59)
         candidates.find(_.metric == metric).orElse(candidates.headOption)
     }
+  }
+
+  /** Attach the KNN rewrite rule to an existing session (for
+    * config-time wiring use spark.sql.extensions=
+    * org.apache.spark.sql.graft.GraftExtensions). Idempotent. */
+  def enableRewrite(spark: SparkSession): Unit = {
+    val rule = new org.apache.spark.sql.graft.VectorIndexScanRule(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[org.apache.spark.sql.graft.VectorIndexScanRule]))
+      spark.experimental.extraOptimizations = cur :+ rule
   }
 
   /** KNN over `df` (registered as `table`): index-served when selection

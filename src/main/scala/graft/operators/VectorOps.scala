@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.DistanceMetric
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.index.{Hnsw, IvfFlat, Knn}
+import graft.index.{Hnsw, IvfFlat, Knn, VectorIndexes}
 
 /** Vector capability suite over the embeddings table (500 rows × dim 64
   * at sf0.01; Array[Float] cast to Array[Double] = reference VECTOR).
@@ -131,6 +131,31 @@ object VectorOps {
         .orderBy(col("cos").desc, col("vec_id").asc) // true nearest: max cos
         .limit(10)
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // The KNN optimizer rule end-to-end (reference
+    // OptimizeAsVectorIndexScan): a PLAIN orderBy(dist).limit(k) query
+    // is silently served through the registered IVFFlat index via a
+    // semi-join rewrite; probe=lists keeps it exact, so the brute-force
+    // oracle applies. Materialized eagerly so the session-global rule +
+    // index registration can be dropped before other queries plan.
+    "q38_knn_rewrite" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = queryVec(s, d)
+      VectorIndexes.enableRewrite(s)
+      VectorIndexes.createIvfFlat("q38_idx", "embeddings", e,
+        "vec_id", "embedding", lists = 8, probeLists = 8)
+      try {
+        val dist = VectorFunctions.l2Dist(col("embedding"),
+          VectorFunctions.vecLit(q))
+        val df = e.orderBy(dist.asc, col("vec_id").asc).limit(10)
+          .select(col("vec_id"), round(dist, 6).as("dist"))
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("__graft_knn_id"), "knn rewrite did not fire")
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        df.collect().foreach(rows.add)
+        s.createDataFrame(rows, df.schema)
+      } finally VectorIndexes.drop("q38_idx")
     })
   )
 
@@ -163,6 +188,7 @@ object VectorOps {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
         |LIMIT 10""".stripMargin,
     "q33_ivfflat_exact" -> bruteOracle,
-    "q34_ivfflat_insert" -> bruteOracle
+    "q34_ivfflat_insert" -> bruteOracle,
+    "q38_knn_rewrite" -> bruteOracle
   )
 }

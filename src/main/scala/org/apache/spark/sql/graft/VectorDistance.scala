@@ -144,4 +144,16 @@ object VectorDistanceApi {
     reg.createOrReplaceTempFunction("cosine_similarity",
       wrap(DistanceMetric.Cosine), "built-in")
   }
+
+  // Descriptors for SparkSessionExtensions.injectFunction.
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  private def descriptor(name: String, m: DistanceMetric.Value) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[VectorDistance].getName, name),
+      (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), m)
+        : Expression)
+  def l2FuncDescriptor = descriptor("l2_dist", DistanceMetric.L2)
+  def ipFuncDescriptor = descriptor("inner_product", DistanceMetric.InnerProduct)
+  def cosFuncDescriptor = descriptor("cosine_similarity", DistanceMetric.Cosine)
 }
