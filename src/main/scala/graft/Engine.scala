@@ -1,0 +1,365 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DistanceMetric
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+import graft.index.VectorIndexes
+
+/** The reference's user-facing surface (`BustubInstance::ExecuteSql`,
+  * reference src/common/bustub_instance.cpp:234-325) on Spark: a user
+  * of bustub-vectordb can run their SQL verbatim.
+  *
+  * Supported statements (everything the reference's test corpus uses):
+  *  - `CREATE TABLE t(v VECTOR(3), x integer, ...)` — binder semantics
+  *    from src/binder/bind_create.cpp:76-103; VECTOR(n) requires an
+  *    explicit dim (:93), enforced again on every insert (:90-97).
+  *  - `INSERT INTO t VALUES (ARRAY [..], ..), ..` / `INSERT INTO t
+  *    SELECT ..` — returns the reference's single-row insert count
+  *    (insert_executor.cpp:28-52) AND maintains vector indexes, the
+  *    declared behavior the reference itself skips (the
+  *    `vector.04/05.slt` insert-after-index contract; comment at
+  *    insert_executor.cpp:45).
+  *  - `CREATE INDEX name ON t USING ivfflat|hnsw (col opclass) WITH
+  *    (k = v, ...)` — bustub_ddl.cpp:88-152; opclass→metric per
+  *    catalog.h:305-313. Scalar index methods (hash, bplustree,
+  *    stl_*) are accepted and recorded as no-ops: Catalyst's
+  *    pruning/pushdown replaces them.
+  *  - `set x = y` / `show x` — bustub_ddl.cpp:196-215; the meaningful
+  *    variable is vector_index_method (optimizer.cpp:26).
+  *  - `EXPLAIN [(opts)] stmt` — returns Spark's plan string.
+  *  - `DELETE FROM t [WHERE ..]` / `UPDATE t SET .. [WHERE ..]` — the
+  *    reference declares these (plan_insert.cpp:42-79, executors are
+  *    stubs); here they are anti-join / recompute-overwrite rewrites.
+  *  - `SELECT ..` with `ARRAY [..]` literals and the distance
+  *    operators `<->` (l2), `<=>` (cosine), `<#>` (inner product)
+  *    (expression_factory.cpp:104-112) — rewritten to function calls
+  *    and served by spark.sql with our Catalyst expressions; KNN
+  *    queries go through VectorIndexScanRule when an index matches.
+  *
+  * Tables live as named DataFrames (registered temp views), the Spark
+  * analogue of the reference catalog's TableHeap entries. At scale a
+  * table would be parquet-backed; `registerTable` accepts any
+  * DataFrame, so both work.
+  */
+final class Engine(val spark: SparkSession) {
+
+  VectorFunctions.register(spark)
+  VectorIndexes.enableRewrite(spark)
+
+  private val tables = TrieMap.empty[String, DataFrame]
+  /** declared VECTOR dims per (table, column) — binder enforcement */
+  private val vectorDims = TrieMap.empty[(String, String), Int]
+
+  /** One statement in, one DataFrame out (DDL returns an empty or
+    * count/message frame, like the reference's ResultWriter). */
+  def executeSql(sqlRaw: String): DataFrame = {
+    val sql = sqlRaw.trim.stripSuffix(";").trim
+    val lower = sql.toLowerCase
+    if (lower.startsWith("create table")) createTable(sql)
+    else if (lower.startsWith("create index")) createIndex(sql)
+    else if (lower.startsWith("insert into")) insert(sql)
+    else if (lower.startsWith("set ")) setVar(sql)
+    else if (lower.startsWith("show ")) showVar(sql)
+    else if (lower.startsWith("explain")) explain(sql)
+    else if (lower.startsWith("delete from")) delete(sql)
+    else if (lower.startsWith("update ")) update(sql)
+    else spark.sql(rewriteExprs(sql))
+  }
+
+  def registerTable(name: String, df: DataFrame): Unit = {
+    // Cache: queries then resolve to a stable InMemoryRelation leaf the
+    // KNN rule can recognize (LocalRelation unions get constant-folded
+    // by the optimizer, destroying plan identity).
+    tables.remove(name).foreach(_.unpersist())
+    val cached = df.cache()
+    tables.put(name, cached)
+    cached.createOrReplaceTempView(name)
+    refreshIndexLeaves(name)
+  }
+
+  /** Point existing index metadata at the table's current cached plan
+    * (tables are immutable DataFrames; insert/delete/update swap them). */
+  private def refreshIndexLeaves(tbl: String): Unit = {
+    val leaves = table(tbl).queryExecution.withCachedData.collectLeaves()
+    val leaf = if (leaves.length == 1) Some(leaves.head.canonicalized) else None
+    VectorIndexes.list().filter(_.table == tbl)
+      .foreach(m => VectorIndexes.register(m.copy(leaf = leaf)))
+  }
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(name, sys.error(s"unknown table $name"))
+
+  // ---- statement handlers -------------------------------------------------
+
+  private val createTableRe: Regex =
+    """(?is)create\s+table\s+(\w+)\s*\((.*)\)""".r
+
+  private def createTable(sql: String): DataFrame = sql match {
+    case createTableRe(name, colsStr) =>
+      val fields = splitTopLevel(colsStr).map { colDef =>
+        val parts = colDef.trim.split("\\s+", 2)
+        val (cname, ctype) = (parts(0), parts(1).trim.toLowerCase)
+        val vecRe = """vector\s*\(\s*(\d+)\s*\)""".r
+        ctype match {
+          case vecRe(dim) =>
+            vectorDims.put((name, cname), dim.toInt)
+            StructField(cname, ArrayType(DoubleType))
+          case t if t.startsWith("bool")     => StructField(cname, BooleanType)
+          case t if t.startsWith("tinyint")  => StructField(cname, ByteType)
+          case t if t.startsWith("smallint") => StructField(cname, ShortType)
+          case t if t.startsWith("int")      => StructField(cname, IntegerType)
+          case t if t.startsWith("bigint")   => StructField(cname, LongType)
+          // reference DECIMAL is a C double (decimal_type.cpp:25-33)
+          case t if t.startsWith("decimal") || t.startsWith("double") =>
+            StructField(cname, DoubleType)
+          case t if t.startsWith("varchar") || t.startsWith("text") =>
+            StructField(cname, StringType)
+          case t if t.startsWith("timestamp") =>
+            StructField(cname, TimestampType)
+          case other => sys.error(s"unsupported column type $other")
+        }
+      }
+      registerTable(name,
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          StructType(fields)))
+      message(s"Table created: $name")
+    case _ => sys.error(s"cannot parse CREATE TABLE: $sql")
+  }
+
+  private val createIndexRe: Regex =
+    ("""(?is)create\s+index\s+(\w+)\s+on\s+(\w+)\s+using\s+(\w+)\s*""" +
+      """\(\s*(\w+)(?:\s+(\w+))?\s*\)(?:\s+with\s*\((.*)\))?""").r
+
+  private def createIndex(sql: String): DataFrame = sql match {
+    case createIndexRe(name, tbl, method, colName, opclassOrNull, optsOrNull) =>
+      val opts: Map[String, Int] = Option(optsOrNull).map {
+        _.split(",").map { kv =>
+          val Array(k, v) = kv.split("=").map(_.trim)
+          k.toLowerCase -> v.toInt
+        }.toMap
+      }.getOrElse(Map.empty)
+      val metric = Option(opclassOrNull).map(_.toLowerCase) match {
+        case Some("vector_ip_ops")     => DistanceMetric.InnerProduct
+        case Some("vector_cosine_ops") => DistanceMetric.Cosine
+        case _                         => DistanceMetric.L2
+      }
+      val df = table(tbl)
+      method.toLowerCase match {
+        case "ivfflat" =>
+          val (lists, probe) = (opts.get("lists"), opts.get("probe_lists"))
+          // both options required (ivfflat_index.cpp:16-29)
+          require(lists.isDefined && probe.isDefined,
+            "ivfflat requires lists and probe_lists")
+          VectorIndexes.createIvfFlat(name, tbl, withRowId(df, tbl),
+            Engine.RowId, colName, lists.get, probe.get, metric)
+        case "hnsw" =>
+          // all three required (hnsw_index.cpp:33-47)
+          require(Seq("m", "ef_construction", "ef_search")
+            .forall(opts.contains),
+            "hnsw requires m, ef_construction, ef_search")
+          VectorIndexes.createHnsw(name, tbl, withRowId(df, tbl),
+            Engine.RowId, colName, opts("m"), opts("ef_construction"),
+            opts("ef_search"), metric)
+        case _ =>
+          // scalar index methods: metadata-only no-op (SURVEY §2.5)
+          ()
+      }
+      refreshIndexLeaves(tbl) // match against the cached-table leaf
+      message(s"Index created: $name")
+    case _ => sys.error(s"cannot parse CREATE INDEX: $sql")
+  }
+
+  private def insert(sql: String): DataFrame = {
+    val insRe = """(?is)insert\s+into\s+(\w+)\s+(.*)""".r
+    val insRe(tbl, rest) = sql: @unchecked
+    val target = table(tbl)
+    val src =
+      if (rest.trim.toLowerCase.startsWith("values"))
+        spark.sql(s"SELECT * FROM (${rewriteExprs(rest.trim)})")
+      else spark.sql(rewriteExprs(rest.trim)) // INSERT INTO t SELECT ...
+    // schema must match exactly (plan_insert.cpp:31-37) modulo names;
+    // vector dims re-checked like the binder (bind_create.cpp:90-97)
+    require(src.schema.length == target.schema.length,
+      s"column count mismatch inserting into $tbl")
+    val aligned = src.toDF(target.columns: _*)
+      .select(target.schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    vectorDims.foreach { case ((t, c), dim) =>
+      if (t == tbl) {
+        val bad = aligned.filter(col(c).isNotNull && size(col(c)) =!= dim)
+        require(bad.isEmpty, s"vector dim mismatch for $t.$c (want $dim)")
+      }
+    }
+    val rows = aligned.cache()
+    val cnt = rows.count()
+    registerTable(tbl, table(tbl).unionAll(rows))
+    maintainIndexes(tbl, rows)
+    import spark.implicits._
+    Seq(cnt).toDF(Engine.InsertRowsCol)
+  }
+
+  /** InsertVectorEntry semantics (vector_index.h:21, vector.04/05):
+    * every vector index on the table sees the new rows. */
+  private def maintainIndexes(tbl: String, rows: DataFrame): Unit =
+    VectorIndexes.list().filter(_.table == tbl).foreach { meta =>
+      val withId = withRowId(table(tbl), tbl) // ids over the NEW union
+      meta.model match {
+        case m: VectorIndexes.IvfModel =>
+          // re-derive appended rows by id watermark: buckets hold all
+          // previously indexed ids
+          val indexed = m.m.buckets.select(col(Engine.RowId)).distinct()
+          val fresh = withId.join(indexed, Seq(Engine.RowId), "left_anti")
+            .select(col(Engine.RowId),
+              col(meta.column).cast("array<double>"))
+          val updated = m.m.insert(fresh)
+          VectorIndexes.register(meta.copy(
+            model = VectorIndexes.IvfModel(updated, Engine.RowId)))
+        case h: VectorIndexes.HnswModel =>
+          val known = h.idx.size.toLong
+          withId.filter(col(Engine.RowId) >= known)
+            .select(col(Engine.RowId), col(meta.column).cast("array<double>"))
+            .collect().foreach(r =>
+              h.idx.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+        case _ => ()
+      }
+    }
+
+  private def delete(sql: String): DataFrame = {
+    val delRe = """(?is)delete\s+from\s+(\w+)(?:\s+where\s+(.*))?""".r
+    val delRe(tbl, whereOrNull) = sql: @unchecked
+    val t = table(tbl)
+    val cond = Option(whereOrNull).map(w => expr(rewriteExprs(w)))
+      .getOrElse(lit(true))
+    val cnt = t.filter(cond).count()
+    // null-evaluating predicates keep the row (3-valued DELETE)
+    registerTable(tbl, t.filter(coalesce(!cond, lit(true))))
+    import spark.implicits._
+    Seq(cnt).toDF(Engine.DeleteRowsCol)
+  }
+
+  private def update(sql: String): DataFrame = {
+    val updRe = """(?is)update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?""".r
+    val updRe(tbl, setStr, whereOrNull) = sql: @unchecked
+    val t = table(tbl)
+    val cond = Option(whereOrNull).map(w => expr(rewriteExprs(w)))
+      .getOrElse(lit(true))
+    val assignments = splitTopLevel(setStr).map { a =>
+      val Array(k, v) = a.split("=", 2).map(_.trim)
+      k -> expr(rewriteExprs(v))
+    }.toMap
+    val cnt = t.filter(cond).count()
+    val updated = t.select(t.columns.map(c =>
+      assignments.get(c)
+        .map(e => when(cond, e).otherwise(col(c)).as(c))
+        .getOrElse(col(c))): _*)
+    registerTable(tbl, updated)
+    import spark.implicits._
+    Seq(cnt).toDF(Engine.UpdateRowsCol)
+  }
+
+  private def setVar(sql: String): DataFrame = {
+    val Array(_, kv) = sql.split("\\s+", 2)
+    val Array(k, v) = kv.split("=", 2).map(_.trim)
+    spark.conf.set(s"graft.$k", v)
+    message(s"set $k=$v")
+  }
+
+  private def showVar(sql: String): DataFrame = {
+    val k = sql.split("\\s+", 2)(1).trim
+    import spark.implicits._
+    Seq(spark.conf.getOption(s"graft.$k").getOrElse(""))
+      .toDF(k)
+  }
+
+  private def explain(sql: String): DataFrame = {
+    val body = sql.replaceFirst("(?is)explain\\s*(\\([^)]*\\))?\\s*", "")
+    val plan = executeSql(body).queryExecution.toString
+    import spark.implicits._
+    plan.linesIterator.toSeq.toDF("plan")
+  }
+
+  // ---- expression rewriting ----------------------------------------------
+
+  /** pg-isms → Spark SQL: `ARRAY [..]` → array(..) (with double
+    * literals, matching the binder's all-DECIMAL array rule,
+    * array_expression.h:27-58) and the distance operators
+    * (expression_factory.cpp:104-112). */
+  private[graft] def rewriteExprs(sql: String): String = {
+    var out = sql
+    // ARRAY [1.0, 2.0] -> array(CAST(1.0 AS DOUBLE), ...)
+    val arrRe = """(?i)ARRAY\s*\[([^\]]*)\]""".r
+    out = arrRe.replaceAllIn(out, m =>
+      Regex.quoteReplacement(
+        "array(" + m.group(1).split(",")
+          .map(x => s"CAST(${x.trim} AS DOUBLE)").mkString(", ") + ")"))
+    // distance operators, loosest first (<#> before <> would not clash)
+    out = rewriteOp(out, "<->", "l2_dist")
+    out = rewriteOp(out, "<#>", "inner_product")
+    out = rewriteOp(out, "<=>", "cosine_similarity")
+    out
+  }
+
+  /** `a <op> b` → fn(a, b) for simple operands (identifier, function
+    * call, or array(...) literal, one nesting level deep — enough for
+    * the rewritten ARRAY [..] form) — covers the reference grammar,
+    * where the operands are always a column and an ARRAY literal. */
+  private def rewriteOp(sql: String, op: String, fn: String): String = {
+    val inner = """(?:[^()]|\([^()]*\))*"""
+    val operand = s"""(array\\($inner\\)|[\\w.]+\\($inner\\)|[\\w.]+)"""
+    val re = new Regex("(?i)" + operand + """\s*""" + Regex.quote(op) +
+      """\s*""" + operand)
+    var out = sql
+    var prev = ""
+    while (prev != out) { // nested/multiple occurrences
+      prev = out
+      out = re.replaceAllIn(out, m =>
+        Regex.quoteReplacement(s"$fn(${m.group(1)}, ${m.group(2)})"))
+    }
+    out
+  }
+
+  // ---- helpers ------------------------------------------------------------
+
+  /** Stable row id for index bookkeeping — the RID analogue. Derived
+    * from position for engine-managed tables (deterministic: unions
+    * append in order and our tables are small driver-built ones; at
+    * parquet scale callers pass an explicit id column instead). */
+  private def withRowId(df: DataFrame, tbl: String): DataFrame =
+    if (df.columns.contains(Engine.RowId)) df
+    else df.withColumn(Engine.RowId,
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(monotonically_increasing_id())).cast("long") - 1)
+
+  private def message(s: String): DataFrame = {
+    import spark.implicits._
+    Seq(s).toDF("message")
+  }
+
+  /** split on commas not inside parens */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+}
+
+object Engine {
+  val RowId = "__rid"
+  /** reference __bustub_internal result column names */
+  val InsertRowsCol = "insert_rows"
+  val DeleteRowsCol = "delete_rows"
+  val UpdateRowsCol = "update_rows"
+}

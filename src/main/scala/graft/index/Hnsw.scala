@@ -157,13 +157,18 @@ final class HnswIndex(
 
   /** KNN scan (reference ScanVectorKey, hnsw_index.cpp:188-201): descend
     * layers with efSearch, then a layer-0 search with max(k, efSearch). */
-  def scan(query: Array[Double], k: Int): Seq[(Long, Double)] = {
+  def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
+    scanFull(query, k).map(t => (t._1, t._3))
+
+  /** scan() + the stored vectors (for vector-valued semi-joins). */
+  def scanFull(query: Array[Double], k: Int)
+      : Seq[(Long, Array[Double], Double)] = {
     if (entryPoint < 0) return Seq.empty
     var eps: Seq[Int] = Seq(entryPoint)
     var l = layers.length - 1
     while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
     searchLayer(0, query, math.max(k, efSearch), eps)
-      .take(k).map(v => (ids(v), dist(query, vectors(v))))
+      .take(k).map(v => (ids(v), vectors(v), dist(query, vectors(v))))
   }
 }
 

@@ -22,15 +22,32 @@ object VectorIndexes {
 
   sealed trait Model {
     def scan(spark: SparkSession, query: Seq[Double], k: Int): DataFrame
+    /** (__knn_id, __knn_vec) — id + stored vector of the top-k, for the
+      * optimizer rule's semi-join (vector-valued when the id column
+      * isn't available in the target plan). */
+    def scanIdsVecs(spark: SparkSession, query: Seq[Double], k: Int)
+        : DataFrame
   }
   final case class IvfModel(m: IvfFlatModel, idCol: String) extends Model {
     def scan(spark: SparkSession, query: Seq[Double], k: Int): DataFrame =
       m.scan(query, k, tieBreak = Some(idCol))
+    def scanIdsVecs(spark: SparkSession, query: Seq[Double], k: Int)
+        : DataFrame = {
+      import org.apache.spark.sql.functions.col
+      scan(spark, query, k).select(col(idCol).as("__knn_id"),
+        col(m.vecCol).cast("array<double>").as("__knn_vec"))
+    }
   }
   final case class HnswModel(idx: HnswIndex, idCol: String) extends Model {
     def scan(spark: SparkSession, query: Seq[Double], k: Int): DataFrame =
       Hnsw.scanAsDf(spark, idx, query, k)
         .withColumnRenamed("id", idCol)
+    def scanIdsVecs(spark: SparkSession, query: Seq[Double], k: Int)
+        : DataFrame = {
+      import spark.implicits._
+      idx.scanFull(query.toArray, k).map(t => (t._1, t._2.toSeq))
+        .toDF("__knn_id", "__knn_vec")
+    }
   }
 
   final case class IndexMeta(

@@ -73,34 +73,44 @@ case class VectorDistance(
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local must be freshName'd: two distance expressions can
+      // land in the same generated function (e.g. one projection
+      // computing l2 and cosine) and fixed names collide
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       val body = metric match {
         case DistanceMetric.L2 =>
           s"""
-           |double acc = 0.0;
+           |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double d = $a.getDouble($i) - $b.getDouble($i);
-           |  acc += d * d;
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
            |}
-           |${ev.value} = java.lang.Math.sqrt(acc);
+           |${ev.value} = java.lang.Math.sqrt($acc);
            """.stripMargin
         case DistanceMetric.InnerProduct =>
           s"""
-           |double acc = 0.0;
+           |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  acc += $a.getDouble($i) * $b.getDouble($i);
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
            """.stripMargin
         case DistanceMetric.Cosine =>
           s"""
-           |double dot = 0.0; double na = 0.0; double nb = 0.0;
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double xv = $a.getDouble($i); double yv = $b.getDouble($i);
-           |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+           |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            """.stripMargin
       }
       s"""

@@ -104,7 +104,6 @@ class VectorIndexScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference => a.name == meta.idCol
         case _ => false
       })
-      idAttr <- child.output.find(_.name == meta.idCol)
     } yield {
       // Build the semi-join through the DataFrame API: the IVFFlat id
       // set derives from the SAME relation as `child`, so the analyzer
@@ -119,11 +118,23 @@ class VectorIndexScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // planner has no strategy for an alias node.
       val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val leftDf = org.apache.spark.sql.classic.Dataset.ofRows(cs, child)
-      val idsDf = meta.model.scan(spark, qvec, k)
-        .select(org.apache.spark.sql.functions.col(meta.idCol)
-          .as("__graft_knn_id"))
-      val joined = leftDf.join(idsDf,
-          leftDf.col(meta.idCol) === idsDf.col("__graft_knn_id"), "left_semi")
+      val idsVecs = meta.model.scanIdsVecs(spark, qvec, k)
+      import org.apache.spark.sql.functions.col
+      // Join on the id column when the child still carries it (parquet
+      // tables); otherwise semi-join on the vector VALUE itself — e.g.
+      // engine-managed tables whose synthetic row id never appears in
+      // projections (the reference re-adds a Projection instead,
+      // vector_index_scan.cpp:129-145).
+      val (idsDf, cond) =
+        if (child.output.exists(_.name == meta.idCol)) {
+          val ids = idsVecs.select(col("__knn_id").as("__graft_knn_id"))
+          (ids, leftDf.col(meta.idCol) === ids.col("__graft_knn_id"))
+        } else {
+          val vecs = idsVecs.select(col("__knn_vec").as("__graft_knn_id"))
+          (vecs, leftDf.col(attr.name).cast("array<double>")
+            === vecs.col("__graft_knn_id"))
+        }
+      val joined = leftDf.join(idsDf, cond, "left_semi")
         .queryExecution.analyzed
       org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(joined)
     }

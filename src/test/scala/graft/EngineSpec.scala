@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Replays the reference's own SQL test corpus (test/sql/vector.01-05,
+  * p0.01-lower-upper) through Engine.executeSql — the "switch engines,
+  * keep your SQL" contract. Expected values hand-derived from the SLT
+  * fixtures (distances to ARRAY[1,1,1] over the vector.04 rows). */
+class EngineSpec extends SparkSpecBase {
+
+  private def mkEngine = new Engine(spark)
+
+  private def vecRows(e: Engine, sql: String): Seq[(Double, Int, Double)] =
+    e.executeSql(sql).collect().toSeq.map(r =>
+      (r.getSeq[Double](0).head, r.getInt(1), r.getDouble(2)))
+
+  test("vector.01: create, insert ARRAY literals, scan with distances") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t1(v1 VECTOR(3), v2 integer);")
+    val ins = e.executeSql(
+      "INSERT INTO t1 VALUES (ARRAY [1.0, 1.0, 1.0], 1), " +
+        "(ARRAY [2.0, 2.0, 2.0], 2), (ARRAY [3.0, 3.0, 3.0], 3)")
+    assert(ins.collect()(0).getLong(0) == 3)
+    val r = e.executeSql(
+      "SELECT ARRAY [1.0, 1.0, 1.0] <-> v1, v1 <=> ARRAY [0.0, 1.0, 0.0], " +
+        "inner_product(v1, ARRAY [1.0, 1.0, 1.0]) FROM t1")
+      .collect().toSeq
+    assert(r.length == 3)
+    val l2 = r.map(_.getDouble(0)).sorted
+    assert(math.abs(l2.head) < 1e-9 &&
+      math.abs(l2(1) - math.sqrt(3.0)) < 1e-9)
+    val ip = r.map(_.getDouble(2)).sorted
+    assert(ip == Seq(3.0, 6.0, 9.0))
+  }
+
+  test("vector.02 naive knn: ORDER BY dist LIMIT k without index") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t2(v1 VECTOR(3), v2 integer)")
+    e.executeSql(
+      "INSERT INTO t2 VALUES (ARRAY [-1.0, 1.0, 1.0], -1), " +
+        "(ARRAY [-3.0, 1.0, 1.0], -3), (ARRAY [-2.0, 1.0, 1.0], -2), " +
+        "(ARRAY [-4.0, 1.0, 1.0], -4), (ARRAY [0.0, 1.0, 1.0], 0), " +
+        "(ARRAY [2.0, 1.0, 1.0], 2), (ARRAY [4.0, 1.0, 1.0], 4), " +
+        "(ARRAY [5.0, 1.0, 1.0], 5)")
+    val got = e.executeSql(
+      "SELECT v2 FROM t2 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1, v2 LIMIT 3")
+      .collect().map(_.getInt(0)).toSeq
+    // dists: 0->1, 2->1, -1->2 ; tie 0/2 broken by v2
+    assert(got == Seq(0, 2, -1))
+  }
+
+  test("vector.04/05: ivfflat + hnsw index, insert-after-index is seen") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t4(v1 VECTOR(3), v2 integer)")
+    e.executeSql(
+      "INSERT INTO t4 VALUES (ARRAY [-1.0, 1.0, 1.0], -1), " +
+        "(ARRAY [-3.0, 1.0, 1.0], -3), (ARRAY [-2.0, 1.0, 1.0], -2), " +
+        "(ARRAY [-4.0, 1.0, 1.0], -4), (ARRAY [0.0, 1.0, 1.0], 0), " +
+        "(ARRAY [2.0, 1.0, 1.0], 2), (ARRAY [4.0, 1.0, 1.0], 4), " +
+        "(ARRAY [5.0, 1.0, 1.0], 5)")
+    // probe_lists = lists -> exact
+    e.executeSql("CREATE INDEX t4i ON t4 USING ivfflat " +
+      "(v1 vector_l2_ops) WITH (lists = 3, probe_lists = 3)")
+    val r1 = vecRows(e, "SELECT v1, v2, ARRAY [1.0, 1.0, 1.0] <-> v1 " +
+      "as distance FROM t4 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1, v2 LIMIT 3")
+    assert(r1.map(_._2) == Seq(0, 2, -1) &&
+      r1.map(_._3) == Seq(1.0, 1.0, 2.0))
+    // insert AFTER the index exists; KNN must see the new exact match
+    e.executeSql("INSERT INTO t4 VALUES (ARRAY [1.0, 1.0, 1.0], 1), " +
+      "(ARRAY [3.0, 1.0, 1.0], 3)")
+    val r2 = vecRows(e, "SELECT v1, v2, ARRAY [1.0, 1.0, 1.0] <-> v1 " +
+      "as distance FROM t4 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1, v2 LIMIT 5")
+    assert(r2.map(_._2) == Seq(1, 0, 2, -1, 3))
+    assert(r2.map(_._3) == Seq(0.0, 1.0, 1.0, 2.0, 2.0))
+
+    // hnsw over the same table (vector.05); statement-ok + sane results
+    e.executeSql("CREATE INDEX t4h ON t4 USING hnsw (v1 vector_l2_ops) " +
+      "WITH (m = 4, ef_construction = 16, ef_search = 16)")
+    e.executeSql("set vector_index_method=hnsw")
+    try {
+      val r3 = vecRows(e, "SELECT v1, v2, ARRAY [1.0, 1.0, 1.0] <-> v1 " +
+        "as distance FROM t4 ORDER BY ARRAY [1.0, 1.0, 1.0] <-> v1, v2 LIMIT 3")
+      assert(r3.map(_._3) == r3.map(_._3).sorted && r3.length == 3)
+      assert(r3.head._2 == 1 && r3.head._3 == 0.0) // exact match found
+    } finally e.executeSql("set vector_index_method=")
+    graft.index.VectorIndexes.drop("t4i")
+    graft.index.VectorIndexes.drop("t4h")
+  }
+
+  test("vector.03: vector_index_method steers selection; explain shows it") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t3(v1 VECTOR(3), v2 integer)")
+    e.executeSql("INSERT INTO t3 VALUES (ARRAY [1.0, 1.0, 1.0], 1), " +
+      "(ARRAY [2.0, 2.0, 2.0], 2), (ARRAY [3.0, 3.0, 3.0], 3), " +
+      "(ARRAY [4.0, 4.0, 4.0], 4)")
+    e.executeSql("CREATE INDEX t3i ON t3 USING ivfflat (v1 vector_l2_ops) " +
+      "WITH (lists = 2, probe_lists = 2)")
+    try {
+      def planStr(method: String): String = {
+        e.executeSql(s"set vector_index_method=$method")
+        e.executeSql("EXPLAIN (o) SELECT v1 FROM t3 ORDER BY " +
+          "ARRAY [1.0, 1.0, 1.0] <-> v1 LIMIT 2")
+          .collect().map(_.getString(0)).mkString("\n")
+      }
+      assert(planStr("ivfflat").contains("__graft_knn_id"))
+      assert(!planStr("none").contains("__graft_knn_id"))
+    } finally {
+      e.executeSql("set vector_index_method=")
+      graft.index.VectorIndexes.drop("t3i")
+    }
+  }
+
+  test("p0.01: lower/upper") {
+    val e = mkEngine
+    val r = e.executeSql("SELECT lower('AbC'), upper('AbC')").head()
+    assert(r.getString(0) == "abc" && r.getString(1) == "ABC")
+  }
+
+  test("delete + update rewrites with counts") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t5(a integer, b integer)")
+    e.executeSql("INSERT INTO t5 VALUES (1, 10), (2, 20), (3, 30)")
+    val u = e.executeSql("UPDATE t5 SET b = b + 1 WHERE a >= 2")
+    assert(u.head().getLong(0) == 2)
+    assert(e.table("t5").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSet == Set((1, 10), (2, 21), (3, 31)))
+    val d = e.executeSql("DELETE FROM t5 WHERE a = 2")
+    assert(d.head().getLong(0) == 1)
+    assert(e.table("t5").count() == 2)
+  }
+
+  test("vector dim mismatch on insert is rejected (binder rule)") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t6(v1 VECTOR(3), v2 integer)")
+    intercept[Exception] {
+      e.executeSql("INSERT INTO t6 VALUES (ARRAY [1.0, 2.0], 1)")
+    }
+  }
+}
