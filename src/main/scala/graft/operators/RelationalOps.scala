@@ -256,6 +256,17 @@ object RelationalOps {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+    }),
+
+    // Gap-based sessionization (30-min silence closes a session) — the
+    // batch twin of StreamOps.sessionize; StreamingSpec proves the
+    // flatMapGroupsWithState version emits the identical session set.
+    "q25_sessionize" -> ((s, d) => {
+      graft.streaming.StreamOps
+        .sessionizeBatch(Tables.load(s, d, "events"))
+        .select(col("user_id"), col("start").cast("string").as("s_start"),
+          col("end").cast("string").as("s_end"), col("events"),
+          col("total_value"))
     })
   )
 
@@ -355,6 +366,23 @@ object RelationalOps {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(min(ts) AS VARCHAR) AS s_start,
+        |  CAST(max(ts) AS VARCHAR) AS s_end, count(*)::INT AS events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin
   )
 }

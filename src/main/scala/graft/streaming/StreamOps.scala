@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY §2.6) — this is the
+  * Spark-native extension an analytics engine at 100TB needs: the SAME
+  * transformations run batch or streaming (Structured Streaming's core
+  * contract), so each operator here takes a DataFrame that may be
+  * either. StreamingSpec drives them with MemoryStream and asserts
+  * equivalence against the batch run on identical data — the standard
+  * streaming correctness harness.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1h is dropped — state eviction is what makes a
+  * 100TB/day stream feasible); sessionization state is per-user and
+  * times out via the state API, not a manual sweep.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with a 1h watermark —
+    * the streaming analogue of the batch q24_events_hourly. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
+  /** Sliding-window (1h every 15min) per-type rates. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+
+  // --- sessionization via typed state -----------------------------------
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, events: Int,
+      value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      events: Int, total_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Gap-based sessionization with flatMapGroupsWithState: emits a
+    * session when a user is silent > 30 min (or the state times out).
+    * State is one small record per live user — the shape that scales. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.events, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > SessionGapMs =>
+                  out ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.events, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t),
+                    events = s.events + 1, value = s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Batch oracle for sessionize (same gap semantics, plain SQL ops) —
+    * used by StreamingSpec for equivalence, and usable on its own as
+    * the batch sessionization operator. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts")))
+            > SessionGapMs).cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts").as("start"), max("ts").as("end"),
+        count(lit(1)).cast("int").as("events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .drop("session_id")
+  }
+}

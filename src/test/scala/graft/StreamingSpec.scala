@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Streaming correctness = equivalence with the batch run on the same
+  * data, driven through MemoryStream epochs (the standard harness). */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val sample: Seq[Event] = Seq(
+    Event(0, ts(1), 1, "click", 1.0),
+    Event(1, ts(5), 1, "click", 2.0),
+    Event(2, ts(10), 2, "view", 3.0),
+    Event(3, ts(65), 1, "click", 4.0),   // new hour, same session? gap 60>30 -> new session
+    Event(4, ts(70), 2, "error", 5.0),
+    Event(5, ts(130), 1, "click", 6.0),  // gap 65 -> new session
+    Event(6, ts(135), 2, "view", 7.0))
+
+  test("streaming hourly agg == batch hourly agg on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly_t")
+        .select("hour", "event_type", "cnt", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val want = StreamOps.hourlyByType(sample.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_l")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      // watermark now 02:15 - 1h; an event at 00:01 is > 1h late
+      mem.addData(Event(99, ts(1), 9, "late", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close every window
+      mem.addData(Event(100, ts(300), 9, "flush", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_l").collect()
+      assert(!got.exists(_.getString(1) == "late"))
+      assert(got.exists(_.getString(1) == "click"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization == batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      // push watermark forward so all sessions time out and emit
+      mem.addData(Event(100, ts(600), 99, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_t")
+        .filter(col("user_id") =!= 99)
+        .select("user_id", "start", "end", "events", "total_value")
+        .collect().map(_.toSeq).toSet
+      val want = StreamOps.sessionizeBatch(sample.toDF())
+        .select("user_id", "start", "end", "events", "total_value")
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("batch sessionization on the events table: sane invariants") {
+    val events = Tables.load(spark, sfDir, "events")
+    val sessions = StreamOps.sessionizeBatch(events)
+    val n = events.count()
+    val agg = sessions.agg(sum("events"), count(lit(1))).head()
+    assert(agg.getLong(0) == n) // every event in exactly one session
+    // session bounds ordered
+    assert(sessions.filter(col("end") < col("start")).isEmpty)
+  }
+}
