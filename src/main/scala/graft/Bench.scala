@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scan warmup so timings reflect steady state (the
+    // reference's timing harness reruns queries for the same reason,
+    // tools/sqllogictest/sqllogictest.cpp:135-157)
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").count().collect()
+      Tables.load(spark, sfDir, "embeddings").count()
+      Tables.load(spark, sfDir, "documents").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

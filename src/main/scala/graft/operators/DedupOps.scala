@@ -139,13 +139,16 @@ object DedupOps {
         first(col("ntk")).as("ntk"),
         (0 until 64).map(i => sum(shiftright(h, i).bitwiseAND(1))
           .as(s"c$i")): _*)
-      // simhash bit i = (2 * count_set(i) > n_tokens)
-      val sim = counts.select(col("doc_id"), array(
-        (0 until 64).map(i => (col(s"c$i") * 2) > col("ntk")): _*).as("sim"))
-        .cache()
+      // simhash PACKED into one BIGINT (bit i = 2*count_set(i) > n):
+      // hamming becomes bit_count(a ^ b) and segments are byte
+      // extractions — everything stays in codegen, nothing interpreted.
+      val packed = (0 until 64).map(i =>
+        when((col(s"c$i") * 2) > col("ntk"), lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      val sim = counts.select(col("doc_id"), packed.as("sim")).cache()
       val seg = sim.select(col("doc_id"), col("sim"),
         explode(array((0 until 8).map(g => struct(lit(g).as("g"),
-          xxhash64(lit(g), slice(col("sim"), g * 8 + 1, 8)).as("gkey"))): _*))
+          shiftright(col("sim"), g * 8).bitwiseAND(255).as("gkey"))): _*))
           .as("b"))
         .select(col("doc_id"), col("sim"), col("b.g"), col("b.gkey"))
       val cand = seg.as("x").join(seg.as("y"),
@@ -153,12 +156,11 @@ object DedupOps {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val ham = size(filter(zip_with(col("sa"), col("sb"),
-        (x, y) => x =!= y), v => v))
       cand
         .join(sim.select(col("doc_id").as("a_id"), col("sim").as("sa")), "a_id")
         .join(sim.select(col("doc_id").as("b_id"), col("sim").as("sb")), "b_id")
-        .select(col("a_id"), col("b_id"), ham.as("hamming"))
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(sa ^ sb)").as("hamming"))
         .filter(col("hamming") <= 3)
     }),
 

@@ -110,21 +110,13 @@ object VectorOps {
       val q = queryVec(s, d)
       val dim = q.length
       val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
-      val qbits: Seq[Boolean] =
+      val planes: Array[Array[Double]] =
+        Array.fill(64)(Array.fill(dim)(rnd.nextGaussian()))
+      val qbits: Array[Boolean] =
         planes.map(p => p.zip(q).map { case (a, b) => a * b }.sum > 0)
-      val v = col("embedding").cast("array<double>")
-      val bits = transform(typedlit(planes),
-        p => aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0),
-          (acc, x) => acc + x) > 0)
-      val anyTable = (0 until 8).map { t =>
-        val ham = size(filter(zip_with(slice(bits, lit(t * 8 + 1), lit(8)),
-          typedlit(qbits.slice(t * 8, t * 8 + 8)),
-          (x, y) => x =!= y), b => b))
-        ham <= 1
-      }.reduce(_ || _)
-      emb(s, d).filter(anyTable)
+      val cand = org.apache.spark.sql.graft.HyperplaneLshMatch.column(
+        col("embedding"), planes, qbits, tables = 8, maxHamming = 1)
+      emb(s, d).filter(cand)
         .withColumn("cos",
           Knn.distCol(col("embedding").cast("array<double>"), q,
             DistanceMetric.Cosine))
