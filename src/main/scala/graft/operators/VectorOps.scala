@@ -99,6 +99,18 @@ object VectorOps {
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // Partition-parallel HNSW (the scale path: sub-graph per partition
+    // built inside mapPartitions, merged top-k serve). Rows-only check;
+    // IndexSpec asserts recall vs brute force.
+    "q39_hnsw_partitioned" -> ((s, d) => {
+      import s.implicits._
+      val idx = Hnsw.buildPartitioned(emb(s, d), "vec_id", "embedding",
+        m = 8, efConstruction = 64, efSearch = 40, numPartitions = 4)
+      idx.scan(queryVec(s, d).toArray, 10)
+        .toDF("vec_id", "dist")
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH ANN, 8 tables x 8 bits with multi-probe
     // (accept per-table hamming <= 1): candidates = rows near the query
     // bucket in >= 1 table — a narrow, codegen'd filter (no shuffle) —

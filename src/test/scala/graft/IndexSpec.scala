@@ -54,6 +54,19 @@ class IndexSpec extends SparkSpecBase {
     assert(got == bruteIds(15))
   }
 
+  test("partitioned hnsw: all rows indexed, recall >= monolithic's floor") {
+    val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 12,
+      efConstruction = 100, efSearch = 80, numPartitions = 4)
+    assert(idx.size == emb.count())
+    assert(idx.parts.length == 4)
+    val got = idx.scan(query.toArray, 10).map(_._1).toSet
+    val recall = got.intersect(bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.8, s"recall=$recall")
+    // distances ascend
+    val ds = idx.scan(query.toArray, 10).map(_._2)
+    assert(ds == ds.sorted)
+  }
+
   test("hnsw recall >= 0.8 at k=10 with generous ef") {
     val idx = Hnsw.build(emb, "vec_id", "v", m = 12, efConstruction = 100,
       efSearch = 80)
