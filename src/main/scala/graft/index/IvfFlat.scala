@@ -64,6 +64,45 @@ final case class IvfFlatModel(
     * probe filters become partition pruning at any scale. */
   def save(path: String): Unit =
     buckets.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+  /** Batch KNN JOIN through the index: rank centroids per query
+    * (broadcast centroid table — lists × dim, tiny), keep the
+    * `probeLists` nearest buckets per query, join candidates on
+    * __bucket (co-located partition-pruned reads when `save`d), exact
+    * top-k per query among candidates. One shuffle on the bucket id,
+    * data touched = probed buckets only — the shape that serves 10⁶
+    * queries against 10¹⁰ vectors. probeLists = lists ⇒ exact. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val nonEmpty = IvfFlat.nonEmptyBuckets(buckets).toSet
+    val centDf = centroids.toSeq.zipWithIndex
+      .collect { case (c, b) if nonEmpty(b) => (b, c.toSeq) }
+      .toDF("__bucket", "__cv")
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("__qv"))
+    val cdist = Knn.metricCol(col("__cv"), col("__qv"), metric)
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("__cdist").asc, col("__bucket").asc)
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("__cdist", cdist)
+      .withColumn("__crk", row_number().over(wProbe))
+      .filter(col("__crk") <= probeLists)
+      .select(col("q_id"), col("__qv"), col("__bucket"))
+    val idCols = buckets.columns.filterNot(c =>
+      c == "__bucket" || c == vecCol).toSeq
+    val dist = Knn.metricCol(col(vecCol), col("__qv"), metric)
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col(idCols.head).asc)
+    probed.join(buckets, "__bucket")
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= k)
+      .select((Seq(col("q_id")) ++ idCols.map(col) ++
+        Seq(col("dist"), col("rk"))): _*)
+  }
 }
 
 object IvfFlat {

@@ -137,6 +137,28 @@ object VectorOps {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // Batch KNN JOIN — top-k neighbors for a whole query set in ONE
+    // job (the Spark-native serving form; SURVEY §2.4). Brute variant:
+    // broadcast query set, single data scan, window top-k per query.
+    "q26_knn_join_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      Knn.join(e.filter(col("vec_id") < 20), "embedding", "vec_id",
+          e, "embedding", "vec_id", k = 5)
+        .select(col("q_id"), col("d_id"), round(col("dist"), 6).as("dist"),
+          col("rk"))
+    }),
+
+    // Indexed variant: probe-ranked bucket join; probe=lists -> exact,
+    // same oracle as the brute join.
+    "q27_knn_join_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = IvfFlat.build(e, Seq("vec_id"), "embedding",
+        lists = 8, probeLists = 8)
+      model.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id").as("d_id"),
+          round(col("dist"), 6).as("dist"), col("rk"))
+    }),
+
     // The KNN optimizer rule end-to-end (reference
     // OptimizeAsVectorIndexScan): a PLAIN orderBy(dist).limit(k) query
     // is silently served through the registered IVFFlat index via a
@@ -193,6 +215,20 @@ object VectorOps {
         |LIMIT 10""".stripMargin,
     "q33_ivfflat_exact" -> bruteOracle,
     "q34_ivfflat_insert" -> bruteOracle,
-    "q38_knn_rewrite" -> bruteOracle
+    "q38_knn_rewrite" -> bruteOracle,
+    "q26_knn_join_brute" -> knnJoinOracle,
+    "q27_knn_join_ivf" -> knnJoinOracle
   )
+
+  private lazy val knnJoinOracle =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |     d AS (SELECT vec_id AS d_id, CAST(embedding AS DOUBLE[]) AS dv
+      |           FROM embeddings)
+      |SELECT q_id, d_id, round(dist, 6) AS dist, rk FROM (
+      |  SELECT q.q_id, d.d_id, list_distance(d.dv, q.qv) AS dist,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_distance(d.dv, q.qv), d.d_id) AS rk
+      |  FROM q CROSS JOIN d)
+      |WHERE rk <= 5""".stripMargin
 }

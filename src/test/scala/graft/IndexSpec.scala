@@ -88,6 +88,39 @@ class IndexSpec extends SparkSpecBase {
     }
   }
 
+  test("saved ivfflat probe scan prunes partitions on __bucket") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8, probeLists = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    m.save(dir)
+    val loaded = IvfFlat.load(spark, dir, m.centroids, m.metric,
+      m.probeLists, m.vecCol)
+    val planStr = loaded.scan(query, 10, Some("vec_id"))
+      .queryExecution.executedPlan.toString
+    // probe filter must reach the scan as PartitionFilters, not a
+    // post-scan Filter — the property that makes probes cheap at scale
+    assert(planStr.contains("PartitionFilters: [") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("__bucket"))
+    // and the loaded index still answers exactly like the in-memory one
+    val a = m.scan(query, 10, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val b = loaded.scan(query, 10, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("ivf knn join (probe=lists) == brute knn join, exactly") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8, probeLists = 8)
+    val queries = emb.filter(col("vec_id") < 15)
+    val brute = Knn.join(queries, "v", "vec_id", emb, "v", "vec_id", 5)
+      .select("q_id", "d_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = m.knnJoin(queries, "vec_id", "v", 5)
+      .select("q_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute && brute.size == 15 * 5)
+  }
+
   test("index selection honors vector_index_method (vector.03 semantics)") {
     VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
     VectorIndexes.createIvfFlat("t_ivf", "emb_t", emb, "vec_id", "v", 8, 8)
