@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalOps.queries ++ operators.VectorOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
-      operators.MultimodalOps.queries
+      operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

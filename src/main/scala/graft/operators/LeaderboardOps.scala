@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's leaderboard workloads — its only perf-pinned
+  * queries (BASELINE.md) — over faithful ports of the mock-table
+  * generators (`src/execution/mock_scan_executor.cpp:363-476`),
+  * generated distributively with spark.range (no driver loops, no
+  * data files; a 10M-row table is a range + two projections).
+  *
+  * Golden outputs are pinned inline in the reference SLT files and
+  * asserted exactly in LeaderboardSpec; the driver gate records these
+  * as rows-only (the DuckDB oracle only sees the sf parquet tables).
+  */
+object MockTables {
+  /** __mock_t1: x=i/10000, y=i%10000, z=i; 1M rows (:363-371). */
+  def t1(s: SparkSession): DataFrame =
+    s.range(1000000L).selectExpr("CAST(id DIV 10000 AS INT) AS x",
+      "CAST(id % 10000 AS INT) AS y", "CAST(id AS INT) AS z")
+
+  /** __mock_t4/5/6_1m: cursor=(i+off)%500000 -> (cursor, cursor*10);
+    * 1M rows each (:373-401). */
+  def t456(s: SparkSession, offset: Long): DataFrame =
+    s.range(1000000L).selectExpr(
+      s"CAST((id + $offset) % 500000 AS INT) AS x",
+      s"CAST(((id + $offset) % 500000) * 10 AS INT) AS y")
+
+  /** __mock_t7: (i%20, i, i); 1M rows (:403-411). */
+  def t7(s: SparkSession): DataFrame =
+    s.range(1000000L).selectExpr("CAST(id % 20 AS INT) AS v",
+      "CAST(id AS INT) AS v1", "CAST(id AS INT) AS v2")
+
+  /** __mock_t8: v4=i; 10 rows (:413-419). */
+  def t8(s: SparkSession): DataFrame =
+    s.range(10L).selectExpr("CAST(id AS INT) AS v4")
+
+  /** __mock_t9: (i/10000, 10^7 - (i/2 + ((i/10000)%2)*((i/2)%2)));
+    * 10M rows (:421-429). */
+  def t9(s: SparkSession): DataFrame =
+    s.range(10000000L).selectExpr("CAST(id DIV 10000 AS INT) AS x",
+      "CAST(10000000 - (id DIV 2 + ((id DIV 10000) % 2) * ((id DIV 2) % 2)) AS INT) AS y")
+}
+
+object LeaderboardOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // p3.leaderboard-q1: point-range filter over 1M rows. The
+    // reference needs a (x,y) B+tree index; Catalyst's codegen'd
+    // filter over the generated range IS the scan — 10 rows out.
+    "q60_leaderboard_q1" -> ((s, _) =>
+      MockTables.t1(s).filter(col("x") >= 90 && col("y") === 10)),
+
+    // p3.leaderboard-q2: selective 3-way equi-join over 3 x 1M rows
+    // (reference golden: 400000 149999 1499990 x3). Catalyst picks
+    // the join order + shuffled hash/SMJ; filters push below joins.
+    "q61_leaderboard_q2" -> ((s, _) => {
+      val t4 = MockTables.t456(s, 0).as("t4")
+      val t5 = MockTables.t456(s, 30000).as("t5")
+      val t6 = MockTables.t456(s, 60000).as("t6")
+      t4.join(t5, col("t4.x") === col("t5.x"))
+        .join(t6, col("t6.y") === col("t5.y"))
+        .filter(col("t4.y") >= 1000000 && col("t4.y") < 1500000 &&
+          col("t6.x") < 150000 && col("t6.x") >= 100000)
+        .agg(count(lit(1)).as("cnt"),
+          max("t4.x").as("m4x"), max("t4.y").as("m4y"),
+          max("t5.x").as("m5x"), max("t5.y").as("m5y"),
+          max("t6.x").as("m6x"), max("t6.y").as("m6y"))
+    }),
+
+    // p3.leaderboard-q3: wide aggregate over 1M rows left-joined with
+    // an empty derived table (reference prunes the dead join + dedups
+    // the repeated aggregates; Catalyst's CollapseProject +
+    // PropagateEmptyRelation do the same).
+    "q62_leaderboard_q3" -> ((s, _) => {
+      val t7 = MockTables.t7(s)
+      val emptyT8 = MockTables.t8(s).filter(lit(1) === lit(2))
+      t7.join(emptyT8, col("v") < col("v4"), "left")
+        .groupBy("v")
+        .agg(max("v1").as("d1"),
+          (max("v1") + max("v1") + max("v2")).as("d2"),
+          min("v1").as("x1"), max("v2").as("x2"), min("v2").as("x3"),
+          (max("v1") + min("v1")).as("x4"),
+          (max("v2") + min("v2")).as("x5"))
+        .select("v", "d1", "d2")
+    }),
+
+    // __mock_t9 scan + agg (the 10M-row member of the q3 fixture
+    // family): proves the generator scales without materialization.
+    "q63_mock_t9_agg" -> ((s, _) =>
+      MockTables.t9(s).groupBy("x")
+        .agg(min("y").as("min_y"), max("y").as("max_y"),
+          count(lit(1)).as("n"))
+        .orderBy(col("x")).limit(20))
+  )
+}

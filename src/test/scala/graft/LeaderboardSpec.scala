@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.LeaderboardOps
+
+/** Exact golden outputs pinned by the reference SLT files
+  * (p3.leaderboard-q1/q2/q3 inline expected blocks). */
+class LeaderboardSpec extends SparkSpecBase {
+
+  private def run(name: String) =
+    LeaderboardOps.queries(name)(spark, sfDir)
+
+  test("leaderboard q1 == reference golden rows") {
+    val got = run("q60_leaderboard_q1").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val want = (90 to 99).map(x => (x, 10, x * 10000 + 10)).toSet
+    assert(got == want)
+  }
+
+  test("leaderboard q2 == reference golden aggregate row") {
+    val r = run("q61_leaderboard_q2").head()
+    assert(r.getLong(0) == 400000L)
+    assert((1 to 6).map(r.getInt) == Seq(149999, 1499990, 149999,
+      1499990, 149999, 1499990))
+  }
+
+  test("leaderboard q3 == reference golden 20 rows") {
+    val got = run("q62_leaderboard_q3").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val want = (0 until 20).map(v =>
+      (v, 999980 + v, 3 * (999980 + v))).toSet
+    assert(got == want)
+  }
+
+  test("mock t9 10M-row agg invariants") {
+    val rows = run("q63_mock_t9_agg").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(3) == 10000L)) // 10000 rows per x bucket
+  }
+}
