@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, CreateArray, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -153,6 +153,13 @@ object VectorDistanceApi {
       wrap(DistanceMetric.InnerProduct), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity",
       wrap(DistanceMetric.Cosine), "built-in")
+    // function form of the vector constructor (reference
+    // expression_factory.cpp:125-127); children coerced to double like
+    // the binder's all-DECIMAL ARRAY rule (array_expression.h:27-58)
+    reg.createOrReplaceTempFunction("construct_array",
+      (exprs: Seq[Expression]) => CreateArray(
+        exprs.map(Cast(_, org.apache.spark.sql.types.DoubleType))),
+      "built-in")
   }
 
   // Descriptors for SparkSessionExtensions.injectFunction.

@@ -110,6 +110,40 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("p3.20: window function goldens (frames, ties, partition by)") {
+    val e = mkEngine
+    e.executeSql("create table w1(v1 int)")
+    e.executeSql("insert into w1 values (-99999), (99999), (0), (1), (2), (3)")
+    // whole-partition frame (no ORDER BY)
+    val whole = e.executeSql("select count(*) over (), min(v1) over (), " +
+      "max(v1) over (), count(v1) over (), sum(v1) over () from w1")
+      .collect().map(_.toSeq).toSeq
+    assert(whole.length == 6 &&
+      whole.forall(_ == Seq(6L, -99999, 99999, 6L, 6L)))
+    // running frame (ORDER BY -> range unbounded preceding..current row)
+    val running = e.executeSql("select count(*) over (order by v1), " +
+      "sum(v1) over (order by v1) from w1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(running.toSeq == Seq((1L, -99999L), (2L, -99999L), (3L, -99998L),
+      (4L, -99996L), (5L, -99993L), (6L, 6L)))
+    // rank with ties after duplicate inserts
+    e.executeSql("insert into w1 values (1), (3)")
+    val ranks = e.executeSql(
+      "select v1, rank() over (order by v1) from w1").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(ranks == Seq((-99999, 1), (0, 2), (1, 3), (1, 3), (2, 5),
+      (3, 6), (3, 6), (99999, 8)))
+    // partition by
+    e.executeSql("create table w2(v1 int, v2 int)")
+    e.executeSql(
+      "insert into w2 values (1, 100), (1, 200), (1, 300), (2, 400), (2, 500)")
+    val parts = e.executeSql("select count(*) over (partition by v1), " +
+      "sum(v2) over (partition by v1) from w2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(parts == Seq((2L, 900L), (2L, 900L), (3L, 600L), (3L, 600L),
+      (3L, 600L)))
+  }
+
   test("p0.01: lower/upper") {
     val e = mkEngine
     val r = e.executeSql("SELECT lower('AbC'), upper('AbC')").head()

@@ -79,6 +79,10 @@ class VectorDistanceSpec extends SparkSpecBase {
         |cosine_similarity(array(1D,0D), array(0D,1D)) c""".stripMargin).head()
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 11.0
       && r.getDouble(2) == 0.0)
+    // function form of the vector constructor (all-double coercion)
+    val c = spark.sql(
+      "SELECT l2_dist(construct_array(0, 3), construct_array(4, 0))").head()
+    assert(c.getDouble(0) == 5.0)
   }
 }
 
