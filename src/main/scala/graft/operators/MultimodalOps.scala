@@ -60,7 +60,48 @@ object MultimodalOps {
     spark.createDataFrame(rows, decodedSchema)
   }
 
+  /** Frame sampling: treat the payload as a "video" of fixed-size
+    * frames, keep every `stride`-th frame. One output row per sampled
+    * frame with typed metadata + a per-frame feature — the exploded
+    * (asset, frame) shape a video pipeline feeds to inference. The
+    * frame "decode" is the same deterministic fake byte math. */
+  def sampleFrames(docs: DataFrame, frameBytes: Int, stride: Int)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", IntegerType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false)))
+    val payloads = docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val rows = payloads.rdd.mapPartitions { it =>
+      // real pipeline: init the demuxer once per partition
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = bytes.length / frameBytes // full frames only
+        (0 until nFrames by stride).iterator.map { f =>
+          var sum = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+          Row(id, f, frameBytes, sum.toDouble / frameBytes)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Frame sampling over binary payloads: every 4th 16-byte "frame".
+    "q52_frame_sample" -> ((s, d) => {
+      sampleFrames(Tables.load(s, d, "documents"), frameBytes = 16,
+          stride = 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"))
+    }),
+
     // Decode + feature-extract over binary payloads, then a relational
     // rollup of the extracted features (decode feeds Catalyst land).
     "q50_multimodal_decode" -> ((s, d) => {
@@ -78,6 +119,17 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    unnest([i for i in range(0, len(text) // 16)]) AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, frame_idx, 16 AS frame_bytes,
+        |  round(list_sum([ascii(text[frame_idx*16 + j : frame_idx*16 + j])
+        |    for j in range(1, 17)])::DOUBLE / 16, 6) AS mean_byte
+        |FROM f JOIN documents USING (doc_id)
+        |WHERE frame_idx % 4 = 0""".stripMargin,
     // documents text is ASCII, so utf-8 byte i == code point of char i —
     // the oracle recomputes the stub's byte math from the string side.
     "q50_multimodal_decode" ->

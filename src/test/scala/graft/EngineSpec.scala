@@ -150,6 +150,29 @@ class EngineSpec extends SparkSpecBase {
     assert(r.getString(0) == "abc" && r.getString(1) == "ABC")
   }
 
+  test("binder surface: CTEs, subqueries, expression-list SELECT") {
+    val e = mkEngine
+    e.executeSql("create table c1(a int, b int)")
+    e.executeSql("insert into c1 values (1, 10), (2, 20), (3, 30), (4, 40)")
+    // CTE (bind_select.cpp CTE support)
+    val cte = e.executeSql(
+      "WITH big AS (SELECT a, b FROM c1 WHERE b >= 20) " +
+        "SELECT count(*) AS n, sum(a) AS s FROM big").head()
+    assert(cte.getLong(0) == 3 && cte.getLong(1) == 9)
+    // scalar + IN subqueries
+    val sub = e.executeSql(
+      "SELECT a FROM c1 WHERE b > (SELECT avg(b) FROM c1) ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sub == Seq(3, 4))
+    val in = e.executeSql(
+      "SELECT a FROM c1 WHERE a IN (SELECT a FROM c1 WHERE b <= 20) ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(in == Seq(1, 2))
+    // SELECT with no FROM (reference values_plan expression-list)
+    val noFrom = e.executeSql("SELECT 1 + 2 AS x, lower('AB') AS y").head()
+    assert(noFrom.getInt(0) == 3 && noFrom.getString(1) == "ab")
+  }
+
   test("delete + update rewrites with counts") {
     val e = mkEngine
     e.executeSql("CREATE TABLE t5(a integer, b integer)")
