@@ -173,7 +173,8 @@ object IvfFlat {
       probeLists: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2,
       iterations: Int = 50,
-      sampleFraction: Double = 1.0): IvfFlatModel = {
+      sampleFraction: Double = 1.0,
+      driverTrainLimit: Long = IvfFlat.driverTrainLimit): IvfFlatModel = {
 
     val data = df.select((idCols :+ vecCol).map(col): _*)
       .withColumn(vecCol, col(vecCol).cast("array<double>"))

@@ -144,6 +144,35 @@ class EngineSpec extends SparkSpecBase {
       (3L, 600L)))
   }
 
+  test("p3.06/p3.07: agg null handling, ridiculous exprs, empty-table agg") {
+    val e = mkEngine
+    e.executeSql("create table a1(v1 int)")
+    e.executeSql("insert into a1 values (-99999), (99999), (0), (1), (2), (3)")
+    val r1 = e.executeSql(
+      "select count(*), min(v1), max(v1), count(v1), sum(v1) from a1").head()
+    assert(r1.toSeq == Seq(6L, -99999, 99999, 6L, 6L))
+    // null input: count(*) counts it, the others skip it
+    e.executeSql("insert into a1 values (null)")
+    val r2 = e.executeSql(
+      "select count(*), min(v1), max(v1), count(v1), sum(v1) from a1").head()
+    assert(r2.toSeq == Seq(7L, -99999, 99999, 6L, 6L))
+    // the reference's "ridiculous query" golden
+    e.executeSql("create table a2(v1 int, v2 int)")
+    e.executeSql(
+      "insert into a2 values (1, 100), (2, 200), (3, 300), (4, 400), (5, 500)")
+    val r3 = e.executeSql("select count(*), min(v1+v2-3), max(2+v2-v1), " +
+      "count(v1+v2+v2), sum(v1-v2+v2), sum(1), max(233), min(1), count(2) " +
+      "from a2").head()
+    assert(r3.toSeq == Seq(5L, 98, 497, 5L, 15L, 5L, 233, 1, 5L))
+    // empty-table global agg emits one row: count=0, others NULL (p3.06)
+    val d = e.executeSql("delete from a1")
+    assert(d.head().getLong(0) == 7)
+    val r4 = e.executeSql(
+      "select count(*), min(v1), max(v1), sum(v1) from a1").head()
+    assert(r4.getLong(0) == 0L && r4.isNullAt(1) && r4.isNullAt(2)
+      && r4.isNullAt(3))
+  }
+
   test("p0.01: lower/upper") {
     val e = mkEngine
     val r = e.executeSql("SELECT lower('AbC'), upper('AbC')").head()

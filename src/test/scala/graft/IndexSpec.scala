@@ -88,6 +88,28 @@ class IndexSpec extends SparkSpecBase {
     }
   }
 
+  test("distributed k-means path (treeAggregate) is exact too") {
+    // force the distributed Lloyd's iterations (driverTrainLimit=0)
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8,
+      probeLists = 8, driverTrainLimit = 0L)
+    val got = m.scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(15))
+    // same bucket structure invariants as the driver path
+    assert(m.buckets.count() == emb.count())
+  }
+
+  test("ivfflat exact scan under cosine metric (reference raw-similarity order)") {
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 6,
+      probeLists = 6, metric = DistanceMetric.Cosine)
+    val got = m.scan(query, 10, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Knn.bruteForce(emb, "v", query, 10, DistanceMetric.Cosine,
+        Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute) // ascending raw similarity = least similar first
+  }
+
   test("saved ivfflat probe scan prunes partitions on __bucket") {
     val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8, probeLists = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
