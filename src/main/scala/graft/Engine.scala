@@ -277,9 +277,22 @@ final class Engine(val spark: SparkSession) {
       .toDF(k)
   }
 
+  /** EXPLAIN (b|p|o|s) per the reference's stage options
+    * (explain_statement.h): binder→analyzed, planner→sparkPlan,
+    * optimizer→optimizedPlan, schema→output schema; no option = all. */
   private def explain(sql: String): DataFrame = {
-    val body = sql.replaceFirst("(?is)explain\\s*(\\([^)]*\\))?\\s*", "")
-    val plan = executeSql(body).queryExecution.toString
+    val optRe = """(?is)explain\s*\(([^)]*)\)\s*(.*)""".r
+    val (opts, body) = sql match {
+      case optRe(o, b) => (o.toLowerCase, b)
+      case _ => ("", sql.replaceFirst("(?is)explain\\s*", ""))
+    }
+    val qe = executeSql(body).queryExecution
+    val plan =
+      if (opts.contains("b")) qe.analyzed.toString
+      else if (opts.contains("o")) qe.optimizedPlan.toString
+      else if (opts.contains("p")) qe.sparkPlan.toString
+      else if (opts.contains("s")) qe.analyzed.schema.treeString
+      else qe.toString
     import spark.implicits._
     plan.linesIterator.toSeq.toDF("plan")
   }
