@@ -258,6 +258,17 @@ object RelationalOps {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
     }),
 
+    // Semi-structured: JSON props extraction + typed agg (Spark
+    // get_json_object == DuckDB json_extract_string; both codegen/
+    // native). The shape of every event-log pipeline.
+    "q28_events_props_json" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
     // Gap-based sessionization (30-min silence closes a session) — the
     // batch twin of StreamOps.sessionize; StreamingSpec proves the
     // flatMapGroupsWithState version emits the identical session set.
@@ -366,6 +377,13 @@ object RelationalOps {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q28_events_props_json" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q25_sessionize" ->
       """WITH e AS (

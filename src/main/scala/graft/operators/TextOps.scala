@@ -90,8 +90,34 @@ object TextOps {
       Tables.load(s, d, "documents").select(
         col("doc_id"), fp.as("fp"),
         conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp64"))
-    })
+    }),
+
+    // Winnowing fingerprint counts per doc (hash-valued -> rows-only;
+    // TextSpec asserts the near-dup overlap property).
+    "q53_winnow_fingerprint" -> ((s, d) =>
+      winnow(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp")))
   )
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    * 4-token hashes, minimum per sliding window of 4 — the standard
+    * near-dup sketch whose selected fingerprints are stable under
+    * local edits. All codegen/window ops; one shuffle on doc_id. */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.load(s, d, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .withColumn("t3", lead("t", 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("t"), col("t1"), col("t2"), col("t3")).as("h"))
+    grams
+      .withColumn("fp", min("h").over(w.rowsBetween(0, 3)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
