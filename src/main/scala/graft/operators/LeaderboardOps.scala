@@ -40,6 +40,14 @@ object MockTables {
   def t9(s: SparkSession): DataFrame =
     s.range(10000000L).selectExpr("CAST(id DIV 10000 AS INT) AS x",
       "CAST(10000000 - (id DIV 2 + ((id DIV 10000) % 2) * ((id DIV 2) % 2)) AS INT) AS y")
+
+  /** __mock_agg_input_small: 1000 rows of modular columns + a repeated
+    * emoji varchar (:309-322). */
+  def aggInputSmall(s: SparkSession): DataFrame =
+    s.range(1000L).selectExpr(
+      "CAST((id + 2) % 10 AS INT) AS v1", "CAST(id AS INT) AS v2",
+      "CAST((id + 50) % 100 AS INT) AS v3", "CAST(id DIV 100 AS INT) AS v4",
+      "CAST(233 AS INT) AS v5", "repeat('💩', CAST(id % 8 AS INT) + 1) AS v6")
 }
 
 object LeaderboardOps {

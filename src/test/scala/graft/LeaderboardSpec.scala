@@ -31,6 +31,21 @@ class LeaderboardSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("p3.08 group-agg goldens over __mock_agg_input_small") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.MockTables.aggInputSmall(spark)
+    // group by constant key: one group over all 1000 rows
+    val g5 = t.groupBy("v5").agg(min("v1"), sum("v2"), count(lit(1))).head()
+    assert(g5.toSeq == Seq(233, 0, 499500L, 1000L))
+    // group by v4: min(v1)+sum(v2)+max(v3) == 10000*v4 + 5049, 100 rows
+    val g4 = t.groupBy("v4")
+      .agg((min("v1") + sum("v2") + max("v3")).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g4 == (0 until 10).map(k => (k, 10000L * k + 5049L, 100L)).toSet)
+    // group agg over empty input: no groups, no output (p3.08 golden)
+    assert(t.filter(lit(false)).groupBy("v5").agg(count(lit(1))).isEmpty)
+  }
+
   test("mock t9 10M-row agg invariants") {
     val rows = run("q63_mock_t9_agg").collect()
     assert(rows.length == 20)

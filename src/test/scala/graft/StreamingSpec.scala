@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet == batch hourly agg") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema // ts as raw nanos
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamOps.hourlyByType(stream)
+      .writeStream.format("memory").queryName("hourly_f")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_f").collect().map(_.toSeq).toSet
+      val want = StreamOps.hourlyByType(Tables.load(spark, sfDir, "events"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization == batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
