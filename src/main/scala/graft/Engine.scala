@@ -55,6 +55,12 @@ final class Engine(val spark: SparkSession) {
   private val tables = TrieMap.empty[String, DataFrame]
   /** declared VECTOR dims per (table, column) — binder enforcement */
   private val vectorDims = TrieMap.empty[(String, String), Int]
+  /** original CREATE INDEX DDL per index name — replayed to rebuild
+    * after DELETE/UPDATE (the reference's VectorIndex declares deletes
+    * unsupported, vector_index.h:23-25; a rebuild is the correct
+    * course-scale answer, and it also renumbers the positional row
+    * ids that a delete would otherwise shift under the index) */
+  private val indexDdl = TrieMap.empty[String, (String, String)] // name -> (table, sql)
 
   /** One statement in, one DataFrame out (DDL returns an empty or
     * count/message frame, like the reference's ResultWriter). */
@@ -84,9 +90,12 @@ final class Engine(val spark: SparkSession) {
   }
 
   /** Point existing index metadata at the table's current cached plan
-    * (tables are immutable DataFrames; insert/delete/update swap them). */
+    * (tables are immutable DataFrames; insert/delete/update swap them).
+    * Resolves THROUGH the temp view with a full optimization pass so
+    * the recorded leaf is exactly what the optimizer rule will see in
+    * user queries (cache substitution included). */
   private def refreshIndexLeaves(tbl: String): Unit = {
-    val leaves = table(tbl).queryExecution.withCachedData.collectLeaves()
+    val leaves = spark.table(tbl).queryExecution.optimizedPlan.collectLeaves()
     val leaf = if (leaves.length == 1) Some(leaves.head.canonicalized) else None
     VectorIndexes.list().filter(_.table == tbl)
       .foreach(m => VectorIndexes.register(m.copy(leaf = leaf)))
@@ -171,9 +180,19 @@ final class Engine(val spark: SparkSession) {
           ()
       }
       refreshIndexLeaves(tbl) // match against the cached-table leaf
+      indexDdl.put(name, (tbl, sql))
       message(s"Index created: $name")
     case _ => sys.error(s"cannot parse CREATE INDEX: $sql")
   }
+
+  /** DELETE/UPDATE invalidate vector indexes (reference: deletes are
+    * unsupported by VectorIndex) — drop and rebuild from the recorded
+    * DDL so subsequent KNN stays correct. */
+  private def rebuildIndexes(tbl: String): Unit =
+    indexDdl.toSeq.filter(_._2._1 == tbl).foreach { case (name, (_, ddl)) =>
+      VectorIndexes.drop(name)
+      createIndex(ddl)
+    }
 
   private def insert(sql: String): DataFrame = {
     val insRe = """(?is)insert\s+into\s+(\w+)\s+(.*)""".r
@@ -200,6 +219,7 @@ final class Engine(val spark: SparkSession) {
     val cnt = rows.count()
     registerTable(tbl, table(tbl).unionAll(rows))
     maintainIndexes(tbl, rows)
+    rows.unpersist() // the table's own cache covers it from here
     import spark.implicits._
     Seq(cnt).toDF(Engine.InsertRowsCol)
   }
@@ -215,6 +235,7 @@ final class Engine(val spark: SparkSession) {
           // previously indexed ids
           val indexed = m.m.buckets.select(col(Engine.RowId)).distinct()
           val fresh = withId.join(indexed, Seq(Engine.RowId), "left_anti")
+            .filter(col(meta.column).isNotNull) // nulls are unindexable
             .select(col(Engine.RowId),
               col(meta.column).cast("array<double>"))
           val updated = m.m.insert(fresh)
@@ -222,7 +243,8 @@ final class Engine(val spark: SparkSession) {
             model = VectorIndexes.IvfModel(updated, Engine.RowId)))
         case h: VectorIndexes.HnswModel =>
           val known = h.idx.size.toLong
-          withId.filter(col(Engine.RowId) >= known)
+          withId.filter(col(Engine.RowId) >= known
+              && col(meta.column).isNotNull)
             .select(col(Engine.RowId), col(meta.column).cast("array<double>"))
             .collect().foreach(r =>
               h.idx.insert(r.getLong(0), r.getSeq[Double](1).toArray))
@@ -239,6 +261,7 @@ final class Engine(val spark: SparkSession) {
     val cnt = t.filter(cond).count()
     // null-evaluating predicates keep the row (3-valued DELETE)
     registerTable(tbl, t.filter(coalesce(!cond, lit(true))))
+    rebuildIndexes(tbl)
     import spark.implicits._
     Seq(cnt).toDF(Engine.DeleteRowsCol)
   }
@@ -258,7 +281,15 @@ final class Engine(val spark: SparkSession) {
       assignments.get(c)
         .map(e => when(cond, e).otherwise(col(c)).as(c))
         .getOrElse(col(c))): _*)
+    // binder dim rule applies to updated vector columns too
+    vectorDims.foreach { case ((tb, c), dim) =>
+      if (tb == tbl && assignments.contains(c)) {
+        val bad = updated.filter(col(c).isNotNull && size(col(c)) =!= dim)
+        require(bad.isEmpty, s"vector dim mismatch for $tb.$c (want $dim)")
+      }
+    }
     registerTable(tbl, updated)
+    rebuildIndexes(tbl)
     import spark.implicits._
     Seq(cnt).toDF(Engine.UpdateRowsCol)
   }
@@ -287,11 +318,12 @@ final class Engine(val spark: SparkSession) {
       case _ => ("", sql.replaceFirst("(?is)explain\\s*", ""))
     }
     val qe = executeSql(body).queryExecution
+    val tokens = opts.split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
     val plan =
-      if (opts.contains("b")) qe.analyzed.toString
-      else if (opts.contains("o")) qe.optimizedPlan.toString
-      else if (opts.contains("p")) qe.sparkPlan.toString
-      else if (opts.contains("s")) qe.analyzed.schema.treeString
+      if (tokens.contains("b")) qe.analyzed.toString
+      else if (tokens.contains("o")) qe.optimizedPlan.toString
+      else if (tokens.contains("p")) qe.sparkPlan.toString
+      else if (tokens.contains("s")) qe.analyzed.schema.treeString
       else qe.toString
     import spark.implicits._
     plan.linesIterator.toSeq.toDF("plan")
@@ -354,13 +386,13 @@ final class Engine(val spark: SparkSession) {
     Seq(s).toDF("message")
   }
 
-  /** split on commas not inside parens */
+  /** split on commas not inside parens or brackets (ARRAY [..]) */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; val cur = new StringBuilder
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
       case ',' if depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }

@@ -183,6 +183,7 @@ object Hnsw {
     import org.apache.spark.sql.functions._
     val rows = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull) // null vectors are unindexable
       .orderBy(col(idCol)).collect()
     val idx = new HnswIndex(m, efConstruction, efSearch, metric, seed)
     rows.foreach(r => idx.insert(r.getLong(0), r.getSeq[Double](1).toArray))
@@ -223,6 +224,7 @@ object Hnsw {
     import org.apache.spark.sql.functions._
     val base = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
     val parts =
       (if (numPartitions > 0) base.repartition(numPartitions, col(idCol))
        else base)

@@ -24,10 +24,11 @@ import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
   * probed buckets (partition pruning when persisted) and takes a global
   * top-k — per-partition heaps, no shuffle.
   *
-  * Determinism: centroid sums go through DECIMAL so results don't depend
-  * on partial-agg order; a rebuilt index is bit-identical run to run.
-  * At 100TB you'd k-means a sample and keep the assign pass full-scan;
-  * `sampleFraction` exposes that (1.0 = reference-exact).
+  * Determinism: the driver-local path sums sequentially (bit-identical
+  * run to run); the distributed path merges per-partition sums in
+  * partition order, so it is deterministic for a fixed partitioning of
+  * the training data. At 100TB you'd k-means a sample and keep the
+  * assign pass full-scan; `sampleFraction` exposes that.
   */
 final case class IvfFlatModel(
     centroids: Array[Array[Double]],
@@ -139,11 +140,16 @@ object IvfFlat {
     }
 
   /** Sequential Lloyd's over driver-held vectors — bit-exact analogue of
-    * the reference loop (`ivfflat_index.cpp:86-89`). */
+    * the reference loop (`ivfflat_index.cpp:86-89`). Returns
+    * (last-assignment centroids, final updated centroids): the
+    * reference buckets rows with the former and ranks probes with the
+    * latter (FindCentroids fills buckets before the update lands). */
   private def localLloyd(vecs: Array[Array[Double]],
       init: Array[Array[Double]], lists: Int, iterations: Int,
-      metric: DistanceMetric.Value): Array[Array[Double]] = {
+      metric: DistanceMetric.Value)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
     var cs = init
+    var assignCs = init
     val dim = init(0).length
     val metricId = metric.id
     for (_ <- 0 until iterations) {
@@ -158,9 +164,10 @@ object IvfFlat {
         counts(b) += 1
         j += 1
       }
+      assignCs = cs
       cs = recompute(sums, counts, lists, dim)
     }
-    cs
+    (assignCs, cs)
   }
 
   /** Build per the reference recipe. `df` must contain `idCols` and
@@ -178,6 +185,7 @@ object IvfFlat {
 
     val data = df.select((idCols :+ vecCol).map(col): _*)
       .withColumn(vecCol, col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull) // null vectors are unindexable
     val trainData =
       if (sampleFraction >= 1.0) data
       else data.sample(withReplacement = false, sampleFraction, seed = 42)
@@ -195,13 +203,25 @@ object IvfFlat {
     // "train on a (sampled) set that fits the driver, assign full-scan
     // distributed" — same as the reference, whose BuildIndex holds every
     // vector in memory anyway. When the training set is too big even
-    // sampled, fall back to one shuffle-free treeAggregate job per
-    // iteration (per-bucket running sums; no posexplode, no groupBy).
+    // sampled, fall back to one shuffle-free job per iteration
+    // (per-partition bucket sums merged on the driver in partition
+    // order — deterministic for a fixed partitioning, unlike a
+    // treeAggregate whose merge order floats with scheduling).
+    //
+    // Reference subtlety (BuildIndex :86-89 + FindCentroids :61-75):
+    // the FINAL buckets are the assignment pass of the LAST iteration,
+    // made against the 49-times-updated centroids, while `centroids_`
+    // receives one more update from that same pass. We reproduce that:
+    // rows are bucketed with `assignCs`, the model ranks probes with
+    // the once-more-updated `centroids`.
+    require(iterations >= 1, "ivfflat: iterations must be >= 1")
     val n = trainData.count()
+    var assignCs: Array[Array[Double]] = centroids
     if (n * dim <= driverTrainLimit) {
       val vecs = trainData.select(vecCol).collect()
         .map(_.getSeq[Double](0).toArray)
-      centroids = localLloyd(vecs, centroids, lists, iterations, metric)
+      val (a, f) = localLloyd(vecs, centroids, lists, iterations, metric)
+      assignCs = a; centroids = f
     } else {
       val vecRdd = trainData.select(vecCol).rdd
         .map(_.getSeq[Double](0).toArray)
@@ -209,31 +229,35 @@ object IvfFlat {
       val metricId = metric.id
       for (_ <- 0 until iterations) {
         val c = centroids
-        val (sums, counts) = vecRdd.treeAggregate(
-          (Array.fill(lists)(new Array[Double](dim)), new Array[Long](lists)))(
-          seqOp = { case (acc @ (s, cnt), v) =>
+        val parts = vecRdd.mapPartitionsWithIndex { (pid, it) =>
+          val s = Array.fill(lists)(new Array[Double](dim))
+          val cnt = new Array[Long](lists)
+          it.foreach { v =>
             val b = nearest(v, c, metricId)
             val sb = s(b); var p = 0
             while (p < dim) { sb(p) += v(p); p += 1 }
             cnt(b) += 1
-            acc
-          },
-          combOp = { case (a @ (s1, n1), (s2, n2)) =>
-            var b = 0
-            while (b < lists) {
-              val x = s1(b); val y = s2(b); var p = 0
-              while (p < dim) { x(p) += y(p); p += 1 }
-              n1(b) += n2(b); b += 1
-            }
-            a
-          })
+          }
+          Iterator.single((pid, s, cnt))
+        }.collect().sortBy(_._1) // merge in partition order: deterministic
+        val sums = Array.fill(lists)(new Array[Double](dim))
+        val counts = new Array[Long](lists)
+        parts.foreach { case (_, s, cnt) =>
+          var b = 0
+          while (b < lists) {
+            val x = sums(b); val y = s(b); var p = 0
+            while (p < dim) { x(p) += y(p); p += 1 }
+            counts(b) += cnt(b); b += 1
+          }
+        }
+        assignCs = c
         centroids = recompute(sums, counts, lists, dim)
       }
       vecRdd.unpersist()
     }
 
     val buckets = data.withColumn("__bucket",
-      NearestCentroid.column(col(vecCol), centroids, metric))
+      NearestCentroid.column(col(vecCol), assignCs, metric))
       .select((Seq("__bucket") ++ idCols ++ Seq(vecCol)).map(col): _*)
     trainData.unpersist()
     IvfFlatModel(centroids, metric, probeLists, vecCol, buckets)

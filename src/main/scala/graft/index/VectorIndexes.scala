@@ -133,14 +133,23 @@ object VectorIndexes {
   }
 
   /** KNN over `df` (registered as `table`): index-served when selection
-    * finds one, else brute-force TopN. */
+    * finds one, else brute-force TopN. Output schema is UNIFORM across
+    * paths — all of df's columns plus `dist`, distance-ascending —
+    * so callers don't change shape when the session's
+    * vector_index_method (or index registry) changes. */
   def knn(spark: SparkSession, table: String, df: DataFrame,
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val method =
       spark.conf.getOption("graft.vector_index_method").getOrElse("")
     select(table, vecCol, metric, method) match {
-      case Some(meta) => meta.model.scan(spark, query, k)
+      case Some(meta) =>
+        val ids = meta.model.scan(spark, query, k)
+          .select(col(meta.idCol).as("__knn_join_id"), col("dist"))
+        df.join(ids, col(idCol) === col("__knn_join_id"))
+          .drop("__knn_join_id")
+          .orderBy(col("dist").asc, col(idCol).asc)
       case None =>
         Knn.bruteForce(df, vecCol, query, k, metric, Some(idCol))
     }

@@ -40,6 +40,7 @@ object MultimodalOps {
     * fake image dims + a mean-pixel feature from the payload bytes. */
   private def decodeStub(docId: Long, bytes: Array[Byte]): Row = {
     val n = bytes.length
+    if (n == 0) return Row(docId, 0, 0, 0, 3, 0.0) // empty payload
     var sum = 0L
     var i = 0
     while (i < n) { sum += bytes(i) & 0xff; i += 1 }

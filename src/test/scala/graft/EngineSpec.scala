@@ -222,4 +222,55 @@ class EngineSpec extends SparkSpecBase {
       e.executeSql("INSERT INTO t6 VALUES (ARRAY [1.0, 2.0], 1)")
     }
   }
+
+  test("vector dim mismatch on UPDATE is rejected too") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t7(v1 VECTOR(3), v2 integer)")
+    e.executeSql("INSERT INTO t7 VALUES (ARRAY [1.0, 2.0, 3.0], 1)")
+    intercept[Exception] {
+      e.executeSql("UPDATE t7 SET v1 = ARRAY [9.0]")
+    }
+  }
+
+  test("DELETE on an indexed table rebuilds the index; KNN stays exact") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t8(v1 VECTOR(2), v2 integer)")
+    e.executeSql("INSERT INTO t8 VALUES (ARRAY [0.0, 0.0], 0), " +
+      "(ARRAY [1.0, 0.0], 1), (ARRAY [2.0, 0.0], 2), (ARRAY [3.0, 0.0], 3), " +
+      "(ARRAY [4.0, 0.0], 4), (ARRAY [5.0, 0.0], 5)")
+    e.executeSql("CREATE INDEX t8i ON t8 USING ivfflat (v1 vector_l2_ops) " +
+      "WITH (lists = 2, probe_lists = 2)")
+    try {
+      // delete the exact nearest neighbor, then KNN must return the
+      // next-nearest three — a stale index would drop a row instead
+      e.executeSql("DELETE FROM t8 WHERE v2 = 0")
+      val got = e.executeSql("SELECT v2 FROM t8 ORDER BY " +
+        "ARRAY [0.0, 0.0] <-> v1, v2 LIMIT 3")
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(1, 2, 3))
+      // and UPDATE moves a vector: index must reflect the new position
+      e.executeSql("UPDATE t8 SET v1 = ARRAY [0.1, 0.0] WHERE v2 = 5")
+      val got2 = e.executeSql("SELECT v2 FROM t8 ORDER BY " +
+        "ARRAY [0.0, 0.0] <-> v1, v2 LIMIT 2")
+        .collect().map(_.getInt(0)).toSeq
+      assert(got2 == Seq(5, 1))
+    } finally graft.index.VectorIndexes.drop("t8i")
+  }
+
+  test("NULL vector insert on an indexed table does not crash maintenance") {
+    val e = mkEngine
+    e.executeSql("CREATE TABLE t9(v1 VECTOR(2), v2 integer)")
+    e.executeSql("INSERT INTO t9 VALUES (ARRAY [1.0, 1.0], 1), " +
+      "(ARRAY [2.0, 2.0], 2)")
+    e.executeSql("CREATE INDEX t9i ON t9 USING hnsw (v1 vector_l2_ops) " +
+      "WITH (m = 4, ef_construction = 8, ef_search = 8)")
+    try {
+      e.executeSql("INSERT INTO t9 VALUES (NULL, 3)")
+      assert(e.table("t9").count() == 3)
+      val got = e.executeSql("SELECT v2 FROM t9 WHERE v1 IS NOT NULL " +
+        "ORDER BY ARRAY [0.0, 0.0] <-> v1, v2 LIMIT 2")
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(1, 2))
+    } finally graft.index.VectorIndexes.drop("t9i")
+  }
 }

@@ -88,6 +88,18 @@ class IndexSpec extends SparkSpecBase {
     }
   }
 
+  test("sample-trained centroids (the 100TB recipe) keep exact scans") {
+    // train on half the vectors; probe=lists stays exact regardless of
+    // centroid quality — the properties that let k-means run on a
+    // sample at scale
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8,
+      probeLists = 8, sampleFraction = 0.5)
+    val got = m.scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(15))
+    assert(m.buckets.count() == emb.count()) // assign pass is full-scan
+  }
+
   test("distributed k-means path (treeAggregate) is exact too") {
     // force the distributed Lloyd's iterations (driverTrainLimit=0)
     val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8,
