@@ -37,12 +37,17 @@ final case class IvfFlatModel(
     vecCol: String,
     buckets: DataFrame) { // columns: __bucket, <id cols...>, <vec col>
 
+  /** Computed once per model (a scan would otherwise run a distinct
+    * job per lookup); insert() copies carry their own fresh value. */
+  @transient private lazy val nonEmptyCache: Seq[Int] =
+    IvfFlat.nonEmptyBuckets(buckets)
+
   /** Non-empty-bucket centroid ranking happens on the driver (tiny);
     * the data-side work is a pruned scan + top-k. */
   def scan(query: Seq[Double], k: Int, tieBreak: Option[String] = None)
       : DataFrame = {
     val q = query.toArray
-    val nonEmpty = IvfFlat.nonEmptyBuckets(buckets)
+    val nonEmpty = nonEmptyCache
     val probed = nonEmpty
       .map(b => b -> NearestCentroid.distance(q, centroids(b), metric.id))
       .sortBy { case (b, d) => (d, b) }
@@ -78,7 +83,7 @@ final case class IvfFlatModel(
     import org.apache.spark.sql.expressions.Window
     val spark = buckets.sparkSession
     import spark.implicits._
-    val nonEmpty = IvfFlat.nonEmptyBuckets(buckets).toSet
+    val nonEmpty = nonEmptyCache.toSet
     val centDf = centroids.toSeq.zipWithIndex
       .collect { case (c, b) if nonEmpty(b) => (b, c.toSeq) }
       .toDF("__bucket", "__cv")
