@@ -104,10 +104,12 @@ final case class IvfFlatModel(
       .orderBy(col("dist").asc, col(idCols.head).asc)
     probed.join(buckets, "__bucket")
       .withColumn("dist", dist)
+      // project the vectors away BEFORE the top-k window: the q_id
+      // shuffle then moves (ids, dist) instead of two dim-sized arrays
+      // per candidate pair
+      .select((Seq(col("q_id")) ++ idCols.map(col) ++ Seq(col("dist"))): _*)
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= k)
-      .select((Seq(col("q_id")) ++ idCols.map(col) ++
-        Seq(col("dist"), col("rk"))): _*)
   }
 }
 

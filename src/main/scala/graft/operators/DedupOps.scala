@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.index.IvfFlat
 
 /** Deduplication + pairwise-similarity operators over `documents` and
   * `embeddings` — the LLM-training-pipeline surface (SURVEY.md §7.4).
@@ -175,6 +176,34 @@ object DedupOps {
           col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(cos, 6).as("cos"))
+    }),
+
+    // The SCALE path for the same answer: unit-normalize (cosine order
+    // == L2 order on the unit sphere), IVFFlat batch KNN join with
+    // every vector as a query, exact cosine verify on the k candidate
+    // neighbors. Cost: probed buckets per query instead of n² pairs.
+    // probe=lists + k large enough for the densest neighborhood makes
+    // it EXACT -> shares q48's oracle; at 100TB you trade probes/k for
+    // recall.
+    "q49_embed_dup_ivf" -> ((s, d) => {
+      val norm = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", sqrt(aggregate(col("v"), lit(0.0),
+          (acc, y) => acc + y * y)))
+        .withColumn("nv", transform(col("v"), x => x / col("n2")))
+      val model = IvfFlat.build(norm, Seq("vec_id"), "nv",
+        lists = 8, probeLists = 8)
+      val nn = model.knnJoin(norm, "vec_id", "nv", k = 24)
+        .filter(col("q_id") < col("vec_id"))
+        .select(col("q_id").as("a_id"), col("vec_id").as("b_id"))
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cos = graft.functions.VectorFunctions
+        .cosineSimilarity(col("va"), col("vb"))
+      nn.join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+        .filter(cos >= 0.45)
+        .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
     })
   )
 
@@ -205,6 +234,13 @@ object DedupOps {
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
     "q46_minhash_lsh" -> pairOracle,
+    "q49_embed_dup_ivf" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
     "q48_embed_cosine_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
