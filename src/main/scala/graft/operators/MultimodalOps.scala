@@ -94,7 +94,42 @@ object MultimodalOps {
     spark.createDataFrame(rows, schema)
   }
 
+  /** "Resize": stride-subsample the payload bytes (the fake analogue
+    * of nearest-neighbor image downscaling) producing a new, smaller
+    * binary payload + its metadata — binary-in/binary-out plumbing. */
+  def resize(docs: DataFrame, stride: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("orig_bytes", IntegerType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("resized_bytes", IntegerType, nullable = false),
+      StructField("resized_mean", DoubleType, nullable = false)))
+    val payloads = docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val rows = payloads.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = Array.range(0, bytes.length, stride).map(bytes(_))
+        val mean =
+          if (out.isEmpty) 0.0
+          else out.map(_ & 0xff).map(_.toLong).sum.toDouble / out.length
+        Row(id, bytes.length, out, out.length, mean)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Resize (stride subsample) keeps binary in/out; oracle recomputes
+    // the sampled-byte stats from the string side.
+    "q54_resize" -> ((s, d) => {
+      resize(Tables.load(s, d, "documents"), stride = 3)
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          round(col("resized_mean"), 6).as("resized_mean"))
+    }),
+
     // Frame sampling over binary payloads: every 4th 16-byte "frame".
     "q52_frame_sample" -> ((s, d) => {
       sampleFrames(Tables.load(s, d, "documents"), frameBytes = 16,
@@ -120,6 +155,15 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    [ascii(text[i+1:i+1]) for i in range(0, len(text), 3)] AS sampled
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS orig_bytes, len(sampled) AS resized_bytes,
+        |  round(list_sum(sampled)::DOUBLE / len(sampled), 6) AS resized_mean
+        |FROM f""".stripMargin,
     "q52_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, len(text) AS n,
