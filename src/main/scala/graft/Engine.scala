@@ -66,15 +66,24 @@ final class Engine(val spark: SparkSession) {
     * count/message frame, like the reference's ResultWriter). */
   def executeSql(sqlRaw: String): DataFrame = {
     val sql = sqlRaw.trim.stripSuffix(";").trim
+    plan(sql, execute = true)
+  }
+
+  /** `execute=false` (the EXPLAIN path) must be side-effect free: DML
+    * returns its would-be plan, DDL a description — the reference's
+    * EXPLAIN never runs the statement. */
+  private def plan(sql: String, execute: Boolean): DataFrame = {
     val lower = sql.toLowerCase
-    if (lower.startsWith("create table")) createTable(sql)
-    else if (lower.startsWith("create index")) createIndex(sql)
-    else if (lower.startsWith("insert into")) insert(sql)
+    if (lower.startsWith("create table"))
+      if (execute) createTable(sql) else message(s"ddl: $sql")
+    else if (lower.startsWith("create index"))
+      if (execute) createIndex(sql) else message(s"ddl: $sql")
+    else if (lower.startsWith("insert into")) insert(sql, execute)
     else if (lower.startsWith("set ")) setVar(sql)
     else if (lower.startsWith("show ")) showVar(sql)
     else if (lower.startsWith("explain")) explain(sql)
-    else if (lower.startsWith("delete from")) delete(sql)
-    else if (lower.startsWith("update ")) update(sql)
+    else if (lower.startsWith("delete from")) delete(sql, execute)
+    else if (lower.startsWith("update ")) update(sql, execute)
     else spark.sql(rewriteExprs(sql))
   }
 
@@ -194,7 +203,7 @@ final class Engine(val spark: SparkSession) {
       createIndex(ddl)
     }
 
-  private def insert(sql: String): DataFrame = {
+  private def insert(sql: String, execute: Boolean = true): DataFrame = {
     val insRe = """(?is)insert\s+into\s+(\w+)\s+(.*)""".r
     val insRe(tbl, rest) = sql: @unchecked
     val target = table(tbl)
@@ -209,6 +218,18 @@ final class Engine(val spark: SparkSession) {
     val aligned = src.toDF(target.columns: _*)
       .select(target.schema.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (!execute) return aligned // EXPLAIN: the would-be rows, no effect
+    // the binder REJECTS type mismatches; a cast that nulls out a
+    // non-null source value is a mismatch, not data (also keeps NULLed
+    // vectors from slipping past the dim check below)
+    val badCast = src.toDF(target.columns: _*).select(
+      target.schema.zipWithIndex.map { case (f, i) =>
+        (col(f.name).isNotNull &&
+          col(f.name).cast(f.dataType).isNull).as(s"b$i") }.toIndexedSeq: _*)
+      .filter(Seq.tabulate(target.schema.length)(i => col(s"b$i"))
+        .reduce(_ || _))
+    require(badCast.isEmpty,
+      s"type mismatch inserting into $tbl (value does not cast)")
     vectorDims.foreach { case ((t, c), dim) =>
       if (t == tbl) {
         val bad = aligned.filter(col(c).isNotNull && size(col(c)) =!= dim)
@@ -242,8 +263,10 @@ final class Engine(val spark: SparkSession) {
           VectorIndexes.register(meta.copy(
             model = VectorIndexes.IvfModel(updated, Engine.RowId)))
         case h: VectorIndexes.HnswModel =>
-          val known = h.idx.size.toLong
-          withId.filter(col(Engine.RowId) >= known
+          // watermark on the max INSERTED id, not idx.size: skipped
+          // null-vector rows make size lag behind row ids, and a
+          // size-based filter would re-insert already-indexed rows
+          withId.filter(col(Engine.RowId) > h.idx.maxId
               && col(meta.column).isNotNull)
             .select(col(Engine.RowId), col(meta.column).cast("array<double>"))
             .collect().foreach(r =>
@@ -252,12 +275,13 @@ final class Engine(val spark: SparkSession) {
       }
     }
 
-  private def delete(sql: String): DataFrame = {
+  private def delete(sql: String, execute: Boolean = true): DataFrame = {
     val delRe = """(?is)delete\s+from\s+(\w+)(?:\s+where\s+(.*))?""".r
     val delRe(tbl, whereOrNull) = sql: @unchecked
     val t = table(tbl)
     val cond = Option(whereOrNull).map(w => expr(rewriteExprs(w)))
       .getOrElse(lit(true))
+    if (!execute) return t.filter(cond) // EXPLAIN: plan only, no effect
     val cnt = t.filter(cond).count()
     // null-evaluating predicates keep the row (3-valued DELETE)
     registerTable(tbl, t.filter(coalesce(!cond, lit(true))))
@@ -266,7 +290,7 @@ final class Engine(val spark: SparkSession) {
     Seq(cnt).toDF(Engine.DeleteRowsCol)
   }
 
-  private def update(sql: String): DataFrame = {
+  private def update(sql: String, execute: Boolean): DataFrame = {
     val updRe = """(?is)update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?""".r
     val updRe(tbl, setStr, whereOrNull) = sql: @unchecked
     val t = table(tbl)
@@ -276,11 +300,12 @@ final class Engine(val spark: SparkSession) {
       val Array(k, v) = a.split("=", 2).map(_.trim)
       k -> expr(rewriteExprs(v))
     }.toMap
-    val cnt = t.filter(cond).count()
     val updated = t.select(t.columns.map(c =>
       assignments.get(c)
         .map(e => when(cond, e).otherwise(col(c)).as(c))
         .getOrElse(col(c))): _*)
+    if (!execute) return updated // EXPLAIN: plan only, no effect
+    val cnt = t.filter(cond).count()
     // binder dim rule applies to updated vector columns too
     vectorDims.foreach { case ((tb, c), dim) =>
       if (tb == tbl && assignments.contains(c)) {
@@ -317,16 +342,16 @@ final class Engine(val spark: SparkSession) {
       case optRe(o, b) => (o.toLowerCase, b)
       case _ => ("", sql.replaceFirst("(?is)explain\\s*", ""))
     }
-    val qe = executeSql(body).queryExecution
+    val qe = plan(body, execute = false).queryExecution
     val tokens = opts.split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
-    val plan =
+    val planStr =
       if (tokens.contains("b")) qe.analyzed.toString
       else if (tokens.contains("o")) qe.optimizedPlan.toString
       else if (tokens.contains("p")) qe.sparkPlan.toString
       else if (tokens.contains("s")) qe.analyzed.schema.treeString
       else qe.toString
     import spark.implicits._
-    plan.linesIterator.toSeq.toDF("plan")
+    planStr.linesIterator.toSeq.toDF("plan")
   }
 
   // ---- expression rewriting ----------------------------------------------

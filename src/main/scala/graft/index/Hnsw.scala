@@ -62,6 +62,12 @@ final class HnswIndex(
 
   def size: Int = vectors.length
 
+  /** Highest external id ever inserted (-1 when empty) — the insert
+    * watermark callers should use; `size` under-counts relative to row
+    * ids whenever unindexable (null-vector) rows were skipped. */
+  def maxId: Long = if (ids.isEmpty) -1L else _maxId
+  private var _maxId: Long = -1L
+
   /** Greedy best-first search in one layer (reference SearchLayer,
     * hnsw_index.cpp:86-130): candidates min-heap, results max-heap
     * bounded by ef. Returns up to ef vertices, distance-ascending. */
@@ -125,6 +131,7 @@ final class HnswIndex(
   def insert(id: Long, vec: Array[Double]): Unit = {
     val v = vectors.length
     vectors += vec; ids += id
+    if (id > _maxId) _maxId = id
     val level = math.floor(-math.log(rng.nextDouble()) * mL).toInt
     if (entryPoint < 0) {
       while (layers.length <= level) layers += mutable.Map()

@@ -44,11 +44,9 @@ object Knn {
     * then row_number-over-window top-k per query. The data side stays
     * partition-parallel and is scanned ONCE regardless of |queries|.
     *
-    * Output: all query columns + all data columns + `dist`, k rows per
-    * query, distance-ascending. ~Q×k-bounded shuffle for the window
-    * (pairs are pre-filtered per-partition when k << partition rows is
-    * not expressible without an index — for the indexed variant see
-    * IvfFlatModel.knnJoin). */
+    * Output: (q_id, d_id, dist, rk) — k rows per query,
+    * distance-ascending; join back on the ids for payload columns.
+    * For the index-accelerated variant see IvfFlatModel.knnJoin. */
   def join(queries: DataFrame, qVecCol: String, qIdCol: String,
       data: DataFrame, dVecCol: String, dIdCol: String, k: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2): DataFrame = {

@@ -193,9 +193,14 @@ object DedupOps {
         .withColumn("nv", transform(col("v"), x => x / col("n2")))
       val model = IvfFlat.build(norm, Seq("vec_id"), "nv",
         lists = 8, probeLists = 8)
+      // both directions + canonicalize (a<b) + distinct: a pair only
+      // needs to survive the k cap in ONE of its endpoints' neighbor
+      // lists, doubling effective recall at no extra scan cost
       val nn = model.knnJoin(norm, "vec_id", "nv", k = 24)
-        .filter(col("q_id") < col("vec_id"))
-        .select(col("q_id").as("a_id"), col("vec_id").as("b_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(least(col("q_id"), col("vec_id")).as("a_id"),
+          greatest(col("q_id"), col("vec_id")).as("b_id"))
+        .distinct()
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cos = graft.functions.VectorFunctions

@@ -79,12 +79,22 @@ object StreamOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last > SessionGapMs =>
+                case Some(s) if t > s.last + SessionGapMs =>
+                  // forward gap: close the live session, start fresh
                   out ::= Session(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.events, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if t < s.start - SessionGapMs =>
+                  // a late cross-batch event OLDER than the live
+                  // session by more than the gap: it is its own,
+                  // already-closed session (the batch twin, which sees
+                  // rows time-ordered, splits here too)
+                  out ::= Session(userId, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 case Some(s) =>
-                  cur = Some(s.copy(last = math.max(s.last, t),
+                  // in-gap on either side: extend both bounds
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
                     events = s.events + 1, value = s.value + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

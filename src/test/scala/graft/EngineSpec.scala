@@ -257,6 +257,26 @@ class EngineSpec extends SparkSpecBase {
     } finally graft.index.VectorIndexes.drop("t8i")
   }
 
+  test("EXPLAIN of DML is side-effect free") {
+    val e = mkEngine
+    e.executeSql("create table ex1(a int)")
+    e.executeSql("insert into ex1 values (1), (2), (3)")
+    e.executeSql("EXPLAIN DELETE FROM ex1")
+    e.executeSql("EXPLAIN (o) UPDATE ex1 SET a = a + 100")
+    e.executeSql("EXPLAIN INSERT INTO ex1 VALUES (9)")
+    assert(e.table("ex1").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3))
+  }
+
+  test("insert rejects values that do not cast (binder type rule)") {
+    val e = mkEngine
+    e.executeSql("create table ty1(a int, b int)")
+    intercept[Exception] {
+      e.executeSql("INSERT INTO ty1 VALUES ('12x', 10)")
+    }
+    assert(e.table("ty1").count() == 0)
+  }
+
   test("NULL vector insert on an indexed table does not crash maintenance") {
     val e = mkEngine
     e.executeSql("CREATE TABLE t9(v1 VECTOR(2), v2 integer)")

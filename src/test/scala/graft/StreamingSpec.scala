@@ -111,6 +111,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order event still matches batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_o")
+      .outputMode("append").start()
+    try {
+      // batch 1: an event at 12:00 (watermark will lag 1h behind)
+      mem.addData(Event(0, ts(720), 5, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: same user at 11:05 — above the watermark, older than
+      // the live session by > gap: must become its OWN session
+      mem.addData(Event(1, ts(665), 5, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(2000), 9, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_o").filter(col("user_id") === 5)
+        .select("start", "end", "events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2))).toSet
+      val want = StreamOps.sessionizeBatch(Seq(
+          Event(0, ts(720), 5, "a", 1.0), Event(1, ts(665), 5, "b", 2.0)).toDF())
+        .select("start", "end", "events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2))).toSet
+      assert(got == want && got.size == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
