@@ -204,6 +204,33 @@ object Hnsw {
     idx.scan(query.toArray, k).toDF("id", "dist")
   }
 
+  /** Batch KNN JOIN served from a BROADCAST graph: ship the immutable
+    * index to executors once, probe it per query row inside
+    * mapPartitions — queries stay partition-parallel, the graph walk
+    * is local, no shuffle at all. The serving shape for "many queries
+    * against one index" (the reference can only scan one query at a
+    * time through its executor tree). */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      idx: HnswIndex, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(idx)
+    queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val index = bc.value
+        it.flatMap { case (qId, qv) =>
+          index.scan(qv.toArray, k).zipWithIndex.map {
+            case ((dId, dist), i) => (qId, dId, dist, i + 1)
+          }
+        }
+      }
+      .toDF("q_id", "d_id", "dist", "rk")
+  }
+
   /** The 100TB-scale HNSW: one independent sub-graph per partition,
     * built in PARALLEL inside mapPartitions (sequential insert is the
     * single-node bottleneck — partitioning is what removes it), served

@@ -99,6 +99,19 @@ object VectorOps {
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // Broadcast HNSW batch KNN join: graph shipped to executors once,
+    // probed per query row — zero-shuffle serving. Rows-only; IndexSpec
+    // asserts equality with per-query scans.
+    "q55_hnsw_knn_join" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = Hnsw.build(e, "vec_id", "embedding",
+        m = 8, efConstruction = 64, efSearch = 40)
+      Hnsw.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          idx, k = 5)
+        .select(col("q_id"), col("d_id"), round(col("dist"), 6).as("dist"),
+          col("rk"))
+    }),
+
     // Partition-parallel HNSW (the scale path: sub-graph per partition
     // built inside mapPartitions, merged top-k serve). Rows-only check;
     // IndexSpec asserts recall vs brute force.

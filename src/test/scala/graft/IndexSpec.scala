@@ -155,6 +155,21 @@ class IndexSpec extends SparkSpecBase {
     assert(ivf == brute && brute.size == 15 * 5)
   }
 
+  test("broadcast hnsw knn join == per-query driver scans") {
+    val idx = Hnsw.build(emb, "vec_id", "v", m = 8, efConstruction = 64,
+      efSearch = 40)
+    val queries = emb.filter(col("vec_id") < 10)
+    val joined = Hnsw.knnJoin(queries, "vec_id", "v", idx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select("v")
+        .head().getSeq[Double](0).toArray
+      idx.scan(qv, 5).zipWithIndex.foreach { case ((did, _), i) =>
+        assert(joined((qid, i + 1)) == did)
+      }
+    }
+  }
+
   test("index selection honors vector_index_method (vector.03 semantics)") {
     VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
     VectorIndexes.createIvfFlat("t_ivf", "emb_t", emb, "vec_id", "v", 8, 8)
