@@ -74,7 +74,16 @@ final class Engine(val spark: SparkSession) {
     * EXPLAIN never runs the statement. */
   private def plan(sql: String, execute: Boolean): DataFrame = {
     val lower = sql.toLowerCase
-    if (lower.startsWith("create table"))
+    if (sql.startsWith("\\dt")) { // meta commands (bustub_instance:257-281)
+      import spark.implicits._
+      tables.keys.toSeq.sorted.toDF("table")
+    }
+    else if (sql.startsWith("\\di")) {
+      import spark.implicits._
+      VectorIndexes.list().map(m => (m.name, m.table, m.column, m.method))
+        .sortBy(_._1).toDF("index", "table", "column", "method")
+    }
+    else if (lower.startsWith("create table"))
       if (execute) createTable(sql) else message(s"ddl: $sql")
     else if (lower.startsWith("create index"))
       if (execute) createIndex(sql) else message(s"ddl: $sql")

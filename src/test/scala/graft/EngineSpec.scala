@@ -179,6 +179,31 @@ class EngineSpec extends SparkSpecBase {
     assert(r.getString(0) == "abc" && r.getString(1) == "ABC")
   }
 
+  test("p0.02: wrong argument counts error (function-error semantics)") {
+    val e = mkEngine
+    intercept[Exception](e.executeSql("SELECT lower()"))
+    intercept[Exception](e.executeSql("SELECT upper('a', 'b')"))
+    intercept[Exception](
+      e.executeSql("SELECT l2_dist(array(1.0D, 2.0D))").collect())
+  }
+
+  test("meta commands \\dt and \\di list tables and indexes") {
+    val e = mkEngine
+    e.executeSql("create table meta1(a int)")
+    assert(e.executeSql("\\dt").collect().map(_.getString(0))
+      .contains("meta1"))
+    e.executeSql("create table meta2(v1 VECTOR(2))")
+    e.executeSql("insert into meta2 values (ARRAY [1.0, 2.0]), " +
+      "(ARRAY [3.0, 4.0])")
+    e.executeSql("CREATE INDEX meta2i ON meta2 USING ivfflat " +
+      "(v1 vector_l2_ops) WITH (lists = 1, probe_lists = 1)")
+    try {
+      val di = e.executeSql("\\di").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+      assert(di.contains(("meta2i", "meta2", "ivfflat")))
+    } finally graft.index.VectorIndexes.drop("meta2i")
+  }
+
   test("binder surface: CTEs, subqueries, expression-list SELECT") {
     val e = mkEngine
     e.executeSql("create table c1(a int, b int)")
