@@ -77,6 +77,18 @@ object DedupOps {
 
   private val JaccardThr = 0.8
 
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    * against the full shingle sets. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardThr)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the normalized-text fingerprint,
     // canonical = min doc_id (one shuffle; at scale this is THE dedup
@@ -92,6 +104,35 @@ object DedupOps {
     // Exact n-gram (3-shingle) Jaccard near-dup pairs.
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
+
+    // Prefix-filtered exact similarity join (PPJoin/Vernica-style):
+    // order each doc's shingles by global frequency (rarest first),
+    // explode only the PREFIX of length n - ceil(t*n) + 1 — any pair
+    // with J >= t must share a prefix token — then exact-verify.
+    // Exact for the threshold, with the inverted index shrunk to
+    // ~(1-t) of the postings and hot (frequent) shingles pushed OUT of
+    // prefixes: the standard answer when posting lists explode at
+    // scale. Shares q45's oracle.
+    "q56_jaccard_ppjoin" -> ((s, d) => {
+      val sh = docShingles(s, d).cache()
+      val post = postings(sh)
+      val freq = post.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)
+      val prefix = post.join(freq, "shingle")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= col("n") - ceil(col("n") * JaccardThr) + 1)
+        .select(col("doc_id"), col("n"), col("shingle"))
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.shingle") === col("y.shingle")
+            && col("x.doc_id") < col("y.doc_id")
+            // size filter: J >= t forces t*|A| <= |B| <= |A|/t
+            && col("y.n") >= ceil(col("x.n") * JaccardThr)
+            && col("y.n") * JaccardThr <= col("x.n"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      verifyPairs(cand, sh)
+    }),
 
     // MinHash(64) + LSH(16 bands x 4) candidates, exact-verified.
     // Deterministic; at sf0.01 output == q45 (same oracle).
@@ -113,15 +154,7 @@ object DedupOps {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val withSets = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      withSets
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", col("inter").cast("double")
-          / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
-        .filter(col("jaccard") >= JaccardThr)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      verifyPairs(cand, sh)
     }),
 
     // SimHash(64) near-dup pairs, hamming <= 3, EXACT via 8x8-bit
@@ -239,6 +272,7 @@ object DedupOps {
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
     "q46_minhash_lsh" -> pairOracle,
+    "q56_jaccard_ppjoin" -> pairOracle,
     "q49_embed_dup_ivf" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -17,6 +17,10 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs("q46_minhash_lsh") == pairs("q45_ngram_jaccard"))
   }
 
+  test("prefix-filtered ppjoin is exact: == the full inverted-index join") {
+    assert(pairs("q56_jaccard_ppjoin") == pairs("q45_ngram_jaccard"))
+  }
+
   test("simhash blocking is exact: blocked pairs == brute-force pairs") {
     // recompute hamming brute-force over collected simhashes
     val df = DedupOps.queries("q47_simhash")(spark, sfDir)
