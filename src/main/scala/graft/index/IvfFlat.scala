@@ -79,7 +79,7 @@ final case class IvfFlatModel(
     * data touched = probed buckets only — the shape that serves 10⁶
     * queries against 10¹⁰ vectors. probeLists = lists ⇒ exact. */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxDist: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = buckets.sparkSession
     import spark.implicits._
@@ -102,8 +102,15 @@ final case class IvfFlatModel(
     val dist = Knn.metricCol(col(vecCol), col("__qv"), metric)
     val wK = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col(idCols.head).asc)
-    probed.join(buckets, "__bucket")
+    val withDist = probed.join(buckets, "__bucket")
       .withColumn("dist", dist)
+    // a caller-supplied distance bound (range-query use) prunes the
+    // candidate set BEFORE the top-k window shuffle — for near-dup
+    // joins this collapses the window input from ~|probed candidates|
+    // to ~|qualifying pairs| without affecting which rows can qualify
+    val bounded = maxDist.fold(withDist)(m =>
+      withDist.filter(col("dist") <= m))
+    bounded
       // project the vectors away BEFORE the top-k window: the q_id
       // shuffle then moves (ids, dist) instead of two dim-sized arrays
       // per candidate pair

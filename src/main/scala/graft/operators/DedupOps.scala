@@ -228,8 +228,11 @@ object DedupOps {
         lists = 8, probeLists = 8)
       // both directions + canonicalize (a<b) + distinct: a pair only
       // needs to survive the k cap in ONE of its endpoints' neighbor
-      // lists, doubling effective recall at no extra scan cost
-      val nn = model.knnJoin(norm, "vec_id", "nv", k = 24)
+      // lists, doubling effective recall at no extra scan cost.
+      // cos >= 0.45 on the unit sphere ⇔ ||a-b|| <= sqrt(2*(1-0.45)):
+      // the range bound prunes candidates before the top-k shuffle
+      val nn = model.knnJoin(norm, "vec_id", "nv", k = 24,
+          maxDist = Some(math.sqrt(2.0 * (1.0 - 0.45))))
         .filter(col("q_id") =!= col("vec_id"))
         .select(least(col("q_id"), col("vec_id")).as("a_id"),
           greatest(col("q_id"), col("vec_id")).as("b_id"))
