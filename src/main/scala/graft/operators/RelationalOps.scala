@@ -258,6 +258,38 @@ object RelationalOps {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
     }),
 
+    // Superset joins the reference's binder accepts but its executors
+    // reject (bound_join_ref.h:16 / join executors): full outer,
+    // semi, anti — native in Spark, oracle-gated here.
+    "q57_join_full_outer" -> ((s, d) => {
+      val n = Tables.load(s, d, "nation").filter(col("n_regionkey") <= 2)
+        .select(col("n_nationkey"), col("n_name"))
+      val c = Tables.load(s, d, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("rich"))
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("c_nationkey"),
+          col("rich"))
+    }),
+    "q58_join_semi_anti" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 300000)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_big_order"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_big_order"))
+      semi.crossJoin(anti)
+    }),
+
+    // Grouping sets (absent in the reference entirely): ROLLUP with
+    // grouping() markers so NULL group rows compare exactly.
+    "q59_rollup" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
     // Semi-structured: JSON props extraction + typed agg (Spark
     // get_json_object == DuckDB json_extract_string; both codegen/
     // native). The shape of every event-log pipeline.
@@ -378,6 +410,26 @@ object RelationalOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q57_join_full_outer" ->
+      """SELECT n.n_nationkey, n.n_name, c.c_nationkey, c.rich
+        |FROM (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2) n
+        |FULL OUTER JOIN (
+        |  SELECT c_nationkey, count(*) AS rich FROM customer
+        |  WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        |ON n.n_nationkey = c.c_nationkey""".stripMargin,
+    "q58_join_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer c WHERE EXISTS (
+        |     SELECT 1 FROM orders o WHERE o.o_totalprice > 300000
+        |       AND o.o_custkey = c.c_custkey)) AS with_big_order,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders o WHERE o.o_totalprice > 300000
+        |       AND o.o_custkey = c.c_custkey)) AS without_big_order""".stripMargin,
+    "q59_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS qty,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q28_events_props_json" ->
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
