@@ -61,6 +61,11 @@ final class Engine(val spark: SparkSession) {
     * course-scale answer, and it also renumbers the positional row
     * ids that a delete would otherwise shift under the index) */
   private val indexDdl = TrieMap.empty[String, (String, String)] // name -> (table, sql)
+  /** CREATE INDEX on an empty table defers the build to the first
+    * insert (the reference BuildIndex silently early-returns into a
+    * broken index there — ivfflat_index.cpp:78-80; deferral is the
+    * finished-engine behavior). */
+  private val pendingIndexes = TrieMap.empty[String, (String, String)]
 
   /** One statement in, one DataFrame out (DDL returns an empty or
     * count/message frame, like the reference's ResultWriter). */
@@ -177,6 +182,13 @@ final class Engine(val spark: SparkSession) {
         case _                         => DistanceMetric.L2
       }
       val df = table(tbl)
+      val isVector =
+        Seq("ivfflat", "hnsw").contains(method.toLowerCase)
+      if (isVector && df.isEmpty) {
+        pendingIndexes.put(name, (tbl, sql))
+        indexDdl.put(name, (tbl, sql))
+        return message(s"Index created (build deferred until data): $name")
+      }
       method.toLowerCase match {
         case "ivfflat" =>
           val (lists, probe) = (opts.get("lists"), opts.get("probe_lists"))
@@ -248,6 +260,12 @@ final class Engine(val spark: SparkSession) {
     val rows = aligned.cache()
     val cnt = rows.count()
     registerTable(tbl, table(tbl).unionAll(rows))
+    // build any index that was created while the table was empty
+    pendingIndexes.toSeq.filter(_._2._1 == tbl).foreach {
+      case (name, (_, ddl)) =>
+        pendingIndexes.remove(name)
+        createIndex(ddl)
+    }
     maintainIndexes(tbl, rows)
     rows.unpersist() // the table's own cache covers it from here
     import spark.implicits._

@@ -282,6 +282,26 @@ class EngineSpec extends SparkSpecBase {
     } finally graft.index.VectorIndexes.drop("t8i")
   }
 
+  test("INSERT INTO ... SELECT (the fixture-load form) with index upkeep") {
+    val e = mkEngine
+    e.executeSql("create table src1(v1 VECTOR(2), v2 integer)")
+    e.executeSql("INSERT INTO src1 VALUES (ARRAY [1.0, 0.0], 1), " +
+      "(ARRAY [2.0, 0.0], 2), (ARRAY [3.0, 0.0], 3)")
+    e.executeSql("create table dst1(v1 VECTOR(2), v2 integer)")
+    e.executeSql("CREATE INDEX dst1i ON dst1 USING ivfflat " +
+      "(v1 vector_l2_ops) WITH (lists = 1, probe_lists = 1)")
+    try {
+      val r = e.executeSql(
+        "INSERT INTO dst1 SELECT v1, v2 * 10 FROM src1 WHERE v2 >= 2")
+      assert(r.head().getLong(0) == 2)
+      // index saw the SELECT-inserted rows (vector.04 contract)
+      val got = e.executeSql("SELECT v2 FROM dst1 ORDER BY " +
+        "ARRAY [0.0, 0.0] <-> v1, v2 LIMIT 2")
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(20, 30))
+    } finally graft.index.VectorIndexes.drop("dst1i")
+  }
+
   test("EXPLAIN of DML is side-effect free") {
     val e = mkEngine
     e.executeSql("create table ex1(a int)")

@@ -37,6 +37,21 @@ class IndexSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("ivfflat recall is monotone in probe_lists (superset candidates)") {
+    val base = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10,
+      probeLists = 10)
+    val truth = bruteIds(20).toSet
+    val recalls = Seq(1, 2, 4, 10).map { p =>
+      val got = base.copy(probeLists = p).scan(query, 20, Some("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      got.intersect(truth).size / 20.0
+    }
+    // probing more buckets only adds candidates -> non-decreasing
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recalls=$recalls")
+    assert(recalls.last == 1.0) // probe=lists is exact
+  }
+
   test("ivfflat bucket invariants: <= lists buckets, all rows assigned") {
     val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10, probeLists = 10)
     assert(m.buckets.count() == emb.count())

@@ -111,6 +111,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding-window rates: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.slidingRates(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("sliding_t").collect().map(_.toSeq).toSet
+      val want = StreamOps.slidingRates(sample.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+      // each event lands in 4 sliding windows (1h window, 15min slide)
+      assert(got.toSeq.map(_(2).asInstanceOf[Long]).sum
+        == sample.length * 4L)
+    } finally q.stop()
+  }
+
   test("cross-batch out-of-order event still matches batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
