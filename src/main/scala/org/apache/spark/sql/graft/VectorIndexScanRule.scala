@@ -87,9 +87,24 @@ class VectorIndexScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** The reference rule only matches TopN over a bare SeqScan or
+    * Projection (vector_index_scan.cpp:102-129); anything that changes
+    * the row SET between the Sort and the leaf (Filter, Join,
+    * Aggregate, ...) makes "intersect with the index's GLOBAL top-k"
+    * wrong — a WHERE-filtered KNN must keep scanning, because the true
+    * k nearest qualifying rows need not be among the k nearest overall.
+    * Row-preserving wrappers (Project, SubqueryAlias) are safe. */
+  private def isBareScan(plan: LogicalPlan): Boolean = plan match {
+    case p: Project        => isBareScan(p.child)
+    case a: SubqueryAlias  => isBareScan(a.child)
+    case _: LeafNode       => true
+    case _                 => false
+  }
+
   private def rewrite(k: Int, vd: VectorDistance,
       restKeys: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
     if (child.output.exists(a => a.name == "__bucket")) return None
+    if (!isBareScan(child)) return None
     val leaves = child.collectLeaves()
     if (leaves.length != 1) return None
     val method =

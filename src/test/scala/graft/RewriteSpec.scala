@@ -58,6 +58,29 @@ class RewriteSpec extends SparkSpecBase {
     assert(!planStr.contains("__graft_knn_id"))
   }
 
+  test("WHERE-filtered KNN is NOT rewritten and returns the full k rows") {
+    // A filter between the Sort and the leaf changes the row set: the
+    // true k nearest *qualifying* rows need not be among the global
+    // top-k, so serving it through the index would drop rows (the
+    // reference rule only matches TopN over a bare scan/projection,
+    // vector_index_scan.cpp:102-129).
+    VectorIndexes.enableRewrite(spark)
+    VectorIndexes.createIvfFlat("rw_ivf4", "embeddings", emb,
+      "vec_id", "embedding", lists = 8, probeLists = 8)
+    try {
+      val filtered = emb.filter(col("vec_id") % 2 === 0)
+        .orderBy(l2Dist(col("embedding"), vecLit(query)).asc,
+          col("vec_id").asc)
+        .limit(10)
+      val planStr = filtered.queryExecution.optimizedPlan.toString
+      assert(!planStr.contains("__graft_knn_id"),
+        s"filtered KNN must not be index-served:\n$planStr")
+      val rows = filtered.select("vec_id").collect().map(_.getLong(0))
+      assert(rows.length == 10)
+      assert(rows.forall(_ % 2 == 0))
+    } finally VectorIndexes.drop("rw_ivf4")
+  }
+
   test("descending order is not rewritten (index serves ascending only)") {
     VectorIndexes.enableRewrite(spark)
     VectorIndexes.createIvfFlat("rw_ivf3", "embeddings", emb,
