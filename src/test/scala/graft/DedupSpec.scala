@@ -21,6 +21,27 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs("q56_jaccard_ppjoin") == pairs("q45_ngram_jaccard"))
   }
 
+  test("prefix filter prunes the candidate space by >= 5x") {
+    // The structural claim behind q56: the inverted-index join must
+    // verify every pair sharing ANY shingle; the prefix filter only
+    // pairs sharing a RARE (prefix) shingle. At sf0.1 the reduction
+    // is ~26x (1.13M -> 43.5k candidates); assert a conservative 5x
+    // here so the test is robust across SFs.
+    import org.apache.spark.sql.functions._
+    val sh = DedupOps.docShingles(spark, sfDir).cache()
+    try {
+      val inv = DedupOps.postings(sh).cache()
+      val full = inv.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val pruned = DedupOps.prefixCandidates(sh).count()
+      assert(pruned * 5 <= full,
+        s"prefix filter too weak: $pruned candidates vs $full full")
+      inv.unpersist()
+    } finally sh.unpersist()
+  }
+
   test("simhash blocking is exact: blocked pairs == brute-force pairs") {
     // recompute hamming brute-force over collected simhashes
     val df = DedupOps.queries("q47_simhash")(spark, sfDir)
