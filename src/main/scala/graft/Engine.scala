@@ -106,9 +106,16 @@ final class Engine(val spark: SparkSession) {
     // KNN rule can recognize (LocalRelation unions get constant-folded
     // by the optimizer, destroying plan identity).
     tables.remove(name).foreach(_.unpersist())
-    val cached = df.cache()
+    // Invariant: every stored table carries Engine.RowId, assigned ONCE
+    // when rows enter the engine and never re-derived — deletes keep
+    // surviving ids, updates carry them through, inserts extend past
+    // the max. (A positional id recomputed per maintenance pass would
+    // silently renumber rows if partition order ever changed, and its
+    // global row_number window funnels the table through one task.)
+    val cached = withRowId(df).cache()
     tables.put(name, cached)
-    cached.createOrReplaceTempView(name)
+    // the user-facing view hides the internal rid (SELECT * parity)
+    cached.drop(Engine.RowId).createOrReplaceTempView(name)
     refreshIndexLeaves(name)
   }
 
@@ -195,14 +202,14 @@ final class Engine(val spark: SparkSession) {
           // both options required (ivfflat_index.cpp:16-29)
           require(lists.isDefined && probe.isDefined,
             "ivfflat requires lists and probe_lists")
-          VectorIndexes.createIvfFlat(name, tbl, withRowId(df, tbl),
+          VectorIndexes.createIvfFlat(name, tbl, df,
             Engine.RowId, colName, lists.get, probe.get, metric)
         case "hnsw" =>
           // all three required (hnsw_index.cpp:33-47)
           require(Seq("m", "ef_construction", "ef_search")
             .forall(opts.contains),
             "hnsw requires m, ef_construction, ef_search")
-          VectorIndexes.createHnsw(name, tbl, withRowId(df, tbl),
+          VectorIndexes.createHnsw(name, tbl, df,
             Engine.RowId, colName, opts("m"), opts("ef_construction"),
             opts("ef_search"), metric)
         case _ =>
@@ -233,21 +240,24 @@ final class Engine(val spark: SparkSession) {
         spark.sql(s"SELECT * FROM (${rewriteExprs(rest.trim)})")
       else spark.sql(rewriteExprs(rest.trim)) // INSERT INTO t SELECT ...
     // schema must match exactly (plan_insert.cpp:31-37) modulo names;
-    // vector dims re-checked like the binder (bind_create.cpp:90-97)
-    require(src.schema.length == target.schema.length,
+    // vector dims re-checked like the binder (bind_create.cpp:90-97).
+    // The internal row id is engine-assigned, never user-supplied.
+    val userSchema = StructType(
+      target.schema.filterNot(_.name == Engine.RowId))
+    require(src.schema.length == userSchema.length,
       s"column count mismatch inserting into $tbl")
-    val aligned = src.toDF(target.columns: _*)
-      .select(target.schema.map(f =>
+    val aligned = src.toDF(userSchema.map(_.name): _*)
+      .select(userSchema.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
     if (!execute) return aligned // EXPLAIN: the would-be rows, no effect
     // the binder REJECTS type mismatches; a cast that nulls out a
     // non-null source value is a mismatch, not data (also keeps NULLed
     // vectors from slipping past the dim check below)
-    val badCast = src.toDF(target.columns: _*).select(
-      target.schema.zipWithIndex.map { case (f, i) =>
+    val badCast = src.toDF(userSchema.map(_.name): _*).select(
+      userSchema.zipWithIndex.map { case (f, i) =>
         (col(f.name).isNotNull &&
           col(f.name).cast(f.dataType).isNull).as(s"b$i") }.toIndexedSeq: _*)
-      .filter(Seq.tabulate(target.schema.length)(i => col(s"b$i"))
+      .filter(Seq.tabulate(userSchema.length)(i => col(s"b$i"))
         .reduce(_ || _))
     require(badCast.isEmpty,
       s"type mismatch inserting into $tbl (value does not cast)")
@@ -257,7 +267,14 @@ final class Engine(val spark: SparkSession) {
         require(bad.isEmpty, s"vector dim mismatch for $t.$c (want $dim)")
       }
     }
-    val rows = aligned.cache()
+    // assign ids ONCE, past the current max (deletes never shrink the
+    // id space back: a freed max id may be reused only after the
+    // delete's index rebuild, so no index ever sees a stale id)
+    val maxId = target.agg(coalesce(max(col(Engine.RowId)), lit(-1L)))
+      .first().getLong(0)
+    val rows = aligned
+      .withColumn(Engine.RowId, lit(maxId + 1) + monotonically_increasing_id())
+      .cache()
     val cnt = rows.count()
     registerTable(tbl, table(tbl).unionAll(rows))
     // build any index that was created while the table was empty
@@ -276,7 +293,7 @@ final class Engine(val spark: SparkSession) {
     * every vector index on the table sees the new rows. */
   private def maintainIndexes(tbl: String, rows: DataFrame): Unit =
     VectorIndexes.list().filter(_.table == tbl).foreach { meta =>
-      val withId = withRowId(table(tbl), tbl) // ids over the NEW union
+      val withId = table(tbl) // persistent ids, incl. the new batch
       meta.model match {
         case m: VectorIndexes.IvfModel =>
           // re-derive appended rows by id watermark: buckets hold all
@@ -308,7 +325,8 @@ final class Engine(val spark: SparkSession) {
     val t = table(tbl)
     val cond = Option(whereOrNull).map(w => expr(rewriteExprs(w)))
       .getOrElse(lit(true))
-    if (!execute) return t.filter(cond) // EXPLAIN: plan only, no effect
+    if (!execute) // EXPLAIN: plan only, no effect, rid hidden
+      return t.filter(cond).drop(Engine.RowId)
     val cnt = t.filter(cond).count()
     // null-evaluating predicates keep the row (3-valued DELETE)
     registerTable(tbl, t.filter(coalesce(!cond, lit(true))))
@@ -331,7 +349,8 @@ final class Engine(val spark: SparkSession) {
       assignments.get(c)
         .map(e => when(cond, e).otherwise(col(c)).as(c))
         .getOrElse(col(c))): _*)
-    if (!execute) return updated // EXPLAIN: plan only, no effect
+    if (!execute) // EXPLAIN: plan only, no effect, rid hidden
+      return updated.drop(Engine.RowId)
     val cnt = t.filter(cond).count()
     // binder dim rule applies to updated vector columns too
     vectorDims.foreach { case ((tb, c), dim) =>
@@ -423,15 +442,15 @@ final class Engine(val spark: SparkSession) {
 
   // ---- helpers ------------------------------------------------------------
 
-  /** Stable row id for index bookkeeping — the RID analogue. Derived
-    * from position for engine-managed tables (deterministic: unions
-    * append in order and our tables are small driver-built ones; at
-    * parquet scale callers pass an explicit id column instead). */
-  private def withRowId(df: DataFrame, tbl: String): DataFrame =
+  /** Stable row id for index bookkeeping — the RID analogue. Assigned
+    * from `monotonically_increasing_id()` (partition-local counters —
+    * unique, insertion-ordered, fully parallel; NOT contiguous, which
+    * nothing requires) the first time rows enter the engine; existing
+    * ids are always respected, so callers with their own id column
+    * (parquet-scale tables) keep it. */
+  private def withRowId(df: DataFrame): DataFrame =
     if (df.columns.contains(Engine.RowId)) df
-    else df.withColumn(Engine.RowId,
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(monotonically_increasing_id())).cast("long") - 1)
+    else df.withColumn(Engine.RowId, monotonically_increasing_id())
 
   private def message(s: String): DataFrame = {
     import spark.implicits._

@@ -84,6 +84,12 @@ object Prof {
     spark.catalog.clearCache()
     time("q46 warm")(
       DedupOps.queries("q46_minhash_lsh")(spark, dir).count())
+    spark.catalog.clearCache()
+    time("q49 cold")(
+      DedupOps.queries("q49_embed_dup_ivf")(spark, dir).count())
+    spark.catalog.clearCache()
+    time("q49 warm")(
+      DedupOps.queries("q49_embed_dup_ivf")(spark, dir).count())
     spark.stop()
   }
 }

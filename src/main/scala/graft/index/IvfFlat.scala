@@ -78,8 +78,19 @@ final case class IvfFlatModel(
     * top-k per query among candidates. One shuffle on the bucket id,
     * data touched = probed buckets only — the shape that serves 10⁶
     * queries against 10¹⁰ vectors. probeLists = lists ⇒ exact. */
+  /** `broadcastBuckets`: hash-join the probed queries against a
+    * BROADCAST of the bucket table instead of shuffling both sides on
+    * `__bucket`. The shuffle join's parallelism is capped at `lists`
+    * distinct keys — degenerate when lists << cores (q49 probes 8
+    * buckets: 8 active reducers dragging every candidate pair's two
+    * vectors through the exchange). With the data side broadcast the
+    * distances and the maxDist filter run map-side on the query
+    * partitioning. Use when the indexed table fits an executor (the
+    * scale path keeps the default: lists is O(sqrt n) there, so the
+    * bucket join parallelizes). */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, maxDist: Option[Double] = None): DataFrame = {
+      k: Int, maxDist: Option[Double] = None,
+      broadcastBuckets: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = buckets.sparkSession
     import spark.implicits._
@@ -102,7 +113,8 @@ final case class IvfFlatModel(
     val dist = Knn.metricCol(col(vecCol), col("__qv"), metric)
     val wK = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col(idCols.head).asc)
-    val withDist = probed.join(buckets, "__bucket")
+    val dataSide = if (broadcastBuckets) broadcast(buckets) else buckets
+    val withDist = probed.join(dataSide, "__bucket")
       .withColumn("dist", dist)
     // a caller-supplied distance bound (range-query use) prunes the
     // candidate set BEFORE the top-k window shuffle — for near-dup

@@ -40,26 +40,62 @@ object Knn {
   /** Batch KNN JOIN — top-k data neighbors for EVERY query row, the
     * Spark-native form of vector serving (one job, not Q sequential
     * scans). Exact: broadcast the query set (queries are the small
-    * side by construction), codegen'd distance on the crossed pairs,
-    * then row_number-over-window top-k per query. The data side stays
-    * partition-parallel and is scanned ONCE regardless of |queries|.
+    * side by construction — integral ids required), then a bounded
+    * max-heap of size k PER QUERY inside each data partition — the
+    * TakeOrderedAndProject trick, per query. Each partition emits at
+    * most k rows per query, so the per-query merge window shuffles
+    * O(partitions × k) rows per query instead of the FULL |data| —
+    * the previous all-pairs window put every query's entire candidate
+    * list (the whole data table) on one reducer, which dies at scale.
+    * The data side stays partition-parallel, scanned ONCE.
     *
     * Output: (q_id, d_id, dist, rk) — k rows per query,
-    * distance-ascending; join back on the ids for payload columns.
-    * For the index-accelerated variant see IvfFlatModel.knnJoin. */
+    * distance-ascending, ties broken by ascending d_id; join back on
+    * the ids for payload columns. For the index-accelerated variant
+    * see IvfFlatModel.knnJoin. */
   def join(queries: DataFrame, qVecCol: String, qIdCol: String,
       data: DataFrame, dVecCol: String, dIdCol: String, k: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{broadcast, row_number}
-    val q = queries.select(col(qIdCol).as("q_id"),
-      col(qVecCol).cast("array<double>").as("__qv"))
-    val d = data.select(col(dIdCol).as("d_id"),
-      col(dVecCol).cast("array<double>").as("__dv"))
+    import org.apache.spark.sql.functions.row_number
+    val spark = data.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.NearestCentroid
+    val qRows = queries.select(col(qIdCol).cast("long").as("q_id"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .as[(Long, Array[Double])].collect()
+    val qB = spark.sparkContext.broadcast(qRows)
+    val metricId = metric.id
+    val localTopK = data.select(col(dIdCol).cast("long").as("d_id"),
+        col(dVecCol).cast("array<double>").as("__dv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // worst (largest (dist, id)) on top -> O(log k) eviction
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.Tuple2[Double, Long]))
+        it.foreach { case (did, dv) =>
+          var i = 0
+          while (i < qs.length) {
+            val dist = NearestCentroid.distance(dv, qs(i)._2, metricId)
+            val h = heaps(i)
+            if (h.size < k) h.enqueue((dist, did))
+            else if (Ordering.Tuple2[Double, Long].lt((dist, did), h.head)) {
+              h.dequeue(); h.enqueue((dist, did))
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          // NearestCentroid's L2 is the squared form (rank-equivalent,
+          // cheaper); emitted dist must match l2_dist (WITH sqrt)
+          h.iterator.map { case (dist, did) =>
+            (qs(i)._1, did, if (metricId == 0) math.sqrt(dist) else dist) } }
+      }.toDF("q_id", "d_id", "dist")
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc,
       col("d_id").asc)
-    d.crossJoin(broadcast(q))
-      .withColumn("dist", metricCol(col("__dv"), col("__qv"), metric))
+    localTopK
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))

@@ -241,6 +241,7 @@ object DedupOps {
         .withColumn("n2", sqrt(aggregate(col("v"), lit(0.0),
           (acc, y) => acc + y * y)))
         .withColumn("nv", transform(col("v"), x => x / col("n2")))
+        .cache() // interpreted-HOF normalization: compute once, not per job
       val model = IvfFlat.build(norm, Seq("vec_id"), "nv",
         lists = 8, probeLists = 8)
       // both directions + canonicalize (a<b) + distinct: a pair only
@@ -249,7 +250,10 @@ object DedupOps {
       // cos >= 0.45 on the unit sphere ⇔ ||a-b|| <= sqrt(2*(1-0.45)):
       // the range bound prunes candidates before the top-k shuffle
       val nn = model.knnJoin(norm, "vec_id", "nv", k = 24,
-          maxDist = Some(math.sqrt(2.0 * (1.0 - 0.45))))
+          maxDist = Some(math.sqrt(2.0 * (1.0 - 0.45))),
+          // 8 buckets would cap the shuffle join at 8 reducers; the
+          // bucket table here is ~5MB -> broadcast, map-side distances
+          broadcastBuckets = true)
         .filter(col("q_id") =!= col("vec_id"))
         .select(least(col("q_id"), col("vec_id")).as("a_id"),
           greatest(col("q_id"), col("vec_id")).as("b_id"))

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -14,9 +13,10 @@ import graft.Tables
   * arithmetically from the raw bytes. Everything around it is the real
   * Spark shape a production decode has:
   *  - payloads travel as `BinaryType` columns (never strings),
-  *  - decode runs via `mapPartitions` over an explicit row schema —
-  *    one codec init per PARTITION, not per row (the thing that matters
-  *    when the real decoder is libjpeg/ffmpeg),
+  *  - decode runs via typed `Dataset.mapPartitions` (Encoder-backed,
+  *    stays in SQL land — no `.rdd` round-trip) — one codec init per
+  *    PARTITION, not per row (the thing that matters when the real
+  *    decoder is libjpeg/ffmpeg),
   *  - output is a typed struct column; downstream stays columnar.
   * Swapping in a real decoder changes only the body of `decodeStub`.
   *
@@ -28,23 +28,25 @@ object MultimodalOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false)))
+  /** Typed decode outputs: the Encoder keeps mapPartitions inside SQL
+    * land (UnsafeRow in/out, AQE + codegen above and below) — no RDD
+    * round-trip, no InternalRow -> Row -> InternalRow per row. */
+  final case class Decoded(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, channels: Int, mean_byte: Double)
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+      mean_byte: Double)
+  final case class Resized(doc_id: Long, orig_bytes: Int,
+      resized: Array[Byte], resized_bytes: Int, resized_mean: Double)
 
   /** ??? real decoder goes here — deterministic fake for CI. Derives
     * fake image dims + a mean-pixel feature from the payload bytes. */
-  private def decodeStub(docId: Long, bytes: Array[Byte]): Row = {
+  private def decodeStub(docId: Long, bytes: Array[Byte]): Decoded = {
     val n = bytes.length
-    if (n == 0) return Row(docId, 0, 0, 0, 3, 0.0) // empty payload
+    if (n == 0) return Decoded(docId, 0, 0, 0, 3, 0.0) // empty payload
     var sum = 0L
     var i = 0
     while (i < n) { sum += bytes(i) & 0xff; i += 1 }
-    Row(docId, n, n % 640, (bytes(0) & 0xff) % 480, 3,
+    Decoded(docId, n, n % 640, (bytes(0) & 0xff) % 480, 3,
       sum.toDouble / n)
   }
 
@@ -52,13 +54,13 @@ object MultimodalOps {
     * count follows payload bytes per partition, not row count. */
   def decodeImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val payloads = docs.select(col("doc_id"),
-      col("text").cast("binary").as("payload"))
-    val rows = payloads.rdd.mapPartitions { it =>
-      // real pipeline: init codec once here, per partition
-      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
-    }
-    spark.createDataFrame(rows, decodedSchema)
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: init codec once here, per partition
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }.toDF()
   }
 
   /** Frame sampling: treat the payload as a "video" of fixed-size
@@ -69,29 +71,22 @@ object MultimodalOps {
   def sampleFrames(docs: DataFrame, frameBytes: Int, stride: Int)
       : DataFrame = {
     val spark = docs.sparkSession
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame_bytes", IntegerType, nullable = false),
-      StructField("mean_byte", DoubleType, nullable = false)))
-    val payloads = docs.select(col("doc_id"),
-      col("text").cast("binary").as("payload"))
-    val rows = payloads.rdd.mapPartitions { it =>
-      // real pipeline: init the demuxer once per partition
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val nFrames = bytes.length / frameBytes // full frames only
-        (0 until nFrames by stride).iterator.map { f =>
-          var sum = 0L
-          var i = f * frameBytes
-          val end = i + frameBytes
-          while (i < end) { sum += bytes(i) & 0xff; i += 1 }
-          Row(id, f, frameBytes, sum.toDouble / frameBytes)
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipeline: init the demuxer once per partition
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes // full frames only
+          (0 until nFrames by stride).iterator.map { f =>
+            var sum = 0L
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+            Frame(id, f, frameBytes, sum.toDouble / frameBytes)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rows, schema)
+      }.toDF()
   }
 
   /** "Resize": stride-subsample the payload bytes (the fake analogue
@@ -99,26 +94,18 @@ object MultimodalOps {
     * binary payload + its metadata — binary-in/binary-out plumbing. */
   def resize(docs: DataFrame, stride: Int): DataFrame = {
     val spark = docs.sparkSession
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("orig_bytes", IntegerType, nullable = false),
-      StructField("resized", BinaryType, nullable = false),
-      StructField("resized_bytes", IntegerType, nullable = false),
-      StructField("resized_mean", DoubleType, nullable = false)))
-    val payloads = docs.select(col("doc_id"),
-      col("text").cast("binary").as("payload"))
-    val rows = payloads.rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val out = Array.range(0, bytes.length, stride).map(bytes(_))
-        val mean =
-          if (out.isEmpty) 0.0
-          else out.map(_ & 0xff).map(_.toLong).sum.toDouble / out.length
-        Row(id, bytes.length, out, out.length, mean)
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = Array.range(0, bytes.length, stride).map(bytes(_))
+          val mean =
+            if (out.isEmpty) 0.0
+            else out.map(_ & 0xff).map(_.toLong).sum.toDouble / out.length
+          Resized(id, bytes.length, out, out.length, mean)
+        }
+      }.toDF()
   }
 
   val queries: Map[String, Q] = Map(
