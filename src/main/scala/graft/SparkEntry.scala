@@ -21,5 +21,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.RelationalOps.oracles ++ operators.VectorOps.oracles ++
       operators.TextOps.oracles ++ operators.DedupOps.oracles ++
-      operators.MultimodalOps.oracles
+      operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles
 }

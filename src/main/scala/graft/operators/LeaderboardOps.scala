@@ -101,6 +101,66 @@ object LeaderboardOps {
       MockTables.t9(s).groupBy("x")
         .agg(min("y").as("min_y"), max("y").as("max_y"),
           count(lit(1)).as("n"))
-        .orderBy(col("x")).limit(20))
+        .orderBy(col("x")).limit(20)),
+
+    // p3.leaderboard-q1-window: rank-per-partition top-3 over the
+    // 10M-row __mock_t9, then a global TopN. The window's (x) hash
+    // partitioning spreads 1000 groups over the cluster; the outer
+    // ORDER BY y LIMIT 10 is TakeOrderedAndProject — no global sort.
+    "q64_leaderboard_q1_window" -> ((s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("x").orderBy(col("y").asc)
+      MockTables.t9(s)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select("x", "y")
+        .orderBy(col("y").asc).limit(10)
+    })
+  )
+
+  /** The mock generators are pure arithmetic over the row index
+    * (mock_scan_executor.cpp:363-429), so DuckDB `range()` reproduces
+    * them exactly — these queries get full value oracles even though
+    * they touch no parquet table. */
+  private def t456Sql(off: Long): String =
+    s"SELECT ((range + $off) % 500000)::INT AS x, " +
+      s"(((range + $off) % 500000) * 10)::INT AS y FROM range(1000000)"
+
+  private val t9Sql: String =
+    """SELECT (range // 10000)::INT AS x,
+      |  (10000000 - (range // 2 + ((range // 10000) % 2) * ((range // 2) % 2)))::INT AS y
+      |FROM range(10000000)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_leaderboard_q1" ->
+      """WITH t1 AS (SELECT (range // 10000)::INT AS x, (range % 10000)::INT AS y,
+        |  range::INT AS z FROM range(1000000))
+        |SELECT x, y, z FROM t1 WHERE x >= 90 AND y = 10""".stripMargin,
+    "q61_leaderboard_q2" ->
+      s"""WITH t4 AS (${t456Sql(0)}),
+        |     t5 AS (${t456Sql(30000)}),
+        |     t6 AS (${t456Sql(60000)})
+        |SELECT count(*) AS cnt, max(t4.x) AS m4x, max(t4.y) AS m4y,
+        |  max(t5.x) AS m5x, max(t5.y) AS m5y,
+        |  max(t6.x) AS m6x, max(t6.y) AS m6y
+        |FROM t4 JOIN t5 ON t4.x = t5.x JOIN t6 ON t6.y = t5.y
+        |WHERE t4.y >= 1000000 AND t4.y < 1500000
+        |  AND t6.x < 150000 AND t6.x >= 100000""".stripMargin,
+    "q62_leaderboard_q3" ->
+      """WITH t7 AS (SELECT (range % 20)::INT AS v, range::INT AS v1,
+        |  range::INT AS v2 FROM range(1000000)),
+        |     t8 AS (SELECT range::INT AS v4 FROM range(10) WHERE 1 = 2)
+        |SELECT v, max(v1) AS d1, max(v1) + max(v1) + max(v2) AS d2
+        |FROM t7 LEFT JOIN t8 ON v < v4
+        |GROUP BY v""".stripMargin,
+    "q63_mock_t9_agg" ->
+      s"""WITH t9 AS ($t9Sql)
+        |SELECT x, min(y) AS min_y, max(y) AS max_y, count(*) AS n
+        |FROM t9 GROUP BY x ORDER BY x LIMIT 20""".stripMargin,
+    "q64_leaderboard_q1_window" ->
+      s"""WITH t9 AS ($t9Sql),
+        |r AS (SELECT x, y, rank() OVER (PARTITION BY x ORDER BY y) AS rnk
+        |      FROM t9)
+        |SELECT x, y FROM r WHERE rnk <= 3 ORDER BY y LIMIT 10""".stripMargin
   )
 }

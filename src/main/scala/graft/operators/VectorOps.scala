@@ -100,12 +100,16 @@ object VectorOps {
     }),
 
     // Broadcast HNSW batch KNN join: graph shipped to executors once,
-    // probed per query row — zero-shuffle serving. Rows-only; IndexSpec
-    // asserts equality with per-query scans.
+    // probed per query row — zero-shuffle serving. Configured
+    // probe-all (ef_search >= |data|): the beam search visits the
+    // whole connected graph, so the result is EXACT and shares the
+    // brute-force join oracle — the correctness gate for the graph
+    // build + join plumbing itself. IndexSpec covers the approximate
+    // (small-ef) configuration's recall.
     "q55_hnsw_knn_join" -> ((s, d) => {
       val e = emb(s, d)
       val idx = Hnsw.build(e, "vec_id", "embedding",
-        m = 8, efConstruction = 64, efSearch = 40)
+        m = 8, efConstruction = 64, efSearch = 1 << 24)
       Hnsw.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding",
           idx, k = 5)
         .select(col("q_id"), col("d_id"), round(col("dist"), 6).as("dist"),
@@ -113,12 +117,14 @@ object VectorOps {
     }),
 
     // Partition-parallel HNSW (the scale path: sub-graph per partition
-    // built inside mapPartitions, merged top-k serve). Rows-only check;
-    // IndexSpec asserts recall vs brute force.
+    // built inside mapPartitions, merged top-k serve). Probe-all
+    // ef_search makes each sub-graph search exhaustive, so the merged
+    // top-k is exact -> brute-force oracle; IndexSpec covers the
+    // approximate configuration's recall.
     "q39_hnsw_partitioned" -> ((s, d) => {
       import s.implicits._
       val idx = Hnsw.buildPartitioned(emb(s, d), "vec_id", "embedding",
-        m = 8, efConstruction = 64, efSearch = 40, numPartitions = 4)
+        m = 8, efConstruction = 64, efSearch = 1 << 24, numPartitions = 4)
       idx.scan(queryVec(s, d).toArray, 10)
         .toDF("vec_id", "dist")
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
@@ -230,7 +236,9 @@ object VectorOps {
     "q34_ivfflat_insert" -> bruteOracle,
     "q38_knn_rewrite" -> bruteOracle,
     "q26_knn_join_brute" -> knnJoinOracle,
-    "q27_knn_join_ivf" -> knnJoinOracle
+    "q27_knn_join_ivf" -> knnJoinOracle,
+    "q55_hnsw_knn_join" -> knnJoinOracle,
+    "q39_hnsw_partitioned" -> bruteOracle
   )
 
   private lazy val knnJoinOracle =

@@ -46,6 +46,20 @@ class LeaderboardSpec extends SparkSpecBase {
     assert(t.filter(lit(false)).groupBy("v5").agg(count(lit(1))).isEmpty)
   }
 
+  test("leaderboard q1-window == reference golden 10 rows") {
+    // p3.leaderboard-q1-window.slt inline expected block (multiset:
+    // the slt is `nosort` but compared rows carry identical values)
+    val got = run("q64_leaderboard_q1_window").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      .sorted.reverse
+    val want = Seq(
+      (999, 5000000), (999, 5000000),
+      (999, 5000002), (999, 5000002), (999, 5000002), (999, 5000002),
+      (998, 5005001), (998, 5005001),
+      (998, 5005002), (998, 5005002)).sorted.reverse
+    assert(got == want)
+  }
+
   test("mock t9 10M-row agg invariants") {
     val rows = run("q63_mock_t9_agg").collect()
     assert(rows.length == 20)
