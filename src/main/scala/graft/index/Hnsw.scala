@@ -26,8 +26,9 @@ import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
   * Serving: the graph is a small immutable structure; ship it with
   * `broadcast` and probe per-partition for batch KNN-join, or query it
   * on the driver for single lookups. At 100TB the scale path is
-  * IVFFlat-style partitioned indexes (HNSW-per-partition + merged
-  * top-k), which `Hnsw.partitioned` documents as the design seam.
+  * `Hnsw.buildPartitioned`: HNSW-per-partition sub-graphs persisted
+  * distributed (executor memory, never collected), probed in place,
+  * merged top-k.
   *
   * Determinism: seeded RNG (default 42) + deterministic insert order
   * (caller sorts) make builds reproducible; recall properties are
@@ -109,8 +110,20 @@ final class HnswIndex(
     edges.getOrElseUpdate(b, mutable.Set()) += a
   }
 
-  /** Degree-bound pruning (reference PurgeEdges, hnsw_index.cpp:154-170):
-    * over-degree vertices keep only their m nearest neighbors. */
+  /** Degree-bound pruning: over-degree vertices keep only the m
+    * nearest of their CURRENT neighbors.
+    *
+    * INTENTIONAL DEVIATION from the reference's PurgeEdges
+    * (hnsw_index.cpp:154-170), which re-selects the m nearest among
+    * ALL vertices in the layer (an O(layer) rescan that also re-links
+    * to vertices that were never neighbors), and from its descent
+    * that inserts path edges into `layers_[level]` rather than the
+    * layer being descended (hnsw_index.cpp:240). Both are
+    * reference-implementation quirks, not published-HNSW semantics;
+    * we follow the paper (prune within the neighbor set). The graphs
+    * therefore differ structurally; parity is pinned at the
+    * RESULT level — recall bounds in IndexSpec, and exact equality
+    * with brute force under probe-all ef (q55/q39 oracles). */
   private def prune(layer: Int, v: Int): Unit = {
     val maxDeg = if (layer == 0) mMax0 else mMax
     val edges = layers(layer)
@@ -234,27 +247,69 @@ object Hnsw {
   /** The 100TB-scale HNSW: one independent sub-graph per partition,
     * built in PARALLEL inside mapPartitions (sequential insert is the
     * single-node bottleneck — partitioning is what removes it), served
-    * by searching every sub-graph and merging the top-k. Search cost is
-    * P small graph walks instead of one; recall is >= the monolithic
-    * graph's because each sub-graph is searched independently (no
-    * cross-partition edges to mislead the greedy descent).
+    * by probing every sub-graph WHERE IT LIVES and merging only the
+    * per-partition top-k candidates. Search cost is P small graph
+    * walks instead of one; recall is >= the monolithic graph's because
+    * each sub-graph is searched independently (no cross-partition
+    * edges to mislead the greedy descent).
     *
-    * Here the sub-indexes are collected to the driver (they are small:
-    * graph + vectors of one partition); at real scale they'd be
-    * persisted per-partition and probed with a broadcast query — the
-    * build path, the part that must distribute, already does. */
-  final class PartitionedHnswIndex(
-      val parts: Array[HnswIndex]) extends Serializable {
-    def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
-      parts.flatMap(_.scan(query, k))
-        .sortBy { case (id, d) => (d, id) }.take(k).toSeq
-    def size: Int = parts.map(_.size).sum
+    * The sub-indexes stay distributed: an RDD of graph objects,
+    * persisted deserialized in executor memory (spilling to disk) —
+    * an RDD on purpose: a graph index is genuine per-partition
+    * imperative state, and the deserialized-object cache means zero
+    * per-query rehydration, which a Dataset[Array[Byte]] of
+    * serialized blobs could not offer. The driver only ever receives
+    * merged top-k rows, never a graph. */
+  final class DistributedHnswIndex(
+      @transient val parts: org.apache.spark.rdd.RDD[HnswIndex]) {
+
+    /** One job per lookup: probe each cached sub-graph locally, emit
+      * its k candidates, takeOrdered merges the P*k survivors. */
+    def scan(query: Array[Double], k: Int): Seq[(Long, Double)] = {
+      val q = query
+      parts.flatMap(_.scan(q, k))
+        .takeOrdered(k)(Ordering.by { case (id, d) => (d, id) }).toSeq
+    }
+
+    /** Batch KNN join: broadcast the query batch once, probe every
+      * sub-graph per query where it lives, then one bounded window
+      * merge over P*k rows per query. Queries are the small side by
+      * construction (the big side is the indexed corpus). */
+    def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val qs = queries
+        .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+        .filter(col(qVecCol).isNotNull)
+        .as[(Long, Array[Double])].collect()
+      val bc = parts.sparkContext.broadcast(qs)
+      val local = parts.mapPartitions { it =>
+        it.flatMap { idx =>
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            idx.scan(qv, k).map { case (did, d) => (qid, did, d) }
+          }
+        }
+      }
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("dist").asc, col("d_id").asc)
+      spark.createDataFrame(local).toDF("q_id", "d_id", "dist")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))
+    }
+
+    def numParts: Int = parts.partitions.length
+    def size: Long = parts.map(_.size.toLong).sum().toLong
+    def unpersist(): Unit = parts.unpersist()
   }
 
   def buildPartitioned(df: DataFrame, idCol: String, vecCol: String,
       m: Int, efConstruction: Int, efSearch: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2,
-      numPartitions: Int = 0, seed: Long = 42L): PartitionedHnswIndex = {
+      numPartitions: Int = 0, seed: Long = 42L): DistributedHnswIndex = {
     import org.apache.spark.sql.functions._
     val base = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -270,7 +325,7 @@ object Hnsw {
           .toSeq.sortBy(_._1)
           .foreach { case (id, v) => idx.insert(id, v) }
         if (idx.size > 0) Iterator.single(idx) else Iterator.empty
-      }.collect()
-    new PartitionedHnswIndex(parts)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new DistributedHnswIndex(parts)
   }
 }

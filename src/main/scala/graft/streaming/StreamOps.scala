@@ -73,38 +73,36 @@ object StreamOps {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.last), s.events, s.value))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var out = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t > s.last + SessionGapMs =>
-                  // forward gap: close the live session, start fresh
-                  out ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.events, s.value)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) if t < s.start - SessionGapMs =>
-                  // a late cross-batch event OLDER than the live
-                  // session by more than the gap: it is its own,
-                  // already-closed session (the batch twin, which sees
-                  // rows time-ordered, splits here too)
-                  out ::= Session(userId, new Timestamp(t),
-                    new Timestamp(t), 1, e.value)
-                case Some(s) =>
-                  // in-gap on either side: extend both bounds
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t),
-                    events = s.events + 1, value = s.value + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+            // Uniform interval-merge: the live session and every event
+            // of the batch become [start,last] intervals, sorted and
+            // gap-folded — exactly the batch twin's split, applied to
+            // everything visible now. Late events gap-split among
+            // THEMSELVES (two out-of-order events within one gap merge
+            // into ONE session, as batch does) and a late run that
+            // bridges into the live session extends it instead of
+            // fragmenting. The newest interval stays open as state;
+            // older ones are closed: nothing already-emitted can be
+            // re-opened, so (as with any append-mode sessionizer) an
+            // event arriving in a LATER batch can no longer bridge two
+            // sessions this batch closed — bounded by the watermark.
+            val items = (state.getOption.toSeq ++ rows.map(e =>
+                SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.start, s.last))
+            val merged = items.foldLeft(List.empty[SessionState]) {
+              (acc, it) => acc match {
+                case head :: tail if it.start <= head.last + SessionGapMs =>
+                  SessionState(math.min(head.start, it.start),
+                    math.max(head.last, it.last),
+                    head.events + it.events, head.value + it.value) :: tail
+                case _ => it :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + SessionGapMs)
-            }
-            out.reverseIterator
+            }.reverse
+            val live = merged.last
+            state.update(live)
+            state.setTimeoutTimestamp(live.last + SessionGapMs)
+            merged.dropRight(1).iterator.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+                s.events, s.value))
           }
       }
   }

@@ -73,13 +73,28 @@ class IndexSpec extends SparkSpecBase {
     val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 12,
       efConstruction = 100, efSearch = 80, numPartitions = 4)
     assert(idx.size == emb.count())
-    assert(idx.parts.length == 4)
+    assert(idx.numParts == 4)
     val got = idx.scan(query.toArray, 10).map(_._1).toSet
     val recall = got.intersect(bruteIds(10).toSet).size / 10.0
     assert(recall >= 0.8, s"recall=$recall")
     // distances ascend
     val ds = idx.scan(query.toArray, 10).map(_._2)
     assert(ds == ds.sorted)
+  }
+
+  test("distributed hnsw knn join (probe-all) == brute knn join") {
+    // ef >= |data| makes each sub-graph search exhaustive, so the
+    // merged distributed join must equal the brute-force join exactly.
+    val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 8,
+      efConstruction = 64, efSearch = 1 << 24, numPartitions = 4)
+    val queries = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 10)
+    val got = idx.knnJoin(queries, "vec_id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Knn.join(queries, "v", "vec_id", emb, "v", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    idx.unpersist()
   }
 
   test("hnsw recall >= 0.8 at k=10 with generous ef") {

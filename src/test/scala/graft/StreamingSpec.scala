@@ -159,6 +159,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("two late events within one gap merge into ONE session (batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_l")
+      .outputMode("append").start()
+    try {
+      // live session at 12:00; then one batch holding TWO late events
+      // (11:10, 11:15 — inside the 1h watermark) — older than the
+      // live session by > gap but within the gap of each other: the
+      // batch twin makes one two-event session out of them, so
+      // streaming must too.
+      mem.addData(Event(0, ts(720), 7, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(670), 7, "b", 2.0),
+        Event(2, ts(675), 7, "c", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(2000), 9, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_l").filter(col("user_id") === 7)
+        .select("start", "end", "events", "total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      val want = StreamOps.sessionizeBatch(Seq(
+          Event(0, ts(720), 7, "a", 1.0), Event(1, ts(670), 7, "b", 2.0),
+          Event(2, ts(675), 7, "c", 3.0)).toDF())
+        .select("start", "end", "events", "total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      assert(got == want && got.size == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
