@@ -67,11 +67,35 @@ final class Engine(val spark: SparkSession) {
     * finished-engine behavior). */
   private val pendingIndexes = TrieMap.empty[String, (String, String)]
 
-  /** One statement in, one DataFrame out (DDL returns an empty or
-    * count/message frame, like the reference's ResultWriter). */
+  /** Statement(s) in, one DataFrame out (DDL returns an empty or
+    * count/message frame, like the reference's ResultWriter). Leading
+    * `--` comment lines are stripped and `;`-separated compound input
+    * executes each statement in order, returning the last result —
+    * both appear in the reference's own SLT corpus (e.g.
+    * p3.15-multi-way-hash-join.slt's `create ...; insert ...;`). */
   def executeSql(sqlRaw: String): DataFrame = {
-    val sql = sqlRaw.trim.stripSuffix(";").trim
-    plan(sql, execute = true)
+    val stmts = splitStatements(sqlRaw).map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, s"empty statement: $sqlRaw")
+    stmts.map(s => plan(s, execute = true)).last
+  }
+
+  /** split on `;` outside single-quoted strings, dropping `--` line
+    * comments along the way (a comment may contain quotes — p3.19) */
+  private def splitStatements(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inStr = false; var i = 0; val cur = new StringBuilder
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; cur += c; i += 1 }
+      else if (c == '\'') { inStr = true; cur += c; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1 // skip comment
+      }
+      else if (c == ';') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
 
   /** `execute=false` (the EXPLAIN path) must be side-effect free: DML
@@ -87,6 +111,19 @@ final class Engine(val spark: SparkSession) {
       import spark.implicits._
       VectorIndexes.list().map(m => (m.name, m.table, m.column, m.method))
         .sortBy(_._1).toDF("index", "table", "column", "method")
+    }
+    else if (sql.startsWith("\\d ")) { // describe one table
+      import spark.implicits._
+      val t = sql.stripPrefix("\\d").trim
+      table(t).schema.filterNot(_.name == Engine.RowId)
+        .map(f => (f.name, f.dataType.simpleString)).toSeq
+        .toDF("column", "type")
+    }
+    else if (sql.startsWith("\\help")) { // bustub_instance.cpp:257-281
+      import spark.implicits._
+      Seq("\\dt: show all tables", "\\di: show all indices",
+        "\\d <table>: describe one table", "\\help: show this message")
+        .toDF("help")
     }
     else if (lower.startsWith("create table"))
       if (execute) createTable(sql) else message(s"ddl: $sql")
@@ -172,11 +209,15 @@ final class Engine(val spark: SparkSession) {
   }
 
   private val createIndexRe: Regex =
-    ("""(?is)create\s+index\s+(\w+)\s+on\s+(\w+)\s+using\s+(\w+)\s*""" +
+    ("""(?is)create\s+index\s+(\w+)\s+on\s+(\w+)\s*(?:using\s+(\w+)\s*)?""" +
       """\(\s*(\w+)(?:\s+(\w+))?\s*\)(?:\s+with\s*\((.*)\))?""").r
 
   private def createIndex(sql: String): DataFrame = sql match {
-    case createIndexRe(name, tbl, method, colName, opclassOrNull, optsOrNull) =>
+    case createIndexRe(name, tbl, methodOrNull, colName, opclassOrNull,
+        optsOrNull) =>
+      // bare `create index i on t(col)` = the reference's default
+      // B+tree — a scalar method, recorded as a metadata no-op below
+      val method = Option(methodOrNull).getOrElse("bplustree")
       val opts: Map[String, Int] = Option(optsOrNull).map {
         _.split(",").map { kv =>
           val Array(k, v) = kv.split("=").map(_.trim)
@@ -408,6 +449,16 @@ final class Engine(val spark: SparkSession) {
     * (expression_factory.cpp:104-112). */
   private[graft] def rewriteExprs(sql: String): String = {
     var out = sql
+    // the reference's pg parser tolerates a trailing comma before FROM
+    // (p3.16-sort-limit.slt:347); Spark rejects it — normalize
+    out = out.replaceAll("(?i),\\s+(?=from\\b)", " ")
+    // the reference binder scopes an anonymous `(SELECT * FROM t ...)`
+    // derived table under its base table's name (p3.19:115 joins on
+    // `result.dst` through one); Spark needs the alias spelled out
+    out = out.replaceAll(
+      "(?is)\\(\\s*(select\\s+\\*\\s+from\\s+(\\w+)\\b[^()]*)\\)" +
+        "(\\s+(?:inner\\s+|left\\s+|right\\s+)?join\\b)",
+      "($1) $2$3")
     // ARRAY [1.0, 2.0] -> array(CAST(1.0 AS DOUBLE), ...)
     val arrRe = """(?i)ARRAY\s*\[([^\]]*)\]""".r
     out = arrRe.replaceAllIn(out, m =>

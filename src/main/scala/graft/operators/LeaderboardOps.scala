@@ -48,6 +48,68 @@ object MockTables {
       "CAST((id + 2) % 10 AS INT) AS v1", "CAST(id AS INT) AS v2",
       "CAST((id + 50) % 100 AS INT) AS v3", "CAST(id DIV 100 AS INT) AS v4",
       "CAST(233 AS INT) AS v5", "repeat('💩', CAST(id % 8 AS INT) + 1) AS v6")
+
+  /** __mock_agg_input_big: 10000 rows, v4=i/1000, v6 up to 16 repeats
+    * (:325-338). */
+  def aggInputBig(s: SparkSession): DataFrame =
+    s.range(10000L).selectExpr(
+      "CAST((id + 2) % 10 AS INT) AS v1", "CAST(id AS INT) AS v2",
+      "CAST((id + 50) % 100 AS INT) AS v3", "CAST(id DIV 1000 AS INT) AS v4",
+      "CAST(233 AS INT) AS v5", "repeat('💩', CAST(id % 16 AS INT) + 1) AS v6")
+
+  /** __mock_table_1: (i, i*100), 100 rows (:228-236, size :137-139). */
+  def table1(s: SparkSession): DataFrame =
+    s.range(100L).selectExpr("CAST(id AS INT) AS colA",
+      "CAST(id * 100 AS INT) AS colB")
+
+  /** __mock_table_123: number = i+1, 3 rows (:344-350). */
+  def table123(s: SparkSession): DataFrame =
+    s.range(3L).selectExpr("CAST(id + 1 AS INT) AS number")
+
+  /** __mock_graph: 10x10 node pairs, distance NULL on the diagonal,
+    * labels zero-padded (:352-370). */
+  def graph(s: SparkSession): DataFrame =
+    s.range(100L).selectExpr(
+      "CAST(id % 10 AS INT) AS src", "CAST(id DIV 10 AS INT) AS dst",
+      "lpad(CAST(id % 10 AS STRING), 3, '0') AS src_label",
+      "lpad(CAST(id DIV 10 AS STRING), 3, '0') AS dst_label",
+      "CASE WHEN id % 10 = id DIV 10 THEN CAST(NULL AS INT) ELSE 1 END AS distance")
+
+  // Pinned fixture rows from the reference's mock catalog
+  // (mock_scan_executor.cpp:32-45) — test data, reproduced verbatim so
+  // the SLT goldens that join over them replay exactly.
+  private val TasFall2023 = Seq(
+    ("skyzh", "Randomly"), ("yliang412", "Tuesday"),
+    ("fernandolis10", "Wednesday"), ("wiam8", "Tuesday"),
+    ("anurag-23", "Thursday"), ("Mayank-Baranwal", "Tuesday"),
+    ("abigalekim", "Friday"), ("ChaosZhai", "Yesterday"),
+    ("aoleizhou", "Friday"), ("averyqi115", "Friday"), ("kswim8", "Never"))
+
+  private val Days = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  /** __mock_table_tas_2023_fall (github_id, office_hour). */
+  def tasFall2023(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TasFall2023.toDF("github_id", "office_hour")
+  }
+
+  /** __mock_table_schedule_2023: has_lecture on Monday+Wednesday
+    * (:303-310). */
+  def schedule2023(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Days.zipWithIndex
+      .map { case (d, i) => (d, if (i == 0 || i == 2) 1 else 0) }
+      .toDF("day_of_week", "has_lecture")
+  }
+
+  /** test_simple_seq_1/2 (table_generator.cpp:97-101): serial columns. */
+  def simpleSeq1(s: SparkSession): DataFrame =
+    s.range(10L).selectExpr("CAST(id AS INT) AS col1")
+
+  def simpleSeq2(s: SparkSession): DataFrame =
+    s.range(10L).selectExpr("CAST(id AS INT) AS col1",
+      "CAST(id + 10 AS INT) AS col2")
 }
 
 object LeaderboardOps {
