@@ -51,6 +51,17 @@ final class Engine(val spark: SparkSession) {
 
   VectorFunctions.register(spark)
   VectorIndexes.enableRewrite(spark)
+  // reference binder strictness: upper/lower reject non-string args
+  // (p0.02-function-error.slt) — Spark would implicitly cast
+  Seq("upper" -> true, "lower" -> false).foreach { case (name, up) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        require(exprs.length == 1, s"$name expects exactly 1 argument")
+        org.apache.spark.sql.graft.StrictStringCase(exprs.head, up)
+      },
+      "built-in")
+  }
 
   private val tables = TrieMap.empty[String, DataFrame]
   /** declared VECTOR dims per (table, column) — binder enforcement */

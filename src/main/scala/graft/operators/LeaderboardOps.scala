@@ -62,6 +62,18 @@ object MockTables {
     s.range(100L).selectExpr("CAST(id AS INT) AS colA",
       "CAST(id * 100 AS INT) AS colB")
 
+  /** __mock_table_2: ("{i}-💩", "😇" x (i%8)), 100 rows (:239-249). */
+  def table2(s: SparkSession): DataFrame =
+    s.range(100L).selectExpr(
+      "concat(CAST(id AS STRING), '-💩') AS colC",
+      "repeat('😇', CAST(id % 8 AS INT)) AS colD")
+
+  /** __mock_table_3: colE = i when even else NULL, 100 rows (:251-264). */
+  def table3(s: SparkSession): DataFrame =
+    s.range(100L).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN CAST(id AS INT) ELSE CAST(NULL AS INT) END AS colE",
+      "concat(CAST(id AS STRING), '-💩') AS colF")
+
   /** __mock_table_123: number = i+1, 3 rows (:344-350). */
   def table123(s: SparkSession): DataFrame =
     s.range(3L).selectExpr("CAST(id + 1 AS INT) AS number")

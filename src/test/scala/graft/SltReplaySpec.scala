@@ -50,7 +50,14 @@ class SltReplaySpec extends SparkSpecBase {
     "p3.12-repeat-execute.slt", "p3.13-nested-index-join.slt",
     "p3.14-hash-join.slt", "p3.15-multi-way-hash-join.slt",
     "p3.16-sort-limit.slt", "p3.17-topn.slt", "p3.18-integration-1.slt",
-    "p3.19-integration-2.slt", "p0.03-string-scan.slt", "subquery.slt")
+    "p3.19-integration-2.slt", "p0.03-string-scan.slt", "subquery.slt",
+    "p0.01-lower-upper.slt", "p0.02-function-error.slt",
+    "p3.00-primer.slt", "p3.20-window-function.slt",
+    "baby_arithmetic.slt", "intro.slt", "update.slt", "order_by.slt",
+    "hash_join.slt", "nested_index_join.slt", "index.slt",
+    "vector.slt", "vector.01-insert-scan.slt", "vector.02-naive-knn.slt",
+    "vector.03-index-selection.slt", "vector.04-ivfflat.slt",
+    "vector.05-hnsw.slt")
 
   /** reference-quirk goldens we intentionally diverge from, keyed by
     * (file, exact statement): value = the line(s) WE must produce. */
@@ -119,6 +126,8 @@ class SltReplaySpec extends SparkSpecBase {
   private val mockTables: Map[String, org.apache.spark.sql.SparkSession
       => org.apache.spark.sql.DataFrame] = Map(
     "__mock_table_1" -> MockTables.table1,
+    "__mock_table_2" -> MockTables.table2,
+    "__mock_table_3" -> MockTables.table3,
     "__mock_table_123" -> MockTables.table123,
     "__mock_graph" -> MockTables.graph,
     "__mock_agg_input_small" -> MockTables.aggInputSmall,
@@ -167,6 +176,20 @@ class SltReplaySpec extends SparkSpecBase {
   }
 
   private def replay(file: String): Unit = {
+    val preexistingIndexes =
+      graft.index.VectorIndexes.list().map(_.name).toSet
+    // session-global leftovers a file may set (e.g. vector.03's
+    // `set vector_index_method`) must not leak into later suites
+    try replayAll(file)
+    finally {
+      spark.conf.unset("graft.vector_index_method")
+      graft.index.VectorIndexes.list().map(_.name)
+        .filterNot(preexistingIndexes)
+        .foreach(graft.index.VectorIndexes.drop)
+    }
+  }
+
+  private def replayAll(file: String): Unit = {
     val text = new String(
       Files.readAllBytes(Paths.get(SltDir, file)), "UTF-8")
     val e = new Engine(spark)
