@@ -45,7 +45,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fails = failures.distinct.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -212,6 +212,16 @@ final class Engine(val spark: SparkSession) {
           case other => sys.error(s"unsupported column type $other")
         }
       }
+      // re-creating a table name makes any index recorded for the old
+      // incarnation meaningless — drop them (incl. another Engine's on
+      // the shared session: the registry is name-global) so a stale
+      // index can never serve queries against the new table
+      VectorIndexes.list().filter(_.table == name)
+        .foreach(m => VectorIndexes.drop(m.name))
+      indexDdl.toSeq.filter(_._2._1 == name)
+        .foreach { case (n, _) => indexDdl.remove(n) }
+      pendingIndexes.toSeq.filter(_._2._1 == name)
+        .foreach { case (n, _) => pendingIndexes.remove(n) }
       registerTable(name,
         spark.createDataFrame(new java.util.ArrayList[Row](),
           StructType(fields)))
@@ -459,7 +469,16 @@ final class Engine(val spark: SparkSession) {
     * array_expression.h:27-58) and the distance operators
     * (expression_factory.cpp:104-112). */
   private[graft] def rewriteExprs(sql: String): String = {
-    var out = sql
+    // Mask single-quoted literals first: every rewrite below is
+    // syntax-directed and must never touch user DATA (e.g. a value
+    // containing ", from" or "<->"). Placeholders use a control char
+    // no rewrite pattern can match; SQL's '' escape tokenizes as two
+    // adjacent literals and restores identically.
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    var out = "'[^']*'".r.replaceAllIn(sql, m => {
+      lits += m.matched
+      "\u0001" + (lits.length - 1) + "\u0001"
+    })
     // the reference's pg parser tolerates a trailing comma before FROM
     // (p3.16-sort-limit.slt:347); Spark rejects it — normalize
     out = out.replaceAll("(?i),\\s+(?=from\\b)", " ")
@@ -480,7 +499,8 @@ final class Engine(val spark: SparkSession) {
     out = rewriteOp(out, "<->", "l2_dist")
     out = rewriteOp(out, "<#>", "inner_product")
     out = rewriteOp(out, "<=>", "cosine_similarity")
-    out
+    "\u0001(\\d+)\u0001".r.replaceAllIn(out, m =>
+      Regex.quoteReplacement(lits(m.group(1).toInt)))
   }
 
   /** `a <op> b` → fn(a, b) for simple operands (identifier, function

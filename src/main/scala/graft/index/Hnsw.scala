@@ -180,14 +180,27 @@ final class HnswIndex(
   def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
     scanFull(query, k).map(t => (t._1, t._3))
 
-  /** scan() + the stored vectors (for vector-valued semi-joins). */
+  /** scan() + the stored vectors (for vector-valued semi-joins).
+    *
+    * Probe-all mode (ef >= |vectors|): seed the layer-0 search with
+    * EVERY vertex instead of the greedy descent. The beam with ef >= n
+    * then ranks all n vertices, so the result is exact even if
+    * degree-bound pruning ever disconnected the graph — the
+    * guarantee q55/q39's brute-force oracles rely on; connectivity
+    * alone would be an empirical assumption. */
   def scanFull(query: Array[Double], k: Int)
       : Seq[(Long, Array[Double], Double)] = {
     if (entryPoint < 0) return Seq.empty
-    var eps: Seq[Int] = Seq(entryPoint)
-    var l = layers.length - 1
-    while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
-    searchLayer(0, query, math.max(k, efSearch), eps)
+    val probeAll = efSearch >= vectors.length
+    val eps0: Seq[Int] =
+      if (probeAll) vectors.indices
+      else {
+        var eps: Seq[Int] = Seq(entryPoint)
+        var l = layers.length - 1
+        while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
+        eps
+      }
+    searchLayer(0, query, math.max(k, efSearch), eps0)
       .take(k).map(v => (ids(v), vectors(v), dist(query, vectors(v))))
   }
 }

@@ -63,11 +63,13 @@ object Knn {
     import org.apache.spark.sql.graft.NearestCentroid
     val qRows = queries.select(col(qIdCol).cast("long").as("q_id"),
         col(qVecCol).cast("array<double>").as("__qv"))
+      .filter(col("__qv").isNotNull) // null vectors are unindexable
       .as[(Long, Array[Double])].collect()
     val qB = spark.sparkContext.broadcast(qRows)
     val metricId = metric.id
     val localTopK = data.select(col(dIdCol).cast("long").as("d_id"),
         col(dVecCol).cast("array<double>").as("__dv"))
+      .filter(col("__dv").isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = qB.value

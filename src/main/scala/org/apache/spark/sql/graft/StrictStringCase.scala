@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{AbstractDataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, NullType, StringType, TypeCollection}
 
 /** `upper`/`lower` with the reference binder's STRICT argument typing:
   * non-varchar input is a bind error (reference
@@ -13,7 +13,9 @@ case class StrictStringCase(child: Expression, toUpper: Boolean)
     extends UnaryExpression with RuntimeReplaceable with ExpectsInputTypes {
   override lazy val replacement: Expression =
     if (toUpper) Upper(child) else Lower(child)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // NULL literals are fine (typed null strings), ints are not
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, NullType))
   override def prettyName: String = if (toUpper) "upper" else "lower"
   override protected def withNewChildInternal(c: Expression)
       : StrictStringCase = copy(child = c)

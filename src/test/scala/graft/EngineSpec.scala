@@ -173,6 +173,21 @@ class EngineSpec extends SparkSpecBase {
       && r4.isNullAt(3))
   }
 
+  test("string literals are never touched by the SQL rewrites") {
+    // rewriteExprs normalizes syntax (trailing comma before FROM,
+    // ARRAY [..], <-> operators) — all of it must skip DATA
+    val e = mkEngine
+    e.executeSql("create table lit1(v1 varchar(128))")
+    e.executeSql(
+      "insert into lit1 values ('greetings, from Bob'), ('a <-> b'), " +
+        "('ARRAY [1.0]')")
+    val got = e.executeSql("select v1 from lit1").collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("greetings, from Bob", "a <-> b", "ARRAY [1.0]"))
+    assert(e.executeSql("select 'x, from y' where '<->' = '<->'")
+      .head().getString(0) == "x, from y")
+  }
+
   test("p0.01: lower/upper") {
     val e = mkEngine
     val r = e.executeSql("SELECT lower('AbC'), upper('AbC')").head()
