@@ -317,7 +317,20 @@ object Hnsw {
     def numParts: Int = parts.partitions.length
     def size: Long = parts.map(_.size.toLong).sum().toLong
     def unpersist(): Unit = parts.unpersist()
+
+    /** Persist the sub-graphs to storage, one serialized object per
+      * partition — the restart-surviving layout; reopen with
+      * [[Hnsw.loadPartitioned]]. */
+    def save(path: String): Unit = parts.saveAsObjectFile(path)
   }
+
+  /** Reopen a [[DistributedHnswIndex.save]]d index: sub-graphs are read
+    * and cached where they land, never on the driver. */
+  def loadPartitioned(spark: SparkSession, path: String)
+      : DistributedHnswIndex =
+    new DistributedHnswIndex(
+      spark.sparkContext.objectFile[HnswIndex](path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def buildPartitioned(df: DataFrame, idCol: String, vecCol: String,
       m: Int, efConstruction: Int, efSearch: Int,

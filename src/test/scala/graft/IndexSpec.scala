@@ -97,6 +97,18 @@ class IndexSpec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("distributed hnsw survives save/load with identical scans") {
+    val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 8,
+      efConstruction = 64, efSearch = 40, numPartitions = 4)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_save")
+      .resolve("idx").toString
+    idx.save(dir)
+    val reopened = Hnsw.loadPartitioned(spark, dir)
+    assert(reopened.size == idx.size)
+    assert(reopened.scan(query.toArray, 10) == idx.scan(query.toArray, 10))
+    idx.unpersist(); reopened.unpersist()
+  }
+
   test("hnsw recall >= 0.8 at k=10 with generous ef") {
     val idx = Hnsw.build(emb, "vec_id", "v", m = 12, efConstruction = 100,
       efSearch = 80)

@@ -57,4 +57,42 @@ class PlanShapeSpec extends SparkSpecBase {
     val s = planString("q12_window_rank")
     assert(s.contains("Window"))
   }
+
+  test("q64 leaderboard-q1-window: windowed rank + TopN tail, no global sort") {
+    val s = operators.LeaderboardOps.queries("q64_leaderboard_q1_window")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(s.contains("Window"))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"outer ORDER BY y LIMIT 10 must not be a global sort:\n$s")
+    assert(!s.contains("GlobalSort"))
+  }
+
+  test("brute KNN join pre-aggregates per partition: merge input is bounded") {
+    // the per-query window must consume the mapPartitions-local top-k
+    // (O(partitions x k) rows per query), NOT a crossJoin of all pairs
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = index.Knn.join(e.filter(col("vec_id") < 5), "embedding",
+      "vec_id", e, "embedding", "vec_id", 3)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoopJoin"),
+      s"brute KNN join must not materialize the full pair set:\n$s")
+    assert(s.contains("MapPartitions") || s.contains("mapPartitions"),
+      s"local heap stage missing:\n$s")
+  }
+
+  test("q49 scale path: bucket table broadcast, no lists-keyed shuffle join") {
+    val df = operators.DedupOps.queries("q49_embed_dup_ivf")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"bucket probe join should broadcast the data side:\n$s")
+    spark.catalog.clearCache()
+  }
+
+  test("q56 prefix build broadcasts the frequency vocabulary") {
+    val df = operators.DedupOps.queries("q56_jaccard_ppjoin")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"freq join should be broadcast, not shuffled:\n$s")
+    spark.catalog.clearCache()
+  }
 }
