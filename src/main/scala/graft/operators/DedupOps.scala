@@ -112,6 +112,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** HashMin connected-components labels over the exact near-dup pair
+    * graph: every round each node takes the min label among itself
+    * and its neighbors; rounds = component diameter (near-dup
+    * clusters are tiny cliques, so 2-3). Each round is one shuffle
+    * keyed on doc id — the standard large-scale CC shape; no
+    * driver-side graph ever exists. Returns (id, lbl) for every doc
+    * that has at least one near-duplicate. */
+  private def dupLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(docShingles(s, d), JaccardThr)
+      .select(col("a_id"), col("b_id")).cache()
+    val edges = pairs.unionAll(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+            .as("lbl"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
     * against the full shingle sets. The candidate set is the PRUNED
     * side — orders of magnitude smaller than the corpus — so it is
@@ -142,6 +175,31 @@ object DedupOps {
     // Exact n-gram (3-shingle) Jaccard near-dup pairs.
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
+
+    // Near-dup CLUSTERS: the step after pair-finding in a real dedup
+    // pipeline — connected components over the similarity graph, each
+    // cluster keyed by its canonical (min) doc id.
+    "q65_dup_clusters" -> ((s, d) =>
+      dupLabels(s, d).groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("size"), max("id").as("max_member"))),
+
+    // Canonical selection: which duplicate SURVIVES — the highest-
+    // quality member of each near-dup cluster (ties to the lowest
+    // doc id). Composes the similarity graph with the q41 quality
+    // score; one row per cluster, all distributed (labels x quality
+    // join + per-cluster top-1 window over cluster-sized groups).
+    "q66_dedup_keep_best" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
+      dupLabels(s, d)
+        .join(TextOps.queries("q41_quality_score")(s, d)
+          .select(col("doc_id"), col("quality")),
+          col("id") === col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("lbl").as("cluster_id"), col("id").as("keeper_id"),
+          col("quality").as("keeper_quality"))
+    }),
 
     // Prefix-filtered exact similarity join (see prefixCandidates):
     // exact for the threshold, ~27x fewer candidate pairs than q45's
@@ -297,6 +355,33 @@ object DedupOps {
     "q45_ngram_jaccard" -> pairOracle,
     "q46_minhash_lsh" -> pairOracle,
     "q56_jaccard_ppjoin" -> pairOracle,
+    // transitive closure over the near-dup pairs: min reachable id per
+    // node == the HashMin fixpoint label
+    "q65_dup_clusters" ->
+      s"""WITH RECURSIVE p AS ($pairOracle),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |reach(s, t) AS (SELECT s, t FROM edges
+        |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+        |        FROM reach GROUP BY s)
+        |SELECT cluster_id, count(*) AS size, max(id) AS max_member
+        |FROM lbl GROUP BY cluster_id""".stripMargin,
+    "q66_dedup_keep_best" ->
+      s"""WITH RECURSIVE p AS ($pairOracle),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |reach(s, t) AS (SELECT s, t FROM edges
+        |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+        |        FROM reach GROUP BY s),
+        |qual AS (${TextOps.oracles("q41_quality_score")}),
+        |ranked AS (SELECT lbl.cluster_id, lbl.id, qual.quality,
+        |  row_number() OVER (PARTITION BY lbl.cluster_id
+        |    ORDER BY qual.quality DESC, lbl.id ASC) AS rk
+        |  FROM lbl JOIN qual ON lbl.id = qual.doc_id)
+        |SELECT cluster_id, id AS keeper_id, quality AS keeper_quality
+        |FROM ranked WHERE rk = 1""".stripMargin,
     "q49_embed_dup_ivf" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -21,6 +21,34 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs("q56_jaccard_ppjoin") == pairs("q45_ngram_jaccard"))
   }
 
+  test("dup clusters are consistent with the pair graph") {
+    import org.apache.spark.sql.functions._
+    val prs = pairs("q45_ngram_jaccard")
+    val clusters = DedupOps.queries("q65_dup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every clustered doc count == number of distinct docs in pairs
+    val docs = prs.flatMap(p => Seq(p._1, p._2))
+    assert(clusters.map(_._2).sum == docs.size)
+    // cluster_id is the min member; max_member is a member >= it
+    assert(clusters.forall { case (cid, _, mx) => mx >= cid })
+    // both endpoints of every pair land in the SAME cluster: rebuild
+    // membership from a driver-side union-find and compare sizes
+    val parent = scala.collection.mutable.Map(docs.toSeq.map(d => d -> d): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    prs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.groupBy(find).map { case (r, m) => (r, m.size.toLong) }
+    assert(clusters.map(c => (c._1, c._2)).toMap == want)
+    // the keeper of each cluster is one of its members
+    val keepers = DedupOps.queries("q66_dedup_keep_best")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keepers.length == clusters.length)
+    assert(keepers.forall { case (cid, k) => find(k) == cid })
+  }
+
   test("prefix filter prunes the candidate space by >= 5x") {
     // The structural claim behind q56: the inverted-index join must
     // verify every pair sharing ANY shingle; the prefix filter only
