@@ -300,8 +300,13 @@ object DedupOps {
           (acc, y) => acc + y * y)))
         .withColumn("nv", transform(col("v"), x => x / col("n2")))
         .cache() // interpreted-HOF normalization: compute once, not per job
+      // sample-train + full-scan assign (the documented 100TB recipe;
+      // IndexSpec pins that sampled centroids keep exact scans):
+      // clustering quality only shapes bucket balance here — with
+      // probe=lists the join is exact regardless, so don't pay 50
+      // full-data Lloyd iterations for it
       val model = IvfFlat.build(norm, Seq("vec_id"), "nv",
-        lists = 8, probeLists = 8)
+        lists = 8, probeLists = 8, iterations = 10, sampleFraction = 0.25)
       // both directions + canonicalize (a<b) + distinct: a pair only
       // needs to survive the k cap in ONE of its endpoints' neighbor
       // lists, doubling effective recall at no extra scan cost.

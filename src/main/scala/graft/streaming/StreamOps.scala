@@ -24,6 +24,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Streaming exact dedup — the ingestion-time twin of the batch
+    * q44 fingerprint groupBy: keep the FIRST document per content
+    * fingerprint, drop later copies. `dropDuplicates` keeps one state
+    * row per distinct fingerprint, bounded by the watermark (a copy
+    * arriving later than the horizon is admitted again — the standard
+    * state/recall trade at 100TB/day; widen the watermark to widen
+    * the dedup window). Works batch or streaming. */
+  def dedupByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+
   /** Tumbling-window counts/sums per event type with a 1h watermark —
     * the streaming analogue of the batch q24_events_hourly. */
   def hourlyByType(events: DataFrame): DataFrame =
@@ -48,6 +61,7 @@ object StreamOps {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
   final case class SessionState(start: Long, last: Long, events: Int,
       value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

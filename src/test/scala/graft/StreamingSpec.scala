@@ -193,6 +193,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps exactly one doc per fingerprint (== batch)") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(0, ts(10), "alpha beta"), Doc(1, ts(11), "gamma"),
+      Doc(2, ts(12), "alpha beta"), // dup of 0, same batch
+      Doc(3, ts(40), "ALPHA BETA"), // dup modulo normalization
+      Doc(4, ts(41), "delta"), Doc(5, ts(42), "gamma")) // cross-batch dup
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dedupByFingerprint(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_t").select("fp").collect()
+        .map(_.getString(0)).toSeq
+      val want = StreamOps.dedupByFingerprint(docs.toDF())
+        .select("fp").collect().map(_.getString(0)).toSeq
+      assert(got.sorted == want.sorted)
+      assert(got.length == got.distinct.length) // one survivor per fp
+      assert(got.length == 3) // alpha-beta (normalized), gamma, delta
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
