@@ -231,14 +231,21 @@ final class Engine(val spark: SparkSession) {
 
   private val createIndexRe: Regex =
     ("""(?is)create\s+index\s+(\w+)\s+on\s+(\w+)\s*(?:using\s+(\w+)\s*)?""" +
-      """\(\s*(\w+)(?:\s+(\w+))?\s*\)(?:\s+with\s*\((.*)\))?""").r
+      """\(([^)]*)\)(?:\s+with\s*\((.*)\))?""").r
 
   private def createIndex(sql: String): DataFrame = sql match {
-    case createIndexRe(name, tbl, methodOrNull, colName, opclassOrNull,
-        optsOrNull) =>
+    case createIndexRe(name, tbl, methodOrNull, colsRaw, optsOrNull) =>
       // bare `create index i on t(col)` = the reference's default
-      // B+tree — a scalar method, recorded as a metadata no-op below
+      // B+tree — a scalar method, recorded as a metadata no-op below.
+      // Multi-column lists (`on t1(x, y)`, leaderboard-q1) are scalar
+      // by construction; a vector index takes one `col [opclass]`.
       val method = Option(methodOrNull).getOrElse("bplustree")
+      val colSpecs = colsRaw.trim.split(",").map(_.trim.split("\\s+"))
+      val colName = colSpecs.head.head
+      val opclassOrNull =
+        if (colSpecs.length == 1 && colSpecs.head.length > 1)
+          colSpecs.head(1)
+        else null
       val opts: Map[String, Int] = Option(optsOrNull).map {
         _.split(",").map { kv =>
           val Array(k, v) = kv.split("=").map(_.trim)

@@ -57,7 +57,11 @@ class SltReplaySpec extends SparkSpecBase {
     "hash_join.slt", "nested_index_join.slt", "index.slt",
     "vector.slt", "vector.01-insert-scan.slt", "vector.02-naive-knn.slt",
     "vector.03-index-selection.slt", "vector.04-ivfflat.slt",
-    "vector.05-hnsw.slt")
+    "vector.05-hnsw.slt",
+    // the leaderboard workloads (timing tags are measurement-only
+    // here; their perf is benchmarked as q60-q64)
+    "p3.leaderboard-q1.slt", "p3.leaderboard-q1-window.slt",
+    "p3.leaderboard-q2.slt", "p3.leaderboard-q3.slt")
 
   /** reference-quirk goldens we intentionally diverge from, keyed by
     * (file, exact statement): value = the line(s) WE must produce. */
@@ -135,7 +139,14 @@ class SltReplaySpec extends SparkSpecBase {
     "__mock_table_tas_2023_fall" -> MockTables.tasFall2023,
     "__mock_table_schedule_2023" -> MockTables.schedule2023,
     "test_simple_seq_1" -> MockTables.simpleSeq1,
-    "test_simple_seq_2" -> MockTables.simpleSeq2)
+    "test_simple_seq_2" -> MockTables.simpleSeq2,
+    "__mock_t1" -> MockTables.t1,
+    "__mock_t4_1m" -> (s => MockTables.t456(s, 0)),
+    "__mock_t5_1m" -> (s => MockTables.t456(s, 30000)),
+    "__mock_t6_1m" -> (s => MockTables.t456(s, 60000)),
+    "__mock_t7" -> MockTables.t7,
+    "__mock_t8" -> MockTables.t8,
+    "__mock_t9" -> MockTables.t9)
 
   private def ensureCheck(e: Engine, tag: String, sql: String): Unit = {
     val plan = e.executeSql("explain (p) " + sql)
