@@ -1,0 +1,141 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NearestCentroid
+
+/** Product quantization — the storage-side scale lever the reference
+  * lacks (its vectors stay float arrays in the heap; at 100TB the
+  * vectors ARE the dataset, and 64 dims × 8 bytes → M bytes/row is a
+  * 64× working-set cut for the candidate-generation scan).
+  *
+  * Train: split the dimension into M subspaces; per subspace run the
+  * same seeded fixed-iteration k-means the IVFFlat build uses (first-K
+  * seed, deterministic) over a driver-held sample — codebooks are
+  * M × K × (dim/M) doubles, tiny. Encode: one distributed pass mapping
+  * each vector to M one-byte codes.
+  *
+  * Serve (asymmetric distance, ADC): per query build the M × K table
+  * of exact sub-distances query-vs-codeword on the driver, broadcast
+  * it, and the scan scores each row with M table lookups — no float
+  * vector is read. Shortlist the top C candidates per partition
+  * (bounded heap, same shape as Knn.join), then RE-RANK the C
+  * survivors exactly by joining back to the true vectors.
+  * `shortlist >= n` degenerates to exact brute force — the
+  * configuration the DuckDB oracle pins (q67), while PqSpec gates the
+  * compressed configuration's recall.
+  */
+final case class PqModel(
+    codebooks: Array[Array[Array[Double]]], // [m][k][dsub]
+    dim: Int,
+    codes: DataFrame) { // (id, code: Array[Byte])
+
+  val m: Int = codebooks.length
+  private val dsub = dim / m
+
+  /** Exact top-k via ADC shortlist + exact re-rank. `data` must be the
+    * encoded table's source (id + vector) for the re-rank join. */
+  def scan(data: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    // driver-side lookup table: exact distance from the query's m-th
+    // sub-vector to every codeword (M*K doubles — tiny)
+    val lut: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      val qs = java.util.Arrays.copyOfRange(q, mi * dsub, (mi + 1) * dsub)
+      codebooks(mi).map(cw => NearestCentroid.distance(qs, cw, 0))
+    }
+    val lutB = spark.sparkContext.broadcast(lut)
+    val c = shortlist
+    val cand = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val t = lutB.value
+      // bounded heap: keep the C best approximate scores per partition
+      val heap = collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
+      it.foreach { case (id, code) =>
+        var s = 0.0
+        var mi = 0
+        while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+        if (heap.size < c) heap.enqueue((s, id))
+        else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
+      }
+      heap.iterator.map(_._2)
+    }.toDF("__cand_id")
+    // exact re-rank of the C survivors only
+    Knn.bruteForce(
+      data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),
+      vecCol, query, k, tieBreak = Some(idCol))
+  }
+}
+
+object Pq {
+
+  /** Seeded subspace k-means, reference-style: first-K seed, fixed
+    * iterations, empty cluster -> zero codeword (IvfFlat semantics,
+    * per subspace). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 256, iterations: Int = 10,
+      sampleRows: Int = 10000): PqModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Double])]
+    val sample = base.map(_._2).take(sampleRows)
+    require(sample.nonEmpty, "pq: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { mi =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      lloyd(sub, math.min(k, sub.length), iterations)
+    }
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val codes = base.map { case (id, v) =>
+      val cb = cbB.value
+      val code = new Array[Byte](cb.length)
+      var mi = 0
+      while (mi < cb.length) {
+        val qs = java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < cb(mi).length) {
+          val d = NearestCentroid.distance(qs, cb(mi)(j), 0)
+          if (d < bestD) { best = j; bestD = d }
+          j += 1
+        }
+        code(mi) = best.toByte
+        mi += 1
+      }
+      (id, code)
+    }.toDF("id", "code")
+    PqModel(codebooks, dim, codes)
+  }
+
+  private def lloyd(vecs: Array[Array[Double]], k: Int,
+      iterations: Int): Array[Array[Double]] = {
+    val dim = vecs(0).length
+    var cs = vecs.take(k).map(_.clone())
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          val d = NearestCentroid.distance(v, cs(j), 0)
+          if (d < bestD) { best = j; bestD = d }
+          j += 1
+        }
+        val s = sums(best); var p = 0
+        while (p < dim) { s(p) += v(p); p += 1 }
+        counts(best) += 1
+      }
+      cs = Array.tabulate(k)(j =>
+        if (counts(j) == 0) new Array[Double](dim)
+        else sums(j).map(_ / counts(j)))
+    }
+    cs
+  }
+}

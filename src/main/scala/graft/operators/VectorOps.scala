@@ -130,6 +130,22 @@ object VectorOps {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // Product-quantization KNN: 8x1-byte codes per vector + ADC
+    // shortlist + exact re-rank (index/Pq.scala — the 64x working-set
+    // cut for the candidate scan at 100TB). Configured with
+    // shortlist >= |data| here, which makes the re-rank exhaustive
+    // and the result EXACT -> brute-force oracle gates the encode/
+    // ADC/re-rank plumbing; PqSpec-in-IndexSpec gates the compressed
+    // configuration's recall.
+    "q67_pq_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.index.Pq.build(e, "vec_id", "embedding",
+        m = 8, k = 64)
+      model.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
+          shortlist = 1 << 24)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH ANN, 8 tables x 8 bits with multi-probe
     // (accept per-table hamming <= 1): candidates = rows near the query
     // bucket in >= 1 table — a narrow, codegen'd filter (no shuffle) —
@@ -238,7 +254,8 @@ object VectorOps {
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,
-    "q39_hnsw_partitioned" -> bruteOracle
+    "q39_hnsw_partitioned" -> bruteOracle,
+    "q67_pq_knn" -> bruteOracle
   )
 
   private lazy val knnJoinOracle =

@@ -109,6 +109,32 @@ class IndexSpec extends SparkSpecBase {
     idx.unpersist(); reopened.unpersist()
   }
 
+  test("pq: compressed shortlist + exact re-rank keeps recall >= 0.6") {
+    val model = graft.index.Pq.build(emb, "vec_id", "v", m = 8, k = 64)
+    // shortlist 10% of the corpus through 8-byte codes, re-rank exact
+    val n = emb.count().toInt
+    val got = model.scan(emb, "vec_id", "v", query, 10,
+        shortlist = math.max(50, n / 10))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.6, s"recall=$recall")
+    // codes really are M bytes
+    val code = model.codes.select("code").head().getAs[Array[Byte]](0)
+    assert(code.length == 8)
+  }
+
+  test("pq exact configuration (shortlist >= n) == brute force") {
+    val model = graft.index.Pq.build(emb, "vec_id", "v", m = 8, k = 64)
+    val got = model.scan(emb, "vec_id", "v", query, 10, shortlist = 1 << 24)
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.bruteForce(emb, "v", query, 10,
+        tieBreak = Some("vec_id"))
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("hnsw recall >= 0.8 at k=10 with generous ef") {
     val idx = Hnsw.build(emb, "vec_id", "v", m = 12, efConstruction = 100,
       efSearch = 80)
