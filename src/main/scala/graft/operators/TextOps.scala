@@ -96,7 +96,28 @@ object TextOps {
     // TextSpec asserts the near-dup overlap property).
     "q53_winnow_fingerprint" -> ((s, d) =>
       winnow(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp")))
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"))),
+
+    // Deterministic hash sampling + stratification report: keep docs
+    // whose content-hash first nibble < 2 (a reproducible 1/8 — the
+    // downsampling every training pipeline needs to be REPRODUCIBLE
+    // across reruns and engines, which seeded RNG sampling is not),
+    // reported per predicted language. Pure narrow ops + one tiny
+    // groupBy; md5 is engine-independent, so the sample is exactly
+    // oracle-checkable.
+    "q68_hash_sample" -> ((s, d) => {
+      val langs = queries("q42_lang_id")(s, d)
+        .select(col("doc_id"), col("lang_pred"))
+      val keep = conv(substring(
+        md5(lower(trim(col("text"))).cast("binary")), 1, 1), 16, 10)
+        .cast("int") < 2
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), keep.as("keep"))
+        .join(langs, "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("total"),
+          sum(col("keep").cast("long")).as("sampled"))
+    })
   )
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling
@@ -145,28 +166,40 @@ object TextOps {
         |    + (stop_hits / word_cnt) * 0.3
         |    + (1.0 - punct_cnt / n_chars::DOUBLE) * 0.3, 6) AS quality
         |FROM m""".stripMargin,
-    "q42_lang_id" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |  FROM documents
-        |), sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> t IN ${sqlIn(En)})) AS s_en,
-        |    len(list_filter(toks, t -> t IN ${sqlIn(De)})) AS s_de,
-        |    len(list_filter(toks, t -> t IN ${sqlIn(Fr)})) AS s_fr,
-        |    len(list_filter(toks, t -> t IN ${sqlIn(Es)})) AS s_es
-        |  FROM t
-        |)
-        |SELECT doc_id, s_en, s_de, s_fr, s_es,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-        |       WHEN s_es > 0 THEN 'es'
-        |       ELSE 'und' END AS lang_pred
-        |FROM sc""".stripMargin,
+    "q42_lang_id" -> langOracle,
     "q43_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // md5 agrees between engines, so the deterministic sample is
+    // value-checkable end to end
+    "q68_hash_sample" ->
+      s"""WITH lang AS ($langOracle),
+        |k AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || md5(lower(trim(text)))[1:1])::INT < 2
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT lang_pred, count(*) AS total, sum(keep)::BIGINT AS sampled
+        |FROM k JOIN lang USING (doc_id) GROUP BY lang_pred""".stripMargin
   )
+
+  private lazy val langOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, t -> t IN ${sqlIn(En)})) AS s_en,
+      |    len(list_filter(toks, t -> t IN ${sqlIn(De)})) AS s_de,
+      |    len(list_filter(toks, t -> t IN ${sqlIn(Fr)})) AS s_fr,
+      |    len(list_filter(toks, t -> t IN ${sqlIn(Es)})) AS s_es
+      |  FROM t
+      |)
+      |SELECT doc_id, s_en, s_de, s_fr, s_es,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS lang_pred
+      |FROM sc""".stripMargin
 }
