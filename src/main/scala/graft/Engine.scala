@@ -241,6 +241,13 @@ final class Engine(val spark: SparkSession) {
       // by construction; a vector index takes one `col [opclass]`.
       val method = Option(methodOrNull).getOrElse("bplustree")
       val colSpecs = colsRaw.trim.split(",").map(_.trim.split("\\s+"))
+      require(colSpecs.nonEmpty && colSpecs.head.head.nonEmpty,
+        s"empty column list in CREATE INDEX: $sql")
+      // a vector index takes exactly one `col [opclass]`; silently
+      // ignoring extra columns would build the wrong index
+      require(colSpecs.length == 1 ||
+        !Seq("ivfflat", "hnsw").contains(method.toLowerCase),
+        s"vector index $name takes a single column, got: $colsRaw")
       val colName = colSpecs.head.head
       val opclassOrNull =
         if (colSpecs.length == 1 && colSpecs.head.length > 1)

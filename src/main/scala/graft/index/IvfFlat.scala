@@ -170,7 +170,7 @@ object IvfFlat {
     * (last-assignment centroids, final updated centroids): the
     * reference buckets rows with the former and ranks probes with the
     * latter (FindCentroids fills buckets before the update lands). */
-  private def localLloyd(vecs: Array[Array[Double]],
+  private[index] def localLloyd(vecs: Array[Array[Double]],
       init: Array[Array[Double]], lists: Int, iterations: Int,
       metric: DistanceMetric.Value)
       : (Array[Array[Double]], Array[Array[Double]]) = {

@@ -33,6 +33,8 @@ final case class PqModel(
   val m: Int = codebooks.length
   private val dsub = dim / m
 
+  def unpersist(): Unit = codes.unpersist()
+
   /** Exact top-k via ADC shortlist + exact re-rank. `data` must be the
     * encoded table's source (id + vector) for the re-rank join. */
   def scan(data: DataFrame, idCol: String, vecCol: String,
@@ -72,18 +74,23 @@ final case class PqModel(
 object Pq {
 
   /** Seeded subspace k-means, reference-style: first-K seed, fixed
-    * iterations, empty cluster -> zero codeword (IvfFlat semantics,
-    * per subspace). */
+    * iterations, empty cluster -> zero codeword — literally
+    * `IvfFlat.localLloyd`, per subspace, trained on a deterministic
+    * UNIFORM sample (seeded Bernoulli — a positional take() would
+    * train on whatever the first partitions hold). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int = 256, iterations: Int = 10,
-      sampleRows: Int = 10000): PqModel = {
+      sampleFraction: Double = 0.25): PqModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"))
       .filter(col(vecCol).isNotNull)
       .as[(Long, Array[Double])]
-    val sample = base.map(_._2).take(sampleRows)
+    var sample = base
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+      .map(_._2).collect()
+    if (sample.isEmpty) sample = base.map(_._2).take(64) // tiny inputs
     require(sample.nonEmpty, "pq: empty input")
     val dim = sample(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
@@ -91,7 +98,9 @@ object Pq {
     val codebooks = Array.tabulate(m) { mi =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
-      lloyd(sub, math.min(k, sub.length), iterations)
+      val kk = math.min(k, sub.length)
+      IvfFlat.localLloyd(sub, sub.take(kk).map(_.clone()), kk,
+        iterations, org.apache.spark.sql.graft.DistanceMetric.L2)._2
     }
     val cbB = spark.sparkContext.broadcast(codebooks)
     val codes = base.map { case (id, v) =>
@@ -111,31 +120,9 @@ object Pq {
       }
       (id, code)
     }.toDF("id", "code")
+      // the codes ARE the serving working set — persist, or every
+      // scan re-runs the distributed encode
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     PqModel(codebooks, dim, codes)
-  }
-
-  private def lloyd(vecs: Array[Array[Double]], k: Int,
-      iterations: Int): Array[Array[Double]] = {
-    val dim = vecs(0).length
-    var cs = vecs.take(k).map(_.clone())
-    for (_ <- 0 until iterations) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      vecs.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < k) {
-          val d = NearestCentroid.distance(v, cs(j), 0)
-          if (d < bestD) { best = j; bestD = d }
-          j += 1
-        }
-        val s = sums(best); var p = 0
-        while (p < dim) { s(p) += v(p); p += 1 }
-        counts(best) += 1
-      }
-      cs = Array.tabulate(k)(j =>
-        if (counts(j) == 0) new Array[Double](dim)
-        else sums(j).map(_ / counts(j)))
-    }
-    cs
   }
 }

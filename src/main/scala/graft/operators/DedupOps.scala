@@ -136,12 +136,18 @@ object DedupOps {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
             .as("lbl"))
         .cache()
+      // count (not isEmpty) so `next` is FULLY materialized into its
+      // cache before the old round's cache is released below —
+      // isEmpty's short-circuit could leave cold partitions whose
+      // lineage chains through every unpersisted prior round
       converged = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        .filter(col("n.lbl") =!= col("o.lbl")).count() == 0
       labels.unpersist()
       labels = next
     }
+    pairs.unpersist()
+    edges.unpersist()
     labels
   }
 
@@ -166,7 +172,7 @@ object DedupOps {
     // primitive).
     "q44_dedup_exact" -> ((s, d) => {
       Tables.load(s, d, "documents")
-        .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("copies"))
         .groupBy("copies")
         .agg(count(lit(1)).as("groups"), min("canonical_id").as("first_canonical"))

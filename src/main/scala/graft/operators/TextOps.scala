@@ -23,6 +23,12 @@ object TextOps {
     * dedup suite (DedupOps). */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** THE content fingerprint — one definition shared by q43/q44/q68
+    * and the streaming dedup, so batch and streaming can never
+    * silently diverge on normalization. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
@@ -86,7 +92,7 @@ object TextOps {
     // Document fingerprinting: md5 over the normalized text (exact-dup
     // key) + a 64-bit prefix as BIGINT for compact storage.
     "q43_fingerprint" -> ((s, d) => {
-      val fp = md5(lower(trim(col("text"))).cast("binary"))
+      val fp = fingerprint(col("text"))
       Tables.load(s, d, "documents").select(
         col("doc_id"), fp.as("fp"),
         conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp64"))
@@ -108,8 +114,7 @@ object TextOps {
     "q68_hash_sample" -> ((s, d) => {
       val langs = queries("q42_lang_id")(s, d)
         .select(col("doc_id"), col("lang_pred"))
-      val keep = conv(substring(
-        md5(lower(trim(col("text"))).cast("binary")), 1, 1), 16, 10)
+      val keep = conv(substring(fingerprint(col("text")), 1, 1), 16, 10)
         .cast("int") < 2
       Tables.load(s, d, "documents")
         .select(col("doc_id"), keep.as("keep"))

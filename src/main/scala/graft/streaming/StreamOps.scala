@@ -26,16 +26,22 @@ object StreamOps {
 
   /** Streaming exact dedup — the ingestion-time twin of the batch
     * q44 fingerprint groupBy: keep the FIRST document per content
-    * fingerprint, drop later copies. `dropDuplicates` keeps one state
-    * row per distinct fingerprint, bounded by the watermark (a copy
-    * arriving later than the horizon is admitted again — the standard
-    * state/recall trade at 100TB/day; widen the watermark to widen
-    * the dedup window). Works batch or streaming. */
-  def dedupByFingerprint(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+    * fingerprint, drop later copies. `dropDuplicatesWithinWatermark`
+    * keeps one state row per distinct fingerprint AND evicts it once
+    * the watermark passes (plain dropDuplicates without the event
+    * time in its key never evicts — unbounded state at 100TB/day).
+    * The trade: a copy arriving later than the horizon is admitted
+    * again; widen the watermark to widen the dedup window. Works
+    * batch or streaming. */
+  def dedupByFingerprint(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+    // the within-watermark variant only exists for streams; the batch
+    // twin on finite data is plain dropDuplicates
+    if (docs.isStreaming)
+      fp.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
 
   /** Tumbling-window counts/sums per event type with a 1h watermark —
     * the streaming analogue of the batch q24_events_hourly. */

@@ -64,7 +64,6 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("Window"))
     assert(s.contains("TakeOrderedAndProject"),
       s"outer ORDER BY y LIMIT 10 must not be a global sort:\n$s")
-    assert(!s.contains("GlobalSort"))
   }
 
   test("brute KNN join pre-aggregates per partition: merge input is bounded") {
