@@ -1,0 +1,86 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
+
+/** IVF-PQ — the standard billion-scale ANN layout: IVFFlat's k-means
+  * routing prunes WHICH partitions are read (probe_lists of lists),
+  * product quantization shrinks WHAT is read (M bytes per vector for
+  * the candidate scan), and an exact re-rank over the shortlist
+  * restores true distances. Both halves are the components already
+  * built here ([[IvfFlat]], [[Pq]]); this composes them: the PQ codes
+  * carry the IVF bucket id, so a probe is a codegen'd filter (or
+  * partition pruning when the code table is persisted bucketed).
+  *
+  * probe_lists = lists AND shortlist >= n degenerates to exact brute
+  * force — the configuration the q69 oracle pins; IndexSpec gates the
+  * pruned+compressed configuration's recall. */
+final case class IvfPqModel(
+    ivf: IvfFlatModel,
+    pq: PqModel,
+    codes: DataFrame) { // (id, code, __bucket)
+
+  def scan(data: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, probeLists: Int,
+      shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    val nonEmpty = codes.select("__bucket").distinct()
+      .collect().map(_.getInt(0))
+    val probed = nonEmpty
+      .map(b => b -> NearestCentroid.distance(q, ivf.centroids(b),
+        ivf.metric.id))
+      .sortBy { case (b, d) => (d, b) }
+      .take(probeLists).map(_._1)
+    val dsub = pq.dim / pq.m
+    val lut: Array[Array[Double]] = Array.tabulate(pq.m) { mi =>
+      val qs = java.util.Arrays.copyOfRange(q, mi * dsub, (mi + 1) * dsub)
+      pq.codebooks(mi).map(cw => NearestCentroid.distance(qs, cw, 0))
+    }
+    val lutB = spark.sparkContext.broadcast(lut)
+    val c = shortlist
+    val cand = codes.filter(col("__bucket").isin(probed: _*))
+      .select(col("id"), col("code"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        val t = lutB.value
+        val heap = collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
+        it.foreach { case (id, code) =>
+          var s = 0.0
+          var mi = 0
+          while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+          if (heap.size < c) heap.enqueue((s, id))
+          else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
+        }
+        heap.iterator.map(_._2)
+      }.toDF("__cand_id")
+    Knn.bruteForce(
+      data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),
+      vecCol, query, k, ivf.metric, tieBreak = Some(idCol))
+  }
+
+  def unpersist(): Unit = { codes.unpersist(); pq.unpersist() }
+}
+
+object IvfPq {
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      lists: Int, m: Int, k: Int = 256,
+      metric: DistanceMetric.Value = DistanceMetric.L2,
+      ivfIterations: Int = 10, pqIterations: Int = 10,
+      sampleFraction: Double = 0.25): IvfPqModel = {
+    val ivf = IvfFlat.build(df, Seq(idCol), vecCol, lists,
+      probeLists = lists, metric, ivfIterations, sampleFraction)
+    val pq = Pq.build(df, idCol, vecCol, m, k, pqIterations,
+      sampleFraction)
+    // one build-time join attaches the routing key to the codes; at
+    // real scale this table is persisted partitioned by __bucket so a
+    // probe becomes partition pruning
+    val codes = pq.codes.join(
+        ivf.buckets.select(col(idCol).cast("long").as("id"),
+          col("__bucket")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqModel(ivf, pq, codes)
+  }
+}

@@ -125,26 +125,29 @@ object DedupOps {
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+    var cached = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache() // handle we unpersist
+    var labels = cached
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // convergence is decided INSIDE the propagation join (one join
+      // per round, not two), and the count fully materializes `next`
+      // into its cache before the old round's cache is released —
+      // a short-circuiting check could leave cold partitions whose
+      // lineage chains through every unpersisted prior round
       val next = labels.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-            .as("lbl"))
+            .as("lbl"),
+          (col("nbr_lbl").isNotNull && col("nbr_lbl") < col("lbl"))
+            .as("__changed"))
         .cache()
-      // count (not isEmpty) so `next` is FULLY materialized into its
-      // cache before the old round's cache is released below —
-      // isEmpty's short-circuit could leave cold partitions whose
-      // lineage chains through every unpersisted prior round
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count() == 0
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("__changed")).count() == 0
+      cached.unpersist()
+      cached = next
+      labels = next.drop("__changed")
     }
     pairs.unpersist()
     edges.unpersist()

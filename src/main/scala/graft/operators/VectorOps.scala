@@ -146,6 +146,21 @@ object VectorOps {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // IVF-PQ: k-means routing prunes WHICH buckets are read, PQ codes
+    // shrink WHAT is read, exact re-rank restores true distances — the
+    // standard billion-scale ANN layout, composed from the IVF and PQ
+    // components. Exact-configured here (probe=lists, shortlist>=n)
+    // -> brute-force oracle; IndexSpec gates the pruned+compressed
+    // configuration's recall.
+    "q69_ivfpq_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.index.IvfPq.build(e, "vec_id", "embedding",
+        lists = 8, m = 8, k = 64)
+      model.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
+          probeLists = 8, shortlist = 1 << 24)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH ANN, 8 tables x 8 bits with multi-probe
     // (accept per-table hamming <= 1): candidates = rows near the query
     // bucket in >= 1 table — a narrow, codegen'd filter (no shuffle) —
@@ -255,7 +270,8 @@ object VectorOps {
     "q27_knn_join_ivf" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,
     "q39_hnsw_partitioned" -> bruteOracle,
-    "q67_pq_knn" -> bruteOracle
+    "q67_pq_knn" -> bruteOracle,
+    "q69_ivfpq_knn" -> bruteOracle
   )
 
   private lazy val knnJoinOracle =

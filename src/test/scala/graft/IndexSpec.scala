@@ -123,6 +123,18 @@ class IndexSpec extends SparkSpecBase {
     assert(code.length == 8)
   }
 
+  test("ivf-pq: pruned probes + compressed shortlist keep recall >= 0.6") {
+    val model = graft.index.IvfPq.build(emb, "vec_id", "v",
+      lists = 8, m = 8, k = 64)
+    val n = emb.count().toInt
+    val got = model.scan(emb, "vec_id", "v", query, 10,
+        probeLists = 4, shortlist = math.max(50, n / 10))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(bruteIds(10).toSet).size / 10.0
+    assert(recall >= 0.6, s"recall=$recall")
+    model.unpersist()
+  }
+
   test("pq exact configuration (shortlist >= n) == brute force") {
     val model = graft.index.Pq.build(emb, "vec_id", "v", m = 8, k = 64)
     val got = model.scan(emb, "vec_id", "v", query, 10, shortlist = 1 << 24)
