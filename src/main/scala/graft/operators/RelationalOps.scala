@@ -258,6 +258,30 @@ object RelationalOps {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
     }),
 
+    // As-of join — the point-in-time lookup Spark has no native
+    // operator for: each purchase is joined to the user's most recent
+    // view AT OR BEFORE it. Composed as one pass over the UNION of
+    // both sides: a running last(ignoreNulls) window carries the
+    // latest view forward, then the purchase rows are kept. ONE
+    // shuffle on user_id, no range self-join, no per-row probe —
+    // the shape that survives a billion events per key-day. Total
+    // order (ts, event_id) makes ties deterministic on both engines.
+    "q70_asof_join" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val isView = col("event_type") === "view"
+      Tables.load(s, d, "events")
+        .withColumn("last_view_val",
+          last(when(isView, col("value")), ignoreNulls = true).over(w))
+        .withColumn("last_view_ts",
+          last(when(isView, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_view_ts"),
+          round(col("last_view_val"), 6).as("last_view_val"))
+    }),
+
     // Superset joins the reference's binder accepts but its executors
     // reject (bound_join_ref.h:16 / join executors): full outer,
     // semi, anti — native in Spark, oracle-gated here.
@@ -410,6 +434,23 @@ object RelationalOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q70_asof_join" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |  round(last_view_val, 6) AS last_view_val
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view_val,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
     "q57_join_full_outer" ->
       """SELECT n.n_nationkey, n.n_name, c.c_nationkey, c.rich
         |FROM (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2) n
