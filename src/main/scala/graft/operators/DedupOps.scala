@@ -282,6 +282,66 @@ object DedupOps {
         .filter(col("hamming") <= 3)
     }),
 
+    // Repetition signal (Gopher-style quality filter): the fraction
+    // of a doc's 3-gram occurrences that are repeats of an earlier
+    // 3-gram. Narrow per-doc work sharing the shingle machinery —
+    // no shuffle beyond the doc_id grouping it already has.
+    "q71_repetition" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("t2", lead("t", 1).over(w))
+        .withColumn("t3", lead("t", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_3grams"),
+          countDistinct(col("g")).as("distinct_3grams"))
+        .withColumn("dup_ratio", round(lit(1.0)
+          - col("distinct_3grams").cast("double")
+            / col("total_3grams").cast("double"), 6))
+    }),
+
+    // CAPSTONE: assemble the training set. A document survives iff it
+    // is not a dropped duplicate (non-dup, or its cluster's
+    // highest-quality keeper) AND clears the quality bar. Reported
+    // per predicted language with average quality — the end-to-end
+    // composition of the dedup graph, canonical selection, quality
+    // scoring and language-ID, all distributed.
+    "q72_training_set" -> ((s, d) => {
+      val labels = dupLabels(s, d)
+      val keepers = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
+        labels
+          .join(TextOps.queries("q41_quality_score")(s, d)
+            .select(col("doc_id"), col("quality")), col("id") === col("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("id").as("keep_id"))
+      }
+      val dropped = labels
+        .join(keepers, col("id") === col("keep_id"), "left_anti")
+        .select(col("id").as("drop_id"))
+      TextOps.queries("q41_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+        .join(TextOps.queries("q42_lang_id")(s, d)
+          .select(col("doc_id").as("lid"), col("lang_pred")),
+          col("doc_id") === col("lid"))
+        .join(dropped, col("doc_id") === col("drop_id"), "left_anti")
+        .filter(col("quality") >= 0.5)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("kept"),
+          // decimal-exact sum then one double division: float summation
+          // ORDER differs between engines, exact decimal doesn't
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          min("doc_id").as("first_doc"))
+    }),
+
     // Embedding-cosine near-dup pairs, exact (broadcast nested-loop;
     // the LSH-bucketed scale path is q37_ann_lsh).
     "q48_embed_cosine_dup" -> ((s, d) => {
@@ -381,6 +441,41 @@ object DedupOps {
         |        FROM reach GROUP BY s)
         |SELECT cluster_id, count(*) AS size, max(id) AS max_member
         |FROM lbl GROUP BY cluster_id""".stripMargin,
+    "q71_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    for i in range(1, len(toks)-1)]) AS g
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT doc_id, count(*) AS total_3grams,
+        |  count(DISTINCT g) AS distinct_3grams,
+        |  round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS dup_ratio
+        |FROM g GROUP BY doc_id""".stripMargin,
+    "q72_training_set" ->
+      s"""WITH RECURSIVE p AS ($pairOracle),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |reach(s, t) AS (SELECT s, t FROM edges
+        |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+        |        FROM reach GROUP BY s),
+        |qual AS (${TextOps.oracles("q41_quality_score")}),
+        |lang AS (${TextOps.oracles("q42_lang_id")}),
+        |k AS (SELECT lbl.id, row_number() OVER (PARTITION BY lbl.cluster_id
+        |    ORDER BY qual.quality DESC, lbl.id ASC) AS rk
+        |  FROM lbl JOIN qual ON lbl.id = qual.doc_id),
+        |dropped AS (SELECT id FROM k WHERE rk > 1)
+        |SELECT lang.lang_pred, count(*) AS kept,
+        |  round(CAST(sum(CAST(qual.quality AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_quality,
+        |  min(qual.doc_id) AS first_doc
+        |FROM qual JOIN lang ON qual.doc_id = lang.doc_id
+        |WHERE qual.quality >= 0.5
+        |  AND qual.doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY lang.lang_pred""".stripMargin,
     "q66_dedup_keep_best" ->
       s"""WITH RECURSIVE p AS ($pairOracle),
         |edges AS (SELECT a_id AS s, b_id AS t FROM p
