@@ -313,12 +313,15 @@ object DedupOps {
     // scoring and language-ID, all distributed.
     "q72_training_set" -> ((s, d) => {
       val labels = dupLabels(s, d)
+      // quality is consumed twice (keeper election + the final bar) —
+      // its stopword scoring runs interpreted HOFs, compute it once
+      val qual = TextOps.queries("q41_quality_score")(s, d)
+        .select(col("doc_id"), col("quality")).cache()
       val keepers = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
         labels
-          .join(TextOps.queries("q41_quality_score")(s, d)
-            .select(col("doc_id"), col("quality")), col("id") === col("doc_id"))
+          .join(qual, col("id") === col("doc_id"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("id").as("keep_id"))
@@ -326,8 +329,7 @@ object DedupOps {
       val dropped = labels
         .join(keepers, col("id") === col("keep_id"), "left_anti")
         .select(col("id").as("drop_id"))
-      TextOps.queries("q41_quality_score")(s, d)
-        .select(col("doc_id"), col("quality"))
+      qual
         .join(TextOps.queries("q42_lang_id")(s, d)
           .select(col("doc_id").as("lid"), col("lang_pred")),
           col("doc_id") === col("lid"))
