@@ -21,47 +21,29 @@ final case class IvfPqModel(
     pq: PqModel,
     codes: DataFrame) { // (id, code, __bucket)
 
+  /** computed once per model — a distinct job per lookup otherwise
+    * (same reasoning as IvfFlatModel.nonEmptyCache) */
+  @transient private lazy val nonEmptyCache: Seq[Int] =
+    codes.select(col("__bucket")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+
   def scan(data: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, probeLists: Int,
       shortlist: Int): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
     val q = query.toArray
-    val nonEmpty = codes.select("__bucket").distinct()
-      .collect().map(_.getInt(0))
-    val probed = nonEmpty
+    val probed = nonEmptyCache
       .map(b => b -> NearestCentroid.distance(q, ivf.centroids(b),
         ivf.metric.id))
       .sortBy { case (b, d) => (d, b) }
       .take(probeLists).map(_._1)
-    val dsub = pq.dim / pq.m
-    val lut: Array[Array[Double]] = Array.tabulate(pq.m) { mi =>
-      val qs = java.util.Arrays.copyOfRange(q, mi * dsub, (mi + 1) * dsub)
-      pq.codebooks(mi).map(cw => NearestCentroid.distance(qs, cw, 0))
-    }
-    val lutB = spark.sparkContext.broadcast(lut)
-    val c = shortlist
-    val cand = codes.filter(col("__bucket").isin(probed: _*))
-      .select(col("id"), col("code"))
-      .as[(Long, Array[Byte])].mapPartitions { it =>
-        val t = lutB.value
-        val heap = collection.mutable.PriorityQueue
-          .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
-        it.foreach { case (id, code) =>
-          var s = 0.0
-          var mi = 0
-          while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
-          if (heap.size < c) heap.enqueue((s, id))
-          else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
-        }
-        heap.iterator.map(_._2)
-      }.toDF("__cand_id")
+    val cand = pq.adcShortlist(
+      codes.filter(col("__bucket").isin(probed: _*)), query, shortlist)
     Knn.bruteForce(
       data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),
       vecCol, query, k, ivf.metric, tieBreak = Some(idCol))
   }
 
-  def unpersist(): Unit = { codes.unpersist(); pq.unpersist() }
+  def unpersist(): Unit = codes.unpersist()
 }
 
 object IvfPq {
@@ -70,17 +52,23 @@ object IvfPq {
       metric: DistanceMetric.Value = DistanceMetric.L2,
       ivfIterations: Int = 10, pqIterations: Int = 10,
       sampleFraction: Double = 0.25): IvfPqModel = {
+    // the ADC sum-of-sub-distances decomposition is an L2 identity —
+    // routing by another metric would shortlist by the wrong measure
+    require(metric == DistanceMetric.L2, "ivf-pq supports L2 only")
     val ivf = IvfFlat.build(df, Seq(idCol), vecCol, lists,
       probeLists = lists, metric, ivfIterations, sampleFraction)
     val pq = Pq.build(df, idCol, vecCol, m, k, pqIterations,
       sampleFraction)
     // one build-time join attaches the routing key to the codes; at
     // real scale this table is persisted partitioned by __bucket so a
-    // probe becomes partition pruning
+    // probe becomes partition pruning. Materialize it, then drop the
+    // standalone code cache — ONE resident copy of the codes
     val codes = pq.codes.join(
         ivf.buckets.select(col(idCol).cast("long").as("id"),
           col("__bucket")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    pq.unpersist()
     IvfPqModel(ivf, pq, codes)
   }
 }

@@ -35,11 +35,15 @@ final case class PqModel(
 
   def unpersist(): Unit = codes.unpersist()
 
-  /** Exact top-k via ADC shortlist + exact re-rank. `data` must be the
-    * encoded table's source (id + vector) for the re-rank join. */
-  def scan(data: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, shortlist: Int): DataFrame = {
-    val spark = codes.sparkSession
+  /** ADC shortlist over an arbitrary (id, code) frame — shared by the
+    * plain PQ scan and IVF-PQ's bucket-pruned scan so there is ONE
+    * copy of the LUT/heap logic. L2 only: the per-subspace
+    * sum-of-sub-distances decomposition is an L2 identity. Returns a
+    * single-column (__cand_id) frame of the C best candidates per
+    * partition. */
+  private[index] def adcShortlist(codeRows: DataFrame,
+      query: Seq[Double], shortlist: Int): DataFrame = {
+    val spark = codeRows.sparkSession
     import spark.implicits._
     val q = query.toArray
     // driver-side lookup table: exact distance from the query's m-th
@@ -50,20 +54,28 @@ final case class PqModel(
     }
     val lutB = spark.sparkContext.broadcast(lut)
     val c = shortlist
-    val cand = codes.as[(Long, Array[Byte])].mapPartitions { it =>
-      val t = lutB.value
-      // bounded heap: keep the C best approximate scores per partition
-      val heap = collection.mutable.PriorityQueue
-        .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
-      it.foreach { case (id, code) =>
-        var s = 0.0
-        var mi = 0
-        while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
-        if (heap.size < c) heap.enqueue((s, id))
-        else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
-      }
-      heap.iterator.map(_._2)
-    }.toDF("__cand_id")
+    codeRows.select(col("id"), col("code"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        val t = lutB.value
+        // bounded heap: keep the C best approximate scores per partition
+        val heap = collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
+        it.foreach { case (id, code) =>
+          var s = 0.0
+          var mi = 0
+          while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+          if (heap.size < c) heap.enqueue((s, id))
+          else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
+        }
+        heap.iterator.map(_._2)
+      }.toDF("__cand_id")
+  }
+
+  /** Exact top-k via ADC shortlist + exact re-rank. `data` must be the
+    * encoded table's source (id + vector) for the re-rank join. */
+  def scan(data: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, shortlist: Int): DataFrame = {
+    val cand = adcShortlist(codes, query, shortlist)
     // exact re-rank of the C survivors only
     Knn.bruteForce(
       data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),

@@ -41,7 +41,10 @@ object DedupOps {
     * higher-order functions are CodegenFallback (interpreted), ~10x
     * slower per pass and re-evaluated per self-join branch. The window
     * and the groupBy share the doc_id hash partitioning: one shuffle. */
-  private[graft] def docShingles(s: SparkSession, d: String): DataFrame = {
+  /** The raw (doc_id, g) 3-gram OCCURRENCE stream — the one shingle
+    * definition every consumer shares: docShingles collect_sets it,
+    * q71 counts it. */
+  private def gramStream(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     Tables.load(s, d, "documents")
@@ -50,10 +53,14 @@ object DedupOps {
       .withColumn("t2", lead("t", 1).over(w))
       .withColumn("t3", lead("t", 2).over(w))
       .filter(col("t3").isNotNull)
-      .groupBy("doc_id")
-      .agg(collect_set(concat_ws(" ", col("t"), col("t2"), col("t3")))
-        .as("sh"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
   }
+
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
+    gramStream(s, d)
+      .groupBy("doc_id")
+      .agg(collect_set(col("g")).as("sh"))
 
   /** Exploded (doc_id, shingle) postings with per-doc set size. */
   private[graft] def postings(sh: DataFrame): DataFrame =
@@ -154,6 +161,20 @@ object DedupOps {
     labels
   }
 
+  /** Per-cluster canonical election — THE tie-breaking rule, shared
+    * by q66 and the q72 capstone so they cannot disagree: highest
+    * quality wins, ties to the lowest doc id. Returns one row per
+    * cluster: (lbl, id, quality). */
+  private def electKeepers(labels: DataFrame, qual: DataFrame)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
+    labels.join(qual, col("id") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("lbl"), col("id"), col("quality"))
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
     * against the full shingle sets. The candidate set is the PRUNED
     * side — orders of magnitude smaller than the corpus — so it is
@@ -197,18 +218,12 @@ object DedupOps {
     // doc id). Composes the similarity graph with the q41 quality
     // score; one row per cluster, all distributed (labels x quality
     // join + per-cluster top-1 window over cluster-sized groups).
-    "q66_dedup_keep_best" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
-      dupLabels(s, d)
-        .join(TextOps.queries("q41_quality_score")(s, d)
-          .select(col("doc_id"), col("quality")),
-          col("id") === col("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+    "q66_dedup_keep_best" -> ((s, d) =>
+      electKeepers(dupLabels(s, d),
+          TextOps.queries("q41_quality_score")(s, d)
+            .select(col("doc_id"), col("quality")))
         .select(col("lbl").as("cluster_id"), col("id").as("keeper_id"),
-          col("quality").as("keeper_quality"))
-    }),
+          col("quality").as("keeper_quality"))),
 
     // Prefix-filtered exact similarity join (see prefixCandidates):
     // exact for the threshold, ~27x fewer candidate pairs than q45's
@@ -287,16 +302,7 @@ object DedupOps {
     // 3-gram. Narrow per-doc work sharing the shingle machinery —
     // no shuffle beyond the doc_id grouping it already has.
     "q71_repetition" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
-        .withColumn("t2", lead("t", 1).over(w))
-        .withColumn("t3", lead("t", 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+      gramStream(s, d)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("total_3grams"),
           countDistinct(col("g")).as("distinct_3grams"))
@@ -317,15 +323,8 @@ object DedupOps {
       // its stopword scoring runs interpreted HOFs, compute it once
       val qual = TextOps.queries("q41_quality_score")(s, d)
         .select(col("doc_id"), col("quality")).cache()
-      val keepers = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
-        labels
-          .join(qual, col("id") === col("doc_id"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("id").as("keep_id"))
-      }
+      val keepers = electKeepers(labels, qual)
+        .select(col("id").as("keep_id"))
       val dropped = labels
         .join(keepers, col("id") === col("keep_id"), "left_anti")
         .select(col("id").as("drop_id"))
