@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries re-measured at a SECOND scale point (default sf0.01, i.e.
+    * 10x fewer rows than the driver's sf0.1) — the index + dedup
+    * families whose scaling behavior the 100TB story rests on. The
+    * main run's numbers are the big point; this list re-runs at the
+    * small point so the JSON carries the curve (and the per-query
+    * log10 ratio ~ scaling exponent for a 10x step). */
+  private val ScaleFamilies = Seq(
+    "q26_knn_join_brute", "q30_knn_l2", "q33_ivfflat_exact",
+    "q39_hnsw_partitioned", "q67_pq_knn", "q69_ivfpq_knn",
+    "q44_dedup_exact", "q45_ngram_jaccard", "q46_minhash_lsh",
+    "q56_jaccard_ppjoin", "q49_embed_dup_ivf", "q65_dup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // substring filter for fast single-query iteration, e.g.
+    // SPARK_GRAFT_BENCH_FILTER=q47
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,28 +44,52 @@ object Bench {
     // from) another's cached state, and best-of-2 so a first-run
     // janino codegen compile doesn't masquerade as query cost.
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
-    def run(name: String, fn: QFn): Double = {
+    def run(name: String, fn: QFn, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
+      try {
+        fn(spark, dir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         failures += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None // a fast failure must never masquerade as the query time
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def bestOf2(name: String, fn: QFn, dir: String): Option[Double] = {
       spark.catalog.clearCache()
-      val cold = run(name, fn)
+      val cold = run(name, fn, dir)
       spark.catalog.clearCache()
-      val warm = run(name, fn)
-      name -> math.min(cold, warm)
+      val warm = run(name, fn, dir)
+      (cold.toSeq ++ warm.toSeq).reduceOption((a, b) => math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(n.contains) }
+    val results = selected.flatMap { case (name, fn) =>
+      bestOf2(name, fn, sfDir).map(name -> _)
+    }
+    // Scale curve: the same measurement at the small point for the
+    // index/dedup families (skipped when the main run already is the
+    // small point).
+    val scaleSmall =
+      if (scaleDir == sfDir) Seq.empty
+      else selected.filter(q => ScaleFamilies.contains(q._1)).flatMap {
+        case (name, fn) => bestOf2(name, fn, scaleDir).map(name -> _)
+      }
+    def jsonMap(kv: Seq[(String, Double)]) = kv
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val big = results.toMap
+    val exponents = scaleSmall.collect {
+      case (k, small) if small > 0 && big.contains(k) =>
+        k -> math.log10(big(k) / small)
+    }
+    val scaleJson =
+      if (scaleSmall.isEmpty) "null"
+      else s"""{"small_sf":"$scaleDir","small":${jsonMap(scaleSmall)},""" +
+        s""""log10_ratio_for_10x_rows":${jsonMap(exponents)}}"""
+    val total = results.map(_._2).sum
     val fails = failures.distinct.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failures":$fails,"scale":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,20 +17,24 @@ import graft.index.IvfFlat
   *    shingle. Hot shingles are the skew risk at 100TB — AQE skew-join
   *    handles moderate skew; PPJoin-style prefix filtering is the
   *    aggressive fix when posting lists explode.
-  *  - MinHash/SimHash signatures are computed by EXPLODING postings and
-  *    aggregating 64 codegen'd min()/sum() columns — NOT with
-  *    higher-order array lambdas (transform/aggregate), which are
-  *    CodegenFallback in Spark and run interpreted: ~10x slower on the
-  *    hot path and recomputed per self-join branch. The explode+agg
-  *    shape is also the right distributed plan: one shuffle on doc_id,
-  *    partial aggregation map-side.
+  *  - MinHash/SimHash signatures are ONE narrow codegen'd pass over
+  *    each row's token/shingle array ([[org.apache.spark.sql.graft
+  *    .SimHash64]] / [[org.apache.spark.sql.graft.MinHashBands]]) — no
+  *    explode, no shuffle, nothing interpreted. (Round 2 computed them
+  *    by exploding postings into a 64-aggregate-column hash-aggregate:
+  *    correct, but it shuffled |docs|x|tokens| rows per signature
+  *    pass — the wrong plan at 100x.)
+  *  - Band/segment self-joins route HOT buckets through a salted
+  *    two-sided join ([[bucketPairs]]): an adversarial bucket (all
+  *    identical boilerplate docs) stays exact but its quadratic work is
+  *    spread across `salts` reducers instead of one.
   *  - MinHash-LSH: candidates = pairs agreeing on >= 1 of 16 bands of 4
   *    hashes, then exact-verified. Deterministic (xxhash64, fixed
   *    seeds): P[candidate | j=0.8] = 1-(1-0.8^4)^16 ~ 0.9998 — at
   *    sf0.01 it finds every pair >= 0.8 (checked against the exact
   *    join), hence it shares q45's oracle.
-  *  - SimHash blocking is EXACT by pigeonhole: 8 segments of 8 bits;
-  *    hamming <= 7 implies some segment matches exactly.
+  *  - SimHash blocking is EXACT by pigeonhole: 4 segments of 16 bits;
+  *    hamming <= 3 implies some segment matches exactly.
   */
 object DedupOps {
 
@@ -109,7 +113,7 @@ object DedupOps {
       .filter(col("rnk") <= col("n") - ceil(col("n") * JaccardThr) + 1)
       .select(col("doc_id"), col("n"), col("shingle"))
       .cache() // both self-join branches read it
-    prefix.as("x").join(prefix.as("y"),
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle")
           && col("x.doc_id") < col("y.doc_id")
           // size filter: J >= t forces t*|A| <= |B| <= |A|/t
@@ -117,6 +121,11 @@ object DedupOps {
           && col("y.n") * JaccardThr <= col("x.n"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+      // materialize, then release the prefix cache — candidates are
+      // re-read by the verification joins, the prefix table never is
+      .localCheckpoint()
+    prefix.unpersist()
+    cand
   }
 
   /** HashMin connected-components labels over the exact near-dup pair
@@ -156,9 +165,14 @@ object DedupOps {
       cached = next
       labels = next.drop("__changed")
     }
+    // hand back a localCheckpoint so every per-round cache (including
+    // the final round's) is released — library callers keep no hidden
+    // cache entries alive, only the checkpointed labels themselves
+    val out = labels.localCheckpoint()
+    cached.unpersist()
     pairs.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Per-cluster canonical election — THE tie-breaking rule, shared
@@ -176,19 +190,97 @@ object DedupOps {
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
-    * against the full shingle sets. The candidate set is the PRUNED
+    * against the full shingle sets. The candidate id set is the PRUNED
     * side — orders of magnitude smaller than the corpus — so it is
-    * broadcast through both lookups: verification costs two map-side
-    * joins, no shuffle of the shingle table. */
+    * broadcast into the first lookup; the second join streams the
+    * shingle table (only the candidate-sized left side shuffles). The
+    * intermediate is deliberately NOT re-broadcast: it carries a full
+    * shingle array per row, and a size-blind broadcast hint there
+    * risks OOM where a shuffle degrades gracefully. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame =
-    broadcast(broadcast(cand)
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id"))
+    broadcast(cand)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double")
         / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= JaccardThr)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** All (a_id, b_id), a < b, of rows sharing the `keyCols` bucket —
+    * the LSH band / SimHash segment candidate join — with skew
+    * protection: buckets above `hotThreshold` rows run through a
+    * SALTED two-sided self-join (left side salted by id hash, right
+    * side replicated `salts` ways, join key extended with the salt),
+    * so one adversarially hot bucket (all-identical boilerplate docs)
+    * spreads its quadratic pair work across `salts` reducers instead
+    * of sitting on one. Exact: every qualifying pair survives exactly
+    * once on exactly one path (a bucket is wholly hot or wholly not;
+    * within a hot bucket, pair (a,b) matches only where a's salt meets
+    * b's replica of that salt). The hot set is by definition tiny, so
+    * its detection broadcast is bounded. Fully LAZY — one composed
+    * plan, no caches or checkpoints (`rows` is read by several
+    * branches, so callers should hand in a cached or cheap-to-
+    * recompute frame; Spark reuses the hot-set broadcast across the
+    * branches via ReusedExchange). */
+  private[graft] def bucketPairs(df: DataFrame, keyCols: Seq[String],
+      hotThreshold: Int = 1024, salts: Int = 16,
+      pairCond: Column = lit(true),
+      outCols: Seq[Column] = Seq(col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"))): DataFrame = {
+    val rows = df
+    val keys = keyCols.map(col)
+    val hot = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold).select(keys: _*)
+    def keyEq = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _)
+    // `pairCond` (e.g. the hamming bound) rides INSIDE the join
+    // condition — qualifying pairs are the only join output, so the
+    // downstream distinct never sees the quadratic candidate stream
+    val cold = rows.join(broadcast(hot), keyCols, "left_anti")
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        keyEq && col("x.doc_id") < col("y.doc_id") && pairCond)
+      .select(outCols: _*)
+    val hotRows = rows.join(broadcast(hot), keyCols, "left_semi")
+    val saltedX = hotRows.withColumn("__salt",
+      pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+    val replicatedY = hotRows.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val hotPairs = saltedX.as("x").join(replicatedY.as("y"),
+        keyEq && col("x.__salt") === col("y.__salt")
+          && col("x.doc_id") < col("y.doc_id") && pairCond)
+      .select(outCols: _*)
+    coldPairs.unionAll(hotPairs).distinct()
+  }
+
+  /** Packed 64-bit SimHash per doc — one codegen'd pass over the
+    * distinct-token array, no explode/shuffle. */
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      org.apache.spark.sql.graft.SimHash64.column(
+        array_distinct(TextOps.tokens(col("text")))).as("sim"))
+
+  /** SimHash near-dup pairs, hamming <= 3, EXACT via 4x16-bit segment
+    * blocking (pigeonhole: <= 3 differing bits cannot touch all 4
+    * segments, so some segment matches exactly). 16-bit segments are
+    * deliberate: real corpora concentrate on few distinct 8-bit
+    * segment values (similar docs share whole segments — at sf0.1 one
+    * 8-bit bucket held ~half the corpus), while 16-bit keys keep
+    * buckets selective. The signature rides along and the hamming
+    * bound is evaluated INSIDE the (salted) bucket join — the blocked
+    * path emits only true near-dup pairs, never the quadratic
+    * candidate stream. Shared by q47's equivalence gate and
+    * DedupSpec. */
+  private[graft] def simhashPairs(sim: DataFrame): DataFrame = {
+    val seg = sim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(g =>
+        shiftright(col("sim"), g * 16).bitwiseAND(65535)): _*))
+        .as(Seq("g", "gkey")))
+    bucketPairs(seg, Seq("g", "gkey"),
+      pairCond = expr("bit_count(x.sim ^ y.sim)") <= 3,
+      outCols = Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.sim ^ y.sim)").as("hamming")))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the normalized-text fingerprint,
@@ -234,67 +326,55 @@ object DedupOps {
     }),
 
     // MinHash(64) + LSH(16 bands x 4) candidates, exact-verified.
+    // Signature + band keys = one narrow codegen'd pass per doc
+    // (MinHashBands); candidates = the salted bucket self-join.
     // Deterministic; at sf0.01 output == q45 (same oracle).
     "q46_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d).cache()
-      // 64 minhash columns in ONE codegen'd hash-aggregate pass.
-      val sig = postings(sh).groupBy("doc_id").agg(
-        min(xxhash64(lit(0), col("shingle"))).as("h0"),
-        (1 until 64).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 16).map(bnd => struct(lit(bnd).as("band"),
-          xxhash64(lit(bnd) +: (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*)
-            .as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bkey"))
-        .cache()
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      verifyPairs(cand, sh)
+      val bands = sh.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.MinHashBands.column(
+          col("sh"), numHashes = 64, bands = 16)).as(Seq("band", "bkey")))
+      verifyPairs(bucketPairs(bands, Seq("band", "bkey")), sh)
     }),
 
-    // SimHash(64) near-dup pairs, hamming <= 3, EXACT via 8x8-bit
-    // segment blocking (pigeonhole: exact for hamming <= 7). xxhash64
-    // values differ from any other engine's hash -> no SQL oracle;
-    // DedupSpec cross-checks brute-force hamming == blocked result.
+    // SimHash(64) blocking, reshaped into a DRIVER-CHECKABLE gate:
+    // xxhash64 signatures can never value-match another engine, but
+    // the 8x8-bit segment blocking is provably EXACT for hamming <= 7
+    // (pigeonhole), so the query emits the blocked-vs-brute
+    // equivalence itself — (missed, extra) MUST be 0 and n_docs is a
+    // genuine DuckDB-checkable count. DedupSpec additionally pins the
+    // pair-level equality; this row makes the driver's CORRECTNESS
+    // gate see the same assertion.
     "q47_simhash" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("tk"))
-      // Per-bit set-counts as 64 codegen'd sums over exploded tokens.
-      val post = toks.select(col("doc_id"), size(col("tk")).as("ntk"),
-        explode(col("tk")).as("t"))
-      val h = xxhash64(col("t"))
-      val counts = post.groupBy("doc_id").agg(
-        first(col("ntk")).as("ntk"),
-        (0 until 64).map(i => sum(shiftright(h, i).bitwiseAND(1))
-          .as(s"c$i")): _*)
-      // simhash PACKED into one BIGINT (bit i = 2*count_set(i) > n):
-      // hamming becomes bit_count(a ^ b) and segments are byte
-      // extractions — everything stays in codegen, nothing interpreted.
-      val packed = (0 until 64).map(i =>
-        when((col(s"c$i") * 2) > col("ntk"), lit(1L << i)).otherwise(0L))
-        .reduce(_ + _)
-      val sim = counts.select(col("doc_id"), packed.as("sim")).cache()
-      val seg = sim.select(col("doc_id"), col("sim"),
-        explode(array((0 until 8).map(g => struct(lit(g).as("g"),
-          shiftright(col("sim"), g * 8).bitwiseAND(255).as("gkey"))): _*))
-          .as("b"))
-        .select(col("doc_id"), col("sim"), col("b.g"), col("b.gkey"))
-      val cand = seg.as("x").join(seg.as("y"),
-          col("x.g") === col("y.g") && col("x.gkey") === col("y.gkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(sim.select(col("doc_id").as("a_id"), col("sim").as("sa")), "a_id")
-        .join(sim.select(col("doc_id").as("b_id"), col("sim").as("sb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          expr("bit_count(sa ^ sb)").as("hamming"))
-        .filter(col("hamming") <= 3)
+      import s.implicits._
+      // source parquet may arrive in 1-2 splits: spread the signature
+      // rows so the quadratic brute probe runs on every core
+      val sim = simhashes(s, d)
+        .repartition(s.sparkContext.defaultParallelism).cache()
+      val blocked = simhashPairs(sim).select(col("a_id"), col("b_id"))
+      // brute force: broadcast NLJ over the packed signatures — only
+      // the gate pays this quadratic cost, never the pipeline path
+      val brute = sim.as("a").join(broadcast(sim.as("b")),
+          col("a.doc_id") < col("b.doc_id")
+            && expr("bit_count(a.sim ^ b.sim)") <= 3)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // ONE composed job computes both paths and the comparison: a
+      // union + aggregate (blocked-only tag sums to 1, brute-only to
+      // 2, agreeing pairs to 3) — job-count overhead, not row volume,
+      // dominates a query this size
+      val cmp = blocked.withColumn("__w", lit(1))
+        .unionAll(brute.withColumn("__w", lit(2)))
+        .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
+        .agg(
+          sum(when(col("w") === 2, 1L).otherwise(0L)).as("missed"),
+          sum(when(col("w") === 1, 1L).otherwise(0L)).as("extra"))
+        .first()
+      val missed = if (cmp.isNullAt(0)) 0L else cmp.getLong(0)
+      val extra = if (cmp.isNullAt(1)) 0L else cmp.getLong(1)
+      val nDocs = sim.count()
+      sim.unpersist()
+      Seq((missed == 0L && extra == 0L, missed, extra, nDocs))
+        .toDF("blocked_eq_brute", "missed", "extra", "n_docs")
     }),
 
     // Repetition signal (Gopher-style quality filter): the fraction
@@ -366,10 +446,9 @@ object DedupOps {
     "q49_embed_dup_ivf" -> ((s, d) => {
       val norm = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("n2", sqrt(aggregate(col("v"), lit(0.0),
-          (acc, y) => acc + y * y)))
-        .withColumn("nv", transform(col("v"), x => x / col("n2")))
-        .cache() // interpreted-HOF normalization: compute once, not per job
+        .withColumn("nv",
+          org.apache.spark.sql.graft.UnitNormalize.column(col("v")))
+        .cache() // read by train + assign + join: compute once, not per job
       // sample-train + full-scan assign (the documented 100TB recipe;
       // IndexSpec pins that sampled centroids keep exact scans):
       // clustering quality only shapes bucket balance here — with
@@ -429,6 +508,12 @@ object DedupOps {
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
     "q46_minhash_lsh" -> pairOracle,
+    // the equivalence gate: missed/extra MUST be zero (pigeonhole
+    // exactness), n_docs is the genuine cross-engine count
+    "q47_simhash" ->
+      """SELECT true AS blocked_eq_brute, CAST(0 AS BIGINT) AS missed,
+        |  CAST(0 AS BIGINT) AS extra, count(*) AS n_docs
+        |FROM documents""".stripMargin,
     "q56_jaccard_ppjoin" -> pairOracle,
     // transitive closure over the near-dup pairs: min reachable id per
     // node == the HashMin fixpoint label

@@ -29,8 +29,12 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(trim(text)).cast("binary"))
 
+  /** Occurrence count of stopwords — codegen'd CountInSet, NOT
+    * `size(filter(...))`: Spark's higher-order `filter` is
+    * CodegenFallback (interpreted) and this sits on the q41→q66/q68/
+    * q72 capstone hot path. Same semantics (duplicates count). */
   private def stopHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+    org.apache.spark.sql.graft.CountInSet.column(toks, words)
 
   // Minimal per-language stopword lists for the n-gram/stopword
   // heuristic language-ID (deterministic priority en > de > fr > es).
@@ -98,11 +102,34 @@ object TextOps {
         conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp64"))
     }),
 
-    // Winnowing fingerprint counts per doc (hash-valued -> rows-only;
-    // TextSpec asserts the near-dup overlap property).
-    "q53_winnow_fingerprint" -> ((s, d) =>
-      winnow(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"))),
+    // Winnowing fingerprints, reshaped into a DRIVER-CHECKABLE gate:
+    // the fp values are xxhash64-seeded (never cross-engine), but the
+    // winnowing GUARANTEES are checkable — every doc with >= 4 tokens
+    // (>= 1 four-gram) selects at least one fingerprint, and the
+    // selected-count per doc is bounded by ceil(G/4) <= n_fp <= G for
+    // G = tokens-3 windows (one min can cover at most 4 windows).
+    // docs_with_fp is the genuine DuckDB-checkable count; bounds_ok is
+    // the in-engine guarantee flag. TextSpec still pins the near-dup
+    // overlap property at pair level.
+    "q53_winnow_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = winnow(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      val joined = docs.join(perDoc, Seq("doc_id"), "left").cache()
+      val g = (col("n_toks") - 3).cast("double")
+      val violations = joined.filter(
+        when(col("n_toks") >= 4,
+          col("n_fp").isNull || col("n_fp") > col("n_toks") - 3
+            || col("n_fp") < ceil(g / 4.0))
+          .otherwise(col("n_fp").isNotNull)).count()
+      val docsWithFp = joined.filter(col("n_fp").isNotNull).count()
+      val nDocs = joined.count()
+      joined.unpersist()
+      Seq((docsWithFp, nDocs, violations == 0L))
+        .toDF("docs_with_fp", "n_docs", "bounds_ok")
+    }),
 
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
@@ -172,6 +199,14 @@ object TextOps {
         |    + (1.0 - punct_cnt / n_chars::DOUBLE) * 0.3, 6) AS quality
         |FROM m""".stripMargin,
     "q42_lang_id" -> langOracle,
+    // winnowing gate: the doc coverage count is cross-engine exact;
+    // the per-doc count bounds are asserted in-engine (bounds_ok)
+    "q53_winnow_fingerprint" ->
+      """SELECT count(*) FILTER (
+        |    WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 4)
+        |    AS docs_with_fp,
+        |  count(*) AS n_docs, true AS bounds_ok
+        |FROM documents""".stripMargin,
     "q43_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64

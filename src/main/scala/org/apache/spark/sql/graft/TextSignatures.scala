@@ -1,0 +1,248 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd per-row signature expressions for the dedup/text pipeline.
+  *
+  * These replace the two shapes the round-2 review flagged as the
+  * wrong plan for 100TB:
+  *  - the 64-aggregate-column SimHash/MinHash signature (explode every
+  *    token, shuffle |docs|x|tokens| rows into a hash-aggregate with 64
+  *    accumulators) — now ONE narrow codegen'd pass over the token
+  *    array, no explode and no shuffle at all;
+  *  - Spark's interpreted higher-order array lambdas
+  *    (filter/aggregate/transform are CodegenFallback) on capstone hot
+  *    paths — [[CountInSet]] and [[UnitNormalize]] keep those inside
+  *    whole-stage codegen.
+  *
+  * Hashing matches Spark's own xxhash64 (XXH64, seed 42), so the
+  * signatures agree with what the previous explode+agg shape computed
+  * per bit. Hash values are engine-specific either way — correctness
+  * is pinned by equivalence gates (blocked == brute in DedupSpec and
+  * the q46/q47 driver rows), not by value oracles.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash64.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object SimHash64 {
+  /** bit i of the packed simhash = (2 * count of tokens with hash-bit i
+    * set) > n — the majority vote, identical to the previous
+    * sum(shiftright(h,i)&1) aggregate per bit. Shared by interpreted
+    * and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var n = 0
+    var t = 0
+    val len = tokens.numElements()
+    while (t < len) {
+      if (!tokens.isNullAt(t)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(t), 42L)
+        var i = 0
+        while (i < 64) {
+          counts(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+        n += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) * 2 > n) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
+  def column(tokens: Column): Column =
+    VectorDistanceApi.column(SimHash64(
+      VectorDistanceApi.expression(tokens)))
+}
+
+/** MinHash(numHashes) banded into `bands` LSH keys in ONE pass over the
+  * shingle array: per shingle, numHashes seeded xxhash64 values; per
+  * hash function, the min over shingles; per band, the fold of its
+  * rows-per-band minhashes into one 64-bit band key. Output =
+  * array<long>(bands) ready to posexplode into (band, key) join rows.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes % bands == 0, "numHashes must divide into bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  // per-hash-function seeds, derived exactly like xxhash64(lit(i), s)
+  // chains them: seed_i = XXH64(i, 42)
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], seeds, bands)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("seeds", seeds, "long[]")
+    val cls = MinHashBands.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $cls.compute($a, $s, $bands);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+object MinHashBands {
+  def compute(shingles: ArrayData, seeds: Array[Long], bands: Int)
+      : ArrayData = {
+    val numHashes = seeds.length
+    val mh = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    val len = shingles.numElements()
+    while (t < len) {
+      if (!shingles.isNullAt(t)) {
+        val s = shingles.getUTF8String(t)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUTF8String(s, seeds(i))
+          if (h < mh(i)) mh(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    val rows = numHashes / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rows) {
+        k = XXH64.hashLong(mh(b * rows + r), k)
+        r += 1
+      }
+      keys(b) = k
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  def column(shingles: Column, numHashes: Int, bands: Int): Column =
+    VectorDistanceApi.column(MinHashBands(
+      VectorDistanceApi.expression(shingles), numHashes, bands))
+}
+
+/** Occurrence count of array elements that belong to a small static
+  * word set — `size(filter(col, _.isInCollection(words)))` semantics
+  * (duplicates COUNT, unlike array_intersect which dedups) without the
+  * interpreted-HOF cost: `filter` is CodegenFallback in Spark. */
+case class CountInSet(child: Expression, words: Array[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    val cls = CountInSet.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.count($a, $s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
+object CountInSet {
+  def count(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var n = 0
+    var t = 0
+    val len = tokens.numElements()
+    while (t < len) {
+      if (!tokens.isNullAt(t) && set.contains(tokens.getUTF8String(t))) n += 1
+      t += 1
+    }
+    n
+  }
+
+  def column(tokens: Column, words: Seq[String]): Column =
+    VectorDistanceApi.column(CountInSet(
+      VectorDistanceApi.expression(tokens), words.toArray))
+}
+
+/** v / ||v||₂ in one codegen'd pass — replaces the interpreted
+  * `transform(v, x / sqrt(aggregate(v, ...)))` normalization on q49's
+  * hot path. Zero vectors pass through unchanged. */
+case class UnitNormalize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnitNormalize.normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UnitNormalize.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.normalize($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnitNormalize =
+    copy(child = c)
+}
+
+object UnitNormalize {
+  def normalize(vec: ArrayData): ArrayData = {
+    val v = vec.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s > 0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(v)
+  }
+
+  def column(vec: Column): Column =
+    VectorDistanceApi.column(UnitNormalize(
+      VectorDistanceApi.expression(vec.cast("array<double>"))))
+}

@@ -71,9 +71,11 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("simhash blocking is exact: blocked pairs == brute-force pairs") {
-    // recompute hamming brute-force over collected simhashes
-    val df = DedupOps.queries("q47_simhash")(spark, sfDir)
-    val blocked = df.select("a_id", "b_id", "hamming").collect()
+    // recompute hamming brute-force over INDEPENDENTLY computed
+    // simhashes (SQL HOFs, interpreted) — cross-checks the codegen'd
+    // SimHash64 expression bit for bit
+    val blocked = DedupOps.simhashPairs(DedupOps.simhashes(spark, sfDir))
+      .select("a_id", "b_id", "hamming").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     // brute force from the sim signatures themselves: rebuild via the
     // same expr by joining every pair through a cross of doc ids is
@@ -96,6 +98,29 @@ class DedupSpec extends SparkSpecBase {
       if h <= 3
     } yield ((a, b), h)).toMap
     assert(blocked == brute)
+    // and the driver-facing gate row reports the same equivalence
+    val gate = DedupOps.queries("q47_simhash")(spark, sfDir).head()
+    assert(gate.getBoolean(0) && gate.getLong(1) == 0L
+      && gate.getLong(2) == 0L)
+  }
+
+  test("salted hot-bucket self-join is exact under adversarial skew") {
+    // one massively hot band bucket (every doc shares it) + normal
+    // buckets: the salted path must produce exactly the plain
+    // self-join's pairs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) 0L else i))
+      .toDF("doc_id", "bkey").withColumn("band", lit(0))
+    val plain = rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = DedupOps.bucketPairs(rows, Seq("band", "bkey"),
+        hotThreshold = 8, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain && plain.size == 100 * 99 / 2)
   }
 
   test("strong-jaccard pairs have much lower simhash hamming than random") {
@@ -131,8 +156,8 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("ann lsh recall >= 0.6 vs exact top-10 cosine") {
-    val got = VectorOps.queries("q37_ann_lsh")(spark, sfDir)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = VectorOps.annLshTopK(spark, sfDir, 10)
+      .collect().map(_.getLong(0)).toSet
     import org.apache.spark.sql.functions._
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
