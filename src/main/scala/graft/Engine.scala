@@ -360,6 +360,12 @@ final class Engine(val spark: SparkSession) {
         createIndex(ddl)
     }
     maintainIndexes(tbl, rows)
+    // force the new table cache to materialize BEFORE releasing the
+    // rows cache: the assigned row ids live in `rows`' cache, and a
+    // later lazy fill would re-run monotonically_increasing_id — for a
+    // nondeterministic INSERT...SELECT source that could renumber rows
+    // and break the assign-once id invariant
+    table(tbl).count()
     rows.unpersist() // the table's own cache covers it from here
     import spark.implicits._
     Seq(cnt).toDF(Engine.InsertRowsCol)
@@ -441,6 +447,12 @@ final class Engine(val spark: SparkSession) {
     Seq(cnt).toDF(Engine.UpdateRowsCol)
   }
 
+  /** SET/SHOW parity for reference session variables. Note
+    * `force_optimizer_starter_rule` (reference optimizer.cpp:18-26):
+    * accepted and echoed like any variable but deliberately a NO-OP —
+    * there is no starter rule pipeline to force; Catalyst always plans
+    * with its full rule set, which subsumes the reference's starter
+    * rules (pushdown, join selection, TopN). */
   private def setVar(sql: String): DataFrame = {
     val Array(_, kv) = sql.split("\\s+", 2)
     val Array(k, v) = kv.split("=", 2).map(_.trim)

@@ -314,6 +314,45 @@ object Hnsw {
         .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))
     }
 
+    /** Incremental insert (the InsertVectorEntry contract every
+      * reference index declares, vector_index.h:11-32): route each new
+      * row to a partition by id hash — correctness does not depend on
+      * WHICH sub-graph receives a row, since scans probe every
+      * sub-graph; routing only shapes balance — and extend that
+      * partition's sub-graph. Functional: each touched sub-graph is
+      * deep-copied (serialization round-trip) before mutation, the new
+      * RDD is materialized before returning, and the original index
+      * remains valid — never mutate objects living in another RDD's
+      * cache. Partitions that were empty at build time grow a fresh
+      * sub-graph with the same hyperparameters. */
+    def insert(rows: DataFrame, idCol: String, vecCol: String)
+        : DistributedHnswIndex = {
+      import org.apache.spark.sql.functions._
+      val p = parts.first() // params template (first non-empty part)
+      val (m0, efc0, efs0, met0) =
+        (p.m, p.efConstruction, p.efSearch, p.metric)
+      val routed = rows
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .filter(col(vecCol).isNotNull)
+        .repartition(parts.partitions.length, col(idCol))
+      val newParts = parts.zipPartitions(routed.rdd) { (idxIt, rowIt) =>
+        val fresh = rowIt
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1) // deterministic insert order
+        if (fresh.isEmpty) idxIt
+        else {
+          val idx =
+            if (idxIt.hasNext) Hnsw.deepCopy(idxIt.next())
+            else new HnswIndex(m0, efc0, efs0, met0,
+              42L + org.apache.spark.TaskContext.getPartitionId())
+          fresh.foreach { case (id, v) => idx.insert(id, v) }
+          Iterator.single(idx) ++ idxIt
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      newParts.count() // materialize the copies while `parts` is live
+      new DistributedHnswIndex(newParts)
+    }
+
     def numParts: Int = parts.partitions.length
     def size: Long = parts.map(_.size.toLong).sum().toLong
     def unpersist(): Unit = parts.unpersist()
@@ -322,6 +361,17 @@ object Hnsw {
       * partition — the restart-surviving layout; reopen with
       * [[Hnsw.loadPartitioned]]. */
     def save(path: String): Unit = parts.saveAsObjectFile(path)
+  }
+
+  /** Deep copy via a serialization round-trip — the safe way to derive
+    * a mutated sub-graph from an object held in an RDD cache. */
+  private[index] def deepCopy(idx: HnswIndex): HnswIndex = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(idx); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    ois.readObject().asInstanceOf[HnswIndex]
   }
 
   /** Reopen a [[DistributedHnswIndex.save]]d index: sub-graphs are read

@@ -67,9 +67,19 @@ final case class IvfFlatModel(
   }
 
   /** Persist bucketed layout: partitioned by bucket id so scan-time
-    * probe filters become partition pruning at any scale. */
-  def save(path: String): Unit =
-    buckets.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    * probe filters become partition pruning at any scale. Centroids +
+    * model params ride along in `/meta`, so [[IvfFlat.load]] is
+    * self-contained (no caller-side centroid bookkeeping). */
+  def save(path: String): Unit = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(path + "/buckets")
+    centroids.toSeq.zipWithIndex
+      .map { case (c, b) => (b, c.toSeq, metric.id, probeLists, vecCol) }
+      .toDF("b", "cv", "metric", "probe_lists", "vec_col")
+      .repartition(1).write.mode("overwrite").parquet(path + "/meta")
+  }
 
   /** Batch KNN JOIN through the index: rank centroids per query
     * (broadcast centroid table — lists × dim, tiny), keep the
@@ -289,10 +299,13 @@ object IvfFlat {
     IvfFlatModel(centroids, metric, probeLists, vecCol, buckets)
   }
 
-  /** Reopen a persisted index. */
-  def load(spark: SparkSession, path: String,
-      centroids: Array[Array[Double]], metric: DistanceMetric.Value,
-      probeLists: Int, vecCol: String): IvfFlatModel =
-    IvfFlatModel(centroids, metric, probeLists, vecCol,
-      spark.read.parquet(path))
+  /** Reopen a persisted index — fully self-contained from `/meta`. */
+  def load(spark: SparkSession, path: String): IvfFlatModel = {
+    val meta = spark.read.parquet(path + "/meta").collect()
+      .sortBy(_.getInt(0))
+    val centroids = meta.map(_.getSeq[Double](1).toArray)
+    IvfFlatModel(centroids, DistanceMetric(meta(0).getInt(2)),
+      meta(0).getInt(3), meta(0).getString(4),
+      spark.read.parquet(path + "/buckets"))
+  }
 }

@@ -10,14 +10,17 @@ import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
   * the candidate scan), and an exact re-rank over the shortlist
   * restores true distances. Both halves are the components already
   * built here ([[IvfFlat]], [[Pq]]); this composes them: the PQ codes
-  * carry the IVF bucket id, so a probe is a codegen'd filter (or
-  * partition pruning when the code table is persisted bucketed).
+  * carry the IVF bucket id, so a probe is a codegen'd filter — or
+  * PARTITION PRUNING once the code table is [[IvfPqModel.save]]d
+  * bucketed (IndexSpec asserts PartitionFilters on a loaded scan).
   *
   * probe_lists = lists AND shortlist >= n degenerates to exact brute
-  * force — the configuration the q69 oracle pins; IndexSpec gates the
-  * pruned+compressed configuration's recall. */
+  * force — the configuration the q69 oracle pins (through a save/load
+  * round-trip); IndexSpec gates the pruned+compressed configuration's
+  * recall. L2 only: the ADC sum-of-sub-distances decomposition is an
+  * L2 identity. */
 final case class IvfPqModel(
-    ivf: IvfFlatModel,
+    centroids: Array[Array[Double]],
     pq: PqModel,
     codes: DataFrame) { // (id, code, __bucket)
 
@@ -32,15 +35,33 @@ final case class IvfPqModel(
       shortlist: Int): DataFrame = {
     val q = query.toArray
     val probed = nonEmptyCache
-      .map(b => b -> NearestCentroid.distance(q, ivf.centroids(b),
-        ivf.metric.id))
+      .map(b => b -> NearestCentroid.distance(q, centroids(b),
+        DistanceMetric.L2.id))
       .sortBy { case (b, d) => (d, b) }
       .take(probeLists).map(_._1)
     val cand = pq.adcShortlist(
       codes.filter(col("__bucket").isin(probed: _*)), query, shortlist)
     Knn.bruteForce(
       data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),
-      vecCol, query, k, ivf.metric, tieBreak = Some(idCol))
+      vecCol, query, k, DistanceMetric.L2, tieBreak = Some(idCol))
+  }
+
+  /** Persist the composite: codes PARTITIONED BY the IVF bucket (so a
+    * loaded probe is partition pruning, mirroring IvfFlatModel.save),
+    * plus the PQ codebooks and the routing centroids. Reopen with
+    * [[IvfPq.load]]. */
+  def save(path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(path + "/codes")
+    pq.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
+    }.toSeq.toDF("mi", "ki", "cw")
+      .repartition(1).write.mode("overwrite").parquet(path + "/codebooks")
+    centroids.toSeq.zipWithIndex.map { case (c, b) => (b, c.toSeq) }
+      .toDF("b", "cv")
+      .repartition(1).write.mode("overwrite").parquet(path + "/centroids")
   }
 
   def unpersist(): Unit = codes.unpersist()
@@ -69,6 +90,19 @@ object IvfPq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     codes.count()
     pq.unpersist()
-    IvfPqModel(ivf, pq, codes)
+    IvfPqModel(ivf.centroids, pq, codes)
+  }
+
+  /** Reopen a [[IvfPqModel.save]]d index. The bucketed parquet layout
+    * makes every probe a partition-pruned read. */
+  def load(spark: SparkSession, path: String): IvfPqModel = {
+    val pq = Pq.load(spark, path) // reads /codebooks; /codes unused here
+    pq.unpersist() // the composite codes below are the serving copy
+    val centroids = spark.read.parquet(path + "/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val codes = spark.read.parquet(path + "/codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqModel(centroids, pq.copy(codes = codes), codes)
   }
 }

@@ -58,6 +58,20 @@ object Knn {
       metric: DistanceMetric.Value = DistanceMetric.L2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
+    // ids are carried as long through the per-partition heaps — fail
+    // fast with a clear message rather than an opaque ANSI cast error
+    // (or a silent schema change) on non-integral id columns
+    def requireIntegral(df: DataFrame, c: String, side: String): Unit = {
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"Knn.join: $side id column '$c' must be integral, " +
+        s"got ${df.schema(c).dataType}")
+    }
+    requireIntegral(queries, qIdCol, "query")
+    requireIntegral(data, dIdCol, "data")
     val spark = data.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.NearestCentroid

@@ -81,6 +81,20 @@ final case class PqModel(
       data.join(cand, data(idCol) === col("__cand_id"), "left_semi"),
       vecCol, query, k, tieBreak = Some(idCol))
   }
+
+  /** Persist the code table + codebooks — the restart story for the
+    * compressed layout (the codes ARE the serving working set; without
+    * this every restart pays the full distributed re-encode). Reopen
+    * with [[Pq.load]]. */
+  def save(path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(path + "/codes")
+    codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
+    }.toSeq.toDF("mi", "ki", "cw")
+      .repartition(1).write.mode("overwrite").parquet(path + "/codebooks")
+  }
 }
 
 object Pq {
@@ -134,6 +148,21 @@ object Pq {
     }.toDF("id", "code")
       // the codes ARE the serving working set — persist, or every
       // scan re-runs the distributed encode
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqModel(codebooks, dim, codes)
+  }
+
+  /** Reopen a [[PqModel.save]]d index: codebooks (tiny) to the driver,
+    * codes as a persisted distributed table. */
+  def load(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path + "/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+    }
+    val dim = codebooks.map(_.head.length).sum
+    val codes = spark.read.parquet(path + "/codes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     PqModel(codebooks, dim, codes)
   }

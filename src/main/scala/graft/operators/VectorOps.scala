@@ -157,15 +157,23 @@ object VectorOps {
     }),
 
     // Partition-parallel HNSW (the scale path: sub-graph per partition
-    // built inside mapPartitions, merged top-k serve). Probe-all
+    // built inside mapPartitions, merged top-k serve), INCLUDING
+    // incremental insert: build on a prefix, insert the rest into the
+    // live sub-graphs (InsertVectorEntry contract). Probe-all
     // ef_search makes each sub-graph search exhaustive, so the merged
-    // top-k is exact -> brute-force oracle; IndexSpec covers the
-    // approximate configuration's recall.
+    // top-k is exact -> brute-force oracle over the FULL table gates
+    // both the partitioned build and the insert routing; IndexSpec
+    // covers the approximate configuration's recall.
     "q39_hnsw_partitioned" -> ((s, d) => {
       import s.implicits._
-      val idx = Hnsw.buildPartitioned(emb(s, d), "vec_id", "embedding",
+      val all = emb(s, d)
+      val idx = Hnsw.buildPartitioned(all.filter(col("vec_id") < 400),
+        "vec_id", "embedding",
         m = 8, efConstruction = 64, efSearch = 1 << 24, numPartitions = 4)
-      idx.scan(queryVec(s, d).toArray, 10)
+      val updated = idx.insert(all.filter(col("vec_id") >= 400),
+        "vec_id", "embedding")
+      idx.unpersist()
+      updated.scan(queryVec(s, d).toArray, 10)
         .toDF("vec_id", "dist")
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
@@ -181,7 +189,14 @@ object VectorOps {
       val e = emb(s, d)
       val model = graft.index.Pq.build(e, "vec_id", "embedding",
         m = 8, k = 64)
-      model.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
+      // serve from a SAVED+RELOADED index: the oracle also gates the
+      // persistence round-trip (codes + codebooks survive a restart)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pq").toString
+      model.save(dir)
+      model.unpersist()
+      val loaded = graft.index.Pq.load(s, dir)
+      loaded.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
           shortlist = 1 << 24)
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
@@ -196,7 +211,14 @@ object VectorOps {
       val e = emb(s, d)
       val model = graft.index.IvfPq.build(e, "vec_id", "embedding",
         lists = 8, m = 8, k = 64)
-      model.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
+      // serve from a SAVED+RELOADED index (bucketed parquet: probes
+      // are partition pruning) — the oracle gates the round-trip
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq").toString
+      model.save(dir)
+      model.unpersist()
+      val loaded = graft.index.IvfPq.load(s, dir)
+      loaded.scan(e, "vec_id", "embedding", queryVec(s, d), 10,
           probeLists = 8, shortlist = 1 << 24)
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),

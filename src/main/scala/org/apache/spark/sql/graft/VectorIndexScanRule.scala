@@ -128,9 +128,6 @@ class VectorIndexScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Left-semi keeps the left side's output attributes, so the
       // retained Sort/Limit above still resolve.
       // `__graft_knn_id` is also the marker plan-shape tests look for.
-      // SubqueryAliases must be stripped: this rule runs AFTER the
-      // optimizer's own EliminateSubqueryAliases, and the physical
-      // planner has no strategy for an alias node.
       val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val leftDf = org.apache.spark.sql.classic.Dataset.ofRows(cs, child)
       val idsVecs = meta.model.scanIdsVecs(spark, qvec, k)
@@ -149,9 +146,19 @@ class VectorIndexScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (vecs, leftDf.col(attr.name).cast("array<double>")
             === vecs.col("__graft_knn_id"))
         }
-      val joined = leftDf.join(idsDf, cond, "left_semi")
-        .queryExecution.analyzed
-      org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(joined)
+      // Inject the OPTIMIZED subplan, not the analyzed one: this rule
+      // runs after the optimizer's early batches, so an analyzed
+      // fragment would smuggle in operators the physical planner
+      // refuses (e.g. a Deduplicate from the index-maintenance
+      // `.distinct()` that only ReplaceDeduplicateWithAggregate — a
+      // finish-analysis rule — can remove) and alias nodes. A nested
+      // optimization pass is safe here: optimizer rules are idempotent,
+      // output attribute ids are preserved (the Sort/Limit retained
+      // above still resolve), and re-entry of THIS rule terminates —
+      // the injected fragment has no Limit+Sort(vector distance) on
+      // top and index bucket tables are guarded out by `__bucket`.
+      leftDf.join(idsDf, cond, "left_semi")
+        .queryExecution.optimizedPlan
     }
   }
 }

@@ -33,6 +33,25 @@ class EngineSpec extends SparkSpecBase {
     assert(ip == Seq(3.0, 6.0, 9.0))
   }
 
+  test("force_optimizer_starter_rule: SET/SHOW parity, documented no-op") {
+    // reference optimizer.cpp:18-26 — the variable gates its starter
+    // rule pipeline; here Catalyst's full rule set always runs, so the
+    // variable is accepted, echoed, and steers nothing. Query results
+    // must be identical either way.
+    val e = mkEngine
+    e.executeSql("CREATE TABLE tf(a integer, b integer)")
+    e.executeSql("INSERT INTO tf VALUES (1, 10), (2, 20), (3, 30)")
+    val before = e.executeSql("SELECT a, b FROM tf WHERE a >= 2")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    e.executeSql("set force_optimizer_starter_rule=yes")
+    val shown = e.executeSql("show force_optimizer_starter_rule")
+    assert(shown.columns.head == "force_optimizer_starter_rule")
+    assert(shown.collect().head.getString(0) == "yes")
+    val after = e.executeSql("SELECT a, b FROM tf WHERE a >= 2")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(after == before)
+  }
+
   test("vector.02 naive knn: ORDER BY dist LIMIT k without index") {
     val e = mkEngine
     e.executeSql("CREATE TABLE t2(v1 VECTOR(3), v2 integer)")

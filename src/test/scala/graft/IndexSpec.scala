@@ -97,6 +97,21 @@ class IndexSpec extends SparkSpecBase {
     idx.unpersist()
   }
 
+  test("distributed hnsw insert-after-build: new rows visible, old index intact") {
+    val idx = Hnsw.buildPartitioned(emb.filter(col("vec_id") < 300),
+      "vec_id", "v", m = 8, efConstruction = 64, efSearch = 1 << 24,
+      numPartitions = 4)
+    val before = idx.size
+    val updated = idx.insert(emb.filter(col("vec_id") >= 300), "vec_id", "v")
+    // every row indexed exactly once across the sub-graphs
+    assert(updated.size == emb.count())
+    // probe-all ef makes the updated index exact over the FULL table
+    assert(updated.scan(query.toArray, 10).map(_._1) == bruteIds(10))
+    // functional update: the original index is untouched
+    assert(idx.size == before)
+    idx.unpersist(); updated.unpersist()
+  }
+
   test("distributed hnsw survives save/load with identical scans") {
     val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 8,
       efConstruction = 64, efSearch = 40, numPartitions = 4)
@@ -206,8 +221,10 @@ class IndexSpec extends SparkSpecBase {
     val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8, probeLists = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     m.save(dir)
-    val loaded = IvfFlat.load(spark, dir, m.centroids, m.metric,
-      m.probeLists, m.vecCol)
+    val loaded = IvfFlat.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq) sameElements
+      m.centroids.map(_.toSeq))
+    assert(loaded.metric == m.metric && loaded.probeLists == m.probeLists)
     val planStr = loaded.scan(query, 10, Some("vec_id"))
       .queryExecution.executedPlan.toString
     // probe filter must reach the scan as PartitionFilters, not a
@@ -221,6 +238,44 @@ class IndexSpec extends SparkSpecBase {
     val b = loaded.scan(query, 10, Some("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(a == b)
+  }
+
+  test("pq survives save/load with identical scans") {
+    val model = graft.index.Pq.build(emb, "vec_id", "v", m = 8, k = 64)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    model.save(dir)
+    val loaded = graft.index.Pq.load(spark, dir)
+    assert(loaded.m == model.m && loaded.dim == model.dim)
+    assert(loaded.codes.count() == model.codes.count())
+    val n = emb.count().toInt
+    def ids(m: graft.index.PqModel) =
+      m.scan(emb, "vec_id", "v", query, 10, shortlist = math.max(50, n / 10))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(loaded) == ids(model))
+    model.unpersist(); loaded.unpersist()
+  }
+
+  test("loaded ivf-pq probe scan prunes partitions on __bucket") {
+    val model = graft.index.IvfPq.build(emb, "vec_id", "v",
+      lists = 8, m = 8, k = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    model.save(dir)
+    model.unpersist()
+    val loaded = graft.index.IvfPq.load(spark, dir)
+    // force the pruned-probe configuration and read the plan: the
+    // probe filter must reach the bucketed parquet as PartitionFilters
+    loaded.codes.unpersist() // uncached so the parquet scan shows up
+    val df = loaded.scan(emb, "vec_id", "v", query, 10,
+      probeLists = 2, shortlist = 50)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("__bucket"), s"no partition pruning in:\n$planStr")
+    // and the exact configuration still equals brute force after load
+    val got = loaded.scan(emb, "vec_id", "v", query, 10,
+        probeLists = 8, shortlist = 1 << 24)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(10))
   }
 
   test("ivf knn join (probe=lists) == brute knn join, exactly") {

@@ -87,6 +87,21 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("capstone hot paths carry no interpreted higher-order lambdas") {
+    // Spark HOFs (filter/transform/aggregate over arrays) are
+    // CodegenFallback — they must never appear in the quality/lang-id/
+    // dedup/normalize pipeline plans (CountInSet / UnitNormalize /
+    // SimHash64 / MinHashBands are the codegen'd replacements)
+    for (q <- Seq("q41_quality_score", "q42_lang_id", "q49_embed_dup_ivf",
+        "q66_dedup_keep_best")) {
+      val s = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!s.contains("lambdafunction"),
+        s"$q plan contains an interpreted higher-order lambda:\n$s")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q56 prefix build broadcasts the frequency vocabulary") {
     val df = operators.DedupOps.queries("q56_jaccard_ppjoin")(spark, sfDir)
     val s = df.queryExecution.executedPlan.toString
