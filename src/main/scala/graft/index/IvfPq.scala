@@ -46,6 +46,28 @@ final case class IvfPqModel(
       vecCol, query, k, DistanceMetric.L2, tieBreak = Some(idCol))
   }
 
+  /** Incremental insert (InsertVectorEntry contract,
+    * vector_index.h:11-32): route each new row to its nearest FROZEN
+    * centroid (codegen'd [[NearestCentroid]] — the same assignment the
+    * IVFFlat insert path uses), encode with the FROZEN codebooks, and
+    * append. Neither half retrains — the standard IVF-PQ insert
+    * semantics; heavy drift calls for a rebuild. Functional: the
+    * original model stays valid. */
+  def insert(rows: DataFrame, idCol: String, vecCol: String): IvfPqModel = {
+    val routed = rows
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__bucket",
+        NearestCentroid.column(col("__v"), centroids, DistanceMetric.L2))
+    val fresh = Pq.encode(routed, "id", "__v", pq.codebooks)
+      .join(routed.select(col("id"), col("__bucket")), "id")
+    val appended = codes.unionByName(fresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appended.count() // materialize while the old cache is live
+    copy(codes = appended)
+  }
+
   /** Persist the composite: codes PARTITIONED BY the IVF bucket (so a
     * loaded probe is partition pruning, mirroring IvfFlatModel.save),
     * plus the PQ codebooks and the routing centroids. Reopen with

@@ -82,6 +82,91 @@ final case class PqModel(
       vecCol, query, k, tieBreak = Some(idCol))
   }
 
+  /** Batch KNN JOIN through the compressed codes — the PQ member of
+    * the batch-serving family (Knn.join brute, IvfFlatModel.knnJoin,
+    * Hnsw.knnJoin): top-k data neighbors for EVERY query row in one
+    * job. Queries are broadcast (small side by contract); each code
+    * partition builds the per-query ADC LUTs ONCE (|q| × M × K
+    * sub-distances, tiny), scans its codes once with M byte-lookups
+    * per (row, query) — no float vector is read — and keeps a bounded
+    * heap of the `shortlist` best per query. The exact re-rank joins
+    * true vectors back for the merged shortlist only, so the shuffle
+    * is O(partitions × shortlist) rows per query, never |data|.
+    * shortlist >= n degenerates to the exact brute join (the oracle
+    * configuration); PqSpec-style recall applies when compressed.
+    * Output: (q_id, d_id, dist, rk), L2, ties broken by d_id. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      data: DataFrame, dIdCol: String, dVecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Array[Double])].collect()
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val qB = spark.sparkContext.broadcast(qRows)
+    val ds = dsub
+    val c = shortlist
+    val cand = codes.select(col("id"), col("code"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        val cb = cbB.value; val qs = qB.value
+        val luts = qs.map { case (_, qv) =>
+          Array.tabulate(cb.length) { mi =>
+            val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
+            cb(mi).map(cw => NearestCentroid.distance(s, cw, 0))
+          }
+        }
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (id, code) =>
+          var i = 0
+          while (i < qs.length) {
+            val t = luts(i); var s = 0.0; var mi = 0
+            while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+            val h = heaps(i)
+            if (h.size < c) h.enqueue((s, id))
+            else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map(e => (qs(i)._1, e._2)) }
+      }.toDF("q_id", "__cand_id")
+    val dv = data.select(col(dIdCol).cast("long").as("d_id"),
+      col(dVecCol).cast("array<double>").as("__dv"))
+    val qdf = queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).cast("array<double>").as("__qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("d_id").asc)
+    cand.join(dv, col("__cand_id") === col("d_id"))
+      .join(broadcast(qdf), col("q_id") === col("__qid"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Dist(col("__dv"), col("__qv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))
+  }
+
+  /** Incremental insert — the InsertVectorEntry contract
+    * (reference vector_index.h:11-32): encode the new rows with the
+    * FROZEN codebooks and append. Standard PQ practice — codebooks are
+    * never retrained on insert; if the data distribution drifts far
+    * from the training sample the quantization error grows and the
+    * remedy is a rebuild, not an in-place retrain (retraining would
+    * silently invalidate every previously issued code). Functional:
+    * the original model remains valid; the caller owns unpersisting
+    * whichever copy it retires. */
+  def insert(rows: DataFrame, idCol: String, vecCol: String): PqModel = {
+    val appended = codes
+      .unionByName(Pq.encode(rows, idCol, vecCol, codebooks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appended.count() // materialize while the old cache is live
+    copy(codes = appended)
+  }
+
   /** Persist the code table + codebooks — the restart story for the
     * compressed layout (the codes ARE the serving working set; without
     * this every restart pays the full distributed re-encode). Reopen
@@ -128,28 +213,44 @@ object Pq {
       IvfFlat.localLloyd(sub, sub.take(kk).map(_.clone()), kk,
         iterations, org.apache.spark.sql.graft.DistanceMetric.L2)._2
     }
-    val cbB = spark.sparkContext.broadcast(codebooks)
-    val codes = base.map { case (id, v) =>
-      val cb = cbB.value
-      val code = new Array[Byte](cb.length)
-      var mi = 0
-      while (mi < cb.length) {
-        val qs = java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < cb(mi).length) {
-          val d = NearestCentroid.distance(qs, cb(mi)(j), 0)
-          if (d < bestD) { best = j; bestD = d }
-          j += 1
-        }
-        code(mi) = best.toByte
-        mi += 1
-      }
-      (id, code)
-    }.toDF("id", "code")
+    val codes = encode(df, idCol, vecCol, codebooks)
       // the codes ARE the serving working set — persist, or every
       // scan re-runs the distributed encode
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     PqModel(codebooks, dim, codes)
+  }
+
+  /** One distributed pass mapping each vector to M one-byte codes
+    * against broadcast codebooks — shared by build and insert so there
+    * is ONE copy of the encoder. Returns an UNPERSISTED (id, code)
+    * frame; callers own caching. */
+  private[index] def encode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = codebooks(0)(0).length
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cb = cbB.value
+        val code = new Array[Byte](cb.length)
+        var mi = 0
+        while (mi < cb.length) {
+          val qs =
+            java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < cb(mi).length) {
+            val d = NearestCentroid.distance(qs, cb(mi)(j), 0)
+            if (d < bestD) { best = j; bestD = d }
+            j += 1
+          }
+          code(mi) = best.toByte
+          mi += 1
+        }
+        (id, code)
+      }.toDF("id", "code")
   }
 
   /** Reopen a [[PqModel.save]]d index: codebooks (tiny) to the driver,

@@ -255,6 +255,20 @@ object VectorOps {
           col("rk"))
     }),
 
+    // Compressed variant: per-partition ADC scan over M-byte codes
+    // (broadcast per-query LUTs), bounded shortlist, exact re-rank.
+    // shortlist >= n -> exact, same oracle as the brute join; the
+    // compressed configuration's recall is gated in IndexSpec.
+    "q75_pq_knn_join" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.index.Pq.build(e, "vec_id", "embedding",
+        m = 8, k = 64)
+      model.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, shortlist = 1 << 24)
+        .select(col("q_id"), col("d_id"), round(col("dist"), 6).as("dist"),
+          col("rk"))
+    }),
+
     // Indexed variant: probe-ranked bucket join; probe=lists -> exact,
     // same oracle as the brute join.
     "q27_knn_join_ivf" -> ((s, d) => {
@@ -340,6 +354,7 @@ object VectorOps {
     "q38_knn_rewrite" -> bruteOracle,
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
+    "q75_pq_knn_join" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,
     "q39_hnsw_partitioned" -> bruteOracle,
     "q67_pq_knn" -> bruteOracle,

@@ -255,6 +255,42 @@ class IndexSpec extends SparkSpecBase {
     model.unpersist(); loaded.unpersist()
   }
 
+  test("pq insert-after-build: appended codes serve exactly, old model intact") {
+    val model = graft.index.Pq.build(emb.filter(col("vec_id") < 300),
+      "vec_id", "v", m = 8, k = 64)
+    val before = model.codes.count()
+    val updated = model.insert(emb.filter(col("vec_id") >= 300),
+      "vec_id", "v")
+    assert(updated.codes.count() == emb.count())
+    // shortlist >= n degenerates to exact -> must equal brute force
+    // over the FULL table, proving the appended rows are served
+    val got = updated.scan(emb, "vec_id", "v", query, 10,
+        shortlist = 1 << 24)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(10))
+    // functional update: the original model is untouched
+    assert(model.codes.count() == before)
+    model.unpersist(); updated.unpersist()
+  }
+
+  test("ivf-pq insert-after-build routes by frozen centroids, serves exactly") {
+    val model = graft.index.IvfPq.build(emb.filter(col("vec_id") < 300),
+      "vec_id", "v", lists = 8, m = 8, k = 64)
+    val updated = model.insert(emb.filter(col("vec_id") >= 300),
+      "vec_id", "v")
+    assert(updated.codes.count() == emb.count())
+    // every appended code landed in a valid frozen-centroid bucket
+    val buckets = updated.codes.select("__bucket").distinct()
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < model.centroids.length))
+    // probe-all + shortlist-all is exact over the full table
+    val got = updated.scan(emb, "vec_id", "v", query, 10,
+        probeLists = 8, shortlist = 1 << 24)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteIds(10))
+    model.unpersist(); updated.unpersist()
+  }
+
   test("loaded ivf-pq probe scan prunes partitions on __bucket") {
     val model = graft.index.IvfPq.build(emb, "vec_id", "v",
       lists = 8, m = 8, k = 64)
@@ -276,6 +312,29 @@ class IndexSpec extends SparkSpecBase {
         probeLists = 8, shortlist = 1 << 24)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == bruteIds(10))
+  }
+
+  test("pq batch knn join: exact config == brute join; compressed recall holds") {
+    val model = graft.index.Pq.build(emb, "vec_id", "v", m = 8, k = 64)
+    val queries = emb.filter(col("vec_id") < 15)
+    val brute = Knn.join(queries, "v", "vec_id", emb, "v", "vec_id", 5)
+      .select("q_id", "d_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = model.knnJoin(queries, "vec_id", "v", emb, "vec_id", "v",
+        5, shortlist = 1 << 24)
+      .select("q_id", "d_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute && brute.size == 15 * 5)
+    // compressed shortlist: overall recall of the true top-5 pairs
+    val n = emb.count().toInt
+    val approx = model.knnJoin(queries, "vec_id", "v", emb, "vec_id", "v",
+        5, shortlist = math.max(50, n / 10))
+      .select("q_id", "d_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = brute.map { case (q, dd, _) => (q, dd) }
+    val recall = approx.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall=$recall")
+    model.unpersist()
   }
 
   test("ivf knn join (probe=lists) == brute knn join, exactly") {
