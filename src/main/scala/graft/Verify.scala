@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // substring filter for fast single-query iteration (same contract
+    // as Bench's SPARK_GRAFT_BENCH_FILTER); the driver sets nothing
+    // and gets every query
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(n.contains) }
+      .foreach { case (name, fn) =>
       // hermetic per query: queries cache freely (dedup/index
       // pipelines) and nothing unpersists across 60+ of them
       spark.catalog.clearCache()

@@ -35,6 +35,13 @@ import graft.index.IvfFlat
   *    join), hence it shares q45's oracle.
   *  - SimHash blocking is EXACT by pigeonhole: 4 segments of 16 bits;
   *    hamming <= 3 implies some segment matches exactly.
+  *
+  * Cache contract: queries that return a LAZY DataFrame built on a
+  * cached intermediate (q49's normalized vectors, q72's quality scores)
+  * leave that cache alive — it is still needed when the caller runs its
+  * action. Callers own releasing it (`spark.catalog.clearCache()` after
+  * consuming, as Verify/Bench do per query); intermediates consumed
+  * WITHIN a query are released eagerly here (unpersist/localCheckpoint).
   */
 object DedupOps {
 

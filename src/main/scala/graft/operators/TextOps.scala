@@ -131,6 +131,43 @@ object TextOps {
         .toDF("docs_with_fp", "n_docs", "bounds_ok")
     }),
 
+    // Test-set decontamination (the GPT-3/PaLM recipe: flag training
+    // docs sharing any n-gram with the benchmark/eval set; n scaled to
+    // the synthetic corpus). Eval set = doc_id % 97 == 0 — in a real
+    // pipeline the benchmark suite. Shape for 100TB: the eval side is
+    // ALWAYS tiny, so its distinct grams BROADCAST and the train corpus
+    // is pruned by a map-side semi-join — the 100TB side is never
+    // shuffled; the only exchange is the per-doc count on the doc_id
+    // partitioning the gram window already established.
+    "q73_decontaminate" -> ((s, d) => {
+      val grams = gram5Stream(s, d)
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_overlap"))
+    }),
+
+    // Context-window chunking: split each doc into token windows of
+    // W=64 with stride S=48 (16-token overlap) — the sequence-prep
+    // step before packing/tokenization. Pure narrow ops (sequence +
+    // explode + slice), no shuffle; md5 chunk fingerprints are
+    // engine-independent so every chunk boundary is value-checked.
+    "q74_chunk_windows" -> ((s, d) => {
+      val W = 64; val S = 48
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("i", explode(sequence(lit(0),
+          floor((col("n") - 1) / lit(S)).cast("int"))))
+        .withColumn("start", col("i") * S)
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          least(lit(W), col("n") - col("start")).as("chunk_len"),
+          md5(array_join(slice(col("toks"), col("start") + 1, lit(W)), " ")
+            .cast("binary")).as("chunk_fp"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -151,6 +188,26 @@ object TextOps {
           sum(col("keep").cast("long")).as("sampled"))
     })
   )
+
+  /** The (doc_id, g) 5-gram occurrence stream for decontamination —
+    * same construction as DedupOps' 3-gram stream (posexplode + window
+    * leads; codegen, one shuffle on doc_id), two tokens wider: dedup
+    * wants recall (short grams), decontamination wants precision
+    * (longer grams ~ GPT-3's 13-gram rule, scaled to this corpus). */
+  private def gram5Stream(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .withColumn("t3", lead("t", 3).over(w))
+      .withColumn("t4", lead("t", 4).over(w))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"),
+        col("t2"), col("t3"), col("t4")).as("g"))
+  }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling
     * 4-token hashes, minimum per sliding window of 4 — the standard
@@ -211,6 +268,31 @@ object TextOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
         |FROM documents""".stripMargin,
+    "q73_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |    for i in range(1, len(toks)-3)]) AS g
+        |  FROM t WHERE len(toks) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0
+        |)
+        |SELECT doc_id, count(DISTINCT gr.g) AS n_overlap
+        |FROM gr JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id""".stripMargin,
+    "q74_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, i AS chunk_idx,
+        |  least(64, len(toks) - i*48) AS chunk_len,
+        |  md5(array_to_string(toks[i*48+1 : least(i*48+64, len(toks))], ' ')) AS chunk_fp
+        |FROM t, unnest(generate_series(0, (len(toks)-1)//48)) AS u(i)""".stripMargin,
     // md5 agrees between engines, so the deterministic sample is
     // value-checkable end to end
     "q68_hash_sample" ->

@@ -109,4 +109,23 @@ class PlanShapeSpec extends SparkSpecBase {
       s"freq join should be broadcast, not shuffled:\n$s")
     spark.catalog.clearCache()
   }
+
+  test("q73 decontamination: eval grams broadcast, train side never shuffled for the join") {
+    val df = operators.TextOps.queries("q73_decontaminate")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    // the 100TB-side contract: the train corpus meets the (tiny) eval
+    // gram set through a broadcast LEFT-SEMI hash join — a shuffled
+    // join here would move the whole corpus at scale
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"eval-gram join must be a broadcast left-semi:\n$s")
+    spark.catalog.clearCache()
+  }
+
+  test("q74 chunking is narrow: no exchange anywhere in the plan") {
+    val df = operators.TextOps.queries("q74_chunk_windows")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"),
+      s"per-doc chunking must not shuffle:\n$s")
+    spark.catalog.clearCache()
+  }
 }
