@@ -194,7 +194,7 @@ object TextOps {
     * leads; codegen, one shuffle on doc_id), two tokens wider: dedup
     * wants recall (short grams), decontamination wants precision
     * (longer grams ~ GPT-3's 13-gram rule, scaled to this corpus). */
-  private def gram5Stream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gram5Stream(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     Tables.load(s, d, "documents")

@@ -43,6 +43,21 @@ object StreamOps {
     else fp.dropDuplicates("fp")
   }
 
+  /** Ingestion-time test-set decontamination — the streaming twin of
+    * the batch q73 report: drop any arriving doc that shares a word
+    * 5-gram with the benchmark/eval gram set. The eval suite is tiny
+    * by contract, so its distinct grams ship as a broadcast-literal
+    * set inside ONE codegen'd per-row predicate
+    * ([[org.apache.spark.sql.graft.CountGramsInSet]]) — no explode, no
+    * window function, no state, so the same plan runs batch or
+    * streaming and state stays zero at any throughput. (The batch q73
+    * keeps the broadcast-JOIN shape because its per-doc overlap REPORT
+    * needs distinct-gram counting; the filter semantics here are
+    * identical: kept == not flagged.) */
+  def decontaminate(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
+    docs.filter(org.apache.spark.sql.graft.CountGramsInSet.column(
+      graft.operators.TextOps.tokens(col("text")), 5, benchGrams) === 0)
+
   /** Tumbling-window counts/sums per event type with a 1h watermark —
     * the streaming analogue of the batch q24_events_hourly. */
   def hourlyByType(events: DataFrame): DataFrame =

@@ -205,6 +205,71 @@ object CountInSet {
       VectorDistanceApi.expression(tokens), words.toArray))
 }
 
+/** Occurrence count of word n-grams (space-joined windows of the token
+  * array) that belong to a small static gram set — one codegen'd pass,
+  * no explode, no window function, NO STATE: the per-row form of the
+  * q73 decontamination predicate that Structured Streaming can run at
+  * ingestion time (stream plans admit neither window-lead gram
+  * construction nor a per-doc distinct aggregation). The gram set is
+  * the eval suite's — small by contract, shipped as a literal. */
+case class CountGramsInSet(child: Expression, n: Int, grams: Array[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_grams_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](grams.length * 2)
+    grams.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountGramsInSet.count(input.asInstanceOf[ArrayData], n, set)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    val cls = CountGramsInSet.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.count($a, $n, $s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountGramsInSet =
+    copy(child = c)
+}
+
+object CountGramsInSet {
+  private val Space = UTF8String.fromString(" ")
+
+  def count(tokens: ArrayData, n: Int,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val len = tokens.numElements()
+    if (len < n) return 0
+    val window = new Array[UTF8String](n)
+    var hits = 0
+    var start = 0
+    while (start <= len - n) {
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        if (tokens.isNullAt(start + i)) ok = false
+        else window(i) = tokens.getUTF8String(start + i)
+        i += 1
+      }
+      if (ok && set.contains(UTF8String.concatWs(Space, window: _*))) hits += 1
+      start += 1
+    }
+    hits
+  }
+
+  def column(tokens: Column, n: Int, grams: Seq[String]): Column =
+    VectorDistanceApi.column(CountGramsInSet(
+      VectorDistanceApi.expression(tokens), n, grams.toArray))
+}
+
 /** v / ||v||₂ in one codegen'd pass — replaces the interpreted
   * `transform(v, x / sqrt(aggregate(v, ...)))` normalization on q49's
   * hot path. Zero vectors pass through unchanged. */

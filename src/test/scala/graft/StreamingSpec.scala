@@ -221,6 +221,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination == batch filter == q73 flagging") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 97 =!= 0)
+    // eval grams exactly as q73 builds them (tiny by contract)
+    val benchGrams = operators.TextOps.gram5Stream(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0)
+      .select("g").distinct().collect().map(_.getString(0)).toSeq
+    // batch run of the SAME per-row predicate
+    val keptBatch = streaming.StreamOps.decontaminate(train, benchGrams)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // agreement with the broadcast-join report: kept == train - flagged
+    val flagged = operators.TextOps.queries("q73_decontaminate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBatch == trainIds -- flagged && keptBatch.nonEmpty)
+    // the same rows through a stream: identical survivors, no state
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.StreamOps.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), benchGrams)
+      .writeStream.format("memory").queryName("decon_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(train.as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      val gotStream = spark.table("decon_t").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(gotStream == keptBatch)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
