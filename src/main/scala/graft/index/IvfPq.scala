@@ -118,13 +118,13 @@ object IvfPq {
   /** Reopen a [[IvfPqModel.save]]d index. The bucketed parquet layout
     * makes every probe a partition-pruned read. */
   def load(spark: SparkSession, path: String): IvfPqModel = {
-    val pq = Pq.load(spark, path) // reads /codebooks; /codes unused here
-    pq.unpersist() // the composite codes below are the serving copy
+    val codebooks = Pq.loadCodebooks(spark, path)
+    val dim = codebooks.map(_.head.length).sum
     val centroids = spark.read.parquet(path + "/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     val codes = spark.read.parquet(path + "/codes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfPqModel(centroids, pq.copy(codes = codes), codes)
+    IvfPqModel(centroids, PqModel(codebooks, dim, codes), codes)
   }
 }

@@ -253,15 +253,22 @@ object Pq {
       }.toDF("id", "code")
   }
 
-  /** Reopen a [[PqModel.save]]d index: codebooks (tiny) to the driver,
-    * codes as a persisted distributed table. */
-  def load(spark: SparkSession, path: String): PqModel = {
+  /** Codebooks (tiny) back to the driver — shared by [[load]] and
+    * [[IvfPq.load]] (whose code table has its own bucketed layout). */
+  private[index] def loadCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(path + "/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
-    val codebooks = Array.tabulate(m) { mi =>
+    Array.tabulate(m) { mi =>
       rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
     }
+  }
+
+  /** Reopen a [[PqModel.save]]d index: codebooks (tiny) to the driver,
+    * codes as a persisted distributed table. */
+  def load(spark: SparkSession, path: String): PqModel = {
+    val codebooks = loadCodebooks(spark, path)
     val dim = codebooks.map(_.head.length).sum
     val codes = spark.read.parquet(path + "/codes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

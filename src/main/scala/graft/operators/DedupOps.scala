@@ -148,8 +148,14 @@ object DedupOps {
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache() // handle we unpersist
+    // round-0 fused into the init: lbl = least(id, min neighbor id) on
+    // the SAME groupBy-src shuffle that plain node-distinct would pay.
+    // Near-dup clusters are mostly cliques, and a clique converges AT
+    // init under this seeding — the loop then runs exactly one
+    // verification round instead of propagate + verify.
+    var cached = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("src")), min(col("dst"))).as("lbl"))
+      .cache() // handle we unpersist
     var labels = cached
     var converged = false
     while (!converged) {

@@ -52,6 +52,30 @@ class EngineSpec extends SparkSpecBase {
     assert(after == before)
   }
 
+  test("timestamp columns: literals insert, compare, order (timestamp_type.cpp)") {
+    // the reference parses/renders TIMESTAMP (timestamp_type.cpp:22,99)
+    // but its test corpus never exercises literals; pin that our
+    // CREATE/INSERT/WHERE/ORDER path handles both bare-string and
+    // TIMESTAMP'...' literal forms via the insert-time schema cast
+    val e = mkEngine
+    e.executeSql("CREATE TABLE tt(id integer, at timestamp)")
+    e.executeSql(
+      "INSERT INTO tt VALUES (1, '2021-01-01 10:00:00'), (2, '2021-01-01 09:30:00')")
+    e.executeSql("INSERT INTO tt VALUES (3, TIMESTAMP '2021-06-15 00:00:00')")
+    val got = e.executeSql(
+        "SELECT id FROM tt WHERE at >= '2021-01-01 10:00:00' ORDER BY at")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 3))
+    // a non-parsing literal is REJECTED (binder-style), never NULLed —
+    // under ANSI the cast itself throws; either way the insert fails
+    val err = intercept[Exception] {
+      e.executeSql("INSERT INTO tt VALUES (4, 'not a timestamp')")
+    }
+    val msg = err.getMessage.toLowerCase
+    assert(msg.contains("mismatch") || msg.contains("cast"))
+    assert(e.executeSql("SELECT id FROM tt").collect().length == 3)
+  }
+
   test("vector.02 naive knn: ORDER BY dist LIMIT k without index") {
     val e = mkEngine
     e.executeSql("CREATE TABLE t2(v1 VECTOR(3), v2 integer)")
