@@ -153,14 +153,26 @@ final class Engine(val spark: SparkSession) {
     // Cache: queries then resolve to a stable InMemoryRelation leaf the
     // KNN rule can recognize (LocalRelation unions get constant-folded
     // by the optimizer, destroying plan identity).
-    tables.remove(name).foreach(_.unpersist())
+    //
     // Invariant: every stored table carries Engine.RowId, assigned ONCE
     // when rows enter the engine and never re-derived — deletes keep
     // surviving ids, updates carry them through, inserts extend past
     // the max. (A positional id recomputed per maintenance pass would
     // silently renumber rows if partition order ever changed, and its
     // global row_number window funnels the table through one task.)
+    //
+    // Ordering matters for that invariant: the new cache MUST
+    // materialize while the previous incarnation's cache is still
+    // live. The new plan's lineage runs THROUGH the old table (insert
+    // = old table unionAll new rows); unpersisting first would make
+    // materialization recompute the old rows from raw lineage —
+    // re-running every prior insert's monotonically_increasing_id and
+    // potentially renumbering rows a nondeterministic INSERT...SELECT
+    // source produced, invalidating index entries built from those ids.
+    val old = tables.remove(name)
     val cached = withRowId(df).cache()
+    cached.count() // materialize before the old cache goes away
+    old.foreach(_.unpersist())
     tables.put(name, cached)
     // the user-facing view hides the internal rid (SELECT * parity)
     cached.drop(Engine.RowId).createOrReplaceTempView(name)
@@ -360,12 +372,8 @@ final class Engine(val spark: SparkSession) {
         createIndex(ddl)
     }
     maintainIndexes(tbl, rows)
-    // force the new table cache to materialize BEFORE releasing the
-    // rows cache: the assigned row ids live in `rows`' cache, and a
-    // later lazy fill would re-run monotonically_increasing_id — for a
-    // nondeterministic INSERT...SELECT source that could renumber rows
-    // and break the assign-once id invariant
-    table(tbl).count()
+    // registerTable materialized the table cache (with the assigned
+    // ids) while `rows`' cache was live — safe to release it now
     rows.unpersist() // the table's own cache covers it from here
     import spark.implicits._
     Seq(cnt).toDF(Engine.InsertRowsCol)

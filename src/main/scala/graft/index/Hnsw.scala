@@ -400,7 +400,11 @@ object Hnsw {
         it.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .toSeq.sortBy(_._1)
           .foreach { case (id, v) => idx.insert(id, v) }
-        if (idx.size > 0) Iterator.single(idx) else Iterator.empty
+        // ALWAYS emit the (possibly empty) sub-graph: it carries the
+        // hyperparameters, so an index built over an empty table (the
+        // create-index-then-insert flow) still has a params template
+        // for insert() to extend — and scans over empty graphs are free
+        Iterator.single(idx)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new DistributedHnswIndex(parts)
   }

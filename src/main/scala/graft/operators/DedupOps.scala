@@ -352,7 +352,7 @@ object DedupOps {
 
     // SimHash(64) blocking, reshaped into a DRIVER-CHECKABLE gate:
     // xxhash64 signatures can never value-match another engine, but
-    // the 8x8-bit segment blocking is provably EXACT for hamming <= 7
+    // the 4x16-bit segment blocking is provably EXACT for hamming <= 3
     // (pigeonhole), so the query emits the blocked-vs-brute
     // equivalence itself — (missed, extra) MUST be 0 and n_docs is a
     // genuine DuckDB-checkable count. DedupSpec additionally pins the

@@ -106,11 +106,14 @@ object TextOps {
     // the fp values are xxhash64-seeded (never cross-engine), but the
     // winnowing GUARANTEES are checkable — every doc with >= 4 tokens
     // (>= 1 four-gram) selects at least one fingerprint, and the
-    // selected-count per doc is bounded by ceil(G/4) <= n_fp <= G for
-    // G = tokens-3 windows (one min can cover at most 4 windows).
-    // docs_with_fp is the genuine DuckDB-checkable count; bounds_ok is
-    // the in-engine guarantee flag. TextSpec still pins the near-dup
-    // overlap property at pair level.
+    // SELECTED-POSITION count per doc is bounded by ceil(G/4) <= n_fp
+    // <= G for G = tokens-3 windows (one selected position covers at
+    // most 4 windows). Counting positions, not hash values, is what
+    // makes the lower bound sound: a repetitive doc (one token
+    // repeated) collapses distinct hashes to 1 but still selects
+    // >= ceil(G/4) positions. docs_with_fp is the genuine
+    // DuckDB-checkable count; bounds_ok is the in-engine guarantee
+    // flag. TextSpec still pins the near-dup overlap property.
     "q53_winnow_fingerprint" -> ((s, d) => {
       import s.implicits._
       val perDoc = winnow(s, d).groupBy("doc_id")
@@ -168,6 +171,31 @@ object TextOps {
             .cast("binary")).as("chunk_fp"))
     }),
 
+    // Per-source corpus report — the monitoring surface every
+    // training pipeline runs per crawl/source: volume, exact-decimal
+    // average + median quality, and language-ID accuracy against the
+    // table's true labels. One narrow scoring pass + one groupBy on
+    // the (low-cardinality) source key.
+    "q76_source_report" -> ((s, d) => {
+      val langs = queries("q42_lang_id")(s, d)
+        .select(col("doc_id"), col("lang_pred"))
+      val qual = queries("q41_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .join(langs, "doc_id").join(qual, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_chars").as("chars"),
+          // decimal-exact sum, one double division (float sum ORDER
+          // differs between engines; exact decimal doesn't)
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          round(percentile(col("quality"), lit(0.5)), 6).as("p50_quality"),
+          sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+            .as("langid_hits"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -209,10 +237,15 @@ object TextOps {
         col("t2"), col("t3"), col("t4")).as("g"))
   }
 
-  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling
-    * 4-token hashes, minimum per sliding window of 4 — the standard
-    * near-dup sketch whose selected fingerprints are stable under
-    * local edits. All codegen/window ops; one shuffle on doc_id. */
+  /** ROBUST winnowing fingerprints (Schleimer/Wilkerson/Aiken §4):
+    * rolling 4-token hashes, each sliding window of 4 selects its
+    * RIGHTMOST minimal hash — the paper's tie-break, tracked by
+    * POSITION. Returns distinct (doc_id, fp, pos) selections: the
+    * position makes the density guarantee provable on the count (one
+    * selected position covers at most 4 windows ⇒ ceil(G/4) <= #sel
+    * <= G for G windows) even when a repetitive doc collapses the
+    * distinct hash VALUES. All codegen/window ops; one shuffle on
+    * doc_id. */
   def winnow(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -225,8 +258,12 @@ object TextOps {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("t"), col("t1"), col("t2"), col("t3")).as("h"))
     grams
-      .withColumn("fp", min("h").over(w.rowsBetween(0, 3)))
-      .select(col("doc_id"), col("fp")).distinct()
+      // min over (h, -pos) = rightmost occurrence of the minimal hash
+      .withColumn("sel", min(struct(col("h").as("h"),
+        (-col("pos")).as("np"))).over(w.rowsBetween(0, 3)))
+      .select(col("doc_id"), col("sel.h").as("fp"),
+        (-col("sel.np")).as("pos"))
+      .distinct()
   }
 
   val oracles: Map[String, String] = Map(
@@ -235,26 +272,7 @@ object TextOps {
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
         |FROM documents""".stripMargin,
-    "q41_quality_score" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, n_chars, text,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, n_chars, text,
-        |    len(toks)::DOUBLE AS word_cnt,
-        |    len(list_filter(toks, t -> t IN ${sqlIn(En)}))::DOUBLE AS stop_hits,
-        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS punct_cnt
-        |  FROM t
-        |)
-        |SELECT doc_id, word_cnt::BIGINT AS word_cnt,
-        |  round(stop_hits / word_cnt, 6) AS stop_ratio,
-        |  round(punct_cnt / n_chars::DOUBLE, 6) AS punct_ratio,
-        |  round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / word_cnt, 6) AS avg_wlen,
-        |  round(least(1.0, word_cnt / 100.0) * 0.4
-        |    + (stop_hits / word_cnt) * 0.3
-        |    + (1.0 - punct_cnt / n_chars::DOUBLE) * 0.3, 6) AS quality
-        |FROM m""".stripMargin,
+    "q41_quality_score" -> qualityOracle,
     "q42_lang_id" -> langOracle,
     // winnowing gate: the doc coverage count is cross-engine exact;
     // the per-doc count bounds are asserted in-engine (bounds_ok)
@@ -268,6 +286,14 @@ object TextOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
         |FROM documents""".stripMargin,
+    "q76_source_report" ->
+      s"""WITH q AS ($qualityOracle), l AS ($langOracle)
+        |SELECT source, count(*) AS docs, sum(n_chars) AS chars,
+        |  round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE / count(*), 6) AS avg_quality,
+        |  round(quantile_cont(quality, 0.5), 6) AS p50_quality,
+        |  sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT AS langid_hits
+        |FROM documents JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |GROUP BY source""".stripMargin,
     "q73_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -304,6 +330,27 @@ object TextOps {
         |SELECT lang_pred, count(*) AS total, sum(keep)::BIGINT AS sampled
         |FROM k JOIN lang USING (doc_id) GROUP BY lang_pred""".stripMargin
   )
+
+  private lazy val qualityOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, n_chars, text,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_chars, text,
+      |    len(toks)::DOUBLE AS word_cnt,
+      |    len(list_filter(toks, t -> t IN ${sqlIn(En)}))::DOUBLE AS stop_hits,
+      |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS punct_cnt
+      |  FROM t
+      |)
+      |SELECT doc_id, word_cnt::BIGINT AS word_cnt,
+      |  round(stop_hits / word_cnt, 6) AS stop_ratio,
+      |  round(punct_cnt / n_chars::DOUBLE, 6) AS punct_ratio,
+      |  round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / word_cnt, 6) AS avg_wlen,
+      |  round(least(1.0, word_cnt / 100.0) * 0.4
+      |    + (stop_hits / word_cnt) * 0.3
+      |    + (1.0 - punct_cnt / n_chars::DOUBLE) * 0.3, 6) AS quality
+      |FROM m""".stripMargin
 
   private lazy val langOracle: String =
     s"""WITH t AS (

@@ -29,6 +29,12 @@ object VectorOps {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
 
+  /** One stable scratch dir per (index kind, dataset): save() runs in
+    * overwrite mode, so repeated runs replace rather than accumulate. */
+  private def idxDir(kind: String, d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${kind}_${math.abs(d.hashCode)}").getAbsolutePath
+
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
@@ -190,9 +196,11 @@ object VectorOps {
       val model = graft.index.Pq.build(e, "vec_id", "embedding",
         m = 8, k = 64)
       // serve from a SAVED+RELOADED index: the oracle also gates the
-      // persistence round-trip (codes + codebooks survive a restart)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_pq").toString
+      // persistence round-trip (codes + codebooks survive a restart).
+      // Deterministic per-dataset path + overwrite mode — repeated
+      // Verify/Bench invocations reuse ONE directory instead of
+      // leaking a code-table copy into /tmp per run
+      val dir = idxDir("graft_pq", d)
       model.save(dir)
       model.unpersist()
       val loaded = graft.index.Pq.load(s, dir)
@@ -212,9 +220,9 @@ object VectorOps {
       val model = graft.index.IvfPq.build(e, "vec_id", "embedding",
         lists = 8, m = 8, k = 64)
       // serve from a SAVED+RELOADED index (bucketed parquet: probes
-      // are partition pruning) — the oracle gates the round-trip
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq").toString
+      // are partition pruning) — the oracle gates the round-trip;
+      // deterministic reused path, see q67
+      val dir = idxDir("graft_ivfpq", d)
       model.save(dir)
       model.unpersist()
       val loaded = graft.index.IvfPq.load(s, dir)

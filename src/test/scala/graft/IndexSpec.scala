@@ -112,6 +112,19 @@ class IndexSpec extends SparkSpecBase {
     idx.unpersist(); updated.unpersist()
   }
 
+  test("distributed hnsw: build on empty input, insert populates it") {
+    // the create-index-on-empty-table-then-insert flow: empty
+    // sub-graphs still carry the hyperparameters as insert templates
+    val idx = Hnsw.buildPartitioned(emb.filter(col("vec_id") < 0),
+      "vec_id", "v", m = 8, efConstruction = 64, efSearch = 1 << 24,
+      numPartitions = 4)
+    assert(idx.size == 0 && idx.scan(query.toArray, 5).isEmpty)
+    val updated = idx.insert(emb, "vec_id", "v")
+    assert(updated.size == emb.count())
+    assert(updated.scan(query.toArray, 10).map(_._1) == bruteIds(10))
+    idx.unpersist(); updated.unpersist()
+  }
+
   test("distributed hnsw survives save/load with identical scans") {
     val idx = Hnsw.buildPartitioned(emb, "vec_id", "v", m = 8,
       efConstruction = 64, efSearch = 40, numPartitions = 4)
