@@ -11,7 +11,7 @@ object Bench {
   private val ScaleFamilies = Seq(
     "q26_knn_join_brute", "q30_knn_l2", "q33_ivfflat_exact",
     "q39_hnsw_partitioned", "q67_pq_knn", "q69_ivfpq_knn",
-    "q75_pq_knn_join",
+    "q75_pq_knn_join", "q78_ivfpq_knn_join",
     "q44_dedup_exact", "q45_ngram_jaccard", "q46_minhash_lsh",
     "q56_jaccard_ppjoin", "q49_embed_dup_ivf", "q65_dup_clusters")
 

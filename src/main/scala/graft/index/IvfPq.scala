@@ -46,6 +46,79 @@ final case class IvfPqModel(
       vecCol, query, k, DistanceMetric.L2, tieBreak = Some(idCol))
   }
 
+  /** Batch KNN JOIN through the full billion-scale layout — bucket
+    * routing prunes WHICH codes each query scores, PQ codes shrink
+    * WHAT is read, exact re-rank restores true distances; completes
+    * the serving family (brute / IVF / HNSW / PQ joins). Per query the
+    * probe set is its `probeLists` nearest frozen centroids (driver:
+    * |q| × lists distances, tiny); each code partition builds the
+    * per-query ADC LUTs once and scores a row for a query ONLY if the
+    * row's bucket is probed by that query — with the bucketed-parquet
+    * layout a single-query scan is partition pruning, and here the
+    * per-row bucket test is one broadcast bitset lookup. probe=lists
+    * AND shortlist >= n degenerates to the exact brute join (the
+    * oracle configuration); IndexSpec gates pruned recall.
+    * Output: (q_id, d_id, dist, rk), L2, ties by d_id. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      data: DataFrame, dIdCol: String, dVecCol: String, k: Int,
+      probeLists: Int, shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Array[Double])].collect()
+    val nonEmpty = nonEmptyCache
+    val probed: Array[Array[Boolean]] = qRows.map { case (_, qv) =>
+      val sel = nonEmpty
+        .map(b => b -> NearestCentroid.distance(qv, centroids(b),
+          DistanceMetric.L2.id))
+        .sortBy { case (b, dd) => (dd, b) }
+        .take(probeLists).map(_._1).toSet
+      Array.tabulate(centroids.length)(sel.contains)
+    }
+    val cb = pq.codebooks
+    val ds = cb(0)(0).length
+    val cbB = spark.sparkContext.broadcast(cb)
+    val qB = spark.sparkContext.broadcast(qRows)
+    val pB = spark.sparkContext.broadcast(probed)
+    val c = shortlist
+    val cand = codes.select(col("id"), col("code"), col("__bucket"))
+      .as[(Long, Array[Byte], Int)].mapPartitions { it =>
+        val cbs = cbB.value; val qs = qB.value; val pb = pB.value
+        val luts = qs.map { case (_, qv) =>
+          Array.tabulate(cbs.length) { mi =>
+            val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
+            cbs(mi).map(cw => NearestCentroid.distance(s, cw, 0))
+          }
+        }
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (id, code, b) =>
+          var i = 0
+          while (i < qs.length) {
+            if (pb(i)(b)) {
+              val t = luts(i); var s = 0.0; var mi = 0
+              while (mi < code.length) {
+                s += t(mi)(code(mi) & 0xff); mi += 1
+              }
+              val h = heaps(i)
+              if (h.size < c) h.enqueue((s, id))
+              else if (ord.lt((s, id), h.head)) {
+                h.dequeue(); h.enqueue((s, id))
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map(e => (qs(i)._1, e._2)) }
+      }.toDF("q_id", "__cand_id")
+    Knn.exactRerank(cand, queries, qIdCol, qVecCol,
+      data, dIdCol, dVecCol, k)
+  }
+
   /** Incremental insert (InsertVectorEntry contract,
     * vector_index.h:11-32): route each new row to its nearest FROZEN
     * centroid (codegen'd [[NearestCentroid]] — the same assignment the

@@ -37,6 +37,30 @@ object Knn {
     ordered.limit(k)
   }
 
+  /** Exact L2 re-rank of a (q_id, __cand_id) candidate frame: join the
+    * true vectors back (candidates only — the shuffle is bounded by
+    * the shortlist, never |data|), broadcast the query vectors, window
+    * top-k per query. Shared by the PQ and IVF-PQ batch joins so there
+    * is ONE copy of the re-rank. Output: (q_id, d_id, dist, rk). */
+  private[index] def exactRerank(cand: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      data: DataFrame, dIdCol: String, dVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = data.select(col(dIdCol).cast("long").as("d_id"),
+      col(dVecCol).cast("array<double>").as("__dv"))
+    val qdf = queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).cast("array<double>").as("__qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("d_id").asc)
+    cand.join(dv, col("__cand_id") === col("d_id"))
+      .join(broadcast(qdf), col("q_id") === col("__qid"))
+      .withColumn("dist", l2Dist(col("__dv"), col("__qv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))
+  }
+
   /** Batch KNN JOIN — top-k data neighbors for EVERY query row, the
     * Spark-native form of vector serving (one job, not Q sequential
     * scans). Exact: broadcast the query set (queries are the small

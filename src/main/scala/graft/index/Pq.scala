@@ -135,19 +135,8 @@ final case class PqModel(
         heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
           h.iterator.map(e => (qs(i)._1, e._2)) }
       }.toDF("q_id", "__cand_id")
-    val dv = data.select(col(dIdCol).cast("long").as("d_id"),
-      col(dVecCol).cast("array<double>").as("__dv"))
-    val qdf = queries.select(col(qIdCol).cast("long").as("__qid"),
-      col(qVecCol).cast("array<double>").as("__qv"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("dist").asc, col("d_id").asc)
-    cand.join(dv, col("__cand_id") === col("d_id"))
-      .join(broadcast(qdf), col("q_id") === col("__qid"))
-      .withColumn("dist",
-        graft.functions.VectorFunctions.l2Dist(col("__dv"), col("__qv")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("q_id"), col("d_id"), col("dist"), col("__rk").as("rk"))
+    Knn.exactRerank(cand, queries, qIdCol, qVecCol,
+      data, dIdCol, dVecCol, k)
   }
 
   /** Incremental insert — the InsertVectorEntry contract

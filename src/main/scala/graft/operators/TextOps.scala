@@ -171,6 +171,41 @@ object TextOps {
             .cast("binary")).as("chunk_fp"))
     }),
 
+    // Sequence-packing offsets: concatenate the corpus token stream in
+    // doc_id order and split it into fixed W=512-token training
+    // sequences — each doc's (start_off, first_seq, last_seq) is the
+    // doc->sequence placement map pretraining data loaders need. The
+    // global running offset is a TWO-PHASE distributed prefix sum
+    // (range-partition by doc_id, per-partition totals collected — one
+    // long per partition — then broadcast prefix + partition-local
+    // scan): a naive `sum over (ORDER BY doc_id)` window funnels the
+    // whole corpus through ONE reducer, the classic scale-killer.
+    // TextSpec pins two-phase == naive-window equality.
+    "q77_pack_offsets" -> ((s, d) => {
+      import s.implicits._
+      val W = 512L
+      val parted = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+      val rdd = parted.rdd
+      val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.foldLeft(0L)(_ + _._2)))
+      }.collect().sortBy(_._1).map(_._2)
+      val prefix = s.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var off = prefix.value(pid)
+        it.map { case (id, n) =>
+          val s0 = off
+          off += n
+          (id, s0, s0 / W, (s0 + n - 1) / W)
+        }
+      }.toDF("doc_id", "start_off", "first_seq", "last_seq")
+    }),
+
     // Per-source corpus report — the monitoring surface every
     // training pipeline runs per crawl/source: volume, exact-decimal
     // average + median quality, and language-ID accuracy against the
@@ -286,6 +321,20 @@ object TextOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
         |FROM documents""".stripMargin,
+    "q77_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n,
+        |    COALESCE(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t
+        |)
+        |SELECT doc_id, start_off, start_off // 512 AS first_seq,
+        |  (start_off + n - 1) // 512 AS last_seq
+        |FROM o""".stripMargin,
     "q76_source_report" ->
       s"""WITH q AS ($qualityOracle), l AS ($langOracle)
         |SELECT source, count(*) AS docs, sum(n_chars) AS chars,

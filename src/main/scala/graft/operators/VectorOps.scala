@@ -277,6 +277,20 @@ object VectorOps {
           col("rk"))
     }),
 
+    // Full billion-scale-layout variant: per-query bucket pruning +
+    // ADC over M-byte codes + exact re-rank. probe=lists AND
+    // shortlist >= n -> exact, same oracle as the brute join.
+    "q78_ivfpq_knn_join" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = graft.index.IvfPq.build(e, "vec_id", "embedding",
+        lists = 8, m = 8, k = 64)
+      model.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, probeLists = 8,
+          shortlist = 1 << 24)
+        .select(col("q_id"), col("d_id"), round(col("dist"), 6).as("dist"),
+          col("rk"))
+    }),
+
     // Indexed variant: probe-ranked bucket join; probe=lists -> exact,
     // same oracle as the brute join.
     "q27_knn_join_ivf" -> ((s, d) => {
@@ -363,6 +377,7 @@ object VectorOps {
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
     "q75_pq_knn_join" -> knnJoinOracle,
+    "q78_ivfpq_knn_join" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,
     "q39_hnsw_partitioned" -> bruteOracle,
     "q67_pq_knn" -> bruteOracle,

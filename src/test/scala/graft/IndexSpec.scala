@@ -350,6 +350,30 @@ class IndexSpec extends SparkSpecBase {
     model.unpersist()
   }
 
+  test("ivf-pq batch knn join: exact config == brute; pruned recall holds") {
+    val model = graft.index.IvfPq.build(emb, "vec_id", "v",
+      lists = 8, m = 8, k = 64)
+    val queries = emb.filter(col("vec_id") < 15)
+    val brute = Knn.join(queries, "v", "vec_id", emb, "v", "vec_id", 5)
+      .select("q_id", "d_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = model.knnJoin(queries, "vec_id", "v", emb, "vec_id", "v",
+        5, probeLists = 8, shortlist = 1 << 24)
+      .select("q_id", "d_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute && brute.size == 15 * 5)
+    // pruned probes + compressed shortlist: overall pair recall
+    val n = emb.count().toInt
+    val approx = model.knnJoin(queries, "vec_id", "v", emb, "vec_id", "v",
+        5, probeLists = 3, shortlist = math.max(50, n / 10))
+      .select("q_id", "d_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = brute.map { case (q, dd, _) => (q, dd) }
+    val recall = approx.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall=$recall")
+    model.unpersist()
+  }
+
   test("ivf knn join (probe=lists) == brute knn join, exactly") {
     val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 8, probeLists = 8)
     val queries = emb.filter(col("vec_id") < 15)

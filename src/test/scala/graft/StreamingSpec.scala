@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("context-window chunking runs unchanged on a stream (== batch)") {
+    // q74's chunking is pure narrow ops (sequence + explode + slice) —
+    // the SAME transformation chunks documents at ingestion time with
+    // zero state; pin that the plan really is stream-admissible
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a b c"), (2L, (1 to 150).map(i => s"t$i").mkString(" ")))
+    def chunk(df: org.apache.spark.sql.DataFrame) = {
+      val W = 64; val S = 48
+      df.select(col("doc_id"),
+          graft.operators.TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("i", explode(sequence(lit(0),
+          floor((col("n") - 1) / lit(S)).cast("int"))))
+        .select(col("doc_id"), col("i"),
+          least(lit(W), col("n") - col("i") * S).as("chunk_len"))
+    }
+    val want = chunk(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = chunk(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_t").collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)

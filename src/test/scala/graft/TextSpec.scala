@@ -30,6 +30,30 @@ class TextSpec extends SparkSpecBase {
       s"strongMean=$strongMean randMean=$randMean")
   }
 
+  test("pack offsets: two-phase prefix sum == naive single-reducer window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = TextOps.queries("q77_pack_offsets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // the naive twin: correct but funnels everything through one task
+    val w = Window.orderBy("doc_id").rowsBetween(Long.MinValue, -1)
+    val naive = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("start_off", coalesce(sum("n").over(w), lit(0L)))
+      .select(col("doc_id"), col("start_off"),
+        (col("start_off") / 512).cast("long").as("first_seq"),
+        ((col("start_off") + col("n") - 1) / 512).cast("long").as("last_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == naive && got.nonEmpty)
+    // sequences partition the token stream: consecutive docs abut
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 >= a._2) // offsets non-decreasing in doc order
+    }
+  }
+
   test("every doc with >= 4 tokens gets fingerprints, bounded by grams") {
     import org.apache.spark.sql.functions._
     val nDocs = Tables.load(spark, sfDir, "documents")
