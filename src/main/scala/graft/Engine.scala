@@ -169,11 +169,14 @@ final class Engine(val spark: SparkSession) {
     // re-running every prior insert's monotonically_increasing_id and
     // potentially renumbering rows a nondeterministic INSERT...SELECT
     // source produced, invalidating index entries built from those ids.
-    val old = tables.remove(name)
+    // And materialize-then-SWAP keeps failure atomic: if the count
+    // throws (ANSI cast error in an UPDATE expression, task failure),
+    // the old entry is still registered and its cache intact — the
+    // statement fails, the table doesn't disappear.
     val cached = withRowId(df).cache()
-    cached.count() // materialize before the old cache goes away
-    old.foreach(_.unpersist())
-    tables.put(name, cached)
+    try cached.count() // materialize while the old cache is still live
+    catch { case e: Throwable => cached.unpersist(); throw e }
+    tables.put(name, cached).foreach(_.unpersist())
     // the user-facing view hides the internal rid (SELECT * parity)
     cached.drop(Engine.RowId).createOrReplaceTempView(name)
     refreshIndexLeaves(name)

@@ -62,13 +62,10 @@ final case class IvfPqModel(
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
       data: DataFrame, dIdCol: String, dVecCol: String, k: Int,
       probeLists: Int, shortlist: Int): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val qRows = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .filter(col(qVecCol).isNotNull)
-      .as[(Long, Array[Double])].collect()
+    val qRows = Pq.collectQueries(queries, qIdCol, qVecCol)
     val nonEmpty = nonEmptyCache
+    // per-query probe bitset over the frozen centroids (driver:
+    // |q| × lists distances, tiny)
     val probed: Array[Array[Boolean]] = qRows.map { case (_, qv) =>
       val sel = nonEmpty
         .map(b => b -> NearestCentroid.distance(qv, centroids(b),
@@ -77,44 +74,8 @@ final case class IvfPqModel(
         .take(probeLists).map(_._1).toSet
       Array.tabulate(centroids.length)(sel.contains)
     }
-    val cb = pq.codebooks
-    val ds = cb(0)(0).length
-    val cbB = spark.sparkContext.broadcast(cb)
-    val qB = spark.sparkContext.broadcast(qRows)
-    val pB = spark.sparkContext.broadcast(probed)
-    val c = shortlist
-    val cand = codes.select(col("id"), col("code"), col("__bucket"))
-      .as[(Long, Array[Byte], Int)].mapPartitions { it =>
-        val cbs = cbB.value; val qs = qB.value; val pb = pB.value
-        val luts = qs.map { case (_, qv) =>
-          Array.tabulate(cbs.length) { mi =>
-            val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
-            cbs(mi).map(cw => NearestCentroid.distance(s, cw, 0))
-          }
-        }
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(qs.length)(
-          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
-        it.foreach { case (id, code, b) =>
-          var i = 0
-          while (i < qs.length) {
-            if (pb(i)(b)) {
-              val t = luts(i); var s = 0.0; var mi = 0
-              while (mi < code.length) {
-                s += t(mi)(code(mi) & 0xff); mi += 1
-              }
-              val h = heaps(i)
-              if (h.size < c) h.enqueue((s, id))
-              else if (ord.lt((s, id), h.head)) {
-                h.dequeue(); h.enqueue((s, id))
-              }
-            }
-            i += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.iterator.map(e => (qs(i)._1, e._2)) }
-      }.toDF("q_id", "__cand_id")
+    val cand = Pq.adcCandidates(codes, qRows, pq.codebooks, shortlist,
+      Some(probed))
     Knn.exactRerank(cand, queries, qIdCol, qVecCol,
       data, dIdCol, dVecCol, k)
   }

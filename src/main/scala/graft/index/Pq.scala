@@ -98,43 +98,8 @@ final case class PqModel(
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
       data: DataFrame, dIdCol: String, dVecCol: String, k: Int,
       shortlist: Int): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val qRows = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .filter(col(qVecCol).isNotNull)
-      .as[(Long, Array[Double])].collect()
-    val cbB = spark.sparkContext.broadcast(codebooks)
-    val qB = spark.sparkContext.broadcast(qRows)
-    val ds = dsub
-    val c = shortlist
-    val cand = codes.select(col("id"), col("code"))
-      .as[(Long, Array[Byte])].mapPartitions { it =>
-        val cb = cbB.value; val qs = qB.value
-        val luts = qs.map { case (_, qv) =>
-          Array.tabulate(cb.length) { mi =>
-            val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
-            cb(mi).map(cw => NearestCentroid.distance(s, cw, 0))
-          }
-        }
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(qs.length)(
-          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
-        it.foreach { case (id, code) =>
-          var i = 0
-          while (i < qs.length) {
-            val t = luts(i); var s = 0.0; var mi = 0
-            while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
-            val h = heaps(i)
-            if (h.size < c) h.enqueue((s, id))
-            else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
-            i += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.iterator.map(e => (qs(i)._1, e._2)) }
-      }.toDF("q_id", "__cand_id")
+    val qRows = Pq.collectQueries(queries, qIdCol, qVecCol)
+    val cand = Pq.adcCandidates(codes, qRows, codebooks, shortlist, None)
     Knn.exactRerank(cand, queries, qIdCol, qVecCol,
       data, dIdCol, dVecCol, k)
   }
@@ -240,6 +205,72 @@ object Pq {
         }
         (id, code)
       }.toDF("id", "code")
+  }
+
+  /** Broadcast-small query collection shared by the batch joins. */
+  private[index] def collectQueries(queries: DataFrame,
+      qIdCol: String, qVecCol: String): Array[(Long, Array[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Array[Double])].collect()
+  }
+
+  /** THE per-partition batch-ADC candidate scan — one copy shared by
+    * [[PqModel.knnJoin]] (probed = None: every row scored for every
+    * query) and [[IvfPqModel.knnJoin]] (probed(i)(b) gates whether
+    * query i scores rows in bucket b). Builds each query's M × K LUT
+    * once per partition, scores M byte-lookups per (row, query), keeps
+    * a bounded heap of the `shortlist` best per query. Returns
+    * (q_id, __cand_id) for [[Knn.exactRerank]]. */
+  private[index] def adcCandidates(codeRows: DataFrame,
+      qRows: Array[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], shortlist: Int,
+      probed: Option[Array[Array[Boolean]]]): DataFrame = {
+    val spark = codeRows.sparkSession
+    import spark.implicits._
+    val ds = codebooks(0)(0).length
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val qB = spark.sparkContext.broadcast(qRows)
+    val pB = spark.sparkContext.broadcast(probed)
+    val c = shortlist
+    val rows =
+      (if (probed.isDefined)
+         codeRows.select(col("id"), col("code"), col("__bucket"))
+       else codeRows.select(col("id"), col("code"), lit(0).as("__bucket")))
+        .as[(Long, Array[Byte], Int)]
+    rows.mapPartitions { it =>
+      val cbs = cbB.value; val qs = qB.value
+      val pb = pB.value.orNull // null = score every (row, query)
+      val luts = qs.map { case (_, qv) =>
+        Array.tabulate(cbs.length) { mi =>
+          val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
+          cbs(mi).map(cw => NearestCentroid.distance(s, cw, 0))
+        }
+      }
+      val ord = Ordering.Tuple2[Double, Long]
+      val heaps = Array.fill(qs.length)(
+        collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      it.foreach { case (id, code, b) =>
+        var i = 0
+        while (i < qs.length) {
+          if (pb == null || pb(i)(b)) {
+            val t = luts(i); var s = 0.0; var mi = 0
+            while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+            val h = heaps(i)
+            if (h.size < c) h.enqueue((s, id))
+            else if (ord.lt((s, id), h.head)) {
+              h.dequeue(); h.enqueue((s, id))
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map(e => (qs(i)._1, e._2)) }
+    }.toDF("q_id", "__cand_id")
   }
 
   /** Codebooks (tiny) back to the driver — shared by [[load]] and

@@ -29,11 +29,28 @@ object VectorOps {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
 
-  /** One stable scratch dir per (index kind, dataset): save() runs in
-    * overwrite mode, so repeated runs replace rather than accumulate. */
+  /** Per-PROCESS scratch root, recursively deleted on JVM exit: within
+    * a process, repeated Verify/Bench invocations reuse one directory
+    * per (kind, dataset) via overwrite mode (no per-run accumulation);
+    * across processes the roots are disjoint, so a concurrent run can
+    * never clobber parquet files another process's loaded model is
+    * still lazily reading. Dataset key is the sanitized path itself —
+    * no hash, no collisions. */
+  private lazy val scratchRoot: java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_idx_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(del))
+        x.delete(): Unit
+      }
+      del(f)
+    }))
+    f
+  }
+
   private def idxDir(kind: String, d: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"${kind}_${math.abs(d.hashCode)}").getAbsolutePath
+    new java.io.File(scratchRoot,
+      s"${kind}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}").getAbsolutePath
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")

@@ -55,8 +55,12 @@ object StreamOps {
     * needs distinct-gram counting; the filter semantics here are
     * identical: kept == not flagged.) */
   def decontaminate(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
-    docs.filter(org.apache.spark.sql.graft.CountGramsInSet.column(
-      graft.operators.TextOps.tokens(col("text")), 5, benchGrams) === 0)
+    // NULL text ⇒ NULL predicate — coalesce to KEEP, matching batch
+    // q73 (a null-text doc produces no gram rows and is never flagged)
+    docs.filter(coalesce(
+      org.apache.spark.sql.graft.CountGramsInSet.column(
+        graft.operators.TextOps.tokens(col("text")), 5, benchGrams) === 0,
+      lit(true)))
 
   /** Tumbling-window counts/sums per event type with a 1h watermark —
     * the streaming analogue of the batch q24_events_hourly. */

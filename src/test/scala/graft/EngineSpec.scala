@@ -76,6 +76,23 @@ class EngineSpec extends SparkSpecBase {
     assert(e.executeSql("SELECT id FROM tt").collect().length == 3)
   }
 
+  test("failed UPDATE leaves the table registered and intact (atomic swap)") {
+    // registerTable materializes the NEW cache before swapping: a SET
+    // expression that throws at evaluation (ANSI cast) must fail the
+    // statement without dropping the table or touching its rows
+    val e = mkEngine
+    e.executeSql("CREATE TABLE ta(a integer, s varchar(10))")
+    e.executeSql("INSERT INTO ta VALUES (1, 'x'), (2, '3')")
+    intercept[Exception] {
+      e.executeSql("UPDATE ta SET a = CAST(s AS INTEGER)") // 'x' throws
+    }
+    val got = e.executeSql("SELECT a FROM ta ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2)) // old rows, old values
+    e.executeSql("INSERT INTO ta VALUES (5, 'y')") // still writable
+    assert(e.executeSql("SELECT a FROM ta").collect().length == 3)
+  }
+
   test("vector.02 naive knn: ORDER BY dist LIMIT k without index") {
     val e = mkEngine
     e.executeSql("CREATE TABLE t2(v1 VECTOR(3), v2 integer)")
