@@ -391,6 +391,17 @@ object DedupOps {
     }),
 
     // Repetition signal (Gopher-style quality filter): the fraction
+    // Vocabulary induction: top-100 shingles by document frequency,
+    // deterministic tie-break — the corpus-level hot-vocabulary pass
+    // (the same table q56's prefix filter builds internally, exposed
+    // as a product). Partial+final hash agg then TakeOrderedAndProject:
+    // the full gram space is never globally sorted.
+    "q79_vocab_topk" -> ((s, d) =>
+      postings(docShingles(s, d))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle").asc)
+        .limit(100)),
+
     // of a doc's 3-gram occurrences that are repeats of an earlier
     // 3-gram. Narrow per-doc work sharing the shingle machinery —
     // no shuffle beyond the doc_id grouping it already has.
@@ -540,6 +551,18 @@ object DedupOps {
         |        FROM reach GROUP BY s)
         |SELECT cluster_id, count(*) AS size, max(id) AS max_member
         |FROM lbl GROUP BY cluster_id""".stripMargin,
+    "q79_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks)-1)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT shingle, count(*) AS df FROM g GROUP BY shingle
+        |ORDER BY df DESC, shingle LIMIT 100""".stripMargin,
     "q71_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

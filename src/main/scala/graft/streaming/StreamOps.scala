@@ -62,6 +62,16 @@ object StreamOps {
         graft.operators.TextOps.tokens(col("text")), 5, benchGrams) === 0,
       lit(true)))
 
+  /** Stream-static dimension enrichment: join the (unbounded) fact
+    * stream against a bounded dimension table, broadcast per
+    * micro-batch — the standard zero-state enrichment join (Structured
+    * Streaming re-reads the static side per batch, so dimension
+    * updates are picked up without restart for file-backed dims).
+    * Left join: facts without a dimension row pass through with nulls,
+    * never dropped. Works batch or streaming. */
+  def enrich(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key), "left")
+
   /** Tumbling-window counts/sums per event type with a 1h watermark —
     * the streaming analogue of the batch q24_events_hourly. */
   def hourlyByType(events: DataFrame): DataFrame =

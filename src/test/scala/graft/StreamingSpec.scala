@@ -254,6 +254,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == batch join, unmatched facts kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.enrich(df, dim, "user_id")
+        .select("event_id", "user_id", "tier")
+    val want = run(sample.toDF()).collect().map(_.toSeq).toSet
+    val mem = MemoryStream[Event]
+    val q = run(mem.toDF())
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_t").collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+      // user 9 has no dim row in later batches — left join keeps it
+      mem.addData(Event(50, ts(200), 9, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("enrich_t").collect()
+        .exists(r => r.getLong(1) == 9L && r.isNullAt(2)))
+    } finally q.stop()
+  }
+
   test("context-window chunking runs unchanged on a stream (== batch)") {
     // q74's chunking is pure narrow ops (sequence + explode + slice) —
     // the SAME transformation chunks documents at ingestion time with
