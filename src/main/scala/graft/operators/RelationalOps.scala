@@ -250,6 +250,37 @@ object RelationalOps {
 
     // Time-window aggregation over the events table (batch form of the
     // streaming windowed agg; hour buckets keep it engine-agnostic).
+    // Banded interval join — click→purchase attribution within 10
+    // minutes, same user. The naive form is a theta join (a broadcast
+    // nested loop at scale: |clicks|×|purchases| per user is the
+    // classic range-join killer); the banded form buckets time into
+    // Δ-width bands and EQUI-joins on (user, band), exploding each
+    // purchase into its two candidate bands {b-1, b} — since
+    // 0 < gap <= Δ implies the click's band is one of exactly those
+    // two, every qualifying pair is found exactly once (no distinct
+    // needed) and the join is a plain shuffled hash join that scales
+    // with data, not with pairs. PlanShapeSpec asserts no nested loop.
+    "q80_range_join" -> ((s, d) => {
+      val delta = 600000000L // 10 min in microseconds
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("c_us"))
+        .withColumn("__b", floor(col("c_us") / delta))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+        .withColumn("__b", explode(array(
+          floor(col("p_us") / delta) - 1, floor(col("p_us") / delta))))
+      clicks.join(purchases, Seq("user_id", "__b"))
+        .filter(col("p_us") > col("c_us")
+          && col("p_us") - col("c_us") <= delta)
+        .select(col("click_id"), col("purchase_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+    }),
+
     "q24_events_hourly" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("h"),
@@ -429,6 +460,16 @@ object RelationalOps {
     "q23_agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS sup_cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q80_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  p.us - c.us AS gap_us
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.us > c.us AND p.us - c.us <= 600000000""".stripMargin,
     "q24_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type,
         |  count(*) AS n,

@@ -110,6 +110,14 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("q80 banded range join is an equi-join, never a nested loop") {
+    val df = operators.RelationalOps.queries("q80_range_join")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("NestedLoop"),
+      s"range join must band into an equi-join, not a theta NLJ:\n$s")
+    spark.catalog.clearCache()
+  }
+
   test("q73 decontamination: eval grams broadcast, train side never shuffled for the join") {
     val df = operators.TextOps.queries("q73_decontaminate")(spark, sfDir)
     val s = df.queryExecution.executedPlan.toString
