@@ -390,7 +390,6 @@ object DedupOps {
         .toDF("blocked_eq_brute", "missed", "extra", "n_docs")
     }),
 
-    // Repetition signal (Gopher-style quality filter): the fraction
     // Vocabulary induction: top-100 shingles by document frequency,
     // deterministic tie-break — the corpus-level hot-vocabulary pass
     // (the same table q56's prefix filter builds internally, exposed
@@ -402,6 +401,7 @@ object DedupOps {
         .orderBy(col("df").desc, col("shingle").asc)
         .limit(100)),
 
+    // Repetition signal (Gopher-style quality filter): the fraction
     // of a doc's 3-gram occurrences that are repeats of an earlier
     // 3-gram. Narrow per-doc work sharing the shingle machinery —
     // no shuffle beyond the doc_id grouping it already has.

@@ -64,11 +64,12 @@ object StreamOps {
 
   /** Stream-static dimension enrichment: join the (unbounded) fact
     * stream against a bounded dimension table, broadcast per
-    * micro-batch — the standard zero-state enrichment join (Structured
-    * Streaming re-reads the static side per batch, so dimension
-    * updates are picked up without restart for file-backed dims).
-    * Left join: facts without a dimension row pass through with nulls,
-    * never dropped. Works batch or streaming. */
+    * micro-batch — the standard zero-state enrichment join. Note on
+    * refresh: a path-based parquet dim pins its file listing at
+    * DataFrame creation, so picking up dimension UPDATES without a
+    * restart requires a refreshable source (catalog table / Delta),
+    * not a raw path. Left join: facts without a dimension row pass
+    * through with nulls, never dropped. Works batch or streaming. */
   def enrich(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
     facts.join(broadcast(dim), Seq(key), "left")
 

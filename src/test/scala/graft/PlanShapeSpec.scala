@@ -113,8 +113,8 @@ class PlanShapeSpec extends SparkSpecBase {
   test("q80 banded range join is an equi-join, never a nested loop") {
     val df = operators.RelationalOps.queries("q80_range_join")(spark, sfDir)
     val s = df.queryExecution.executedPlan.toString
-    assert(!s.contains("NestedLoop"),
-      s"range join must band into an equi-join, not a theta NLJ:\n$s")
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"range join must band into an equi-join, not a theta NLJ/CP:\n$s")
     spark.catalog.clearCache()
   }
 
