@@ -231,6 +231,30 @@ object TextOps {
             .as("langid_hits"))
     }),
 
+    // Quality-WEIGHTED deterministic downsampling: keep a doc with
+    // probability == its quality score, decided by a reproducible
+    // uniform variate derived from the content md5 (first 8 hex chars
+    // / 2^32) — the preferential sampler training pipelines use to
+    // upweight high-quality data while staying reproducible across
+    // reruns AND engines (seeded RNG sampling is neither). Pure narrow
+    // ops; the per-language acceptance report is one tiny groupBy.
+    "q81_weighted_sample" -> ((s, d) => {
+      val u = conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0) // 2^32
+      val qual = queries("q41_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val langs = queries("q42_lang_id")(s, d)
+        .select(col("doc_id"), col("lang_pred"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), u.as("u"))
+        .join(qual, "doc_id").join(langs, "doc_id")
+        .withColumn("keep", (col("u") < col("quality")).cast("long"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("total"), sum("keep").as("sampled"),
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("expected_rate"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -321,6 +345,19 @@ object TextOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  ('0x' || md5(lower(trim(text)))[1:15])::BIGINT AS fp64
         |FROM documents""".stripMargin,
+    "q81_weighted_sample" ->
+      s"""WITH q AS ($qualityOracle), l AS ($langOracle),
+        |u AS (
+        |  SELECT doc_id,
+        |    ('0x' || md5(lower(trim(text)))[1:8])::BIGINT / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT lang_pred, count(*) AS total,
+        |  sum(CASE WHEN u < quality THEN 1 ELSE 0 END)::BIGINT AS sampled,
+        |  round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
+        |    AS expected_rate
+        |FROM u JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |GROUP BY lang_pred""".stripMargin,
     "q77_pack_offsets" ->
       """WITH t AS (
         |  SELECT doc_id,
