@@ -13,7 +13,8 @@ object Bench {
     "q39_hnsw_partitioned", "q67_pq_knn", "q69_ivfpq_knn",
     "q75_pq_knn_join", "q78_ivfpq_knn_join",
     "q44_dedup_exact", "q45_ngram_jaccard", "q46_minhash_lsh",
-    "q56_jaccard_ppjoin", "q49_embed_dup_ivf", "q65_dup_clusters")
+    "q56_jaccard_ppjoin", "q49_embed_dup_ivf", "q65_dup_clusters",
+    "q73_decontaminate", "q77_pack_offsets", "q80_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
