@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalOps.queries ++ operators.VectorOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
-      operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries
+      operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries ++
+      operators.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalOps.oracles ++ operators.VectorOps.oracles ++
       operators.TextOps.oracles ++ operators.DedupOps.oracles ++
-      operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles
+      operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles ++
+      operators.ScaleOps.oracles
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BloomSemi
+
+import graft.Tables
+
+/** Data-layout and sketch operators — the 100TB surface where the WIN
+  * comes from how bytes are laid out / summarized, not from the query:
+  *
+  *  - bucketed co-located join (q83): pre-shuffle ONCE at write time,
+  *    then every join on the bucket key runs with ZERO exchanges —
+  *    at 100TB the difference between re-shuffling the fact table per
+  *    query and never shuffling it again.
+  *  - date-partitioned layout + partition pruning (q84): the standard
+  *    time-series layout; a day's query reads one directory, not the
+  *    corpus (PlanShapeSpec asserts PartitionFilters).
+  *  - bloom-filter semi-join (q85): runtime-filter pattern for a dim
+  *    too big to broadcast exactly — distributed sketch build, map-side
+  *    codegen probe BEFORE the fact shuffle, exact verify after.
+  *  - mergeable sketches (q82): HLL distinct + quantile sketch as
+  *    partial aggregates — only fixed-size sketch state moves between
+  *    executors, never raw values; gated against exact answers.
+  *  - interval (event-time window) join (q87): the batch twin of the
+  *    stream-stream attribution join in StreamOps.
+  *
+  * The reference has none of these (single-node course engine) — this
+  * is beyond-parity scale surface per SURVEY.md §7.4, same tier as the
+  * dedup/ANN north star.
+  */
+object ScaleOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-sfDir scratch root for layout rewrites (bucketed tables,
+    * partitioned copies). Deliberately under java.io.tmpdir like the
+    * streaming checkpoints; keyed by the source dir so sf0.001 specs,
+    * sf0.01 verify and the bench's two scale points never collide. */
+  private def scratch(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft-layout-" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  private def key(d: String): String =
+    java.lang.Integer.toHexString(d.hashCode)
+
+  /** Write orders+lineitem bucketed by the join key (8 buckets, sorted
+    * within) and return the co-located join — SortMergeJoin with ZERO
+    * Exchange under it (PlanShapeSpec asserts). The write is the
+    * one-time layout cost; every subsequent join on the key is
+    * shuffle-free. The `merge` hint pins SMJ so the demonstration
+    * doesn't silently degrade to broadcast at small SF. */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (oT, lT) = (s"graft_ob_${key(d)}", s"graft_lb_${key(d)}")
+    Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"${scratch(d)}/$oT").saveAsTable(oT)
+    Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"${scratch(d)}/$lT").saveAsTable(lT)
+    s.table(oT).hint("merge")
+      .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** The date-partitioned copy of `events` + the pruned scan of ONE
+    * day (min date + 1). Split out so PlanShapeSpec can assert the
+    * PartitionFilters on the scan. */
+  private[graft] def prunedDayScan(s: SparkSession, d: String): DataFrame = {
+    val root = s"${scratch(d)}/events_by_date"
+    val ev = Tables.load(s, d, "events")
+    ev.withColumn("event_date", to_date(col("ts")).cast("string"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(root)
+    // one tiny driver-side scalar (the target day) so the filter is a
+    // LITERAL -> static partition pruning at planning time
+    val target = ev.agg(date_add(min(to_date(col("ts"))), 1)).head.getDate(0)
+    s.read.parquet(root).filter(col("event_date") === lit(target.toString))
+  }
+
+  /** The bloom-prefiltered fact side of q85, split out so the spec can
+    * assert the codegen `might_contain` probe and measure the prune. */
+  private[graft] def bloomPrunedFact(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.load(s, d, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    // distributed build: only fixed-size bitmaps merge; sized for the
+    // dim at 100x this SF (bloom size is O(items), not O(fact))
+    val bloom = BloomSemi.build(dim, col("o_orderkey"), 100000L)
+    Tables.load(s, d, "lineitem")
+      .filter(BloomSemi.mightContain(bloom, col("l_orderkey")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Mergeable-sketch gate: HLL distinct (rsd 2%) and a quantile
+    // sketch (accuracy 10k), each checked in-engine against the exact
+    // answer; the driver-visible columns are the exact count + the
+    // gate booleans. At 100TB the sketches are the only option — the
+    // exact twins here are the correctness pin at test scale.
+    "q82_hll_sketch" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
+          percentile(col("value"), lit(0.90)).as("p90"),
+          percentile(col("value"), lit(0.99)).as("p99"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= greatest(col("exact_users") * 0.05, lit(1.0))).as("hll_ok"),
+          (col("p95_approx") >= col("p90")
+            && col("p95_approx") <= col("p99")).as("q_ok"))
+    }),
+
+    // Bucketed co-located join: revenue per order priority off the
+    // bucketed layout — same answer as the plain-parquet join, zero
+    // exchanges under the join (asserted in PlanShapeSpec).
+    "q83_bucketed_join" -> ((s, d) => {
+      bucketedJoin(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
+    // Date-partitioned layout: write once partitioned by day, then a
+    // single-day query reads ONE partition directory (PartitionFilters
+    // asserted) — the layout that turns a 100TB scan into a 300GB one.
+    "q84_date_partition_prune" -> ((s, d) => {
+      prunedDayScan(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+    }),
+
+    // Bloom semi-join: map-side sketch probe prunes the fact BEFORE
+    // its shuffle; the exact semi-join afterwards only pays for
+    // survivors (matches + ~fpp false positives). Result is exact.
+    "q85_bloom_semi_join" -> ((s, d) => {
+      val dim = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 450000).select("o_orderkey")
+      bloomPrunedFact(s, d)
+        .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+    }),
+
+    // Event-time interval join (view -> purchase attribution within
+    // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
+    // stream-stream join's semantics, value-checked by DuckDB here and
+    // stream==batch in StreamingSpec.
+    "q87_stream_interval_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      v.join(p, col("user_id") === col("p_uid")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("p_ts")).as("purchases_attributed"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_hll_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_ok, true AS q_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q83_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q84_date_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |FROM events
+        |WHERE ts::DATE = (SELECT min(ts)::DATE + 1 FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q85_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q87_stream_interval_join" ->
+      """SELECT v.user_id, count(*) AS pairs,
+        |  count(DISTINCT p.ts) AS purchases_attributed
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id""".stripMargin
+  )
+}

@@ -255,6 +255,31 @@ object TextOps {
             / count(lit(1)), 6).as("expected_rate"))
     }),
 
+    // Unigram-LM document scoring (the cheap "perplexity-ish" quality
+    // signal pipelines run before a real LM): corpus unigram
+    // frequencies -> per-doc mean token log-probability. Two shuffles
+    // total (vocab count, per-doc mean); the vocab joins back
+    // BROADCAST (a natural-language vocab is ~1e6 rows — executor-mem
+    // scale — while the corpus is the 100TB side; a genuinely huge
+    // vocab would flip this to a shuffle join on the token key).
+    // Per-token logp is rounded to 8 and summed as DECIMAL so the
+    // cross-engine float-sum-order trap can't bite.
+    "q86_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val freq = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum("cnt").as("total"))
+      val logp = freq.crossJoin(broadcast(total))
+        .select(col("t"),
+          round(log(col("cnt").cast("double") / col("total")), 8)
+            .cast("decimal(20,8)").as("logp"))
+      toks.join(broadcast(logp), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("logp")).cast("double") / count(lit(1)), 6)
+            .as("avg_logp"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -405,6 +430,22 @@ object TextOps {
         |  least(64, len(toks) - i*48) AS chunk_len,
         |  md5(array_to_string(toks[i*48+1 : least(i*48+64, len(toks))], ' ')) AS chunk_fp
         |FROM t, unnest(generate_series(0, (len(toks)-1)//48)) AS u(i)""".stripMargin,
+    "q86_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT t, count(*) AS cnt FROM t GROUP BY t
+        |), tot AS (SELECT sum(cnt) AS total FROM f),
+        |lp AS (
+        |  SELECT t,
+        |    CAST(round(ln(cnt::DOUBLE / total), 8) AS DECIMAL(20,8)) AS logp
+        |  FROM f, tot
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
+        |FROM t JOIN lp USING (t) GROUP BY doc_id""".stripMargin,
     // md5 agrees between engines, so the deterministic sample is
     // value-checkable end to end
     "q68_hash_sample" ->

@@ -93,6 +93,27 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
 
+  /** Stream-stream interval join: view -> purchase attribution within
+    * 30 minutes of event time. BOTH sides are unbounded streams, so
+    * correctness requires (a) watermarks on both event times and (b) a
+    * time-range join condition — together they bound the buffered
+    * state to ~1h of either stream (Spark evicts buffered rows once
+    * the watermark passes the largest possible match window), which is
+    * what makes a stream-stream join feasible at 100TB/day. The batch
+    * twin (same condition, no watermarks) is q87's DuckDB-checked
+    * aggregate; StreamingSpec asserts stream pairs == batch pairs. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, col("user_id") === col("p_uid")
+        && col("p_ts") >= col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   // --- sessionization via typed state -----------------------------------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+/** The layout/sketch operators' 100TB properties, asserted at test
+  * scale: the bucketed join really is exchange-free, the partitioned
+  * scan really prunes, the bloom probe really cuts the fact side
+  * before the join — plus exact-equivalence of every fast path against
+  * its straightforward twin. */
+class ScaleOpsSpec extends SparkSpecBase {
+
+  test("q83 bucketed join: SortMergeJoin with ZERO exchanges under it") {
+    val plan = ScaleOps.bucketedJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("q83 bucketed join result == plain parquet join") {
+    val bucketed = ScaleOps.queries("q83_bucketed_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val plain = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == plain && bucketed.nonEmpty)
+  }
+
+  test("q84 single-day scan hits PartitionFilters (directory pruning)") {
+    val plan = ScaleOps.prunedDayScan(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("event_date")), s"no partition filter:\n$plan")
+    // the filter must NOT degrade to a post-scan row filter on the
+    // partition column (that would read every directory)
+    assert(!plan.contains("PartitionFilters: []"))
+  }
+
+  test("q85 bloom probe prunes the fact before the join, never drops a match") {
+    val full = Tables.load(spark, sfDir, "lineitem")
+    val pre = ScaleOps.bloomPrunedFact(spark, sfDir)
+    val (n0, n1) = (full.count(), pre.count())
+    assert(n1 < n0, s"bloom pruned nothing: $n1 of $n0")
+    // plan shows the codegen'd might_contain predicate on the scan side
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // zero false NEGATIVES: every true match survives the probe
+    val dimKeys = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    val trueMatches = full.join(
+      dimKeys.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    val survivors = pre.join(
+      dimKeys.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    assert(survivors == trueMatches)
+  }
+
+  test("q85 final result == plain semi-join (false positives verified away)") {
+    val bloomed = ScaleOps.queries("q85_bloom_semi_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val dim = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    val plain = Tables.load(spark, sfDir, "lineitem")
+      .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+      .collect().map(_.toSeq).toSet
+    assert(bloomed == plain && bloomed.nonEmpty)
+  }
+
+  test("q82 sketch gates hold (HLL within bound, p95 sketch within [p90,p99])") {
+    val rows = ScaleOps.queries("q82_hll_sketch")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_ok"), r.toString)
+      assert(r.getAs[Boolean]("q_ok"), r.toString)
+    }
+  }
+
+  test("q87 batch interval join: every attributed purchase is within the window") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val pairs = ScaleOps.queries("q87_stream_interval_join")(spark, sfDir)
+    val total = pairs.agg(sum("pairs")).head.getLong(0)
+    // independent recount via SQL interval semantics
+    ev.createOrReplaceTempView("ev_q87")
+    val expect = spark.sql(
+      """SELECT count(*) FROM
+        |  (SELECT user_id, ts FROM ev_q87 WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ts FROM ev_q87 WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts >= v.ts
+        |   AND p.ts <= v.ts + INTERVAL 30 MINUTES""".stripMargin)
+      .head.getLong(0)
+    assert(total == expect && total > 0)
+  }
+}

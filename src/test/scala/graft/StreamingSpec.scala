@@ -310,6 +310,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join (q87 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // views at t=10 (user 2), t=135 (user 2); purchases land inside /
+    // outside the 30-min attribution window across users
+    val purchases: Seq[Event] = Seq(
+      Event(10, ts(20), 2, "purchase", 9.0),  // 10 min after view -> match
+      Event(11, ts(41), 2, "purchase", 9.5),  // 31 min after view -> no
+      Event(12, ts(140), 2, "purchase", 1.0), // 5 min after 2nd view -> match
+      Event(13, ts(15), 1, "purchase", 2.0))  // user 1 never views -> no
+    val views = sample.filter(_.event_type == "view")
+    val want = StreamOps.viewPurchaseJoin(
+        views.toDF(), purchases.toDF())
+      .collect().map(_.toSeq).toSet
+    val (vMem, pMem) = (MemoryStream[Event], MemoryStream[Event])
+    val q = StreamOps.viewPurchaseJoin(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("vp_join")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("vp_join").collect().map(_.toSeq).toSet
+      assert(got == want && got.size == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
