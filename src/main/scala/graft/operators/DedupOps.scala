@@ -47,14 +47,10 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-gram word shingle sets per doc. Built with posexplode +
-    * window lead + collect_set — NOT an array-transform lambda: Spark
-    * higher-order functions are CodegenFallback (interpreted), ~10x
-    * slower per pass and re-evaluated per self-join branch. The window
-    * and the groupBy share the doc_id hash partitioning: one shuffle. */
-  /** The raw (doc_id, g) 3-gram OCCURRENCE stream — the one shingle
-    * definition every consumer shares: docShingles collect_sets it,
-    * q71 counts it. */
+  /** The raw (doc_id, g) 3-gram OCCURRENCE stream (posexplode + window
+    * leads) — q71's repetition signal needs every occurrence, not the
+    * set; everything set-shaped goes through [[docShingles]]'s narrow
+    * codegen pass instead. */
   private def gramStream(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -68,10 +64,20 @@ object DedupOps {
         concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
   }
 
+  /** Distinct 3-gram shingle set per doc — ONE narrow codegen'd pass
+    * ([[org.apache.spark.sql.graft.DistinctShingles]]), zero shuffles.
+    * (The previous posexplode + window-lead + collect_set shape
+    * shuffled |docs|×|tokens| gram rows per construction — the wrong
+    * plan at 100×; gramStream remains for q71, which needs the raw
+    * OCCURRENCE stream, not the set.) Docs with < 3 tokens produce an
+    * empty set and are filtered, matching the old window-lead
+    * semantics where they simply emitted no gram rows. */
   private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
-    gramStream(s, d)
-      .groupBy("doc_id")
-      .agg(collect_set(col("g")).as("sh"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.DistinctShingles.column(
+          TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** Exploded (doc_id, shingle) postings with per-doc set size. */
   private[graft] def postings(sh: DataFrame): DataFrame =
@@ -103,9 +109,8 @@ object DedupOps {
     *
     * Shape for scale: the frequency table is a vocabulary (tiny vs
     * the corpus) so it is BROADCAST into the postings instead of
-    * shuffling the postings against it, and the frequency-order
-    * window runs on the doc_id partitioning the postings already
-    * carry from docShingles' groupBy (no extra exchange). At sf0.1
+    * shuffling the postings against it; the frequency-order window
+    * is the one per-doc exchange this pipeline pays. At sf0.1
     * this prunes the inverted index's 1.27M posting pairs / 1.13M
     * candidate pairs down to 46k / 43.5k (~27x) — the gap widens with
     * corpus size because hot shingles are pushed out of prefixes

@@ -270,6 +270,64 @@ object CountGramsInSet {
       VectorDistanceApi.expression(tokens), n, grams.toArray))
 }
 
+/** DISTINCT word n-grams (space-joined windows of the token array) in
+  * one codegen'd pass — the narrow form of shingle-set construction.
+  * Replaces the posexplode + window-lead + collect_set shape (which
+  * shuffles |docs|×|tokens| gram rows into a per-doc aggregation) with
+  * a per-row expression: shingle sets now cost ZERO shuffles, which is
+  * the difference between "re-shuffle the corpus to shingle it" and
+  * "shingle while scanning" at 100TB. First-occurrence order, windows
+  * containing a null token skipped (matching the window-lead filter). */
+case class DistinctShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DistinctShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DistinctShingles.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}
+
+object DistinctShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var start = 0
+    while (start <= len - n) {
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        if (tokens.isNullAt(start + i)) ok = false
+        else window(i) = tokens.getUTF8String(start + i)
+        i += 1
+      }
+      if (ok) seen.add(UTF8String.concatWs(Space, window: _*))
+      start += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def column(tokens: Column, n: Int): Column =
+    VectorDistanceApi.column(DistinctShingles(
+      VectorDistanceApi.expression(tokens), n))
+}
+
 /** v / ||v||₂ in one codegen'd pass — replaces the interpreted
   * `transform(v, x / sqrt(aggregate(v, ...)))` normalization on q49's
   * hot path. Zero vectors pass through unchanged. */
