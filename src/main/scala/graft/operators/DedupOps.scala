@@ -271,6 +271,55 @@ object DedupOps {
     coldPairs.unionAll(hotPairs).distinct()
   }
 
+  /** Incremental dedup of a (small) new batch against the existing
+    * corpus: per new doc, `exact_dup` (same content fingerprint as a
+    * corpus doc), `near_dup` (3-gram Jaccard >= [[JaccardThr]] with a
+    * corpus doc), or `kept`. Both inputs are (doc_id, text).
+    *
+    * The asymmetry is the design: the corpus is the 100TB side and is
+    * only ever STREAMED map-side — its fingerprints semi-join against
+    * the broadcast batch-fp set, its postings hash-join against the
+    * broadcast batch postings — so the only rows that ever shuffle are
+    * candidate pairs sharing a shingle with the (tiny) batch. */
+  private[graft] def incrementalDedup(newDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        org.apache.spark.sql.graft.DistinctShingles.column(
+          TextOps.tokens(col("text")), 3).as("sh"))
+    val newB = prep(newDocs).cache()
+    val corpus = prep(corpusDocs)
+    // exact: corpus streams past the broadcast batch-fp set; the
+    // surviving (matched) fps are tiny and broadcast back
+    val matchedFp = corpus.select("fp")
+      .join(broadcast(newB.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    val exactIds = newB
+      .join(broadcast(matchedFp), Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    // near: inverted index with the BATCH side broadcast — corpus
+    // postings never shuffle; only shingle-sharing pairs leave the map
+    val nPost = newB.select(col("doc_id").as("n_id"),
+      size(col("sh")).as("nn"), explode(col("sh")).as("shingle"))
+    val cPost = corpus.select(col("doc_id").as("c_id"),
+      size(col("sh")).as("cn"), explode(col("sh")).as("shingle"))
+    val nearIds = cPost.join(broadcast(nPost), "shingle")
+      .groupBy("n_id", "c_id", "nn", "cn")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("nn") + col("cn") - col("inter")).cast("double")
+        >= JaccardThr)
+      .select(col("n_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    newB.select("doc_id")
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("status"))
+  }
+
   /** Packed 64-bit SimHash per doc — one codegen'd pass over the
     * distinct-token array, no explode/shuffle. */
   private[graft] def simhashes(s: SparkSession, d: String): DataFrame =
@@ -393,6 +442,22 @@ object DedupOps {
       sim.unpersist()
       Seq((missed == 0L && extra == 0L, missed, extra, nDocs))
         .toDF("blocked_eq_brute", "missed", "extra", "n_docs")
+    }),
+
+    // INCREMENTAL corpus dedup — the production shape: a small new
+    // batch (doc_id % 10 == 0 stands in for today's crawl) deduped
+    // against the EXISTING corpus (the other 90%), per-doc verdict
+    // exact_dup / near_dup / kept. The asymmetry is the whole design:
+    // the corpus is the 100TB side and is only ever STREAMED map-side —
+    // its fingerprints semi-join against the broadcast new-batch
+    // fingerprint set, its postings hash-join against the broadcast
+    // new-batch postings — so the only rows that ever shuffle are
+    // candidate pairs that share a shingle with the (tiny) batch.
+    // Batch-internal dedup is the q44/q65 machinery, run separately.
+    "q88_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val isNew = col("doc_id") % 10 === 0
+      incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
     }),
 
     // Vocabulary induction: top-100 shingles by document frequency,
@@ -556,6 +621,31 @@ object DedupOps {
         |        FROM reach GROUP BY s)
         |SELECT cluster_id, count(*) AS size, max(id) AS max_member
         |FROM lbl GROUP BY cluster_id""".stripMargin,
+    "q88_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, fp,
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t
+        |), newb AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c
+        |       ON n.fp = c.fp),
+        |nr AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c
+        |  ON len(list_intersect(n.sh, c.sh))::DOUBLE
+        |     / (len(n.sh) + len(c.sh) - len(list_intersect(n.sh, c.sh)))
+        |     >= 0.8)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS status
+        |FROM newb n
+        |LEFT JOIN ex ON n.doc_id = ex.doc_id
+        |LEFT JOIN nr ON n.doc_id = nr.doc_id""".stripMargin,
     "q79_vocab_topk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

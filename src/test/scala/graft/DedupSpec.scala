@@ -177,4 +177,22 @@ class DedupSpec extends SparkSpecBase {
     val sum = r.map(row => row.getLong(0) * row.getLong(1)).sum
     assert(sum == total) // sum over (copies * groups) == row count
   }
+
+  test("incremental dedup: exact_dup / near_dup / kept all decided correctly") {
+    import spark.implicits._
+    // corpus doc 1; batch: 10 = verbatim copy (exact), 20 = one token
+    // changed out of many (near, J >= 0.8), 30 = unrelated (kept),
+    // 40 = same words re-ordered (NOT exact; shingle jaccard low -> kept)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearTxt = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val reordered = (1 to 30).map(i => s"w${31 - i}").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (20L, nearTxt),
+      (30L, "totally different words here entirely now"),
+      (40L, reordered)).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(batch, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact_dup", 20L -> "near_dup",
+      30L -> "kept", 40L -> "kept"))
+  }
 }
