@@ -14,7 +14,9 @@ object Bench {
     "q75_pq_knn_join", "q78_ivfpq_knn_join",
     "q44_dedup_exact", "q45_ngram_jaccard", "q46_minhash_lsh",
     "q56_jaccard_ppjoin", "q49_embed_dup_ivf", "q65_dup_clusters",
-    "q73_decontaminate", "q77_pack_offsets", "q80_range_join")
+    "q73_decontaminate", "q77_pack_offsets", "q80_range_join",
+    "q83_bucketed_join", "q85_bloom_semi_join",
+    "q88_incremental_dedup", "q89_lsh_index_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,6 +28,19 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Per-sfDir scratch root for layout rewrites (bucketed tables,
+    * partitioned copies, persisted indexes). Under java.io.tmpdir like
+    * the streaming checkpoints; keyed by the source dir so sf0.001
+    * specs, sf0.01 verify and the bench's two scale points never
+    * collide. */
+  def scratchDir(sfDir: String): String =
+    sys.props("java.io.tmpdir") + "/graft-layout-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
+  /** Catalog-safe suffix for per-sfDir table names. */
+  def dirKey(sfDir: String): String =
+    java.lang.Integer.toHexString(sfDir.hashCode)
+
   /** Register every table as a temp view so spark.sql(...) works on the
     * same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

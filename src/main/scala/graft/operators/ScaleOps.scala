@@ -33,16 +33,8 @@ object ScaleOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-sfDir scratch root for layout rewrites (bucketed tables,
-    * partitioned copies). Deliberately under java.io.tmpdir like the
-    * streaming checkpoints; keyed by the source dir so sf0.001 specs,
-    * sf0.01 verify and the bench's two scale points never collide. */
-  private def scratch(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft-layout-" +
-      java.lang.Integer.toHexString(d.hashCode)
-
-  private def key(d: String): String =
-    java.lang.Integer.toHexString(d.hashCode)
+  private def scratch(d: String): String = Tables.scratchDir(d)
+  private def key(d: String): String = Tables.dirKey(d)
 
   /** Write orders+lineitem bucketed by the join key (8 buckets, sorted
     * within) and return the co-located join — SortMergeJoin with ZERO

@@ -195,4 +195,21 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Map(10L -> "exact_dup", 20L -> "near_dup",
       30L -> "kept", 40L -> "kept"))
   }
+
+  test("q89 persisted LSH index probe: bucketed scan unexchanged, pairs == q88 near set") {
+    val probe = DedupOps.queries("q89_lsh_index_probe")(spark, sfDir)
+    val pairs = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the probed near-dup batch ids must equal q88's near_dup verdicts
+    // (no exact dups exist in this corpus, so near == flagged)
+    val q88Near = DedupOps.queries("q88_incremental_dedup")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("status") =!= "kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(pairs.map(_._1) == q88Near)
+    // the candidate join reads the persisted band index CO-PARTITIONED:
+    // every Exchange in the probe plan is on the batch side (tiny);
+    // the bucketed corpus scan reports its bucketing instead
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+  }
 }
