@@ -280,6 +280,33 @@ object TextOps {
             .as("avg_logp"))
     }),
 
+    // TF-IDF top terms per document — the keyword/feature-extraction
+    // pass of a text pipeline: tf = in-doc occurrences, idf =
+    // ln((N+1)/(df+1)) (smoothed), top-5 terms per doc by score with
+    // a deterministic term tie-break. Scale shape: the df table is a
+    // VOCABULARY (tiny vs corpus) built by one partial+final agg and
+    // joined back BROADCAST; the only per-doc exchange is the tf
+    // groupBy, and top-5 is a bounded per-doc window on that same
+    // partitioning. Scores are rounded to 6 before ranking so the
+    // cross-engine float comparison is on identical values.
+    "q91_tfidf_topterms" -> ((s, d) => {
+      val tf = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val n = Tables.load(s, d, "documents").count()
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "t")
+        .withColumn("score", round(col("tf")
+          * log((lit(n + 1.0)) / (col("df") + lit(1.0))), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("t").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("t").as("term"),
+          col("tf"), col("df"), col("score"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -430,6 +457,26 @@ object TextOps {
         |  least(64, len(toks) - i*48) AS chunk_len,
         |  md5(array_to_string(toks[i*48+1 : least(i*48+64, len(toks))], ' ')) AS chunk_fp
         |FROM t, unnest(generate_series(0, (len(toks)-1)//48)) AS u(i)""".stripMargin,
+    "q91_tfidf_topterms" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t
+        |), df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, t, tf, df,
+        |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS score
+        |  FROM tf JOIN df USING (t), n
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rk
+        |  FROM sc
+        |)
+        |SELECT doc_id, rk, t AS term, tf, df, score
+        |FROM r WHERE rk <= 5""".stripMargin,
     "q86_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id,

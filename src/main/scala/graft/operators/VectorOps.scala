@@ -77,6 +77,23 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // Per-label centroid (prototype) vectors — the class-prototype /
+    // cluster-summary pass training pipelines run over embedding
+    // corpora. Shape: posexplode to (label, pos, x) then ONE
+    // partial+final hash aggregation — at 100TB only (labels × dim)
+    // accumulator cells cross the wire, never vectors. Decimal sums
+    // make the per-position means cross-engine exact.
+    "q90_label_centroids" -> ((s, d) => {
+      Tables.load(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("x").cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 8).as("mean"))
+    }),
+
     // Pure distance-expression eval, no table (vector.01-insert-scan.slt
     // shape) — exercises the SQL registration path.
     "q29_vector_expr_eval" -> ((s, _) => {
@@ -354,6 +371,17 @@ object VectorOps {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // NB the inner CAST TO DOUBLE is load-bearing: DuckDB casts
+    // FLOAT -> DECIMAL by scaling in float precision (garbage past ~7
+    // significant digits); float -> double -> decimal is exact.
+    "q90_label_centroids" ->
+      """SELECT label, pos, count(*) AS n,
+        |  round(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))::DOUBLE
+        |    / count(*), 8) AS mean
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
     "q29_vector_expr_eval" ->
       """SELECT round(list_distance([1.0,1.0,1.0]::DOUBLE[], [-1.0,-1.0,-1.0]::DOUBLE[]), 6) AS l2,
         |  round(list_inner_product([1.0,2.0,3.0]::DOUBLE[], [4.0,5.0,6.0]::DOUBLE[]), 6) AS ip,
