@@ -106,6 +106,29 @@ object ScaleOps {
             && col("p95_approx") <= col("p99")).as("q_ok"))
     }),
 
+    // Count-min-sketch heavy hitters: token frequencies estimated from
+    // a CMS built DISTRIBUTED (mergeable partial sketches — fixed
+    // eps×delta grid per executor, never token rows), probed for the
+    // exact top-20 tokens. CMS guarantees est >= exact always and
+    // est <= exact + eps*N w.h.p. — both emitted as driver-checkable
+    // gate booleans next to the exact counts. The third mergeable
+    // sketch next to q82's HLL + quantile digest.
+    "q92_cms_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      val eps = 0.0001
+      val cms = toks.stat.countMinSketch(col("t"), eps, 0.01, 42)
+      val n = toks.count()
+      val top = toks.groupBy("t").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("t").asc).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (t, exact) =>
+        val est = cms.estimateCount(t)
+        (t, exact, est >= exact && est <= exact + (eps * n).toLong)
+      }.toDF("t", "exact", "cms_ok")
+    }),
+
     // Bucketed co-located join: revenue per order priority off the
     // bucketed layout — same answer as the plain-parquet join, zero
     // exchanges under the join (asserted in PlanShapeSpec).
@@ -165,6 +188,14 @@ object ScaleOps {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS hll_ok, true AS q_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    "q92_cms_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |)
+        |SELECT t, count(*) AS exact, true AS cms_ok
+        |FROM tk GROUP BY t
+        |ORDER BY exact DESC, t ASC LIMIT 20""".stripMargin,
     "q83_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
