@@ -307,6 +307,39 @@ object TextOps {
           col("tf"), col("df"), col("score"))
     }),
 
+    // Corpus drift monitor: Jensen-Shannon divergence between the
+    // existing corpus's and the new batch's token distributions (same
+    // %10 split as q88) — the distribution-shift alarm a pipeline
+    // checks before admitting a crawl. One shuffle (the token-level
+    // two-sided count), then a scalar: per-token JS terms are rational
+    // arithmetic on counts + one ln, rounded to 10 and summed as
+    // DECIMAL so the scalar is cross-engine exact. JS needs no
+    // smoothing: m = (p+q)/2 > 0 wherever either side is present.
+    "q93_corpus_drift" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select((col("doc_id") % 10 === 0).as("is_new"),
+          explode(tokens(col("text"))).as("t"))
+      val counts = toks.groupBy("t").agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("qc"))
+      val totals = counts.agg(sum("pc").as("pn"), sum("qc").as("qn"))
+      val withP = counts.crossJoin(broadcast(totals))
+        .withColumn("p", col("pc").cast("double") / col("pn"))
+        .withColumn("q", col("qc").cast("double") / col("qn"))
+        .withColumn("m", (col("p") + col("q")) / 2.0)
+        .withColumn("term",
+          (when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(0.0) * 0.5
+            + when(col("q") > 0, col("q") * log(col("q") / col("m")))
+              .otherwise(0.0) * 0.5))
+      withP.agg(
+        max(col("pn")).as("corpus_tokens"),
+        max(col("qn")).as("batch_tokens"),
+        count(lit(1)).as("union_vocab"),
+        round(sum(round(col("term"), 10).cast("decimal(20,10)"))
+          .cast("double"), 6).as("js_div"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -477,6 +510,30 @@ object TextOps {
         |)
         |SELECT doc_id, rk, t AS term, tf, df, score
         |FROM r WHERE rk <= 5""".stripMargin,
+    "q93_corpus_drift" ->
+      """WITH tk AS (
+        |  SELECT doc_id % 10 = 0 AS is_new,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT t,
+        |    sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS pc,
+        |    sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS qc
+        |  FROM tk GROUP BY t
+        |), tot AS (SELECT sum(pc)::BIGINT AS pn, sum(qc)::BIGINT AS qn FROM c),
+        |terms AS (
+        |  SELECT pn, qn,
+        |    pc::DOUBLE / pn AS p, qc::DOUBLE / qn AS q,
+        |    (pc::DOUBLE / pn + qc::DOUBLE / qn) / 2.0 AS m
+        |  FROM c, tot
+        |)
+        |SELECT max(pn) AS corpus_tokens, max(qn) AS batch_tokens,
+        |  count(*) AS union_vocab,
+        |  round(sum(CAST(round(
+        |    CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END * 0.5
+        |    + CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END * 0.5,
+        |    10) AS DECIMAL(20,10)))::DOUBLE, 6) AS js_div
+        |FROM terms""".stripMargin,
     "q86_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id,
