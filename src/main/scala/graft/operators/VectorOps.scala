@@ -94,6 +94,32 @@ object VectorOps {
             / count(lit(1)), 8).as("mean"))
     }),
 
+    // Int8 symmetric quantization audit — the 4× storage cut (float32
+    // -> int8 + one scale/vector) applied to an embedding corpus, with
+    // its reconstruction error bound VERIFIED: per vector, scale s =
+    // amax/127 (amax via codegen'd array_max/min — no interpreted
+    // lambda), q = round(x/s), and round-to-nearest guarantees
+    // |x - q*s| <= s/2 = amax/254. All per-element work is narrow
+    // (posexplode with amax riding along); the only shuffle is the
+    // per-label report. Error stats are decimal-summed -> the oracle
+    // checks VALUES, not just the gate.
+    "q94_int8_quant" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val amax = greatest(array_max(v), abs(array_min(v)))
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("label"), amax.as("amax"), posexplode(v).as(Seq("pos", "x")))
+        .withColumn("q", when(col("amax") > 0,
+          round(col("x") / col("amax") * 127.0)).otherwise(0.0))
+        .withColumn("err", when(col("amax") > 0,
+          abs(col("x") - col("q") * col("amax") / 127.0)).otherwise(0.0))
+      e.groupBy("label").agg(
+        count(lit(1)).as("n_vals"),
+        round(sum(round(col("err"), 12).cast("decimal(24,12)"))
+          .cast("double") / count(lit(1)), 8).as("mean_abs_err"),
+        round(max(col("err")), 8).as("max_abs_err"),
+        min(col("err") <= col("amax") / 254.0 + 1e-12).as("bound_ok"))
+    }),
+
     // Pure distance-expression eval, no table (vector.01-insert-scan.slt
     // shape) — exercises the SQL registration path.
     "q29_vector_expr_eval" -> ((s, _) => {
@@ -371,6 +397,32 @@ object VectorOps {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // round(x) ties: Spark HALF_UP vs DuckDB away-from-zero agree for
+    // every non-negative-vs-negative case except an EXACT .5 in binary
+    // — measure-zero for float data (and amax hits map to exactly
+    // ±127.0, not a tie)
+    "q94_int8_quant" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    greatest(list_max(CAST(embedding AS DOUBLE[])),
+        |      abs(list_min(CAST(embedding AS DOUBLE[])))) AS amax,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, amax, x,
+        |    CASE WHEN amax > 0 THEN round(x / amax * 127.0) ELSE 0 END AS q
+        |  FROM e
+        |), er AS (
+        |  SELECT label, amax,
+        |    CASE WHEN amax > 0 THEN abs(x - q * amax / 127.0) ELSE 0 END AS err
+        |  FROM q
+        |)
+        |SELECT label, count(*) AS n_vals,
+        |  round(sum(CAST(round(err, 12) AS DECIMAL(24,12)))::DOUBLE
+        |    / count(*), 8) AS mean_abs_err,
+        |  round(max(err), 8) AS max_abs_err,
+        |  bool_and(err <= amax / 254.0 + 1e-12) AS bound_ok
+        |FROM er GROUP BY label""".stripMargin,
     // NB the inner CAST TO DOUBLE is load-bearing: DuckDB casts
     // FLOAT -> DECIMAL by scaling in float precision (garbage past ~7
     // significant digits); float -> double -> decimal is exact.
