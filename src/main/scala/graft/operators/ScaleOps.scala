@@ -164,6 +164,34 @@ object ScaleOps {
           sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
     }),
 
+    // Pivot / crosstab: per-source × language doc counts — the
+    // wide-report reshape. Explicit pivot values keep the output
+    // schema STATIC (a values-less pivot runs a distinct scan first
+    // and breaks schema stability at 100TB); absent cells filled 0.
+    // One partial+final agg on (source, lang) then a narrow reshape.
+    "q95_pivot" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // Set operations INTERSECT / EXCEPT (distinct semantics), compact
+    // scalar report: order keys both returned AND fully shipped vs
+    // returned-only. Spark plans these as aggregate + left-semi/anti —
+    // shuffle on the key, no driver-side sets.
+    "q96_setops" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val a = li.filter(col("l_returnflag") === "R").select("l_orderkey")
+      val b = li.filter(col("l_linestatus") === "F").select("l_orderkey")
+      val inter = a.intersect(b)
+      val diff = a.except(b)
+      inter.agg(count(lit(1)).as("inter_n"),
+          min("l_orderkey").as("inter_min"), max("l_orderkey").as("inter_max"))
+        .crossJoin(diff.agg(count(lit(1)).as("except_n")))
+    }),
+
     // Event-time interval join (view -> purchase attribution within
     // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
     // stream-stream join's semantics, value-checked by DuckDB here and
@@ -215,6 +243,23 @@ object ScaleOps {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
         |GROUP BY l_returnflag""".stripMargin,
+    "q95_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+    "q96_setops" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'),
+        |i AS (SELECT l_orderkey FROM a INTERSECT SELECT l_orderkey FROM b),
+        |x AS (SELECT l_orderkey FROM a EXCEPT SELECT l_orderkey FROM b)
+        |SELECT (SELECT count(*) FROM i) AS inter_n,
+        |  (SELECT min(l_orderkey) FROM i) AS inter_min,
+        |  (SELECT max(l_orderkey) FROM i) AS inter_max,
+        |  (SELECT count(*) FROM x) AS except_n""".stripMargin,
     "q87_stream_interval_join" ->
       """SELECT v.user_id, count(*) AS pairs,
         |  count(DISTINCT p.ts) AS purchases_attributed
