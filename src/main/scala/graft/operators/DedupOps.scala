@@ -72,12 +72,23 @@ object DedupOps {
     * OCCURRENCE stream, not the set.) Docs with < 3 tokens produce an
     * empty set and are filtered, matching the old window-lead
     * semantics where they simply emitted no gram rows. */
-  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "documents").select("doc_id", "text")
+    // Parallelism decoupling: a single-row-group parquet arrives as ONE
+    // split, which would run the whole narrow shingle pipeline on one
+    // core (Spark can't subdivide a row group). At production scale the
+    // source has thousands of splits and this branch never fires; the
+    // conditional keeps "zero shuffles" true exactly where it matters.
+    val spread =
+      if (base.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        base.repartition(s.sparkContext.defaultParallelism)
+      else base
+    spread
       .select(col("doc_id"),
         org.apache.spark.sql.graft.DistinctShingles.column(
           TextOps.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** Exploded (doc_id, shingle) postings with per-doc set size. */
   private[graft] def postings(sh: DataFrame): DataFrame =
