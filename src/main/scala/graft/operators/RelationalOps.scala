@@ -345,6 +345,16 @@ object RelationalOps {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // CUBE: the full grouping-set lattice (both one-dimension margins,
+    // unlike ROLLUP's prefix hierarchy) — one pass, Spark expands the
+    // lattice inside the aggregate, no multi-scan union.
+    "q98_cube" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
     // Semi-structured: JSON props extraction + typed agg (Spark
     // get_json_object == DuckDB json_extract_string; both codegen/
     // native). The shape of every event-log pipeline.
@@ -512,6 +522,11 @@ object RelationalOps {
         |  sum(l_quantity) AS qty,
         |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q98_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS qty,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q28_events_props_json" ->
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,

@@ -164,6 +164,36 @@ object ScaleOps {
           sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
     }),
 
+    // Small-file compaction — the table-maintenance op every
+    // long-lived lake needs: a fragmented dataset (64 shards here,
+    // simulating streaming/appends) rewritten into a handful of
+    // right-sized files. Content preservation is the VALUE-checked
+    // part (row count + decimal key checksum vs the original table);
+    // the file-count collapse is the in-engine gate. At scale this is
+    // one distributed read + shuffle-free coalesce write per
+    // partition-directory, scheduled partition-by-partition.
+    "q97_compact" -> ((s, d) => {
+      import s.implicits._
+      val frag = s"${scratch(d)}/lineitem_fragmented"
+      val compact = s"${scratch(d)}/lineitem_compacted"
+      val li = Tables.load(s, d, "lineitem")
+      li.repartition(64).write.mode(SaveMode.Overwrite).parquet(frag)
+      def nFiles(p: String): Long = new java.io.File(p).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+      val before = nFiles(frag)
+      // coalesce = NO shuffle: shards merge within their executors
+      s.read.parquet(frag).coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(compact)
+      val after = nFiles(compact)
+      val out = s.read.parquet(compact)
+      out.agg(
+        count(lit(1)).as("rows"),
+        sum(col("l_orderkey").cast("decimal(28,0)")).cast("long")
+          .as("key_sum"))
+        .withColumn("files_collapsed",
+          lit(before >= 64 && after <= 4))
+    }),
+
     // Pivot / crosstab: per-source × language doc counts — the
     // wide-report reshape. Explicit pivot values keep the output
     // schema STATIC (a values-less pivot runs a distinct scan first
@@ -243,6 +273,10 @@ object ScaleOps {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
         |GROUP BY l_returnflag""".stripMargin,
+    "q97_compact" ->
+      """SELECT count(*) AS rows, sum(l_orderkey)::BIGINT AS key_sum,
+        |  true AS files_collapsed
+        |FROM lineitem""".stripMargin,
     "q95_pivot" ->
       """SELECT source,
         |  count(*) FILTER (WHERE lang = 'en') AS en,
