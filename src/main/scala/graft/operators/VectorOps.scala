@@ -120,6 +120,63 @@ object VectorOps {
         min(col("err") <= col("amax") / 254.0 + 1e-12).as("bound_ok"))
     }),
 
+    // HYBRID SEARCH capstone: BM25 keyword retrieval fused with vector
+    // similarity by reciprocal-rank fusion (RRF, k=60) — the RAG
+    // retrieval shape. Scale discipline: each modality first generates
+    // its TOP-100 candidates with a scale-safe TakeOrdered (never a
+    // global rank window over the corpus); ranks are then assigned
+    // within the tiny candidate sets, fused with a full outer join
+    // (a doc missing from one list contributes 0 from it), top-10 out.
+    // BM25 (k1=1.2, b=0.75) is exact rational+ln arithmetic on
+    // (tf, df, len, avglen) — every score value-checked by DuckDB.
+    "q100_hybrid_search" -> ((s, d) => {
+      val terms = Seq("spark", "join", "vector")
+      val docs = Tables.load(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      val lens = docs.select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text")))
+          .cast("double").as("len"))
+      val nDocs = docs.count()
+      val avgLen = lens.agg(sum(col("len")) / count(lit(1)))
+        .head.getDouble(0)
+      val tf = toks.filter(col("t").isInCollection(terms))
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+      val k1 = 1.2; val b = 0.75
+      val bm25 = tf.join(broadcast(df), "t").join(lens, "doc_id")
+        .withColumn("idf",
+          log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5)
+            / (col("df") + 0.5)))
+        .withColumn("s", col("idf") * col("tf") * (k1 + 1.0)
+          / (col("tf") + (lit(1.0 - b) + col("len") * b / avgLen) * k1))
+        .groupBy("doc_id")
+        .agg(round(sum(round(col("s"), 10).cast("decimal(20,10)"))
+          .cast("double"), 8).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      val q = queryVec(s, d)
+      val cos = emb(s, d)
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosineSimilarity(
+            col("embedding").cast("array<double>"),
+            VectorFunctions.vecLit(q)).as("cosv"))
+        .orderBy(col("cosv").desc, col("doc_id").asc).limit(100)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosv").desc, col("doc_id").asc)
+      val rb = bm25.withColumn("rb", row_number().over(wb))
+      val rc = cos.withColumn("rc", row_number().over(wc))
+      rb.join(rc, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0)), 8))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("rrf"),
+          coalesce(col("rb"), lit(-1)).as("bm25_rank"),
+          coalesce(col("rc"), lit(-1)).as("cos_rank"))
+    }),
+
     // Pure distance-expression eval, no table (vector.01-insert-scan.slt
     // shape) — exercises the SQL registration path.
     "q29_vector_expr_eval" -> ((s, _) => {
@@ -143,6 +200,30 @@ object VectorOps {
           DistanceMetric.Cosine, Some("vec_id"))
         .select(col("vec_id"), round(col("dist"), 6).as("sim"))
     }),
+    // FILTERED vector search — the metadata-predicate + KNN combo
+    // (the feature every production vector store needs and the
+    // reference lacks): top-10 MOST-similar cosine neighbors among
+    // vectors whose document is English. PRE-filter semantics (filter
+    // then exact top-k among survivors — never "top-k then filter",
+    // which under-returns). The doc-id semi-join prunes before any
+    // distance is computed; distances stay codegen'd; top-k is
+    // TakeOrderedAndProject.
+    "q99_filtered_knn" -> ((s, d) => {
+      val en = Tables.load(s, d, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val filtered = emb(s, d).join(en, Seq("vec_id"), "left_semi")
+      val q = queryVec(s, d)
+      filtered
+        .select(col("vec_id"),
+          VectorFunctions.cosineSimilarity(
+            col("embedding").cast("array<double>"),
+            VectorFunctions.vecLit(q)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     "q32_knn_ip" -> ((s, d) => {
       Knn.bruteForce(emb(s, d), "embedding", queryVec(s, d), 10,
           DistanceMetric.InnerProduct, Some("vec_id"))
@@ -439,6 +520,60 @@ object VectorOps {
         |  round(list_inner_product([1.0,2.0,3.0]::DOUBLE[], [4.0,5.0,6.0]::DOUBLE[]), 6) AS ip,
         |  round(list_cosine_similarity([1.0,0.0]::DOUBLE[], [1.0,1.0]::DOUBLE[]), 6) AS cos""".stripMargin,
     "q30_knn_l2" -> bruteOracle,
+    "q100_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE AS len
+        |  FROM documents
+        |), stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |avgl AS (SELECT sum(len) / count(*) AS avglen FROM lens),
+        |tf AS (
+        |  SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks
+        |  WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, t
+        |), df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+        |sc AS (
+        |  SELECT doc_id, round(sum(CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen)),
+        |    10) AS DECIMAL(20,10)))::DOUBLE, 8) AS bm25
+        |  FROM tf JOIN df USING (t) JOIN lens USING (doc_id), stats, avgl
+        |  GROUP BY doc_id
+        |), rb AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+        |    AS rb
+        |  FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 100)
+        |), cosx AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)) AS cosv
+        |  FROM embeddings
+        |), rc AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cosv DESC, doc_id ASC)
+        |    AS rc
+        |  FROM (SELECT * FROM cosx ORDER BY cosv DESC, doc_id ASC LIMIT 100)
+        |)
+        |SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+        |  round(COALESCE(1.0 / (60 + rb), 0) + COALESCE(1.0 / (60 + rc), 0), 8)
+        |    AS rrf,
+        |  COALESCE(rb, -1) AS bm25_rank, COALESCE(rc, -1) AS cos_rank
+        |FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q99_filtered_knn" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id
+        |WHERE dd.lang = 'en'
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
     "q31_knn_cosine" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
