@@ -178,8 +178,14 @@ object ScaleOps {
       val compact = s"${scratch(d)}/lineitem_compacted"
       val li = Tables.load(s, d, "lineitem")
       li.repartition(64).write.mode(SaveMode.Overwrite).parquet(frag)
-      def nFiles(p: String): Long = new java.io.File(p).listFiles()
-        .count(f => f.getName.startsWith("part-"))
+      // Hadoop FS listing, not java.io — works against any filesystem
+      // the cluster writes to (HDFS/object store), not just local
+      def nFiles(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(path).count(_.getPath.getName.startsWith("part-"))
+          .toLong
+      }
       val before = nFiles(frag)
       // coalesce = NO shuffle: shards merge within their executors
       s.read.parquet(frag).coalesce(4)
