@@ -298,7 +298,10 @@ object DedupOps {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
         org.apache.spark.sql.graft.DistinctShingles.column(
           TextOps.tokens(col("text")), 3).as("sh"))
-    val newB = prep(newDocs).cache()
+    // localCheckpoint, not cache: eagerly materialized (the batch is
+    // small by contract) and released with the DataFrame — no cache
+    // entry outlives the query
+    val newB = prep(newDocs).localCheckpoint()
     val corpus = prep(corpusDocs)
     // exact: corpus streams past the broadcast batch-fp set; the
     // surviving (matched) fps are tiny and broadcast back
@@ -355,6 +358,10 @@ object DedupOps {
       .select(col("doc_id").as(idCol),
         org.apache.spark.sql.graft.DistinctShingles.column(
           TextOps.tokens(col("text")), 3).as("sh"))
+      // empty shingle sets MUST be dropped before banding: MinHash of
+      // an empty array is a CONSTANT signature, so every sub-3-token
+      // doc would land in the same 16 buckets and cross-join
+      .filter(size(col("sh")) > 0)
       .select(col(idCol), posexplode(
         org.apache.spark.sql.graft.MinHashBands.column(
           col("sh"), numHashes = 64, bands = 16)).as(Seq("band", "bkey")))
@@ -709,7 +716,11 @@ object DedupOps {
         |ex AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c
         |       ON n.fp = c.fp),
         |nr AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c
-        |  ON len(list_intersect(n.sh, c.sh))::DOUBLE
+        |  -- the len>0 guards mirror Spark's NULL-on-0/0 divide (DuckDB
+        |  -- yields NaN and NaN >= x is TRUE): empty-shingle docs are
+        |  -- never near-dups
+        |  ON len(n.sh) > 0 AND len(c.sh) > 0
+        |  AND len(list_intersect(n.sh, c.sh))::DOUBLE
         |     / (len(n.sh) + len(c.sh) - len(list_intersect(n.sh, c.sh)))
         |     >= 0.8)
         |SELECT n.doc_id,
@@ -735,6 +746,9 @@ object DedupOps {
         |    AS jaccard
         |FROM sh n JOIN sh c
         |  ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  -- len>0 guards mirror Spark's NULL-on-0/0 divide (DuckDB NaN
+        |  -- would compare >= threshold as TRUE)
+        |  AND len(n.sh) > 0 AND len(c.sh) > 0
         |  AND len(list_intersect(n.sh, c.sh))::DOUBLE
         |    / (len(n.sh) + len(c.sh) - len(list_intersect(n.sh, c.sh))) >= 0.8""".stripMargin,
     "q79_vocab_topk" ->

@@ -155,11 +155,15 @@ object VectorOps {
           .cast("double"), 8).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
       val q = queryVec(s, d)
+      // cosv rounded to 8 BEFORE any ordering: ranks feed the fused
+      // score, so cross-engine ulp noise in the similarity must not be
+      // able to swap two near-tied candidates (the bm25 side rounds
+      // for the same reason)
       val cos = emb(s, d)
         .select(col("vec_id").as("doc_id"),
-          VectorFunctions.cosineSimilarity(
+          round(VectorFunctions.cosineSimilarity(
             col("embedding").cast("array<double>"),
-            VectorFunctions.vecLit(q)).as("cosv"))
+            VectorFunctions.vecLit(q)), 8).as("cosv"))
         .orderBy(col("cosv").desc, col("doc_id").asc).limit(100)
       val wb = org.apache.spark.sql.expressions.Window
         .orderBy(col("bm25").desc, col("doc_id").asc)
@@ -548,9 +552,9 @@ object VectorOps {
         |  FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 100)
         |), cosx AS (
         |  SELECT vec_id AS doc_id,
-        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-        |       WHERE vec_id = 0)) AS cosv
+        |       WHERE vec_id = 0)), 8) AS cosv
         |  FROM embeddings
         |), rc AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY cosv DESC, doc_id ASC)
