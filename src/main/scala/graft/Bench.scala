@@ -73,12 +73,15 @@ object Bench {
     }
     // Scale curve: the same measurement at the small point for the
     // index/dedup families (skipped when the main run already is the
-    // small point).
+    // small point). Small-point failures are attributed separately —
+    // a missing scale dir must not flag a fully-passing main run.
+    val mainFailures = failures.distinct.toSeq
     val scaleSmall =
       if (scaleDir == sfDir) Seq.empty
       else selected.filter(q => ScaleFamilies.contains(q._1)).flatMap {
         case (name, fn) => bestOf2(name, fn, scaleDir).map(name -> _)
       }
+    val scaleFailures = failures.distinct.diff(mainFailures).toSeq
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val big = results.toMap
@@ -86,13 +89,15 @@ object Bench {
       case (k, small) if small > 0 && big.contains(k) =>
         k -> math.log10(big(k) / small)
     }
+    def jsonArr(xs: Seq[String]) =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val scaleJson =
-      if (scaleSmall.isEmpty) "null"
+      if (scaleSmall.isEmpty && scaleFailures.isEmpty) "null"
       else s"""{"small_sf":"$scaleDir","small":${jsonMap(scaleSmall)},""" +
-        s""""log10_ratio_for_10x_rows":${jsonMap(exponents)}}"""
+        s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
+        s""""failures":${jsonArr(scaleFailures)}}"""
     val total = results.map(_._2).sum
-    val fails = failures.distinct.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
+    val fails = jsonArr(mainFailures)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failures":$fails,"scale":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -328,9 +328,11 @@ object Hnsw {
     def insert(rows: DataFrame, idCol: String, vecCol: String)
         : DistributedHnswIndex = {
       import org.apache.spark.sql.functions._
-      val p = parts.first() // params template (first non-empty part)
-      val (m0, efc0, efs0, met0) =
-        (p.m, p.efConstruction, p.efSearch, p.metric)
+      // ship ONLY the 4 hyperparameters to the driver — parts.first()
+      // would deserialize partition 0's entire sub-graph (vectors +
+      // links) for 4 scalars
+      val (m0, efc0, efs0, met0) = parts
+        .map(p => (p.m, p.efConstruction, p.efSearch, p.metric)).first()
       val routed = rows
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .filter(col(vecCol).isNotNull)

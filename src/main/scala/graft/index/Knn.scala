@@ -53,7 +53,11 @@ object Knn {
       col(qVecCol).cast("array<double>").as("__qv"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col("d_id").asc)
-    cand.join(dv, col("__cand_id") === col("d_id"))
+    // broadcast the CANDIDATE list (bounded at partitions × shortlist
+    // × |queries| ids — never vectors): without the hint the stats-less
+    // cand frame plans a SortMergeJoin whose map stage shuffle-writes
+    // the ENTIRE data table of vectors, the exact cost PQ exists to cut
+    broadcast(cand).join(dv, col("__cand_id") === col("d_id"))
       .join(broadcast(qdf), col("q_id") === col("__qid"))
       .withColumn("dist", l2Dist(col("__dv"), col("__qv")))
       .withColumn("__rk", row_number().over(w))

@@ -465,9 +465,14 @@ object DedupOps {
     // Deterministic; at sf0.01 output == q45 (same oracle).
     "q46_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d).cache()
+      // bands cached too: bucketPairs reads its input from FOUR
+      // branches (hot detection, cold self-join x/y, salted hot x/y)
+      // and the 64-hash signature pass is the most CPU-expensive
+      // narrow stage in the query — compute it once
       val bands = sh.select(col("doc_id"),
         posexplode(org.apache.spark.sql.graft.MinHashBands.column(
           col("sh"), numHashes = 64, bands = 16)).as(Seq("band", "bkey")))
+        .cache()
       verifyPairs(bucketPairs(bands, Seq("band", "bkey")), sh)
     }),
 
