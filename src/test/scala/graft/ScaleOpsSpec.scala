@@ -86,6 +86,21 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q99 filtered KNN plans broadcast semi-join + TakeOrderedAndProject") {
+    val plan = operators.VectorOps.queries("q99_filtered_knn")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the metadata filter prunes via a BROADCAST semi-join (the dim is
+    // the small side), and top-k never global-sorts
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q91 TF-IDF joins the df vocabulary BROADCAST (corpus never reshuffled for it)") {
+    val plan = operators.TextOps.queries("q91_tfidf_topterms")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q87 batch interval join: every attributed purchase is within the window") {
     val ev = Tables.load(spark, sfDir, "events")
     val pairs = ScaleOps.queries("q87_stream_interval_join")(spark, sfDir)
