@@ -238,6 +238,27 @@ object ScaleOps {
         .crossJoin(diff.agg(count(lit(1)).as("except_n")))
     }),
 
+    // Per-user timeline assembly — the "session transcript" builder
+    // for behavioral/SFT training data: each user's full event stream
+    // ordered by time, fingerprinted. Elements are zero-padded so
+    // LEXICOGRAPHIC order == numeric (ts, event_id) order, which makes
+    // sort_array + md5 deterministic and CROSS-ENGINE checkable with
+    // no reliance on shuffle arrival order (collect_list alone is
+    // order-nondeterministic — the classic trap). One shuffle; per-user
+    // state bounded by that user's activity, the natural key at scale.
+    "q101_user_timeline" -> ((s, d) => {
+      val el = concat_ws(":",
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"),
+        col("event_type"))
+      Tables.load(s, d, "events")
+        .select(col("user_id"), el.as("el"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          md5(concat_ws("|", sort_array(collect_list(col("el"))))
+            .cast("binary")).as("timeline_fp"))
+    }),
+
     // Event-time interval join (view -> purchase attribution within
     // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
     // stream-stream join's semantics, value-checked by DuckDB here and
@@ -310,6 +331,17 @@ object ScaleOps {
         |  (SELECT min(l_orderkey) FROM i) AS inter_min,
         |  (SELECT max(l_orderkey) FROM i) AS inter_max,
         |  (SELECT count(*) FROM x) AS except_n""".stripMargin,
+    "q101_user_timeline" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    lpad(epoch_us(ts)::VARCHAR, 20, '0') || ':'
+        |      || lpad(event_id::VARCHAR, 10, '0') || ':'
+        |      || event_type AS el
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  md5(string_agg(el, '|' ORDER BY el)) AS timeline_fp
+        |FROM e GROUP BY user_id""".stripMargin,
     "q87_stream_interval_join" ->
       """SELECT v.user_id, count(*) AS pairs,
         |  count(DISTINCT p.ts) AS purchases_attributed
