@@ -19,11 +19,15 @@ import graft.Tables
   *  - bloom-filter semi-join (q85): runtime-filter pattern for a dim
   *    too big to broadcast exactly — distributed sketch build, map-side
   *    codegen probe BEFORE the fact shuffle, exact verify after.
-  *  - mergeable sketches (q82): HLL distinct + quantile sketch as
-  *    partial aggregates — only fixed-size sketch state moves between
-  *    executors, never raw values; gated against exact answers.
+  *  - mergeable sketches (q82 HLL + quantile, q92 count-min): only
+  *    fixed-size sketch state moves between executors, never raw
+  *    values; every sketch gated against the exact answer.
+  *  - small-file compaction (q97): the lake-maintenance rewrite,
+  *    content value-checked.
   *  - interval (event-time window) join (q87): the batch twin of the
-  *    stream-stream attribution join in StreamOps.
+  *    stream-stream attribution join in StreamOps; pivot/crosstab
+  *    (q95), INTERSECT/EXCEPT (q96), and per-user timeline assembly
+  *    (q101) round out the reshaping surface.
   *
   * The reference has none of these (single-node course engine) — this
   * is beyond-parity scale surface per SURVEY.md §7.4, same tier as the
