@@ -33,7 +33,10 @@ object BloomSemi {
   /** Distributed bloom-filter build over `keys` (any type; hashed to
     * long with XxHash64 like InjectRuntimeFilter). Returns the
     * serialized filter — O(numBits/8) bytes on the driver, never the
-    * keys themselves. */
+    * keys themselves. An EMPTY build side yields null (the aggregate
+    * has nothing to sketch); [[mightContain]] treats that as
+    * match-nothing, which is exact for a semi-join against an empty
+    * dim. */
   def build(df: DataFrame, key: Column, expectedItems: Long): Array[Byte] = {
     val hashed = new XxHash64(Seq(ExpressionUtils.expression(key)))
     val agg = new BloomFilterAggregate(hashed, expectedItems)
@@ -44,9 +47,11 @@ object BloomSemi {
 
   /** Codegen'd `might_contain(filter, xxhash64(key))` probe predicate.
     * False positives possible (verify with an exact join after); false
-    * negatives impossible. */
+    * negatives impossible. A null `filter` (empty build side) matches
+    * nothing. */
   def mightContain(filter: Array[Byte], key: Column): Column =
-    ExpressionUtils.column(BloomFilterMightContain(
+    if (filter == null) org.apache.spark.sql.functions.lit(false)
+    else ExpressionUtils.column(BloomFilterMightContain(
       Literal(filter, BinaryType),
       new XxHash64(Seq(ExpressionUtils.expression(key)))))
 }
