@@ -161,6 +161,18 @@ object DedupOps {
   private def dupLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(docShingles(s, d), JaccardThr)
       .select(col("a_id"), col("b_id")).cache()
+    val out = ccLabels(pairs)
+    pairs.unpersist()
+    out
+  }
+
+  /** The HashMin fixpoint itself over an (a_id, b_id) undirected pair
+    * frame — split from [[dupLabels]] so the multi-round convergence
+    * path (component diameter > 1, e.g. CHAINS of near-dups, which
+    * real boilerplate drift produces) is directly testable; the
+    * table-bound clusters in the corpus are cliques and converge at
+    * init. */
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
@@ -199,7 +211,6 @@ object DedupOps {
     // cache entries alive, only the checkpointed labels themselves
     val out = labels.localCheckpoint()
     cached.unpersist()
-    pairs.unpersist()
     edges.unpersist()
     out
   }

@@ -196,6 +196,19 @@ class DedupSpec extends SparkSpecBase {
       30L -> "kept", 40L -> "kept"))
   }
 
+  test("CC fixpoint converges on CHAIN graphs (diameter > 1, multi-round path)") {
+    import spark.implicits._
+    // a 6-node path 1-2-3-4-5-6 plus an isolated pair 10-11: HashMin
+    // needs ~log(diameter) propagation rounds (the corpus's cliques
+    // converge at init and never exercise the loop)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a_id", "b_id")
+    val got = DedupOps.ccLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1L to 6L).map(_ -> 1L).toMap ++ Map(10L -> 10L, 11L -> 10L)
+    assert(got == want)
+  }
+
   test("q89 persisted LSH index probe: bucketed scan unexchanged, pairs == q88 near set") {
     val probe = DedupOps.queries("q89_lsh_index_probe")(spark, sfDir)
     val pairs = probe.collect()
