@@ -340,6 +340,22 @@ object TextOps {
           .cast("double"), 6).as("js_div"))
     }),
 
+    // Per-group deterministic sample: k=3 docs per TRUE language,
+    // chosen by md5 order — the "show me a few examples per stratum"
+    // pass, reproducible across reruns AND engines (a seeded RNG
+    // reservoir is neither). One shuffle on the group key; the window
+    // is bounded per group.
+    "q103_group_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          fingerprint(col("text")).as("u"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -510,6 +526,16 @@ object TextOps {
         |)
         |SELECT doc_id, rk, t AS term, tf, df, score
         |FROM r WHERE rk <= 5""".stripMargin,
+    "q103_group_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS u FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC)
+        |      AS rk
+        |  FROM u
+        |)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 3""".stripMargin,
     "q93_corpus_drift" ->
       """WITH tk AS (
         |  SELECT doc_id % 10 = 0 AS is_new,

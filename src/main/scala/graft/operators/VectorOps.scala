@@ -94,6 +94,37 @@ object VectorOps {
             / count(lit(1)), 8).as("mean"))
     }),
 
+    // K-means clustering exposed as a product operator (topic/bucket
+    // assignment over an embedding corpus — the IVFFlat trainer IS a
+    // reference-recipe k-means, reused here for the user-facing op).
+    // The result (centroid positions/sizes) cannot be recomputed by a
+    // SQL oracle, so the DRIVER-CHECKABLE surface is the invariant
+    // that defines a valid assignment: every vector sits in its
+    // NEAREST centroid's cluster, re-verified through an INDEPENDENT
+    // distance path (VectorDistance l2 + array_min, not the
+    // NearestCentroid expression that produced the assignment).
+    "q102_kmeans_clusters" -> ((s, d) => {
+      import s.implicits._
+      val model = IvfFlat.build(Tables.load(s, d, "embeddings"),
+        Seq("vec_id"), "embedding", lists = 8, probeLists = 8)
+      val v = col("embedding").cast("array<double>")
+      val assigned = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), v.as("v"),
+          org.apache.spark.sql.graft.NearestCentroid.column(
+            v, model.centroids, org.apache.spark.sql.graft
+              .DistanceMetric.L2).as("cluster"))
+      val dists = array(model.centroids.map(c =>
+        VectorFunctions.l2Dist(col("v"), VectorFunctions.vecLit(c.toSeq))): _*)
+      val checked = assigned
+        .withColumn("mismatch",
+          element_at(dists, col("cluster") + 1) > array_min(dists))
+      val row = checked.agg(
+        sum(when(col("mismatch"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+      Seq((row.getLong(0), row.getLong(0) == 0L, row.getLong(1), 8))
+        .toDF("mismatches", "all_nearest", "n_vectors", "k")
+    }),
+
     // Int8 symmetric quantization audit — the 4× storage cut (float32
     // -> int8 + one scale/vector) applied to an embedding corpus, with
     // its reconstruction error bound VERIFIED: per vector, scale s =
@@ -482,6 +513,10 @@ object VectorOps {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q102_kmeans_clusters" ->
+      """SELECT CAST(0 AS BIGINT) AS mismatches, true AS all_nearest,
+        |  count(*) AS n_vectors, 8 AS k
+        |FROM embeddings""".stripMargin,
     // round(x) ties: Spark HALF_UP vs DuckDB away-from-zero agree for
     // every non-negative-vs-negative case except an EXACT .5 in binary
     // — measure-zero for float data (and amax hits map to exactly
