@@ -299,13 +299,25 @@ object IvfFlat {
     IvfFlatModel(centroids, metric, probeLists, vecCol, buckets)
   }
 
-  /** Reopen a persisted index — fully self-contained from `/meta`. */
+  /** Reopen a persisted index — fully self-contained from `/meta`.
+    * When a `/stream` directory exists (rows appended by streaming
+    * ingestion, [[graft.streaming.StreamOps.ivfIngest]]), its rows are
+    * unioned in: both layouts are partitioned by `__bucket`, so probe
+    * filters prune partitions across both sides. */
   def load(spark: SparkSession, path: String): IvfFlatModel = {
     val meta = spark.read.parquet(path + "/meta").collect()
       .sortBy(_.getInt(0))
     val centroids = meta.map(_.getSeq[Double](1).toArray)
+    val base = spark.read.parquet(path + "/buckets")
+    val streamPath = new org.apache.hadoop.fs.Path(path + "/stream")
+    val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets =
+      if (fs.exists(streamPath))
+        base.unionByName(
+          spark.read.parquet(path + "/stream")
+            .select(base.columns.map(col): _*))
+      else base
     IvfFlatModel(centroids, DistanceMetric(meta(0).getInt(2)),
-      meta(0).getInt(3), meta(0).getString(4),
-      spark.read.parquet(path + "/buckets"))
+      meta(0).getInt(3), meta(0).getString(4), buckets)
   }
 }

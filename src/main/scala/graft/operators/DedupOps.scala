@@ -581,6 +581,31 @@ object DedupOps {
             / col("total_3grams").cast("double"), 6))
     }),
 
+    // Exact-substring dedup signal (the Lee-et-al "deduplicating
+    // training data" recipe at gram granularity): per doc, the
+    // fraction of its 5-gram OCCURRENCES whose gram also appears in
+    // some OTHER document — the cross-doc duplicated-span ratio that
+    // substring dedup thresholds on. Scale shape: the shared-gram set
+    // is corpus-sized, so it is NOT broadcast — both sides shuffle on
+    // the gram key (the honest suffix-array replacement), then one
+    // per-doc agg on the doc_id partitioning the gram window already
+    // established.
+    "q107_dup_spans" -> ((s, d) => {
+      val grams = TextOps.gram5Stream(s, d)
+      val shared = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val perDoc = grams.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val dup = grams.join(shared, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_positions"))
+      perDoc.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+          round(coalesce(col("dup_positions"), lit(0L)).cast("double")
+            / col("n_grams"), 6).as("dup_ratio"))
+    }),
+
     // CAPSTONE: assemble the training set. A document survives iff it
     // is not a dropped duplicate (non-dup, or its cluster's
     // highest-quality keeper) AND clears the quality bar. Reported
@@ -792,6 +817,29 @@ object DedupOps {
         |  count(DISTINCT g) AS distinct_3grams,
         |  round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS dup_ratio
         |FROM g GROUP BY doc_id""".stripMargin,
+    "q107_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |    for i in range(1, len(toks)-3)]) AS g
+        |  FROM t WHERE len(toks) >= 5
+        |), sh AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+        |  WHERE nd >= 2
+        |), pd AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id
+        |), dp AS (
+        |  SELECT doc_id, count(*) AS dup_positions
+        |  FROM gr JOIN sh USING (g) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams,
+        |  COALESCE(dup_positions, 0) AS dup_positions,
+        |  round(COALESCE(dup_positions, 0)::DOUBLE / n_grams, 6) AS dup_ratio
+        |FROM pd LEFT JOIN dp USING (doc_id)""".stripMargin,
     "q72_training_set" ->
       s"""WITH RECURSIVE p AS ($pairOracle),
         |edges AS (SELECT a_id AS s, b_id AS t FROM p

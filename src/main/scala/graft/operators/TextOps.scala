@@ -356,6 +356,67 @@ object TextOps {
         .select(col("lang"), col("rk"), col("doc_id"))
     }),
 
+    // Curriculum length binning: per-language doc-length deciles
+    // (ntile over a TOTAL order — n_chars with doc_id tie-break, so
+    // the bin assignment is deterministic and cross-engine exact).
+    // The batching/curriculum pass: group docs into length buckets so
+    // training batches pack sequences of similar length. One shuffle
+    // on the (low-cardinality) language key; the window is the
+    // standard per-group sort.
+    "q104_length_bins" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("docs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+    }),
+
+    // Deterministic stratified train/val/test split: assignment from
+    // the content md5 (u < 0.8 train, < 0.9 val, else test) — the
+    // split every pipeline needs to be REPRODUCIBLE across reruns,
+    // engines, and corpus growth (a doc's split never changes when
+    // other docs are added, which row_number- or RNG-based splits
+    // can't promise). Pure narrow ops + one tiny groupBy; the
+    // id-checksum makes the exact membership value-checked, not just
+    // the counts.
+    "q105_split_assign" -> ((s, d) => {
+      val u = conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), u.as("u"))
+        .withColumn("split",
+          when(col("u") < 0.8, "train")
+            .when(col("u") < 0.9, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("docs"),
+          sum("doc_id").as("id_checksum"))
+    }),
+
+    // OOV-rate audit: induce the top-K=20 vocabulary by corpus
+    // frequency (deterministic token tie-break), then per-source
+    // fraction of token OCCURRENCES outside it — the tokenizer-
+    // coverage check run before committing a vocab. Scale shape: the
+    // vocabulary is induced by one partial+final agg + TakeOrdered
+    // (no global sort) and joined back BROADCAST; the corpus-side
+    // exchange is only the final per-source agg.
+    "q106_oov_rate" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t").asc).limit(20)
+        .select(col("t"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov"),
+          round(sum(when(col("iv").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("oov_rate"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -576,6 +637,42 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
         |FROM t JOIN lp USING (t) GROUP BY doc_id""".stripMargin,
+    "q104_length_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars ASC, doc_id ASC) AS bin
+        |  FROM documents
+        |)
+        |SELECT lang, bin, count(*) AS docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin""".stripMargin,
+    "q105_split_assign" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || md5(lower(trim(text)))[1:8])::BIGINT / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS docs, sum(doc_id)::BIGINT AS id_checksum
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    "q106_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), v AS (
+        |  SELECT t, 1 AS iv FROM (
+        |    SELECT t, count(*) AS cnt FROM tk GROUP BY t
+        |    ORDER BY cnt DESC, t ASC LIMIT 20)
+        |)
+        |SELECT source, count(*) AS tokens,
+        |  sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov,
+        |  round(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS oov_rate
+        |FROM tk LEFT JOIN v USING (t) GROUP BY source""".stripMargin,
     // md5 agrees between engines, so the deterministic sample is
     // value-checkable end to end
     "q68_hash_sample" ->

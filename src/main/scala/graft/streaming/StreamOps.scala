@@ -62,6 +62,24 @@ object StreamOps {
         graft.operators.TextOps.tokens(col("text")), 5, benchGrams) === 0,
       lit(true)))
 
+  /** Streaming vector-index ingestion — the ingestion-time twin of
+    * `IvfFlatModel.insert`: assign each arriving vector to the FROZEN
+    * centroids map-side (codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroid]] — a stateless
+    * narrow transform, so the plan is identical batch or streaming and
+    * state stays zero at any throughput). Write the result with
+    * `.writeStream.format("parquet").partitionBy("__bucket")` into
+    * `<indexPath>/stream`: the file sink's commit log makes the append
+    * exactly-once across retries, and [[graft.index.IvfFlat.load]]
+    * unions the streamed rows with the built layout, so probes keep
+    * pruning partitions across BOTH — new vectors become searchable at
+    * the next index load with no rebuild and no shuffle anywhere. */
+  def ivfIngest(rows: DataFrame, model: graft.index.IvfFlatModel): DataFrame =
+    rows.withColumn("__bucket",
+      org.apache.spark.sql.graft.NearestCentroid.column(
+        col(model.vecCol), model.centroids, model.metric))
+      .select(model.buckets.columns.map(col): _*)
+
   /** Stream-static dimension enrichment: join the (unbounded) fact
     * stream against a bounded dimension table, broadcast per
     * micro-batch — the standard zero-state enrichment join. Note on

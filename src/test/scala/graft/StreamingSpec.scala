@@ -362,6 +362,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == sample.map(_.event_id).sorted.toSeq)
   }
 
+  test("streaming IVF ingestion: streamed vectors searchable on reload (== batch insert)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IvfFlat
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ingest").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // build on a prefix, stream the rest in two micro-batches
+    val model = IvfFlat.build(emb.filter(col("vec_id") < 300),
+      Seq("vec_id"), "v", lists = 8, probeLists = 8)
+    model.save(dir)
+    val rest = emb.filter(col("vec_id") >= 300)
+      .as[(Long, Array[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = StreamOps.ivfIngest(mem.toDF().toDF("vec_id", "v"),
+        model)
+      .writeStream.format("parquet")
+      .option("path", dir + "/stream")
+      .option("checkpointLocation", dir + "/cp")
+      .partitionBy("__bucket").start()
+    try {
+      val (a, b) = rest.splitAt(rest.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val loaded = IvfFlat.load(spark, dir)
+    val query = emb.filter(col("vec_id") === 7)
+      .select("v").head().getSeq[Double](0)
+    // probe-all ⇒ exact: the streamed rows must be indistinguishable
+    // from a batch IvfFlatModel.insert of the same rows
+    val got = loaded.scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = model.insert(rest.toDF("vec_id", "v"))
+      .scan(query, 15, Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.size == 15)
+  }
+
   test("batch sessionization on the events table: sane invariants") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = StreamOps.sessionizeBatch(events)
