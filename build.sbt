@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // One Bench/Verify JVM runs ~250 codegen-heavy query executions;
+  // the JDK default 240MB JIT code cache fills on generated classes,
+  // after which the compiler shuts off and later queries measure
+  // 5-10x slow (interpreted). Size it so steady-state stays JIT'd.
+  "-XX:ReservedCodeCacheSize=512m",
 )
