@@ -263,6 +263,53 @@ object ScaleOps {
             .cast("binary")).as("timeline_fp"))
     }),
 
+    // Incremental rollup maintenance (the materialized-view merge):
+    // per-source stats computed INDEPENDENTLY over the existing corpus
+    // and a new batch, then merged by re-aggregating the two partial
+    // states — count/sum/min/max are mergeable, avg derives from the
+    // merged sums. The 100TB point: admitting a batch updates the
+    // rollup from fixed-size partial state (never re-scanning the
+    // corpus; here both sides scan only because the "corpus rollup"
+    // has to be produced in the same query). The DuckDB oracle
+    // computes the DIRECT full-corpus rollup, so merged == recomputed
+    // is the value check.
+    "q108_merge_rollup" -> ((s, d) => {
+      def part(df: DataFrame) = df.groupBy("source").agg(
+        count(lit(1)).as("docs"), sum("n_chars").as("chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      val docs = Tables.load(s, d, "documents")
+      part(docs.filter(col("doc_id") % 10 =!= 0))
+        .unionByName(part(docs.filter(col("doc_id") % 10 === 0)))
+        .groupBy("source").agg(
+          sum("docs").as("docs"), sum("chars").as("chars"),
+          min("min_chars").as("min_chars"),
+          max("max_chars").as("max_chars"))
+        .withColumn("avg_chars",
+          round(col("chars").cast("double") / col("docs"), 6))
+    }),
+
+    // Per-user rolling event features (the feature-engineering pass a
+    // behavioral model trains on): event sequence number, microsecond
+    // gap since the user's previous event, and a 5-event rolling mean
+    // of `value`. ONE shuffle on user_id; every window is bounded
+    // (rows frame), so state per key is O(5) regardless of history
+    // length. Rolling sums are decimal-exact before the one double
+    // division; (ts, event_id) total order makes ties deterministic.
+    "q109_user_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val w5 = w.rowsBetween(-4, 0)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("seq", row_number().over(w))
+        .withColumn("gap_us", unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("roll_avg_value",
+          round(sum(col("value").cast("decimal(18,6)")).over(w5)
+            .cast("double") / count(lit(1)).over(w5), 6))
+        .select("user_id", "event_id", "seq", "gap_us", "roll_avg_value")
+    }),
+
     // Event-time interval join (view -> purchase attribution within
     // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
     // stream-stream join's semantics, value-checked by DuckDB here and
@@ -346,6 +393,21 @@ object ScaleOps {
         |SELECT user_id, count(*) AS n_events,
         |  md5(string_agg(el, '|' ORDER BY el)) AS timeline_fp
         |FROM e GROUP BY user_id""".stripMargin,
+    "q108_merge_rollup" ->
+      """SELECT source, count(*) AS docs, sum(n_chars)::BIGINT AS chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q109_user_features" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS seq,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w5 AS DOUBLE)
+        |    / count(*) OVER w5, 6) AS roll_avg_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q87_stream_interval_join" ->
       """SELECT v.user_id, count(*) AS pairs,
         |  count(DISTINCT p.ts) AS purchases_attributed

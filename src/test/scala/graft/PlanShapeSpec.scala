@@ -136,4 +136,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"per-doc chunking must not shuffle:\n$s")
     spark.catalog.clearCache()
   }
+
+  test("q106 OOV audit: induced vocabulary joins back broadcast") {
+    val df = operators.TextOps.queries("q106_oov_rate")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    // the corpus side must meet the (tiny) vocab map-side — a shuffled
+    // join here would re-shuffle the 100TB token stream
+    assert(s.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-K vocab must be TakeOrdered, not a global sort:\n$s")
+    spark.catalog.clearCache()
+  }
+
+  test("q109 rolling features: ONE user_id shuffle feeds every window") {
+    val df = operators.ScaleOps.queries("q109_user_features")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges == 1,
+      s"seq/gap/rolling-mean must share one user_id partitioning:\n$s")
+    spark.catalog.clearCache()
+  }
 }
