@@ -310,6 +310,60 @@ object ScaleOps {
         .select("user_id", "event_id", "seq", "gap_us", "roll_avg_value")
     }),
 
+    // PageRank (5 fixed iterations, damping 0.85) over the
+    // customer—supplier bipartite graph induced by orders⨝lineitem —
+    // graph centrality as a product op, the weighted counterpart of
+    // the dedup suite's connected components. Per iteration: one join
+    // of the (cached) edge list against current ranks + one groupBy on
+    // the destination — the standard distributed PR shape. Ranks are
+    // localCheckpoint'ed EAGERLY each round (the dupLabels discipline):
+    // without it every action replays the whole 5-round join chain —
+    // 10x the cost here, unbounded lineage at scale. Cross-engine
+    // determinism: ranks
+    // are FIXED-POINT BIGINTs in 1e-10 units and every step is integer
+    // arithmetic (integral division floors identically everywhere;
+    // sums are exact) — float rounding differs between engines at the
+    // 10th digit over thousands of contributions, so no float touches
+    // the recurrence; the reported double is one final division of
+    // identical integers. Every node has degree >= 1 by construction,
+    // so no dangling-mass term. Top-20, deterministic tie-break.
+    "q110_pagerank" -> ((s, d) => {
+      val ol = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = ol.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // 1.0 in 1e-10 fixed point
+      var ranks = deg.select(col("src").as("node"),
+        lit(10000000000L).as("r_fp"))
+      // rank/degree tables are NODE-sized (graph nodes << edges) —
+      // broadcast them so the edge list is never shuffled: the only
+      // exchange per round is the map-side-combined groupBy on dst.
+      // (A graph whose node table outgrows executors would instead
+      // pre-partition edges+ranks+deg on the key once and keep that
+      // partitioning across rounds.)
+      for (_ <- 1 to 5) {
+        ranks = edges
+          .join(broadcast(ranks), col("src") === col("node"))
+          .join(broadcast(deg), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("r_fp div deg")).as("acc"))
+          .select(col("dst").as("node"),
+            (lit(1500000000L) + expr("(85 * acc) div 100")).as("r_fp"))
+          .localCheckpoint() // eager: truncate lineage per round
+      }
+      ranks.orderBy(col("r_fp").desc, col("node").asc).limit(20)
+        .select(col("node"), col("r_fp"),
+          (col("r_fp").cast("double") / 1e10).as("rank"))
+    }),
+
     // Event-time interval join (view -> purchase attribution within
     // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
     // stream-stream join's semantics, value-checked by DuckDB here and
@@ -408,6 +462,43 @@ object ScaleOps {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q110_pagerank" ->
+      """WITH eo AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM eo
+        |  UNION ALL SELECT b, a FROM eo
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, 10000000000::BIGINT AS r_fp FROM deg),
+        |i1 AS (
+        |  SELECT e.dst AS node,
+        |    (1500000000 + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i2 AS (
+        |  SELECT e.dst AS node,
+        |    (1500000000 + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i3 AS (
+        |  SELECT e.dst AS node,
+        |    (1500000000 + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i4 AS (
+        |  SELECT e.dst AS node,
+        |    (1500000000 + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i3 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i5 AS (
+        |  SELECT e.dst AS node,
+        |    (1500000000 + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i4 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
+        |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
     "q87_stream_interval_join" ->
       """SELECT v.user_id, count(*) AS pairs,
         |  count(DISTINCT p.ts) AS purchases_attributed
