@@ -364,6 +364,46 @@ object ScaleOps {
           (col("r_fp").cast("double") / 1e10).as("rank"))
     }),
 
+    // Ordered-event funnel (view -> click -> purchase, strictly
+    // increasing event time): the conversion analysis every product
+    // pipeline runs. Stage N's earliest qualifying time comes from a
+    // groupBy(user) + a join against stage N-1's time — every exchange
+    // is on user_id and the per-stage tables are USER-sized, so at
+    // scale they broadcast (hinted) and the event stream shuffles
+    // once per stage at most. Exact timestamps make the strict-order
+    // comparison cross-engine deterministic.
+    "q111_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("users_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("users_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("users_purchased")))
+    }),
+
+    // Retention cohorts: users grouped by first-seen day, activity
+    // counted per day-offset since — the (cohort x offset) retention
+    // matrix. The first-seen table is USER-sized (broadcast back);
+    // the only event-stream exchange is the final distinct-count on
+    // the low-cardinality (cohort, offset) key.
+    "q112_retention" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort_d"))
+      ev.join(broadcast(first), "user_id")
+        .groupBy(col("cohort_d").cast("string").as("cohort"),
+          datediff(to_date(col("ts")), col("cohort_d")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+    }),
+
     // Event-time interval join (view -> purchase attribution within
     // 30min): the batch twin of StreamOps.viewPurchaseJoin — the
     // stream-stream join's semantics, value-checked by DuckDB here and
@@ -499,6 +539,34 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+    "q111_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT (SELECT count(*) FROM v) AS users_viewed,
+        |  (SELECT count(*) FROM c) AS users_clicked,
+        |  (SELECT count(*) FROM p) AS users_purchased""".stripMargin,
+    "q112_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_d
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CAST(f.cohort_d AS VARCHAR) AS cohort,
+        |  date_diff('day', f.cohort_d, CAST(e.ts AS DATE)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q87_stream_interval_join" ->
       """SELECT v.user_id, count(*) AS pairs,
         |  count(DISTINCT p.ts) AS purchases_attributed
