@@ -328,40 +328,45 @@ object ScaleOps {
     // identical integers. Every node has degree >= 1 by construction,
     // so no dangling-mass term. Top-20, deterministic tie-break.
     "q110_pagerank" -> ((s, d) => {
+      // packed LONG node ids (customer = 2k, supplier = 2k+1): string
+      // keys would double the broadcast and slow every hash probe;
+      // names are decoded only on the 20 output rows
       val ol = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
       val edges = ol.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
-        .cache()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // degree is STATIC — attach it to the edge list once, so each
+      // round is ONE broadcast (the node-sized ranks) + ONE map-side-
+      // combined exchange (the groupBy on dst); the edge list itself
+      // is never shuffled after this build. (A graph whose node table
+      // outgrows executors would instead pre-partition edges+ranks on
+      // the key once and keep that partitioning across rounds.)
+      val edgesDeg = edges.join(deg, "src").cache()
       // 1.0 in 1e-10 fixed point
       var ranks = deg.select(col("src").as("node"),
         lit(10000000000L).as("r_fp"))
-      // rank/degree tables are NODE-sized (graph nodes << edges) —
-      // broadcast them so the edge list is never shuffled: the only
-      // exchange per round is the map-side-combined groupBy on dst.
-      // (A graph whose node table outgrows executors would instead
-      // pre-partition edges+ranks+deg on the key once and keep that
-      // partitioning across rounds.)
       for (_ <- 1 to 5) {
-        ranks = edges
+        ranks = edgesDeg
           .join(broadcast(ranks), col("src") === col("node"))
-          .join(broadcast(deg), "src")
           .groupBy(col("dst"))
           .agg(sum(expr("r_fp div deg")).as("acc"))
           .select(col("dst").as("node"),
             (lit(1500000000L) + expr("(85 * acc) div 100")).as("r_fp"))
           .localCheckpoint() // eager: truncate lineage per round
       }
-      ranks.orderBy(col("r_fp").desc, col("node").asc).limit(20)
-        .select(col("node"), col("r_fp"),
+      val name = concat(
+        when(col("node") % 2 === 0, "c").otherwise("s"),
+        expr("node div 2"))
+      ranks.select(name.as("node"), col("r_fp"),
           (col("r_fp").cast("double") / 1e10).as("rank"))
+        .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
     // Ordered-event funnel (view -> click -> purchase, strictly
