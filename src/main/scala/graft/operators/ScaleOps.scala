@@ -369,6 +369,47 @@ object ScaleOps {
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
+    // Source-format interop gate: the events table written once as
+    // CSV (headers, quoting — props carries embedded JSON with commas
+    // and quotes) and as JSON lines, re-read through explicit schemas,
+    // and value-checked against the PARQUET original via the DuckDB
+    // oracle: identity checksum (md5-derived, engine-independent),
+    // exact-decimal value sum, and props byte count. Shortest-
+    // round-trip double serialization makes the value column exact
+    // across the rewrite. One narrow pass per format + a 2-row agg —
+    // proves the non-parquet readers produce byte-identical rows, not
+    // just equal counts.
+    "q113_source_roundtrip" -> ((s, d) => {
+      val base = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      val root = s"${scratch(d)}/roundtrip"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/csv"))) {
+        base.write.mode(SaveMode.Overwrite)
+          .option("header", "true").csv(s"$root/csv")
+        base.write.mode(SaveMode.Overwrite).json(s"$root/json")
+      }
+      val schema = base.schema
+      def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) = {
+        val fp = conv(substring(md5(concat_ws("|", col("event_id"),
+          col("user_id"), col("event_type"))), 1, 15), 16, 10)
+          .cast("long") % 1000000007L
+        df.agg(count(lit(1)).as("rows"),
+          sum(fp).as("id_checksum"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("value_sum"),
+          sum(coalesce(length(col("props")), lit(0)).cast("long"))
+            .as("props_bytes"))
+          .withColumn("fmt", lit(fmt))
+      }
+      summarize(s.read.schema(schema).option("header", "true")
+          .csv(s"$root/csv"), "csv")
+        .unionAll(summarize(s.read.schema(schema).json(s"$root/json"),
+          "json"))
+    }),
+
     // Ordered-event funnel (view -> click -> purchase, strictly
     // increasing event time): the conversion analysis every product
     // pipeline runs. Stage N's earliest qualifying time comes from a
@@ -544,6 +585,19 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+    "q113_source_roundtrip" ->
+      """WITH s AS (
+        |  SELECT count(*) AS rows,
+        |    sum(('0x' || md5(event_id::VARCHAR || '|' || user_id::VARCHAR
+        |      || '|' || event_type)[1:15])::BIGINT % 1000000007)::BIGINT
+        |      AS id_checksum,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |    sum(COALESCE(length(props), 0))::BIGINT AS props_bytes
+        |  FROM events
+        |)
+        |SELECT rows, id_checksum, value_sum, props_bytes, 'csv' AS fmt FROM s
+        |UNION ALL
+        |SELECT rows, id_checksum, value_sum, props_bytes, 'json' AS fmt FROM s""".stripMargin,
     "q111_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
