@@ -115,6 +115,33 @@ object ScaleOps {
             && col("p95_approx") <= col("p99")).as("q_ok"))
     }),
 
+    // HLL sketch ROLL-UP — the re-aggregation property that makes
+    // sketches the 100TB pre-aggregation layer (q82 only builds one
+    // level): per-(type, day) DataSketches HLL built in one pass, then
+    // the per-type count is the UNION of the stored day sketches — no
+    // return to raw data. That is how a materialized daily rollup
+    // answers weekly/monthly distinct-count questions at any scale:
+    // only fixed-size sketch blobs are stored, shuffled, and merged.
+    // Gated against the exact distinct count (lgK=12 on user-scale
+    // cardinalities is near-exact; 5%+1 tolerance).
+    "q114_hll_rollup" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= greatest(col("exact_users") * 0.05, lit(1.0)))
+            .as("rollup_ok"))
+    }),
+
     // Count-min-sketch heavy hitters: token frequencies estimated from
     // a CMS built DISTRIBUTED (mergeable partial sketches — fixed
     // eps×delta grid per executor, never token rows), probed for the
@@ -473,6 +500,10 @@ object ScaleOps {
     "q82_hll_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS hll_ok, true AS q_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q114_hll_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS rollup_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "q92_cms_heavy_hitters" ->
       """WITH tk AS (
