@@ -417,6 +417,29 @@ object TextOps {
             .cast("double") / count(lit(1)), 6).as("oov_rate"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-ES): each doc gets key = ln(u)/w for a content-md5-derived
+    // uniform u and weight w = quality; the top-k keys ARE a weighted
+    // sample without replacement. ln(u)/w is order-equivalent to the
+    // paper's u^(1/w) and better conditioned. One distributed top-k
+    // (TakeOrdered — no global sort); reproducible across reruns AND
+    // engines, which per-partition RNG reservoirs are not. Keys
+    // rounded to 6 before ranking so the cross-engine comparison is
+    // on identical values; doc_id breaks ties.
+    "q115_weighted_sample_k" -> ((s, d) => {
+      val u = conv(substring(fingerprint(col("text")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      val qual = queries("q41_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), u.as("u"))
+        .filter(col("u") > 0) // md5 prefix 00000000 would give ln(0)
+        .join(qual, "doc_id")
+        .withColumn("key", round(log(col("u")) / col("quality"), 6))
+        .orderBy(col("key").desc, col("doc_id").asc).limit(32)
+        .select(col("doc_id"), col("key"))
+    }),
+
     // Deterministic hash sampling + stratification report: keep docs
     // whose content-hash first nibble < 2 (a reproducible 1/8 — the
     // downsampling every training pipeline needs to be REPRODUCIBLE
@@ -637,6 +660,16 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
         |FROM t JOIN lp USING (t) GROUP BY doc_id""".stripMargin,
+    "q115_weighted_sample_k" ->
+      s"""WITH q AS ($qualityOracle), u AS (
+        |  SELECT doc_id,
+        |    ('0x' || md5(lower(trim(text)))[1:8])::BIGINT / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, round(ln(u) / quality, 6) AS key
+        |FROM u JOIN q USING (doc_id)
+        |WHERE u > 0
+        |ORDER BY key DESC, doc_id ASC LIMIT 32""".stripMargin,
     "q104_length_bins" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars,
