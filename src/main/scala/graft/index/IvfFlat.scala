@@ -311,11 +311,17 @@ object IvfFlat {
     val base = spark.read.parquet(path + "/buckets")
     val streamPath = new org.apache.hadoop.fs.Path(path + "/stream")
     val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stream dir that exists but has no committed files yet (sink
+    // initialized, first batch pending) has no inferable schema —
+    // treat it as empty rather than failing the load
     val buckets =
       if (fs.exists(streamPath))
-        base.unionByName(
-          spark.read.parquet(path + "/stream")
-            .select(base.columns.map(col): _*))
+        try {
+          val st = spark.read.parquet(path + "/stream")
+          base.unionByName(st.select(base.columns.map(col): _*))
+        } catch { // schema-inference failure == no committed files
+          case _: org.apache.spark.sql.AnalysisException => base
+        }
       else base
     IvfFlatModel(centroids, DistanceMetric(meta(0).getInt(2)),
       meta(0).getInt(3), meta(0).getString(4), buckets)

@@ -413,11 +413,13 @@ object ScaleOps {
       val root = s"${scratch(d)}/roundtrip"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/csv"))) {
+      // per-format guards: a crash between the two writes must not
+      // leave the missing one unbuildable forever
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/csv")))
         base.write.mode(SaveMode.Overwrite)
           .option("header", "true").csv(s"$root/csv")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/json")))
         base.write.mode(SaveMode.Overwrite).json(s"$root/json")
-      }
       val schema = base.schema
       def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) = {
         val fp = conv(substring(md5(concat_ws("|", col("event_id"),
