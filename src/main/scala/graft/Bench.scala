@@ -23,9 +23,10 @@ object Bench {
     val scaleDir =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // substring filter for fast single-query iteration, e.g.
-    // SPARK_GRAFT_BENCH_FILTER=q47
+    // comma-separated substring filter for fast iteration, e.g.
+    // SPARK_GRAFT_BENCH_FILTER=q47,q65
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,7 +68,7 @@ object Bench {
       (cold.toSeq ++ warm.toSeq).reduceOption((a, b) => math.min(a, b))
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(n.contains) }
+      .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
     val results = selected.flatMap { case (name, fn) =>
       bestOf2(name, fn, sfDir).map(name -> _)
     }

@@ -19,8 +19,9 @@ object Verify {
     // as Bench's SPARK_GRAFT_BENCH_FILTER); the driver sets nothing
     // and gets every query
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(n.contains) }
+      .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
       .foreach { case (name, fn) =>
       // hermetic per query: queries cache freely (dedup/index
       // pipelines) and nothing unpersists across 60+ of them

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -216,9 +217,10 @@ object TextOps {
         .select(col("doc_id"), col("lang_pred"))
       val qual = queries("q41_quality_score")(s, d)
         .select(col("doc_id"), col("quality"))
-      Tables.load(s, d, "documents")
+      val base = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .join(langs, "doc_id").join(qual, "doc_id")
+      val agg = base
         .groupBy("source")
         .agg(count(lit(1)).as("docs"),
           sum("n_chars").as("chars"),
@@ -226,9 +228,28 @@ object TextOps {
           // differs between engines; exact decimal doesn't)
           round(sum(col("quality").cast("decimal(18,6)")).cast("double")
             / count(lit(1)), 6).as("avg_quality"),
-          round(percentile(col("quality"), lit(0.5)), 6).as("p50_quality"),
           sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
             .as("langid_hits"))
+      // Rank-based exact median: select the 1–2 middle values per
+      // source by row_number, then average in DECIMAL and divide by a
+      // power of two (exact in binary) — interpolation inside
+      // percentile()/quantile_cont() can differ by 1 ulp between
+      // engines at a rounding boundary, a rank selection can't.
+      // The per-source window sorts corpus/|sources| rows per key —
+      // the price of an exact median; swap to approx_percentile when
+      // a sketch answer is acceptable at the 100 TB tier.
+      val bySource = Window.partitionBy("source")
+      val med = base.select(col("source"), col("quality"))
+        .withColumn("rn", row_number().over(bySource.orderBy("quality")))
+        .withColumn("cnt", count(lit(1)).over(bySource))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy("source")
+        .agg(round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("p50_quality"))
+      agg.join(med, "source")
+        .select(col("source"), col("docs"), col("chars"),
+          col("avg_quality"), col("p50_quality"), col("langid_hits"))
     }),
 
     // Quality-WEIGHTED deterministic downsampling: keep a doc with
@@ -550,21 +571,42 @@ object TextOps {
         |  FROM documents
         |), o AS (
         |  SELECT doc_id, n,
+        |    -- ::BIGINT: DuckDB sum() yields HUGEINT, which the driver
+        |    -- hashes as float ("32.0" vs Spark's "32") — cast to match.
         |    COALESCE(sum(n) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_off
         |  FROM t
         |)
         |SELECT doc_id, start_off, start_off // 512 AS first_seq,
         |  (start_off + n - 1) // 512 AS last_seq
         |FROM o""".stripMargin,
     "q76_source_report" ->
-      s"""WITH q AS ($qualityOracle), l AS ($langOracle)
-        |SELECT source, count(*) AS docs, sum(n_chars) AS chars,
-        |  round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE / count(*), 6) AS avg_quality,
-        |  round(quantile_cont(quality, 0.5), 6) AS p50_quality,
-        |  sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT AS langid_hits
-        |FROM documents JOIN q USING (doc_id) JOIN l USING (doc_id)
-        |GROUP BY source""".stripMargin,
+      s"""WITH q AS ($qualityOracle), l AS ($langOracle),
+        |a AS (
+        |  -- sum()::BIGINT: DuckDB sums to HUGEINT, which the driver
+        |  -- hashes as float ("6277.0" vs Spark's "6277")
+        |  SELECT source, count(*) AS docs, sum(n_chars)::BIGINT AS chars,
+        |    round(sum(CAST(quality AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
+        |      AS avg_quality,
+        |    sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT
+        |      AS langid_hits
+        |  FROM documents JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |  GROUP BY source
+        |), r AS (
+        |  SELECT source, CAST(quality AS DECIMAL(18,6)) AS qd,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents JOIN q USING (doc_id)
+        |), m AS (
+        |  -- rank-based exact median (mirrors the Spark side): average
+        |  -- of the 1-2 middle values, decimal sum / power-of-two
+        |  SELECT source, round(sum(qd)::DOUBLE / count(*), 6) AS p50_quality
+        |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |  GROUP BY source
+        |)
+        |SELECT source, docs, chars, avg_quality, p50_quality, langid_hits
+        |FROM a JOIN m USING (source)""".stripMargin,
     "q73_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

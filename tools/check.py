@@ -22,6 +22,11 @@ for t in ["region","nation","customer","supplier","part","orders",
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated substrings to check (matches Verify's
+# SPARK_GRAFT_VERIFY_FILTER contract)
+if len(sys.argv) > 3:
+    subs = [s for s in sys.argv[3].split(",") if s]
+    oracle = {k: v for k, v in oracle.items() if any(s in k for s in subs)}
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -42,6 +47,21 @@ for name, sql in sorted(oracle.items()):
     if not ok_shape:
         fails.append((name, f"shape spark={sp.shape}/{list(sp.columns)} duck={du.shape}/{list(du.columns)}"))
         print(f"SHAPE {name}: spark={sp.shape} duck={du.shape}")
+        continue
+    # dtype-KIND check: the driver hashes string reprs, so an integer
+    # column on one side vs float on the other ("6277" vs "6277.0")
+    # hash-mismatches even when values are equal — exactly how the
+    # r3 q76/q77 HUGEINT bug slipped past the old float-tolerant compare.
+    def kind(s):
+        if pd.api.types.is_float_dtype(s): return "float"
+        if pd.api.types.is_integer_dtype(s): return "int"
+        if pd.api.types.is_bool_dtype(s): return "bool"
+        return "obj"
+    kind_diff = [(c, kind(sp[c]), kind(du[c]))
+                 for c in sp.columns if kind(sp[c]) != kind(du[c])]
+    if kind_diff:
+        fails.append((name, f"dtype kind diff {kind_diff}"))
+        print(f"KIND  {name}: {kind_diff} (driver hash would mismatch)")
         continue
     # exact value compare after normalizing dtypes to strings
     diff_cols = []
