@@ -220,14 +220,17 @@ object DedupOps {
     * quality wins, ties to the lowest doc id. Returns one row per
     * cluster: (lbl, id, quality). */
   private def electKeepers(labels: DataFrame, qual: DataFrame)
-      : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lbl").orderBy(col("quality").desc, col("id").asc)
+      : DataFrame =
+    // top-1 as an ARGMAX AGGREGATE, not a rank window: lexicographic
+    // max of struct(quality, -id) picks highest quality with ties to
+    // the lowest id, and an aggregate combines map-side BEFORE the
+    // shuffle and never sorts a cluster — a window must shuffle every
+    // member row, then sort each cluster, to keep one row
     labels.join(qual, col("id") === col("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("lbl"), col("id"), col("quality"))
-  }
+      .groupBy("lbl")
+      .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("top"))
+      .select(col("lbl"), (-col("top.nid")).as("id"),
+        col("top.quality").as("quality"))
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
     * against the full shingle sets. The candidate id set is the PRUNED
