@@ -15,7 +15,7 @@ object SparkEntry {
     operators.RelationalOps.queries ++ operators.VectorOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries ++
-      operators.ScaleOps.queries
+      operators.ScaleOps.queries ++ operators.StreamGateOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
     operators.RelationalOps.oracles ++ operators.VectorOps.oracles ++
       operators.TextOps.oracles ++ operators.DedupOps.oracles ++
       operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles ++
-      operators.ScaleOps.oracles
+      operators.ScaleOps.oracles ++ operators.StreamGateOps.oracles
 }

@@ -315,14 +315,19 @@ object IvfFlat {
     // initialized, first batch pending) has no inferable schema —
     // treat it as empty rather than failing the load
     val buckets =
-      if (fs.exists(streamPath))
-        try {
-          val st = spark.read.parquet(path + "/stream")
-          base.unionByName(st.select(base.columns.map(col): _*))
-        } catch { // schema-inference failure == no committed files
-          case _: org.apache.spark.sql.AnalysisException => base
-        }
-      else base
+      if (fs.exists(streamPath)) {
+        // the catch covers ONLY the schema-inference read (no committed
+        // files yet); a DRIFTED stream schema must fail the select/union
+        // below loudly — silently dropping streamed vectors would make
+        // them vanish from search results
+        val st =
+          try Some(spark.read.parquet(path + "/stream"))
+          catch { // schema-inference failure == no committed files
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        st.map(t => base.unionByName(t.select(base.columns.map(col): _*)))
+          .getOrElse(base)
+      } else base
     IvfFlatModel(centroids, DistanceMetric(meta(0).getInt(2)),
       meta(0).getInt(3), meta(0).getString(4), buckets)
   }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.index.IvfFlat
+import graft.streaming.StreamOps
+
+/** Driver-gated correctness queries for the STREAMING surface
+  * ([[graft.streaming.StreamOps]]) — each runs a real Structured
+  * Streaming query in-process (file source → AvailableNow trigger →
+  * exactly-once parquet file sink), reads the sink back, and emits a
+  * single gate row that (a) DuckDB can recompute from the same parquet
+  * tables and (b) carries an in-engine stream==batch equivalence flag.
+  * The reference has no streaming (SURVEY §2.6); these gates make the
+  * Spark-native extension driver-visible instead of sbt-test-only.
+  *
+  * Scale shape: the stream never touches the driver — file source to
+  * file sink, same plan as production ingestion; only the final gate
+  * scalars are collected. The sink/checkpoint live under a per-process
+  * temp root (deleted on JVM exit), so a re-run within one process is
+  * an idempotent no-op replay (checkpoint says all files committed)
+  * and separate processes never share state.
+  */
+object StreamGateOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private lazy val scratchRoot: java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(del))
+        x.delete(): Unit
+      }
+      del(f)
+    }))
+    f
+  }
+
+  private def gateDir(kind: String, d: String): String =
+    new java.io.File(scratchRoot,
+      s"${kind}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}").getAbsolutePath
+
+  /** The file stream source requires a DIRECTORY; the test tables are
+    * single parquet files. Expose a file as a directory via symlink —
+    * zero copy, and the link target stays read-only. */
+  private def asSourceDir(srcPath: String, dir: String): String = {
+    val d = new java.io.File(dir, "src")
+    d.mkdirs()
+    val link = new java.io.File(d, new java.io.File(srcPath).getName)
+    if (!link.exists())
+      java.nio.file.Files.createSymbolicLink(link.toPath,
+        java.nio.file.Paths.get(srcPath))
+    d.getAbsolutePath
+  }
+
+  /** Run `build(stream)` from a parquet file source to a parquet sink
+    * until no input remains; returns the sink read back as a batch
+    * DataFrame. The file sink's commit log makes the append
+    * exactly-once across retries/reruns. */
+  private def runToSink(s: SparkSession, srcPath: String, dir: String,
+      build: DataFrame => DataFrame,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    val schema = s.read.parquet(srcPath).schema
+    val out = build(s.readStream.schema(schema)
+      .parquet(asSourceDir(srcPath, dir)))
+    val writer = out.writeStream.format("parquet")
+      .option("path", dir + "/out")
+      .option("checkpointLocation", dir + "/cp")
+      .trigger(Trigger.AvailableNow())
+    val q = (if (partitionBy.nonEmpty)
+      writer.partitionBy(partitionBy: _*) else writer).start()
+    q.awaitTermination()
+    s.read.parquet(dir + "/out")
+  }
+
+  /** Multiset equality of two frames with identical schemas. */
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  val queries: Map[String, Q] = Map(
+    // Streaming exact dedup gate: stream the documents table through
+    // dedupByFingerprint (watermarked dropDuplicatesWithinWatermark —
+    // the state-evicting ingestion twin of batch q44), sink to
+    // parquet, and pin (a) the surviving fingerprint SET against
+    // DuckDB (count + order-invariant xor of the 60-bit fp prefixes —
+    // a sum would overflow BIGINT) and (b) survivor fps == the batch
+    // path's fps, in-engine. Event time is synthesized from doc_id
+    // (the table has no timestamp; ingestion order is id order).
+    "q116_stream_dedup_gate" -> ((s, d) => {
+      import s.implicits._
+      // +1 day: epoch-0 event time sits exactly on the operator's
+      // initial watermark boundary and is dropped as late
+      val withTs = (df: DataFrame) =>
+        df.withColumn("ts",
+          timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+      val kept = runToSink(s, s"$d/documents.parquet", gateDir("dedup", d),
+        src => StreamOps.dedupByFingerprint(withTs(src)))
+      val batch = StreamOps.dedupByFingerprint(
+        withTs(Tables.load(s, d, "documents")))
+      val eq = sameRows(kept.select("fp"), batch.select("fp"))
+      val row = kept.agg(count(lit(1)).as("n_kept"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+          .as("fp_xor")).head()
+      val nDocs = Tables.load(s, d, "documents").count()
+      Seq((nDocs, row.getLong(0), row.getLong(1), eq))
+        .toDF("n_docs", "n_kept", "fp_xor", "stream_eq_batch")
+    }),
+
+    // Stream-static enrichment gate: stream the events table, enrich
+    // each fact against the broadcast customer dimension (left join —
+    // unmatched facts pass through), sink, and pin match counts
+    // against DuckDB's batch left join plus full-row stream==batch
+    // equivalence in-engine. events.ts arrives as parquet NANOS; the
+    // stream applies the same DIV-1000 conversion as Tables.load.
+    "q117_stream_enrich_gate" -> ((s, d) => {
+      import s.implicits._
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val fixTs = (df: DataFrame) =>
+        if (df.schema("ts").dataType == LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else df
+      // Tables.load("events") sets the nanosAsLong conf the raw
+      // schema read inside runToSink needs
+      val evBatch = Tables.load(s, d, "events")
+      val enriched = runToSink(s, s"$d/events.parquet", gateDir("enrich", d),
+        src => StreamOps.enrich(fixTs(src), dim, "user_id"))
+      val batch = StreamOps.enrich(evBatch, dim, "user_id")
+      val eq = sameRows(enriched, batch)
+      val row = enriched.agg(count(lit(1)).as("n_facts"),
+        count(col("c_mktsegment")).as("n_matched"),
+        countDistinct(when(col("c_mktsegment").isNotNull, col("user_id")))
+          .as("matched_users")).head()
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2), eq))
+        .toDF("n_facts", "n_matched", "matched_users", "stream_eq_batch")
+    }),
+
+    // Streaming vector-index ingestion gate: build IVFFlat on a prefix
+    // of the embeddings, stream the remainder through ivfIngest
+    // (map-side frozen-centroid assignment, zero state) into the
+    // index's exactly-once partitioned stream sink, reopen the index
+    // with IvfFlat.load (built layout ∪ streamed rows, both
+    // partition-pruned), and serve a probe-all KNN — which must
+    // hash-match DuckDB's brute force over the FULL table: every
+    // streamed vector searchable, nothing duplicated, nothing lost.
+    "q118_stream_ivf_ingest_gate" -> ((s, d) => {
+      val dir = gateDir("ivfingest", d)
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val model = IvfFlat.build(vecs.filter(col("vec_id") < 300),
+        Seq("vec_id"), "v", lists = 8, probeLists = 8)
+      model.save(dir)
+      val ingest = (src: DataFrame) => StreamOps.ivfIngest(
+        src.filter(col("vec_id") >= 300)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        model)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = ingest(s.readStream.schema(schema)
+          .parquet(asSourceDir(s"$d/embeddings.parquet", dir)))
+        .writeStream.format("parquet")
+        .option("path", dir + "/stream")
+        .option("checkpointLocation", dir + "/cp")
+        .partitionBy("__bucket")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val query = vecs.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1)
+      IvfFlat.load(s, dir).scan(query, 10, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q116_stream_dedup_gate" ->
+      """WITH fps AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+        |)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  count(*) AS n_kept,
+        |  bit_xor(('0x' || fp[1:15])::BIGINT)::BIGINT AS fp_xor,
+        |  true AS stream_eq_batch
+        |FROM fps""".stripMargin,
+    "q117_stream_enrich_gate" ->
+      """SELECT count(*) AS n_facts,
+        |  count(c_mktsegment) AS n_matched,
+        |  count(DISTINCT CASE WHEN c_mktsegment IS NOT NULL
+        |    THEN e.user_id END) AS matched_users,
+        |  true AS stream_eq_batch
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // probe-all KNN over built ∪ streamed == brute force on the table
+    "q118_stream_ivf_ingest_gate" ->
+      """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS dist
+        |FROM embeddings
+        |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+        |LIMIT 10""".stripMargin)
+}
