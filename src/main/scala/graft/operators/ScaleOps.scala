@@ -93,6 +93,62 @@ object ScaleOps {
       .filter(BloomSemi.mightContain(bloom, col("l_orderkey")))
   }
 
+  /** Fixed-point PageRank over an undirected (src, dst) edge frame —
+    * BIGINT ranks in 1e-10 units, every step integer arithmetic, so
+    * the recurrence is bit-identical across engines and rounds (float
+    * sums differ between engines at the 10th digit over thousands of
+    * contributions). Damping 0.85 as `85*(acc div 100) + (85*(acc%100))
+    * div 100` — algebraically identical to `(85*acc) div 100` for
+    * non-negative acc but the multiply operates on acc/100, raising
+    * the LONG-overflow bound from ~1e7 hub-concentrated nodes to ~1e9
+    * (total mass is N*1e10 fixed-point units; the oracle's HUGEINT
+    * never wraps, so overflow here would be a silent cross-engine
+    * divergence). Beyond ~1e9 nodes, drop to 1e-8-unit fixed point.
+    *
+    * Two propagation shapes, chosen by node count at runtime:
+    * - BROADCAST (node table fits executors): each round is one
+    *   node-sized broadcast + one map-side-combined exchange on dst;
+    *   the edge list is never shuffled after the degree attach.
+    * - CO-PARTITIONED (node table outgrows broadcast): the edge list
+    *   is hash-partitioned on src ONCE and cached; each round's ranks
+    *   arrive partitioned on node from the previous round's groupBy,
+    *   so the join reuses both partitionings and only the node-sized
+    *   rank frame ever moves. ScaleOpsSpec pins rank parity between
+    *   the two shapes on the same graph.
+    *
+    * Ranks are localCheckpoint'ed EAGERLY each round (the dupLabels
+    * discipline): without it every action replays the whole join
+    * chain — unbounded lineage at scale. Every node has degree >= 1 by
+    * construction (edges are undirected), so no dangling-mass term. */
+  private[graft] def pageRankFixedPoint(edges: DataFrame, rounds: Int,
+      forceCoPartition: Option[Boolean] = None): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+    // ~10M nodes * 16B = the edge of comfortable executor broadcast
+    val BroadcastNodeLimit = 10000000L
+    // one bounded scalar job (node count) picks the shape — the same
+    // runtime-statistics re-plan AQE does for join strategies
+    val coPart = forceCoPartition.getOrElse(deg.count() > BroadcastNodeLimit)
+    var ranks = deg.select(col("src").as("node"),
+      lit(10000000000L).as("r_fp")) // 1.0 in 1e-10 fixed point
+    val edgesCached =
+      (if (coPart) edgesDeg.repartition(col("src")) else edgesDeg).cache()
+    for (_ <- 1 to rounds) {
+      val joined =
+        if (coPart) edgesCached.join(ranks, col("src") === col("node"))
+        else edgesCached.join(broadcast(ranks), col("src") === col("node"))
+      ranks = joined
+        .groupBy(col("dst"))
+        .agg(sum(expr("r_fp div deg")).as("acc"))
+        .select(col("dst").as("node"),
+          (lit(1500000000L) +
+            expr("85 * (acc div 100) + (85 * (acc % 100)) div 100"))
+            .as("r_fp"))
+        .localCheckpoint() // eager: truncate lineage per round
+    }
+    ranks
+  }
+
   val queries: Map[String, Q] = Map(
     // Mergeable-sketch gate: HLL distinct (rsd 2%) and a quantile
     // sketch (accuracy 10k), each checked in-engine against the exact
@@ -368,26 +424,7 @@ object ScaleOps {
         .distinct()
       val edges = ol.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      // degree is STATIC — attach it to the edge list once, so each
-      // round is ONE broadcast (the node-sized ranks) + ONE map-side-
-      // combined exchange (the groupBy on dst); the edge list itself
-      // is never shuffled after this build. (A graph whose node table
-      // outgrows executors would instead pre-partition edges+ranks on
-      // the key once and keep that partitioning across rounds.)
-      val edgesDeg = edges.join(deg, "src").cache()
-      // 1.0 in 1e-10 fixed point
-      var ranks = deg.select(col("src").as("node"),
-        lit(10000000000L).as("r_fp"))
-      for (_ <- 1 to 5) {
-        ranks = edgesDeg
-          .join(broadcast(ranks), col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("r_fp div deg")).as("acc"))
-          .select(col("dst").as("node"),
-            (lit(1500000000L) + expr("(85 * acc) div 100")).as("r_fp"))
-          .localCheckpoint() // eager: truncate lineage per round
-      }
+      val ranks = pageRankFixedPoint(edges, rounds = 5)
       val name = concat(
         when(col("node") % 2 === 0, "c").otherwise("s"),
         expr("node div 2"))

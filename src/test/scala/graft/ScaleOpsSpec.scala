@@ -116,4 +116,27 @@ class ScaleOpsSpec extends SparkSpecBase {
       .head.getLong(0)
     assert(total == expect && total > 0)
   }
+
+  test("q110 PageRank: co-partitioned path == broadcast path, rank for rank") {
+    import spark.implicits._
+    // a graph with hubs, chains and multi-edges folded by distinct
+    val raw = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .distinct()
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+    def run(coPart: Boolean): Map[Long, Long] =
+      ScaleOps.pageRankFixedPoint(edges, rounds = 5,
+          forceCoPartition = Some(coPart))
+        .as[(Long, Long)].collect().toMap
+    val bcast = run(coPart = false)
+    val coPart = run(coPart = true)
+    assert(bcast.nonEmpty)
+    assert(coPart == bcast) // fixed-point BIGINTs: exact, not approx
+  }
 }
