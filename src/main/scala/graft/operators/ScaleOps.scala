@@ -450,17 +450,28 @@ object ScaleOps {
       val root = s"${scratch(d)}/roundtrip"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // per-format guards: a crash between the two writes must not
-      // leave the missing one unbuildable forever
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/csv")))
+      // per-format guards on the _SUCCESS marker, not the directory:
+      // Spark creates the dir when a write job STARTS, so a crash
+      // mid-write leaves a partial dir that a dir-existence guard
+      // would serve forever; _SUCCESS only appears on commit, and
+      // Overwrite mode replaces the partial attempt
+      def committed(sub: String) = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/$sub/_SUCCESS"))
+      if (!committed("csv"))
         base.write.mode(SaveMode.Overwrite)
           .option("header", "true").csv(s"$root/csv")
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/json")))
+      if (!committed("json"))
         base.write.mode(SaveMode.Overwrite).json(s"$root/json")
       val schema = base.schema
       def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) = {
-        val fp = conv(substring(md5(concat_ws("|", col("event_id"),
-          col("user_id"), col("event_type"))), 1, 15), 16, 10)
+        // nulls coalesced to an explicit sentinel BEFORE hashing, on
+        // both sides: Spark's concat_ws silently skips null fields
+        // while the oracle's || chain nulls the whole hash input —
+        // without the sentinel a single null column diverges the gate
+        val nn = (c: org.apache.spark.sql.Column) =>
+          coalesce(c.cast("string"), lit("\u0001"))
+        val fp = conv(substring(md5(concat_ws("|", nn(col("event_id")),
+          nn(col("user_id")), nn(col("event_type")))), 1, 15), 16, 10)
           .cast("long") % 1000000007L
         df.agg(count(lit(1)).as("rows"),
           sum(fp).as("id_checksum"),
@@ -658,9 +669,12 @@ object ScaleOps {
     "q113_source_roundtrip" ->
       """WITH s AS (
         |  SELECT count(*) AS rows,
-        |    sum(('0x' || md5(event_id::VARCHAR || '|' || user_id::VARCHAR
-        |      || '|' || event_type)[1:15])::BIGINT % 1000000007)::BIGINT
-        |      AS id_checksum,
+        |    -- COALESCE to the same sentinel the Spark side uses: ||
+        |    -- nulls the whole input where concat_ws would skip the field
+        |    sum(('0x' || md5(COALESCE(event_id::VARCHAR, chr(1)) || '|'
+        |      || COALESCE(user_id::VARCHAR, chr(1)) || '|'
+        |      || COALESCE(event_type, chr(1)))[1:15])::BIGINT
+        |      % 1000000007)::BIGINT AS id_checksum,
         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
         |    sum(COALESCE(length(props), 0))::BIGINT AS props_bytes
         |  FROM events
