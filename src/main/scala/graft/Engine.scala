@@ -197,6 +197,20 @@ final class Engine(val spark: SparkSession) {
   def table(name: String): DataFrame =
     tables.getOrElse(name, sys.error(s"unknown table $name"))
 
+  /** Persist / reopen the vector-index registry (catalog metadata +
+    * each index's saved layout) so an engine restart serves KNN from
+    * its existing indexes instead of rebuilding. Load AFTER
+    * re-registering tables: the loaded entries carry no plan leaf, so
+    * each affected table's leaf is re-derived here against the current
+    * cached plan (the optimizer rule matches on it). */
+  def saveIndexRegistry(root: String): Unit =
+    VectorIndexes.saveRegistry(spark, root)
+  def loadIndexRegistry(root: String): Unit = {
+    VectorIndexes.loadRegistry(spark, root)
+    VectorIndexes.list().map(_.table).distinct
+      .filter(tables.contains).foreach(refreshIndexLeaves)
+  }
+
   // ---- statement handlers -------------------------------------------------
 
   private val createTableRe: Regex =

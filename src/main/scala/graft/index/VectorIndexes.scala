@@ -93,6 +93,63 @@ object VectorIndexes {
     idx
   }
 
+  /** Persist the registry: one `_registry` parquet of metadata rows
+    * plus each index's own persisted layout under `root/<name>/`
+    * (IVFFlat's bucketed parquet via `IvfFlatModel.save`; the
+    * driver-side HNSW graph Java-serialized — it is a driver object by
+    * design, see SURVEY §8.4; the partitioned variant persists via
+    * `saveAsObjectFile` separately). The reference's catalog is
+    * equally in-memory (catalog.h:293-350) — this is scale-hardening
+    * beyond parity: an engine restart reopens its indexes instead of
+    * rebuilding them. */
+  def saveRegistry(spark: SparkSession, root: String): Unit = {
+    import spark.implicits._
+    val metas = list().sortBy(_.name)
+    metas.foreach { m =>
+      m.model match {
+        case IvfModel(mm, _) => mm.save(s"$root/${m.name}/ivf")
+        case HnswModel(idx, _) =>
+          val dir = new java.io.File(s"$root/${m.name}")
+          dir.mkdirs()
+          val oos = new java.io.ObjectOutputStream(
+            new java.io.FileOutputStream(new java.io.File(dir, "hnsw.bin")))
+          try oos.writeObject(idx) finally oos.close()
+      }
+    }
+    metas.map(m => (m.name, m.table, m.column, m.method, m.metric.id,
+        m.idCol))
+      .toDF("name", "table", "column", "method", "metric", "id_col")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/_registry")
+  }
+
+  /** Reopen a persisted registry: every entry is registered with its
+    * reloaded model (IVFFlat probes serve from the partition-pruned
+    * saved layout) and `leaf = None` — callers that route the
+    * optimizer rule re-derive leaves against their current table
+    * plans (Engine.loadIndexRegistry does). */
+  def loadRegistry(spark: SparkSession, root: String): Seq[IndexMeta] =
+    spark.read.parquet(s"$root/_registry").collect().toSeq.map { r =>
+      val name = r.getAs[String]("name")
+      val method = r.getAs[String]("method")
+      val idCol = r.getAs[String]("id_col")
+      val model = method match {
+        case "ivfflat" =>
+          IvfModel(IvfFlat.load(spark, s"$root/$name/ivf"), idCol)
+        case "hnsw" =>
+          val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(
+            new java.io.File(s"$root/$name", "hnsw.bin")))
+          val idx = try ois.readObject().asInstanceOf[HnswIndex]
+            finally ois.close()
+          HnswModel(idx, idCol)
+        case other => sys.error(s"unknown persisted index method $other")
+      }
+      val meta = IndexMeta(name, r.getAs[String]("table"),
+        r.getAs[String]("column"), method,
+        DistanceMetric(r.getAs[Int]("metric")), model, idCol, None)
+      register(meta)
+      meta
+    }
+
   /** Index selection per MatchVectorIndex (see object doc). */
   def select(table: String, column: String,
       metric: DistanceMetric.Value, method: String): Option[IndexMeta] =

@@ -413,4 +413,59 @@ class EngineSpec extends SparkSpecBase {
       assert(got == Seq(1, 2))
     } finally graft.index.VectorIndexes.drop("t9i")
   }
+
+  test("TIMESTAMP columns: literal insert, comparison, ordering") {
+    // the reference accepts TIMESTAMP at CREATE but its binder never
+    // parses a timestamp literal (src/type/timestamp_type.cpp holds
+    // only the storage ops; the .slt corpus never uses the type).
+    // Here ANSI string literals cast on INSERT and in predicates —
+    // a documented superset (SURVEY §8.4).
+    val e = mkEngine
+    e.executeSql("create table tts(id int, at timestamp)")
+    e.executeSql("INSERT INTO tts VALUES (1, '2024-01-01 10:00:00'), " +
+      "(2, '2024-06-15 00:30:00'), (3, NULL)")
+    assert(e.table("tts").count() == 3)
+    val got = e.executeSql(
+      "SELECT id FROM tts WHERE at > '2024-02-01' ORDER BY at")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2))
+    intercept[Exception] { // a non-timestamp string is a bind error
+      e.executeSql("INSERT INTO tts VALUES (4, 'not a time')")
+    }
+  }
+
+  test("index registry persists across engine restarts (save/load)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-registry").toString
+    def mkTable(e: Engine): Unit = {
+      e.executeSql("CREATE TABLE prt(v VECTOR(3), tag integer)")
+      e.executeSql("INSERT INTO prt VALUES (ARRAY [1.0, 0.0, 0.0], 1), " +
+        "(ARRAY [0.0, 1.0, 0.0], 2), (ARRAY [0.0, 0.0, 1.0], 3), " +
+        "(ARRAY [0.9, 0.1, 0.0], 4)")
+    }
+    val knnSql = "SELECT tag FROM prt " +
+      "ORDER BY ARRAY [1.0, 0.0, 0.0] <-> v, tag LIMIT 2"
+    try {
+      val e1 = mkEngine
+      mkTable(e1)
+      e1.executeSql("CREATE INDEX prti ON prt USING ivfflat " +
+        "(v vector_l2_ops) WITH (lists = 2, probe_lists = 2)")
+      val before = e1.executeSql(knnSql).collect().map(_.getInt(0)).toSeq
+      e1.saveIndexRegistry(root)
+      graft.index.VectorIndexes.drop("prti") // simulate process death
+      // "restart": fresh engine re-registers its tables, THEN reopens
+      // the registry (leaves re-derive against the new cached plans)
+      val e2 = mkEngine
+      mkTable(e2)
+      e2.loadIndexRegistry(root)
+      val meta = graft.index.VectorIndexes.get("prti")
+      assert(meta.isDefined && meta.get.leaf.isDefined,
+        "restored index must re-attach to the new table plan")
+      val after = e2.executeSql(knnSql).collect().map(_.getInt(0)).toSeq
+      assert(after == before && after == Seq(1, 4))
+      // the restored model itself serves (probe-all ivf is exact)
+      val direct = meta.get.model.scan(spark, Seq(1.0, 0.0, 0.0), 2)
+      assert(direct.count() == 2)
+    } finally graft.index.VectorIndexes.drop("prti")
+  }
 }
