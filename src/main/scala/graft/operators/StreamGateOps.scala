@@ -172,6 +172,47 @@ object StreamGateOps {
         .head().getSeq[Double](1)
       IvfFlat.load(s, dir).scan(query, 10, tieBreak = Some("vec_id"))
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // STREAM-STREAM interval join gate: view->purchase attribution
+    // with BOTH sides unbounded (two independent file-source streams
+    // over the events table), watermarked and range-bounded so
+    // buffered state stays ~1h of either stream — the join shape that
+    // survives 100TB/day. Inner joins emit eagerly per micro-batch
+    // (watermarks only bound state eviction), so the sink holds every
+    // pair; aggregated to q87's exact DuckDB-checked shape, plus the
+    // in-engine stream==batch flag against the unwatermarked twin.
+    "q119_stream_join_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("ssjoin", d)
+      // one batch read first: sets the nanosAsLong conf + gives the
+      // raw schema; both stream sides convert ts exactly as
+      // Tables.load does
+      val evBatch = Tables.load(s, d, "events")
+      val fixTs = (df: DataFrame) =>
+        if (df.schema("ts").dataType == LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else df
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      def side(tpe: String) = fixTs(
+        s.readStream.schema(schema).parquet(srcDir))
+        .filter(col("event_type") === tpe)
+      val q = StreamOps.viewPurchaseJoin(side("view"), side("purchase"))
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val pairs = s.read.parquet(dir + "/out")
+      val batch = StreamOps.viewPurchaseJoin(
+        evBatch.filter(col("event_type") === "view"),
+        evBatch.filter(col("event_type") === "purchase"))
+      val eq = sameRows(pairs, batch)
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("p_ts")).as("purchases_attributed"))
+        .withColumn("stream_eq_batch", lit(eq))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +232,16 @@ object StreamGateOps {
         |    THEN e.user_id END) AS matched_users,
         |  true AS stream_eq_batch
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // q87's aggregate over the STREAM's sink + the equivalence flag
+    "q119_stream_join_gate" ->
+      """SELECT v.user_id, count(*) AS pairs,
+        |  count(DISTINCT p.ts) AS purchases_attributed,
+        |  true AS stream_eq_batch
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id""".stripMargin,
     // probe-all KNN over built ∪ streamed == brute force on the table
     "q118_stream_ivf_ingest_gate" ->
       """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),

@@ -252,6 +252,30 @@ object TextOps {
           col("avg_quality"), col("p50_quality"), col("langid_hits"))
     }),
 
+    // Token-budget mixture planning: the "data mixing" step that turns
+    // a corpus + a token budget into per-source sampling rates. Equal
+    // target share per source; a source with fewer tokens than its
+    // share is taken whole (rate 1.0) — the allocation is computed in
+    // INTEGER token units (budget div n_sources, then min against the
+    // source's own total) so the cross-engine gate is exact, with one
+    // display-only double division at the end. One narrow token pass +
+    // a groupBy on the low-cardinality source key; the |sources|
+    // scalar is bounded driver metadata.
+    "q121_token_mixture" -> ((s, d) => {
+      val budget = 20000L
+      val per = Tables.load(s, d, "documents")
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
+        .cache() // source-cardinality rows; read for |sources| + output
+      val nSources = per.count()
+      per.withColumn("alloc_tokens",
+          least(col("tokens"), lit(budget / nSources)))
+        .withColumn("rate",
+          round(col("alloc_tokens").cast("double") / col("tokens"), 6))
+        .select("source", "docs", "tokens", "alloc_tokens", "rate")
+    }),
+
     // Quality-WEIGHTED deterministic downsampling: keep a doc with
     // probability == its quality score, decided by a reproducible
     // uniform variate derived from the content md5 (first 8 hex chars
@@ -564,6 +588,18 @@ object TextOps {
         |    AS expected_rate
         |FROM u JOIN q USING (doc_id) JOIN l USING (doc_id)
         |GROUP BY lang_pred""".stripMargin,
+    "q121_token_mixture" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+        |      AS tokens
+        |  FROM documents GROUP BY source
+        |), n AS (SELECT count(*) AS n_sources FROM t)
+        |SELECT source, docs, tokens,
+        |  least(tokens, 20000 // n_sources)::BIGINT AS alloc_tokens,
+        |  round(least(tokens, 20000 // n_sources)::DOUBLE / tokens, 6)
+        |    AS rate
+        |FROM t, n""".stripMargin,
     "q77_pack_offsets" ->
       """WITH t AS (
         |  SELECT doc_id,

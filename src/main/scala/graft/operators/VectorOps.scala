@@ -428,6 +428,38 @@ object VectorOps {
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
 
+    // Sign-bit binary quantization serve path: each embedding
+    // compressed 32x into ONE 64-bit code (codegen'd SignBits64, one
+    // narrow pass), shortlist by Hamming distance to the query's code
+    // (bit_count(xor) — integer ops on 8 bytes/vector instead of
+    // float math on 256), exact cosine re-rank of the top-50, recall
+    // gate against the exact top-10 (whose computation q31 pins).
+    // The scale story: the code table is 32x smaller than the
+    // vectors, so the shortlist pass scans a corpus that fits where
+    // the raw vectors never would — the standard first tier of an
+    // embedding-retrieval cascade (complements int8 q94 / PQ q67).
+    "q120_binary_quant_knn" -> ((s, d) => {
+      import s.implicits._
+      val q = queryVec(s, d)
+      val qCode = org.apache.spark.sql.graft.SignBits64.bits(q)
+      val ham = bit_count(col("code").bitwiseXOR(lit(qCode)))
+      val shortlist = emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          org.apache.spark.sql.graft.SignBits64.column(col("embedding"))
+            .as("code"))
+        .orderBy(ham.asc, col("vec_id").asc).limit(50) // TopK, no sort-all
+      val cosCol = Knn.distCol(col("embedding").cast("array<double>"), q,
+        DistanceMetric.Cosine)
+      val approx = shortlist.orderBy(cosCol.desc, col("vec_id").asc)
+        .limit(10).select("vec_id")
+      val exact = emb(s, d)
+        .orderBy(cosCol.desc, col("vec_id").asc)
+        .limit(10).select("vec_id")
+      val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
+      val n = exact.count()
+      Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
+    }),
+
     // Batch KNN JOIN — top-k neighbors for a whole query set in ONE
     // job (the Spark-native serving form; SURVEY §2.4). Brute variant:
     // broadcast query set, single data scan, window top-k per query.
@@ -638,6 +670,13 @@ object VectorOps {
       s"""SELECT true AS recall_ok, count(*) AS n_exact
         |FROM ($bruteOracle)""".stripMargin,
     "q37_ann_lsh" ->
+      """SELECT true AS recall_ok, count(*) AS n_exact FROM (
+        |  SELECT vec_id FROM embeddings
+        |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)) DESC, vec_id
+        |  LIMIT 10)""".stripMargin,
+    "q120_binary_quant_knn" ->
       """SELECT true AS recall_ok, count(*) AS n_exact FROM (
         |  SELECT vec_id FROM embeddings
         |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),

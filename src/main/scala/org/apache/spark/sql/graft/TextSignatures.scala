@@ -369,3 +369,52 @@ object UnitNormalize {
     VectorDistanceApi.column(UnitNormalize(
       VectorDistanceApi.expression(vec.cast("array<double>"))))
 }
+
+/** Sign-bit binary quantization of a (≤64-dim) double vector into ONE
+  * long: bit i set iff v(i) > 0. Hamming distance between two codes
+  * approximates angular distance (Charikar's hyperplane LSH with
+  * axis-aligned planes — ref. [[HyperplaneLsh]] uses random planes;
+  * sign bits are the degenerate zero-cost variant embedding services
+  * use as a 32x-compression shortlist before exact re-rank). Codegen'd
+  * so the signature pass stays inside whole-stage codegen; dims beyond
+  * 64 are ignored (callers slice or project first). */
+case class SignBits64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignBits64.bits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SignBits64.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.bits($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBits64 =
+    copy(child = c)
+}
+
+object SignBits64 {
+  def bits(vec: ArrayData): Long = {
+    val v = vec.toDoubleArray()
+    var b = 0L
+    var i = 0
+    val n = math.min(v.length, 64)
+    while (i < n) {
+      if (v(i) > 0) b |= (1L << i)
+      i += 1
+    }
+    b
+  }
+
+  def bits(vec: Seq[Double]): Long =
+    bits(new GenericArrayData(vec.toArray): ArrayData)
+
+  def column(vec: Column): Column =
+    VectorDistanceApi.column(SignBits64(
+      VectorDistanceApi.expression(vec.cast("array<double>"))))
+}

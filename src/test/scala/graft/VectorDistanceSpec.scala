@@ -84,6 +84,47 @@ class VectorDistanceSpec extends SparkSpecBase {
       "SELECT l2_dist(construct_array(0, 3), construct_array(4, 0))").head()
     assert(c.getDouble(0) == 5.0)
   }
+
+  test("SignBits64: bit semantics, codegen == eval, >64-dim truncation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.SignBits64
+    // bit i == v(i) > 0; zeros and negatives clear
+    assert(SignBits64.bits(Seq(1.0, -1.0, 0.0, 0.5)) == ((1L << 0) | (1L << 3)))
+    assert(SignBits64.bits(Seq.fill(64)(1.0)) == -1L) // all 64 bits set
+    assert(SignBits64.bits(Seq.fill(70)(1.0)) == -1L) // dims >64 ignored
+    val df = Seq((1L, Seq(0.3, -0.2, 0.1)), (2L, Seq(-0.3, 0.2, -0.1)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        SignBits64.column(col("v")).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 2L))
+    // Hamming(code, code') via bit_count(xor) — the q120 shortlist op
+    val ham = df.select(bit_count(lit(got(1L)).bitwiseXOR(lit(got(2L)))))
+      .head().getInt(0)
+    assert(ham == 3)
+  }
+
+  test("q120 shortlist recall: sign-bit cascade finds >=70% of exact top-10") {
+    import org.apache.spark.sql.graft.{DistanceMetric, SignBits64}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qCode = SignBits64.bits(q)
+    val shortlist = emb.select(col("vec_id"), col("embedding"),
+        SignBits64.column(col("embedding")).as("code"))
+      .orderBy(bit_count(col("code").bitwiseXOR(lit(qCode))).asc,
+        col("vec_id").asc)
+      .limit(50)
+    val cos = graft.index.Knn.distCol(
+      col("embedding").cast("array<double>"), q, DistanceMetric.Cosine)
+    val approx = shortlist.orderBy(cos.desc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = emb.orderBy(cos.desc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(exact).size / 10.0
+    assert(recall >= 0.7, s"recall $recall")
+  }
 }
 
 object VectorFunctionsRegistrar {
