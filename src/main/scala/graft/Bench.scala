@@ -119,8 +119,10 @@ object Bench {
       remeasurePass(results, scaleSmall.toMap, sfDir, bigSide = true)
     val (scaleSmall2, scaleFlagged) =
       remeasurePass(scaleSmall, results2.toMap, scaleDir, bigSide = false)
-    val firstReading = (results.toMap ++ scaleSmall.toMap)
-    val remeasured = (mainFlagged ++ scaleFlagged).distinct.sorted
+    // first readings keyed per pass: a query measured at BOTH scale
+    // points would otherwise collide and report the wrong original
+    val firstMain = results.toMap
+    val firstSmall = scaleSmall.toMap
 
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -137,9 +139,11 @@ object Bench {
         s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
         s""""failures":${jsonArr(scaleFailures)}}"""
     val noiseJson =
-      if (remeasured.isEmpty) "null"
-      else s"""{"remeasured":${jsonArr(remeasured)},""" +
-        s""""first_reading":${jsonMap(remeasured.map(n => n -> firstReading(n)))}}"""
+      if (mainFlagged.isEmpty && scaleFlagged.isEmpty) "null"
+      else s"""{"main_first":${
+          jsonMap(mainFlagged.map(n => n -> firstMain(n)))},""" +
+        s""""small_first":${
+          jsonMap(scaleFlagged.map(n => n -> firstSmall(n)))}}"""
     val total = results2.map(_._2).sum
     val fails = jsonArr(mainFailures)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"failures":$fails,"scale":$scaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}""")
