@@ -213,6 +213,77 @@ object StreamGateOps {
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("p_ts")).as("purchases_attributed"))
         .withColumn("stream_eq_batch", lit(eq))
+    }),
+
+    // STATEFUL sessionization gate: the flatMapGroupsWithState
+    // session operator driven as a real stream. The event-time-timeout
+    // states need the watermark to pass last+gap before the final
+    // session per user can emit, so the source dir carries a SENTINEL
+    // file (one far-future event for user -1, written once) processed
+    // as a later micro-batch (maxFilesPerTrigger=1; the sentinel's
+    // mtime is newer than the test table's): its watermark advance
+    // times out every real session. Gate row: session counts + an
+    // exact-decimal value total the DuckDB window-SQL oracle
+    // recomputes, plus the in-engine row-for-row stream==batch flag.
+    "q122_stream_sessionize_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("sessionize", d)
+      val evBatch = Tables.load(s, d, "events") // nanos conf + batch twin
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val sentinel = new java.io.File(srcDir, "sentinel.parquet")
+      if (!sentinel.exists()) {
+        val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
+        val flushNanos =
+          (maxTs.getTime + 3 * 3600 * 1000L) * 1000000L // ms -> ns, +3h
+        val one = Seq((-1L, flushNanos, -1L, "flush", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
+        val tmp = dir + "/sentinel_build"
+        one.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, sentinel.toPath)
+      }
+      val fixTs = (df: DataFrame) =>
+        if (df.schema("ts").dataType == LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else df
+      val src = fixTs(s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event]
+      val q = StreamOps.sessionize(src)
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sess = s.read.parquet(dir + "/out")
+        .filter(col("user_id") >= 0) // drop the sentinel's own session
+      // compare at the state's own resolution: SessionState keeps
+      // epoch MILLIS (Timestamp.getTime) where the batch twin carries
+      // micros, and accumulates value as doubles in arrival order
+      // where the twin sums exact decimal — so timestamps compare
+      // ms-truncated and values at decimal(18,4); sub-ms session
+      // identity is not a property the operator claims
+      val cmp = (df: DataFrame) => df.select(col("user_id"),
+        unix_millis(col("start")).as("start_ms"),
+        unix_millis(col("end")).as("end_ms"),
+        col("events").cast("long").as("events"),
+        col("total_value").cast("decimal(18,4)").as("tv"))
+      val eq = sameRows(cmp(sess), cmp(StreamOps.sessionizeBatch(evBatch)))
+      val r = sess.agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("users"),
+        sum(col("events").cast("long")).as("events_total"),
+        // total_value is a per-session decimal(18,4) sum rendered as
+        // double (exact); re-cast and re-sum in decimal => the global
+        // decimal sum, immune to float addition order
+        round(sum(col("total_value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("value_total")).head()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), eq))
+        .toDF("n_sessions", "users", "events_total", "value_total",
+          "stream_eq_batch")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +313,31 @@ object StreamGateOps {
         |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |GROUP BY v.user_id""".stripMargin,
+    // q25's gap-session window SQL, aggregated (sessions, users,
+    // events, exact-decimal value total) + the equivalence flag
+    "q122_stream_sessionize_gate" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM s GROUP BY user_id, session_id
+        |)
+        |SELECT count(*)::BIGINT AS n_sessions,
+        |  count(DISTINCT user_id)::BIGINT AS users,
+        |  sum(n)::BIGINT AS events_total,
+        |  round(sum(sv)::DOUBLE, 4) AS value_total,
+        |  true AS stream_eq_batch
+        |FROM g""".stripMargin,
     // probe-all KNN over built ∪ streamed == brute force on the table
     "q118_stream_ivf_ingest_gate" ->
       """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
