@@ -21,7 +21,9 @@ object Bench {
     // super-linear exponent would first show (fixpoint rounds,
     // per-user windows, funnel sequences)
     "q108_merge_rollup", "q109_user_features", "q110_pagerank",
-    "q111_funnel", "q112_retention")
+    "q111_funnel", "q112_retention",
+    // stateful streaming gates: state size scales with keys/pairs
+    "q119_stream_join_gate", "q122_stream_sessionize_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -157,4 +157,38 @@ class PlanShapeSpec extends SparkSpecBase {
       s"seq/gap/rolling-mean must share one user_id partitioning:\n$s")
     spark.catalog.clearCache()
   }
+
+  test("q120 binary-quant shortlist: TakeOrdered over codegen'd codes, no sort-all") {
+    import org.apache.spark.sql.graft.SignBits64
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val shortlist = emb.select(col("vec_id"),
+        SignBits64.column(col("embedding")).as("code"))
+      .orderBy(bit_count(col("code").bitwiseXOR(lit(SignBits64.bits(q)))).asc,
+        col("vec_id").asc)
+      .limit(50)
+    val s = shortlist.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"Hamming shortlist must be TopK, not a global sort:\n$s")
+    assert(!s.contains("Sort "), s"no full sort expected:\n$s")
+    // "*(n)" is the whole-stage-codegen stage marker in plan strings
+    assert("\\*\\(\\d+\\) Project .*sign_bits64".r.findFirstIn(s).isDefined,
+      s"signature pass must stay inside codegen:\n$s")
+  }
+
+  test("q121 token mixture: one partial+final agg on the source key") {
+    val df = operators.TextOps.queries("q121_token_mixture")(spark, sfDir)
+    // AQE plan strings repeat the plan under "== Initial Plan ==" —
+    // count exchanges only in the final section
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges == 1,
+      s"token totals must map-side combine into one source exchange:\n$s")
+    assert(s.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$s")
+    spark.catalog.clearCache()
+  }
 }
