@@ -23,7 +23,10 @@ object Bench {
     "q108_merge_rollup", "q109_user_features", "q110_pagerank",
     "q111_funnel", "q112_retention",
     // stateful streaming gates: state size scales with keys/pairs
-    "q119_stream_join_gate", "q122_stream_sessionize_gate")
+    "q119_stream_join_gate", "q122_stream_sessionize_gate",
+    // graph + model-table ops: wedge-join fan-out and vocab growth are
+    // the scaling risks
+    "q124_radius_search", "q125_triangle_count", "q126_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

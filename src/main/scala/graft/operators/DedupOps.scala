@@ -111,6 +111,7 @@ object DedupOps {
   }
 
   private val JaccardThr = 0.8
+  private val ContainThr = 0.9
 
   /** PPJoin/Vernica-style candidate pairs: order each doc's shingles
     * by global frequency (rarest first), index only the PREFIX of
@@ -446,6 +447,27 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
+    // Asymmetric CONTAINMENT join — C(A→B) = |S(A)∩S(B)| / |S(A)| —
+    // catches "A is a near-subset of B" (excerpts, quote farms,
+    // boilerplate-wrapped copies), which symmetric Jaccard structurally
+    // misses once |B| >> |A|. Same inverted-index shape as q45 (one
+    // exchange on the shingle key, per-pair agg), but one-sided: pairs
+    // are ORDERED and each direction qualifies independently.
+    "q127_containment" -> ((s, d) => {
+      val inv = postings(docShingles(s, d)).cache()
+      val a = inv.as("a"); val b = inv.as("b")
+      a.join(b, col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n").as("na"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("containment",
+          col("inter").cast("double") / col("na").cast("double"))
+        .filter(col("containment") >= ContainThr)
+        .select(col("a_id"), col("b_id"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // Near-dup CLUSTERS: the step after pair-finding in a real dedup
     // pipeline — connected components over the similarity graph, each
     // cluster keyed by its canonical (min) doc id.
@@ -725,6 +747,21 @@ object DedupOps {
         |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
+    "q127_containment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+        |    AS containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+        |  >= $ContainThr""".stripMargin,
     "q46_minhash_lsh" -> pairOracle,
     // the equivalence gate: missed/extra MUST be zero (pigeonhole
     // exactness), n_docs is the genuine cross-engine count

@@ -375,6 +375,28 @@ object RelationalOps {
         .select(col("user_id"), col("start").cast("string").as("s_start"),
           col("end").cast("string").as("s_end"), col("events"),
           col("total_value"))
+    }),
+
+    // Full window-function suite beyond rank/row_number (q12-q15):
+    // ntile, lag, lead, percent_rank, cume_dist, first_value — all six
+    // over ONE window spec, so the whole query is a single exchange on
+    // o_orderstatus + one sort within partitions (Spark fuses same-spec
+    // window functions into one Window node; PlanShapeSpec pins it).
+    // The ORDER BY carries a unique tiebreak (o_orderkey) so every
+    // rank-derived value is cross-engine deterministic; the fractional
+    // ranks are rounded to 9 decimals (exact small-int divisions —
+    // rounding is belt-and-braces).
+    "q123_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cdist"),
+        first(col("o_orderkey")).over(w).as("first_key"))
     })
   )
 
@@ -550,6 +572,17 @@ object RelationalOps {
         |SELECT user_id, CAST(min(ts) AS VARCHAR) AS s_start,
         |  CAST(max(ts) AS VARCHAR) AS s_end, count(*)::INT AS events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q123_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  round(percent_rank() OVER w, 9) AS pct_rank,
+        |  round(cume_dist() OVER w, 9) AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.BloomSemi
 
@@ -543,8 +544,128 @@ object ScaleOps {
         .groupBy("user_id")
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("p_ts")).as("purchases_attributed"))
+    }),
+
+    // Triangle count + global clustering coefficient on the
+    // co-purchase graph (parts sharing an order) — the canonical
+    // "graph metric that dies on hubs if you join naively" operator.
+    // Edge build: per-order self-join (fan-out bounded by max basket
+    // size squared, one exchange on the order key), distinct. The
+    // count uses DEGREE ORIENTATION: each undirected edge is directed
+    // from its (degree, id)-smaller endpoint, which bounds every
+    // wedge-join fan-out by the max oriented out-degree — O(sqrt(|E|))
+    // even on power-law graphs — instead of the raw hub degree an
+    // id-ordered a<b<c join suffers. The closing edge then resolves
+    // with one equi-join: for a triangle with vertices a<b<c in the
+    // (deg,id) total order, the wedge is (a; b,c) and the closer is
+    // exactly the stored directed edge b->c. The DuckDB oracle counts
+    // the same triangles the simple way — identical totals prove the
+    // orientation exact. Exchanges: order-key join, degree agg, two
+    // hash joins on vertex keys; all AQE-re-balanceable.
+    "q125_triangle_count" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.toDF("o", "u").join(li.toDF("o", "v"), "o")
+        .filter(col("u") < col("v")).select("u", "v").distinct()
+        .cache() // reused 3x: degrees, orientation, edge count
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .cache() // |V| rows — vertex-table sized, not edge sized
+      // nodes + wedge total in ONE pass over the degree table
+      val degStats = deg.agg(count(lit(1)),
+        sum(col("deg") * (col("deg") - lit(1L)))).head()
+      // deg is |V| (vertices), orders smaller than |E|: broadcast both
+      // orientation joins so the edge set never shuffles for them (at
+      // a vertex count past executor memory, fall back to two
+      // co-partitioned joins on u/v — same plan minus the broadcast).
+      val keyed = edges
+        .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+      // Orient toward the (deg, id)-larger endpoint; carry the target's
+      // order key so wedge endpoints can be ordered without a re-join.
+      val dir = keyed.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            struct(col("dv").as("dt"), col("v").as("tid")).as("kt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"),
+            struct(col("du").as("dt"), col("u").as("tid")).as("kt")))
+        .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.kt").as("kt"))
+        .cache() // read by three branches: both wedge sides + closer
+      val e1 = dir.select(col("s"), col("t").as("a"), col("kt").as("ka"))
+      val e2 = dir.select(col("s"), col("t").as("b"), col("kt").as("kb"))
+      val wedge = e1.join(e2, "s").filter(col("ka") < col("kb"))
+        .select(col("a"), col("b"))
+      val closer = dir.select(col("s").as("a"), col("t").as("b"))
+      val nTri = wedge.join(closer, Seq("a", "b")).count()
+      val nNodes = degStats.getLong(0)
+      val nEdges = edges.count()
+      val wedgeTot = degStats.getLong(1) / 2
+      dir.unpersist(); deg.unpersist(); edges.unpersist()
+      Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+        .withColumn("gcc",
+          round(lit(3.0) * col("n_triangles") / lit(wedgeTot), 6))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral-model fit every event pipeline runs.
+    // ONE exchange on user_id feeds the lead() window (event_id breaks
+    // ts ties deterministically); the transition table is
+    // |event_types|² — tiny — so the probability normalization join
+    // is a broadcast no-op at any corpus size.
+    "q128_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .filter(col("b").isNotNull)
+      val c = pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("a").agg(sum("n").as("na"))
+      c.join(broadcast(tot), "a")
+        .select(col("a"), col("b"), col("n"),
+          round(col("n").cast("double") / col("na"), 6).as("p"))
+    }),
+
+    // Z-ORDER layout tiles — multi-dimensional data clustering, the
+    // lakehouse trick that makes min/max data skipping work on TWO
+    // keys at once. zval interleaves the bits of (x, y) with pure
+    // integer mask/shift arithmetic (codegen'd, and bit-identical in
+    // any engine); tile = high byte of zval = a 256x256 square of key
+    // space. The per-tile min/max stats this query emits are exactly
+    // the footer stats a writer clustered by zval would give every
+    // parquet file — ScaleOpsSpec drives a box query against them and
+    // asserts it prunes nearly every tile while losing no rows.
+    "q129_zorder_tiles" -> ((s, d) => {
+      val z = zval(pmod(col("l_partkey"), lit(4096L)),
+        pmod(col("l_orderkey"), lit(4096L)))
+      Tables.load(s, d, "lineitem")
+        .select(pmod(col("l_partkey"), lit(4096L)).as("x"),
+          pmod(col("l_orderkey"), lit(4096L)).as("y"),
+          shiftright(z, 16).as("tile"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
     })
   )
+
+  /** Morton (z-order) value of two 12-bit keys: classic mask-shift bit
+    * spread, expressed in Column arithmetic so it stays inside
+    * whole-stage codegen and is reproducible bit-for-bit in DuckDB. */
+  private[graft] def zval(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
 
   val oracles: Map[String, String] = Map(
     "q82_hll_sketch" ->
@@ -717,6 +838,72 @@ object ScaleOps {
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-        |GROUP BY v.user_id""".stripMargin
+        |GROUP BY v.user_id""".stripMargin,
+    // Simple a<b<c id-order triangle join — the Spark side counts the
+    // same triangles via degree orientation; equal totals prove the
+    // orientation exact.
+    "q125_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        |), w AS (
+        |  SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS w2 FROM deg
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT t FROM tri)::BIGINT AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) / (SELECT w2 FROM w), 6) AS gcc""".stripMargin,
+    "q128_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events
+        |), c AS (
+        |  SELECT a, b, count(*) AS n FROM p WHERE b IS NOT NULL GROUP BY a, b
+        |), tot AS (
+        |  SELECT a, CAST(sum(n) AS BIGINT) AS na FROM c GROUP BY a
+        |)
+        |SELECT a, b, n, round(n::DOUBLE / na, 6) AS p
+        |FROM c JOIN tot USING (a)""".stripMargin,
+    "q129_zorder_tiles" ->
+      """WITH b AS (
+        |  SELECT l_partkey % 4096 AS x, l_orderkey % 4096 AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT x, y,
+        |    ((x | (x << 8)) & 16711935) AS x1, ((y | (y << 8)) & 16711935) AS y1
+        |  FROM b
+        |), s2 AS (
+        |  SELECT x, y,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |    ((y1 | (y1 << 4)) & 252645135) AS y2
+        |  FROM s
+        |), s3 AS (
+        |  SELECT x, y,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |    ((y2 | (y2 << 2)) & 858993459) AS y3
+        |  FROM s2
+        |), z AS (
+        |  SELECT x, y,
+        |    (((x3 | (x3 << 1)) & 1431655765)
+        |      | (((y3 | (y3 << 1)) & 1431655765) << 1)) AS zval
+        |  FROM s3
+        |)
+        |SELECT zval >> 16 AS tile, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1""".stripMargin
   )
 }

@@ -503,6 +503,42 @@ object TextOps {
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("total"),
           sum(col("keep").cast("long")).as("sampled"))
+    }),
+
+    // Bigram language model with add-k smoothing (k=0.5) scored per
+    // document — the perplexity-filter shape one tier above q86's
+    // unigram. Bigram extraction is NARROW: zip_with of the token
+    // array against its own tail (no posexplode+window, so no
+    // per-token shuffle just to pair neighbors). The model side is
+    // vocabulary-sized — bigram counts (one agg), context counts
+    // derived by re-aggregating the bigram table (not a second corpus
+    // pass), and |V| — and joins back BROADCAST. ln() is rounded to 8
+    // decimals and summed as DECIMAL so cross-engine totals are exact
+    // (q86 idiom).
+    "q126_bigram_lm" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val toks = tokens(col("text"))
+      val big = docs
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val c2 = big.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("t1").agg(sum("c2").as("c1"))
+      val vocab = docs.select(explode(toks).as("t"))
+        .agg(countDistinct("t")).head.getLong(0)
+      val lp = c2.join(c1, "t1").select(col("t1"), col("t2"),
+        round(log((col("c2") + lit(0.5))
+          / (col("c1") + lit(0.5) * lit(vocab.toDouble))), 8)
+          .cast("decimal(20,8)").as("logp"))
+      big.join(broadcast(lp), Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("logp")).cast("double") / count(lit(1)), 6)
+            .as("avg_logp"))
     })
   )
 
@@ -793,7 +829,35 @@ object TextOps {
         |    THEN 1 ELSE 0 END AS keep
         |  FROM documents)
         |SELECT lang_pred, count(*) AS total, sum(keep)::BIGINT AS sampled
-        |FROM k JOIN lang USING (doc_id) GROUP BY lang_pred""".stripMargin
+        |FROM k JOIN lang USING (doc_id) GROUP BY lang_pred""".stripMargin,
+    "q126_bigram_lm" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        |), b AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(l, 1, len(l) - 1)) AS t1,
+        |    unnest(list_slice(l, 2, len(l))) AS t2
+        |  FROM l
+        |), c2 AS (
+        |  SELECT t1, t2, count(*) AS c2 FROM b GROUP BY t1, t2
+        |), c1 AS (
+        |  SELECT t1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY t1
+        |), v AS (
+        |  -- |V| over the WHOLE corpus (no >=2-token filter), matching
+        |  -- the Spark side's vocab scan
+        |  SELECT count(DISTINCT t) AS nv FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |), lp AS (
+        |  SELECT t1, t2,
+        |    CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * (SELECT nv FROM v))), 8)
+        |      AS DECIMAL(20,8)) AS logp
+        |  FROM c2 JOIN c1 USING (t1)
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
+        |FROM b JOIN lp USING (t1, t2) GROUP BY doc_id""".stripMargin
   )
 
   private lazy val qualityOracle: String =

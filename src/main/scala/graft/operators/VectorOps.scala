@@ -533,8 +533,58 @@ object VectorOps {
         df.collect().foreach(rows.add)
         s.createDataFrame(rows, df.schema)
       } finally VectorIndexes.drop("q38_idx")
-    })
+    }),
+
+    // RANGE (radius) search — "every vector within distance r of q",
+    // the query shape of recall evals and fixed-threshold near-dup
+    // mining. The at-scale path reuses the IVFFlat partitioning as a
+    // metric tree: per bucket b we precompute R_b = max dist(member,
+    // centroid_b) (one narrow agg; `lists` rows to the driver), and a
+    // bucket can contain a hit only if dist(q, c_b) <= r + R_b
+    // (triangle inequality) — on the persisted bucketed layout that
+    // test is partition PRUNING, same as q33/q69. The bound is SOUND
+    // unconditionally, so pruned == brute ROW FOR ROW and the DuckDB
+    // oracle is the brute-force scan; how much it PRUNES depends on
+    // cluster tightness (on the near-uniform 64-dim test embeddings
+    // R_b spans the data diameter and every bucket survives — the
+    // honest high-dim reality; IndexSpec pins hard pruning on a
+    // clustered fixture, where production embedding corpora live).
+    "q124_radius_search" -> ((s, d) =>
+      radiusSearchOn(emb(s, d), "vec_id", "embedding",
+        queryVec(s, d), r = 1.25, lists = 8)._1)
   )
+
+  /** q124's engine: exact radius search over the IVF bucketed layout.
+    * Returns (result, bucketsProbed, totalNonEmptyBuckets) so specs
+    * can assert soundness AND pruning without re-deriving the model. */
+  private[graft] def radiusSearchOn(df: DataFrame, idCol: String,
+      vecCol: String, q: Seq[Double], r: Double, lists: Int)
+      : (DataFrame, Int, Int) = {
+    val model = IvfFlat.build(df, Seq(idCol), vecCol,
+      lists = lists, probeLists = lists)
+    val centArr = array(model.centroids.map(c =>
+      VectorFunctions.vecLit(c.toSeq)): _*)
+    // R_b per bucket: max member->own-centroid distance (narrow scan,
+    // one partial+final agg; result is `lists` rows).
+    val radii: Map[Int, Double] = model.buckets
+      .select(col("__bucket"),
+        VectorFunctions.l2Dist(col(vecCol),
+          element_at(centArr, col("__bucket") + 1)).as("dc"))
+      .groupBy("__bucket").agg(max(col("dc")).as("rb"))
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    val qDist: Int => Double = b => {
+      val c = model.centroids(b)
+      math.sqrt(c.zip(q).map { case (a, x) => val t = a - x; t * t }.sum)
+    }
+    val probed = radii.keys.toSeq.filter(b => qDist(b) <= r + radii(b))
+    val res = model.buckets
+      .filter(col("__bucket").isInCollection(probed))
+      .select(col(idCol),
+        round(VectorFunctions.l2Dist(col(vecCol),
+          VectorFunctions.vecLit(q)), 6).as("dist"))
+      .filter(col("dist") <= r)
+    (res, probed.size, radii.size)
+  }
 
   private val bruteOracle =
     """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
@@ -691,7 +741,16 @@ object VectorOps {
     "q55_hnsw_knn_join" -> knnJoinOracle,
     "q39_hnsw_partitioned" -> bruteOracle,
     "q67_pq_knn" -> bruteOracle,
-    "q69_ivfpq_knn" -> bruteOracle
+    "q69_ivfpq_knn" -> bruteOracle,
+    "q124_radius_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) AS dist
+        |FROM embeddings
+        |WHERE round(list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) <= 1.25""".stripMargin
   )
 
   private lazy val knnJoinOracle =

@@ -225,4 +225,25 @@ class DedupSpec extends SparkSpecBase {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), plan)
   }
+
+  test("q127 containment == local brute-force over shingle sets") {
+    import org.apache.spark.sql.functions._
+    val got = DedupOps.queries("q127_containment")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // independent local recompute (500 docs at sf0.001)
+    val sets = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t")).collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b) -> (math.rint(c * 1e6) / 1e6)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"$k")
+  }
 }

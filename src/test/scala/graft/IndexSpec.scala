@@ -416,4 +416,45 @@ class IndexSpec extends SparkSpecBase {
       .nonEmpty)
     VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
   }
+
+  test("radius search: IVF triangle-inequality bound is SOUND (== brute)") {
+    val q = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val (res, probed, total) = operators.VectorOps.radiusSearchOn(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      q, r = 1.25, lists = 8)
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val brute = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        round(functions.VectorFunctions.l2Dist(
+          col("embedding").cast("array<double>"),
+          functions.VectorFunctions.vecLit(q)), 6).as("dist"))
+      .filter(col("dist") <= 1.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == brute)
+    assert(probed <= total)
+  }
+
+  test("radius search prunes buckets hard on a clustered corpus") {
+    // 4 tight blobs, centers 10 apart per dim (inter-blob L2 = 40 at
+    // dim 16) — the regime production embedding corpora cluster into.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(_ => c * 10.0 + rnd.nextGaussian() * 0.1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2.toSeq
+    val (res, probed, total) = operators.VectorOps.radiusSearchOn(
+      df, "vec_id", "embedding", q, r = 1.0, lists = 8)
+    assert(probed < total, s"no pruning: $probed of $total buckets probed")
+    val got = res.select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = rows.filter { case (_, v) =>
+      math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) <= 1.0
+    }.map(_._1).toSet
+    assert(got == brute)
+    assert(brute.size == 100) // exactly blob 0
+  }
 }

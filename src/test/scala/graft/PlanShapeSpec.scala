@@ -58,6 +58,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("Window"))
   }
 
+  test("q123 six window functions share ONE exchange (same window spec)") {
+    val s = planString("q123_window_suite")
+    val exchanges = "Exchange".r.findAllIn(s).size
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$s")
+  }
+
   test("q64 leaderboard-q1-window: windowed rank + TopN tail, no global sort") {
     val s = operators.LeaderboardOps.queries("q64_leaderboard_q1_window")(
       spark, sfDir).queryExecution.executedPlan.toString

@@ -139,4 +139,48 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(bcast.nonEmpty)
     assert(coPart == bcast) // fixed-point BIGINTs: exact, not approx
   }
+
+  test("q125 degree-oriented triangle count == naive id-order count") {
+    val row = ScaleOps.queries("q125_triangle_count")(spark, sfDir).head()
+    // independent recount, the textbook a<b<c way (fine at sf0.001)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.toDF("o", "u").join(li.toDF("o", "v"), "o")
+      .filter(col("u") < col("v")).select("u", "v").distinct().cache()
+    val naive = e.toDF("a", "b")
+      .join(e.toDF("a", "c"), "a").filter(col("b") < col("c"))
+      .join(e.toDF("b", "c"), Seq("b", "c")).count()
+    assert(row.getAs[Long]("n_triangles") == naive)
+    assert(row.getAs[Long]("n_edges") == e.count())
+    val gcc = row.getAs[Double]("gcc")
+    assert(gcc > 0.0 && gcc <= 1.0)
+    e.unpersist()
+  }
+
+  test("q129 z-order tiles: box query prunes nearly all tiles, loses no rows") {
+    // sf0.001's part table is too small for x to reach the probe box
+    // (l_partkey < 512); sf0.01 populates the full 16x16 tile grid
+    val zDir = "/root/testdata/sf0.01"
+    val tiles = ScaleOps.queries("q129_zorder_tiles")(spark, zDir).collect()
+    val (x0, x1, y0, y1) = (512L, 767L, 1024L, 1279L)
+    val cand = tiles.filter { t =>
+      t.getAs[Long]("max_x") >= x0 && t.getAs[Long]("min_x") <= x1 &&
+      t.getAs[Long]("max_y") >= y0 && t.getAs[Long]("min_y") <= y1
+    }.map(_.getAs[Long]("tile")).toSet
+    // completeness: every row matching the box lives in a candidate tile
+    val xCol = pmod(col("l_partkey"), lit(4096L))
+    val yCol = pmod(col("l_orderkey"), lit(4096L))
+    val hit = Tables.load(spark, zDir, "lineitem")
+      .select(xCol.as("x"), yCol.as("y"),
+        shiftright(ScaleOps.zval(xCol, yCol), 16).as("tile"))
+      .filter(col("x").between(x0, x1) && col("y").between(y0, y1))
+    assert(hit.count() > 0)
+    val hitTiles = hit.select("tile").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hitTiles.subsetOf(cand))
+    // skipping power: the box touches a small corner of key space and
+    // the z-clustered stats must reflect that
+    assert(cand.size <= tiles.length / 8,
+      s"${cand.size} candidates of ${tiles.length} tiles")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{DedupOps, TextOps}
 
 /** Winnowing fingerprint properties that the hash-valued output can't
@@ -62,5 +64,26 @@ class TextSpec extends SparkSpecBase {
       .groupBy("doc_id").count().collect()
     assert(perDoc.length == nDocs)
     assert(perDoc.forall(_.getLong(1) >= 1))
+  }
+
+  test("q126 bigram LM: n_bigrams == tokens-1 per doc, avg_logp < 0") {
+    val lm = TextOps.queries("q126_bigram_lm")(spark, sfDir)
+    val nToks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") >= 2)
+    val joined = lm.join(nToks, "doc_id").cache()
+    assert(joined.count() == nToks.count()) // every eligible doc scored
+    assert(joined.filter(col("n_bigrams") =!= col("nt") - 1).count() == 0)
+    assert(joined.filter(col("avg_logp") >= 0).count() == 0)
+    // hard floor: c2+0.5 >= 0.5 and c1 <= total bigram count, so no
+    // bigram (hence no average) can score below ln(0.5/(T + 0.5|V|))
+    val vocab = Tables.load(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val totalBigrams = nToks.agg(sum(col("nt") - 1)).head().getLong(0)
+    val floor = math.log(0.5 / (totalBigrams + 0.5 * vocab))
+    assert(joined.filter(col("avg_logp") < floor).count() == 0)
+    joined.unpersist()
   }
 }
