@@ -468,6 +468,34 @@ object DedupOps {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // Cross-SOURCE shingle-overlap matrix — "how much of source A
+    // recurs in source B", the provenance-level dedup report run
+    // before deciding which crawl snapshots/feeds to keep. The key
+    // scale property: after the (source, shingle) DISTINCT, the
+    // per-shingle self-join fan-out is bounded by |sources|² — NOT by
+    // doc pairs — so the quadratic blow-up document-level joins risk
+    // is structurally capped; per-source set sizes are a
+    // |sources|-row broadcast.
+    "q131_source_overlap" -> ((s, d) => {
+      val ss = Tables.load(s, d, "documents")
+        .select(col("source"),
+          explode(org.apache.spark.sql.graft.DistinctShingles.column(
+            TextOps.tokens(col("text")), 3)).as("shingle"))
+        .distinct()
+        .cache() // three readers: sizes + both join sides
+      val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ss.toDF("sa", "shingle")
+        .join(ss.toDF("sb", "shingle"), "shingle")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sz.toDF("sa", "na")), "sa")
+        .join(broadcast(sz.toDF("sb", "nb")), "sb")
+        .select(col("sa"), col("sb"), col("inter"),
+          round(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+    }),
+
     // Near-dup CLUSTERS: the step after pair-finding in a real dedup
     // pipeline — connected components over the similarity graph, each
     // cluster keyed by its canonical (min) doc id.
@@ -762,6 +790,26 @@ object DedupOps {
         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
         |  >= $ContainThr""".stripMargin,
+    "q131_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in range(1, len(toks)-1)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM sh GROUP BY 1
+        |), iv AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa, sb, inter,
+        |  round(inter::DOUBLE / (za.n + zb.n - inter), 6) AS jaccard
+        |FROM iv JOIN sz za ON za.source = iv.sa
+        |        JOIN sz zb ON zb.source = iv.sb""".stripMargin,
     "q46_minhash_lsh" -> pairOracle,
     // the equivalence gate: missed/extra MUST be zero (pigeonhole
     // exactness), n_docs is the genuine cross-engine count

@@ -539,6 +539,31 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("logp")).cast("double") / count(lit(1)), 6)
             .as("avg_logp"))
+    }),
+
+    // Shannon entropy of each source's token distribution — the
+    // corpus-diversity signal (template farms and boilerplate-heavy
+    // sources score low; it complements q93's cross-snapshot drift).
+    // Exactness: H = -(Σ n_t·ln(n_t/N)) / N with ln rounded to 8
+    // decimals, the n_t·ln product and its sum carried in DECIMAL —
+    // integer×decimal is exact in both engines, so the only float op
+    // is one final division. Scale: per-(source, token) counts are one
+    // partial+final agg; the per-source totals table is |sources| rows,
+    // broadcast back.
+    "q130_token_entropy" -> ((s, d) => {
+      val cnt = Tables.load(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("source")
+        .agg(sum("n").as("nn"), count(lit(1)).as("vocab"))
+      cnt.join(broadcast(tot), "source")
+        .withColumn("term", col("n").cast("decimal(12,0)")
+          * round(log(col("n").cast("double") / col("nn")), 8)
+            .cast("decimal(20,8)"))
+        .groupBy("source")
+        .agg(max("nn").as("n_tokens"), max("vocab").as("vocab"),
+          round((-sum(col("term"))).cast("double") / max(col("nn")), 6)
+            .as("entropy"))
     })
   )
 
@@ -857,7 +882,25 @@ object TextOps {
         |)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
-        |FROM b JOIN lp USING (t1, t2) GROUP BY doc_id""".stripMargin
+        |FROM b JOIN lp USING (t1, t2) GROUP BY doc_id""".stripMargin,
+    "q130_token_entropy" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, t, count(*) AS n FROM t GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS nn,
+        |    count(*) AS vocab
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT source, nn AS n_tokens, vocab,
+        |  round(-sum(CAST(n AS DECIMAL(12,0))
+        |      * CAST(round(ln(n::DOUBLE / nn), 8) AS DECIMAL(20,8)))::DOUBLE
+        |    / nn, 6) AS entropy
+        |FROM c JOIN s USING (source)
+        |GROUP BY source, nn, vocab""".stripMargin
   )
 
   private lazy val qualityOracle: String =

@@ -551,7 +551,31 @@ object VectorOps {
     // clustered fixture, where production embedding corpora live).
     "q124_radius_search" -> ((s, d) =>
       radiusSearchOn(emb(s, d), "vec_id", "embedding",
-        queryVec(s, d), r = 1.25, lists = 8)._1)
+        queryVec(s, d), r = 1.25, lists = 8)._1),
+
+    // MaxSim late-interaction scoring (the ColBERT retrieval shape):
+    // a multi-vector query Q scores a multi-vector document D as
+    // Σ_{q∈Q} max_{v∈D} cos(q, v). Here Q = vec_ids 0..3 and label
+    // groups stand in for documents. Scale shape: Q is tiny and
+    // BROADCAST; the per-(doc, q) max is a partial+final agg over the
+    // corpus (one exchange on the doc key); per-q maxima are rounded
+    // to 6 before the DECIMAL sum so the fused score is cross-engine
+    // exact. Vectors never collect to the driver.
+    "q132_maxsim" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      e.select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qs))
+        .select(col("label"), col("q_id"),
+          round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6)
+            .as("cos"))
+        .groupBy("label", "q_id").agg(max("cos").as("mx"))
+        .groupBy("label")
+        .agg(round(sum(col("mx").cast("decimal(18,6)")).cast("double"), 6)
+          .as("maxsim"), count(lit(1)).as("n_q"))
+    })
   )
 
   /** q124's engine: exact radius search over the IVF bucketed layout.
@@ -750,7 +774,22 @@ object VectorOps {
         |    (SELECT qv FROM q)), 6) AS dist
         |FROM embeddings
         |WHERE round(list_distance(CAST(embedding AS DOUBLE[]),
-        |    (SELECT qv FROM q)), 6) <= 1.25""".stripMargin
+        |    (SELECT qv FROM q)), 6) <= 1.25""".stripMargin,
+    "q132_maxsim" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 4
+        |), d AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT label, q_id,
+        |    max(round(list_cosine_similarity(v, qv), 6)) AS mx
+        |  FROM d CROSS JOIN q GROUP BY 1, 2
+        |)
+        |SELECT label,
+        |  round(CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim,
+        |  count(*) AS n_q
+        |FROM m GROUP BY label""".stripMargin
   )
 
   private lazy val knnJoinOracle =
