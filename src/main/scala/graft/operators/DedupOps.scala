@@ -746,6 +746,76 @@ object DedupOps {
         .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
         .filter(cos >= 0.45)
         .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
+    }),
+
+    // SemDeDup (cluster-then-dedup): k-means coarse clusters, then
+    // exact pairwise cosine ONLY within each cluster — the n²/k cut
+    // that makes embedding dedup tractable when n² pairs don't fit a
+    // broadcast (q48) and even the per-query KNN join (q49) is too
+    // much. Drop rule is the greedy keep-first: a vector is dropped
+    // iff a smaller-id near-duplicate shares its cluster. The
+    // clustering is engine-internal, so the driver-checkable surface
+    // is the q102 idiom: every emitted value is either brute-SQL
+    // (n_vectors, exact pair count) or an invariant the construction
+    // must satisfy, re-verified through the independent exact path —
+    // within-cluster pairs are a SUBSET of the exact pair set
+    // (anti-join count 0) with recall >= 0.5, and every drop is
+    // justified by a real pair. Scale: the within join shuffles on
+    // cluster id (quadratic only inside a cluster — the salted
+    // bucketPairs path applies if one cluster goes hot); the exact
+    // side exists only for the gate and is q48's broadcast NL join.
+    "q133_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv",
+          org.apache.spark.sql.graft.UnitNormalize.column(col("v")))
+        .cache() // read by train + assign + exact gate
+      // cluster ON THE UNIT SPHERE (cosine order == L2 order there —
+      // the q49 idiom); raw-space centroids would split cosine
+      // neighborhoods that differ only in norm
+      val model = IvfFlat.build(e, Seq("vec_id"), "nv",
+        lists = 8, probeLists = 8)
+      // probe-2 assignment: each vector lands in its two nearest
+      // centroids' clusters, and a pair is caught iff the probe sets
+      // intersect — the standard boundary-pair fix (a pair sitting on
+      // a Voronoi edge is exactly the case one-probe SemDeDup misses).
+      // Still narrow: distances to the k centroid literals are
+      // codegen'd; candidate multiplicity is bounded by p²=4 replicas.
+      val dists = array(model.centroids.map(c =>
+        graft.functions.VectorFunctions.l2Dist(
+          col("nv"), graft.functions.VectorFunctions.vecLit(c.toSeq))): _*)
+      val c1 = array_position(col("ds"), array_min(col("ds"))) - 1
+      val masked = transform(col("ds"),
+        (x, i) => when(i === col("c1"), lit(Double.MaxValue)).otherwise(x))
+      val assigned = e.withColumn("ds", dists)
+        .withColumn("c1", c1)
+        .withColumn("c2", array_position(masked, array_min(masked)) - 1)
+        .select(col("vec_id"), col("v"),
+          explode(array(col("c1"), col("c2"))).as("c"))
+      val cos = graft.functions.VectorFunctions
+        .cosineSimilarity(col("a.v"), col("b.v"))
+      val within = assigned.as("a").join(assigned.as("b"),
+          col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id")
+            && cos >= 0.45)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct() // a pair may share both probes
+        .cache() // read 3x: count, subset anti-join, drop count
+      val exact = e.as("a").join(broadcast(e.as("b")),
+          col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      val nExact = exact.count()
+      val nWithin = within.count()
+      val nOutside = within.join(exact, Seq("a_id", "b_id"), "left_anti")
+        .count()
+      val nDropped = within.select("b_id").distinct().count()
+      val nVec = e.count()
+      within.unpersist(); e.unpersist()
+      Seq((nVec, nExact, nOutside == 0L,
+          nWithin.toDouble / math.max(nExact, 1L) >= 0.5,
+          nDropped <= nWithin))
+        .toDF("n_vectors", "n_exact_pairs", "pairs_subset", "recall_ok",
+          "drop_valid")
     })
   )
 
@@ -978,6 +1048,17 @@ object DedupOps {
         |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // n_vectors and the exact pair count are brute-recomputed; the
+    // clustering-dependent values surface only as invariants that are
+    // true for ANY valid clustering (subset/recall/drop-validity)
+    "q133_semdedup" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  count(*) AS n_exact_pairs, true AS pairs_subset,
+        |  true AS recall_ok, true AS drop_valid
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
   )
 }

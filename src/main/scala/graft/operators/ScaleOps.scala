@@ -651,8 +651,104 @@ object ScaleOps {
         .agg(count(lit(1)).as("n"),
           min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"))
-    })
+    }),
+
+    // Market-basket pair mining (frequent co-purchased part pairs with
+    // lift) — association mining, the recommendation/affinity shape.
+    // Pair generation is NARROW after one basket shuffle: baskets are
+    // bounded (an order holds at most a handful of distinct parts), so
+    // the quadratic expansion happens inside a sorted array per order
+    // — never a lineitem self-join whose fan-out an optimizer can't
+    // bound. Part supports are |parts| rows and the order total is a
+    // scalar: both ride broadcast. Lift's arithmetic is
+    // integer-exact until one final double divide, so the oracle
+    // checks VALUES.
+    "q134_basket_pairs" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .cache() // read 3x: baskets, per-part support, order total
+      val baskets = li.groupBy("o")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      val pairs = baskets.select(explode(flatten(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => transform(
+            slice(col("ps"), i + 1, size(col("ps")) - i),
+            b => struct(element_at(col("ps"), i).as("a"), b.as("b"))))))
+          .as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      val pc = li.groupBy("p").agg(count(lit(1)).as("np"))
+      val no = li.agg(countDistinct(col("o")).as("n_orders"))
+      val c = pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+      c.join(broadcast(pc.select(col("p").as("a"), col("np").as("na"))), "a")
+        .join(broadcast(pc.select(col("p").as("b"), col("np").as("nb"))), "b")
+        .crossJoin(broadcast(no))
+        .select(col("a"), col("b"), col("n"),
+          round(col("n").cast("double") * col("n_orders")
+            / (col("na") * col("nb")), 6).as("lift"))
+    }),
+
+    // SKYLINE (Pareto frontier: min price, max size) — the
+    // multi-criteria "best tradeoffs" operator, distributed the
+    // classic two-phase way: a LOCAL skyline sweep per partition
+    // (narrow mapPartitions, sort + one pass), then the GLOBAL
+    // skyline of the tiny candidate union (the global frontier is
+    // always a subset of the union of local frontiers, for any
+    // partitioning). No n² dominance join, no global sort of the
+    // input; the only window runs over the per-price groups of the
+    // candidate set — frontier-sized, not data-sized. The DuckDB
+    // oracle recomputes dominance the independent NOT EXISTS way.
+    "q135_skyline" -> ((s, d) =>
+      skyline(Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))))
   )
+
+  /** Two-phase distributed skyline (Pareto frontier: minimize col 2,
+    * maximize col 3; col 1 is the row key). Phase 1 sweeps a LOCAL
+    * frontier per partition (sort + one pass, narrow); phase 2 takes
+    * the global frontier of the tiny candidate union with one window
+    * over its per-price groups — correct for any input partitioning
+    * because the global frontier is a subset of every
+    * union-of-local-frontiers. Ties on both dimensions are all kept
+    * (no strict dominator). ScaleOpsSpec pins partition-independence
+    * and the tie cases adversarially. */
+  def skyline(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val Seq(kc, pc, sc) = pts.columns.toSeq
+    val local = pts
+      .select(col(kc).cast("long"), col(pc).cast("double"), col(sc).cast("int"))
+      .as[(Long, Double, Int)]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(r => (r._2, -r._3))
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+        var maxCheaper = Int.MinValue // max size over strictly lower prices
+        var groupPrice = Double.NaN
+        var groupMax = Int.MinValue // max size within the current price
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          if (r._2 != groupPrice) {
+            maxCheaper = math.max(maxCheaper, groupMax)
+            groupPrice = r._2; groupMax = r._3
+          }
+          if (r._3 > maxCheaper && r._3 == groupMax) out += r
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF(kc, pc, sc)
+    val grp = local.groupBy(pc).agg(max(sc).as("gmax"))
+    val w = Window.orderBy(col(pc).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresh = grp.withColumn("max_cheaper", max("gmax").over(w))
+    local.join(broadcast(thresh), pc)
+      .filter(col(sc) === col("gmax") &&
+        (col("max_cheaper").isNull || col(sc) > col("max_cheaper")))
+      .select(col(kc), col(pc), col(sc))
+  }
 
   /** Morton (z-order) value of two 12-bit keys: classic mask-shift bit
     * spread, expressed in Column arithmetic so it stays inside
@@ -904,6 +1000,33 @@ object ScaleOps {
         |SELECT zval >> 16 AS tile, count(*) AS n,
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
-        |FROM z GROUP BY 1""".stripMargin
+        |FROM z GROUP BY 1""".stripMargin,
+    "q134_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), c AS (
+        |  SELECT a.p AS a, b.p AS b, count(*) AS n
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT p, count(*) AS np FROM li GROUP BY 1
+        |), no AS (
+        |  SELECT count(DISTINCT o) AS n_orders FROM li
+        |)
+        |SELECT c.a, c.b, c.n,
+        |  round(c.n::DOUBLE * (SELECT n_orders FROM no)
+        |    / (na.np * nb.np), 6) AS lift
+        |FROM c JOIN pc na ON na.p = c.a JOIN pc nb ON nb.p = c.b
+        |WHERE c.n >= 3""".stripMargin,
+    // independent algorithm on the oracle side: direct NOT EXISTS
+    // dominance test, no sweep
+    "q135_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size > p.p_size))""".stripMargin
   )
 }

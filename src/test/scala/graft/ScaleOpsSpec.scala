@@ -183,4 +183,34 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(cand.size <= tiles.length / 8,
       s"${cand.size} candidates of ${tiles.length} tiles")
   }
+
+  test("q135 skyline: partition-independent, tie-correct vs brute dominance") {
+    import spark.implicits._
+    // adversarial fixture: exact price ties, exact (price,size) ties
+    // (both must survive — no strict dominator), a dominated row that
+    // shares its price with a frontier row, and a strictly-better
+    // later row; spread across partitionings so a dominator and its
+    // victim land in different partitions
+    val pts = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5), // tie on both dims: both kept
+      (3L, 10.0, 4),                // same price, smaller: dropped
+      (4L, 12.0, 5),                // pricier, size only equal: dropped
+      (5L, 12.0, 7),                // frontier
+      (6L, 8.0, 2),                 // frontier (cheapest)
+      (7L, 9.0, 2),                 // dominated by 6 (equal size, pricier)
+      (8L, 15.0, 9), (9L, 20.0, 9)  // 8 frontier, 9 dominated by 8
+    )
+    val expect = Set(1L, 2L, 5L, 6L, 8L)
+    val brute = for {
+      p <- pts if !pts.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    } yield p._1
+    assert(brute.toSet == expect) // fixture sanity
+    for (parts <- Seq(1, 2, 7)) {
+      val got = ScaleOps.skyline(
+          pts.toDF("k", "price", "sz").repartition(parts))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"parts=$parts got $got")
+    }
+  }
 }
