@@ -109,10 +109,12 @@ object VectorIndexes {
       m.model match {
         case IvfModel(mm, _) => mm.save(s"$root/${m.name}/ivf")
         case HnswModel(idx, _) =>
-          val dir = new java.io.File(s"$root/${m.name}")
-          dir.mkdirs()
-          val oos = new java.io.ObjectOutputStream(
-            new java.io.FileOutputStream(new java.io.File(dir, "hnsw.bin")))
+          // Hadoop FS, not java.io: the registry root may be hdfs://
+          // or s3a:// — the parquet pieces already go through the
+          // FileSystem API, the blob must too (ADVICE r4)
+          val p = new org.apache.hadoop.fs.Path(s"$root/${m.name}/hnsw.bin")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val oos = new java.io.ObjectOutputStream(fs.create(p, true))
           try oos.writeObject(idx) finally oos.close()
       }
     }
@@ -136,8 +138,10 @@ object VectorIndexes {
         case "ivfflat" =>
           IvfModel(IvfFlat.load(spark, s"$root/$name/ivf"), idCol)
         case "hnsw" =>
-          val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(
-            new java.io.File(s"$root/$name", "hnsw.bin")))
+          val p = new org.apache.hadoop.fs.Path(s"$root/$name/hnsw.bin")
+          val fs =
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val ois = new java.io.ObjectInputStream(fs.open(p))
           val idx = try ois.readObject().asInstanceOf[HnswIndex]
             finally ois.close()
           HnswModel(idx, idCol)

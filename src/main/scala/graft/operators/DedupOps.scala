@@ -793,14 +793,25 @@ object DedupOps {
         .withColumn("c2", array_position(masked, array_min(masked)) - 1)
         .select(col("vec_id"), col("v"),
           explode(array(col("c1"), col("c2"))).as("c"))
+      // Candidate pairs are co-membership ONLY — no cosine predicate.
+      // That keeps the subset gate below non-tautological (ADVICE r4):
+      // `within` is candidates filtered by cosine, so if the
+      // assignment join attached the wrong vector to an id, the
+      // filter passes id pairs the independent exact path rejects and
+      // the anti-join count goes nonzero. With the filter inside the
+      // join (the old shape) the anti-join was 0 by construction.
+      val candidates = assigned.as("a").join(assigned.as("b"),
+          col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .dropDuplicates("a_id", "b_id") // a pair may share both probes
+      val cosCand = graft.functions.VectorFunctions
+        .cosineSimilarity(col("va"), col("vb"))
+      val within = candidates.filter(cosCand >= 0.45)
+        .select(col("a_id"), col("b_id"))
+        .cache() // read 3x: count, subset anti-join, drop count
       val cos = graft.functions.VectorFunctions
         .cosineSimilarity(col("a.v"), col("b.v"))
-      val within = assigned.as("a").join(assigned.as("b"),
-          col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id")
-            && cos >= 0.45)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct() // a pair may share both probes
-        .cache() // read 3x: count, subset anti-join, drop count
       val exact = e.as("a").join(broadcast(e.as("b")),
           col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
@@ -811,8 +822,10 @@ object DedupOps {
       val nDropped = within.select("b_id").distinct().count()
       val nVec = e.count()
       within.unpersist(); e.unpersist()
+      // recall over an empty exact set is vacuously OK (0/0), not a
+      // failure — the old 0/1 >= 0.5 read false on pair-free data
       Seq((nVec, nExact, nOutside == 0L,
-          nWithin.toDouble / math.max(nExact, 1L) >= 0.5,
+          nExact == 0L || nWithin.toDouble / nExact >= 0.5,
           nDropped <= nWithin))
         .toDF("n_vectors", "n_exact_pairs", "pairs_subset", "recall_ok",
           "drop_valid")

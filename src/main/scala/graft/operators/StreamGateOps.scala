@@ -220,8 +220,11 @@ object StreamGateOps {
     // states need the watermark to pass last+gap before the final
     // session per user can emit, so the source dir carries a SENTINEL
     // file (one far-future event for user -1, written once) processed
-    // as a later micro-batch (maxFilesPerTrigger=1; the sentinel's
-    // mtime is newer than the test table's): its watermark advance
+    // as a later micro-batch: maxFilesPerTrigger=1 splits the batches
+    // and Spark's file source orders files by PATH, so the sentinel is
+    // named zz_sentinel.parquet to sort after any data file name (the
+    // ordering is lexicographic, NOT mtime — a symlink's mtime follows
+    // its target anyway): its watermark advance
     // times out every real session. Gate row: session counts + an
     // exact-decimal value total the DuckDB window-SQL oracle
     // recomputes, plus the in-engine row-for-row stream==batch flag.
@@ -231,7 +234,11 @@ object StreamGateOps {
       val evBatch = Tables.load(s, d, "events") // nanos conf + batch twin
       val srcDir = asSourceDir(s"$d/events.parquet", dir)
       val raw = s.read.parquet(s"$d/events.parquet")
-      val sentinel = new java.io.File(srcDir, "sentinel.parquet")
+      // zz_ prefix: the file source orders by path, and the sentinel
+      // must be the LAST micro-batch for any data file name — a bare
+      // "sentinel.parquet" would sort before e.g. "zevents.parquet"
+      // and flush nothing (ADVICE r4)
+      val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
       if (!sentinel.exists()) {
         val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
         val flushNanos =

@@ -542,9 +542,12 @@ object VectorOps {
     // centroid_b) (one narrow agg; `lists` rows to the driver), and a
     // bucket can contain a hit only if dist(q, c_b) <= r + R_b
     // (triangle inequality) — on the persisted bucketed layout that
-    // test is partition PRUNING, same as q33/q69. The bound is SOUND
-    // unconditionally, so pruned == brute ROW FOR ROW and the DuckDB
-    // oracle is the brute-force scan; how much it PRUNES depends on
+    // test is partition PRUNING, same as q33/q69. The emitted filter
+    // (and the DuckDB oracle) compare round(dist,6) <= r, so a true
+    // distance in (r, r+5e-7] still rounds INTO the result set — the
+    // pruning bound is padded by that half-ulp-of-rounding (5e-7) so
+    // the bound stays SOUND against the rounded contract and pruned ==
+    // brute ROW FOR ROW; how much it PRUNES depends on
     // cluster tightness (on the near-uniform 64-dim test embeddings
     // R_b spans the data diameter and every bucket survives — the
     // honest high-dim reality; IndexSpec pins hard pruning on a
@@ -600,7 +603,10 @@ object VectorOps {
       val c = model.centroids(b)
       math.sqrt(c.zip(q).map { case (a, x) => val t = a - x; t * t }.sum)
     }
-    val probed = radii.keys.toSeq.filter(b => qDist(b) <= r + radii(b))
+    // r + 5e-7: the result filter is on round(dist, 6), which admits
+    // true distances up to r + 5e-7 — the bound must admit them too.
+    val probed =
+      radii.keys.toSeq.filter(b => qDist(b) <= r + 5e-7 + radii(b))
     val res = model.buckets
       .filter(col("__bucket").isInCollection(probed))
       .select(col(idCol),
