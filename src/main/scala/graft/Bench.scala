@@ -151,7 +151,39 @@ object Bench {
           jsonMap(scaleFlagged.map(n => n -> firstSmall(n)))}}"""
     val total = results2.map(_._2).sum
     val fails = jsonArr(mainFailures)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"failures":$fails,"scale":$scaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"failures":$fails,"scale":$scaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+
+    // ---- emit ----------------------------------------------------------
+    // The driver captures only the last ~2000 chars of stdout and parses
+    // the JSON line out of that tail; a 6KB line (135 queries) gets its
+    // head truncated and every BENCH_r{1..4}.json shows parsed:null.
+    // So: the FULL artifact goes to a file the judge can read, and
+    // stdout's one JSON line is a compact headline built to a strict
+    // char budget (scale-family queries first, then slowest-five).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath)
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val slowest = results2.sortBy(-_._2).take(5).map(_._1)
+    val headNames = (ScaleFamilies.filter(big.contains) ++ slowest).distinct
+    val expMax = exponents.sortBy(-_._2).headOption
+    val expJson = expMax.map { case (k, v) =>
+      s""","worst_scale_exponent":{"query":"$k","log10_ratio_for_10x_rows":${r3(v)}}"""
+    }.getOrElse("")
+    // budgeted: drop trailing headline queries until the line fits well
+    // inside the driver's tail window (sbt appends ~80 chars after us)
+    def line(names: Seq[String]): String = {
+      val qs = jsonMap(names.map(n => n -> r3(big(n))))
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$fails$expJson,"detail":"$detailPath","sf":"$sfDir"}"""
+    }
+    val compact = Iterator.iterate(headNames)(_.dropRight(1))
+      .map(line).find(_.length <= 1700).getOrElse(line(Seq.empty))
+    println(compact)
     spark.stop()
   }
 }

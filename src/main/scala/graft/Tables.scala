@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loading helpers over the driver-generated parquet test tables
   * (see TESTDATA.md). Mirrors the reference's catalog lookup
@@ -16,17 +16,31 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
-      // ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert.
-      // Integer `DIV` keeps full precision (double division would lose
-      // bits at 1.7e18 ns epochs).
+      // The driver has generated events.ts as parquet TIMESTAMP(NANOS)
+      // in some rounds (Spark rejects it, [PARQUET_TYPE_ILLEGAL],
+      // unless read as raw nanos) and TIMESTAMP(MICROS, utc=false) in
+      // others (Spark reads TIMESTAMP_NTZ). Normalize either to a
+      // session-tz TIMESTAMP so every downstream unix_micros/window
+      // sees one type; fixEventTs handles both.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else df
+      fixEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Normalize the events.ts column to TimestampType regardless of how
+    * the parquet declared it: raw nanos Long (integer `DIV` keeps full
+    * precision — double division loses bits at 1.7e18 ns epochs), or
+    * TIMESTAMP_NTZ (cast re-tags the same micros under the UTC session
+    * tz — Verify/Bench/specs all pin spark.sql.session.timeZone=UTC so
+    * the wall-clock reading matches DuckDB's naive timestamps). */
+  def fixEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Per-sfDir scratch root for layout rewrites (bucketed tables,
     * partitioned copies, persisted indexes). Under java.io.tmpdir like
