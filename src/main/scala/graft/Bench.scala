@@ -26,7 +26,13 @@ object Bench {
     "q119_stream_join_gate", "q122_stream_sessionize_gate",
     // graph + model-table ops: wedge-join fan-out and vocab growth are
     // the scaling risks
-    "q124_radius_search", "q125_triangle_count", "q126_bigram_lm")
+    "q124_radius_search", "q125_triangle_count", "q126_bigram_lm",
+    // the round-5 cost leaders: pair-join dedup gates + shingle
+    // inverted-index joins — exactly where a quadratic exponent would
+    // surface (their brute verification sides are now sample-bounded,
+    // so the tracked exponent is the operator path's)
+    "q47_simhash", "q127_containment", "q131_source_overlap",
+    "q133_semdedup", "q134_basket_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,6 +46,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin: Tables.fixEventTs's NTZ->TIMESTAMP cast is session-tz
+      // dependent; Verify/specs pin UTC, so Bench must too or events
+      // wall-clocks (and windowed/sessionize timings) diverge from
+      // what was verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -162,12 +173,20 @@ object Bench {
     // char budget (scale-family queries first, then slowest-five).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    try {
-      val w = new java.io.PrintWriter(detailPath)
-      try w.println(fullJson) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-    }
+    // delete any stale detail file first, and only advertise the path in
+    // the headline if THIS run's write succeeded — the compact line must
+    // never point at a prior round's numbers
+    val detailOk =
+      try {
+        new java.io.File(detailPath).delete()
+        val w = new java.io.PrintWriter(detailPath)
+        try w.println(fullJson) finally w.close()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+        false
+      }
+    val detailJson = if (detailOk) s""""$detailPath"""" else "null"
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val slowest = results2.sortBy(-_._2).take(5).map(_._1)
     val headNames = (ScaleFamilies.filter(big.contains) ++ slowest).distinct
@@ -175,13 +194,22 @@ object Bench {
     val expJson = expMax.map { case (k, v) =>
       s""","worst_scale_exponent":{"query":"$k","log10_ratio_for_10x_rows":${r3(v)}}"""
     }.getOrElse("")
+    // failures in the compact line are CAPPED (count + first 5 names;
+    // full list in the detail file) — an unbounded all-fail array alone
+    // would blow the char budget and starve the line of query timings
+    val failsCompact =
+      s"""{"n":${mainFailures.size},"first":${jsonArr(mainFailures.take(5))}}"""
     // budgeted: drop trailing headline queries until the line fits well
     // inside the driver's tail window (sbt appends ~80 chars after us)
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$fails$expJson,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson,"detail":$detailJson,"sf":"$sfDir"}"""
     }
+    // bounded: after headNames.size+1 steps the seq is empty — without
+    // take(), dropRight on empty yields empty forever and a too-long
+    // line(Seq.empty) would loop find() infinitely
     val compact = Iterator.iterate(headNames)(_.dropRight(1))
+      .take(headNames.size + 1)
       .map(line).find(_.length <= 1700).getOrElse(line(Seq.empty))
     println(compact)
     spark.stop()

@@ -30,6 +30,20 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // fail LOUDLY: leave a dir with an _ERROR marker (and no
+        // parquet) so the driver's read records an err row for this
+        // query instead of silently shrinking the denominator — in
+        // round 5 two crashed gates vanished from CORRECTNESS
+        // entirely because this catch printed-and-dropped.
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          def del(x: java.io.File): Unit = { // clear partial writes too
+            Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
+          }
+          del(d); d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+            s"${e.getClass.getName}: ${e.getMessage}")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -113,6 +113,14 @@ object DedupOps {
   private val JaccardThr = 0.8
   private val ContainThr = 0.9
 
+  /** Size of the deterministic (md5-ordered) sample the q47/q133
+    * brute-force VERIFICATION sides run on. The blocked/clustered
+    * operator paths always process the full table; only the
+    * O(sample²) equivalence check is bounded, so the gate cost is
+    * fixed at any corpus size. Covers the whole table at sf<=0.01
+    * (500 rows), where the gate is exhaustive. */
+  private val BruteGateN = 1000
+
   /** PPJoin/Vernica-style candidate pairs: order each doc's shingles
     * by global frequency (rarest first), index only the PREFIX of
     * length n - ceil(t*n) + 1 — any pair with J >= t must share a
@@ -550,22 +558,36 @@ object DedupOps {
     // gate see the same assertion.
     "q47_simhash" -> ((s, d) => {
       import s.implicits._
-      // source parquet may arrive in 1-2 splits: spread the signature
-      // rows so the quadratic brute probe runs on every core
-      val sim = simhashes(s, d)
-        .repartition(s.sparkContext.defaultParallelism).cache()
+      val sim = simhashes(s, d).cache()
       val blocked = simhashPairs(sim).select(col("a_id"), col("b_id"))
-      // brute force: broadcast NLJ over the packed signatures — only
-      // the gate pays this quadratic cost, never the pipeline path
-      val brute = sim.as("a").join(broadcast(sim.as("b")),
+      // brute force runs on a DETERMINISTIC md5-ordered sample of
+      // BruteGateN docs (the whole corpus at small sf), and blocked
+      // pairs are restricted to the same id set — the gate property
+      // (blocked == brute, pigeonhole exactness) is checked at FIXED
+      // quadratic cost no matter the corpus size; only the blocked
+      // (linear, bucketed) path ever sees every doc
+      val sample = sim
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(BruteGateN)
+        .repartition(s.sparkContext.defaultParallelism).cache()
+      val ids = sample.select("doc_id")
+      val brute = sample.as("a").join(broadcast(sample.as("b")),
           col("a.doc_id") < col("b.doc_id")
             && expr("bit_count(a.sim ^ b.sim)") <= 3)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val blockedS = blocked
+        .join(broadcast(ids.withColumnRenamed("doc_id", "a_id")),
+          Seq("a_id"), "left_semi")
+        .join(broadcast(ids.withColumnRenamed("doc_id", "b_id")),
+          Seq("b_id"), "left_semi")
+        // equi-join puts its key FIRST — re-fix the order before the
+        // position-based unionAll below or pairs compare swapped
+        .select("a_id", "b_id")
       // ONE composed job computes both paths and the comparison: a
       // union + aggregate (blocked-only tag sums to 1, brute-only to
       // 2, agreeing pairs to 3) — job-count overhead, not row volume,
       // dominates a query this size
-      val cmp = blocked.withColumn("__w", lit(1))
+      val cmp = blockedS.withColumn("__w", lit(1))
         .unionAll(brute.withColumn("__w", lit(2)))
         .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
         .agg(
@@ -575,7 +597,7 @@ object DedupOps {
       val missed = if (cmp.isNullAt(0)) 0L else cmp.getLong(0)
       val extra = if (cmp.isNullAt(1)) 0L else cmp.getLong(1)
       val nDocs = sim.count()
-      sim.unpersist()
+      sample.unpersist(); sim.unpersist()
       Seq((missed == 0L && extra == 0L, missed, extra, nDocs))
         .toDF("blocked_eq_brute", "missed", "extra", "n_docs")
     }),
@@ -800,32 +822,65 @@ object DedupOps {
       // filter passes id pairs the independent exact path rejects and
       // the anti-join count goes nonzero. With the filter inside the
       // join (the old shape) the anti-join was 0 by construction.
+      // cosine is computed IN the join projection (still from the
+      // joined vectors — a mis-attached vector still yields a wrong
+      // cos, keeping the subset gate non-tautological per ADVICE r4),
+      // so the dropDuplicates exchange moves (id, id, cos) rows, not
+      // pairs of dim-wide arrays — the narrow-shuffle shape that
+      // survives 100TB
+      val cosCand = graft.functions.VectorFunctions
+        .cosineSimilarity(col("a.v"), col("b.v"))
       val candidates = assigned.as("a").join(assigned.as("b"),
           col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+          cosCand.as("cos"))
         .dropDuplicates("a_id", "b_id") // a pair may share both probes
-      val cosCand = graft.functions.VectorFunctions
-        .cosineSimilarity(col("va"), col("vb"))
-      val within = candidates.filter(cosCand >= 0.45)
+      val within = candidates.filter(col("cos") >= 0.45)
         .select(col("a_id"), col("b_id"))
-        .cache() // read 3x: count, subset anti-join, drop count
+        .cache() // read 4x: count, sample-restrict, anti-join, drops
+      // the exact O(n²) verification side runs on a DETERMINISTIC
+      // md5-ordered sample of BruteGateN vectors (whole table at small
+      // sf) and `within` is restricted to the same ids — the
+      // subset/recall invariants are checked at fixed cost while the
+      // clustered operator path above always covers every vector. The
+      // oracle SQL mirrors the identical md5-ordered LIMIT.
+      val sample = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(BruteGateN).cache()
+      val ids = sample.select("vec_id")
       val cos = graft.functions.VectorFunctions
         .cosineSimilarity(col("a.v"), col("b.v"))
-      val exact = e.as("a").join(broadcast(e.as("b")),
+      val exact = sample.as("a").join(broadcast(sample.as("b")),
           col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      val nExact = exact.count()
-      val nWithin = within.count()
-      val nOutside = within.join(exact, Seq("a_id", "b_id"), "left_anti")
-        .count()
-      val nDropped = within.select("b_id").distinct().count()
+      val withinS = within
+        .join(broadcast(ids.withColumnRenamed("vec_id", "a_id")),
+          Seq("a_id"), "left_semi")
+        .join(broadcast(ids.withColumnRenamed("vec_id", "b_id")),
+          Seq("b_id"), "left_semi")
+        .select("a_id", "b_id") // equi-join reorders: key first
+      // ONE job for all three pair-set measures (tag-sum: withinS-only
+      // pairs sum to 1, exact-only to 2, agreement to 3) and one for
+      // the within totals — job-count overhead dominates at this size
+      val prow = withinS.withColumn("__w", lit(1L))
+        .unionAll(exact.withColumn("__w", lit(2L)))
+        .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
+        .agg(
+          sum(when(col("w") =!= 2L, 1L).otherwise(0L)).as("n_within_s"),
+          sum(when(col("w") =!= 1L, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("w") === 1L, 1L).otherwise(0L)).as("n_outside"))
+        .first()
+      def at(i: Int) = if (prow.isNullAt(i)) 0L else prow.getLong(i)
+      val nWithinS = at(0); val nExact = at(1); val nOutside = at(2)
+      val wrow = within.agg(count(lit(1)).as("n"),
+        countDistinct(col("b_id")).as("dropped")).first()
+      val nWithin = wrow.getLong(0); val nDropped = wrow.getLong(1)
       val nVec = e.count()
-      within.unpersist(); e.unpersist()
+      within.unpersist(); sample.unpersist(); e.unpersist()
       // recall over an empty exact set is vacuously OK (0/0), not a
       // failure — the old 0/1 >= 0.5 read false on pair-free data
       Seq((nVec, nExact, nOutside == 0L,
-          nExact == 0L || nWithin.toDouble / nExact >= 0.5,
+          nExact == 0L || nWithinS.toDouble / nExact >= 0.5,
           nDropped <= nWithin))
         .toDF("n_vectors", "n_exact_pairs", "pairs_subset", "recall_ok",
           "drop_valid")
@@ -1064,12 +1119,19 @@ object DedupOps {
         |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
     // n_vectors and the exact pair count are brute-recomputed; the
     // clustering-dependent values surface only as invariants that are
-    // true for ANY valid clustering (subset/recall/drop-validity)
+    // true for ANY valid clustering (subset/recall/drop-validity).
+    // The exact side runs on the SAME deterministic md5-ordered
+    // 1000-vector sample as the Spark gate (whole table at sf<=0.01)
+    // so the quadratic check stays fixed-cost at any corpus size.
     "q133_semdedup" ->
-      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000
+        |)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  count(*) AS n_exact_pairs, true AS pairs_subset,
         |  true AS recall_ok, true AS drop_valid
-        |FROM embeddings a JOIN embeddings b
+        |FROM s a JOIN s b
         |  ON a.vec_id < b.vec_id
         | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |     CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin

@@ -121,17 +121,19 @@ object StreamGateOps {
       import s.implicits._
       val dim = Tables.load(s, d, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-      val fixTs = (df: DataFrame) =>
-        if (df.schema("ts").dataType == LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        else df
       // Tables.load("events") sets the nanosAsLong conf the raw
-      // schema read inside runToSink needs
+      // schema read inside runToSink needs; Tables.fixEventTs
+      // normalizes whichever ts type the driver shipped (raw nanos
+      // Long or TIMESTAMP_NTZ) to session-tz TIMESTAMP
       val evBatch = Tables.load(s, d, "events")
       val enriched = runToSink(s, s"$d/events.parquet", gateDir("enrich", d),
-        src => StreamOps.enrich(fixTs(src), dim, "user_id"))
+        src => StreamOps.enrich(Tables.fixEventTs(src), dim, "user_id"))
       val batch = StreamOps.enrich(evBatch, dim, "user_id")
-      val eq = sameRows(enriched, batch)
+      // type-clean equivalence: exceptAll would coerce across ts types
+      // (NTZ sink vs TIMESTAMP twin), so require identical schemas
+      // before comparing rows — the flag can never pass on coercion
+      val eq = enriched.schema("ts").dataType == batch.schema("ts").dataType &&
+        sameRows(enriched, batch)
       val row = enriched.agg(count(lit(1)).as("n_facts"),
         count(col("c_mktsegment")).as("n_matched"),
         countDistinct(when(col("c_mktsegment").isNotNull, col("user_id")))
@@ -187,15 +189,12 @@ object StreamGateOps {
       val dir = gateDir("ssjoin", d)
       // one batch read first: sets the nanosAsLong conf + gives the
       // raw schema; both stream sides convert ts exactly as
-      // Tables.load does
+      // Tables.load does (Tables.fixEventTs handles raw nanos Long
+      // AND the driver's TIMESTAMP_NTZ schema)
       val evBatch = Tables.load(s, d, "events")
-      val fixTs = (df: DataFrame) =>
-        if (df.schema("ts").dataType == LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        else df
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val srcDir = asSourceDir(s"$d/events.parquet", dir)
-      def side(tpe: String) = fixTs(
+      def side(tpe: String) = Tables.fixEventTs(
         s.readStream.schema(schema).parquet(srcDir))
         .filter(col("event_type") === tpe)
       val q = StreamOps.viewPurchaseJoin(side("view"), side("purchase"))
@@ -241,10 +240,18 @@ object StreamGateOps {
       val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
       if (!sentinel.exists()) {
         val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
-        val flushNanos =
-          (maxTs.getTime + 3 * 3600 * 1000L) * 1000000L // ms -> ns, +3h
-        val one = Seq((-1L, flushNanos, -1L, "flush", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val flushMicros =
+          (maxTs.getTime + 3 * 3600 * 1000L) * 1000L // ms -> us, +3h
+        // build ts to MATCH the raw source schema: nanos Long when the
+        // driver shipped raw nanos, a real timestamp (micros) when it
+        // shipped TIMESTAMP_NTZ — a blind BIGINT->NTZ cast throws
+        val one = Seq((-1L, flushMicros, -1L, "flush", 0.0, ""))
+          .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+          .withColumn("ts",
+            if (raw.schema("ts").dataType == LongType)
+              col("ts_us") * 1000L // us -> ns
+            else timestamp_micros(col("ts_us")))
+          .drop("ts_us")
           .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
         val tmp = dir + "/sentinel_build"
         one.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -252,11 +259,7 @@ object StreamGateOps {
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath, sentinel.toPath)
       }
-      val fixTs = (df: DataFrame) =>
-        if (df.schema("ts").dataType == LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        else df
-      val src = fixTs(s.readStream.schema(raw.schema)
+      val src = Tables.fixEventTs(s.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[StreamOps.Event]

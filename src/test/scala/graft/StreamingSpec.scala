@@ -72,9 +72,9 @@ class StreamingSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("events_stream")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(dir.toString).schema // ts as raw nanos
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = spark.read.parquet(dir.toString).schema // raw ts type
+    val stream = Tables.fixEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamOps.hourlyByType(stream)
       .writeStream.format("memory").queryName("hourly_f")
       .outputMode("complete").start()
