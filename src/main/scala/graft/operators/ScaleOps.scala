@@ -741,12 +741,46 @@ object ScaleOps {
       }
       .toDF(kc, pc, sc)
     val grp = local.groupBy(pc).agg(max(sc).as("gmax"))
-    val w = Window.orderBy(col(pc).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val thresh = grp.withColumn("max_cheaper", max("gmax").over(w))
-    local.join(broadcast(thresh), pc)
-      .filter(col(sc) === col("gmax") &&
-        (col("max_cheaper").isNull || col(sc) > col("max_cheaper")))
+    // phase 2: running "max size over strictly cheaper prices" WITHOUT
+    // a global single-partition window (the old shape tripped
+    // `WindowExec: No Partition Defined` on every run): range-partition
+    // the per-price maxima (partition i holds lower prices than i+1),
+    // collect one O(partitions) scalar per partition, broadcast the
+    // exclusive prefix maxima, and finish the scan partition-locally —
+    // the distributed prefix-scan idiom (same as the q77 pack-offsets
+    // two-phase sum), so the frontier never has to fit one task.
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = grp
+      .select(col(pc).cast("double").as("__p"), col("gmax").cast("int").as("__g"))
+      .repartitionByRange(parts, col("__p"))
+      .sortWithinPartitions("__p")
+      .as[(Double, Int)]
+      .cache()
+    val pmax = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Int.MinValue
+      it.foreach(r => m = math.max(m, r._2))
+      Iterator.single(pid -> m)
+    }.collect().toMap
+    val nP = if (pmax.isEmpty) 0 else pmax.keys.max + 1
+    val prefix = new Array[Int](nP + 1) // prefix(i) = max over pids < i
+    if (nP > 0) {
+      prefix(0) = Int.MinValue
+      for (i <- 0 until nP)
+        prefix(i + 1) = math.max(prefix(i), pmax.getOrElse(i, Int.MinValue))
+    }
+    val bc = spark.sparkContext.broadcast(prefix)
+    // Int.MinValue = "no cheaper price exists": `sc > MinValue` is
+    // always true, the same keep-rule the old NULL check expressed
+    val thresh = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { case (p, g) =>
+        val before = run
+        run = math.max(run, g)
+        (p, g, before)
+      }
+    }.toDF("__p", "__g", "__maxc")
+    local.join(broadcast(thresh), local(pc) === col("__p"))
+      .filter(col(sc) === col("__g") && col(sc) > col("__maxc"))
       .select(col(kc), col(pc), col(sc))
   }
 
