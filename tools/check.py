@@ -35,6 +35,12 @@ def norm(df):
 
 fails = []
 for name, sql in sorted(oracle.items()):
+    err_marker = f"{outdir}/{name}/_ERROR"
+    if os.path.exists(err_marker):
+        msg = open(err_marker).read().strip()[:200]
+        fails.append((name, f"query crashed: {msg}"))
+        print(f"CRASH {name}: {msg}")
+        continue
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
         fails.append((name, "no spark output")); print(f"MISS  {name}"); continue
