@@ -207,6 +207,46 @@ object TextOps {
       }.toDF("doc_id", "start_off", "first_seq", "last_seq")
     }),
 
+    // Deterministic global shuffle -> fixed-size training SHARDS — the
+    // dataloader-prep step between curation and training: the "random"
+    // epoch order must be reproducible across engines, runs, and
+    // cluster sizes, so the shuffle is a SORT on md5(doc_id) and the
+    // global position comes from the same two-phase prefix count as
+    // q77 (range-partition on the hash, one O(partitions) collect,
+    // broadcast offsets, partition-local scan — never a single-reducer
+    // global window). Emits the per-shard manifest a trainer consumes:
+    // doc count, char volume, and an order-invariant membership
+    // checksum (bit_xor of ids) that pins EXACT shard assignment.
+    "q136_shard_manifest" -> ((s, d) => {
+      import s.implicits._
+      val ShardSize = 64L
+      val parted = Tables.load(s, d, "documents")
+        .select(md5(col("doc_id").cast("string")).as("h"),
+          col("doc_id"), col("n_chars").cast("long").as("nc"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("h"), col("doc_id"))
+        .sortWithinPartitions("h", "doc_id")
+        .as[(String, Long, Long)]
+      val rdd = parted.rdd
+      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.foldLeft(0L)((a, _) => a + 1)))
+      }.collect().sortBy(_._1).map(_._2)
+      val prefix = s.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var pos = prefix.value(pid)
+        it.map { case (_, id, nc) =>
+          val p = pos; pos += 1
+          (p / ShardSize, id, nc)
+        }
+      }.toDF("shard_id", "doc_id", "nc")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").as("chars_total"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"),
+          expr("bit_xor(doc_id)").as("doc_xor"))
+    }),
+
     // Per-source corpus report — the monitoring surface every
     // training pipeline runs per crawl/source: volume, exact-decimal
     // average + median quality, and language-ID accuracy against the
@@ -678,6 +718,21 @@ object TextOps {
         |SELECT doc_id, start_off, start_off // 512 AS first_seq,
         |  (start_off + n - 1) // 512 AS last_seq
         |FROM o""".stripMargin,
+    // md5-order row_number is the same deterministic "shuffle"; the
+    // ::BIGINT casts keep DuckDB's HUGEINT sum/xor off the driver's
+    // string-hash compare
+    "q136_shard_manifest" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |    (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1) // 64 AS shard_id
+        |  FROM documents
+        |)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars_total,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  bit_xor(doc_id)::BIGINT AS doc_xor
+        |FROM o GROUP BY shard_id""".stripMargin,
     "q76_source_report" ->
       s"""WITH q AS ($qualityOracle), l AS ($langOracle),
         |a AS (

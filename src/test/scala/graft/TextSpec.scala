@@ -56,6 +56,28 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("shard manifest: two-phase prefix count == naive global-window sharding") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = TextOps.queries("q136_shard_manifest")(spark, sfDir)
+    // the naive twin: one global row_number window (single task)
+    val naive = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long") - 1)
+      .withColumn("shard_id", expr("pos div 64"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("chars_total"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        expr("bit_xor(doc_id)").as("doc_xor"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    val n = got.count()
+    assert(n > 0)
+    // every shard full except possibly the last (fixed-size blocks)
+    assert(got.filter(col("n_docs") =!= 64L).count() <= 1)
+  }
+
   test("every doc with >= 4 tokens gets fingerprints, bounded by grams") {
     import org.apache.spark.sql.functions._
     val nDocs = Tables.load(spark, sfDir, "documents")
