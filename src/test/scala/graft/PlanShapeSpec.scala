@@ -197,4 +197,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected map-side partial aggregation:\n$s")
     spark.catalog.clearCache()
   }
+
+  test("q136 shard manifest: no window operator anywhere (two-phase scan)") {
+    val df = operators.TextOps.queries("q136_shard_manifest")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    // the global position must come from the broadcast-prefix pass,
+    // never a single-partition row_number window
+    assert(!s.contains("Window"),
+      s"shard positions must not use a window operator:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"manifest agg should map-side combine:\n$s")
+  }
+
+  test("q137 matryoshka shortlist: TopK on the prefix dims, no sort-all") {
+    import graft.index.Knn
+    import org.apache.spark.sql.graft.DistanceMetric
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val shortlist = emb.orderBy(
+        Knn.distCol(slice(col("embedding").cast("array<double>"), 1, 32),
+          q.take(32), DistanceMetric.Cosine).desc,
+        col("vec_id").asc)
+      .limit(100)
+    val s = shortlist.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"prefix-dim shortlist must be TopK, not a global sort:\n$s")
+    assert(!s.contains("Sort "), s"no full sort expected:\n$s")
+  }
 }
