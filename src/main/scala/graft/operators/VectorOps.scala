@@ -492,6 +492,29 @@ object VectorOps {
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
 
+    // Per-DIMENSION embedding statistics report — the model-table
+    // audit an embedding pipeline runs per batch: dim-wise mean and
+    // second moment catch collapsed dimensions, scaling bugs, and
+    // non-normalized batches before they poison an index build.
+    // posexplode is NARROW (no shuffle); the groupBy lands on the
+    // |dims| key so partial aggregation reduces each partition to
+    // |dims| rows before the one tiny exchange — at 100TB the moved
+    // bytes are dims x partitions, independent of row count. Sums
+    // carried in DECIMAL(28,10) (deterministic cross-engine; float
+    // accumulation order is not), one final double division.
+    "q138_vector_stats" -> ((s, d) =>
+      emb(s, d)
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("x").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)), 6).as("mean"),
+          round(sum((col("x") * col("x")).cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)), 6).as("mean_sq"),
+          round(min("x"), 6).as("x_min"),
+          round(max("x"), 6).as("x_max"))),
+
     // Batch KNN JOIN — top-k neighbors for a whole query set in ONE
     // job (the Spark-native serving form; SURVEY §2.4). Brute variant:
     // broadcast query set, single data scan, window top-k per query.
@@ -802,6 +825,21 @@ object VectorOps {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |     WHERE vec_id = 0)) DESC, vec_id
         |  LIMIT 10)""".stripMargin,
+    // two parallel unnests ZIP positionally in DuckDB = posexplode;
+    // identical DECIMAL(28,10) accumulation, ::BIGINT off HUGEINT
+    "q138_vector_stats" ->
+      """WITH u AS (
+        |  SELECT unnest(range(len(embedding))) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |)
+        |SELECT dim, count(*)::BIGINT AS n,
+        |  round(sum(CAST(x AS DECIMAL(28,10)))::DOUBLE / count(*), 6)
+        |    AS mean,
+        |  round(sum(CAST(x * x AS DECIMAL(28,10)))::DOUBLE / count(*), 6)
+        |    AS mean_sq,
+        |  round(min(x), 6) AS x_min, round(max(x), 6) AS x_max
+        |FROM u GROUP BY dim""".stripMargin,
     "q38_knn_rewrite" -> bruteOracle,
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
