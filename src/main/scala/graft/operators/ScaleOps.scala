@@ -270,6 +270,58 @@ object ScaleOps {
     // the file-count collapse is the in-engine gate. At scale this is
     // one distributed read + shuffle-free coalesce write per
     // partition-directory, scheduled partition-by-partition.
+    // MANIFEST-based snapshot reads — the lakehouse time-travel
+    // primitive (Iceberg/Delta's core), reduced to its Spark-native
+    // mechanics: a version is an immutable LIST OF FILES (manifest);
+    // appends write new files plus a new manifest and never rewrite
+    // data; a snapshot read plans exactly the manifest's files. The
+    // gate reads BOTH versions after the append exists and pins each
+    // against the source-table recomputation (count + char volume +
+    // order-invariant id checksum) — proving v1 stays byte-stable
+    // while v2 files sit in the same tree, which is the property that
+    // makes concurrent readers safe without locks at 100TB.
+    "q139_snapshot_read" -> ((s, d) => {
+      val root = s"${scratch(d)}/snapshots"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+        s"$root/manifest_v$v.txt")
+      def listParts(p: String): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+          .sorted.toSeq
+      def writeManifest(v: Int, files: Seq[String]): Unit = {
+        val out = fs.create(manifest(v), true)
+        try out.write(files.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      if (!fs.exists(manifest(2))) {
+        val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
+        base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
+        val f1 = listParts(s"$root/v1data")
+        writeManifest(1, f1)
+        // the append: a NEW file set, ids offset so v2 is a strict
+        // superset with disjoint keys — v1's files are never touched
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
+        writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
+      }
+      def snap(v: Int) = {
+        val in = fs.open(manifest(v))
+        val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.split("\n").toSeq finally in.close()
+        s.read.parquet(files: _*)
+      }
+      def row(v: Int) = snap(v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .select(lit(v).as("version"), col("n_docs"),
+          col("chars_total"), col("id_xor"))
+      row(1).unionAll(row(2))
+    }),
+
     "q97_compact" -> ((s, d) => {
       import s.implicits._
       val frag = s"${scratch(d)}/lineitem_fragmented"
@@ -837,6 +889,22 @@ object ScaleOps {
       """SELECT count(*) AS rows, sum(l_orderkey)::BIGINT AS key_sum,
         |  true AS files_collapsed
         |FROM lineitem""".stripMargin,
+    // v1 = the table; v2 = table plus the id-offset appended subset —
+    // recomputed from source, independent of the engine's manifests
+    "q139_snapshot_read" ->
+      """WITH v1 AS (SELECT doc_id, n_chars FROM documents),
+        |v2 AS (SELECT doc_id, n_chars FROM v1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT 1 AS version, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars_total,
+        |  bit_xor(doc_id)::BIGINT AS id_xor
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), sum(n_chars)::BIGINT,
+        |  bit_xor(doc_id)::BIGINT
+        |FROM v2""".stripMargin,
     "q95_pivot" ->
       """SELECT source,
         |  count(*) FILTER (WHERE lang = 'en') AS en,

@@ -184,6 +184,27 @@ class ScaleOpsSpec extends SparkSpecBase {
       s"${cand.size} candidates of ${tiles.length} tiles")
   }
 
+  test("q139 snapshots: v1 stays row-identical to the base table after the v2 append") {
+    import org.apache.spark.sql.functions._
+    // running the query builds both versions (idempotent on re-run)
+    val out = ScaleOps.queries("q139_snapshot_read")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Tables.load(spark, sfDir, "documents")
+    val nBase = base.count()
+    assert(out(1)._1 == nBase) // v1 == base even though v2 files exist
+    assert(out(2)._1 == nBase + base.filter(col("doc_id") % 10 === 0).count())
+    // and the v1 snapshot is row-for-row the base table, not just counts
+    val root = s"${Tables.scratchDir(sfDir)}/snapshots"
+    val mf = new org.apache.hadoop.fs.Path(s"$root/manifest_v1.txt")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mf)
+    val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").toSeq finally in.close()
+    val v1 = spark.read.parquet(files: _*)
+    val want = base.select("doc_id", "n_chars")
+    assert(v1.exceptAll(want).isEmpty && want.exceptAll(v1).isEmpty)
+  }
+
   test("q135 skyline: partition-independent, tie-correct vs brute dominance") {
     import spark.implicits._
     // adversarial fixture: exact price ties, exact (price,size) ties
