@@ -270,6 +270,40 @@ object ScaleOps {
     // the file-count collapse is the in-engine gate. At scale this is
     // one distributed read + shuffle-free coalesce write per
     // partition-directory, scheduled partition-by-partition.
+    // CDC MERGE (upsert + delete) — the incremental table-maintenance
+    // primitive (Delta/Iceberg MERGE INTO), in the shape that scales:
+    // the change batch is small and its TOUCHED-KEY set broadcasts, so
+    // the 100TB base is only ever streamed map-side through one
+    // broadcast anti-join (drop updated+deleted keys) and one union
+    // with the surviving change rows — the base never shuffles, and
+    // there is no full-outer join. Change batch is derived
+    // deterministically from the table (updates: %7 keys get
+    // n_chars+1; deletes: %13 keys; inserts: id-offset %10 copies) so
+    // DuckDB recomputes the merged state independently; gate is the
+    // per-source reconciliation report with id checksums.
+    "q140_merge_upsert" -> ((s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select("doc_id", "n_chars", "source")
+      // disjoint change classes: delete beats update on overlap keys
+      val updates = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), (col("n_chars") + 1L).as("n_chars"),
+          col("source"))
+      val inserts = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("n_chars"),
+          col("source"))
+      val touched = base
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+        .select("doc_id")
+      val merged = base
+        .join(broadcast(touched), Seq("doc_id"), "left_anti")
+        .unionAll(updates).unionAll(inserts)
+      merged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+    }),
+
     // MANIFEST-based snapshot reads — the lakehouse time-travel
     // primitive (Iceberg/Delta's core), reduced to its Spark-native
     // mechanics: a version is an immutable LIST OF FILES (manifest);
@@ -889,6 +923,26 @@ object ScaleOps {
       """SELECT count(*) AS rows, sum(l_orderkey)::BIGINT AS key_sum,
         |  true AS files_collapsed
         |FROM lineitem""".stripMargin,
+    // same deterministic change-batch derivation, merged the plain-SQL
+    // way — equal reports prove the anti-join+union MERGE exact
+    "q140_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, n_chars, source FROM documents),
+        |upd AS (
+        |  SELECT doc_id, n_chars + 1 AS n_chars, source FROM base
+        |  WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0),
+        |ins AS (
+        |  SELECT doc_id + 2000000 AS doc_id, n_chars, source FROM base
+        |  WHERE doc_id % 10 = 0),
+        |keep AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (doc_id % 7 = 0 OR doc_id % 13 = 0)),
+        |m AS (
+        |  SELECT * FROM keep UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars_total,
+        |  bit_xor(doc_id)::BIGINT AS id_xor
+        |FROM m GROUP BY source""".stripMargin,
     // v1 = the table; v2 = table plus the id-offset appended subset —
     // recomputed from source, independent of the engine's manifests
     "q139_snapshot_read" ->

@@ -198,6 +198,18 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("q140 merge: touched keys broadcast anti-join, base shuffles once (report agg)") {
+    val df = operators.ScaleOps.queries("q140_merge_upsert")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"delete/update keys must apply as a broadcast anti-join:\n$s")
+    // the ONLY exchange is the final per-source report aggregation —
+    // the base table itself never shuffles for the merge
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges == 1, s"merge must not shuffle the base:\n$s")
+  }
+
   test("q136 shard manifest: no window operator anywhere (two-phase scan)") {
     val df = operators.TextOps.queries("q136_shard_manifest")(spark, sfDir)
     val s = df.queryExecution.executedPlan.toString
