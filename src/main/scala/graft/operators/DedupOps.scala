@@ -121,6 +121,42 @@ object DedupOps {
     * (500 rows), where the gate is exhaustive. */
   private val BruteGateN = 1000
 
+  /** Deterministic md5-ordered BruteGateN-row sample, spread across
+    * cores (TakeOrdered materializes into ONE partition — without the
+    * repartition the O(sample²) brute join would serialize on a single
+    * task). Caller caches/unpersists. */
+  private def md5Sample(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .limit(BruteGateN)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Restrict (a_id, b_id) pairs to those with BOTH endpoints in the
+    * single-column `ids` frame — two broadcast semi-joins. The
+    * using-join moves its key FIRST, so the final select re-fixes the
+    * column order for position-based consumers (unionAll). */
+  private def restrictPairs(pairs: DataFrame, ids: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(ids.toDF("a_id")), Seq("a_id"), "left_semi")
+      .join(broadcast(ids.toDF("b_id")), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+
+  /** ONE-job comparison of two (a_id, b_id) pair sets via the tag-sum
+    * union (rows only in `a` sum to 1, only in `b` to 2, agreement to
+    * 3): returns (onlyA, onlyB, both). Job-count overhead, not row
+    * volume, dominates gates this size. */
+  private def pairSetStats(a: DataFrame, b: DataFrame): (Long, Long, Long) = {
+    val r = a.withColumn("__w", lit(1L))
+      .unionAll(b.withColumn("__w", lit(2L)))
+      .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
+      .agg(
+        sum(when(col("w") === 1L, 1L).otherwise(0L)).as("only_a"),
+        sum(when(col("w") === 2L, 1L).otherwise(0L)).as("only_b"),
+        sum(when(col("w") === 3L, 1L).otherwise(0L)).as("both"))
+      .first()
+    def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (at(0), at(1), at(2))
+  }
+
   /** PPJoin/Vernica-style candidate pairs: order each doc's shingles
     * by global frequency (rarest first), index only the PREFIX of
     * length n - ceil(t*n) + 1 — any pair with J >= t must share a
@@ -566,36 +602,13 @@ object DedupOps {
       // (blocked == brute, pigeonhole exactness) is checked at FIXED
       // quadratic cost no matter the corpus size; only the blocked
       // (linear, bucketed) path ever sees every doc
-      val sample = sim
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .limit(BruteGateN)
-        .repartition(s.sparkContext.defaultParallelism).cache()
-      val ids = sample.select("doc_id")
+      val sample = md5Sample(sim, "doc_id").cache()
       val brute = sample.as("a").join(broadcast(sample.as("b")),
           col("a.doc_id") < col("b.doc_id")
             && expr("bit_count(a.sim ^ b.sim)") <= 3)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      val blockedS = blocked
-        .join(broadcast(ids.withColumnRenamed("doc_id", "a_id")),
-          Seq("a_id"), "left_semi")
-        .join(broadcast(ids.withColumnRenamed("doc_id", "b_id")),
-          Seq("b_id"), "left_semi")
-        // equi-join puts its key FIRST — re-fix the order before the
-        // position-based unionAll below or pairs compare swapped
-        .select("a_id", "b_id")
-      // ONE composed job computes both paths and the comparison: a
-      // union + aggregate (blocked-only tag sums to 1, brute-only to
-      // 2, agreeing pairs to 3) — job-count overhead, not row volume,
-      // dominates a query this size
-      val cmp = blockedS.withColumn("__w", lit(1))
-        .unionAll(brute.withColumn("__w", lit(2)))
-        .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
-        .agg(
-          sum(when(col("w") === 2, 1L).otherwise(0L)).as("missed"),
-          sum(when(col("w") === 1, 1L).otherwise(0L)).as("extra"))
-        .first()
-      val missed = if (cmp.isNullAt(0)) 0L else cmp.getLong(0)
-      val extra = if (cmp.isNullAt(1)) 0L else cmp.getLong(1)
+      val blockedS = restrictPairs(blocked, sample.select("doc_id"))
+      val (extra, missed, _) = pairSetStats(blockedS, brute)
       val nDocs = sim.count()
       sample.unpersist(); sim.unpersist()
       Seq((missed == 0L && extra == 0L, missed, extra, nDocs))
@@ -844,34 +857,17 @@ object DedupOps {
       // subset/recall invariants are checked at fixed cost while the
       // clustered operator path above always covers every vector. The
       // oracle SQL mirrors the identical md5-ordered LIMIT.
-      val sample = e
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(BruteGateN).cache()
-      val ids = sample.select("vec_id")
+      val sample = md5Sample(e, "vec_id").cache()
       val cos = graft.functions.VectorFunctions
         .cosineSimilarity(col("a.v"), col("b.v"))
       val exact = sample.as("a").join(broadcast(sample.as("b")),
           col("a.vec_id") < col("b.vec_id") && cos >= 0.45)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      val withinS = within
-        .join(broadcast(ids.withColumnRenamed("vec_id", "a_id")),
-          Seq("a_id"), "left_semi")
-        .join(broadcast(ids.withColumnRenamed("vec_id", "b_id")),
-          Seq("b_id"), "left_semi")
-        .select("a_id", "b_id") // equi-join reorders: key first
-      // ONE job for all three pair-set measures (tag-sum: withinS-only
-      // pairs sum to 1, exact-only to 2, agreement to 3) and one for
-      // the within totals — job-count overhead dominates at this size
-      val prow = withinS.withColumn("__w", lit(1L))
-        .unionAll(exact.withColumn("__w", lit(2L)))
-        .groupBy("a_id", "b_id").agg(sum("__w").as("w"))
-        .agg(
-          sum(when(col("w") =!= 2L, 1L).otherwise(0L)).as("n_within_s"),
-          sum(when(col("w") =!= 1L, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("w") === 1L, 1L).otherwise(0L)).as("n_outside"))
-        .first()
-      def at(i: Int) = if (prow.isNullAt(i)) 0L else prow.getLong(i)
-      val nWithinS = at(0); val nExact = at(1); val nOutside = at(2)
+      val withinS = restrictPairs(within, sample.select("vec_id"))
+      // one job for all three pair-set measures, one for within totals
+      // — job-count overhead dominates at this size
+      val (nOutside, exactOnly, agree) = pairSetStats(withinS, exact)
+      val nWithinS = nOutside + agree; val nExact = exactOnly + agree
       val wrow = within.agg(count(lit(1)).as("n"),
         countDistinct(col("b_id")).as("dropped")).first()
       val nWithin = wrow.getLong(0); val nDropped = wrow.getLong(1)

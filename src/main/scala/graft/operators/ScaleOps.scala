@@ -329,7 +329,22 @@ object ScaleOps {
         try out.write(files.mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
-      if (!fs.exists(manifest(2))) {
+      // SELF-INVALIDATING build guard: the scratch dir outlives the
+      // driver's parquet regeneration (the r5 events.ts lesson), so
+      // "manifest exists" alone would serve a stale snapshot of an old
+      // table generation. Key the guard on a cheap content signature
+      // of the CURRENT base (count + id xor, one scan) and rebuild on
+      // any mismatch.
+      val sigRow = Tables.load(s, d, "documents")
+        .agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
+      val sig = s"${sigRow.getLong(0)}_${sigRow.getLong(1)}"
+      val sigPath = new org.apache.hadoop.fs.Path(s"$root/base_sig.txt")
+      val sigCurrent = fs.exists(sigPath) && {
+        val in = fs.open(sigPath)
+        (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+         finally in.close()) == sig
+      }
+      if (!fs.exists(manifest(2)) || !sigCurrent) {
         val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
         base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
         val f1 = listParts(s"$root/v1data")
@@ -340,6 +355,8 @@ object ScaleOps {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
           .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
         writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
+        val so = fs.create(sigPath, true)
+        try so.write(sig.getBytes("UTF-8")) finally so.close()
       }
       def snap(v: Int) = {
         val in = fs.open(manifest(v))
@@ -830,40 +847,22 @@ object ScaleOps {
     // phase 2: running "max size over strictly cheaper prices" WITHOUT
     // a global single-partition window (the old shape tripped
     // `WindowExec: No Partition Defined` on every run): range-partition
-    // the per-price maxima (partition i holds lower prices than i+1),
-    // collect one O(partitions) scalar per partition, broadcast the
-    // exclusive prefix maxima, and finish the scan partition-locally —
-    // the distributed prefix-scan idiom (same as the q77 pack-offsets
-    // two-phase sum), so the frontier never has to fit one task.
+    // the per-price maxima (partition i holds lower prices than i+1)
+    // and run the shared two-phase broadcast-prefix scan
+    // ([[DistributedPrefix.scan]], same idiom as q77/q136), so the
+    // frontier never has to fit one task. Int.MinValue = "no cheaper
+    // price exists": `sc > MinValue` is always true, the same
+    // keep-rule the old NULL check expressed.
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = grp
       .select(col(pc).cast("double").as("__p"), col("gmax").cast("int").as("__g"))
       .repartitionByRange(parts, col("__p"))
       .sortWithinPartitions("__p")
       .as[(Double, Int)]
-      .cache()
-    val pmax = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var m = Int.MinValue
-      it.foreach(r => m = math.max(m, r._2))
-      Iterator.single(pid -> m)
-    }.collect().toMap
-    val nP = if (pmax.isEmpty) 0 else pmax.keys.max + 1
-    val prefix = new Array[Int](nP + 1) // prefix(i) = max over pids < i
-    if (nP > 0) {
-      prefix(0) = Int.MinValue
-      for (i <- 0 until nP)
-        prefix(i + 1) = math.max(prefix(i), pmax.getOrElse(i, Int.MinValue))
-    }
-    val bc = spark.sparkContext.broadcast(prefix)
-    // Int.MinValue = "no cheaper price exists": `sc > MinValue` is
-    // always true, the same keep-rule the old NULL check expressed
-    val thresh = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = bc.value(pid)
-      it.map { case (p, g) =>
-        val before = run
-        run = math.max(run, g)
-        (p, g, before)
-      }
+    val thresh = DistributedPrefix.scan(ranged, Int.MinValue,
+      (m: Int, t: (Double, Int)) => math.max(m, t._2),
+      (x: Int, y: Int) => math.max(x, y)) {
+      case (before, (p, g)) => (p, g, before)
     }.toDF("__p", "__g", "__maxc")
     local.join(broadcast(thresh), local(pc) === col("__p"))
       .filter(col(sc) === col("__g") && col(sc) > col("__maxc"))

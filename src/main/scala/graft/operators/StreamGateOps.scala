@@ -115,8 +115,9 @@ object StreamGateOps {
     // each fact against the broadcast customer dimension (left join —
     // unmatched facts pass through), sink, and pin match counts
     // against DuckDB's batch left join plus full-row stream==batch
-    // equivalence in-engine. events.ts arrives as parquet NANOS; the
-    // stream applies the same DIV-1000 conversion as Tables.load.
+    // equivalence in-engine. events.ts has shipped as BOTH raw-nanos
+    // and TIMESTAMP_NTZ parquet across rounds — the stream normalizes
+    // through Tables.fixEventTs exactly like the batch twin.
     "q117_stream_enrich_gate" -> ((s, d) => {
       import s.implicits._
       val dim = Tables.load(s, d, "customer")

@@ -192,18 +192,9 @@ object TextOps {
           col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, Long)]
-      val rdd = parted.rdd
-      val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.foldLeft(0L)(_ + _._2)))
-      }.collect().sortBy(_._1).map(_._2)
-      val prefix = s.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        var off = prefix.value(pid)
-        it.map { case (id, n) =>
-          val s0 = off
-          off += n
-          (id, s0, s0 / W, (s0 + n - 1) / W)
-        }
+      DistributedPrefix.scan(parted, 0L,
+        (a: Long, t: (Long, Long)) => a + t._2, (x: Long, y: Long) => x + y) {
+        case (off, (id, n)) => (id, off, off / W, (off + n - 1) / W)
       }.toDF("doc_id", "start_off", "first_seq", "last_seq")
     }),
 
@@ -227,17 +218,10 @@ object TextOps {
           col("h"), col("doc_id"))
         .sortWithinPartitions("h", "doc_id")
         .as[(String, Long, Long)]
-      val rdd = parted.rdd
-      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.foldLeft(0L)((a, _) => a + 1)))
-      }.collect().sortBy(_._1).map(_._2)
-      val prefix = s.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        var pos = prefix.value(pid)
-        it.map { case (_, id, nc) =>
-          val p = pos; pos += 1
-          (p / ShardSize, id, nc)
-        }
+      DistributedPrefix.scan(parted, 0L,
+        (a: Long, _: (String, Long, Long)) => a + 1,
+        (x: Long, y: Long) => x + y) {
+        case (pos, (_, id, nc)) => (pos / ShardSize, id, nc)
       }.toDF("shard_id", "doc_id", "nc")
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"),

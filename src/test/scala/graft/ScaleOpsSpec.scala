@@ -205,6 +205,28 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(v1.exceptAll(want).isEmpty && want.exceptAll(v1).isEmpty)
   }
 
+  test("q139 snapshots: a stale base signature forces a rebuild, never a stale serve") {
+    import org.apache.spark.sql.functions._
+    // first run materializes the layout + signature
+    ScaleOps.queries("q139_snapshot_read")(spark, sfDir).collect()
+    val sigPath = new org.apache.hadoop.fs.Path(
+      s"${Tables.scratchDir(sfDir)}/snapshots/base_sig.txt")
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a driver-regenerated base table: the recorded signature
+    // no longer matches the live one
+    val out = fs.create(sigPath, true)
+    try out.write("stale_generation".getBytes("UTF-8")) finally out.close()
+    val res = ScaleOps.queries("q139_snapshot_read")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nBase = Tables.load(spark, sfDir, "documents").count()
+    assert(res(1) == nBase, "v1 must be rebuilt from the live table")
+    // and the rebuild re-recorded the live signature
+    val in = fs.open(sigPath)
+    val sig = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(sig != "stale_generation" && sig.contains("_"))
+  }
+
   test("q135 skyline: partition-independent, tie-correct vs brute dominance") {
     import spark.implicits._
     // adversarial fixture: exact price ties, exact (price,size) ties

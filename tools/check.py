@@ -37,7 +37,8 @@ fails = []
 for name, sql in sorted(oracle.items()):
     err_marker = f"{outdir}/{name}/_ERROR"
     if os.path.exists(err_marker):
-        msg = open(err_marker).read().strip()[:200]
+        with open(err_marker) as f:
+            msg = f.read().strip()[:200]
         fails.append((name, f"query crashed: {msg}"))
         print(f"CRASH {name}: {msg}")
         continue
