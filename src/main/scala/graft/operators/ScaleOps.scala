@@ -71,11 +71,14 @@ object ScaleOps {
   private[graft] def prunedDayScan(s: SparkSession, d: String): DataFrame = {
     val root = s"${scratch(d)}/events_by_date"
     val ev = Tables.load(s, d, "events")
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) // lay out once, prune many
+    // lay out once, prune many — but SELF-INVALIDATING: a regenerated
+    // events.parquet must force a re-layout, not serve the old copy
+    val sig = ScratchGuard.sig(ev, "event_id")
+    if (!ScratchGuard.current(s, root, sig)) {
       ev.withColumn("event_date", to_date(col("ts")).cast("string"))
         .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(root)
+      ScratchGuard.record(s, root, sig)
+    }
     // one tiny driver-side scalar (the target day) so the filter is a
     // LITERAL -> static partition pruning at planning time
     val target = ev.agg(date_add(min(to_date(col("ts"))), 1)).head.getDate(0)
@@ -329,22 +332,12 @@ object ScaleOps {
         try out.write(files.mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
-      // SELF-INVALIDATING build guard: the scratch dir outlives the
-      // driver's parquet regeneration (the r5 events.ts lesson), so
-      // "manifest exists" alone would serve a stale snapshot of an old
-      // table generation. Key the guard on a cheap content signature
-      // of the CURRENT base (count + id xor, one scan) and rebuild on
-      // any mismatch.
-      val sigRow = Tables.load(s, d, "documents")
-        .agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
-      val sig = s"${sigRow.getLong(0)}_${sigRow.getLong(1)}"
-      val sigPath = new org.apache.hadoop.fs.Path(s"$root/base_sig.txt")
-      val sigCurrent = fs.exists(sigPath) && {
-        val in = fs.open(sigPath)
-        (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-         finally in.close()) == sig
-      }
-      if (!fs.exists(manifest(2)) || !sigCurrent) {
+      // SELF-INVALIDATING build guard (ScratchGuard): the scratch dir
+      // outlives the driver's parquet regeneration (the r5 events.ts
+      // lesson), so "manifest exists" alone would serve a stale
+      // snapshot of an old table generation.
+      val sig = ScratchGuard.sig(Tables.load(s, d, "documents"), "doc_id")
+      if (!fs.exists(manifest(2)) || !ScratchGuard.current(s, root, sig)) {
         val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
         base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
         val f1 = listParts(s"$root/v1data")
@@ -355,8 +348,7 @@ object ScaleOps {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
           .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
         writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
-        val so = fs.create(sigPath, true)
-        try so.write(sig.getBytes("UTF-8")) finally so.close()
+        ScratchGuard.record(s, root, sig)
       }
       def snap(v: Int) = {
         val in = fs.open(manifest(v))
@@ -558,14 +550,19 @@ object ScaleOps {
       // Spark creates the dir when a write job STARTS, so a crash
       // mid-write leaves a partial dir that a dir-existence guard
       // would serve forever; _SUCCESS only appears on commit, and
-      // Overwrite mode replaces the partial attempt
+      // Overwrite mode replaces the partial attempt. PLUS the
+      // ScratchGuard signature: a regenerated events.parquet must
+      // force a re-export, not serve last generation's csv/json.
       def committed(sub: String) = fs.exists(
         new org.apache.hadoop.fs.Path(s"$root/$sub/_SUCCESS"))
-      if (!committed("csv"))
+      val sig = ScratchGuard.sig(base, "event_id")
+      val fresh = ScratchGuard.current(s, root, sig)
+      if (!committed("csv") || !fresh)
         base.write.mode(SaveMode.Overwrite)
           .option("header", "true").csv(s"$root/csv")
-      if (!committed("json"))
+      if (!committed("json") || !fresh)
         base.write.mode(SaveMode.Overwrite).json(s"$root/json")
+      if (!fresh) ScratchGuard.record(s, root, sig)
       val schema = base.schema
       def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) = {
         // nulls coalesced to an explicit sentinel BEFORE hashing, on

@@ -210,7 +210,7 @@ class ScaleOpsSpec extends SparkSpecBase {
     // first run materializes the layout + signature
     ScaleOps.queries("q139_snapshot_read")(spark, sfDir).collect()
     val sigPath = new org.apache.hadoop.fs.Path(
-      s"${Tables.scratchDir(sfDir)}/snapshots/base_sig.txt")
+      s"${Tables.scratchDir(sfDir)}/snapshots/_base_sig")
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a driver-regenerated base table: the recorded signature
     // no longer matches the live one
