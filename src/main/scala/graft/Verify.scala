@@ -37,10 +37,8 @@ object Verify {
         // entirely because this catch printed-and-dropped.
         try {
           val d = new java.io.File(s"$outDir/$name")
-          def del(x: java.io.File): Unit = { // clear partial writes too
-            Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
-          }
-          del(d); d.mkdirs()
+          Util.deleteRecursively(d) // clear partial writes too
+          d.mkdirs()
           Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
             s"${e.getClass.getName}: ${e.getMessage}")
         } catch { case _: Throwable => () }

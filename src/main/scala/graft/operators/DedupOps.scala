@@ -857,7 +857,10 @@ object DedupOps {
       // subset/recall invariants are checked at fixed cost while the
       // clustered operator path above always covers every vector. The
       // oracle SQL mirrors the identical md5-ordered LIMIT.
-      val sample = md5Sample(e, "vec_id").cache()
+      // slim to the two columns the exact gate uses — `e` also carries
+      // the unit-normalized copy, which would double the cached and
+      // broadcast vector bytes for nothing
+      val sample = md5Sample(e.select("vec_id", "v"), "vec_id").cache()
       val cos = graft.functions.VectorFunctions
         .cosineSimilarity(col("a.v"), col("b.v"))
       val exact = sample.as("a").join(broadcast(sample.as("b")),
@@ -1117,12 +1120,14 @@ object DedupOps {
     // clustering-dependent values surface only as invariants that are
     // true for ANY valid clustering (subset/recall/drop-validity).
     // The exact side runs on the SAME deterministic md5-ordered
-    // 1000-vector sample as the Spark gate (whole table at sf<=0.01)
-    // so the quadratic check stays fixed-cost at any corpus size.
+    // BruteGateN-vector sample as the Spark gate (whole table at
+    // sf<=0.01) so the quadratic check stays fixed-cost at any corpus
+    // size — the LIMIT interpolates the shared constant so the two
+    // sample sets can never silently desynchronize.
     "q133_semdedup" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $BruteGateN
         |)
         |SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  count(*) AS n_exact_pairs, true AS pairs_subset,

@@ -73,11 +73,12 @@ object ScaleOps {
     val ev = Tables.load(s, d, "events")
     // lay out once, prune many — but SELF-INVALIDATING: a regenerated
     // events.parquet must force a re-layout, not serve the old copy
-    val sig = ScratchGuard.sig(ev, "event_id")
-    if (!ScratchGuard.current(s, root, sig)) {
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fsG = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ScratchGuard.ensure(s, root, ev)(
+      fsG.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))) {
       ev.withColumn("event_date", to_date(col("ts")).cast("string"))
         .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(root)
-      ScratchGuard.record(s, root, sig)
     }
     // one tiny driver-side scalar (the target day) so the filter is a
     // LITERAL -> static partition pruning at planning time
@@ -327,17 +328,15 @@ object ScaleOps {
         fs.listStatus(new org.apache.hadoop.fs.Path(p))
           .map(_.getPath.toString).filter(_.endsWith(".parquet"))
           .sorted.toSeq
-      def writeManifest(v: Int, files: Seq[String]): Unit = {
-        val out = fs.create(manifest(v), true)
-        try out.write(files.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-      }
+      def writeManifest(v: Int, files: Seq[String]): Unit =
+        graft.Util.writeSmallFile(s, manifest(v), files.mkString("\n"))
       // SELF-INVALIDATING build guard (ScratchGuard): the scratch dir
       // outlives the driver's parquet regeneration (the r5 events.ts
       // lesson), so "manifest exists" alone would serve a stale
       // snapshot of an old table generation.
-      val sig = ScratchGuard.sig(Tables.load(s, d, "documents"), "doc_id")
-      if (!fs.exists(manifest(2)) || !ScratchGuard.current(s, root, sig)) {
+      ScratchGuard.ensure(s, root,
+        Tables.load(s, d, "documents").select("doc_id", "n_chars"))(
+        fs.exists(manifest(2))) {
         val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
         base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
         val f1 = listParts(s"$root/v1data")
@@ -348,14 +347,9 @@ object ScaleOps {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
           .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
         writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
-        ScratchGuard.record(s, root, sig)
       }
-      def snap(v: Int) = {
-        val in = fs.open(manifest(v))
-        val files = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.split("\n").toSeq finally in.close()
-        s.read.parquet(files: _*)
-      }
+      def snap(v: Int) = s.read.parquet(
+        graft.Util.readSmallFile(s, manifest(v)).split("\n").toSeq: _*)
       def row(v: Int) = snap(v)
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("chars_total"),
@@ -546,23 +540,21 @@ object ScaleOps {
       val root = s"${scratch(d)}/roundtrip"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // per-format guards on the _SUCCESS marker, not the directory:
-      // Spark creates the dir when a write job STARTS, so a crash
-      // mid-write leaves a partial dir that a dir-existence guard
-      // would serve forever; _SUCCESS only appears on commit, and
-      // Overwrite mode replaces the partial attempt. PLUS the
-      // ScratchGuard signature: a regenerated events.parquet must
-      // force a re-export, not serve last generation's csv/json.
+      // guards on the _SUCCESS markers, not the directories: Spark
+      // creates the dir when a write job STARTS, so a crash mid-write
+      // leaves a partial dir that a dir-existence guard would serve
+      // forever; _SUCCESS only appears on commit, and Overwrite mode
+      // replaces the partial attempt. PLUS the ScratchGuard
+      // signature: a regenerated events.parquet must force a
+      // re-export, not serve last generation's csv/json.
       def committed(sub: String) = fs.exists(
         new org.apache.hadoop.fs.Path(s"$root/$sub/_SUCCESS"))
-      val sig = ScratchGuard.sig(base, "event_id")
-      val fresh = ScratchGuard.current(s, root, sig)
-      if (!committed("csv") || !fresh)
+      ScratchGuard.ensure(s, root, base)(
+        committed("csv") && committed("json")) {
         base.write.mode(SaveMode.Overwrite)
           .option("header", "true").csv(s"$root/csv")
-      if (!committed("json") || !fresh)
         base.write.mode(SaveMode.Overwrite).json(s"$root/json")
-      if (!fresh) ScratchGuard.record(s, root, sig)
+      }
       val schema = base.schema
       def summarize(df: org.apache.spark.sql.DataFrame, fmt: String) = {
         // nulls coalesced to an explicit sentinel BEFORE hashing, on

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Util
+
 /** Self-invalidating build guards for PERSISTENT scratch layouts
   * (partitioned copies, format round-trips, snapshot manifests). The
   * scratch root (java.io.tmpdir, keyed by sfDir) outlives the
@@ -11,9 +13,10 @@ import org.apache.spark.sql.functions._
   * "output exists" guard alone can serve a layout built from a
   * PREVIOUS generation of the source table, red-flagging every query
   * over it against a live-table oracle. The guard pairs the build's
-  * commit marker with a recorded content signature (count + xor of a
-  * key hash, one cheap scan of the live base): any regeneration flips
-  * the signature and forces a rebuild.
+  * commit marker with a recorded content signature of the live base
+  * (count + xor of a whole-row hash, one scan): any regeneration —
+  * changed keys OR changed values — flips the signature and forces a
+  * rebuild.
   *
   * Per-process scratch (VectorOps/StreamGateOps temp roots) and
   * session-catalog-guarded tables (bucketed layouts — the in-memory
@@ -22,35 +25,51 @@ import org.apache.spark.sql.functions._
   */
 object ScratchGuard {
 
-  /** Cheap content signature of the live base table. xxhash64 (not
-    * hash): it returns LONG, so the xor aggregate is LONG too. */
-  def sig(base: DataFrame, keyCol: String): String = {
-    val r = base.agg(count(lit(1)), expr(s"bit_xor(xxhash64($keyCol))")).head()
+  /** Cheap content signature of the live base table: row count + xor
+    * of xxhash64 over EVERY column (a same-key reseed that changes
+    * only value columns must still invalidate). xxhash64, not hash():
+    * it returns LONG, so the xor aggregate is LONG too. */
+  def sig(base: DataFrame): String = {
+    val cols = base.columns.map(c => s"`$c`").mkString(", ")
+    val r = base.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))")).head()
     s"${r.getLong(0)}_${r.getLong(1)}"
   }
 
   private def sigPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/_base_sig")
 
-  private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+  /** Roots already validated by THIS JVM — the source parquet cannot
+    * change under a running driver process, so one sig scan per
+    * (process, root) suffices; without this the guard's full-table
+    * scan would land inside every timed Bench execution. */
+  private val verified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** true iff a signature was recorded for `root` and matches `sig`. */
   def current(s: SparkSession, root: String, sig: String): Boolean = {
     val p = sigPath(root)
-    val fs = fsOf(s, p)
-    fs.exists(p) && {
-      val in = fs.open(p)
-      (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-       finally in.close()) == sig
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p) &&
+      Util.readSmallFile(s, p) == sig
+  }
+
+  /** Run `build` unless `committed` holds AND the recorded signature
+    * matches the live `base`; record the signature after a build. At
+    * most one signature scan per (JVM, root). */
+  def ensure(s: SparkSession, root: String, base: DataFrame)(
+      committed: => Boolean)(build: => Unit): Unit = {
+    if (!verified.contains(root)) {
+      val sg = sig(base)
+      if (!committed || !current(s, root, sg)) {
+        build
+        Util.writeSmallFile(s, sigPath(root), sg)
+      }
+      verified.add(root): Unit
     }
   }
 
-  /** Record `sig` for `root` — call AFTER the layout build commits. */
-  def record(s: SparkSession, root: String, sig: String): Unit = {
-    val p = sigPath(root)
-    val fs = fsOf(s, p)
-    val out = fs.create(p, true)
-    try out.write(sig.getBytes("UTF-8")) finally out.close()
+  /** Test hook: forget the per-JVM validation for `root` so the next
+    * ensure() re-checks the on-disk signature. */
+  private[graft] def forget(root: String): Unit = {
+    verified.remove(root): Unit
   }
 }

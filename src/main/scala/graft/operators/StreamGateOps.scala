@@ -31,13 +31,8 @@ object StreamGateOps {
 
   private lazy val scratchRoot: java.io.File = {
     val f = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(x: java.io.File): Unit = {
-        Option(x.listFiles).foreach(_.foreach(del))
-        x.delete(): Unit
-      }
-      del(f)
-    }))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => graft.Util.deleteRecursively(f)))
     f
   }
 
@@ -208,7 +203,12 @@ object StreamGateOps {
       val batch = StreamOps.viewPurchaseJoin(
         evBatch.filter(col("event_type") === "view"),
         evBatch.filter(col("event_type") === "purchase"))
-      val eq = sameRows(pairs, batch)
+      // type-clean (q117 idiom): require identical field types before
+      // comparing rows, so a sink-vs-twin timestamp-type drift can
+      // never pass via exceptAll's coercion
+      def shape(df: DataFrame) = df.schema.fields
+        .map(f => (f.name, f.dataType)).toSeq
+      val eq = shape(pairs) == shape(batch) && sameRows(pairs, batch)
       pairs.groupBy("user_id")
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("p_ts")).as("purchases_attributed"))

@@ -55,6 +55,20 @@ object VectorOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** The q137 prefix-dim shortlist, split out so PlanShapeSpec asserts
+    * the TopK shape of the EXACT construction the query runs (a
+    * re-implemented copy in the spec could silently diverge). 32 of 64
+    * dims, top-100: the measured-stable configuration on these
+    * non-MRL synthetic vectors (recall 0.8-1.0 at every sf). */
+  private[graft] def matryoshkaShortlist(s: SparkSession, d: String,
+      q: Seq[Double]): DataFrame = {
+    val HeadDims = 32
+    val headCos = Knn.distCol(
+      slice(col("embedding").cast("array<double>"), 1, HeadDims),
+      q.take(HeadDims), DistanceMetric.Cosine)
+    emb(s, d).orderBy(headCos.desc, col("vec_id").asc).limit(100) // TopK
+  }
+
   /** The q37 approximate path: LSH-candidate filter + exact cosine
     * top-k among candidates. Shared by the q37 gate and DedupSpec's
     * numeric recall assertion. */
@@ -474,12 +488,7 @@ object VectorOps {
     "q137_matryoshka_knn" -> ((s, d) => {
       import s.implicits._
       val q = queryVec(s, d)
-      val HeadDims = 32
-      val headCos = Knn.distCol(
-        slice(col("embedding").cast("array<double>"), 1, HeadDims),
-        q.take(HeadDims), DistanceMetric.Cosine)
-      val shortlist = emb(s, d)
-        .orderBy(headCos.desc, col("vec_id").asc).limit(100) // TopK
+      val shortlist = matryoshkaShortlist(s, d, q)
       val cosCol = Knn.distCol(col("embedding").cast("array<double>"), q,
         DistanceMetric.Cosine)
       val approx = shortlist.orderBy(cosCol.desc, col("vec_id").asc)

@@ -222,17 +222,13 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("q137 matryoshka shortlist: TopK on the prefix dims, no sort-all") {
-    import graft.index.Knn
-    import org.apache.spark.sql.graft.DistanceMetric
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0)
+    // the PRODUCTION shortlist builder, not a spec-local copy — a
+    // reshaped query can't silently diverge from this assertion
+    val q = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
-    val shortlist = emb.orderBy(
-        Knn.distCol(slice(col("embedding").cast("array<double>"), 1, 32),
-          q.take(32), DistanceMetric.Cosine).desc,
-        col("vec_id").asc)
-      .limit(100)
+    val shortlist = operators.VectorOps.matryoshkaShortlist(spark, sfDir, q)
     val s = shortlist.queryExecution.executedPlan.toString
     assert(s.contains("TakeOrderedAndProject"),
       s"prefix-dim shortlist must be TopK, not a global sort:\n$s")

@@ -213,9 +213,13 @@ class ScaleOpsSpec extends SparkSpecBase {
       s"${Tables.scratchDir(sfDir)}/snapshots/_base_sig")
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a driver-regenerated base table: the recorded signature
-    // no longer matches the live one
+    // no longer matches the live one. forget() drops the per-JVM
+    // validation memo — a real regeneration arrives with a NEW driver
+    // process, which starts with an empty memo.
     val out = fs.create(sigPath, true)
     try out.write("stale_generation".getBytes("UTF-8")) finally out.close()
+    operators.ScratchGuard.forget(
+      s"${Tables.scratchDir(sfDir)}/snapshots")
     val res = ScaleOps.queries("q139_snapshot_read")(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nBase = Tables.load(spark, sfDir, "documents").count()
