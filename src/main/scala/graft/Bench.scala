@@ -29,8 +29,9 @@ object Bench {
     "q124_radius_search", "q125_triangle_count", "q126_bigram_lm",
     // the round-5 cost leaders: pair-join dedup gates + shingle
     // inverted-index joins — exactly where a quadratic exponent would
-    // surface (their brute verification sides are now sample-bounded,
-    // so the tracked exponent is the operator path's)
+    // surface (q47/q133's brute verification sides are sample-bounded,
+    // so their tracked exponent is the operator path's; q127/q131/q134
+    // have no quadratic verify side to bound)
     "q47_simhash", "q127_containment", "q131_source_overlap",
     "q133_semdedup", "q134_basket_pairs")
 
@@ -63,6 +64,14 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
       Tables.load(spark, sfDir, "embeddings").count()
       Tables.load(spark, sfDir, "documents").count()
+      // Pre-validate the ScratchGuard-ed scratch layouts OUTSIDE the
+      // timed region: each guarded query's first execution otherwise
+      // carries the guard's full-table signature scan (and a rebuild
+      // when the source regenerated), inflating its first reading.
+      Seq("q84_date_partition_prune", "q113_source_roundtrip",
+          "q139_snapshot_read").foreach { g =>
+        SparkEntry.queries.get(g).foreach(fn => fn(spark, sfDir).count())
+      }
     } catch { case _: Throwable => () }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     // Hermetic per-query measurement: fixed (sorted) order, caches

@@ -416,7 +416,12 @@ final class Engine(val spark: SparkSession) {
         case h: VectorIndexes.HnswModel =>
           // watermark on the max INSERTED id, not idx.size: skipped
           // null-vector rows make size lag behind row ids, and a
-          // size-based filter would re-insert already-indexed rows
+          // size-based filter would re-insert already-indexed rows.
+          // The collect below is bounded by the INSERT batch size (the
+          // watermark keeps previously indexed rows out), matching the
+          // reference's per-statement DML scale; a bulk-load path at
+          // Hnsw.driverBuildLimit scale must build the index via
+          // Hnsw.buildAuto instead of routing through DML inserts.
           withId.filter(col(Engine.RowId) > h.idx.maxId
               && col(meta.column).isNotNull)
             .select(col(Engine.RowId), col(meta.column).cast("array<double>"))

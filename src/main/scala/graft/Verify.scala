@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** One query's dump: parquet on success; on ANY failure a marker
+    * dir containing `_ERROR` (and no parquet) so the driver's compare
+    * records a crash row instead of silently shrinking the
+    * denominator — the r5 silent-failure mode. Split out of main()
+    * so VerifySpec can exercise the marker plumbing directly.
+    * Returns true on success. */
+  private[graft] def runOne(spark: SparkSession, sfDir: String,
+      outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Boolean = {
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val d = new java.io.File(s"$outDir/$name")
+        Util.deleteRecursively(d) // clear partial writes too
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}")
+      } catch { case _: Throwable => () }
+      false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,23 +54,7 @@ object Verify {
       // hermetic per query: queries cache freely (dedup/index
       // pipelines) and nothing unpersists across 60+ of them
       spark.catalog.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // fail LOUDLY: leave a dir with an _ERROR marker (and no
-        // parquet) so the driver's read records an err row for this
-        // query instead of silently shrinking the denominator — in
-        // round 5 two crashed gates vanished from CORRECTNESS
-        // entirely because this catch printed-and-dropped.
-        try {
-          val d = new java.io.File(s"$outDir/$name")
-          Util.deleteRecursively(d) // clear partial writes too
-          d.mkdirs()
-          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
-            s"${e.getClass.getName}: ${e.getMessage}")
-        } catch { case _: Throwable => () }
-      }
+      runOne(spark, sfDir, outDir, name, fn): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -206,14 +206,42 @@ final class HnswIndex(
 }
 
 object Hnsw {
+
+  /** Max corpus (rows × dim doubles) collected for the single
+    * driver-built graph: 2^23 doubles = 64 MB — the same bound
+    * [[IvfFlat.driverTrainLimit]] applies to its driver-local k-means.
+    * Above it [[build]] refuses loudly (the collect would OOM the
+    * driver long before the graph finishes) and [[buildAuto]] routes
+    * to [[buildPartitioned]], the scale path. */
+  val driverBuildLimit: Long = 1L << 23
+
+  /** One cheap agg job: (row count, max vector length). Far cheaper
+    * than the collect it guards. */
+  private def corpusCells(df: DataFrame, vecCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val r = df.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)), max(size(col(vecCol).cast("array<double>"))))
+      .head()
+    if (r.isNullAt(1)) 0L else r.getLong(0) * r.getInt(1)
+  }
+
   /** Collect (id, vec) to the driver and build sequentially. Sorted by
     * id for reproducibility (the reference shuffles with an unseeded
-    * RNG — we pin determinism instead; recall is equivalent). */
+    * RNG — we pin determinism instead; recall is equivalent).
+    * BOUNDED at [[driverBuildLimit]] cells: an over-threshold corpus
+    * must go through [[buildPartitioned]] (or [[buildAuto]], which
+    * routes by size) — failing fast here beats an OOM mid-collect. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       m: Int, efConstruction: Int, efSearch: Int,
       metric: DistanceMetric.Value = DistanceMetric.L2,
-      seed: Long = 42L): HnswIndex = {
+      seed: Long = 42L,
+      driverLimit: Long = driverBuildLimit): HnswIndex = {
     import org.apache.spark.sql.functions._
+    val cells = corpusCells(df, vecCol)
+    require(cells <= driverLimit,
+      s"Hnsw.build: corpus is $cells doubles (> $driverLimit = 64 MB " +
+        "driver bound) — use Hnsw.buildPartitioned (or buildAuto) for " +
+        "over-threshold corpora")
     val rows = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .filter(col(vecCol).isNotNull) // null vectors are unindexable
@@ -222,6 +250,46 @@ object Hnsw {
     rows.foreach(r => idx.insert(r.getLong(0), r.getSeq[Double](1).toArray))
     idx
   }
+
+  /** Uniform serving surface over the two build shapes, so size-routed
+    * callers ([[buildAuto]]) don't fork on the concrete type. */
+  sealed trait Serving {
+    def scan(query: Array[Double], k: Int): Seq[(Long, Double)]
+    def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int): DataFrame
+    def isPartitioned: Boolean
+  }
+  final class DriverServing(val idx: HnswIndex) extends Serving {
+    def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
+      idx.scan(query, k)
+    def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int): DataFrame = Hnsw.knnJoin(queries, qIdCol, qVecCol, idx, k)
+    def isPartitioned = false
+  }
+  final class PartitionedServing(val idx: DistributedHnswIndex)
+      extends Serving {
+    def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
+      idx.scan(query, k)
+    def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int): DataFrame = idx.knnJoin(queries, qIdCol, qVecCol, k)
+    def isPartitioned = true
+  }
+
+  /** Size-routed build: the driver graph when the corpus fits
+    * [[driverBuildLimit]], per-partition sub-graphs
+    * ([[buildPartitioned]]) when it doesn't — the caller never has to
+    * know which side of the bound the table is on. */
+  def buildAuto(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, efConstruction: Int, efSearch: Int,
+      metric: DistanceMetric.Value = DistanceMetric.L2,
+      numPartitions: Int = 0, seed: Long = 42L,
+      driverLimit: Long = driverBuildLimit): Serving =
+    if (corpusCells(df, vecCol) <= driverLimit)
+      new DriverServing(build(df, idCol, vecCol, m, efConstruction,
+        efSearch, metric, seed, driverLimit))
+    else
+      new PartitionedServing(buildPartitioned(df, idCol, vecCol, m,
+        efConstruction, efSearch, metric, numPartitions, seed))
 
   /** Serve a KNN scan as a DataFrame (id, dist), distance-ascending. */
   def scanAsDf(spark: SparkSession, idx: HnswIndex,

@@ -853,7 +853,12 @@ object ScaleOps {
       (x: Int, y: Int) => math.max(x, y)) {
       case (before, (p, g)) => (p, g, before)
     }.toDF("__p", "__g", "__maxc")
-    local.join(broadcast(thresh), local(pc) === col("__p"))
+    // keyed equi-join, NOT broadcast: thresh is sized by the number of
+    // DISTINCT prices — a data-domain cardinality with no a-priori
+    // bound. Both sides are frontier-sized, so the keyed shuffle is
+    // tiny; Catalyst/AQE may still choose to broadcast when the stats
+    // justify it, but nothing here assumes the domain fits the driver.
+    local.join(thresh, local(pc) === col("__p"))
       .filter(col(sc) === col("__g") && col(sc) > col("__maxc"))
       .select(col(kc), col(pc), col(sc))
   }

@@ -32,7 +32,10 @@ object ScratchGuard {
   def sig(base: DataFrame): String = {
     val cols = base.columns.map(c => s"`$c`").mkString(", ")
     val r = base.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))")).head()
-    s"${r.getLong(0)}_${r.getLong(1)}"
+    // bit_xor over zero rows is NULL — an empty base signs as 0, it
+    // must not NPE the guard
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_$x"
   }
 
   private def sigPath(root: String) =

@@ -457,4 +457,31 @@ class IndexSpec extends SparkSpecBase {
     assert(got == brute)
     assert(brute.size == 100) // exactly blob 0
   }
+
+  test("hnsw driver build refuses an over-bound corpus loudly") {
+    // the 64 MB collect bound: a corpus over `driverLimit` cells must
+    // fail fast with a routing message, never OOM mid-collect
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.build(emb, "vec_id", "v", m = 4, efConstruction = 16,
+        efSearch = 16, driverLimit = 100L)
+    }
+    assert(e.getMessage.contains("buildPartitioned"))
+  }
+
+  test("hnsw buildAuto routes an over-bound build to the partitioned " +
+      "path and serves identical top-k") {
+    // tiny driverLimit forces the route; probe-all ef makes both paths
+    // exact, so "identical top-k" is checkable against brute force
+    val routed = Hnsw.buildAuto(emb, "vec_id", "v", m = 8,
+      efConstruction = 64, efSearch = 1 << 24, driverLimit = 100L)
+    assert(routed.isPartitioned,
+      "over-bound corpus must build per-partition sub-graphs")
+    val under = Hnsw.buildAuto(emb, "vec_id", "v", m = 8,
+      efConstruction = 64, efSearch = 1 << 24)
+    assert(!under.isPartitioned, "in-bound corpus stays a driver graph")
+    val got = routed.scan(query.toArray, 10).map(_._1)
+    val direct = under.scan(query.toArray, 10).map(_._1)
+    assert(got == bruteIds(10), s"partitioned top-k != brute: $got")
+    assert(got == direct)
+  }
 }

@@ -39,8 +39,14 @@ for name, sql in sorted(oracle.items()):
     if os.path.exists(err_marker):
         with open(err_marker) as f:
             msg = f.read().strip()[:200]
+        # marker mtime shown so a STALE marker (filtered re-run that
+        # skipped this query, leaving a previous full run's crash) is
+        # visible at a glance
+        import datetime
+        mt = datetime.datetime.fromtimestamp(
+            os.path.getmtime(err_marker)).strftime("%H:%M:%S")
         fails.append((name, f"query crashed: {msg}"))
-        print(f"CRASH {name}: {msg}")
+        print(f"CRASH {name} (marker {mt}): {msg}")
         continue
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
