@@ -8,21 +8,25 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE — it derives "image" properties
-  * arithmetically from the raw bytes. Everything around it is the real
-  * Spark shape a production decode has:
+  * The decode is a REAL image decode of a real public format: binary
+  * netpbm (PPM `P6` color / PGM `P5` grayscale — header parse +
+  * raster, the format published in netpbm's ppm(5)/pgm(5) man pages),
+  * implemented pure-JVM in [[decodeNetpbm]]. The container has no
+  * image FILES, so the payloads are fixture-ENCODED ([[encodePpm]]):
+  * each document's text bytes become the raster of a width-4 P6
+  * image. Encode is the fixture; decode is the product. The Spark
+  * shape is what a production decode has:
   *  - payloads travel as `BinaryType` columns (never strings),
   *  - decode runs via typed `Dataset.mapPartitions` (Encoder-backed,
   *    stays in SQL land — no `.rdd` round-trip) — one codec init per
   *    PARTITION, not per row (the thing that matters when the real
   *    decoder is libjpeg/ffmpeg),
   *  - output is a typed struct column; downstream stays columnar.
-  * Swapping in a real decoder changes only the body of `decodeStub`.
   *
-  * The oracle recomputes the same arithmetic from the text in DuckDB —
-  * so the binary round-trip (string -> utf8 bytes -> features) is
-  * verified end-to-end, not just "rows > 0".
+  * The oracle recomputes the PPM geometry (header size, height =
+  * text_len/12) and the raster mean from the same text in DuckDB — so
+  * encode → binary → REAL header+raster parse → features is verified
+  * end-to-end, not just "rows > 0".
   */
 object MultimodalOps {
 
@@ -38,20 +42,77 @@ object MultimodalOps {
   final case class Resized(doc_id: Long, orig_bytes: Int,
       resized: Array[Byte], resized_bytes: Int, resized_mean: Double)
 
-  /** ??? real decoder goes here — deterministic fake for CI. Derives
-    * fake image dims + a mean-pixel feature from the payload bytes. */
-  private def decodeStub(docId: Long, bytes: Array[Byte]): Decoded = {
-    val n = bytes.length
-    if (n == 0) return Decoded(docId, 0, 0, 0, 3, 0.0) // empty payload
+  /** Fixture encoder (the container ships no image files): pack a
+    * byte payload into a syntactically-valid binary PPM (`P6`): width
+    * fixed at 4 px, height = len/12 full 12-byte rows (4 px × RGB),
+    * maxval 255, raster = the first height×12 payload bytes. Tail
+    * bytes that don't fill a row are dropped — exactly what the
+    * oracle's `len // 12` recomputes. */
+  private[graft] def encodePpm(bytes: Array[Byte]): Array[Byte] = {
+    val h = bytes.length / 12
+    val header = s"P6\n4 $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + h * 12)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(bytes, 0, out, header.length, h * 12)
+    out
+  }
+
+  /** REAL netpbm decode — the pure-JVM header+raster parser for binary
+    * PPM (`P6`, RGB) and PGM (`P5`, gray) per the published netpbm
+    * format: magic, then whitespace-separated width/height/maxval with
+    * `#` comments allowed, ONE whitespace byte, then the raster
+    * (width×height×channels bytes at maxval < 256). Malformed payloads
+    * throw — a decode that silently fabricates pixels would poison
+    * every feature downstream. */
+  private[graft] def decodeNetpbm(docId: Long, bytes: Array[Byte])
+      : Decoded = {
+    var pos = 0
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"netpbm decode [$docId]: $why")
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') // comment runs to end of line
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      if (pos == start) fail("truncated header")
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    val magic = token()
+    val channels = magic match {
+      case "P6" => 3
+      case "P5" => 1
+      case m    => fail(s"unsupported magic '$m'")
+    }
+    val width = token().toInt
+    val height = token().toInt
+    val maxval = token().toInt
+    if (width < 0 || height < 0) fail(s"bad dims ${width}x$height")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    pos += 1 // exactly ONE whitespace byte separates maxval and raster
+    val need = width * height * channels
+    if (pos + need > bytes.length)
+      fail(s"raster truncated: need $need, have ${bytes.length - pos}")
     var sum = 0L
-    var i = 0
-    while (i < n) { sum += bytes(i) & 0xff; i += 1 }
-    Decoded(docId, n, n % 640, (bytes(0) & 0xff) % 480, 3,
-      sum.toDouble / n)
+    var i = pos
+    val end = pos + need
+    while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+    Decoded(docId, bytes.length, width, height, channels,
+      if (need == 0) 0.0 else sum.toDouble / need)
   }
 
   /** Binary ingest + partition-wise decode. At scale the repartition
-    * count follows payload bytes per partition, not row count. */
+    * count follows payload bytes per partition, not row count. The
+    * fixture encode (text → PPM payload) stands in for the upstream
+    * system that produced the binary column. */
   def decodeImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -59,7 +120,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pipeline: init codec once here, per partition
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decodeNetpbm(id, encodePpm(bytes)) }
       }.toDF()
   }
 
@@ -125,8 +186,11 @@ object MultimodalOps {
           round(col("mean_byte"), 6).as("mean_byte"))
     }),
 
-    // Decode + feature-extract over binary payloads, then a relational
-    // rollup of the extracted features (decode feeds Catalyst land).
+    // REAL decode + feature-extract over binary PPM payloads, then a
+    // relational rollup of the extracted features (decode feeds
+    // Catalyst land). The oracle recomputes the PPM geometry + raster
+    // mean from the same text bytes — a parser bug in width/height/
+    // header-size/mean shows up as a value mismatch.
     "q50_multimodal_decode" -> ((s, d) => {
       decodeImages(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
@@ -137,7 +201,7 @@ object MultimodalOps {
         .groupBy(floor(col("n_bytes") / 100).cast("int").as("size_bucket"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("mean_byte")), 6).as("avg_mean_byte"),
-          max(col("width")).as("max_width"))
+          max(col("height")).as("max_height"))
     })
   )
 
@@ -163,28 +227,38 @@ object MultimodalOps {
         |FROM f JOIN documents USING (doc_id)
         |WHERE frame_idx % 4 = 0""".stripMargin,
     // documents text is ASCII, so utf-8 byte i == code point of char i —
-    // the oracle recomputes the stub's byte math from the string side.
+    // the oracle recomputes the PPM fixture's geometry (width 4,
+    // height = n/12, header "P6\n4 {h}\n255\n" = 10+digits(h) bytes)
+    // and the raster mean (first h*12 text bytes) from the string side;
+    // the engine side must recover exactly these via the REAL parser.
     "q50_multimodal_decode" ->
       """WITH f AS (
-        |  SELECT doc_id, octet_length(encode(text))::INT AS n,
-        |    list_sum([ascii(text[i:i]) for i in range(1, len(text)+1)])::DOUBLE
-        |      / octet_length(encode(text)) AS mean_byte,
-        |    ascii(text[1:1]) % 480 AS height
+        |  SELECT doc_id, octet_length(encode(text))::INT // 12 AS h, text
         |  FROM documents
         |)
-        |SELECT doc_id, n AS n_bytes, n % 640 AS width, height,
-        |  3 AS channels, round(mean_byte, 6) AS mean_byte
+        |SELECT doc_id,
+        |  10 + length(CAST(h AS VARCHAR))::INT + 12 * h AS n_bytes,
+        |  4 AS width, h AS height, 3 AS channels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 12*h + 1)])::DOUBLE
+        |      / (12 * h) END, 6) AS mean_byte
         |FROM f""".stripMargin,
     "q51_multimodal_agg" ->
       """WITH f AS (
-        |  SELECT doc_id, octet_length(encode(text))::INT AS n,
-        |    list_sum([ascii(text[i:i]) for i in range(1, len(text)+1)])::DOUBLE
-        |      / octet_length(encode(text)) AS mean_byte
+        |  SELECT doc_id, octet_length(encode(text))::INT // 12 AS h,
+        |    octet_length(encode(text))::INT AS n, text
         |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    10 + length(CAST(h AS VARCHAR))::INT + 12 * h AS n_bytes, h,
+        |    CASE WHEN h = 0 THEN 0.0 ELSE
+        |      list_sum([ascii(text[i:i]) for i in range(1, 12*h + 1)])::DOUBLE
+        |        / (12 * h) END AS mean_byte
+        |  FROM f
         |)
-        |SELECT floor(n / 100)::INT AS size_bucket, count(*) AS n,
+        |SELECT floor(n_bytes / 100)::INT AS size_bucket, count(*) AS n,
         |  round(avg(mean_byte), 6) AS avg_mean_byte,
-        |  max(n % 640) AS max_width
-        |FROM f GROUP BY 1""".stripMargin
+        |  max(h) AS max_height
+        |FROM g GROUP BY 1""".stripMargin
   )
 }
