@@ -35,6 +35,13 @@ object Bench {
     "q47_simhash", "q127_containment", "q131_source_overlap",
     "q133_semdedup", "q134_basket_pairs")
 
+  /** The top-exponent families get a THIRD scale point (sf0.001): two
+    * points can't distinguish a true exponent from a fixed-overhead
+    * artifact; three pin the curve across two decades. */
+  private val ScaleFamilies3 = Seq(
+    "q125_triangle_count", "q126_bigram_lm", "q127_containment",
+    "q133_semdedup", "q134_basket_pairs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleDir =
@@ -144,10 +151,51 @@ object Bench {
       remeasurePass(results, scaleSmall.toMap, sfDir, bigSide = true)
     val (scaleSmall2, scaleFlagged) =
       remeasurePass(scaleSmall, results2.toMap, scaleDir, bigSide = false)
+
+    // third (tiny) scale point for the top-exponent families — same
+    // hermetic measurement, noise-guarded against the small twin
+    val scale3Dir =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE3_DIR", "/root/testdata/sf0.001")
+    val scale3First =
+      if (scale3Dir == sfDir || scale3Dir == scaleDir) Seq.empty
+      else selected.filter(q => ScaleFamilies3.contains(q._1)).flatMap {
+        case (name, fn) => bestOf2(name, fn, scale3Dir).map(name -> _)
+      }
+    val (scale3, _) =
+      remeasurePass(scale3First, scaleSmall2.toMap, scale3Dir,
+        bigSide = false)
     // first readings keyed per pass: a query measured at BOTH scale
     // points would otherwise collide and report the wrong original
     val firstMain = results.toMap
     val firstSmall = scaleSmall.toMap
+
+    // ---- ANN at promised scale ----------------------------------------
+    // BASELINE.md commits to in-harness vector benchmarks at 10k-1M
+    // rows with recall@k vs brute force; the sf tables top out at 2k
+    // vectors, so this runs on the deterministic generated corpus
+    // (VectorScaleBench). After the main+scale passes so its caches
+    // can't pollute their timings. SPARK_GRAFT_VECTOR_SCALE: comma
+    // sizes, "off" (or "0"/"") disables, unset = 100k + 1M.
+    val vsResult: Option[VectorScaleBench.Result] =
+      sys.env.get("SPARK_GRAFT_VECTOR_SCALE") match {
+        case Some("") | Some("0") | Some("off") => None
+        case ov =>
+          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(Seq(100000L, 1000000L))
+          try {
+            spark.catalog.clearCache()
+            Some(VectorScaleBench.run(spark, sizes))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] vector_scale FAILED: ${e.getMessage}")
+            None
+          }
+      }
+    // "FAILED" (vs null = disabled) keeps a crashed vector bench loud
+    // in the artifact instead of silently absent
+    val vectorScaleJson = vsResult.map(_.json).getOrElse(
+      if (sys.env.get("SPARK_GRAFT_VECTOR_SCALE")
+          .exists(v => v == "" || v == "0" || v == "off")) "null"
+      else "\"FAILED\"")
 
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -158,10 +206,21 @@ object Bench {
     }
     def jsonArr(xs: Seq[String]) =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // 3-point curves: the tiny->small ratio next to the small->big one
+    val smallMap = scaleSmall2.toMap
+    val exponents3 = scale3.collect {
+      case (k, tiny) if tiny > 0 && smallMap.contains(k) =>
+        k -> math.log10(smallMap(k) / tiny)
+    }
+    val scale3Json =
+      if (scale3.isEmpty) "null"
+      else s"""{"tiny_sf":"$scale3Dir","tiny":${jsonMap(scale3)},""" +
+        s""""log10_ratio_small_over_tiny":${jsonMap(exponents3)}}"""
     val scaleJson =
       if (scaleSmall2.isEmpty && scaleFailures.isEmpty) "null"
       else s"""{"small_sf":"$scaleDir","small":${jsonMap(scaleSmall2)},""" +
         s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
+        s""""third_point":$scale3Json,""" +
         s""""failures":${jsonArr(scaleFailures)}}"""
     val noiseJson =
       if (mainFlagged.isEmpty && scaleFlagged.isEmpty) "null"
@@ -171,7 +230,12 @@ object Bench {
           jsonMap(scaleFlagged.map(n => n -> firstSmall(n)))}}"""
     val total = results2.map(_._2).sum
     val fails = jsonArr(mainFailures)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"failures":$fails,"scale":$scaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+    // quality next to wall time: numeric recall of each recall-gated
+    // query, recorded by the gate bodies (GateMetrics) during the runs
+    // timed above — a recall regression is visible across rounds
+    // without the oracle
+    val recallJson = jsonMap(GateMetrics.snapshot)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
 
     // ---- emit ----------------------------------------------------------
     // The driver captures only the last ~2000 chars of stdout and parses
@@ -210,9 +274,14 @@ object Bench {
       s"""{"n":${mainFailures.size},"first":${jsonArr(mainFailures.take(5))}}"""
     // budgeted: drop trailing headline queries until the line fits well
     // inside the driver's tail window (sbt appends ~80 chars after us)
+    // the headline carries the vector-scale SUMMARY (speedup of the
+    // best index over brute at the largest point + min recall) — the
+    // full per-index table lives in the detail file
+    val vsCompact = vsResult.flatMap(_.summary)
+      .map(s => s""","vector_scale":$s""").getOrElse("")
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // bounded: after headNames.size+1 steps the seq is empty — without
     // take(), dropRight on empty yields empty forever and a too-long

@@ -140,6 +140,86 @@ final case class IvfFlatModel(
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= k)
   }
+
+  /** Batch KNN JOIN, inverted-serve shape: broadcast a BUCKET → probing
+    * QUERIES index (per query: rank centroids, keep `probeLists`
+    * buckets; invert to bucket-keyed lists — |q| × probe entries,
+    * tiny), then ONE pass over the bucketed data with per-query
+    * bounded heaps: each row looks up its bucket's probing queries
+    * (average |q|·probe/lists of them) and evaluates ONLY those — no
+    * join, no shuffle of candidates; the merge moves P × |q| × k rows.
+    * Compare [[knnJoin]], which shuffles every candidate PAIR through
+    * the top-k window: same semantics (identical rows, same (dist, id)
+    * tie-break — IndexSpec pins equality), but at many-queries scale
+    * the pair shuffle IS the cost, and this shape deletes it. This is
+    * the variant VectorScaleBench measures at 1M rows.
+    * Output: (q_id, d_id, dist, rk). */
+  def knnJoinHeap(queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val nonEmpty = nonEmptyCache
+    val metricId = metric.id
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Array[Double])].collect()
+    // per query: the probeLists nearest non-empty buckets (driver —
+    // |q| × lists distances over broadcast-small centroids)
+    val probedOf: Array[Array[Int]] = qRows.map { case (_, qv) =>
+      nonEmpty
+        .map(b => b -> NearestCentroid.distance(qv, centroids(b), metricId))
+        .sortBy { case (b, dd) => (dd, b) }
+        .take(probeLists).map(_._1).toArray
+    }
+    // inverted: bucket -> ordinals of the queries probing it
+    val byBucket: Map[Int, Array[Int]] = probedOf.zipWithIndex
+      .flatMap { case (bs, qi) => bs.map(_ -> qi) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast(qRows)
+    val idxB = spark.sparkContext.broadcast(byBucket)
+    val idCol = buckets.columns
+      .filterNot(c => c == "__bucket" || c == vecCol).head
+    val localTopK = buckets
+      .select(col("__bucket"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = qB.value; val inv = idxB.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (b, did, dv) =>
+          inv.get(b) match {
+            case Some(qis) =>
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                val dist = NearestCentroid.distance(dv, qs(qi)._2, metricId)
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue((dist, did))
+                else if (ord.lt((dist, did), h.head)) {
+                  h.dequeue(); h.enqueue((dist, did))
+                }
+                i += 1
+              }
+            case None => ()
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          // NearestCentroid's L2 is the squared form (rank-equivalent);
+          // emitted dist must match l2_dist (WITH sqrt), like Knn.join
+          h.iterator.map { case (dist, did) =>
+            (qs(qi)._1, did,
+              if (metricId == 0) math.sqrt(dist) else dist) } }
+      }.toDF("q_id", "d_id", "dist")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("d_id").asc)
+    localTopK
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }
 
 object IvfFlat {

@@ -244,11 +244,24 @@ object Pq {
     rows.mapPartitions { it =>
       val cbs = cbB.value; val qs = qB.value
       val pb = pB.value.orNull // null = score every (row, query)
-      val luts = qs.map { case (_, qv) =>
-        Array.tabulate(cbs.length) { mi =>
+      val kk = cbs(0).length
+      // LUT flattened to ONE array per query (mi*K + code index): the
+      // scoring loop below runs |rows| × |queries| × M times — one
+      // array indirection instead of two is a measured ~2x on the
+      // 1M-row vector_scale corpus
+      val luts: Array[Array[Double]] = qs.map { case (_, qv) =>
+        val flat = new Array[Double](cbs.length * kk)
+        var mi = 0
+        while (mi < cbs.length) {
           val s = java.util.Arrays.copyOfRange(qv, mi * ds, (mi + 1) * ds)
-          cbs(mi).map(cw => NearestCentroid.distance(s, cw, 0))
+          var j = 0
+          while (j < kk) {
+            flat(mi * kk + j) = NearestCentroid.distance(s, cbs(mi)(j), 0)
+            j += 1
+          }
+          mi += 1
         }
+        flat
       }
       val ord = Ordering.Tuple2[Double, Long]
       val heaps = Array.fill(qs.length)(
@@ -258,7 +271,9 @@ object Pq {
         while (i < qs.length) {
           if (pb == null || pb(i)(b)) {
             val t = luts(i); var s = 0.0; var mi = 0
-            while (mi < code.length) { s += t(mi)(code(mi) & 0xff); mi += 1 }
+            while (mi < code.length) {
+              s += t(mi * kk + (code(mi) & 0xff)); mi += 1
+            }
             val h = heaps(i)
             if (h.size < c) h.enqueue((s, id))
             else if (ord.lt((s, id), h.head)) {

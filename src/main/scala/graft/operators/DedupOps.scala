@@ -878,6 +878,8 @@ object DedupOps {
       within.unpersist(); sample.unpersist(); e.unpersist()
       // recall over an empty exact set is vacuously OK (0/0), not a
       // failure — the old 0/1 >= 0.5 read false on pair-free data
+      graft.GateMetrics.putRecall("q133_semdedup",
+        if (nExact == 0L) 1.0 else nWithinS.toDouble / nExact)
       Seq((nVec, nExact, nOutside == 0L,
           nExact == 0L || nWithinS.toDouble / nExact >= 0.5,
           nDropped <= nWithin))

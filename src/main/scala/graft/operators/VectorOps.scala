@@ -319,6 +319,7 @@ object VectorOps {
         DistanceMetric.L2, Some("vec_id")).select("vec_id")
       val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
       val n = exact.count()
+      graft.GateMetrics.putRecall("q35_ivfflat_probe", hits.toDouble / n)
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
     "q36_hnsw_knn" -> ((s, d) => {
@@ -332,6 +333,7 @@ object VectorOps {
         DistanceMetric.L2, Some("vec_id")).select("vec_id")
       val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
       val n = exact.count()
+      graft.GateMetrics.putRecall("q36_hnsw_knn", hits.toDouble / n)
       Seq((hits.toDouble / n >= 0.7, n)).toDF("recall_ok", "n_exact")
     }),
 
@@ -439,6 +441,7 @@ object VectorOps {
         .limit(10).select("vec_id")
       val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
       val n = exact.count()
+      graft.GateMetrics.putRecall("q37_ann_lsh", hits.toDouble / n)
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
 
@@ -471,6 +474,7 @@ object VectorOps {
         .limit(10).select("vec_id")
       val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
       val n = exact.count()
+      graft.GateMetrics.putRecall("q120_binary_quant_knn", hits.toDouble / n)
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
 
@@ -498,6 +502,7 @@ object VectorOps {
         .limit(10).select("vec_id")
       val hits = approx.join(exact, Seq("vec_id"), "left_semi").count()
       val n = exact.count()
+      graft.GateMetrics.putRecall("q137_matryoshka_knn", hits.toDouble / n)
       Seq((hits.toDouble / n >= 0.5, n)).toDF("recall_ok", "n_exact")
     }),
 

@@ -458,6 +458,24 @@ class IndexSpec extends SparkSpecBase {
     assert(brute.size == 100) // exactly blob 0
   }
 
+  test("ivf knnJoinHeap (inverted serve) == knnJoin (window join), " +
+      "row for row") {
+    import spark.implicits._
+    val m = IvfFlat.build(emb, Seq("vec_id"), "v", lists = 10,
+      probeLists = 3)
+    val qs = emb.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("d_id"), round(col("dist"), 9).as("d"),
+        col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val win = rows(m.knnJoin(qs, "q_id", "qv", k = 5)
+      .withColumnRenamed("vec_id", "d_id"))
+    val heap = rows(m.knnJoinHeap(qs, "q_id", "qv", k = 5))
+    assert(heap == win)
+  }
+
   test("hnsw driver build refuses an over-bound corpus loudly") {
     // the 64 MB collect bound: a corpus over `driverLimit` cells must
     // fail fast with a routing message, never OOM mid-collect
