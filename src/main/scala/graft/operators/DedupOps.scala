@@ -491,6 +491,35 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
+    // Blocked FUZZY (edit-distance) entity matching — the record-
+    // linkage primitive dedup-by-fingerprint can't express: pairs of
+    // part names sharing >= 1 token (token-blocked inverted index —
+    // an EQUI-join, never all-pairs) verified by levenshtein <= 4,
+    // reported as a match profile (pairs + distinct left entities per
+    // distance). The shared-token condition is part of the match RULE
+    // (standard token blocking), so the blocked plan computes exactly
+    // the declared predicate — nothing is lost relative to the oracle,
+    // which runs the identical rule all-pairs-free in DuckDB. At 100TB
+    // the block key's frequency is capped like q56's prefix filter
+    // (hot tokens dominate candidate mass); codegen levenshtein runs
+    // only on the blocked candidates, and the profile agg is
+    // partial+final on a 5-value key.
+    "q142_fuzzy_join" -> ((s, d) => {
+      val t = Tables.load(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+        .withColumn("tok", explode(split(col("name"), " ")))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          col("a.name").as("a_name"), col("b.name").as("b_name"))
+        .distinct() // a pair may share several tokens
+        .withColumn("d", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("d") <= 4)
+      pairs.groupBy("d")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a_id")).as("n_left"))
+    }),
+
     // Asymmetric CONTAINMENT join — C(A→B) = |S(A)∩S(B)| / |S(A)| —
     // catches "A is a near-subset of B" (excerpts, quote farms,
     // boilerplate-wrapped copies), which symmetric Jaccard structurally
@@ -914,6 +943,21 @@ object DedupOps {
         |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
+    "q142_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    unnest(string_split(p_name, ' ')) AS tok
+        |  FROM part
+        |), pairs AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |    a.name AS a_name, b.name AS b_name
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+        |), v AS (
+        |  SELECT a_id, levenshtein(a_name, b_name) AS d
+        |  FROM pairs WHERE levenshtein(a_name, b_name) <= 4
+        |)
+        |SELECT d, count(*) AS n_pairs, count(DISTINCT a_id) AS n_left
+        |FROM v GROUP BY d""".stripMargin,
     "q127_containment" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -47,6 +47,26 @@ object TextOps {
   private def sqlIn(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
 
   val queries: Map[String, Q] = Map(
+    // BPE pair statistics — the first step of byte-pair-encoding
+    // tokenizer TRAINING: corpus-wide counts of adjacent symbol pairs
+    // (here: character bigrams inside whitespace words), top-20 by
+    // frequency — exactly the argmax a BPE trainer merges next. Shape:
+    // one narrow explode pass (no shuffle until the pair agg), then a
+    // partial+final count on a small key domain and a TopN — at 100TB
+    // the merge-loop iterates this same job with the learned merges
+    // applied, and the pair-count agg stays the only exchange.
+    "q143_bpe_pairs" -> ((s, d) => {
+      val words = Tables.load(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(20)
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenization
     // (letter runs / digit runs / single punctuation marks).
     "q40_token_count" -> ((s, d) => {
@@ -641,6 +661,16 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q143_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q40_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -579,6 +579,23 @@ object VectorOps {
           round(col("dist"), 6).as("dist"), col("rk"))
     }),
 
+    // Inverted-serve twin of q27: broadcast bucket->probing-queries
+    // index + per-partition bounded heaps (IvfFlatModel.knnJoinHeap) —
+    // the many-queries batch shape VectorScaleBench measures beating
+    // brute force at 1M rows (the window-join variant's candidate-pair
+    // shuffle is the cost it deletes). probe=lists -> exact, same
+    // oracle as the brute join; IndexSpec additionally pins
+    // row-identity with knnJoin under partial probes.
+    "q141_knn_join_ivf_heap" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = IvfFlat.build(e, Seq("vec_id"), "embedding",
+        lists = 8, probeLists = 8)
+      model.knnJoinHeap(e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", 5)
+        .select(col("q_id"), col("d_id"),
+          round(col("dist"), 6).as("dist"), col("rk"))
+    }),
+
     // The KNN optimizer rule end-to-end (reference
     // OptimizeAsVectorIndexScan): a PLAIN orderBy(dist).limit(k) query
     // is silently served through the registered IVFFlat index via a
@@ -857,6 +874,7 @@ object VectorOps {
     "q38_knn_rewrite" -> bruteOracle,
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
+    "q141_knn_join_ivf_heap" -> knnJoinOracle,
     "q75_pq_knn_join" -> knnJoinOracle,
     "q78_ivfpq_knn_join" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,
