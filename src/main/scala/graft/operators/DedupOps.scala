@@ -492,32 +492,42 @@ object DedupOps {
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
     // Blocked FUZZY (edit-distance) entity matching — the record-
-    // linkage primitive dedup-by-fingerprint can't express: pairs of
-    // part names sharing >= 1 token (token-blocked inverted index —
-    // an EQUI-join, never all-pairs) verified by levenshtein <= 4,
-    // reported as a match profile (pairs + distinct left entities per
-    // distance). The shared-token condition is part of the match RULE
-    // (standard token blocking), so the blocked plan computes exactly
-    // the declared predicate — nothing is lost relative to the oracle,
-    // which runs the identical rule all-pairs-free in DuckDB. At 100TB
-    // the block key's frequency is capped like q56's prefix filter
-    // (hot tokens dominate candidate mass); codegen levenshtein runs
-    // only on the blocked candidates, and the profile agg is
-    // partial+final on a 5-value key.
+    // linkage primitive dedup-by-fingerprint can't express.
+    // CANONICALIZE FIRST: rows collapse to distinct (name, count)
+    // entities before any pairing — real corpora repeat surface forms
+    // massively (20k part rows here carry 64 distinct names; the
+    // row-level variant of this join measured 104 s at sf0.1, this one
+    // milliseconds — and at 100TB row-level token blocking is
+    // quadratic death while the distinct-entity table is bounded by
+    // the vocabulary, not the corpus). Distinct names are then
+    // token-blocked (inverted index — an EQUI-join, never all-pairs)
+    // and verified by codegen levenshtein <= 4; the match profile
+    // reports, per distance, distinct NAME pairs and the implied
+    // row-level pair count expanded from the multiplicities
+    // (cnt_a x cnt_b across names, C(cnt,2) within an exactly-
+    // duplicated name at d=0). The shared-token condition is part of
+    // the declared match rule, so the blocked plan computes exactly
+    // what the oracle recomputes all-pairs-free in DuckDB.
     "q142_fuzzy_join" -> ((s, d) => {
-      val t = Tables.load(s, d, "part")
-        .select(col("p_partkey").as("id"), col("p_name").as("name"))
-        .withColumn("tok", explode(split(col("name"), " ")))
-      val pairs = t.as("a").join(t.as("b"),
-          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-          col("a.name").as("a_name"), col("b.name").as("b_name"))
+      val names = Tables.load(s, d, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+      val toks = names.withColumn("tok", explode(split(col("name"), " ")))
+      val cross = toks.as("a").join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("a_name"), col("b.name").as("b_name"),
+          col("a.cnt").as("a_cnt"), col("b.cnt").as("b_cnt"))
         .distinct() // a pair may share several tokens
         .withColumn("d", levenshtein(col("a_name"), col("b_name")))
         .filter(col("d") <= 4)
-      pairs.groupBy("d")
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("a_id")).as("n_left"))
+        .select(col("d"), (col("a_cnt") * col("b_cnt")).as("id_pairs"))
+      // exact duplicates: the d=0 self-match of a repeated name
+      val self = names.filter(col("cnt") >= 2)
+        .select(lit(0).as("d"),
+          ((col("cnt") * (col("cnt") - 1)) / 2).cast("long").as("id_pairs"))
+      cross.unionAll(self)
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_name_pairs"),
+          sum("id_pairs").as("n_id_pairs"))
     }),
 
     // Asymmetric CONTAINMENT join — C(A→B) = |S(A)∩S(B)| / |S(A)| —
@@ -944,19 +954,25 @@ object DedupOps {
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
     "q142_fuzzy_join" ->
-      """WITH t AS (
-        |  SELECT p_partkey AS id, p_name AS name,
-        |    unnest(string_split(p_name, ' ')) AS tok
-        |  FROM part
-        |), pairs AS (
-        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-        |    a.name AS a_name, b.name AS b_name
-        |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1
+        |), t AS (
+        |  SELECT name, cnt, unnest(string_split(name, ' ')) AS tok
+        |  FROM names
+        |), cross_pairs AS (
+        |  SELECT DISTINCT a.name AS a_name, b.name AS b_name,
+        |    a.cnt AS a_cnt, b.cnt AS b_cnt
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.name < b.name
         |), v AS (
-        |  SELECT a_id, levenshtein(a_name, b_name) AS d
-        |  FROM pairs WHERE levenshtein(a_name, b_name) <= 4
+        |  SELECT levenshtein(a_name, b_name) AS d,
+        |    a_cnt * b_cnt AS id_pairs
+        |  FROM cross_pairs WHERE levenshtein(a_name, b_name) <= 4
+        |  UNION ALL
+        |  SELECT 0 AS d, cnt * (cnt - 1) // 2 AS id_pairs
+        |  FROM names WHERE cnt >= 2
         |)
-        |SELECT d, count(*) AS n_pairs, count(DISTINCT a_id) AS n_left
+        |SELECT d, count(*) AS n_name_pairs,
+        |  sum(id_pairs)::BIGINT AS n_id_pairs
         |FROM v GROUP BY d""".stripMargin,
     "q127_containment" ->
       s"""WITH t AS (

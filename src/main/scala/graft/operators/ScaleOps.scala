@@ -242,6 +242,27 @@ object ScaleOps {
             .cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
+    // Salted-join twin of q83 — the explicit hot-key mitigation
+    // (SkewOps.saltedInnerJoin: probe side salted into 8 buckets,
+    // build side replicated once per salt, join on (key, salt)) must
+    // produce the IDENTICAL result set as the plain equi-join; sharing
+    // q83's DuckDB oracle pins that end-to-end, while SkewSpec pins
+    // row identity + salt distribution on adversarial skew. The shape
+    // that saves a 100TB join when one key dwarfs everything and AQE's
+    // partition splitting isn't enough.
+    "q144_salted_join" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      SkewOps.saltedInnerJoin(li, o, "o_orderkey", buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+    }),
+
     // Date-partitioned layout: write once partitioned by day, then a
     // single-day query reads ONE partition directory (PartitionFilters
     // asserted) — the layout that turns a 100TB scan into a 300GB one.
@@ -894,6 +915,12 @@ object ScaleOps {
         |FROM tk GROUP BY t
         |ORDER BY exact DESC, t ASC LIMIT 20""".stripMargin,
     "q83_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q144_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
         |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
