@@ -234,4 +234,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"prefix-dim shortlist must be TopK, not a global sort:\n$s")
     assert(!s.contains("Sort "), s"no full sort expected:\n$s")
   }
+
+  test("q142 fuzzy matching: equi-joined blocks, never all-pairs") {
+    val df = operators.DedupOps.queries("q142_fuzzy_join")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct")
+        && !s.contains("BroadcastNestedLoop"),
+      s"token blocking must plan as an equi-join:\n$s")
+    assert(s.contains("levenshtein"),
+      s"verification must be the codegen levenshtein:\n$s")
+  }
+
+  test("q144 salted join stays an equi-join on (key, salt)") {
+    val df = operators.ScaleOps.queries("q144_salted_join")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct")
+        && !s.contains("BroadcastNestedLoop"),
+      s"salting must not degrade the join to a product:\n$s")
+    // salt must be part of the join key (the whole point: one hot key
+    // spreads over `buckets` reducers)
+    assert(s.contains("__salt"), s"salt column missing from the plan:\n$s")
+  }
 }
