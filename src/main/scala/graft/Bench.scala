@@ -181,7 +181,7 @@ object Bench {
         case Some("") | Some("0") | Some("off") => None
         case ov =>
           val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(Seq(100000L, 1000000L))
+            .getOrElse(Seq(10000L, 100000L, 1000000L))
           try {
             spark.catalog.clearCache()
             Some(VectorScaleBench.run(spark, sizes))

@@ -464,7 +464,10 @@ object VectorOps {
         .select(col("vec_id"), col("embedding"),
           org.apache.spark.sql.graft.SignBits64.column(col("embedding"))
             .as("code"))
-        .orderBy(ham.asc, col("vec_id").asc).limit(50) // TopK, no sort-all
+        // 100 (5% of the sf0.1 corpus): 50 measured recall exactly at
+        // the 0.5 gate — now that BENCH_DETAIL carries the numeric
+        // recall, the cascade runs with headroom (measured 0.8 at 100)
+        .orderBy(ham.asc, col("vec_id").asc).limit(100) // TopK, no sort-all
       val cosCol = Knn.distCol(col("embedding").cast("array<double>"), q,
         DistanceMetric.Cosine)
       val approx = shortlist.orderBy(cosCol.desc, col("vec_id").asc)
