@@ -46,6 +46,41 @@ object TextOps {
 
   private def sqlIn(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
 
+  /** q147's rule engine, parameterized so specs can feed corrupted
+    * fixtures: every document-side rule reduces to a scalar aggregate
+    * of ONE shared scan (rule count never multiplies corpus passes),
+    * the referential rule is one left-anti count, and the result is a
+    * six-row rule table built on the driver. NULL-safe comparisons
+    * (`<=>`): a NULL n_chars or lang IS a violation, not a silent
+    * three-valued-logic skip. */
+  def validateCorpus(s: SparkSession, doc: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val r = doc.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("null_ids"),
+      sum(when(!(col("n_chars") <=> length(col("text"))), 1L)
+        .otherwise(0L)).as("len_mismatch"),
+      sum(when(coalesce(col("lang").isInCollection(langs), lit(false)),
+        0L).otherwise(1L)).as("bad_lang"),
+      sum(when(coalesce(length(col("text")) > 0, lit(false)), 0L)
+        .otherwise(1L)).as("empty_text")).head()
+    val orphan = emb.select(col("vec_id"))
+      .join(doc.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_anti").count()
+    Seq(
+      ("doc_id_unique", r.getLong(0) - r.getLong(1)),
+      ("doc_id_not_null", r.getLong(2)),
+      ("n_chars_consistent", r.getLong(3)),
+      ("lang_in_domain", r.getLong(4)),
+      ("text_nonempty", r.getLong(5)),
+      ("embeddings_ref_docs", orphan))
+      .toDF("rule", "violations")
+      .withColumn("pass", col("violations") === 0L)
+  }
+
   val queries: Map[String, Q] = Map(
     // BPE pair statistics — the first step of byte-pair-encoding
     // tokenizer TRAINING: corpus-wide counts of adjacent symbol pairs
@@ -66,6 +101,54 @@ object TextOps {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(20)
     }),
+
+    // PII scrub pass — the redaction sweep every training corpus runs
+    // before release: regex-detect emails and phone-shaped tokens,
+    // replace with typed placeholders, report per-source counts and
+    // characters removed. The synthetic corpus carries no PII, so the
+    // pass runs over a deterministic fixture ENRICHMENT (an email +
+    // phone derived from doc_id, appended identically on the oracle
+    // side) — the detection/redaction logic is what's pinned, not the
+    // planted values. Shape: one narrow codegen map (regexp_replace +
+    // regexp_extract_all stay whole-stage), then a partial+final agg
+    // on the tiny source key — per-doc redacted text never shuffles.
+    // Patterns stay in the Java∩RE2 common dialect (no lookaround, no
+    // backrefs) so Spark and the oracle engine match identically.
+    "q146_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val withPii = Tables.load(s, d, "documents").select(
+        col("source"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      val red = regexp_replace(
+        regexp_replace(col("t"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      withPii
+        .select(col("source"), col("t"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("ne"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("np"),
+          (length(col("t")) - length(red)).as("removed"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("ne").as("emails"),
+          sum("np").as("phones"),
+          sum("removed").as("chars_removed"))
+    }),
+
+    // Constraint-validation suite (the Deequ/Great-Expectations shape):
+    // declarative data-quality rules checked in bulk before a corpus
+    // ships — uniqueness, completeness, domain membership, a
+    // cross-column consistency invariant, and referential containment
+    // of embeddings.vec_id in documents.doc_id. Each rule reduces to
+    // a scalar aggregate; all document-side rules share ONE scan/agg
+    // pass (no per-rule jobs), the referential rule is one left-anti
+    // count, and the result is a tiny unioned rule table. At 100 TB
+    // this is exactly one corpus pass + one (broadcastable) anti-join
+    // — rule count doesn't multiply scans.
+    "q147_validate_constraints" -> ((s, d) =>
+      validateCorpus(s, Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"))),
 
     // Token counting: whitespace tokens + a BPE-ish regex tokenization
     // (letter runs / digit runs / single punctuation marks).
@@ -671,6 +754,51 @@ object TextOps {
         |)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    "q146_pii_redact" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS red,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t, '555-[0-9]{4}')) AS np
+        |  FROM p)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(ne) AS BIGINT) AS emails,
+        |  CAST(sum(np) AS BIGINT) AS phones,
+        |  CAST(sum(len(t) - len(red)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source""".stripMargin,
+    "q147_validate_constraints" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n, count(DISTINCT doc_id) AS n_ids,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_ids,
+        |    CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS len_mismatch,
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        |    CAST(sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS empty_text
+        |  FROM documents),
+        |orph AS (
+        |  SELECT count(*) AS o FROM embeddings e
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)),
+        |u AS (
+        |  SELECT 'doc_id_unique' AS rule, n - n_ids AS violations FROM agg
+        |  UNION ALL SELECT 'doc_id_not_null', null_ids FROM agg
+        |  UNION ALL SELECT 'n_chars_consistent', len_mismatch FROM agg
+        |  UNION ALL SELECT 'lang_in_domain', bad_lang FROM agg
+        |  UNION ALL SELECT 'text_nonempty', empty_text FROM agg
+        |  UNION ALL SELECT 'embeddings_ref_docs', o FROM orph)
+        |SELECT rule, violations, violations = 0 AS pass FROM u""".stripMargin,
     "q40_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

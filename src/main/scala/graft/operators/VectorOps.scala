@@ -599,6 +599,41 @@ object VectorOps {
           round(col("dist"), 6).as("dist"), col("rk"))
     }),
 
+    // Hard-negative mining — the batch that builds (anchor, negative)
+    // training pairs for contrastive embedding finetuning: for each
+    // anchor (deterministic 1-in-20 id sample) the top-5 most
+    // cosine-similar corpus vectors with a DIFFERENT label ("hard"
+    // because they look like positives but aren't). PRE-filter
+    // semantics: the label predicate gates candidates BEFORE top-k
+    // (post-filtering under-returns, same contract as q99). Scale
+    // shape: anchors are the tiny side and BROADCAST, so the corpus
+    // never shuffles for the join; cosine stays a codegen expression;
+    // the per-anchor top-k is one exchange keyed by anchor over
+    // (anchor_id, neg_id, cos) triples — vectors are dropped before
+    // the shuffle. At corpus scale the q141 inverted-serve heap
+    // serves the same shape with the label predicate evaluated inside
+    // the bucket scan (a residual filter on the probe path), deleting
+    // the candidate shuffle entirely.
+    "q145_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val anchors = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("anchor_id"),
+          col("embedding").cast("array<double>").as("av"),
+          col("label").as("al"))
+      val cand = e.select(col("vec_id").as("neg_id"),
+        col("embedding").cast("array<double>").as("nv"),
+        col("label").as("nl"))
+      val scored = cand.join(broadcast(anchors), col("nl") =!= col("al"))
+        .select(col("anchor_id"), col("neg_id"),
+          VectorFunctions.cosineSimilarity(col("av"), col("nv")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("anchor_id"), col("neg_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
     // The KNN optimizer rule end-to-end (reference
     // OptimizeAsVectorIndexScan): a PLAIN orderBy(dist).limit(k) query
     // is silently served through the registered IVFFlat index via a
@@ -878,6 +913,21 @@ object VectorOps {
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,
     "q141_knn_join_ivf_heap" -> knnJoinOracle,
+    "q145_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+        |    label AS al
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |sc AS (
+        |  SELECT a.anchor_id, e.vec_id AS neg_id,
+        |    list_cosine_similarity(a.av, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM a JOIN embeddings e ON e.label <> a.al),
+        |rnk AS (
+        |  SELECT anchor_id, neg_id, cos, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rk
+        |  FROM sc)
+        |SELECT anchor_id, neg_id, rk, round(cos, 6) AS cos
+        |FROM rnk WHERE rk <= 5""".stripMargin,
     "q75_pq_knn_join" -> knnJoinOracle,
     "q78_ivfpq_knn_join" -> knnJoinOracle,
     "q55_hnsw_knn_join" -> knnJoinOracle,

@@ -108,4 +108,42 @@ class TextSpec extends SparkSpecBase {
     assert(joined.filter(col("avg_logp") < floor).count() == 0)
     joined.unpersist()
   }
+
+  test("q146 pii redact: exactly one planted email+phone per doc") {
+    val perSource = TextOps.queries("q146_pii_redact")(spark, sfDir)
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      assert(docs > 0)
+      assert(r.getAs[Long]("emails") == docs, s"emails in $r")
+      assert(r.getAs[Long]("phones") == docs, s"phones in $r")
+      // every email plant shrinks to <EMAIL> and phone to <PHONE>
+      assert(r.getAs[Long]("chars_removed") > 0)
+    }
+  }
+
+  test("q147 constraints: clean corpus passes; planted violations caught") {
+    import spark.implicits._
+    val clean = TextOps.queries("q147_validate_constraints")(spark, sfDir)
+      .collect()
+    assert(clean.length == 6)
+    assert(clean.forall(_.getAs[Boolean]("pass")), clean.mkString(";"))
+    val doc = Seq(
+      (0L, "hello world", "en", 11L), // ok
+      (0L, "dup id here", "en", 11L), // duplicate doc_id
+      (1L, "", "xx", 0L),             // empty text + bad lang
+      (2L, "bad len", "fr", 99L))     // n_chars inconsistent
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val emb = Seq((5L, Seq(0.1f, 0.2f))) // vec_id 5 has no document
+      .toDF("vec_id", "embedding")
+    val bad = TextOps.validateCorpus(spark, doc, emb).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad("doc_id_unique") == 1L)
+    assert(bad("doc_id_not_null") == 0L)
+    assert(bad("n_chars_consistent") == 1L)
+    assert(bad("lang_in_domain") == 1L)
+    assert(bad("text_nonempty") == 1L)
+    assert(bad("embeddings_ref_docs") == 1L)
+  }
 }

@@ -125,6 +125,36 @@ class VectorDistanceSpec extends SparkSpecBase {
     val recall = approx.intersect(exact).size / 10.0
     assert(recall >= 0.7, s"recall $recall")
   }
+
+  test("q145 hard negatives: other-label only, exact top-5 vs brute") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val res = graft.operators.VectorOps
+      .queries("q145_hard_negatives")(spark, sfDir).collect()
+    val labelOf = e.map(x => x._1 -> x._3).toMap
+    val byAnchor = res.groupBy(_.getAs[Long]("anchor_id"))
+    val anchors = e.filter(_._1 % 20 == 0)
+    assert(byAnchor.keySet == anchors.map(_._1).toSet)
+    anchors.foreach { case (aid, av, al) =>
+      val expect = e.filter(_._3 != al)
+        .map { case (id, v, _) => (id, cos(av, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = byAnchor(aid).sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[Long]("neg_id")).toSeq
+      assert(got == expect, s"anchor $aid")
+      got.foreach(n => assert(labelOf(n) != al))
+    }
+  }
 }
 
 object VectorFunctionsRegistrar {
