@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through VERBATIM instead of routing it
+// via sbt's logger, which prefixes every line with "[info] ". The
+// round driver tails stdout and json-parses line-by-line for Bench's
+// one-line artifact — with the logger prefix no line ever parses
+// (BENCH_r{1..6}.json all show parsed:null). StdoutOutput makes the
+// JSON headline a bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
