@@ -155,6 +155,31 @@ object ScaleOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // k-anonymity audit — the privacy release gate run before a
+    // dataset ships: group by the quasi-identifier tuple (nation,
+    // segment, account-balance band = one generalization level) and
+    // report the anonymity parameter k (min class size) plus how many
+    // classes/rows sit below the k=5 re-identification threshold
+    // (the rows a release would suppress or generalize further).
+    // Complements q146's PII redaction: scrubbing direct identifiers
+    // without checking quasi-identifier uniqueness is how "anonymized"
+    // sets get re-identified. Shape: two partial+final aggs, class
+    // rows only ever shuffle as (qid-tuple, count) — never the data.
+    "q148_k_anonymity" -> ((s, d) => {
+      val qid = Tables.load(s, d, "customer").select(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (floor(col("c_acctbal") / 1000.0) * 1000).cast("long")
+          .as("bal_band"))
+      qid.groupBy("nat", "seg", "bal_band")
+        .agg(count(lit(1)).as("k"))
+        .agg(min("k").as("k_min"),
+          count(lit(1)).as("n_classes"),
+          sum("k").as("n_rows"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_lt5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L))
+            .as("rows_at_risk"))
+    }),
+
     // Mergeable-sketch gate: HLL distinct (rsd 2%) and a quantile
     // sketch (accuracy 10k), each checked in-engine against the exact
     // answer; the driver-visible columns are the exact count + the
@@ -898,6 +923,20 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q148_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band
+        |  FROM customer),
+        |c AS (
+        |  SELECT nat, seg, bal_band, count(*) AS k FROM q GROUP BY 1, 2, 3)
+        |SELECT min(k) AS k_min, count(*) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_lt5,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM c""".stripMargin,
     "q82_hll_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS hll_ok, true AS q_ok

@@ -260,4 +260,16 @@ class ScaleOpsSpec extends SparkSpecBase {
       assert(got == expect, s"parts=$parts got $got")
     }
   }
+
+  test("q148 k-anonymity: class accounting closes against the table") {
+    val r = ScaleOps.queries("q148_k_anonymity")(spark, sfDir).head()
+    val nCustomers = graft.Tables.load(spark, sfDir, "customer").count()
+    assert(r.getAs[Long]("n_rows") == nCustomers) // classes partition rows
+    assert(r.getAs[Long]("k_min") >= 1)
+    assert(r.getAs[Long]("classes_lt5") <= r.getAs[Long]("n_classes"))
+    assert(r.getAs[Long]("rows_at_risk") <= nCustomers)
+    // every at-risk class contributes 1..4 rows
+    val (c5, rar) = (r.getAs[Long]("classes_lt5"), r.getAs[Long]("rows_at_risk"))
+    assert(rar >= c5 && rar <= 4 * c5)
+  }
 }
