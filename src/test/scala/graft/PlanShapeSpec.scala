@@ -255,4 +255,32 @@ class PlanShapeSpec extends SparkSpecBase {
     // spreads over `buckets` reducers)
     assert(s.contains("__salt"), s"salt column missing from the plan:\n$s")
   }
+
+  test("q145 hard negatives: anchors broadcast, top-5 pruned BEFORE the exchange") {
+    val df = operators.VectorOps.queries("q145_hard_negatives")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    // the corpus side must never shuffle for the join itself — the
+    // tiny anchor set is the broadcast build side of the theta join
+    assert(s.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"anchors must broadcast:\n$s")
+    // rank-limit pushdown: a Partial WindowGroupLimit caps each map
+    // partition at 5 rows per anchor, so the single anchor_id exchange
+    // carries O(anchors * 5 * partitions), not every candidate pair
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"per-partition top-k must prune before the shuffle:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"exactly one data exchange (anchor_id window):\n$s")
+  }
+
+  test("q146/q148: single-scan partial+final aggs, no join, pruned reads") {
+    for ((owner, q) <- Seq(
+        (operators.TextOps.queries, "q146_pii_redact"),
+        (operators.ScaleOps.queries, "q148_k_anonymity"))) {
+      val s = owner(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(s.contains("partial_"), s"$q must map-side combine:\n$s")
+      assert(!s.contains("Join"), s"$q must not join:\n$s")
+      assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1,
+        s"$q must read the corpus exactly once:\n$s")
+    }
+  }
 }
