@@ -197,6 +197,31 @@ object Bench {
           .exists(v => v == "" || v == "0" || v == "off")) "null"
       else "\"FAILED\"")
 
+    // ---- near-dup dedup at scale -------------------------------------
+    // Same contract as vector_scale, for the MinHash-LSH family: the
+    // q46 pipeline on a generated 100k + 1M-doc corpus with planted
+    // near-duplicates — wall time, blocking ratio, and planted-pair
+    // recall. SPARK_GRAFT_TEXT_SCALE: comma sizes, "off"/"0"/"" to
+    // disable, unset = 100k + 1M.
+    val tsResult: Option[TextScaleBench.Result] =
+      sys.env.get("SPARK_GRAFT_TEXT_SCALE") match {
+        case Some("") | Some("0") | Some("off") => None
+        case ov =>
+          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(Seq(100000L, 1000000L))
+          try {
+            spark.catalog.clearCache()
+            Some(TextScaleBench.run(spark, sizes))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] text_scale FAILED: ${e.getMessage}")
+            None
+          }
+      }
+    val textScaleJson = tsResult.map(_.json).getOrElse(
+      if (sys.env.get("SPARK_GRAFT_TEXT_SCALE")
+          .exists(v => v == "" || v == "0" || v == "off")) "null"
+      else "\"FAILED\"")
+
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val big = results2.toMap
@@ -235,7 +260,7 @@ object Bench {
     // timed above — a recall regression is visible across rounds
     // without the oracle
     val recallJson = jsonMap(GateMetrics.snapshot)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
 
     // ---- emit ----------------------------------------------------------
     // The driver captures only the last ~2000 chars of stdout and parses
@@ -279,9 +304,11 @@ object Bench {
     // full per-index table lives in the detail file
     val vsCompact = vsResult.flatMap(_.summary)
       .map(s => s""","vector_scale":$s""").getOrElse("")
+    val tsCompact = tsResult.flatMap(_.summary)
+      .map(s => s""","text_scale":$s""").getOrElse("")
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // bounded: after headNames.size+1 steps the seq is empty — without
     // take(), dropRight on empty yields empty forever and a too-long

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** The near-dup-dedup twin of [[VectorScaleBench]]: the MinHash-LSH
+  * pipeline (the q46 operator path — 64-hash signatures, 16×4 banding,
+  * salted bucket self-join, exact-Jaccard verify) run on a generated
+  * corpus at 100k and 1M documents, far beyond the driver tables'
+  * 5k-doc ceiling. The corpus is deterministic (splitmix64 off the
+  * row id, generated distributed — never collected) and carries
+  * PLANTED near-duplicates with known ground truth: every doc id with
+  * id % 100 == 1 is a one-token mutation of doc id-1 (3-gram Jaccard
+  * ≈ 0.85–0.95, above the 0.8 operator threshold), so the bench can
+  * report true RECALL of the planted pairs, not just wall time.
+  *
+  * Reported per size point:
+  *   - gen_sec: corpus generate+persist wall;
+  *   - lsh_sec: end-to-end near-dup extraction (shingle → signature →
+  *     banded bucket join → exact verify), best-of-2;
+  *   - candidate_pairs vs allpairs (the blocking ratio — the number
+  *     that decides 100 TB feasibility: candidates must track the dup
+  *     rate, not n²);
+  *   - recall_planted: fraction of the n/100 planted pairs surviving
+  *     the full pipeline (banding is probabilistic; at J≥0.85 the
+  *     16×4 scheme detects with p > 1 - 4e-8, so anything below ~1.0
+  *     means a real regression, not banding luck).
+  */
+object TextScaleBench {
+
+  val Vocab = 4096
+  val JaccardThr = 0.8
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Doc `id`'s token stream. Ids with id % 100 == 1 replay id-1's
+    * stream with ONE token substituted (position mix(id) % len) —
+    * the planted near-duplicate. Pure function of id: deterministic
+    * under any partitioning. */
+  private[graft] def genTokens(id: Long): Array[String] = {
+    val base = if (id % 100 == 1) id - 1 else id
+    val len = 40 + (mix(base * 7 + 1) & 0x7fffffff).toInt % 40
+    val toks = Array.tabulate(len) { j =>
+      "w" + ((mix(base * 0x100000001B3L + j) & 0x7fffffff) % Vocab)
+    }
+    if (id % 100 == 1) {
+      val p = ((mix(id) & 0x7fffffff) % len).toInt
+      toks(p) = "m" + ((mix(id * 31 + 7) & 0x7fffffff) % Vocab)
+    }
+    toks
+  }
+
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, genTokens(id).mkString(" "))))
+      .toDF("doc_id", "text")
+  }
+
+  private def timeIt[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The q46 operator path over an arbitrary (doc_id, text) frame:
+    * distinct 3-gram shingles → MinHash(64)/16-band keys → salted
+    * bucket self-join → exact-Jaccard verify on the candidates.
+    * Returns (verified near-dup pairs, raw candidate count). */
+  private def lshPairs(docs: DataFrame): (DataFrame, Long) = {
+    val sh = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.DistinctShingles.column(
+          operators.TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sh.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.MinHashBands.column(
+          col("sh"), numHashes = 64, bands = 16)).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = DedupOps.bucketPairs(bands, Seq("band", "bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    // exact verify: candidates are few (dup-rate-sized), so the
+    // shingle-set join is the cheap tail of the pipeline
+    val verified = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jacc", col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jacc") >= JaccardThr)
+      .select("a_id", "b_id")
+    val out = verified.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    Seq(sh, bands, cand).foreach(_.unpersist())
+    (out, nCand)
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  final case class Point(n: Long, genSec: Double, lshSec: Double,
+      candidates: Long, pairs: Long, planted: Long, recall: Double) {
+    def json: String = {
+      val allPairs = n.toDouble * (n - 1) / 2
+      s"""{"n":$n,"gen_sec":${r3(genSec)},"lsh_sec":${r3(lshSec)},""" +
+        s""""candidate_pairs":$candidates,"verified_pairs":$pairs,""" +
+        s""""allpairs_ratio":${candidates / allPairs},""" +
+        s""""planted":$planted,"recall_planted":${r3(recall)}}"""
+    }
+  }
+  final case class Result(points: Seq[Point]) {
+    def json: String =
+      s"""{"bands":16,"rows_per_band":4,"jaccard_thr":$JaccardThr,""" +
+        s""""points":[${points.map(_.json).mkString(",")}]}"""
+    def summary: Option[String] = points.lastOption.map { p =>
+      s"""{"n_max":${p.n},"lsh_sec":${r3(p.lshSec)},""" +
+        s""""recall_planted":${r3(p.recall)}}"""
+    }
+  }
+
+  def runPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val (docs, genSec) = timeIt {
+      val d = corpus(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    def once(): (DataFrame, Long, Double) = {
+      val ((df, c), t) = timeIt(lshPairs(docs))
+      (df, c, t)
+    }
+    val (p1, cand1, t1) = once()
+    val found = p1.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    p1.unpersist()
+    val (p2, _, t2) = once() // best-of-2: steady-state, not first-plan
+    p2.unpersist()
+    val planted = (1L until n by 100L).map(id => (id - 1, id)).toSet
+    val hit = planted.count { case (a, b) =>
+      found.contains((a, b)) || found.contains((b, a))
+    }
+    docs.unpersist()
+    Point(n, genSec, math.min(t1, t2), cand1, found.size,
+      planted.size, if (planted.isEmpty) 1.0 else hit.toDouble / planted.size)
+  }
+
+  def run(spark: SparkSession, sizes: Seq[Long]): Result =
+    Result(sizes.map(runPoint(spark, _)))
+}
