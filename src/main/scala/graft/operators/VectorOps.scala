@@ -210,9 +210,17 @@ object VectorOps {
             col("embedding").cast("array<double>"),
             VectorFunctions.vecLit(q)), 8).as("cosv"))
         .orderBy(col("cosv").desc, col("doc_id").asc).limit(100)
+      // BOUNDED single-partition rank: both inputs are top-100 lists
+      // (TakeOrderedAndProject above), so one partition IS the right
+      // plan — the constant partition key states that on purpose
+      // instead of tripping WindowExec's no-partition warning (which
+      // flags the unbounded-input case this is not). The corpus-sized
+      // ranking never happens: only the two candidate lists are ranked.
       val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
         .orderBy(col("bm25").desc, col("doc_id").asc)
       val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
         .orderBy(col("cosv").desc, col("doc_id").asc)
       val rb = bm25.withColumn("rb", row_number().over(wb))
       val rc = cos.withColumn("rc", row_number().over(wc))
