@@ -840,8 +840,138 @@ object ScaleOps {
     // oracle recomputes dominance the independent NOT EXISTS way.
     "q135_skyline" -> ((s, d) =>
       skyline(Tables.load(s, d, "part")
-        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")))),
+
+    // Batch sessionization (8h inactivity gap) — the batch twin of the
+    // q122 streaming sessionize gate, and the canonical
+    // lag-flag-then-running-sum shape: session boundaries from one lag,
+    // session ids from one running count, then two aggregations. ALL
+    // of it rides a SINGLE user_id exchange — the windows share one
+    // (user_id) sort, and both downstream groupBys
+    // ((user_id, sess_id), then (user_id)) are satisfied by the
+    // existing hash partitioning (ClusteredDistribution subsets), so
+    // Catalyst inserts no further shuffle. State per key is O(1);
+    // (us, event_id) total order makes boundary ties deterministic.
+    "q150_sessionize_batch" -> ((s, d) =>
+      sessions(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        sum(col("b_us") - col("a_us")).as("total_session_us"),
+        round(sum("n_events").cast("double") / count(lit(1)), 6)
+          .as("avg_session_events"))),
+
+    // Semi-structured extraction: parse the JSON `props` payload with
+    // Spark's codegen'd JSON path evaluation (get_json_object — no
+    // UDF, no mapPartitions JSON library loop) and aggregate the
+    // extracted field per event type. One scan, one partial+final agg
+    // exchange; the parse happens map-side inside whole-stage codegen,
+    // which is the only shape that survives a 100TB event log — any
+    // per-row driver or Python hop here multiplies the scan cost.
+    "q152_json_extract" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"),
+          countDistinct(col("k")).as("distinct_k"),
+          round(sum("k").cast("double") / count(col("k")), 6)
+            .as("avg_k"))),
+
+    // SCD type-2 dimension build — the lakehouse history table that
+    // q140's CDC merge feeds: collapse each user's event stream into
+    // state VERSIONS (consecutive duplicate states merged), each with
+    // [valid_from, valid_to) microsecond interval and a current flag.
+    // Both windows (the lag that detects changes, the lead that closes
+    // intervals over the SURVIVING rows) share one user_id exchange —
+    // the filter preserves partitioning, so Catalyst reuses the sort.
+    // Epoch-us output keeps the oracle compare timezone-proof.
+    "q153_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("state"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("state"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("is_current"))
+    }),
+
+    // Peak concurrency (max simultaneous sessions) — the classic
+    // sweep-line: ±1 deltas at session starts/ends, a GLOBAL running
+    // sum over time order, take the max. The global prefix is exactly
+    // what naive SQL does with an unpartitioned window (single task
+    // holding every delta); here it is the shared range-partitioned
+    // two-phase scan ([[DistributedPrefix.scan]] — q77/q135/q136's
+    // idiom), so the sweep parallelizes and the driver sees
+    // O(partitions) partials. Tie rule: +1 sorts before −1 at the same
+    // instant (touching sessions count as concurrent), pinned
+    // identically in the oracle's ORDER BY t, dlt DESC.
+    "q154_peak_concurrency" -> ((s, d) => peakConcurrency(sessions(s, d)))
   )
+
+  /** Gap-based sessions (8h inactivity): one user_id exchange carries
+    * the boundary lag, the session-id running count, and the
+    * per-session aggregate (the groupBy keys are supersets of the
+    * window partitioning, so no re-shuffle). Shared by q150 and the
+    * q154 sweep-line. */
+  private[graft] def sessions(s: SparkSession, d: String): DataFrame =
+    sessionsOf(Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
+
+  /** [[sessions]] over any (user_id, event_id, us) frame — split out so
+    * ScaleOpsSpec can pin the boundary semantics (gap strictly greater
+    * than 8h opens a session; ties ordered by event_id) on synthetic
+    * streams. */
+  private[graft] def sessionsOf(ev: DataFrame): DataFrame = {
+    val GapUs = 8L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    ev
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull
+          || col("us") - lag(col("us"), 1).over(w) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id").agg(
+        min("us").as("a_us"), max("us").as("b_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Sweep-line max-concurrency over session intervals [a_us, b_us]
+    * (inclusive ends: a session ending the instant another starts
+    * counts as concurrent — +1 deltas sort before −1 at equal t). The
+    * global running sum is the shared range-partitioned two-phase
+    * prefix scan, never a single-task window. */
+  private[graft] def peakConcurrency(sess: DataFrame): DataFrame = {
+    val s = sess.sparkSession
+    import s.implicits._
+    val deltas = sess.select(col("a_us").as("t"), lit(1L).as("dlt"))
+      .unionByName(sess.select(col("b_us").as("t"), lit(-1L).as("dlt")))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = deltas
+      .repartitionByRange(parts, col("t").asc, col("dlt").desc)
+      .sortWithinPartitions(col("t").asc, col("dlt").desc)
+      .as[(Long, Long)]
+    val run = DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Long, Long)) => a + r._2,
+      (x: Long, y: Long) => x + y) {
+      case (before, (t, dl)) => (t, before + dl)
+    }.toDF("t", "run")
+    run.orderBy(col("run").desc, col("t").asc).limit(1)
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("run").as("peak_concurrency"), col("t").as("at_us"),
+        col("n_sessions"))
+  }
 
   /** Two-phase distributed skyline (Pareto frontier: minimize col 2,
     * maximize col 3; col 1 is the row key). Phase 1 sweeps a LOCAL
@@ -1242,6 +1372,76 @@ object ScaleOps {
         |  WHERE q.p_retailprice <= p.p_retailprice
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice
-        |      OR q.p_size > p.p_size))""".stripMargin
+        |      OR q.p_size > p.p_size))""".stripMargin,
+    "q150_sessionize_batch" -> s"""$sessionSql
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(b_us - a_us) AS BIGINT) AS total_session_us,
+        |  round(sum(n_events)::DOUBLE / count(*), 6)
+        |    AS avg_session_events
+        |FROM sess GROUP BY user_id""".stripMargin,
+    "q152_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS distinct_k,
+        |  round(sum(k)::DOUBLE / count(k), 6) AS avg_k
+        |FROM e GROUP BY event_type""".stripMargin,
+    "q153_scd2_history" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type AS state,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, event_id, us, state FROM s
+        |  WHERE prev IS NULL OR prev <> state
+        |)
+        |SELECT user_id, state, us AS valid_from_us,
+        |  lead(us) OVER w AS valid_to_us,
+        |  lead(us) OVER w IS NULL AS is_current
+        |FROM v WINDOW w AS
+        |  (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    "q154_peak_concurrency" -> s"""$sessionSql
+        |, d AS (
+        |  SELECT a_us AS t, 1 AS dlt FROM sess
+        |  UNION ALL SELECT b_us, -1 FROM sess
+        |), r AS (
+        |  SELECT t, sum(dlt) OVER
+        |    (ORDER BY t, dlt DESC ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d
+        |), ns AS (SELECT count(*) AS n_sessions FROM sess)
+        |SELECT CAST(run AS BIGINT) AS peak_concurrency, t AS at_us,
+        |  n_sessions
+        |FROM r, ns ORDER BY run DESC, t LIMIT 1""".stripMargin
   )
+
+  /** Shared session CTE (8h gap — mirrors [[sessions]]) for the q150 /
+    * q154 oracles. */
+  private lazy val sessionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), n AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 28800000000 THEN 1 ELSE 0 END
+      |      AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), sn AS (
+      |  SELECT user_id, us, sum(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM n
+      |), sess AS (
+      |  SELECT user_id, sess_id, min(us) AS a_us, max(us) AS b_us,
+      |    count(*) AS n_events
+      |  FROM sn GROUP BY 1, 2
+      |)""".stripMargin
 }

@@ -691,8 +691,179 @@ object TextOps {
         .agg(max("nn").as("n_tokens"), max("vocab").as("vocab"),
           round((-sum(col("term"))).cast("double") / max(col("nn")), 6)
             .as("entropy"))
+    }),
+
+    // Gopher-style within-document repetition quality rules (Rae et
+    // al. 2021 §A1.1: fraction of duplicated words, most-common-word
+    // fraction, top 2-gram fraction). The four integers every rule is
+    // a ratio of — total tokens, distinct tokens, max word
+    // multiplicity, max contiguous-bigram multiplicity — come from ONE
+    // codegen'd per-row pass ([[org.apache.spark.sql.graft.RepetitionStats]]),
+    // so the filter costs zero shuffles before the per-source report:
+    // the explode + groupBy(doc, word) shape this replaces shuffles
+    // |docs|×|tokens| rows TWICE to answer a per-row question. Flag
+    // thresholds compare cross-multiplied INTEGERS (10·dup > 6·total,
+    // 1000·top > 125·total) so no decimal-vs-double comparison can
+    // straddle an engine boundary; per-doc fractions are rounded to 8
+    // as DECIMAL and averaged with one final double division (the q86
+    // discipline).
+    "q149_repetition_quality" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"),
+          org.apache.spark.sql.graft.RepetitionStats
+            .column(tokens(col("text"))).as("r"))
+        .select(col("source"), col("r.total").as("total"),
+          col("r.dist").as("dist"), col("r.top").as("top"),
+          col("r.top2").as("top2"))
+        .withColumn("dup_frac",
+          round((col("total") - col("dist")).cast("double")
+            / col("total"), 8).cast("decimal(18,8)"))
+        .withColumn("top_frac",
+          round(col("top").cast("double") / col("total"), 8)
+            .cast("decimal(18,8)"))
+        .withColumn("bg_frac",
+          round(col("top2").cast("double")
+            / greatest(col("total") - 1, lit(1)), 8).cast("decimal(18,8)"))
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum(when((col("total") - col("dist")) * 10 > col("total") * 6
+            || col("top") * 1000 > col("total") * 125, 1L)
+            .otherwise(0L)).as("flagged"),
+          round(sum(col("dup_frac")).cast("double") / count(lit(1)), 6)
+            .as("avg_dup_frac"),
+          round(sum(col("top_frac")).cast("double") / count(lit(1)), 6)
+            .as("avg_top_frac"),
+          round(sum(col("bg_frac")).cast("double") / count(lit(1)), 6)
+            .as("avg_bigram_frac"))),
+
+    // DSIR-style importance weights (Xie et al. 2023): score every
+    // document by how much more likely its tokens are under a TARGET
+    // unigram LM (here the deterministic doc_id%7==0 "curated" subset)
+    // than under the full-corpus LM — the data-selection signal that
+    // picks pretraining documents resembling a trusted set. ONE
+    // token-level pass builds BOTH LMs (corpus count + conditional
+    // target count in the same aggregate — not two scans); the
+    // per-word log-ratio table is vocabulary-sized and broadcast back,
+    // so scoring re-shuffles nothing but the per-doc aggregation.
+    // Per-word log-ratios rounded to 8 as DECIMAL, summed exactly, one
+    // final double division (the q86/q126 discipline); top-20 with
+    // doc_id tie-break.
+    "q151_dsir_weights" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"),
+          (col("doc_id") % 7 === 0).as("is_tgt"))
+      val lm = toks.groupBy("t").agg(
+        count(lit(1)).as("cc"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      val tot = lm.agg(sum("cc").as("totc"), sum("ct").as("tott"),
+        count(lit(1)).as("v"))
+      val w = lm.crossJoin(broadcast(tot))
+        .select(col("t"),
+          round(log((col("ct") + 1).cast("double")
+              / (col("tott") + col("v")))
+            - log((col("cc") + 1).cast("double")
+              / (col("totc") + col("v"))), 8)
+            .cast("decimal(20,8)").as("lr"))
+      toks.join(broadcast(w), "t")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("lr")).cast("double") / count(lit(1)), 6)
+            .as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // BPE vocabulary INDUCTION (Sennrich et al. 2016) — the iterative
+    // merge-learning loop q143's one-round pair count is the inner
+    // step of. The scale shape is the whole point: the corpus is
+    // scanned ONCE (word→freq, localCheckpointed); every one of the 8
+    // merge rounds then runs on the VOCABULARY table (bounded by
+    // distinct words, not corpus size — at 100TB the rounds cost the
+    // same as here), with one driver collect of exactly 1 row (the
+    // argmax pair) per round. Symbols are wrapped `<a><b>` so the
+    // merge is a plain non-overlapping string replace with identical
+    // left-to-right semantics in Spark and the oracle engine; argmax
+    // ties break lexicographically in both.
+    "q155_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      val (merges, _) = bpeLearn(wordFreq(s, d), BpeRounds)
+      merges.toDF("round", "pair", "merged", "n")
+    }),
+
+    // BPE tokenizer APPLICATION: encode the corpus with the 8 learned
+    // merges and report per-source token-per-word and compression
+    // ratios — the "how many tokens will training cost" readout.
+    // Encoding happens on the DISTINCT-word vocabulary (each merge is
+    // one chained literal replace), which then joins back to the
+    // corpus token stream BROADCAST — the corpus is never shuffled to
+    // be encoded, only the per-source counters exchange.
+    "q156_bpe_apply" -> ((s, d) => {
+      val (_, vocab) = bpeLearn(wordFreq(s, d), BpeRounds)
+      val enc = vocab.select(col("w"),
+        size(split(regexp_replace(col("sym"), "^<|>$", ""), "><"))
+          .as("n_sym"))
+      Tables.load(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .join(broadcast(enc), "w")
+        .groupBy("source").agg(
+          count(lit(1)).as("words"),
+          sum(length(col("w")).cast("long")).as("chars"),
+          sum(col("n_sym").cast("long")).as("bpe_tokens"),
+          round(sum(col("n_sym").cast("long")).cast("double")
+            / count(lit(1)), 6).as("avg_tokens_per_word"),
+          round(sum(length(col("w")).cast("long")).cast("double")
+            / sum(col("n_sym").cast("long")), 6).as("compression"))
     })
   )
+
+  private[graft] val BpeRounds = 8
+
+  /** Distinct-word frequency table — the single corpus scan every BPE
+    * round reuses. */
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** `rounds` BPE merge iterations over a (w, freq) vocabulary.
+    * Returns (merges: (round, pair, merged, weighted count), final
+    * vocabulary with its symbol string). Each round: count adjacent
+    * symbol pairs weighted by word frequency (overlapping count — the
+    * standard BPE statistic), pick the (count desc, pair asc) argmax,
+    * then merge via non-overlapping left-to-right string replace on
+    * the wrapped `<a><b>` form (the wrappers keep a replace from
+    * matching across symbol boundaries, and both engines' replace()
+    * scans left-to-right so "aaa" merges identically). The vocabulary
+    * is localCheckpointed per round — bounded lineage at any round
+    * count, and the corpus scan behind it runs exactly once. */
+  private[graft] def bpeLearn(words: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = words
+      .withColumn("sym", regexp_replace(col("w"), "(.)", "<$1>"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val toks = vocab.withColumn("a",
+        split(regexp_replace(col("sym"), "^<|>$", ""), "><"))
+      val best = toks.filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> " +
+            "concat('<', element_at(a, i), '><', element_at(a, i + 1), '>'))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val merged = pair.replace("><", "")
+        merges += ((r, pair, merged, n))
+        vocab = vocab.withColumn("sym",
+          expr(s"replace(sym, '$pair', '$merged')")).localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, vocab)
+  }
 
   /** The (doc_id, g) 5-gram occurrence stream for decontamination —
     * same construction as DedupOps' 3-gram stream (posexplode + window
@@ -1097,8 +1268,129 @@ object TextOps {
         |      * CAST(round(ln(n::DOUBLE / nn), 8) AS DECIMAL(20,8)))::DOUBLE
         |    / nn, 6) AS entropy
         |FROM c JOIN s USING (source)
-        |GROUP BY source, nn, vocab""".stripMargin
+        |GROUP BY source, nn, vocab""".stripMargin,
+    "q149_repetition_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, unnest(toks) AS tok FROM t
+        |), pw AS (
+        |  SELECT doc_id, source, tok, count(*) AS c
+        |  FROM w GROUP BY 1, 2, 3
+        |), d AS (
+        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS total,
+        |    count(*) AS dist, max(c) AS top
+        |  FROM pw GROUP BY 1, 2
+        |), bgr AS (
+        |  SELECT doc_id,
+        |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS g,
+        |    count(*) AS c
+        |  FROM t, unnest(range(1, len(toks))) AS r(i)
+        |  GROUP BY 1, 2
+        |), bg AS (
+        |  SELECT doc_id, max(c) AS top2 FROM bgr GROUP BY 1
+        |), f AS (
+        |  SELECT d.source, d.total, d.dist, d.top,
+        |    coalesce(bg.top2, 0) AS top2,
+        |    CAST(round((d.total - d.dist)::DOUBLE / d.total, 8)
+        |      AS DECIMAL(18,8)) AS dup_frac,
+        |    CAST(round(d.top::DOUBLE / d.total, 8)
+        |      AS DECIMAL(18,8)) AS top_frac,
+        |    CAST(round(coalesce(bg.top2, 0)::DOUBLE
+        |      / greatest(d.total - 1, 1), 8) AS DECIMAL(18,8)) AS bg_frac
+        |  FROM d LEFT JOIN bg USING (doc_id)
+        |)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN (total - dist) * 10 > total * 6
+        |    OR top * 1000 > total * 125 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS flagged,
+        |  round(sum(dup_frac)::DOUBLE / count(*), 6) AS avg_dup_frac,
+        |  round(sum(top_frac)::DOUBLE / count(*), 6) AS avg_top_frac,
+        |  round(sum(bg_frac)::DOUBLE / count(*), 6) AS avg_bigram_frac
+        |FROM f GROUP BY source""".stripMargin,
+    "q151_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t,
+        |    doc_id % 7 = 0 AS is_tgt
+        |  FROM documents
+        |), lm AS (
+        |  SELECT t, count(*) AS cc,
+        |    CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM t GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cc) AS BIGINT) AS totc,
+        |    CAST(sum(ct) AS BIGINT) AS tott, count(*) AS v
+        |  FROM lm
+        |), w AS (
+        |  SELECT t, CAST(round(ln((ct + 1)::DOUBLE / (tott + v))
+        |    - ln((cc + 1)::DOUBLE / (totc + v)), 8)
+        |    AS DECIMAL(20,8)) AS lr
+        |  FROM lm, tot
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(lr)::DOUBLE / count(*), 6) AS dsir_score
+        |FROM t JOIN w USING (t)
+        |GROUP BY doc_id
+        |ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin,
+    "q155_bpe_learn" -> (bpeCtes(BpeRounds)
+      + (1 to BpeRounds).map(r =>
+        s"SELECT $r AS round, pair, merged, n FROM b$r")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY round")),
+    "q156_bpe_apply" -> (bpeCtes(BpeRounds) + s"""
+, enc AS (
+  SELECT w, len(string_split(
+    regexp_replace(sym, '^<|>$$', '', 'g'), '><')) AS n_sym
+  FROM r$BpeRounds
+), cw AS (
+  SELECT source,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT source, count(*) AS words,
+  CAST(sum(length(w)) AS BIGINT) AS chars,
+  CAST(sum(n_sym) AS BIGINT) AS bpe_tokens,
+  round(sum(n_sym)::DOUBLE / count(*), 6) AS avg_tokens_per_word,
+  round(sum(length(w))::DOUBLE / sum(n_sym), 6) AS compression
+FROM cw JOIN enc USING (w) GROUP BY source""")
   )
+
+  /** Unrolled BPE-learning CTE chain for the q155/q156 oracles — the
+    * same symbolize → pair-count → argmax → replace recurrence as
+    * [[bpeLearn]], one CTE triple per round, generated so the SQL and
+    * the Scala stay round-for-round identical. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH r0 AS (
+  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS sym,
+    count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+)"""
+    for (r <- 1 to rounds) {
+      sb ++= s"""
+, t$r AS (
+  SELECT freq,
+    string_split(regexp_replace(sym, '^<|>$$', '', 'g'), '><') AS a
+  FROM r${r - 1}
+), p$r AS (
+  SELECT '<' || a[i] || '><' || a[i + 1] || '>' AS pair,
+    CAST(sum(freq) AS BIGINT) AS n
+  FROM t$r, unnest(range(1, len(a))) AS u(i)
+  GROUP BY 1
+), b$r AS (
+  SELECT pair, replace(pair, '><', '') AS merged, n
+  FROM p$r ORDER BY n DESC, pair LIMIT 1
+), r$r AS (
+  SELECT w, replace(sym, b$r.pair, b$r.merged) AS sym, freq
+  FROM r${r - 1}, b$r
+)"""
+    }
+    sb.toString
+  }
 
   private lazy val qualityOracle: String =
     s"""WITH t AS (

@@ -418,3 +418,74 @@ object SignBits64 {
     VectorDistanceApi.column(SignBits64(
       VectorDistanceApi.expression(vec.cast("array<double>"))))
 }
+
+/** Per-document token-repetition statistics in ONE codegen'd pass:
+  * (total tokens, distinct tokens, max token multiplicity, max
+  * contiguous-bigram multiplicity). The Gopher-style repetition
+  * quality rules (duplicate-word fraction, top-word fraction, top
+  * 2-gram fraction) are ratios of these four integers — computing
+  * them per row map-side means the quality filter costs ZERO
+  * shuffles before the per-source report aggregation, where the
+  * explode + two-level groupBy shape pays a |docs|x|tokens| exchange
+  * and a per-(doc,word) hash aggregate. Null tokens are skipped for
+  * word counts; a bigram containing a null is skipped (the
+  * DistinctShingles window rule). */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total", IntegerType, false),
+    org.apache.spark.sql.types.StructField("dist", IntegerType, false),
+    org.apache.spark.sql.types.StructField("top", IntegerType, false),
+    org.apache.spark.sql.types.StructField("top2", IntegerType, false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RepetitionStats.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+object RepetitionStats {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = tokens.numElements()
+    val words = new java.util.HashMap[UTF8String, Int]()
+    val grams = new java.util.HashMap[UTF8String, Int]()
+    var total = 0
+    var top = 0
+    var top2 = 0
+    var i = 0
+    var prev: UTF8String = null
+    while (i < len) {
+      val cur = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (cur != null) {
+        total += 1
+        val c = words.merge(cur, 1, (a, b) => a + b)
+        if (c > top) top = c
+        if (prev != null) {
+          val g = grams.merge(
+            UTF8String.concatWs(Space, prev, cur), 1, (a, b) => a + b)
+          if (g > top2) top2 = g
+        }
+      }
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, words.size, top, top2))
+  }
+
+  def column(tokens: Column): Column =
+    VectorDistanceApi.column(RepetitionStats(
+      VectorDistanceApi.expression(tokens)))
+}

@@ -283,4 +283,41 @@ class PlanShapeSpec extends SparkSpecBase {
         s"$q must read the corpus exactly once:\n$s")
     }
   }
+
+  test("q149 repetition quality: no explode, one scan, one exchange") {
+    val s = operators.TextOps.queries("q149_repetition_quality")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    // the per-doc stats come from the codegen'd RepetitionStats pass —
+    // the explode + groupBy(doc, word) shape this replaces would show
+    // a Generate and a second hashpartitioning exchange
+    assert(!s.contains("Generate"), s"q149 must not explode:\n$s")
+    assert(s.contains("repetition_stats"), s"expression missing:\n$s")
+    assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"only the source agg may shuffle:\n$s")
+    assert(s.contains("partial_"), s"q149 must map-side combine:\n$s")
+  }
+
+  test("q150/q153: windows + downstream aggs ride ONE user_id exchange") {
+    for ((q, own) <- Seq(
+        ("q150_sessionize_batch", operators.ScaleOps.queries),
+        ("q153_scd2_history", operators.ScaleOps.queries))) {
+      val s = own(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+        s"$q: lag/lead windows, session-id running sum and the "
+          + s"groupBys must all reuse the user_id partitioning:\n$s")
+      assert(!s.contains("Join"), s"$q must not join:\n$s")
+    }
+  }
+
+  test("q151 DSIR: vocabulary broadcasts back; corpus never re-shuffles for scoring") {
+    val s = operators.TextOps.queries("q151_dsir_weights")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the log-ratio table is vocab-sized: it must reach the token
+    // stream as a broadcast join, not a corpus-wide shuffle join
+    assert(s.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the LM join:\n$s")
+    assert(s.contains("TakeOrderedAndProject"), s"top-20 must fuse:\n$s")
+  }
 }

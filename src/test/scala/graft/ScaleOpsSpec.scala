@@ -272,4 +272,64 @@ class ScaleOpsSpec extends SparkSpecBase {
     val (c5, rar) = (r.getAs[Long]("classes_lt5"), r.getAs[Long]("rows_at_risk"))
     assert(rar >= c5 && rar <= 4 * c5)
   }
+
+  test("q150 sessions: gap boundary is strict (> 8h), ties by event_id") {
+    import spark.implicits._
+    val H = 3600L * 1000000L
+    // user 1: second event EXACTLY 8h later (same session — strict >),
+    // third 8h+1us after that (new session). user 2: one event.
+    val ev = Seq(
+      (1L, 10L, 0L), (1L, 11L, 8 * H), (1L, 12L, 16 * H + 1),
+      (2L, 20L, 5L))
+      .toDF("user_id", "event_id", "us")
+    val sess = ScaleOps.sessionsOf(ev)
+      .orderBy("user_id", "sess_id").collect()
+    assert(sess.length == 3)
+    val u1 = sess.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    assert(u1.head.getAs[Long]("a_us") == 0L
+      && u1.head.getAs[Long]("b_us") == 8 * H)
+  }
+
+  test("q154 sweep-line: touching sessions count as concurrent; peak is earliest") {
+    import spark.implicits._
+    // intervals: [0,10], [10,20] touch at 10 (concurrent -> 2);
+    // [5,8] overlaps the first -> peak 2 FIRST attained at t=5;
+    // [30,40] alone. Peak=2 at t=5 (earliest attaining instant).
+    val sess = Seq(
+      (1L, 1L, 0L, 10L, 3L), (1L, 2L, 10L, 20L, 2L),
+      (2L, 1L, 5L, 8L, 1L), (3L, 1L, 30L, 40L, 4L))
+      .toDF("user_id", "sess_id", "a_us", "b_us", "n_events")
+    for (parts <- Seq(1, 3)) {
+      val r = ScaleOps.peakConcurrency(sess.repartition(parts)).head()
+      assert(r.getAs[Long]("peak_concurrency") == 2L, s"parts=$parts")
+      assert(r.getAs[Long]("at_us") == 5L, s"parts=$parts")
+      assert(r.getAs[Long]("n_sessions") == 4L)
+    }
+  }
+
+  test("q153 SCD2: versions tile each user's history, one current each") {
+    val v = ScaleOps.queries("q153_scd2_history")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    assert(v.nonEmpty)
+    for ((_, rows) <- v) {
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      // exactly one open (current) version, and it is the last
+      assert(rows.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // each version closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us")
+            == b.getAs[Long]("valid_from_us"))
+        case _ => ()
+      }
+      // consecutive versions always change state (dup-collapse held)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("state") != b.getAs[String]("state"))
+        case _ => ()
+      }
+    }
+  }
 }

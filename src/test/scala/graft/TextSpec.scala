@@ -146,4 +146,97 @@ class TextSpec extends SparkSpecBase {
     assert(bad("text_nonempty") == 1L)
     assert(bad("embeddings_ref_docs") == 1L)
   }
+
+  test("q149 RepetitionStats == brute-force token statistics") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b a b a",          // top word a=3, top bigram "a b"=2
+      "x",                  // single token: no bigrams
+      "a a a a",            // "a a" x3
+      "p q r s t",          // all distinct
+      "the the the cat cat sat on the mat")
+    val got = texts.toDF("text")
+      .select(org.apache.spark.sql.graft.RepetitionStats
+        .column(split(col("text"), " ")).as("r"))
+      .select("r.total", "r.dist", "r.top", "r.top2")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val want = texts.map { t =>
+      val toks = t.split(" ").toSeq
+      val grams = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      (toks.length, toks.distinct.length,
+        toks.groupBy(identity).values.map(_.length).max,
+        if (grams.isEmpty) 0
+        else grams.groupBy(identity).values.map(_.length).max)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("q149 RepetitionStats: null tokens skipped, null-spanning bigrams dropped") {
+    import spark.implicits._
+    // array('a', NULL, 'a'): 2 words, no valid bigram (both span null)
+    val r = Seq(1).toDF("i")
+      .select(org.apache.spark.sql.graft.RepetitionStats.column(
+        array(lit("a"), lit(null.asInstanceOf[String]), lit("a"))).as("r"))
+      .select("r.total", "r.dist", "r.top", "r.top2").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      == ((2, 1, 2, 0)))
+    // empty array: all zeros
+    val e = Seq(1).toDF("i")
+      .select(org.apache.spark.sql.graft.RepetitionStats.column(
+        array().cast("array<string>")).as("r"))
+      .select("r.total", "r.dist", "r.top", "r.top2").head()
+    assert((e.getInt(0), e.getInt(1), e.getInt(2), e.getInt(3))
+      == ((0, 0, 0, 0)))
+  }
+
+  test("q155 BPE learn: known merge sequence, overlap counts, ties, exhaustion") {
+    import spark.implicits._
+    // vocab {"aaab": 2, "ab": 3}. Round 1: (a,a) appears twice in
+    // "aaab" (OVERLAPPING count) => 4; (a,b) => 2+3 = 5 -> merge "ab".
+    // Round 2 ("aaab" is now <a><a><ab>): (a,a)=2 vs (a,ab)=2 TIE ->
+    // lexicographic pair order ('<a><a>' < '<a><ab>' since '>' < 'b')
+    // -> merge "aa". Round 3: (aa,ab)=2 -> merge "aaab". Round 4: no
+    // pairs anywhere -> no merge recorded (loop exhausts gracefully).
+    val words = Seq(("aaab", 2L), ("ab", 3L)).toDF("w", "freq")
+    val (merges, vocab) = TextOps.bpeLearn(words, 4)
+    assert(merges == Seq(
+      (1, "<a><b>", "<ab>", 5L),
+      (2, "<a><a>", "<aa>", 2L),
+      (3, "<aa><ab>", "<aaab>", 2L)))
+    val syms = vocab.collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[String]("sym")).toMap
+    assert(syms("aaab") == "<aaab>" && syms("ab") == "<ab>")
+  }
+
+  test("q155 BPE merge replace is non-overlapping left-to-right") {
+    import spark.implicits._
+    // "aaa": pairs (a,a) x2, merge "aa" applies left-to-right once:
+    // <aa><a>, never <a><aa> and never a double-consume
+    val (m, v) = TextOps.bpeLearn(Seq(("aaa", 1L)).toDF("w", "freq"), 1)
+    assert(m == Seq((1, "<a><a>", "<aa>", 2L)))
+    assert(v.collect().head.getAs[String]("sym") == "<aa><a>")
+  }
+
+  test("q151 DSIR: one-pass LM equals the two-scan construction") {
+    // the conditional-count trick (corpus count + target count in ONE
+    // aggregate) must agree with independently built LMs
+    val d = sfDir
+    val toks = TextOps.queries("q151_dsir_weights")(spark, d)
+    assert(toks.count() == 20)
+    val docs = graft.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+    val corpus = docs.groupBy("t").count()
+    val target = docs.filter(col("doc_id") % 7 === 0).groupBy("t")
+      .agg(count(lit(1)).as("tc"))
+    val onePass = docs
+      .withColumn("is_tgt", col("doc_id") % 7 === 0)
+      .groupBy("t").agg(count(lit(1)).as("cc"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+    val joined = onePass.join(corpus, "t")
+      .join(target, Seq("t"), "left")
+      .filter(col("cc") =!= col("count")
+        || coalesce(col("tc"), lit(0L)) =!= col("ct"))
+    assert(joined.count() == 0)
+  }
 }
