@@ -915,8 +915,129 @@ object ScaleOps {
     // O(partitions) partials. Tie rule: +1 sorts before −1 at the same
     // instant (touching sessions count as concurrent), pinned
     // identically in the oracle's ORDER BY t, dlt DESC.
-    "q154_peak_concurrency" -> ((s, d) => peakConcurrency(sessions(s, d)))
+    "q154_peak_concurrency" -> ((s, d) => peakConcurrency(sessions(s, d))),
+
+    // Label-propagation community detection (synchronous, 3 rounds,
+    // deterministic): every node starts as its own community; each
+    // round adopts the most frequent label among its neighbors with
+    // ties broken by SMALLEST label — fully deterministic, so the
+    // oracle replays the identical recurrence as an unrolled CTE
+    // chain. Complements q110 (centrality) and the dedup suite's
+    // HashMin connected components (q65 — which converges to reachable
+    // sets; LPA finds densely-linked clusters INSIDE one component).
+    // Scale shape per round: the node-sized label table broadcasts
+    // into the edge join (edges never shuffle for it), the
+    // (dst, label) count is partial+final, and the per-node argmax is
+    // one window over node-sized data; labels localCheckpoint per
+    // round — bounded lineage at any round count.
+    "q157_lpa_communities" -> ((s, d) => {
+      val eo = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eo.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eo.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 3)
+        labels = lpaRound(edges, labels).localCheckpoint(true)
+      labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("lbl").asc).limit(20)
+        .select(col("lbl").as("community"), col("n_members"))
+    }),
+
+    // l-diversity audit — the companion gate q148's k-anonymity
+    // misses: a class can be large (k-safe) yet expose its SENSITIVE
+    // attribute because every member shares one value. Classes =
+    // (nation, balance band); sensitive = market segment; report
+    // minimum distinct-sensitive count, below-l classes and their row
+    // mass. Same single-scan two-level aggregate shape as q148 (the
+    // distinct is bounded by the sensitive domain).
+    "q158_l_diversity" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .select(col("c_nationkey").as("nat"),
+          (floor(col("c_acctbal") / 1000.0) * 1000).cast("long")
+            .as("bal_band"),
+          col("c_mktsegment").as("seg"))
+        .groupBy("nat", "bal_band")
+        .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"))
+        .agg(min(col("l")).as("l_min"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("classes_lt3"),
+          sum(when(col("l") < 3, col("k")).otherwise(0L))
+            .as("rows_at_risk"))),
+
+    // Item-item collaborative-filtering similarity (the recommender
+    // counterpart of q134's lift pairs): each event type is a vector
+    // of per-user interaction counts; report cosine between every
+    // type pair. The user-keyed self-join is the classic shape; the
+    // per-item norm table is |items| rows and broadcasts back. All
+    // dot products are exact integer sums — the only floats are the
+    // two correctly-rounded sqrts and one multiply/divide, identical
+    // in both engines. Per-user fan-out is bounded by |items|² (here
+    // 25), and at corpus scale the standard frequent-user cap applies
+    // before the join.
+    "q159_item_cosine" -> ((s, d) => {
+      val uc = Tables.load(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val norms = uc.groupBy("event_type")
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val pairs = uc.as("x").join(uc.as("y"), "user_id")
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ia"),
+          col("y.event_type").as("ib"))
+        .agg(sum(col("x.c") * col("y.c")).as("dot"))
+      pairs
+        .join(broadcast(norms.select(col("event_type").as("ia"),
+          col("n2").as("na2"))), "ia")
+        .join(broadcast(norms.select(col("event_type").as("ib"),
+          col("n2").as("nb2"))), "ib")
+        .select(col("ia"), col("ib"), col("dot"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na2").cast("double"))
+              * sqrt(col("nb2").cast("double"))), 6).as("cosine"))
+        .orderBy(col("ia").asc, col("ib").asc)
+    }),
+
+    // Hopping event-time windows (6h size, 3h hop — each event lands
+    // in exactly two windows) via Spark's NATIVE window() function:
+    // the batch twin of the streaming watermark aggregations, and the
+    // time-bucketing shape behind every training-telemetry dashboard.
+    // One scan, window assignment map-side (a codegen'd expand to the
+    // 2 hops), one partial+final agg; value sums ride DECIMAL so
+    // float summation order can't differ between engines.
+    "q160_hop_windows" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value")))
   )
+
+  /** One synchronous LPA update: every dst adopts the most frequent
+    * label among its in-neighbors, ties to the SMALLEST label. The
+    * node-sized label table broadcasts into the edge join; the argmax
+    * window runs over node-sized (dst, lbl) counts. Split out so
+    * ScaleOpsSpec pins the frequency-beats-order and tie rules on
+    * crafted label states. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val cnt = edges.join(broadcast(labels), edges("src") === labels("v"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("dst")
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("dst").as("v"), col("lbl"))
+  }
 
   /** Gap-based sessions (8h inactivity): one user_id exchange carries
     * the boundary lag, the session-id running count, and the
@@ -1420,7 +1541,80 @@ object ScaleOps {
         |), ns AS (SELECT count(*) AS n_sessions FROM sess)
         |SELECT CAST(run AS BIGINT) AS peak_concurrency, t AS at_us,
         |  n_sessions
-        |FROM r, ns ORDER BY run DESC, t LIMIT 1""".stripMargin
+        |FROM r, ns ORDER BY run DESC, t LIMIT 1""".stripMargin,
+    "q157_lpa_communities" -> ("""WITH eo AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS a,
+        |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM eo
+        |  UNION ALL SELECT b, a FROM eo
+        |), l0 AS (
+        |  SELECT DISTINCT src AS v, src AS lbl FROM e
+        |)""".stripMargin
+      + (1 to 3).map(r => s"""
+, c$r AS (
+  SELECT e.dst, l.lbl, count(*) AS cnt
+  FROM e JOIN l${r - 1} l ON e.src = l.v GROUP BY 1, 2
+), l$r AS (
+  SELECT dst AS v, lbl FROM c$r
+  QUALIFY row_number() OVER
+    (PARTITION BY dst ORDER BY cnt DESC, lbl) = 1
+)""").mkString
+      + """
+SELECT lbl AS community, count(*) AS n_members
+FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
+    "q158_l_diversity" ->
+      """WITH q AS (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |), c AS (
+        |  SELECT nat, bal_band, count(*) AS k,
+        |    count(DISTINCT seg) AS l
+        |  FROM q GROUP BY 1, 2
+        |)
+        |SELECT min(l) AS l_min, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_lt3,
+        |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM c""".stripMargin,
+    "q159_item_cosine" ->
+      """WITH uc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS n2
+        |  FROM uc GROUP BY 1
+        |), p AS (
+        |  SELECT x.event_type AS ia, y.event_type AS ib,
+        |    CAST(sum(x.c * y.c) AS BIGINT) AS dot
+        |  FROM uc x JOIN uc y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ia, ib, dot,
+        |  round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)),
+        |    6) AS cosine
+        |FROM p JOIN norms na ON na.event_type = p.ia
+        |  JOIN norms nb ON nb.event_type = p.ib
+        |ORDER BY ia, ib""".stripMargin,
+    "q160_hop_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type, v,
+        |    (us // 10800000000) * 10800000000 - k * 10800000000
+        |      AS win_start_us
+        |  FROM e, unnest([0, 1]) AS u(k)
+        |)
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |  round(sum(v)::DOUBLE, 6) AS sum_value
+        |FROM h GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared session CTE (8h gap — mirrors [[sessions]]) for the q150 /

