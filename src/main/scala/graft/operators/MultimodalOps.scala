@@ -109,6 +109,118 @@ object MultimodalOps {
       if (need == 0) 0.0 else sum.toDouble / need)
   }
 
+  final case class Audio(doc_id: Long, n_bytes: Int, sample_rate: Int,
+      n_samples: Long, duration_us: Long, peak: Int, rms: Double)
+
+  /** Audio fixture encoder: pack the payload into a canonical 44-byte
+    * RIFF/WAVE PCM (16-bit mono, 8 kHz). Sample i is the SIGNED 16-bit
+    * value of payload byte pair (2i, 2i+1) read big-endian —
+    * v = b0*256 + b1, sign-wrapped — then written little-endian as the
+    * WAV spec requires; a byte-order bug in the decoder flips values
+    * and shows up in peak/rms. Trailing odd byte dropped (len/2 full
+    * samples), mirroring the oracle's `len // 2`. */
+  private[graft] def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val ns = bytes.length / 2
+    val dataLen = ns * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < ns) {
+      val v = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff))
+        .toShort
+      out.putShort(v)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL WAV decode — pure-JVM RIFF chunk walker for PCM16 mono per
+    * the published WAVE format: RIFF header, then (id, size LE)
+    * chunks with odd-size pad bytes, `fmt ` validated
+    * (PCM/mono/16-bit), `data` is the little-endian sample stream.
+    * Unknown chunks are SKIPPED (the spec allows LIST/INFO etc);
+    * malformed payloads throw — fabricated audio poisons everything
+    * downstream. Features: sample count, integer microsecond
+    * duration, peak |amplitude|, RMS (exact integer sum of squares,
+    * one final sqrt). */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Audio = {
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"wav decode [$docId]: $why")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      if (bb.remaining() < 4) fail("truncated fourcc")
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") fail("missing RIFF")
+    bb.getInt() // riff size (trusting chunk walk, validated per chunk)
+    if (fourcc() != "WAVE") fail("missing WAVE")
+    var rate = -1
+    var haveFmt = false
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt()
+      if (size < 0 || size > bb.remaining()) fail(s"bad chunk size $size")
+      val next = bb.position() + size + (size & 1) // odd sizes pad
+      id match {
+        case "fmt " =>
+          if (size < 16) fail("fmt chunk too small")
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          rate = bb.getInt(); bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          if (fmt != 1) fail(s"not PCM: format $fmt")
+          if (ch != 1) fail(s"not mono: $ch channels")
+          if (bits != 16) fail(s"not 16-bit: $bits")
+          if (rate <= 0) fail(s"bad rate $rate")
+          haveFmt = true
+        case "data" =>
+          if (!haveFmt) fail("data before fmt")
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(); i += 1 }
+        case _ => () // LIST/INFO/fact/...: skip
+      }
+      bb.position(math.min(next, bytes.length))
+    }
+    if (!haveFmt) fail("no fmt chunk")
+    if (samples == null) fail("no data chunk")
+    var peak = 0
+    var sumSq = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      i += 1
+    }
+    val n = samples.length.toLong
+    Audio(docId, bytes.length, rate, n, n * 1000000L / rate, peak,
+      if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+  }
+
+  /** Binary audio ingest + partition-wise decode — the audio twin of
+    * [[decodeImages]] (same typed mapPartitions shape; a production
+    * decoder would init libsndfile/ffmpeg once per partition). */
+  def decodeAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => decodeWav(id, encodeWav(bytes)) }
+      }.toDF()
+  }
+
   /** Binary ingest + partition-wise decode. At scale the repartition
     * count follows payload bytes per partition, not row count. The
     * fixture encode (text → PPM payload) stands in for the upstream
@@ -202,7 +314,18 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n"),
           round(avg(col("mean_byte")), 6).as("avg_mean_byte"),
           max(col("height")).as("max_height"))
-    })
+    }),
+
+    // REAL audio decode (RIFF/WAVE PCM16 chunk walker) + per-asset
+    // feature extraction — the audio twin of q50. The oracle
+    // recomputes sample values, duration, peak and RMS from the same
+    // text byte pairs, so an endianness or sign-extension bug in the
+    // decoder is a value mismatch, not a silent drift.
+    "q161_audio_decode" -> ((s, d) =>
+      decodeAudio(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_samples"), col("duration_us"), col("peak"),
+          round(col("rms"), 6).as("rms")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -259,6 +382,33 @@ object MultimodalOps {
         |SELECT floor(n_bytes / 100)::INT AS size_bucket, count(*) AS n,
         |  round(avg(mean_byte), 6) AS avg_mean_byte,
         |  max(h) AS max_height
-        |FROM g GROUP BY 1""".stripMargin
+        |FROM g GROUP BY 1""".stripMargin,
+    // the WAV fixture packs text byte pair (2i, 2i+1) big-endian into
+    // signed sample i, written little-endian per the WAV spec; header
+    // is the canonical 44 bytes. The oracle recomputes every feature
+    // from the string side — sign wrap included.
+    "q161_audio_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT // 2 AS ns,
+        |    text
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, ns,
+        |    [CASE WHEN ascii(text[2*i+1:2*i+1]) * 256
+        |        + ascii(text[2*i+2:2*i+2]) >= 32768
+        |      THEN ascii(text[2*i+1:2*i+1]) * 256
+        |        + ascii(text[2*i+2:2*i+2]) - 65536
+        |      ELSE ascii(text[2*i+1:2*i+1]) * 256
+        |        + ascii(text[2*i+2:2*i+2]) END
+        |     for i in range(0, ns)] AS smp
+        |  FROM s
+        |)
+        |SELECT doc_id, (44 + 2 * ns)::INT AS n_bytes,
+        |  8000 AS sample_rate, ns AS n_samples,
+        |  ns * 1000000 // 8000 AS duration_us,
+        |  list_max(list_transform(smp, x -> abs(x)))::INT AS peak,
+        |  round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
+        |    / ns), 6) AS rms
+        |FROM v""".stripMargin
   )
 }

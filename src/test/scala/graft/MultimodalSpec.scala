@@ -79,4 +79,44 @@ class MultimodalSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(5) - want) < 1e-9)
     }
   }
+
+  test("q161 WAV decoder: round-trips the fixture encoder exactly") {
+    val payload = Array[Byte](0x7f, -1, -128, 0, 0, 1, 10) // odd tail drops
+    val a = operators.MultimodalOps.decodeWav(
+      7L, operators.MultimodalOps.encodeWav(payload))
+    // samples big-endian-from-payload: 0x7fff=32767, 0x8000=-32768,
+    // 0x0001=1 — peak is 32768 (the negative rail)
+    assert(a.n_samples == 3 && a.sample_rate == 8000)
+    assert(a.n_bytes == 44 + 6)
+    assert(a.duration_us == 3L * 1000000 / 8000)
+    assert(a.peak == 32768)
+    val sumSq = 32767L * 32767 + 32768L * 32768 + 1L
+    assert(math.abs(a.rms - math.sqrt(sumSq.toDouble / 3)) < 1e-12)
+  }
+
+  test("q161 WAV decoder: skips unknown chunks, honors odd-size padding") {
+    // hand-build: RIFF [ junk(3 bytes, padded) | fmt | data ]
+    val data = Array[Byte](1, 0, 2, 0) // samples 1, 2 (LE)
+    val bb = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](9, 9, 9)).put(0.toByte) // odd size -> pad byte
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).put(data)
+    val wav = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val a = operators.MultimodalOps.decodeWav(1L, wav)
+    assert(a.n_samples == 2 && a.peak == 2)
+    // truncated/alien payloads must throw, never fabricate
+    intercept[IllegalArgumentException] {
+      operators.MultimodalOps.decodeWav(2L, "RIFFxxxx".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      operators.MultimodalOps.decodeWav(3L,
+        java.util.Arrays.copyOf(wav, 30)) // data chunk cut off
+    }
+  }
 }
