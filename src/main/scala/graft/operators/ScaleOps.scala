@@ -1005,6 +1005,77 @@ object ScaleOps {
         .orderBy(col("ia").asc, col("ib").asc)
     }),
 
+    // Percentile outlier trimming (the value-cleaning pass before any
+    // regression/feature step): EXACT rank-based p1/p99 per event
+    // type — row_number over one type-keyed sort, the rank-k values
+    // picked inside the same aggregation, bounds joined back BROADCAST
+    // (|types| rows) so the corpus is filtered map-side. Rank-based
+    // (not approx/interpolated) so both engines select the identical
+    // boundary VALUE; the trimmed mean rides DECIMAL. At 100TB the
+    // per-type sort is the cost — swap in the q82 quantile sketch for
+    // the bounds and keep this exact path as the correctness pin.
+    "q163_outlier_trim" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("value"))
+      val w = Window.partitionBy("event_type").orderBy(col("value").asc)
+      val wn = Window.partitionBy("event_type")
+      val bounds = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type").agg(
+          max(when(col("rn") === greatest(lit(1L),
+            ceil(col("n") * 0.01)), col("value"))).as("p_lo"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("value")))
+            .as("p_hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("p_lo"), 1L).otherwise(0L))
+            .as("n_out_low"),
+          sum(when(col("value") > col("p_hi"), 1L).otherwise(0L))
+            .as("n_out_high"),
+          round(sum(when(col("value").between(col("p_lo"), col("p_hi")),
+            col("value").cast("decimal(18,6)"))).cast("double")
+            / sum(when(col("value").between(col("p_lo"), col("p_hi")), 1L)
+              .otherwise(0L)), 6).as("trimmed_mean"),
+          round(max(col("p_lo")), 6).as("p_lo"),
+          round(max(col("p_hi")), 6).as("p_hi"))
+    }),
+
+    // Per-user daily gap-fill (the time-series densification every
+    // activity model needs: missing days are REAL zeros, not absent
+    // rows): per-user day span exploded via sequence(), left join of
+    // the dense calendar against the sparse daily counts, zero-fill,
+    // then the islands trick (day minus row-number over zero days) for
+    // the longest silent streak. Two user-keyed exchanges total; the
+    // dense calendar is bounded by span×users, never corpus-sized.
+    "q164_gap_fill" -> ((s, d) => {
+      val daily = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val span = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val filled = span
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+        .join(daily, Seq("user_id", "day"), "left")
+        .na.fill(0L, Seq("n"))
+      val zw = Window.partitionBy("user_id").orderBy(col("day").asc)
+      val longestZero = filled.filter(col("n") === 0)
+        .withColumn("grp", date_sub(col("day"), row_number().over(zw)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy("user_id").agg(max("run").as("longest_zero_run"))
+      filled.groupBy("user_id").agg(
+        count(lit(1)).as("span_days"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("active_days"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).as("zero_days"),
+        sum("n").as("total_events"))
+        .join(longestZero, Seq("user_id"), "left")
+        .na.fill(0L, Seq("longest_zero_run"))
+    }),
+
     // Hopping event-time windows (6h size, 3h hop — each event lands
     // in exactly two windows) via Spark's NATIVE window() function:
     // the batch twin of the streaming watermark aggregations, and the
@@ -1614,7 +1685,67 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |)
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
-        |FROM h GROUP BY 1, 2""".stripMargin
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    "q163_outlier_trim" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, ceil(n * 0.01))
+        |      THEN value END) AS p_lo,
+        |    max(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p_hi
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_low,
+        |  CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_high,
+        |  round(sum(CASE WHEN value BETWEEN p_lo AND p_hi
+        |      THEN CAST(value AS DECIMAL(18,6)) END)::DOUBLE
+        |    / sum(CASE WHEN value BETWEEN p_lo AND p_hi THEN 1 ELSE 0
+        |      END), 6) AS trimmed_mean,
+        |  round(max(p_lo), 6) AS p_lo, round(max(p_hi), 6) AS p_hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+    "q164_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day
+        |  FROM span
+        |), filled AS (
+        |  SELECT cal.user_id, cal.day, coalesce(daily.n, 0) AS n
+        |  FROM cal LEFT JOIN daily USING (user_id, day)
+        |), zg AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM filled WHERE n = 0
+        |), runs AS (
+        |  SELECT user_id, grp, count(*) AS run FROM zg GROUP BY 1, 2
+        |), lz AS (
+        |  SELECT user_id, max(run) AS longest_zero_run
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT f.user_id, count(*) AS span_days,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS active_days,
+        |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_days,
+        |  CAST(sum(n) AS BIGINT) AS total_events,
+        |  coalesce(max(lz.longest_zero_run), 0) AS longest_zero_run
+        |FROM filled f LEFT JOIN lz ON f.user_id = lz.user_id
+        |GROUP BY f.user_id""".stripMargin
   )
 
   /** Shared session CTE (8h gap — mirrors [[sessions]]) for the q150 /

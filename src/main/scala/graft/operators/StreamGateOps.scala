@@ -295,9 +295,87 @@ object StreamGateOps {
       Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), eq))
         .toDF("n_sessions", "users", "events_total", "value_total",
           "stream_eq_batch")
+    }),
+
+    // Hopping-window aggregation gate — the STREAMING twin of q160:
+    // watermarked 6h/3h windows over the event stream, append-mode
+    // parquet sink, then full stream==batch window-for-window
+    // equivalence. A zz_sentinel event 24h past max ts (the q122
+    // discipline) advances the final watermark so every real window
+    // CLOSES and flushes; the sentinel's own windows are filtered by
+    // its event_type. Value sums ride DECIMAL in both twins, so the
+    // equivalence is exact, not tolerance-based.
+    "q162_stream_hop_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("hopwin", d)
+      val evBatch = Tables.load(s, d, "events") // nanos conf + batch twin
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
+      if (!sentinel.exists()) {
+        val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
+        val flushMicros = (maxTs.getTime + 24 * 3600 * 1000L) * 1000L
+        val one = Seq((-1L, flushMicros, -1L, "zz_flush", 0.0, ""))
+          .toDF("event_id", "ts_us", "user_id", "event_type", "value",
+            "props")
+          .withColumn("ts",
+            if (raw.schema("ts").dataType == LongType)
+              col("ts_us") * 1000L // us -> ns
+            else timestamp_micros(col("ts_us")))
+          .drop("ts_us")
+          .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
+        val tmp = dir + "/sentinel_build"
+        one.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, sentinel.toPath)
+      }
+      val hop = (df: DataFrame) => df
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sv"))
+      val src = Tables.fixEventTs(s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      val q = hop(src.withWatermark("ts", "1 hour"))
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sunk = s.read.parquet(dir + "/out")
+        .filter(col("event_type") =!= "zz_flush")
+      val batch = hop(evBatch)
+      val cmp = (df: DataFrame) => df.select(col("win_start_us"),
+        col("event_type"), col("n").cast("long"),
+        col("sv").cast("decimal(28,6)"))
+      val eq = sameRows(cmp(sunk), cmp(batch))
+      val r = sunk.agg(count(lit(1)).as("n_windows"),
+        sum(col("n").cast("long")).as("events_total"),
+        countDistinct(col("event_type")).as("n_types")).head()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), eq))
+        .toDF("n_windows", "events_total", "n_types", "stream_eq_batch")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q162_stream_hop_gate" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |    (us // 10800000000) * 10800000000 - k * 10800000000
+        |      AS win_start_us
+        |  FROM e, unnest([0, 1]) AS u(k)
+        |), g AS (
+        |  SELECT win_start_us, event_type, count(*) AS n
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_windows,
+        |  CAST(sum(n) AS BIGINT) AS events_total,
+        |  count(DISTINCT event_type) AS n_types,
+        |  true AS stream_eq_batch
+        |FROM g""".stripMargin,
     "q116_stream_dedup_gate" ->
       """WITH fps AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents

@@ -346,6 +346,48 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(winSum == 2 * total)
   }
 
+  test("q163 outlier trim: bounds ordered, ~1% tails, mean inside bounds") {
+    val rows = ScaleOps.queries("q163_outlier_trim")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"),
+        r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"))
+      assert(lo <= hi, r.toString)
+      val m = r.getAs[Double]("trimmed_mean")
+      assert(m >= lo && m <= hi, r.toString)
+      // rank-based 1% tails: each side keeps at most ~2% of rows
+      assert(r.getAs[Long]("n_out_low") <= n / 50 + 1, r.toString)
+      assert(r.getAs[Long]("n_out_high") <= n / 50 + 1, r.toString)
+    }
+  }
+
+  test("q164 gap-fill: span closes, longest run matches a brute replay") {
+    val rows = ScaleOps.queries("q164_gap_fill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("span_days")
+        == r.getAs[Long]("active_days") + r.getAs[Long]("zero_days"))
+      assert(r.getAs[Long]("longest_zero_run") <= r.getAs[Long]("zero_days"))
+    }
+    // brute per-user replay from raw events (driver-side, sf0.001 only)
+    val days = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay))
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val ds = days(uid).map(_.toEpochDay)
+      val span = ds.last - ds.head + 1
+      assert(r.getAs[Long]("span_days") == span, s"user $uid")
+      assert(r.getAs[Long]("active_days") == ds.length, s"user $uid")
+      val longest =
+        if (ds.length < 2) 0L
+        else ds.toSeq.sliding(2).map(p => p(1) - p(0) - 1).max
+      assert(r.getAs[Long]("longest_zero_run") == longest, s"user $uid")
+    }
+  }
+
   test("q153 SCD2: versions tile each user's history, one current each") {
     val v = ScaleOps.queries("q153_scd2_history")(spark, sfDir)
       .collect().groupBy(_.getAs[Long]("user_id"))

@@ -410,4 +410,14 @@ class StreamingSpec extends SparkSpecBase {
     // session bounds ordered
     assert(sessions.filter(col("end") < col("start")).isEmpty)
   }
+
+  test("q162 hop-window stream gate: every window flushes and matches batch") {
+    val r = graft.operators.StreamGateOps
+      .queries("q162_stream_hop_gate")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("stream_eq_batch"),
+      "watermarked stream windows must equal the batch twin")
+    // each event lands in exactly 2 hops
+    val n = Tables.load(spark, sfDir, "events").count()
+    assert(r.getAs[Long]("events_total") == 2 * n)
+  }
 }
