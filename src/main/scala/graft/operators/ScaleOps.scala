@@ -1005,6 +1005,59 @@ object ScaleOps {
         .orderBy(col("ia").asc, col("ib").asc)
     }),
 
+    // Incremental view maintenance for a JOIN view (the delta-join
+    // identity ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the expensive base join is
+    // materialized ONCE to guarded scratch; serving a "late batch" of
+    // rows on BOTH sides then costs only the three delta terms — and
+    // every delta term joins against a BROADCAST delta side, so the
+    // big tables never re-shuffle for maintenance. The gate row pins
+    // incremental == full-recompute row-for-row in-engine, plus
+    // DuckDB-recomputable counts and a DECIMAL quantity total. This is
+    // the mechanism behind every "don't rebuild the join, apply the
+    // delta" pipeline at 100TB; q108 is its aggregation counterpart.
+    "q165_ivm_join" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${scratch(d)}/ivm_join"
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val aOrd = ord.filter(col("o_orderkey") % 10 =!= 0)
+      val dOrd = ord.filter(col("o_orderkey") % 10 === 0)
+      val bLi = li.filter(col("l_orderkey") % 7 =!= 3)
+      val dLi = li.filter(col("l_orderkey") % 7 === 3)
+      def joined(o: DataFrame, l: DataFrame): DataFrame =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("l_linenumber"), col("l_quantity"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // guard signature covers BOTH inputs (scan-only, no join)
+      val sigDf = ord.select(xxhash64(col("o_orderkey"),
+          col("o_custkey")).as("h"))
+        .unionByName(li.select(xxhash64(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity")).as("h")))
+      ScratchGuard.ensure(s, root, sigDf)(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/base/_SUCCESS"))) {
+        joined(aOrd, bLi).write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/base")
+      }
+      val base = s.read.parquet(s"$root/base")
+      val delta = joined(broadcast(dOrd), bLi)
+        .unionByName(joined(aOrd, broadcast(dLi)))
+        .unionByName(joined(broadcast(dOrd), broadcast(dLi)))
+      val inc = base.unionByName(delta)
+      val full = joined(ord, li)
+      val eq = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      val r = inc.agg(count(lit(1)).as("n_total"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty")).head()
+      val nBase = base.count()
+      Seq((nBase, r.getLong(0) - nBase, r.getLong(0),
+        r.getDecimal(1).doubleValue, eq))
+        .toDF("n_base", "n_delta", "n_total", "qty_total",
+          "inc_eq_full")
+    }),
+
     // Percentile outlier trimming (the value-cleaning pass before any
     // regression/feature step): EXACT rank-based p1/p99 per event
     // type — row_number over one type-keyed sort, the rank-k values
@@ -1686,6 +1739,20 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q165_ivm_join" ->
+      """WITH j AS (
+        |  SELECT o_orderkey, o_custkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), t AS (
+        |  SELECT count(*) AS n_total, sum(q) AS qty FROM j
+        |), b AS (
+        |  SELECT count(*) AS n_base FROM j
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3
+        |)
+        |SELECT b.n_base, t.n_total - b.n_base AS n_delta, t.n_total,
+        |  t.qty::DOUBLE AS qty_total, true AS inc_eq_full
+        |FROM b, t""".stripMargin,
     "q163_outlier_trim" ->
       """WITH r AS (
         |  SELECT event_type, value,

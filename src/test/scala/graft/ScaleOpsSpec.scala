@@ -346,6 +346,15 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(winSum == 2 * total)
   }
 
+  test("q165 IVM: three delta terms + materialized base == full join") {
+    val r = ScaleOps.queries("q165_ivm_join")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("inc_eq_full"),
+      "incrementally maintained join must equal the full recompute")
+    assert(r.getAs[Long]("n_total")
+      == r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+    assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
+  }
+
   test("q163 outlier trim: bounds ordered, ~1% tails, mean inside bounds") {
     val rows = ScaleOps.queries("q163_outlier_trim")(spark, sfDir).collect()
     assert(rows.nonEmpty)
