@@ -33,7 +33,12 @@ object Bench {
     // so their tracked exponent is the operator path's; q127/q131/q134
     // have no quadratic verify side to bound)
     "q47_simhash", "q127_containment", "q131_source_overlap",
-    "q133_semdedup", "q134_basket_pairs")
+    "q133_semdedup", "q134_basket_pairs",
+    // round-7 third-pass additions with scale-relevant shapes: the
+    // DSIR LM join, the iterative BPE/LPA loops, the per-type
+    // rank sort, the calendar explode, and the IVM delta terms
+    "q151_dsir_weights", "q155_bpe_learn", "q157_lpa_communities",
+    "q163_outlier_trim", "q164_gap_fill", "q165_ivm_join")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead
@@ -76,7 +81,7 @@ object Bench {
       // carries the guard's full-table signature scan (and a rebuild
       // when the source regenerated), inflating its first reading.
       Seq("q84_date_partition_prune", "q113_source_roundtrip",
-          "q139_snapshot_read").foreach { g =>
+          "q139_snapshot_read", "q165_ivm_join").foreach { g =>
         SparkEntry.queries.get(g).foreach(fn => fn(spark, sfDir).count())
       }
     } catch { case _: Throwable => () }

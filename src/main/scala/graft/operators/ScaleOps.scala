@@ -1129,6 +1129,28 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // Behavioral sequence motifs: top event-type TRIGRAMS over each
+    // user's time-ordered stream (the n-gram LM idea applied to
+    // behavior — funnels q111 checks are hypothesis-driven; motifs
+    // SURFACE the hypotheses). Two lags on one user_id window (single
+    // exchange, shared sort), then a partial+final count on a key
+    // domain bounded by |types|³, and a TopN. Deterministic
+    // (ts, event_id) order.
+    "q166_event_motifs" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .withColumn("t3", lag(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("t3"), col("t2"), col("event_type"))
+          .as("motif"))
+        .groupBy("motif").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("motif").asc).limit(20)
+    }),
+
     // Hopping event-time windows (6h size, 3h hop — each event lands
     // in exactly two windows) via Spark's NATIVE window() function:
     // the batch twin of the streaming watermark aggregations, and the
@@ -1739,6 +1761,18 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q166_event_motifs" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT t3 || '>' || t2 || '>' || event_type AS motif,
+        |  count(*) AS n
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, motif LIMIT 20""".stripMargin,
     "q165_ivm_join" ->
       """WITH j AS (
         |  SELECT o_orderkey, o_custkey, l_linenumber,
