@@ -281,7 +281,58 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** dHash-style perceptual hash over the 4×h PPM raster, adapted to
+    * the fixture geometry: luminance = RGB byte sum per pixel, 8 rows
+    * sampled evenly (floor(r·h/8)), bit (r,c) = L(r,c) > L(r,c+1) for
+    * the 3 horizontal neighbor pairs → a 24-bit gradient signature,
+    * the standard near-duplicate-image key (identical gradients ⇒
+    * identical hash regardless of absolute brightness). The SQL is
+    * GENERATED once and evaluated verbatim by BOTH engines (ascii /
+    * substring / FLOOR are common dialect), so the oracle can't drift
+    * from the operator. */
+  private[graft] def phashSql(t: String, h: String): String = {
+    val terms = for (r <- 0 until 8; c <- 0 until 3) yield {
+      def lum(cc: Int): String = {
+        val row = s"CAST(FLOOR(($r * $h) / 8.0) AS INT)"
+        val base = s"(12 * $row + ${3 * cc})"
+        s"(ascii(substring($t, $base + 1, 1)) " +
+          s"+ ascii(substring($t, $base + 2, 1)) " +
+          s"+ ascii(substring($t, $base + 3, 1)))"
+      }
+      s"(CASE WHEN ${lum(c)} > ${lum(c + 1)} " +
+        s"THEN ${1L << (r * 3 + c)} ELSE 0 END)"
+    }
+    terms.mkString("CAST((", " + ", ") AS BIGINT)")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Near-duplicate IMAGE detection by perceptual hash — multimodal
+    // dedup, the capability the text MinHash family can't give you.
+    // The corpus has no natural duplicate images, so payloads are
+    // PLANTED: each odd doc shares its even partner's payload (a
+    // keyed self-join — at scale this is the upstream dedup-by-
+    // content-id join). The hash is one generated codegen expression
+    // (no decode loop needed for the HASH — it reads raster bytes
+    // positionally), groups keyed by the 24-bit signature; group
+    // rows are hash-keyed so the report shuffles |groups|, not
+    // pixels.
+    "q168_phash_dedup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val pay = docs
+        .select((col("doc_id") - col("doc_id") % 2).as("anchor"),
+          col("doc_id"))
+        .join(docs.select(col("doc_id").as("anchor"), col("text")),
+          "anchor")
+        .filter(length(col("text")) >= 12)
+        .withColumn("h",
+          expr("CAST(FLOOR(length(text) / 12.0) AS INT)"))
+        .withColumn("phash", expr(phashSql("text", "h")))
+      pay.groupBy("phash").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("n") >= 2)
+        .orderBy(col("phash").asc)
+    }),
     // Resize (stride subsample) keeps binary in/out; oracle recomputes
     // the sampled-byte stats from the string side.
     "q54_resize" -> ((s, d) => {
@@ -329,6 +380,20 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_phash_dedup" ->
+      s"""WITH pay AS (
+         |  SELECT a.doc_id AS doc_id, b.text AS text,
+         |    CAST(FLOOR(length(b.text) / 12.0) AS INT) AS h
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id - a.doc_id % 2
+         |  WHERE length(b.text) >= 12
+         |), ph AS (
+         |  SELECT doc_id, ${phashSql("text", "h")} AS phash FROM pay
+         |)
+         |SELECT phash, count(*) AS n, min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc
+         |FROM ph GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY phash""".stripMargin,
     "q54_resize" ->
       """WITH f AS (
         |  SELECT doc_id, len(text) AS n,

@@ -1129,6 +1129,35 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // Trailing-window anomaly days (the volume-monitoring alarm every
+    // ingestion pipeline runs): per-type daily counts, a 7-observed-
+    // day trailing mean/variance (ROWS frame — exact integer sums,
+    // the z-score is the only float), flag |z| > 2. One type-keyed
+    // exchange for the daily agg + the trailing window; day emitted
+    // as epoch days so the compare is calendar-free. The z formula is
+    // written IDENTICALLY in both engines (s/c, (sq − s²/c)/c), so
+    // the doubles agree bit-for-bit.
+    "q167_anomaly_days" -> ((s, d) => {
+      val tw = Window.partitionBy("event_type").orderBy(col("day").asc)
+        .rowsBetween(-7, -1)
+      val sd = sqrt((col("sq") - col("s") * col("s") / col("c"))
+        / col("c"))
+      Tables.load(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .withColumn("s", sum("n").over(tw))
+        .withColumn("sq", sum(col("n") * col("n")).over(tw))
+        .withColumn("c", count(lit(1)).over(tw))
+        .filter(col("c") >= 7)
+        .filter(sd > 0 &&
+          abs((col("n") - col("s") / col("c")) / sd) > 2)
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .as("day_epoch"),
+          col("n"),
+          round((col("n") - col("s") / col("c")) / sd, 6).as("z"))
+    }),
+
     // Behavioral sequence motifs: top event-type TRIGRAMS over each
     // user's time-ordered stream (the n-gram LM idea applied to
     // behavior — funnels q111 checks are hypothesis-driven; motifs
@@ -1761,6 +1790,23 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q167_anomaly_days" ->
+      """WITH d AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS s,
+        |    CAST(sum(n * n) OVER tw AS BIGINT) AS sq,
+        |    count(*) OVER tw AS c
+        |  FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, (day - DATE '1970-01-01') AS day_epoch, n,
+        |  round((n - s / c) / sqrt((sq - s * s / c) / c), 6) AS z
+        |FROM w
+        |WHERE c >= 7 AND sqrt((sq - s * s / c) / c) > 0
+        |  AND abs((n - s / c) / sqrt((sq - s * s / c) / c)) > 2""".stripMargin,
     "q166_event_motifs" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -119,4 +119,25 @@ class MultimodalSpec extends SparkSpecBase {
         java.util.Arrays.copyOf(wav, 30)) // data chunk cut off
     }
   }
+
+  test("q168 phash: brightness-invariant gradients; planted pairs collide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t1 = "abcjelmgqidolkjfabcdwxyz" // len 24 -> h = 2
+    val t2 = t1.map(c => (c + 1).toChar) // uniform brightness shift
+    val hashes = Seq(t1, t2).toDF("text")
+      .withColumn("h", expr("CAST(FLOOR(length(text) / 12.0) AS INT)"))
+      .select(expr(operators.MultimodalOps.phashSql("text", "h")))
+      .collect().map(_.getLong(0))
+    // dHash compares neighboring luminances: a constant shift keeps
+    // every gradient sign, so the perceptual hash must not move
+    assert(hashes(0) == hashes(1))
+    val groups = operators.MultimodalOps
+      .queries("q168_phash_dedup")(spark, sfDir).collect()
+    assert(groups.length >= 200, s"planted pairs missing: ${groups.length}")
+    groups.foreach { g =>
+      assert(g.getAs[Long]("n") >= 2)
+      assert(g.getAs[Long]("min_doc") < g.getAs[Long]("max_doc"))
+    }
+  }
 }

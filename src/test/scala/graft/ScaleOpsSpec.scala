@@ -355,6 +355,16 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q167 anomaly days: flags only |z| > 2 after a full trailing week") {
+    val rows = ScaleOps.queries("q167_anomaly_days")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture should produce at least one anomaly")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) > 2, r.toString)
+      assert(r.getAs[Long]("n") >= 0 && r.getAs[Int]("day_epoch") > 19700,
+        r.toString) // events live in 2024
+    }
+  }
+
   test("q163 outlier trim: bounds ordered, ~1% tails, mean inside bounds") {
     val rows = ScaleOps.queries("q163_outlier_trim")(spark, sfDir).collect()
     assert(rows.nonEmpty)
