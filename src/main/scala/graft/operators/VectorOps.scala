@@ -710,6 +710,65 @@ object VectorOps {
         .groupBy("label")
         .agg(round(sum(col("mx").cast("decimal(18,6)")).cast("double"), 6)
           .as("maxsim"), count(lit(1)).as("n_q"))
+    }),
+
+    // Dominant principal component via POWER ITERATION — distributed
+    // linear algebra with a cross-engine-exact recurrence. The
+    // distributed part is the Gram (second-moment) matrix: one
+    // vec_id-keyed self-join of the posexploded coordinates with
+    // per-term floor-scaling to 1e-12 LONGs, so the (i,j) partial+
+    // final sums are exact integers in ANY accumulation order (a
+    // float Gram would differ between engines in the last ulps). The
+    // eigensolve then runs on the dim²-BOUNDED matrix (64×64 — O(dim²)
+    // driver collect, the IvfFlat-centroid discipline): 60 rounds of
+    // w = Cv with the same floor-scaled integer sums, norms from
+    // 1e-6-scaled integer squares, and v floor-truncated to 9
+    // decimals each round — every float op appears in the identical
+    // order in the DuckDB oracle's 60 unrolled CTE rounds, so the
+    // loadings match exactly, not approximately. v0 = 1/√64 = 0.125
+    // (exact in binary). Top-8 |loading| dims + the eigenvalue.
+    "q169_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val S = 1e12
+      val x = emb(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+      val gram = x
+        .join(x.select(col("vec_id"), col("i").as("j"),
+          col("xi").as("xj")), "vec_id")
+        .select(col("i"), col("j"),
+          floor(col("xi").cast("double") * col("xj").cast("double")
+            * lit(S)).cast("long").as("t"))
+        .groupBy("i", "j").agg(sum("t").as("cl"))
+      val cRows = gram.collect() // dim² rows — bounded at any corpus size
+      val dim = cRows.map(_.getInt(0)).max + 1
+      val c = Array.ofDim[Long](dim, dim)
+      cRows.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      var v = Array.fill(dim)(0.125)
+      var lambda = 0.0
+      for (_ <- 1 to 60) {
+        val ws = Array.tabulate(dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dim) {
+            acc += math.floor(c(i)(j) / S * v(j) * S).toLong
+            j += 1
+          }
+          acc
+        }
+        var n2 = 0L
+        ws.foreach { wsc =>
+          val w = wsc / S
+          n2 += math.floor(w * w * 1e6).toLong
+        }
+        val norm = math.sqrt(n2 / 1e6)
+        lambda = norm
+        v = ws.map(wsc => math.floor(wsc / S / norm * 1e9) / 1e9)
+      }
+      (0 until dim).map(i => (i, v(i)))
+        .toDF("dim", "loading")
+        .orderBy(abs(col("loading")).desc, col("dim").asc).limit(8)
+        .select(col("dim"), round(col("loading"), 6).as("loading"),
+          round(lit(lambda), 6).as("eigenvalue"))
     })
   )
 
@@ -965,7 +1024,37 @@ object VectorOps {
         |SELECT label,
         |  round(CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim,
         |  count(*) AS n_q
-        |FROM m GROUP BY label""".stripMargin
+        |FROM m GROUP BY label""".stripMargin,
+    "q169_pca_power" -> ("""WITH x AS MATERIALIZED (
+        |  SELECT vec_id, i, embedding[i + 1]::DOUBLE AS xi
+        |  FROM embeddings, unnest(range(0, 64)) AS r(i)
+        |), c AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(floor(a.xi * b.xi * 1e12) AS BIGINT))
+        |      AS BIGINT) AS cl
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2
+        |), v0 AS MATERIALIZED (
+        |  SELECT i AS j, 0.125::DOUBLE AS vj
+        |  FROM (SELECT DISTINCT i FROM x)
+        |)""".stripMargin
+      + (1 to 60).map(r => s"""
+, w$r AS MATERIALIZED (
+  SELECT c.i,
+    CAST(sum(CAST(floor(c.cl / 1e12 * v.vj * 1e12) AS BIGINT))
+      AS BIGINT) AS ws
+  FROM c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1
+), n$r AS MATERIALIZED (
+  SELECT sqrt(CAST(sum(CAST(floor((ws / 1e12) * (ws / 1e12) * 1e6)
+    AS BIGINT)) AS BIGINT) / 1e6) AS nrm FROM w$r
+), v$r AS MATERIALIZED (
+  SELECT i AS j, floor(ws / 1e12 / nrm * 1e9) / 1e9 AS vj
+  FROM w$r, n$r
+)""").mkString
+      + """
+SELECT j AS dim, round(vj, 6) AS loading,
+  round((SELECT nrm FROM n60), 6) AS eigenvalue
+FROM v60 ORDER BY abs(vj) DESC, dim LIMIT 8""")
   )
 
   private lazy val knnJoinOracle =

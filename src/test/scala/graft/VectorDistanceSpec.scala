@@ -155,6 +155,46 @@ class VectorDistanceSpec extends SparkSpecBase {
       got.foreach(n => assert(labelOf(n) != al))
     }
   }
+
+  test("q169 PCA: loadings align with an unconstrained float power iteration") {
+    import org.apache.spark.sql.functions._
+    // independent math check (not the cross-engine pin): rebuild the
+    // Gram matrix in plain doubles on the driver, run 300 unscaled
+    // power-iteration rounds, and require the q169 component to point
+    // the same way (|cos| > 0.999) with a matching eigenvalue
+    val rows = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = rows.head.length
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lam = 0.0
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      lam = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lam)
+    }
+    val got = graft.operators.VectorOps.queries("q169_pca_power")(
+      spark, sfDir).collect()
+    val eig = got.head.getAs[Double]("eigenvalue")
+    assert(math.abs(eig - lam) / lam < 1e-3, s"eigenvalue $eig vs $lam")
+    // compare direction on the reported top-8 dims
+    val dot = got.map(r =>
+      r.getAs[Double]("loading") * v(r.getAs[Int]("dim"))).sum
+    val na = math.sqrt(got.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum)
+    val nb = math.sqrt(got.map(r => math.pow(v(r.getAs[Int]("dim")), 2)).sum)
+    assert(math.abs(dot) / (na * nb) > 0.999,
+      s"component direction drifted: ${math.abs(dot) / (na * nb)}")
+  }
 }
 
 object VectorFunctionsRegistrar {
