@@ -356,9 +356,91 @@ object StreamGateOps {
         countDistinct(col("event_type")).as("n_types")).head()
       Seq((r.getLong(0), r.getLong(1), r.getLong(2), eq))
         .toDF("n_windows", "events_total", "n_types", "stream_eq_batch")
+    }),
+
+    // LATE-DATA accounting gate: watermark semantics made
+    // driver-visible. FOUR micro-batches in file-name order
+    // (maxFilesPerTrigger=1): the real events, then a 'ya_advance'
+    // row at max(ts) — needed because Spark (3.4+) filters late rows
+    // with the PREVIOUS batch's watermark (watermarkForLateEvents
+    // lags eviction by one batch), so the events-derived watermark
+    // only becomes the late-filter two batches later — then a planted
+    // batch of 100 'zz_late' rows stamped at the corpus MINIMUM ts
+    // (29 days below the now-effective watermark: every one must be
+    // DROPPED), and a final zzz sentinel that flushes the windows.
+    // The gate pins: none of the planted rows reached the sink, and
+    // the surviving totals equal the batch aggregation untouched —
+    // i.e., late data changed NOTHING, which is exactly the
+    // correctness contract watermarks buy at 100TB ingest.
+    "q170_stream_late_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("lategate", d)
+      val evBatch = Tables.load(s, d, "events")
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val nLate = 100
+      def plant(name: String, tsMicros: Long, n: Int, etype: String)
+          : Unit = {
+        val f = new java.io.File(srcDir, name)
+        if (!f.exists()) {
+          val rows = (1 to n).map(i =>
+            (-i.toLong, tsMicros, -1L, etype, 0.0, ""))
+          val one = rows
+            .toDF("event_id", "ts_us", "user_id", "event_type", "value",
+              "props")
+            .withColumn("ts",
+              if (raw.schema("ts").dataType == LongType)
+                col("ts_us") * 1000L
+              else timestamp_micros(col("ts_us")))
+            .drop("ts_us")
+            .select(raw.schema.map(x => col(x.name).cast(x.dataType)): _*)
+          val tmp = dir + s"/build_$name"
+          one.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, f.toPath)
+        }
+      }
+      val bounds = evBatch.agg(min("ts"), max("ts")).head()
+      plant("ya_advance.parquet", bounds.getTimestamp(1).getTime * 1000L,
+        1, "ya_advance")
+      plant("zz_late.parquet", bounds.getTimestamp(0).getTime * 1000L,
+        nLate, "zz_late")
+      plant("zzz_flush.parquet",
+        (bounds.getTimestamp(1).getTime + 24 * 3600 * 1000L) * 1000L,
+        1, "zzz_flush")
+      val src = Tables.fixEventTs(s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      val q = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sunk = s.read.parquet(dir + "/out")
+        .filter(col("event_type") =!= "zzz_flush"
+          && col("event_type") =!= "ya_advance")
+      val lateInSink = sunk.filter(col("event_type") === "zz_late")
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val survived = sunk.filter(col("event_type") =!= "zz_late")
+        .agg(coalesce(sum("n"), lit(0L)), count(lit(1))).head()
+      val nEvents = evBatch.count()
+      Seq((nEvents, nLate.toLong, survived.getLong(0), lateInSink,
+        lateInSink == 0 && survived.getLong(0) == nEvents))
+        .toDF("n_events", "late_planted", "events_in_sink",
+          "late_in_sink", "all_late_dropped")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q170_stream_late_gate" ->
+      """SELECT count(*) AS n_events, 100::BIGINT AS late_planted,
+        |  count(*) AS events_in_sink,
+        |  0::BIGINT AS late_in_sink, true AS all_late_dropped
+        |FROM events""".stripMargin,
     "q162_stream_hop_gate" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS us FROM events

@@ -420,4 +420,12 @@ class StreamingSpec extends SparkSpecBase {
     val n = Tables.load(spark, sfDir, "events").count()
     assert(r.getAs[Long]("events_total") == 2 * n)
   }
+
+  test("q170 late-data gate: watermark drops every planted late row") {
+    val r = graft.operators.StreamGateOps
+      .queries("q170_stream_late_gate")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("all_late_dropped"), r.toString)
+    assert(r.getAs[Long]("late_in_sink") == 0)
+    assert(r.getAs[Long]("events_in_sink") == r.getAs[Long]("n_events"))
+  }
 }
