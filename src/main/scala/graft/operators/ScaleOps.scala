@@ -365,37 +365,7 @@ object ScaleOps {
     // while v2 files sit in the same tree, which is the property that
     // makes concurrent readers safe without locks at 100TB.
     "q139_snapshot_read" -> ((s, d) => {
-      val root = s"${scratch(d)}/snapshots"
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def manifest(v: Int) = new org.apache.hadoop.fs.Path(
-        s"$root/manifest_v$v.txt")
-      def listParts(p: String): Seq[String] =
-        fs.listStatus(new org.apache.hadoop.fs.Path(p))
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-          .sorted.toSeq
-      def writeManifest(v: Int, files: Seq[String]): Unit =
-        graft.Util.writeSmallFile(s, manifest(v), files.mkString("\n"))
-      // SELF-INVALIDATING build guard (ScratchGuard): the scratch dir
-      // outlives the driver's parquet regeneration (the r5 events.ts
-      // lesson), so "manifest exists" alone would serve a stale
-      // snapshot of an old table generation.
-      ScratchGuard.ensure(s, root,
-        Tables.load(s, d, "documents").select("doc_id", "n_chars"))(
-        fs.exists(manifest(2))) {
-        val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
-        base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
-        val f1 = listParts(s"$root/v1data")
-        writeManifest(1, f1)
-        // the append: a NEW file set, ids offset so v2 is a strict
-        // superset with disjoint keys — v1's files are never touched
-        base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
-        writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
-      }
-      def snap(v: Int) = s.read.parquet(
-        graft.Util.readSmallFile(s, manifest(v)).split("\n").toSeq: _*)
+      val snap = ensureSnapshots(s, d)
       def row(v: Int) = snap(v)
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("chars_total"),
@@ -1129,6 +1099,100 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // SCHEMA EVOLUTION read: two parquet generations of the same
+    // logical table — gen1 wrote (doc_id, source), gen2 added (lang,
+    // n_chars) — unioned through mergeSchema, with the missing
+    // columns of old files surfacing as NULLs the report must account
+    // for exactly. This is the "old files never rewritten" half of
+    // the lakehouse story (q139 is the versioning half): at 100TB you
+    // evolve the schema forward and readers reconcile, you don't
+    // rewrite exabytes. One scan over both generations, one agg.
+    "q171_schema_evolution" -> ((s, d) => {
+      val root = s"${scratch(d)}/schema_evo"
+      val docs = Tables.load(s, d, "documents")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      ScratchGuard.ensure(s, root,
+        docs.select("doc_id", "source", "lang", "n_chars"))(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen2/_SUCCESS"))) {
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "source")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/gen1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "source", "lang", "n_chars")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/gen2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          count(col("lang")).as("docs_with_lang"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_known"))
+    }),
+
+    // Snapshot DIFF — the churn report between two q139 manifest
+    // versions (what CDC consumers and incremental compactors read):
+    // keyed full-outer on doc_id classifying added / removed /
+    // changed / unchanged. Reads the REAL manifests (composes with
+    // the snapshot layout, not its definition); one key-partitioned
+    // join of two manifest-planned scans.
+    "q172_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val snap = ensureSnapshots(s, d)
+      val v1 = snap(1).select(col("doc_id"), col("n_chars").as("c1"))
+      val v2 = snap(2).select(col("doc_id"), col("n_chars").as("c2"))
+      val j = v1.join(v2, Seq("doc_id"), "full_outer")
+      val r = j.agg(
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("c1").isNotNull && col("c2").isNotNull
+          && col("c1") =!= col("c2"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("c1") === col("c2"), 1L).otherwise(0L))
+          .as("unchanged")).head()
+      val (n1, n2) = (snap(1).count(), snap(2).count())
+      Seq((n1, n2, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toDF("n_v1", "n_v2", "added", "removed",
+        "changed", "unchanged")
+    }),
+
+    // Consistent-hashing shard assignment + RESHARD audit: docs map
+    // to the first ring position clockwise of their hash (md5-derived
+    // 60-bit ring, 16 shards), then the ring gains a 17th shard and
+    // the report measures what FRACTION of docs moved — consistent
+    // hashing's contract is ≈1/(S+1), where naive mod-hashing moves
+    // ≈15/17. Ring tables are |shards| rows and broadcast; assignment
+    // is one conditional aggregation per doc, no shuffle before the
+    // single report agg.
+    "q173_consistent_hash" -> ((s, d) => {
+      def ringPos(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      def assign(docs: DataFrame, shards: DataFrame): DataFrame =
+        docs.crossJoin(broadcast(shards))
+          .groupBy("doc_id")
+          .agg(coalesce(
+            min(when(col("spos") >= col("dpos"), col("spos"))),
+            min(col("spos"))).as("shard_pos"))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          ringPos(col("doc_id").cast("string")).as("dpos"))
+      def shards(n: Int): DataFrame = {
+        import s.implicits._
+        (0 until n).map(i => i.toLong).toDF("shard_id")
+          .select(col("shard_id"),
+            ringPos(concat(lit("shard-"), col("shard_id"))).as("spos"))
+      }
+      val a16 = assign(docs, shards(16))
+        .select(col("doc_id"), col("shard_pos").as("p16"))
+      val a17 = assign(docs, shards(17))
+        .select(col("doc_id"), col("shard_pos").as("p17"))
+      a16.join(a17, "doc_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p16") =!= col("p17"), 1L).otherwise(0L))
+          .as("moved"),
+        round(sum(when(col("p16") =!= col("p17"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("moved_frac"))
+    }),
+
     // Trailing-window anomaly days (the volume-monitoring alarm every
     // ingestion pipeline runs): per-type daily counts, a 7-observed-
     // day trailing mean/variance (ROWS frame — exact integer sums,
@@ -1197,6 +1261,46 @@ object ScaleOps {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_value")))
   )
+
+  /** The q139 snapshot layout, built once per (JVM, dataset) behind a
+    * ScratchGuard signature: version = immutable file list (manifest);
+    * the v2 append adds files + a manifest and never rewrites v1.
+    * Returns the snapshot reader. Shared by q139 (version stability)
+    * and q172 (version DIFF). */
+  private[graft] def ensureSnapshots(s: SparkSession, d: String)
+      : Int => DataFrame = {
+    val root = s"${scratch(d)}/snapshots"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def manifest(v: Int) = new org.apache.hadoop.fs.Path(
+      s"$root/manifest_v$v.txt")
+    def listParts(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        .sorted.toSeq
+    def writeManifest(v: Int, files: Seq[String]): Unit =
+      graft.Util.writeSmallFile(s, manifest(v), files.mkString("\n"))
+    // SELF-INVALIDATING build guard (ScratchGuard): the scratch dir
+    // outlives the driver's parquet regeneration (the r5 events.ts
+    // lesson), so "manifest exists" alone would serve a stale
+    // snapshot of an old table generation.
+    ScratchGuard.ensure(s, root,
+      Tables.load(s, d, "documents").select("doc_id", "n_chars"))(
+      fs.exists(manifest(2))) {
+      val base = Tables.load(s, d, "documents").select("doc_id", "n_chars")
+      base.write.mode(SaveMode.Overwrite).parquet(s"$root/v1data")
+      val f1 = listParts(s"$root/v1data")
+      writeManifest(1, f1)
+      // the append: a NEW file set, ids offset so v2 is a strict
+      // superset with disjoint keys — v1's files are never touched
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/v2delta")
+      writeManifest(2, f1 ++ listParts(s"$root/v2delta"))
+    }
+    (v: Int) => s.read.parquet(
+      graft.Util.readSmallFile(s, manifest(v)).split("\n").toSeq: _*)
+  }
 
   /** One synchronous LPA update: every dst adopts the most frequent
     * label among its in-neighbors, ties to the SMALLEST label. The
@@ -1790,6 +1894,51 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q171_schema_evolution" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_with_lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_known
+        |FROM documents GROUP BY source""".stripMargin,
+    "q172_snapshot_diff" ->
+      """WITH b AS (SELECT count(*) AS n FROM documents),
+        |a AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.n AS n_v1, b.n + a.n AS n_v2, a.n AS added,
+        |  0::BIGINT AS removed, 0::BIGINT AS changed,
+        |  b.n AS unchanged
+        |FROM b, a""".stripMargin,
+    "q173_consistent_hash" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS dpos
+        |  FROM documents
+        |), s16 AS (
+        |  SELECT ('0x' || substring(md5('shard-' || i::VARCHAR), 1, 15))
+        |    ::BIGINT AS spos
+        |  FROM unnest(range(0, 16)) AS t(i)
+        |), s17 AS (
+        |  SELECT ('0x' || substring(md5('shard-' || i::VARCHAR), 1, 15))
+        |    ::BIGINT AS spos
+        |  FROM unnest(range(0, 17)) AS t(i)
+        |), a16 AS (
+        |  SELECT d.doc_id, coalesce(
+        |    min(CASE WHEN s.spos >= d.dpos THEN s.spos END),
+        |    min(s.spos)) AS p16
+        |  FROM docs d, s16 s GROUP BY d.doc_id
+        |), a17 AS (
+        |  SELECT d.doc_id, coalesce(
+        |    min(CASE WHEN s.spos >= d.dpos THEN s.spos END),
+        |    min(s.spos)) AS p17
+        |  FROM docs d, s17 s GROUP BY d.doc_id
+        |)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN p16 <> p17 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS moved,
+        |  round(sum(CASE WHEN p16 <> p17 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS moved_frac
+        |FROM a16 JOIN a17 USING (doc_id)""".stripMargin,
     "q167_anomaly_days" ->
       """WITH d AS (
         |  SELECT event_type, ts::DATE AS day, count(*) AS n

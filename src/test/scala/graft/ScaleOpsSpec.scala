@@ -355,6 +355,22 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q172 snapshot diff: append-only versions diff as pure adds") {
+    val r = ScaleOps.queries("q172_snapshot_diff")(spark, sfDir).head()
+    assert(r.getAs[Long]("removed") == 0 && r.getAs[Long]("changed") == 0)
+    assert(r.getAs[Long]("n_v2")
+      == r.getAs[Long]("n_v1") + r.getAs[Long]("added"))
+    assert(r.getAs[Long]("unchanged") == r.getAs[Long]("n_v1"))
+  }
+
+  test("q173 consistent hashing: reshard moves a small fraction, not 15/17") {
+    val r = ScaleOps.queries("q173_consistent_hash")(spark, sfDir).head()
+    val frac = r.getAs[Double]("moved_frac")
+    // contract: ~1/(S+1) ≈ 0.059 expected; naive mod-hash moves ~0.88.
+    // generous band for single-point-per-shard variance
+    assert(frac > 0.0 && frac < 0.25, s"moved_frac $frac")
+  }
+
   test("q167 anomaly days: flags only |z| > 2 after a full trailing week") {
     val rows = ScaleOps.queries("q167_anomaly_days")(spark, sfDir).collect()
     assert(rows.nonEmpty, "fixture should produce at least one anomaly")
