@@ -39,6 +39,11 @@ object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
   private def scratch(d: String): String = Tables.scratchDir(d)
+
+  /** Columns the q175 profile covers — one list drives both the Spark
+    * aggregation and the generated per-column oracle UNION. */
+  private val ProfileCols = Seq("c_custkey", "c_name", "c_nationkey",
+    "c_mktsegment", "c_acctbal")
   private def key(d: String): String = Tables.dirKey(d)
 
   /** Write orders+lineitem bucketed by the join key (8 buckets, sorted
@@ -1099,6 +1104,68 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // POINT-IN-TIME join against the q153 SCD2 dimension — the
+    // composition that makes slowly-changing dimensions useful: every
+    // event joins the state version that was VALID AT ITS TIMESTAMP
+    // (valid_from <= ts < valid_to, open-ended current version). The
+    // join is user-keyed with a per-user range residual — each user's
+    // version list is change-bounded, so the match fan-in is tiny;
+    // the gate additionally proves the SCD2 intervals TILE: exactly
+    // one version matches every event (matched == total, no
+    // double-attribution). The attributed report is then one agg.
+    "q174_pit_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val dim = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("state"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("state"),
+          col("us").as("valid_from_us"), col("valid_to_us"))
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ets"))
+      val matched = ev.join(dim,
+        ev("user_id") === dim("user_id")
+          && col("valid_from_us") <= col("ets")
+          && (col("valid_to_us").isNull
+            || col("ets") < col("valid_to_us")))
+      val n = ev.count()
+      val r = matched.groupBy("state").agg(count(lit(1)).as("n_events"))
+      val total = r.agg(sum("n_events")).head().getLong(0)
+      r.withColumn("tiling_exact", lit(total == n))
+        .select(col("state"), col("n_events"), col("tiling_exact"))
+    }),
+
+    // Table PROFILE — the one-pass column-statistics report every
+    // data platform materializes before anything else touches a new
+    // table: per column, null count, exact distinct count, min/max
+    // rendered as strings. One wide aggregation (count-distinct
+    // expands internally but the scan happens once); emitted in
+    // long form (column, stat rows) so the schema is stable as
+    // columns evolve.
+    "q175_table_profile" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+      val cols = ProfileCols
+      val aggs = cols.flatMap(k => Seq(
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"${k}_nulls"),
+        countDistinct(col(k)).as(s"${k}_ndv"),
+        min(col(k)).cast("string").as(s"${k}_min"),
+        max(col(k)).cast("string").as(s"${k}_max")))
+      val row = c.agg(aggs.head, aggs.tail: _*).head()
+      val n = c.count()
+      cols.map(k => (k,
+          n,
+          row.getAs[Long](s"${k}_nulls"),
+          row.getAs[Long](s"${k}_ndv"),
+          row.getAs[String](s"${k}_min"),
+          row.getAs[String](s"${k}_max")))
+        .toDF("column", "n_rows", "nulls", "ndv", "min_s", "max_s")
+    }),
+
     // SCHEMA EVOLUTION read: two parquet generations of the same
     // logical table — gen1 wrote (doc_id, source), gen2 added (lang,
     // n_chars) — unioned through mergeSchema, with the missing
@@ -1894,6 +1961,36 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q174_pit_join" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type AS state,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, event_id, us, state FROM s
+        |  WHERE prev IS NULL OR prev <> state
+        |), dim AS (
+        |  SELECT user_id, state, us AS valid_from_us,
+        |    lead(us) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to_us
+        |  FROM v
+        |), ev AS (SELECT user_id, epoch_us(ts) AS ets FROM events)
+        |SELECT d.state, count(*) AS n_events, true AS tiling_exact
+        |FROM ev e JOIN dim d ON e.user_id = d.user_id
+        |  AND d.valid_from_us <= e.ets
+        |  AND (d.valid_to_us IS NULL OR e.ets < d.valid_to_us)
+        |GROUP BY d.state""".stripMargin,
+    "q175_table_profile" -> ProfileCols.map(k =>
+      s"""SELECT '$k' AS "column",
+         |  (SELECT count(*) FROM customer) AS n_rows,
+         |  CAST(sum(CASE WHEN $k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nulls,
+         |  count(DISTINCT $k) AS ndv,
+         |  min($k)::VARCHAR AS min_s, max($k)::VARCHAR AS max_s
+         |FROM customer""".stripMargin).mkString("\nUNION ALL\n"),
     "q171_schema_evolution" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)

@@ -355,6 +355,24 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q174 point-in-time join: SCD2 intervals attribute every event once") {
+    val rows = ScaleOps.queries("q174_pit_join")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("tiling_exact")),
+      "every event must match exactly one dimension version")
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.Tables.load(spark, sfDir, "events").count())
+  }
+
+  test("q175 table profile: key column is unique and null-free") {
+    val p = ScaleOps.queries("q175_table_profile")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val key = p("c_custkey")
+    assert(key.getAs[Long]("nulls") == 0)
+    assert(key.getAs[Long]("ndv") == key.getAs[Long]("n_rows"))
+    assert(p("c_mktsegment").getAs[Long]("ndv") <= 5)
+  }
+
   test("q172 snapshot diff: append-only versions diff as pure adds") {
     val r = ScaleOps.queries("q172_snapshot_diff")(spark, sfDir).head()
     assert(r.getAs[Long]("removed") == 0 && r.getAs[Long]("changed") == 0)
