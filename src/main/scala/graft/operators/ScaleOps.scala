@@ -1078,9 +1078,13 @@ object ScaleOps {
     // the longest silent streak. Two user-keyed exchanges total; the
     // dense calendar is bounded by span×users, never corpus-sized.
     "q164_gap_fill" -> ((s, d) => {
+      // persist: daily is referenced by three branches (span, fill
+      // join, islands) — without it each branch re-scans the raw
+      // events; the cached form is users×days, corpus-independent
       val daily = Tables.load(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        .persist()
       val span = daily.groupBy("user_id")
         .agg(min("day").as("d0"), max("day").as("d1"))
       val filled = span

@@ -328,6 +328,19 @@ class PlanShapeSpec extends SparkSpecBase {
       s"both |items|-sized norm tables must broadcast:\n$s")
   }
 
+  test("q163/q174: bounds/dim reach the fact side broadcast, no nested loop") {
+    for (q <- Seq("q163_outlier_trim", "q174_pit_join")) {
+      val s = operators.ScaleOps.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join (range parts as residual):\n$s")
+    }
+    val s163 = operators.ScaleOps.queries("q163_outlier_trim")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s163.contains("BroadcastHashJoin"),
+      s"q163's |types|-row bounds table must broadcast:\n$s163")
+  }
+
   test("q151 DSIR: vocabulary broadcasts back; corpus never re-shuffles for scoring") {
     val s = operators.TextOps.queries("q151_dsir_weights")(spark, sfDir)
       .queryExecution.executedPlan.toString
