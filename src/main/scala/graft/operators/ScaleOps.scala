@@ -1022,8 +1022,16 @@ object ScaleOps {
         .unionByName(joined(aOrd, broadcast(dLi)))
         .unionByName(joined(broadcast(dOrd), broadcast(dLi)))
       val inc = base.unionByName(delta)
+      // row-level equivalence gate SAMPLE-BOUNDED (the q47/q133
+      // discipline): the full-recompute comparison would defeat IVM's
+      // purpose at scale, so exceptAll runs on a deterministic ~1%
+      // key slice — while the count + DECIMAL quantity total below
+      // (oracle-checked against the full recompute) cover EVERY row
+      val keySample = col("o_orderkey") % 97 === 0
       val full = joined(ord, li)
-      val eq = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      val eq = inc.filter(keySample).exceptAll(full.filter(keySample))
+        .isEmpty &&
+        full.filter(keySample).exceptAll(inc.filter(keySample)).isEmpty
       val r = inc.agg(count(lit(1)).as("n_total"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("qty")).head()
       val nBase = base.count()
