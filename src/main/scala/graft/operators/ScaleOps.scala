@@ -1116,6 +1116,31 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // TIME-WEIGHTED average of the value signal per user (the metric
+    // aggregation where observations hold until superseded — sensor /
+    // price / gauge semantics, where a plain mean over-weights bursts):
+    // each value is weighted by microseconds until the user's next
+    // event; the last observation carries no interval. Weighted terms
+    // are per-term rounded DECIMALs (exact sum, any order), the
+    // denominator is an exact integer interval sum, one final double
+    // division. One user_id exchange shared by the lead window and
+    // the aggregation.
+    "q176_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_intervals"),
+          sum("dt").as("span_us"),
+          round(sum(round(col("value") * col("dt"), 6)
+            .cast("decimal(28,6)")).cast("double")
+            / sum("dt"), 6).as("twap"))
+    }),
+
     // POINT-IN-TIME join against the q153 SCD2 dimension — the
     // composition that makes slowly-changing dimensions useful: every
     // event joins the state version that was VALID AT ITS TIMESTAMP
@@ -1973,6 +1998,20 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q176_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts) AS dt
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  round(sum(CAST(round(value * dt, 6) AS DECIMAL(28,6)))::DOUBLE
+        |    / sum(dt), 6) AS twap
+        |FROM e WHERE dt IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     "q174_pit_join" ->
       """WITH s AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -773,6 +773,46 @@ object TextOps {
         .limit(20)
     }),
 
+    // Zipf rank-frequency diagnostic: least-squares slope of
+    // ln(count) against ln(rank) over the top-1000 vocabulary — the
+    // corpus-health check that catches template farms (slope near 0)
+    // and single-source collapse (cliff). Closed-form regression over
+    // DECIMAL-exact sums of per-term rounded logs (the q86/q130 float
+    // discipline: identical doubles → identical rounded decimals →
+    // exact sums in any order → ONE final double division per
+    // coefficient). TakeOrdered for the top-1000; one word-keyed
+    // exchange for the counts.
+    "q177_zipf_slope" -> ((s, d) => {
+      import s.implicits._
+      // distributed part: word counts + TakeOrdered top-1000; the
+      // regression then runs on the BOUNDED collected list (rank =
+      // position in the deterministic (count desc, word) order — no
+      // global window, the skyline/PCA driver discipline). Per-term
+      // ln rounded to 8 and summed as exact BigDecimal, mirroring
+      // the oracle's DECIMAL algebra term for term.
+      val top = Tables.load(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(1000)
+        .collect().map(_.getLong(1))
+      def r8(v: Double): BigDecimal =
+        BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      val pts = top.zipWithIndex.map { case (c, i) =>
+        (r8(math.log((i + 1).toDouble)), r8(math.log(c.toDouble)))
+      }
+      val n = pts.length
+      val sx = pts.map(_._1).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n.toLong, r6(slope), r6(intercept)))
+        .toDF("n_points", "slope", "intercept")
+    }),
+
     // BPE vocabulary INDUCTION (Sennrich et al. 2016) — the iterative
     // merge-learning loop q143's one-round pair count is the inner
     // step of. The scale shape is the whole point: the corpus is
@@ -1335,6 +1375,32 @@ object TextOps {
         |FROM t JOIN w USING (t)
         |GROUP BY doc_id
         |ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin,
+    "q177_zipf_slope" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT w, count(*) AS c FROM t GROUP BY 1
+        |), top AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |  FROM c ORDER BY c DESC, w LIMIT 1000
+        |), p AS (
+        |  SELECT CAST(round(ln(rank::DOUBLE), 8) AS DECIMAL(20,8)) AS x,
+        |    CAST(round(ln(c::DOUBLE), 8) AS DECIMAL(20,8)) AS y
+        |  FROM top
+        |), sums AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p
+        |)
+        |SELECT n AS n_points,
+        |  round((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE, 6) AS slope,
+        |  round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n, 6)
+        |    AS intercept
+        |FROM sums""".stripMargin,
     "q155_bpe_learn" -> (bpeCtes(BpeRounds)
       + (1 to BpeRounds).map(r =>
         s"SELECT $r AS round, pair, merged, n FROM b$r")

@@ -355,6 +355,22 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q176 TWAP: bounded by each user's observed values; spans close") {
+    import spark.implicits._
+    val rows = ScaleOps.queries("q176_twap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val minMax = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    rows.foreach { r =>
+      val (lo, hi) = minMax(r.getAs[Long]("user_id"))
+      val t = r.getAs[Double]("twap")
+      assert(t >= lo - 1e-6 && t <= hi + 1e-6, r.toString)
+      assert(r.getAs[Long]("span_us") > 0)
+    }
+  }
+
   test("q174 point-in-time join: SCD2 intervals attribute every event once") {
     val rows = ScaleOps.queries("q174_pit_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -218,6 +218,16 @@ class TextSpec extends SparkSpecBase {
     assert(v.collect().head.getAs[String]("sym") == "<aa><a>")
   }
 
+  test("q177 Zipf: slope is negative, points track the vocabulary") {
+    val r = TextOps.queries("q177_zipf_slope")(spark, sfDir).head()
+    assert(r.getAs[Double]("slope") < 0,
+      "rank-frequency slope must fall (counts decrease with rank)")
+    val vocab = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .select("w").distinct().count()
+    assert(r.getAs[Long]("n_points") == math.min(1000L, vocab))
+  }
+
   test("q151 DSIR: one-pass LM equals the two-scan construction") {
     // the conditional-count trick (corpus count + target count in ONE
     // aggregate) must agree with independently built LMs
