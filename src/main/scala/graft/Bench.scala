@@ -38,7 +38,10 @@ object Bench {
     // DSIR LM join, the iterative BPE/LPA loops, the per-type
     // rank sort, the calendar explode, and the IVM delta terms
     "q151_dsir_weights", "q155_bpe_learn", "q157_lpa_communities",
-    "q163_outlier_trim", "q164_gap_fill", "q165_ivm_join")
+    "q163_outlier_trim", "q164_gap_fill", "q165_ivm_join",
+    // fourth-wave shapes worth a curve: the phash self-join, the PCA
+    // gram join, the PIT range join, and the TWAP window
+    "q168_phash_dedup", "q169_pca_power", "q174_pit_join", "q176_twap")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead
