@@ -230,6 +230,32 @@ object Bench {
           .exists(v => v == "" || v == "0" || v == "off")) "null"
       else "\"FAILED\"")
 
+    // ---- graph ops at scale ------------------------------------------
+    // Same contract for the graph family: triangles / components /
+    // PageRank / LPA on generated 100k + 1M-node graphs with PLANTED
+    // ground truth (ring+chord clusters: exactly one triangle per
+    // node, uniform PageRank; hub clusters: exact component count).
+    // SPARK_GRAFT_GRAPH_SCALE: comma sizes, "off"/"0"/"" disables,
+    // unset = 100k + 1M.
+    val gsResult: Option[GraphScaleBench.Result] =
+      sys.env.get("SPARK_GRAFT_GRAPH_SCALE") match {
+        case Some("") | Some("0") | Some("off") => None
+        case ov =>
+          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(Seq(100000L, 1000000L))
+          try {
+            spark.catalog.clearCache()
+            Some(GraphScaleBench.run(spark, sizes))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] graph_scale FAILED: ${e.getMessage}")
+            None
+          }
+      }
+    val graphScaleJson = gsResult.map(_.json).getOrElse(
+      if (sys.env.get("SPARK_GRAFT_GRAPH_SCALE")
+          .exists(v => v == "" || v == "0" || v == "off")) "null"
+      else "\"FAILED\"")
+
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val big = results2.toMap
@@ -268,7 +294,7 @@ object Bench {
     // timed above — a recall regression is visible across rounds
     // without the oracle
     val recallJson = jsonMap(GateMetrics.snapshot)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
 
     // ---- emit ----------------------------------------------------------
     // The driver captures only the last ~2000 chars of stdout and parses
@@ -312,11 +338,13 @@ object Bench {
     // full per-index table lives in the detail file
     val vsCompact = vsResult.flatMap(_.summary)
       .map(s => s""","vector_scale":$s""").getOrElse("")
+    val gsCompact = gsResult.flatMap(_.summary)
+      .map(s => s""","graph_scale":$s""").getOrElse("")
     val tsCompact = tsResult.flatMap(_.summary)
       .map(s => s""","text_scale":$s""").getOrElse("")
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // bounded: after headNames.size+1 steps the seq is empty — without
     // take(), dropRight on empty yields empty forever and a too-long

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, ScaleOps}
+
+/** The graph twin of [[VectorScaleBench]]/[[TextScaleBench]]: the four
+  * graph operators (triangle counting, connected components, PageRank,
+  * label propagation) executed on GENERATED graphs at 100k and 1M
+  * nodes — far beyond the driver tables' ~1.5k-node ceiling — with
+  * PLANTED ground truth so every number is checked, not just timed:
+  *
+  *  - ring+chord clusters (1000 nodes each; node i joins i+1 and i+2
+  *    mod cluster): exactly ONE triangle per node ({i, i+1, i+2} — no
+  *    other triple closes), so the wedge-join count must equal n;
+  *    the 4-regular structure also makes the PageRank stationary
+  *    distribution UNIFORM, so after 5 rounds max ≈ min is a
+  *    correctness check, and rank mass must be conserved exactly in
+  *    fixed-point arithmetic.
+  *  - hub-spoke clusters (same size): diameter 2, so HashMin
+  *    components converge in ~2 rounds and the component count must
+  *    equal n/1000 exactly.
+  *  - LPA on the ring+chord graph: labels can only travel edges, so
+  *    after 3 rounds every surviving label's members sit in ONE
+  *    cluster — the locality invariant.
+  *
+  * Everything derives from the node id (pure functions, deterministic
+  * under any partitioning); nothing is collected except O(1) check
+  * scalars.
+  */
+object GraphScaleBench {
+
+  val ClusterSize = 1000L
+
+  /** ring+chord: (u, v) with u<v, one row per undirected edge. */
+  def ringChordEdges(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].flatMap { v =>
+      val base = v / ClusterSize * ClusterSize
+      val i = v % ClusterSize
+      Seq(base + (i + 1) % ClusterSize, base + (i + 2) % ClusterSize)
+        .map(w => (math.min(v, w), math.max(v, w)))
+    }.toDF("u", "v")
+  }
+
+  /** hub-spoke: every node links its cluster hub (diameter 2). */
+  def hubEdges(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].flatMap { v =>
+      val base = v / ClusterSize * ClusterSize
+      if (v == base) Iterator.empty else Iterator((base, v))
+    }.toDF("u", "v")
+  }
+
+  private def timeIt[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** 5 PageRank rounds (damping 0.85) with fixed-point BIGINT ranks
+    * (1e-6 units — exact mass conservation is part of the check). The
+    * co-partitioned shape: edges shuffle-join ranks on src each round
+    * (the q110 fallback path — at 1M nodes the rank table is past
+    * sensible broadcast), one groupBy(dst), eager localCheckpoint. */
+  private def pagerank(spark: SparkSession, edges: DataFrame)
+      : (Long, Long, Long) = {
+    val S = 1000000L
+    val bi = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .cache()
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    deg.count()
+    var ranks = deg.select(col("src").as("id"), lit(S).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val contrib = bi.join(deg, "src")
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("r") / col("deg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("in"))
+      ranks = ranks.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit((0.15 * S).toLong)
+            + floor(coalesce(col("in"), lit(0L)) * 85L / 100L)
+              .cast("long")).as("r"))
+        .localCheckpoint(true)
+    }
+    val r = ranks.agg(sum("r"), min("r"), max("r")).head()
+    bi.unpersist(); deg.unpersist()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  final case class Point(n: Long, edges: Long, genSec: Double,
+      triSec: Double, triOk: Boolean, ccSec: Double, ccOk: Boolean,
+      prSec: Double, prOk: Boolean, lpaSec: Double, lpaOk: Boolean) {
+    def json: String =
+      s"""{"n":$n,"edges":$edges,"gen_sec":${r3(genSec)},""" +
+        s""""tri_sec":${r3(triSec)},"triangles_ok":$triOk,""" +
+        s""""cc_sec":${r3(ccSec)},"components_ok":$ccOk,""" +
+        s""""pr_sec":${r3(prSec)},"rank_conserved":$prOk,""" +
+        s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk}"""
+    def allOk: Boolean = triOk && ccOk && prOk && lpaOk
+  }
+  final case class Result(points: Seq[Point]) {
+    def json: String =
+      s"""{"cluster_size":$ClusterSize,""" +
+        s""""points":[${points.map(_.json).mkString(",")}]}"""
+    def summary: Option[String] = points.lastOption.map { p =>
+      s"""{"n_max":${p.n},"tri_sec":${r3(p.triSec)},""" +
+        s""""pr_sec":${r3(p.prSec)},"all_ok":${p.allOk}}"""
+    }
+  }
+
+  def runPoint(spark: SparkSession, n: Long): Point = {
+    val (rc, genSec) = timeIt {
+      val e = ringChordEdges(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    // triangles: planted ground truth — exactly one per node
+    val ((_, _, nTri, _), triSec) =
+      timeIt(ScaleOps.triangleStats(rc))
+    val triOk = nTri == n
+    // components on the hub graph: exactly n / ClusterSize
+    val hub = hubEdges(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hub.count()
+    val (nComp, ccSec) = timeIt {
+      DedupOps.ccLabels(hub.select(col("u").as("a_id"), col("v").as("b_id")))
+        .select("lbl").distinct().count()
+    }
+    val ccOk = nComp == n / ClusterSize
+    hub.unpersist()
+    // PageRank: 4-regular graph -> uniform stationary point; exact
+    // integer mass conservation (0.15 remainder floors excepted)
+    val ((mass, rMin, rMax), prSec) = timeIt(pagerank(spark, rc))
+    // symmetry makes every rank identical (slack 2 units for safety);
+    // fixed-point floors lose < 5 units/node/round, geometric sum
+    // bounds total mass drift well under 30 units/node
+    val prOk = rMax - rMin <= 2L && math.abs(mass - n * 1000000L) < n * 30L
+    // LPA locality: a label never escapes its cluster
+    val (badLabels, lpaSec) = timeIt {
+      var labels = rc.select(col("u").as("v")).unionByName(
+          rc.select(col("v"))).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      val bi = rc.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(rc.select(col("v").as("src"), col("u").as("dst")))
+      for (_ <- 1 to 3)
+        labels = ScaleOps.lpaRound(bi, labels).localCheckpoint(true)
+      labels.select((col("v") / ClusterSize).cast("long").as("c"),
+          col("lbl"))
+        .groupBy("lbl").agg(countDistinct(col("c")).as("nc"))
+        .filter(col("nc") > 1).count()
+    }
+    val lpaOk = badLabels == 0
+    val nEdges = rc.count()
+    rc.unpersist()
+    Point(n, nEdges, genSec, triSec, triOk, ccSec, ccOk, prSec, prOk,
+      lpaSec, lpaOk)
+  }
+
+  def run(spark: SparkSession, sizes: Seq[Long]): Result =
+    Result(sizes.map(runPoint(spark, _)))
+}

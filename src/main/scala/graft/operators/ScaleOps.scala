@@ -682,42 +682,7 @@ object ScaleOps {
         .distinct()
       val edges = li.toDF("o", "u").join(li.toDF("o", "v"), "o")
         .filter(col("u") < col("v")).select("u", "v").distinct()
-        .cache() // reused 3x: degrees, orientation, edge count
-      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-        .cache() // |V| rows — vertex-table sized, not edge sized
-      // nodes + wedge total in ONE pass over the degree table
-      val degStats = deg.agg(count(lit(1)),
-        sum(col("deg") * (col("deg") - lit(1L)))).head()
-      // deg is |V| (vertices), orders smaller than |E|: broadcast both
-      // orientation joins so the edge set never shuffles for them (at
-      // a vertex count past executor memory, fall back to two
-      // co-partitioned joins on u/v — same plan minus the broadcast).
-      val keyed = edges
-        .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
-        .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
-      // Orient toward the (deg, id)-larger endpoint; carry the target's
-      // order key so wedge endpoints can be ordered without a re-join.
-      val dir = keyed.select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            struct(col("dv").as("dt"), col("v").as("tid")).as("kt")))
-        .otherwise(
-          struct(col("v").as("s"), col("u").as("t"),
-            struct(col("du").as("dt"), col("u").as("tid")).as("kt")))
-        .as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.kt").as("kt"))
-        .cache() // read by three branches: both wedge sides + closer
-      val e1 = dir.select(col("s"), col("t").as("a"), col("kt").as("ka"))
-      val e2 = dir.select(col("s"), col("t").as("b"), col("kt").as("kb"))
-      val wedge = e1.join(e2, "s").filter(col("ka") < col("kb"))
-        .select(col("a"), col("b"))
-      val closer = dir.select(col("s").as("a"), col("t").as("b"))
-      val nTri = wedge.join(closer, Seq("a", "b")).count()
-      val nNodes = degStats.getLong(0)
-      val nEdges = edges.count()
-      val wedgeTot = degStats.getLong(1) / 2
-      dir.unpersist(); deg.unpersist(); edges.unpersist()
+      val (nNodes, nEdges, nTri, wedgeTot) = triangleStats(edges)
       Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
         .withColumn("gcc",
           round(lit(3.0) * col("n_triangles") / lit(wedgeTot), 6))
@@ -1404,6 +1369,50 @@ object ScaleOps {
     }
     (v: Int) => s.read.parquet(
       graft.Util.readSmallFile(s, manifest(v)).split("\n").toSeq: _*)
+  }
+
+  /** Degree-oriented wedge-join triangle counting over a distinct
+    * (u, v) u<v edge frame — the q125 machinery, split out so
+    * GraphScaleBench can run it on generated million-edge graphs with
+    * planted ground truth. Returns (nodes, edges, triangles, total
+    * wedges). Degrees broadcast (vertex-table sized; co-partitioned
+    * fallback documented at q125); each wedge is counted once via the
+    * (deg, id) total order. */
+  private[graft] def triangleStats(edgesIn: DataFrame)
+      : (Long, Long, Long, Long) = {
+    val edges = edgesIn.cache() // reused 3x: degrees, orientation, count
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .cache() // |V| rows — vertex-table sized, not edge sized
+    // nodes + wedge total in ONE pass over the degree table
+    val degStats = deg.agg(count(lit(1)),
+      sum(col("deg") * (col("deg") - lit(1L)))).head()
+    val keyed = edges
+      .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+    // Orient toward the (deg, id)-larger endpoint; carry the target's
+    // order key so wedge endpoints can be ordered without a re-join.
+    val dir = keyed.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"),
+          struct(col("dv").as("dt"), col("v").as("tid")).as("kt")))
+      .otherwise(
+        struct(col("v").as("s"), col("u").as("t"),
+          struct(col("du").as("dt"), col("u").as("tid")).as("kt")))
+      .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.kt").as("kt"))
+      .cache() // read by three branches: both wedge sides + closer
+    val e1 = dir.select(col("s"), col("t").as("a"), col("kt").as("ka"))
+    val e2 = dir.select(col("s"), col("t").as("b"), col("kt").as("kb"))
+    val wedge = e1.join(e2, "s").filter(col("ka") < col("kb"))
+      .select(col("a"), col("b"))
+    val closer = dir.select(col("s").as("a"), col("t").as("b"))
+    val nTri = wedge.join(closer, Seq("a", "b")).count()
+    val nNodes = degStats.getLong(0)
+    val nEdges = edges.count()
+    val wedgeTot = degStats.getLong(1) / 2
+    dir.unpersist(); deg.unpersist(); edges.unpersist()
+    (nNodes, nEdges, nTri, wedgeTot)
   }
 
   /** One synchronous LPA update: every dst adopts the most frequent
