@@ -433,9 +433,46 @@ object StreamGateOps {
         lateInSink == 0 && survived.getLong(0) == nEvents))
         .toDF("n_events", "late_planted", "events_in_sink",
           "late_in_sink", "all_late_dropped")
+    }),
+
+    // EXACTLY-ONCE idempotency gate: every streaming gate claims the
+    // file sink's commit log makes re-runs no-op replays — this one
+    // PROVES it. The same narrow stream (projection over events) runs
+    // TWICE against the same checkpoint + sink; the second run must
+    // find every source file committed and append NOTHING. The gate
+    // pins first-run count == table count == second-run count — the
+    // property that makes retried ingestion jobs safe at 100TB (an
+    // at-least-once sink would double on every driver restart).
+    "q178_stream_idempotent_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("idem", d)
+      val evBatch = Tables.load(s, d, "events")
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def runOnce(): Long = {
+        val q = Tables.fixEventTs(
+            s.readStream.schema(raw.schema).parquet(srcDir))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .writeStream.format("parquet")
+          .option("path", dir + "/out")
+          .option("checkpointLocation", dir + "/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(dir + "/out").count()
+      }
+      val first = runOnce()
+      val second = runOnce() // replay: commit log says all files done
+      val n = evBatch.count()
+      Seq((n, first, second, first == n && second == n))
+        .toDF("n_events", "after_first_run", "after_second_run",
+          "exactly_once")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q178_stream_idempotent_gate" ->
+      """SELECT count(*) AS n_events, count(*) AS after_first_run,
+        |  count(*) AS after_second_run, true AS exactly_once
+        |FROM events""".stripMargin,
     "q170_stream_late_gate" ->
       """SELECT count(*) AS n_events, 100::BIGINT AS late_planted,
         |  count(*) AS events_in_sink,

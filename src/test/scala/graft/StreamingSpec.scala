@@ -421,6 +421,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Long]("events_total") == 2 * n)
   }
 
+  test("q178 idempotency gate: a checkpointed re-run appends nothing") {
+    val r = graft.operators.StreamGateOps
+      .queries("q178_stream_idempotent_gate")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("exactly_once"), r.toString)
+    assert(r.getAs[Long]("after_first_run")
+      == r.getAs[Long]("after_second_run"))
+  }
+
   test("q170 late-data gate: watermark drops every planted late row") {
     val r = graft.operators.StreamGateOps
       .queries("q170_stream_late_gate")(spark, sfDir).head()
