@@ -1081,6 +1081,70 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // GROUP-level cross-validation folds — the split that prevents
+    // the classic leakage bug: fold assignment is a pure function of
+    // the GROUP key (md5(user) mod 5), so every event of a user lands
+    // in one fold BY CONSTRUCTION, and the audit proves it holds
+    // after the event-level assignment (count of users appearing in
+    // >1 fold == 0). Narrow fold tagging (no join), one fold-keyed
+    // report agg + one user-level audit agg.
+    "q179_group_folds" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"))
+        .withColumn("fold",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long") % 5).cast("int"))
+      val leak = ev.groupBy("user_id")
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("leak"))
+        .head().getLong(0)
+      val n = ev.count()
+      ev.groupBy("fold").agg(
+          countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"))
+        .withColumn("frac",
+          round(col("events").cast("double") / n, 6))
+        .withColumn("leaked_users", lit(leak))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic between the
+    // 'click' and 'view' value distributions — the distribution-shift
+    // alarm (q93's Jensen-Shannon works on token histograms; KS works
+    // on CONTINUOUS values with no binning choice). Exact and
+    // engine-identical: the statistic is max |C1·n2 − C2·n1| over the
+    // merged distinct-value sweep — pure integers — divided once at
+    // the end. The global running sums ride the shared
+    // range-partitioned DistributedPrefix scan, never a single-task
+    // window.
+    "q180_ks_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("value"))
+      val grouped = ev.groupBy("value").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("d2"))
+      val tot = grouped.agg(sum("d1"), sum("d2")).head()
+      val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+      val parts = math.max(1, s.sparkContext.defaultParallelism)
+      val ranged = grouped
+        .repartitionByRange(parts, col("value").asc)
+        .sortWithinPartitions("value")
+        .as[(Double, Long, Long)]
+      val ksNum = DistributedPrefix.scan(ranged, (0L, 0L),
+        (a: (Long, Long), r: (Double, Long, Long)) =>
+          (a._1 + r._2, a._2 + r._3),
+        (x: (Long, Long), y: (Long, Long)) => (x._1 + y._1, x._2 + y._2)) {
+        case ((c1, c2), (_, d1, d2)) =>
+          math.abs((c1 + d1) * n2 - (c2 + d2) * n1)
+      }.max()
+      val ks = BigDecimal(ksNum.toDouble / (n1.toDouble * n2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n1, n2, ksNum, ks)).toDF("n1", "n2", "ks_num", "ks")
+    }),
+
     // TIME-WEIGHTED average of the value signal per user (the metric
     // aggregation where observations hold until superseded — sensor /
     // price / gauge semantics, where a plain mean over-weights bursts):
@@ -2007,6 +2071,42 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q179_group_folds" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |      % 5)::INT AS fold
+        |  FROM events
+        |), n AS (SELECT count(*) AS n FROM e)
+        |SELECT fold, count(DISTINCT user_id) AS users,
+        |  count(*) AS events,
+        |  round(count(*)::DOUBLE / n.n, 6) AS frac,
+        |  0::BIGINT AS leaked_users
+        |FROM e, n GROUP BY fold, n.n""".stripMargin,
+    "q180_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |), g AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2
+        |  FROM ev GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS n1,
+        |    CAST(sum(d2) AS BIGINT) AS n2 FROM g
+        |), r AS (
+        |  SELECT abs(sum(d1) OVER w * t.n2 - sum(d2) OVER w * t.n1)
+        |    AS dev, t.n1, t.n2
+        |  FROM g, t
+        |  WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT n1, n2, CAST(max(dev) AS BIGINT) AS ks_num,
+        |  round(CAST(max(dev) AS BIGINT)::DOUBLE / (n1::DOUBLE * n2), 6)
+        |    AS ks
+        |FROM r GROUP BY n1, n2""".stripMargin,
     "q176_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -355,6 +355,38 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q179 group folds: zero leakage, folds partition the events") {
+    val rows = ScaleOps.queries("q179_group_folds")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("fold")).toSet.subsetOf((0 to 4).toSet))
+    assert(rows.forall(_.getAs[Long]("leaked_users") == 0))
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    assert(rows.map(_.getAs[Long]("events")).sum == ev.count())
+    assert(rows.map(_.getAs[Long]("users")).sum
+      == ev.select("user_id").distinct().count())
+  }
+
+  test("q180 KS statistic equals a driver-side brute recomputation") {
+    import spark.implicits._
+    val r = ScaleOps.queries("q180_ks_drift")(spark, sfDir).head()
+    val vals = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "view").map(_._2).sorted
+    val merged = (a.map((_, 1)) ++ b.map((_, 2))).sortBy(_._1)
+    var (c1, c2) = (0L, 0L)
+    var best = 0L
+    // evaluate after absorbing ALL rows of each distinct value
+    merged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      c1 += g.count(_._2 == 1); c2 += g.count(_._2 == 2)
+      best = math.max(best, math.abs(c1 * b.length - c2 * a.length))
+    }
+    assert(r.getAs[Long]("ks_num") == best)
+    assert(r.getAs[Long]("n1") == a.length && r.getAs[Long]("n2") == b.length)
+    val ks = r.getAs[Double]("ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
   test("q176 TWAP: bounded by each user's observed values; spans close") {
     import spark.implicits._
     val rows = ScaleOps.queries("q176_twap")(spark, sfDir).collect()
