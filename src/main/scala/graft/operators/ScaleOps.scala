@@ -1081,6 +1081,49 @@ object ScaleOps {
         .na.fill(0L, Seq("longest_zero_run"))
     }),
 
+    // NEGATIVE edge sampling for link prediction — the contrastive
+    // counterpart of q145's hard negatives on the GRAPH side: training
+    // a link predictor needs (cust, supp) pairs that are NOT edges,
+    // sampled deterministically (md5-driven proposals) and verified
+    // against the real edge set with an ANTI-join (the proposal table
+    // is tiny; the edge set never broadcasts). The gate re-checks the
+    // selected sample against the edges through an independent inner
+    // join — zero hits — and carries an order-invariant checksum so
+    // the oracle pins the exact sample, not just its size.
+    "q181_negative_edges" -> ((s, d) => {
+      import s.implicits._
+      val edges = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("ec"),
+          col("l_suppkey").cast("long").as("es"))
+        .distinct()
+      val nc = Tables.load(s, d, "customer")
+        .agg(max("c_custkey")).head().getLong(0)
+      val ns = Tables.load(s, d, "supplier")
+        .agg(max("s_suppkey")).head().getLong(0)
+      def h(prefix: String): Column =
+        conv(substring(md5(concat(lit(prefix), col("id"))), 1, 15),
+          16, 10).cast("long")
+      val props = s.range(5000).select(col("id"),
+        (h("neg-c-") % nc + 1).as("c"), (h("neg-s-") % ns + 1).as("sup"))
+      val negs = props.join(edges,
+          props("c") === edges("ec") && props("sup") === edges("es"),
+          "left_anti")
+        .orderBy(col("id").asc).limit(1000)
+        .persist()
+      val hits = negs.join(edges,
+        negs("c") === edges("ec") && negs("sup") === edges("es")).count()
+      val r = negs.agg(count(lit(1)).as("n"),
+        expr("bit_xor(c * 100000 + sup)").as("ck")).head()
+      negs.unpersist()
+      Seq((1000L, r.getLong(0), hits, r.getLong(1), hits == 0))
+        .toDF("n_requested", "n_selected", "real_hits", "sample_xor",
+          "clean")
+    }),
+
     // GROUP-level cross-validation folds — the split that prevents
     // the classic leakage bug: fold assignment is a pure function of
     // the GROUP key (md5(user) mod 5), so every event of a user lands
@@ -2071,6 +2114,32 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q181_negative_edges" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ec,
+        |    CAST(l_suppkey AS BIGINT) AS es
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), mx AS (
+        |  SELECT (SELECT max(c_custkey) FROM customer) AS nc,
+        |    (SELECT max(s_suppkey) FROM supplier) AS ns
+        |), p AS (
+        |  SELECT i AS id,
+        |    ('0x' || substring(md5('neg-c-' || i::VARCHAR), 1, 15))
+        |      ::BIGINT % mx.nc + 1 AS c,
+        |    ('0x' || substring(md5('neg-s-' || i::VARCHAR), 1, 15))
+        |      ::BIGINT % mx.ns + 1 AS sup
+        |  FROM unnest(range(0, 5000)) AS t(i), mx
+        |), negs AS (
+        |  SELECT id, c, sup FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.ec = p.c AND e.es = p.sup)
+        |  ORDER BY id LIMIT 1000
+        |)
+        |SELECT 1000::BIGINT AS n_requested, count(*) AS n_selected,
+        |  0::BIGINT AS real_hits,
+        |  bit_xor(c * 100000 + sup)::BIGINT AS sample_xor,
+        |  true AS clean
+        |FROM negs""".stripMargin,
     "q179_group_folds" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -712,6 +712,61 @@ object VectorOps {
           .as("maxsim"), count(lit(1)).as("n_q"))
     }),
 
+    // Retrieval EVALUATION harness: MRR@10 and nDCG@10 of the q137
+    // Matryoshka cascade (prefix-32 shortlist → full-dim top-10)
+    // against the exact ranking, per query — the IR metrics a serving
+    // stack reports, computed entirely in-engine AND recomputable by
+    // the oracle because both rankings are declarative (no opaque
+    // index state). Graded relevance = 11 − exact_rank; DCG terms are
+    // per-term rounded DECIMALs (exact sums), one double ratio at the
+    // end; ties broken by vec_id in both engines; the query vector
+    // itself is EXCLUDED (it would pin MRR to 1 and measure nothing).
+    "q182_retrieval_metrics" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val joined = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos"),
+          VectorFunctions.cosineSimilarity(
+            slice(col("v"), 1, 32), slice(col("qv"), 1, 32)).as("pcos"))
+        .persist()
+      val wq = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      val exact = joined.withColumn("erk", row_number().over(
+          wq.orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("erk") <= 10)
+        .select("q_id", "vec_id", "erk")
+      val approx = joined.withColumn("prk", row_number().over(
+          wq.orderBy(col("pcos").desc, col("vec_id").asc)))
+        .filter(col("prk") <= 100)
+        .withColumn("ark", row_number().over(
+          wq.orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("ark") <= 10)
+        .select("q_id", "vec_id", "ark")
+      val rel = approx.join(exact, Seq("q_id", "vec_id"), "left")
+        .withColumn("gain",
+          coalesce(lit(11) - col("erk"), lit(0)).cast("double"))
+        .withColumn("dterm", round(col("gain") / log2(col("ark") + 1), 8)
+          .cast("decimal(20,8)"))
+      val dcg = rel.groupBy("q_id").agg(
+        sum(col("dterm")).as("dcg"),
+        max(when(col("erk") === 1, col("ark"))).as("top1_rank"))
+      val idcg = exact.withColumn("iterm",
+          round((lit(11) - col("erk")).cast("double")
+            / log2(col("erk") + 1), 8).cast("decimal(20,8)"))
+        .groupBy("q_id").agg(sum(col("iterm")).as("idcg"))
+      joined.unpersist()
+      dcg.join(idcg, "q_id")
+        .select(col("q_id"),
+          round(coalesce(lit(1.0) / col("top1_rank"), lit(0.0)), 6)
+            .as("mrr"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+            .as("ndcg"))
+        .orderBy(col("q_id").asc)
+    }),
+
     // Dominant principal component via POWER ITERATION — distributed
     // linear algebra with a cross-engine-exact recurrence. The
     // distributed part is the Gram (second-moment) matrix: one
@@ -1025,6 +1080,52 @@ object VectorOps {
         |  round(CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim,
         |  count(*) AS n_q
         |FROM m GROUP BY label""".stripMargin,
+    "q182_retrieval_metrics" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8
+        |), j AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(e.v, q.qv) AS cos,
+        |    list_cosine_similarity(e.v[1:32], q.qv[1:32]) AS pcos
+        |  FROM e, q WHERE e.vec_id <> q.q_id
+        |), ex AS (
+        |  SELECT q_id, vec_id, erk FROM (
+        |    SELECT q_id, vec_id, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS erk
+        |    FROM j) WHERE erk <= 10
+        |), sl AS (
+        |  SELECT q_id, vec_id, cos FROM (
+        |    SELECT q_id, vec_id, cos, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS prk
+        |    FROM j) WHERE prk <= 100
+        |), ap AS (
+        |  SELECT q_id, vec_id, ark FROM (
+        |    SELECT q_id, vec_id, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS ark
+        |    FROM sl) WHERE ark <= 10
+        |), rel AS (
+        |  SELECT ap.q_id, ap.ark, ex.erk,
+        |    CAST(round(coalesce(11 - ex.erk, 0)::DOUBLE
+        |      / log2(ap.ark + 1), 8) AS DECIMAL(20,8)) AS dterm
+        |  FROM ap LEFT JOIN ex
+        |    ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+        |), d AS (
+        |  SELECT q_id, sum(dterm) AS dcg,
+        |    max(CASE WHEN erk = 1 THEN ark END) AS top1_rank
+        |  FROM rel GROUP BY 1
+        |), i AS (
+        |  SELECT q_id, sum(CAST(round((11 - erk)::DOUBLE
+        |    / log2(erk + 1), 8) AS DECIMAL(20,8))) AS idcg
+        |  FROM ex GROUP BY 1
+        |)
+        |SELECT d.q_id,
+        |  round(coalesce(1.0 / top1_rank, 0.0), 6) AS mrr,
+        |  round(dcg::DOUBLE / idcg::DOUBLE, 6) AS ndcg
+        |FROM d JOIN i ON d.q_id = i.q_id
+        |ORDER BY d.q_id""".stripMargin,
     "q169_pca_power" -> ("""WITH x AS MATERIALIZED (
         |  SELECT vec_id, i, embedding[i + 1]::DOUBLE AS xi
         |  FROM embeddings, unnest(range(0, 64)) AS r(i)

@@ -355,6 +355,18 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q181 negative sampling: clean, full quota, deterministic") {
+    val a = ScaleOps.queries("q181_negative_edges")(spark, sfDir).head()
+    assert(a.getAs[Boolean]("clean") && a.getAs[Long]("real_hits") == 0)
+    // sf0.001's bipartite graph is nearly complete (150×10 pairs),
+    // so the quota can't fill — the sample is whatever survives
+    assert(a.getAs[Long]("n_selected") > 0
+      && a.getAs[Long]("n_selected") <= 1000)
+    val b = ScaleOps.queries("q181_negative_edges")(spark, sfDir).head()
+    assert(a.getAs[Long]("sample_xor") == b.getAs[Long]("sample_xor"),
+      "sample must be reproducible run to run")
+  }
+
   test("q179 group folds: zero leakage, folds partition the events") {
     val rows = ScaleOps.queries("q179_group_folds")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("fold")).toSet.subsetOf((0 to 4).toSet))

@@ -156,6 +156,21 @@ class VectorDistanceSpec extends SparkSpecBase {
     }
   }
 
+  test("q182 retrieval metrics: bounded, self excluded, sane aggregate") {
+    val rows = graft.operators.VectorOps
+      .queries("q182_retrieval_metrics")(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (m, n) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(m >= 0.0 && m <= 1.0, r.toString)
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, r.toString)
+    }
+    // the 32-dim prefix carries half the signal: the cascade should
+    // not collapse (mean nDCG well above chance)
+    val mean = rows.map(_.getAs[Double]("ndcg")).sum / rows.length
+    assert(mean > 0.5, s"mean nDCG $mean")
+  }
+
   test("q169 PCA: loadings align with an unconstrained float power iteration") {
     import org.apache.spark.sql.functions._
     // independent math check (not the cross-engine pin): rebuild the
