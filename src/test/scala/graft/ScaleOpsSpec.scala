@@ -355,6 +355,37 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_delta") > 0, "fixture must exercise deltas")
   }
 
+  test("q152/q158/q166/q171: cross-query closure invariants") {
+    // q152: every event carries a parseable props.k
+    val j = ScaleOps.queries("q152_json_extract")(spark, sfDir).collect()
+    j.foreach(r => assert(r.getAs[Long]("n_k") == r.getAs[Long]("n")))
+    val nEv = graft.Tables.load(spark, sfDir, "events").count()
+    assert(j.map(_.getAs[Long]("n")).sum == nEv)
+    // q158: diversity bounded by class size and the segment domain
+    val ld = ScaleOps.queries("q158_l_diversity")(spark, sfDir).head()
+    assert(ld.getAs[Long]("l_min") >= 1)
+    assert(ld.getAs[Long]("rows_at_risk")
+      >= ld.getAs[Long]("classes_lt3"))
+    // q166: top motifs are well-formed trigrams over known types
+    val types = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    val m = ScaleOps.queries("q166_event_motifs")(spark, sfDir).collect()
+    assert(m.nonEmpty && m.length <= 20)
+    m.foreach { r =>
+      val parts = r.getAs[String]("motif").split(">")
+      assert(parts.length == 3 && parts.forall(types.contains), r.toString)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // q171: generations reunite to the full corpus; lang only on gen2
+    val se = ScaleOps.queries("q171_schema_evolution")(spark, sfDir)
+      .collect()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(se.map(_.getAs[Long]("docs")).sum == nDocs)
+    se.foreach(r =>
+      assert(r.getAs[Long]("docs_with_lang") <= r.getAs[Long]("docs")))
+  }
+
   test("q181 negative sampling: clean, full quota, deterministic") {
     val a = ScaleOps.queries("q181_negative_edges")(spark, sfDir).head()
     assert(a.getAs[Boolean]("clean") && a.getAs[Long]("real_hits") == 0)

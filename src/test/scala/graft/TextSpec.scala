@@ -218,6 +218,20 @@ class TextSpec extends SparkSpecBase {
     assert(v.collect().head.getAs[String]("sym") == "<aa><a>")
   }
 
+  test("q156 BPE apply: merges only ever shorten; totals close") {
+    val rows = TextOps.queries("q156_bpe_apply")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every merge shrinks a word's symbol count: tokens <= chars,
+      // and at least one char per token survives
+      assert(r.getAs[Long]("bpe_tokens") <= r.getAs[Long]("chars"),
+        r.toString)
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("words"),
+        r.toString)
+      assert(r.getAs[Double]("compression") >= 1.0, r.toString)
+    }
+  }
+
   test("q177 Zipf: slope is negative, points track the vocabulary") {
     val r = TextOps.queries("q177_zipf_slope")(spark, sfDir).head()
     assert(r.getAs[Double]("slope") < 0,
