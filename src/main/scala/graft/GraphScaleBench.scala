@@ -150,7 +150,8 @@ object GraphScaleBench {
       val bi = rc.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(rc.select(col("v").as("src"), col("u").as("dst")))
       for (_ <- 1 to 3)
-        labels = ScaleOps.lpaRound(bi, labels).localCheckpoint(true)
+        labels = ScaleOps.lpaRound(bi, labels, broadcastLabels = false)
+          .localCheckpoint(true)
       labels.select((col("v") / ClusterSize).cast("long").as("c"),
           col("lbl"))
         .groupBy("lbl").agg(countDistinct(col("c")).as("nc"))

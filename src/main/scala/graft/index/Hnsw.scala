@@ -49,10 +49,41 @@ final class HnswIndex(
 
   private val vectors = mutable.ArrayBuffer.empty[Array[Double]]
   private val ids = mutable.ArrayBuffer.empty[Long]
-  // layers(l) = adjacency map for layer l; layer 0 holds every vertex.
+  // layers(l) = adjacency for layer l as a DENSE array indexed by
+  // vertex (null slot = vertex absent from the layer); layer 0 holds
+  // every vertex. Neighbor lists are flat int arrays
+  // ([[Hnsw.Nbrs]]: append-with-dup-check, swap-remove) — the
+  // degree bound keeps them tiny, so linear scans beat any boxed Set
+  // and the whole hot path allocates nothing per visit. The algorithm
+  // is byte-for-byte the same greedy construction as before (same
+  // reference citations below); only the containers changed — this
+  // bulk-build hot path was 12× IVFFlat's build cost at 1M rows when
+  // it ran on boxed Sets and tuple PriorityQueues.
   private val layers =
-    mutable.ArrayBuffer[mutable.Map[Int, mutable.Set[Int]]](mutable.Map())
+    mutable.ArrayBuffer[mutable.ArrayBuffer[Hnsw.Nbrs]](
+      mutable.ArrayBuffer())
   private var entryPoint: Int = -1
+
+  // Epoch-stamped visited marks, reused across searchLayer calls (one
+  // int array for the graph's lifetime instead of a hash set per
+  // search). Transient: rebuilt lazily after deserialization.
+  @transient private var visitedMark: Array[Int] = null
+  @transient private var visitedEpoch: Int = 0
+
+  /** Grow `layers(layer)` so slot `v` exists, and make the vertex a
+    * member of the layer (empty neighbor list) if it wasn't. */
+  private def slot(layer: Int, v: Int): Unit = {
+    val adj = layers(layer)
+    while (adj.length <= v) adj += null
+    if (adj(v) == null) adj(v) = new Hnsw.Nbrs
+  }
+
+  /** The neighbor list of `v` in `layer`, or null when the vertex is
+    * not a member (dense array ⇒ also null past the end). */
+  @inline private def nbrsOf(layer: Int, v: Int): Hnsw.Nbrs = {
+    val adj = layers(layer)
+    if (v < adj.length) adj(v) else null
+  }
 
   private def dist(a: Array[Double], b: Array[Double]): Double =
     metric match {
@@ -71,43 +102,67 @@ final class HnswIndex(
 
   /** Greedy best-first search in one layer (reference SearchLayer,
     * hnsw_index.cpp:86-130): candidates min-heap, results max-heap
-    * bounded by ef. Returns up to ef vertices, distance-ascending. */
+    * bounded by ef. Returns up to ef vertices, distance-ascending.
+    * Heaps are primitive (double, int) binary heaps ([[Hnsw.DIHeap]] —
+    * max-heap = min-heap on the negated distance), visited tracking is
+    * the epoch array — zero boxing anywhere in the walk. */
   private def searchLayer(layer: Int, query: Array[Double], ef: Int,
-      entries: Seq[Int]): Seq[Int] = {
-    val edges = layers(layer)
-    val visited = mutable.Set.empty[Int]
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1).reverse) // min-heap
-    val result = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1)) // max-heap
-    entries.foreach { e =>
-      if (visited.add(e)) {
+      entries: Array[Int]): Array[Int] = {
+    if (visitedMark == null || visitedMark.length < vectors.length)
+      visitedMark = new Array[Int](math.max(64, vectors.length * 2))
+    visitedEpoch += 1
+    val epoch = visitedEpoch
+    val cand = new Hnsw.DIHeap   // min-heap on distance
+    val result = new Hnsw.DIHeap // max-heap: keys stored negated
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      if (visitedMark(e) != epoch) {
+        visitedMark(e) = epoch
         val d = dist(query, vectors(e))
-        cand.enqueue((d, e)); result.enqueue((d, e))
+        cand.push(d, e); result.push(-d, e)
       }
+      i += 1
     }
-    while (result.size > ef) result.dequeue()
+    while (result.size > ef) result.pop()
     var done = false
-    while (cand.nonEmpty && !done) {
-      val (d, v) = cand.dequeue()
-      if (result.nonEmpty && d > result.head._1) done = true
-      else edges.getOrElse(v, Set.empty).foreach { n =>
-        if (visited.add(n)) {
-          val nd = dist(query, vectors(n))
-          if (result.size < ef || nd < result.head._1) {
-            cand.enqueue((nd, n)); result.enqueue((nd, n))
-            if (result.size > ef) result.dequeue()
+    while (cand.size > 0 && !done) {
+      val d = cand.headKey
+      val v = cand.headVal
+      cand.pop()
+      if (result.size > 0 && d > -result.headKey) done = true
+      else {
+        val nb = nbrsOf(layer, v)
+        if (nb != null) {
+          var j = 0
+          while (j < nb.n) {
+            val t = nb.a(j)
+            if (visitedMark(t) != epoch) {
+              visitedMark(t) = epoch
+              val nd = dist(query, vectors(t))
+              if (result.size < ef || nd < -result.headKey) {
+                cand.push(nd, t); result.push(-nd, t)
+                if (result.size > ef) result.pop()
+              }
+            }
+            j += 1
           }
         }
       }
     }
-    result.dequeueAll.toSeq.reverse.map((t: (Double, Int)) => t._2)
+    // drain the max-heap back-to-front → distance-ascending ids
+    val out = new Array[Int](result.size)
+    var k = result.size - 1
+    while (k >= 0) {
+      out(k) = result.headVal; result.pop(); k -= 1
+    }
+    out
   }
 
   private def connect(layer: Int, a: Int, b: Int): Unit = {
-    val edges = layers(layer)
-    edges.getOrElseUpdate(a, mutable.Set()) += b
-    edges.getOrElseUpdate(b, mutable.Set()) += a
+    slot(layer, a); slot(layer, b)
+    layers(layer)(a).add(b)
+    layers(layer)(b).add(a)
   }
 
   /** Degree-bound pruning: over-degree vertices keep only the m
@@ -126,15 +181,19 @@ final class HnswIndex(
     * with brute force under probe-all ef (q55/q39 oracles). */
   private def prune(layer: Int, v: Int): Unit = {
     val maxDeg = if (layer == 0) mMax0 else mMax
-    val edges = layers(layer)
-    val nbrs = edges.getOrElse(v, mutable.Set())
-    if (nbrs.size > maxDeg) {
-      val keep = nbrs.toSeq
-        .map(n => (dist(vectors(v), vectors(n)), n))
+    val nbrs = nbrsOf(layer, v)
+    if (nbrs != null && nbrs.n > maxDeg) {
+      val keep = (0 until nbrs.n)
+        .map { i => val n = nbrs.a(i); (dist(vectors(v), vectors(n)), n) }
         .sortBy(t => (t._1, t._2)).take(m).map(_._2)
-      nbrs.toSeq.foreach(n => edges.get(n).foreach(_ -= v))
-      edges(v) = mutable.Set(keep: _*)
-      keep.foreach(n => edges.getOrElseUpdate(n, mutable.Set()) += v)
+      var i = 0
+      while (i < nbrs.n) {
+        val old = nbrsOf(layer, nbrs.a(i))
+        if (old != null) old.remove(v)
+        i += 1
+      }
+      nbrs.setTo(keep.toArray)
+      keep.foreach { n => slot(layer, n); layers(layer)(n).add(v) }
     }
   }
 
@@ -147,29 +206,30 @@ final class HnswIndex(
     if (id > _maxId) _maxId = id
     val level = math.floor(-math.log(rng.nextDouble()) * mL).toInt
     if (entryPoint < 0) {
-      while (layers.length <= level) layers += mutable.Map()
-      (0 to level).foreach(l => layers(l).getOrElseUpdate(v, mutable.Set()))
+      while (layers.length <= level) layers += mutable.ArrayBuffer()
+      (0 to level).foreach(l => slot(l, v))
       entryPoint = v
       return
     }
     val topLevel = layers.length - 1
-    var eps: Seq[Int] = Seq(entryPoint)
+    var eps: Array[Int] = Array(entryPoint)
     var l = topLevel
     while (l > math.min(level, topLevel)) {
       eps = searchLayer(l, vec, 1, eps); l -= 1
     }
     while (l >= 0) {
       val found = searchLayer(l, vec, efConstruction, eps)
-      layers(l).getOrElseUpdate(v, mutable.Set())
-      found.take(efConstruction).foreach(n => connect(l, v, n))
-      (v +: found).foreach(n => prune(l, n))
+      slot(l, v)
+      found.foreach(n => connect(l, v, n))
+      prune(l, v)
+      found.foreach(n => prune(l, n))
       eps = found
       l -= 1
     }
     if (level > topLevel) {
       while (layers.length <= level) {
-        layers += mutable.Map()
-        layers.last.getOrElseUpdate(v, mutable.Set())
+        layers += mutable.ArrayBuffer()
+        slot(layers.length - 1, v)
       }
       entryPoint = v
     }
@@ -192,20 +252,90 @@ final class HnswIndex(
       : Seq[(Long, Array[Double], Double)] = {
     if (entryPoint < 0) return Seq.empty
     val probeAll = efSearch >= vectors.length
-    val eps0: Seq[Int] =
-      if (probeAll) vectors.indices
+    val eps0: Array[Int] =
+      if (probeAll) Array.tabulate(vectors.length)(identity)
       else {
-        var eps: Seq[Int] = Seq(entryPoint)
+        var eps: Array[Int] = Array(entryPoint)
         var l = layers.length - 1
         while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
         eps
       }
     searchLayer(0, query, math.max(k, efSearch), eps0)
-      .take(k).map(v => (ids(v), vectors(v), dist(query, vectors(v))))
+      .take(k).toSeq
+      .map(v => (ids(v), vectors(v), dist(query, vectors(v))))
   }
 }
 
 object Hnsw {
+
+  /** Flat-int-array neighbor list: append with a linear dup check,
+    * swap-remove — the degree bound (m² at layer 0) keeps `n` tiny, so
+    * linear scans over a primitive array are faster than any hash set
+    * and allocate nothing. Serializable so sub-graphs survive
+    * [[DistributedHnswIndex.save]]/[[Hnsw.loadPartitioned]] and the
+    * deep-copy insert path unchanged. */
+  private[index] final class Nbrs extends Serializable {
+    var a: Array[Int] = new Array[Int](8)
+    var n: Int = 0
+    def add(x: Int): Unit = {
+      var i = 0
+      while (i < n) { if (a(i) == x) return; i += 1 }
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = x; n += 1
+    }
+    def remove(x: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (a(i) == x) { n -= 1; a(i) = a(n); return }
+        i += 1
+      }
+    }
+    def setTo(xs: Array[Int]): Unit = {
+      if (xs.length > a.length)
+        a = java.util.Arrays.copyOf(xs, xs.length)
+      else System.arraycopy(xs, 0, a, 0, xs.length)
+      n = xs.length
+    }
+  }
+
+  /** Primitive (double key, int value) binary min-heap — push a
+    * negated key for max-heap behavior. Method-local in searchLayer;
+    * never serialized. */
+  private[index] final class DIHeap {
+    private var ks = new Array[Double](64)
+    private var vs = new Array[Int](64)
+    var size: Int = 0
+    def headKey: Double = ks(0)
+    def headVal: Int = vs(0)
+    def push(k: Double, v: Int): Unit = {
+      if (size == ks.length) {
+        ks = java.util.Arrays.copyOf(ks, size * 2)
+        vs = java.util.Arrays.copyOf(vs, size * 2)
+      }
+      var i = size; size += 1
+      while (i > 0 && k < ks((i - 1) >> 1)) {
+        val p = (i - 1) >> 1
+        ks(i) = ks(p); vs(i) = vs(p); i = p
+      }
+      ks(i) = k; vs(i) = v
+    }
+    def pop(): Unit = {
+      size -= 1
+      val k = ks(size); val v = vs(size)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        if (l >= size) done = true
+        else {
+          val c = if (l + 1 < size && ks(l + 1) < ks(l)) l + 1 else l
+          if (ks(c) < k) { ks(i) = ks(c); vs(i) = vs(c); i = c }
+          else done = true
+        }
+      }
+      ks(i) = k; vs(i) = v
+    }
+  }
 
   /** Max corpus (rows × dim doubles) collected for the single
     * driver-built graph: 2^23 doubles = 64 MB — the same bound

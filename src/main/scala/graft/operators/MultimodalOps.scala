@@ -471,9 +471,11 @@ object MultimodalOps {
         |SELECT doc_id, (44 + 2 * ns)::INT AS n_bytes,
         |  8000 AS sample_rate, ns AS n_samples,
         |  ns * 1000000 // 8000 AS duration_us,
-        |  list_max(list_transform(smp, x -> abs(x)))::INT AS peak,
-        |  round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
-        |    / ns), 6) AS rms
+        |  CASE WHEN ns = 0 THEN 0 ELSE
+        |    list_max(list_transform(smp, x -> abs(x)))::INT END AS peak,
+        |  CASE WHEN ns = 0 THEN 0.0 ELSE
+        |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
+        |      / ns), 6) END AS rms
         |FROM v""".stripMargin
   )
 }

@@ -1220,8 +1220,11 @@ object ScaleOps {
     // join is user-keyed with a per-user range residual — each user's
     // version list is change-bounded, so the match fan-in is tiny;
     // the gate additionally proves the SCD2 intervals TILE: exactly
-    // one version matches every event (matched == total, no
-    // double-attribution). The attributed report is then one agg.
+    // one version matches every event. Counting matched ROWS alone
+    // would let a double-match cancel a zero-match, so the gate pins
+    // BOTH matched-row count == n AND distinct matched event ids == n
+    // (together: every event matched, none matched twice), in one agg
+    // over the join output. The attributed report is then one agg.
     "q174_pit_join" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("us").asc, col("event_id").asc)
@@ -1242,9 +1245,12 @@ object ScaleOps {
           && (col("valid_to_us").isNull
             || col("ets") < col("valid_to_us")))
       val n = ev.count()
-      val r = matched.groupBy("state").agg(count(lit(1)).as("n_events"))
-      val total = r.agg(sum("n_events")).head().getLong(0)
-      r.withColumn("tiling_exact", lit(total == n))
+      val gate = matched.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(ev("event_id")).as("ids")).head()
+      val exact = gate.getLong(0) == n && gate.getLong(1) == n
+      matched.groupBy("state").agg(count(lit(1)).as("n_events"))
+        .withColumn("tiling_exact", lit(exact))
         .select(col("state"), col("n_events"), col("tiling_exact"))
     }),
 
@@ -1524,13 +1530,20 @@ object ScaleOps {
 
   /** One synchronous LPA update: every dst adopts the most frequent
     * label among its in-neighbors, ties to the SMALLEST label. The
-    * node-sized label table broadcasts into the edge join; the argmax
-    * window runs over node-sized (dst, lbl) counts. Split out so
-    * ScaleOpsSpec pins the frequency-beats-order and tie rules on
-    * crafted label states. */
-  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame)
-      : DataFrame = {
-    val cnt = edges.join(broadcast(labels), edges("src") === labels("v"))
+    * label join has the same broadcast↔co-partition switch as the
+    * PageRank loop: `broadcastLabels = true` (the q157 default —
+    * community tables at query scale are dimension-sized) ships the
+    * label table to every executor; `false` shuffle-joins edges and
+    * labels on the node key, the only shape that survives node counts
+    * past sensible broadcast (the 1M-node GraphScaleBench uses it —
+    * broadcasting a million-row table per round is a memory cliff).
+    * Either way the argmax window runs over node-sized (dst, lbl)
+    * counts. Split out so ScaleOpsSpec pins the frequency-beats-order
+    * and tie rules on crafted label states. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val lbl = if (broadcastLabels) broadcast(labels) else labels
+    val cnt = edges.join(lbl, edges("src") === labels("v"))
       .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("dst")
       .orderBy(col("cnt").desc, col("lbl").asc)

@@ -873,13 +873,20 @@ object TextOps {
     * then merge via non-overlapping left-to-right string replace on
     * the wrapped `<a><b>` form (the wrappers keep a replace from
     * matching across symbol boundaries, and both engines' replace()
-    * scans left-to-right so "aaa" merges identically). The vocabulary
-    * is localCheckpointed per round — bounded lineage at any round
-    * count, and the corpus scan behind it runs exactly once. */
+    * scans left-to-right so "aaa" merges identically). Literal '<'/'>'
+    * in corpus tokens are translated to single guillemets before
+    * wrapping (both engines, 1:1 so symbol counts are unchanged) —
+    * otherwise they would corrupt the `><` pair delimiter. The merge
+    * replace is built from Column functions, never interpolated into
+    * SQL text, so pairs containing quotes cannot break parsing. The
+    * vocabulary is localCheckpointed per round — bounded lineage at
+    * any round count, and the corpus scan behind it runs exactly
+    * once. */
   private[graft] def bpeLearn(words: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = words
-      .withColumn("sym", regexp_replace(col("w"), "(.)", "<$1>"))
+      .withColumn("sym", regexp_replace(
+        translate(col("w"), "<>", "‹›"), "(.)", "<$1>"))
       .localCheckpoint(true)
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -899,7 +906,8 @@ object TextOps {
         val merged = pair.replace("><", "")
         merges += ((r, pair, merged, n))
         vocab = vocab.withColumn("sym",
-          expr(s"replace(sym, '$pair', '$merged')")).localCheckpoint(true)
+          org.apache.spark.sql.functions.replace(
+            col("sym"), lit(pair), lit(merged))).localCheckpoint(true)
       }
     }
     (merges.toSeq, vocab)
@@ -1430,7 +1438,8 @@ FROM cw JOIN enc USING (w) GROUP BY source""")
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH r0 AS (
-  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS sym,
+  SELECT w, regexp_replace(translate(w, '<>', '‹›'),
+    '(.)', '<\1>', 'g') AS sym,
     count(*) AS freq
   FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         FROM documents)

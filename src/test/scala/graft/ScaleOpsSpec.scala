@@ -453,6 +453,35 @@ class ScaleOpsSpec extends SparkSpecBase {
       "every event must match exactly one dimension version")
     val total = rows.map(_.getAs[Long]("n_events")).sum
     assert(total == graft.Tables.load(spark, sfDir, "events").count())
+    // Independent per-event cardinality check (the gate inside the
+    // query now pins this too, but re-derive it here so the spec
+    // doesn't trust the query's own flag): rebuild the PIT join and
+    // assert min == max == 1 matches per event id.
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ets"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val dim = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+    val card = ev.join(dim,
+        ev("user_id") === dim("user_id")
+          && col("valid_from_us") <= col("ets")
+          && (col("valid_to_us").isNull || col("ets") < col("valid_to_us")))
+      .groupBy(ev("event_id")).count()
+      .agg(min("count").as("lo"), max("count").as("hi"),
+        count(lit(1)).as("n")).head()
+    assert(card.getAs[Long]("lo") == 1L && card.getAs[Long]("hi") == 1L,
+      s"per-event match cardinality must be exactly 1: $card")
+    assert(card.getAs[Long]("n") ==
+      graft.Tables.load(spark, sfDir, "events").count())
   }
 
   test("q175 table profile: key column is unique and null-free") {
