@@ -48,7 +48,11 @@ object Bench {
     * artifact; three pin the curve across two decades. */
   private val ScaleFamilies3 = Seq(
     "q125_triangle_count", "q126_bigram_lm", "q127_containment",
-    "q133_semdedup", "q134_basket_pairs")
+    "q133_semdedup", "q134_basket_pairs",
+    // the r7-verdict similarity-join watch list: their big-point
+    // readings regressed 1.4-2x on a contended host with untouched
+    // code — a 3-point curve pins their true exponent either way
+    "q46_minhash_lsh", "q56_jaccard_ppjoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,6 +188,17 @@ object Bench {
     // (VectorScaleBench). After the main+scale passes so its caches
     // can't pollute their timings. SPARK_GRAFT_VECTOR_SCALE: comma
     // sizes, "off" (or "0"/"") disables, unset = 100k + 1M.
+    // SPARK_GRAFT_VECTOR_HARD: size of the uniform (non-clustered)
+    // recall-vs-effort sweep, "off"/"0"/"" disables, unset = 200k.
+    // The clustered points pin throughput; this pins the probe/ef ↔
+    // recall tradeoff the easy corpus hides (recall there is ~1.0 at
+    // almost every setting).
+    val hardN: Option[Long] =
+      sys.env.get("SPARK_GRAFT_VECTOR_HARD") match {
+        case Some("") | Some("0") | Some("off") => None
+        case Some(v) => Some(v.trim.toLong)
+        case None => Some(200000L)
+      }
     val vsResult: Option[VectorScaleBench.Result] =
       sys.env.get("SPARK_GRAFT_VECTOR_SCALE") match {
         case Some("") | Some("0") | Some("off") => None
@@ -192,7 +207,7 @@ object Bench {
             .getOrElse(Seq(10000L, 100000L, 1000000L))
           try {
             spark.catalog.clearCache()
-            Some(VectorScaleBench.run(spark, sizes))
+            Some(VectorScaleBench.run(spark, sizes, hardN))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] vector_scale FAILED: ${e.getMessage}")
             None

@@ -95,14 +95,39 @@ object GraphScaleBench {
 
   final case class Point(n: Long, edges: Long, genSec: Double,
       triSec: Double, triOk: Boolean, ccSec: Double, ccOk: Boolean,
-      prSec: Double, prOk: Boolean, lpaSec: Double, lpaOk: Boolean) {
+      prSec: Double, prOk: Boolean, lpaSec: Double, lpaOk: Boolean,
+      first: Option[Point] = None) {
     def json: String =
       s"""{"n":$n,"edges":$edges,"gen_sec":${r3(genSec)},""" +
         s""""tri_sec":${r3(triSec)},"triangles_ok":$triOk,""" +
         s""""cc_sec":${r3(ccSec)},"components_ok":$ccOk,""" +
         s""""pr_sec":${r3(prSec)},"rank_conserved":$prOk,""" +
-        s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk}"""
+        s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk""" +
+        first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
     def allOk: Boolean = triOk && ccOk && prOk && lpaOk
+  }
+
+  /** Noise guard — the same treatment per-query timings get: each
+    * point is measured TWICE and the artifact carries the per-metric
+    * MINIMUM (this host's documented CPU starvation only ever inflates
+    * a reading; r7's contended refresh recorded graph numbers 3–5× a
+    * same-code quiet run). Invariant flags are ANDed — a correctness
+    * failure in either run must never be masked. When any metric
+    * disagrees by >1.3× the first run's values are kept in a
+    * `first_run` field, so an inflated reading stays auditable instead
+    * of silently vanishing. */
+  private def merged(a: Point, b: Point): Point = {
+    val m = Point(a.n, a.edges,
+      math.min(a.genSec, b.genSec),
+      math.min(a.triSec, b.triSec), a.triOk && b.triOk,
+      math.min(a.ccSec, b.ccSec), a.ccOk && b.ccOk,
+      math.min(a.prSec, b.prSec), a.prOk && b.prOk,
+      math.min(a.lpaSec, b.lpaSec), a.lpaOk && b.lpaOk)
+    val noisy = Seq(
+      (a.triSec, m.triSec), (a.ccSec, m.ccSec),
+      (a.prSec, m.prSec), (a.lpaSec, m.lpaSec))
+      .exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
+    if (noisy) m.copy(first = Some(a)) else m
   }
   final case class Result(points: Seq[Point]) {
     def json: String =
@@ -165,5 +190,5 @@ object GraphScaleBench {
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result =
-    Result(sizes.map(runPoint(spark, _)))
+    Result(sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n))))
 }

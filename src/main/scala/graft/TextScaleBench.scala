@@ -109,13 +109,21 @@ object TextScaleBench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
   final case class Point(n: Long, genSec: Double, lshSec: Double,
-      candidates: Long, pairs: Long, planted: Long, recall: Double) {
+      candidates: Long, pairs: Long, planted: Long, recall: Double,
+      lshFirst: Double = -1.0) {
     def json: String = {
       val allPairs = n.toDouble * (n - 1) / 2
+      // lsh_sec is already a best-of-2 (the same noise treatment
+      // queries get); when the discarded first pass read >1.3× the
+      // kept one, it stays in the artifact as lsh_first_sec — an
+      // inflated reading should be auditable, not invisible.
+      val audit =
+        if (lshFirst > 1.3 * lshSec && lshFirst - lshSec > 0.5)
+          s""","lsh_first_sec":${r3(lshFirst)}""" else ""
       s"""{"n":$n,"gen_sec":${r3(genSec)},"lsh_sec":${r3(lshSec)},""" +
         s""""candidate_pairs":$candidates,"verified_pairs":$pairs,""" +
         s""""allpairs_ratio":${candidates / allPairs},""" +
-        s""""planted":$planted,"recall_planted":${r3(recall)}}"""
+        s""""planted":$planted,"recall_planted":${r3(recall)}$audit}"""
     }
   }
   final case class Result(points: Seq[Point]) {
@@ -152,7 +160,8 @@ object TextScaleBench {
     }
     docs.unpersist()
     Point(n, genSec, math.min(t1, t2), cand1, found.size,
-      planted.size, if (planted.isEmpty) 1.0 else hit.toDouble / planted.size)
+      planted.size, if (planted.isEmpty) 1.0 else hit.toDouble / planted.size,
+      lshFirst = t1)
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result =

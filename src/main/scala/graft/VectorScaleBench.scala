@@ -77,13 +77,35 @@ object VectorScaleBench {
       .toDF("vec_id", "embedding")
   }
 
+  /** The HARD corpus: i.i.d. uniform coordinates, NO cluster
+    * structure. In d=128 a uniform cloud concentrates distances — the
+    * 10th-nearest neighbor is barely nearer than the median point — so
+    * IVF routing is ambiguous (the true neighbors of a query spread
+    * over many lists) and a greedy graph walk has no basin to descend
+    * into. This is the regime where recall@10 genuinely TRADES against
+    * probe/ef effort; the clustered [[corpus]] pins the throughput
+    * story, this one pins the recall-vs-time story ([[runHard]]). */
+  private def genVecHard(id: Long, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j =>
+      unit(id * 0x9E3779B97F4A7C15L + j * 0x100000001B3L + 17L))
+
+  def corpusHard(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, genVecHard(id, dim))))
+      .toDF("vec_id", "embedding")
+  }
+
   /** Query batch: perturbed corpus points (ids spread across the
-    * corpus), so every query has genuine near neighbors. */
-  private def querySet(n: Long, dim: Int, nQ: Int)
+    * corpus), so every query has genuine near neighbors. `gen` picks
+    * the corpus regime (clustered default, [[genVecHard]] for the
+    * hard sweep). */
+  private def querySet(n: Long, dim: Int, nQ: Int,
+      gen: (Long, Int) => Array[Double] = genVec)
       : Seq[(Long, Seq[Double])] = {
     val stride = math.max(1L, n / nQ)
     (0 until nQ).map { i =>
-      val base = genVec(i * stride, dim)
+      val base = gen(i * stride, dim)
       val v = Array.tabulate(dim)(j =>
         base(j) + 0.02 * unit(0xABCDEF1234L + i * 8191L + j))
       (i.toLong, v.toSeq)
@@ -126,16 +148,53 @@ object VectorScaleBench {
         s""""recall_at_10":${r3(recall)}}"""
   }
   final case class Point(n: Long, genSec: Double, bruteSec: Double,
-      idx: Seq[(String, IndexPoint)]) {
+      idx: Seq[(String, IndexPoint)], first: Option[Point] = None) {
     def json: String =
       s"""{"n":$n,"gen_sec":${r3(genSec)},"brute_sec":${r3(bruteSec)},""" +
         s""""indexes":{${idx.map { case (k, v) => s""""$k":${v.json}""" }
-          .mkString(",")}}}"""
+          .mkString(",")}}""" +
+        first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
   }
-  final case class Result(points: Seq[Point]) {
+
+  /** Noise guard — the same treatment per-query timings get: each
+    * point runs TWICE, the artifact carries per-metric MINIMA (host
+    * starvation only inflates; r7's contended refresh is why). Recall
+    * is merged with MIN too — the conservative direction for a quality
+    * gate. First-run values survive in `first_run` whenever a metric
+    * disagrees by >1.3×, keeping inflated readings auditable. */
+  private def merged(a: Point, b: Point): Point = {
+    val bIdx = b.idx.toMap
+    val mIdx = a.idx.map { case (k, ia) =>
+      val ib = bIdx.getOrElse(k, ia)
+      k -> IndexPoint(math.min(ia.build, ib.build),
+        math.min(ia.scan, ib.scan), math.min(ia.recall, ib.recall))
+    }
+    val m = Point(a.n, math.min(a.genSec, b.genSec),
+      math.min(a.bruteSec, b.bruteSec), mIdx)
+    val mMap = mIdx.toMap
+    val noisy = ((a.bruteSec, m.bruteSec) +: a.idx.flatMap { case (k, ia) =>
+      Seq((ia.build, mMap(k).build), (ia.scan, mMap(k).scan))
+    }).exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
+    if (noisy) m.copy(first = Some(a)) else m
+  }
+  final case class HardSetting(index: String, param: String,
+      scan: Double, recall: Double) {
+    def json: String =
+      s"""{"index":"$index","param":"$param",""" +
+        s""""scan_sec":${r3(scan)},"recall_at_10":${r3(recall)}}"""
+  }
+  final case class HardPoint(n: Long, bruteSec: Double,
+      settings: Seq[HardSetting]) {
+    def json: String =
+      s"""{"corpus":"uniform","n":$n,"brute_sec":${r3(bruteSec)},""" +
+        s""""settings":[${settings.map(_.json).mkString(",")}]}"""
+  }
+  final case class Result(points: Seq[Point],
+      hard: Option[HardPoint] = None) {
     def json: String =
       s"""{"dim":$Dim,"k":$K,"n_queries":$NQueries,"centers":$Centers,""" +
-        s""""points":[${points.map(_.json).mkString(",")}]}"""
+        s""""points":[${points.map(_.json).mkString(",")}],""" +
+        s""""hard":${hard.map(_.json).getOrElse("null")}}"""
     /** Compact-headline summary: biggest point's brute/best-scan ratio
       * and the minimum recall across every (point, index). */
     def summary: Option[String] = points.lastOption.map { p =>
@@ -242,6 +301,74 @@ object VectorScaleBench {
     Point(n, genSec, bruteSec, results.result())
   }
 
-  def run(spark: SparkSession, sizes: Seq[Long]): Result =
-    Result(sizes.map(runPoint(spark, _)))
+  /** The recall-vs-effort sweep on the uniform corpus: build each
+    * index ONCE, then scan at two probe/ef settings — the cheap one
+    * and a 4× harder one. On this corpus the cheap settings visibly
+    * drop recall (unlike the 1024-cluster corpus, where routing is
+    * unambiguous and nearly every setting reads 1.0), so the recorded
+    * pairs pin the actual recall-vs-time tradeoff a tuner would
+    * navigate at 100 TB. */
+  def runHard(spark: SparkSession, n: Long): HardPoint = {
+    import spark.implicits._
+    val df = corpusHard(spark, n, Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    val qDf = querySet(n, Dim, NQueries, genVecHard).toDF("q_id", "qv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qDf.count()
+    val (truth, bruteSec) =
+      bestOf2(Knn.join(qDf, "qv", "q_id", df, "embedding", "vec_id", K))
+    val lists = math.max(64, math.min(1000, math.sqrt(n.toDouble).toInt))
+    val trainFrac = math.min(1.0, 24576.0 / n)
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val out = Seq.newBuilder[HardSetting]
+
+    locally {
+      val model = IvfFlat.build(df, Seq("vec_id"), "embedding", lists,
+        probeLists = 16, DistanceMetric.L2, iterations = 5,
+        sampleFraction = trainFrac)
+      model.buckets.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      model.buckets.count()
+      Seq(8, 32).foreach { p =>
+        val (got, s) =
+          bestOf2(model.copy(probeLists = p).knnJoinHeap(qDf, "q_id", "qv", K))
+        out += HardSetting("ivfflat", s"probe=$p", s, recallVs(truth, got))
+      }
+      model.buckets.unpersist()
+    }
+
+    locally {
+      val model = IvfPq.build(df, "vec_id", "embedding", lists, m = 16,
+        k = 256, ivfIterations = 5, pqIterations = 5,
+        sampleFraction = math.min(1.0, 16384.0 / n))
+      Seq(8, 32).foreach { p =>
+        val (got, s) = bestOf2(model.knnJoin(qDf, "q_id", "qv",
+          df, "vec_id", "embedding", K, probeLists = p, shortlist = 48))
+        out += HardSetting("ivfpq", s"probe=$p", s, recallVs(truth, got))
+      }
+      model.unpersist()
+    }
+
+    locally {
+      val idx = Hnsw.buildPartitioned(df, "vec_id", "embedding", m = 8,
+        efConstruction = 48, efSearch = 48, numPartitions = parts)
+      idx.size
+      Seq(48, 192).foreach { ef =>
+        val (got, s) = bestOf2(idx.knnJoin(qDf, "q_id", "qv", K, ef = ef))
+        out += HardSetting("hnsw_partitioned", s"ef=$ef", s,
+          recallVs(truth, got))
+      }
+      idx.unpersist()
+    }
+
+    qDf.unpersist(); df.unpersist()
+    HardPoint(n, bruteSec, out.result())
+  }
+
+  def run(spark: SparkSession, sizes: Seq[Long],
+      hardN: Option[Long] = None): Result =
+    Result(
+      sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n))),
+      hardN.map(runHard(spark, _)))
 }

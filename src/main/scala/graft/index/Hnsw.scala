@@ -236,9 +236,13 @@ final class HnswIndex(
   }
 
   /** KNN scan (reference ScanVectorKey, hnsw_index.cpp:188-201): descend
-    * layers with efSearch, then a layer-0 search with max(k, efSearch). */
-  def scan(query: Array[Double], k: Int): Seq[(Long, Double)] =
-    scanFull(query, k).map(t => (t._1, t._3))
+    * layers with efSearch, then a layer-0 search with max(k, efSearch).
+    * `ef` > 0 overrides the build-time efSearch for THIS scan — the
+    * recall-vs-time knob a serving layer tunes without rebuilding the
+    * graph (VectorScaleBench's hard-corpus sweep uses it). */
+  def scan(query: Array[Double], k: Int, ef: Int = -1)
+      : Seq[(Long, Double)] =
+    scanFull(query, k, ef).map(t => (t._1, t._3))
 
   /** scan() + the stored vectors (for vector-valued semi-joins).
     *
@@ -248,19 +252,20 @@ final class HnswIndex(
     * degree-bound pruning ever disconnected the graph — the
     * guarantee q55/q39's brute-force oracles rely on; connectivity
     * alone would be an empirical assumption. */
-  def scanFull(query: Array[Double], k: Int)
+  def scanFull(query: Array[Double], k: Int, ef: Int = -1)
       : Seq[(Long, Array[Double], Double)] = {
     if (entryPoint < 0) return Seq.empty
-    val probeAll = efSearch >= vectors.length
+    val efUse = if (ef > 0) ef else efSearch
+    val probeAll = efUse >= vectors.length
     val eps0: Array[Int] =
       if (probeAll) Array.tabulate(vectors.length)(identity)
       else {
         var eps: Array[Int] = Array(entryPoint)
         var l = layers.length - 1
-        while (l > 0) { eps = searchLayer(l, query, efSearch, eps); l -= 1 }
+        while (l > 0) { eps = searchLayer(l, query, efUse, eps); l -= 1 }
         eps
       }
-    searchLayer(0, query, math.max(k, efSearch), eps0)
+    searchLayer(0, query, math.max(k, efUse), eps0)
       .take(k).toSeq
       .map(v => (ids(v), vectors(v), dist(query, vectors(v))))
   }
@@ -485,9 +490,10 @@ object Hnsw {
     /** Batch KNN join: broadcast the query batch once, probe every
       * sub-graph per query where it lives, then one bounded window
       * merge over P*k rows per query. Queries are the small side by
-      * construction (the big side is the indexed corpus). */
+      * construction (the big side is the indexed corpus). `ef` > 0
+      * overrides each sub-graph's build-time efSearch per scan. */
     def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
-        k: Int): DataFrame = {
+        k: Int, ef: Int = -1): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val spark = queries.sparkSession
@@ -500,7 +506,7 @@ object Hnsw {
       val local = parts.mapPartitions { it =>
         it.flatMap { idx =>
           bc.value.iterator.flatMap { case (qid, qv) =>
-            idx.scan(qv, k).map { case (did, d) => (qid, did, d) }
+            idx.scan(qv, k, ef).map { case (did, d) => (qid, did, d) }
           }
         }
       }

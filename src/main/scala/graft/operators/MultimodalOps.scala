@@ -109,6 +109,105 @@ object MultimodalOps {
       if (need == 0) 0.0 else sum.toDouble / need)
   }
 
+  final case class BmpDecoded(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, mean_pixel: Double, top_left_blue: Int)
+
+  /** BMP fixture encoder: pack the payload into a syntactically-valid
+    * uncompressed 24-bit BMP (BITMAPINFOHEADER), width fixed at 3 px so
+    * every 9-byte pixel row carries 3 PAD bytes to the 4-byte stride —
+    * the format detail a naive "average the raster" decoder gets
+    * wrong. Image row i (top-first) takes payload bytes [9i, 9i+9);
+    * rows are stored BOTTOM-UP (positive height) per the spec, so the
+    * top-left pixel lives in the LAST stored row — the second detail a
+    * lazy decoder misses. Tail payload bytes that don't fill a row are
+    * dropped (len/9 full rows), exactly what the oracle recomputes. */
+  private[graft] def encodeBmp(bytes: Array[Byte]): Array[Byte] = {
+    val h = bytes.length / 9
+    val stride = 12 // 3 px × 3 B = 9, padded to the 4-byte boundary
+    val out = java.nio.ByteBuffer.allocate(54 + h * stride)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + h * stride).putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(3).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(h * stride)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var stored = h - 1 // bottom-up: image row h-1 is stored first
+    while (stored >= 0) {
+      out.put(bytes, 9 * stored, 9).put(0.toByte).put(0.toByte)
+        .put(0.toByte)
+      stored -= 1
+    }
+    out.array()
+  }
+
+  /** REAL BMP decode — pure-JVM parser for uncompressed 24-bit BMPs
+    * per the published format: 14-byte file header ('BM', size, pixel
+    * offset), BITMAPINFOHEADER (size ≥ 40; planes 1, bpp 24,
+    * BI_RGB only), rows padded to 4-byte strides, stored bottom-up
+    * when height is positive / top-down when negative (both handled).
+    * Features: the raster mean over PIXEL bytes only (pad bytes
+    * excluded — including them skews every image whose row length
+    * isn't a multiple of 4), and the blue channel of the TOP-LEFT
+    * pixel (pixels are BGR), which forces the decoder to honor the
+    * bottom-up row order. Malformed payloads throw. */
+  private[graft] def decodeBmp(docId: Long, bytes: Array[Byte])
+      : BmpDecoded = {
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"bmp decode [$docId]: $why")
+    if (bytes.length < 54) fail(s"truncated header: ${bytes.length} B")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.get() != 'B' || bb.get() != 'M') fail("bad magic")
+    bb.getInt(); bb.getShort(); bb.getShort() // file size, reserved
+    val pixelOffset = bb.getInt()
+    val infoSize = bb.getInt()
+    if (infoSize < 40) fail(s"unsupported info header size $infoSize")
+    val width = bb.getInt()
+    val rawHeight = bb.getInt()
+    val planes = bb.getShort()
+    val bpp = bb.getShort()
+    val compression = bb.getInt()
+    if (width < 0) fail(s"bad width $width")
+    if (planes != 1) fail(s"bad planes $planes")
+    if (bpp != 24) fail(s"unsupported bpp $bpp (24-bit only)")
+    if (compression != 0) fail(s"compressed BMP unsupported")
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) & ~3
+    if (pixelOffset < 54 || pixelOffset > bytes.length)
+      fail(s"bad pixel offset $pixelOffset")
+    if (pixelOffset + height.toLong * stride > bytes.length)
+      fail(s"raster truncated: need ${height.toLong * stride}, " +
+        s"have ${bytes.length - pixelOffset}")
+    var sum = 0L
+    var r = 0
+    while (r < height) { // pixel bytes only — pad bytes excluded
+      var i = pixelOffset + r * stride
+      val end = i + rowBytes
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      r += 1
+    }
+    val nPix = height.toLong * rowBytes
+    val topRow = if (topDown) 0 else height - 1
+    val topLeftBlue =
+      if (height == 0 || width == 0) 0
+      else bytes(pixelOffset + topRow * stride) & 0xff
+    BmpDecoded(docId, bytes.length, width, height,
+      if (nPix == 0) 0.0 else sum.toDouble / nPix, topLeftBlue)
+  }
+
+  /** q183's pipeline: the BMP twin of [[decodeImages]] — same typed
+    * mapPartitions shape, second container format. */
+  def decodeImagesBmp(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => decodeBmp(id, encodeBmp(b)) })
+      .toDF()
+  }
+
   final case class Audio(doc_id: Long, n_bytes: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, peak: Int, rms: Double)
 
@@ -376,7 +475,19 @@ object MultimodalOps {
       decodeAudio(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("n_samples"), col("duration_us"), col("peak"),
-          round(col("rms"), 6).as("rms")))
+          round(col("rms"), 6).as("rms"))),
+
+    // REAL BMP decode (24-bit uncompressed, padded bottom-up rows) —
+    // the second image container next to q50's netpbm. The oracle
+    // recomputes geometry, the PIXEL-byte mean (pad bytes excluded)
+    // and the top-left blue channel from the same text bytes: a
+    // decoder that averages pad bytes or ignores the bottom-up row
+    // order is a value mismatch, not a silent drift.
+    "q183_bmp_decode" -> ((s, d) =>
+      decodeImagesBmp(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), round(col("mean_pixel"), 6).as("mean_pixel"),
+          col("top_left_blue")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,6 +587,23 @@ object MultimodalOps {
         |  CASE WHEN ns = 0 THEN 0.0 ELSE
         |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
         |      / ns), 6) END AS rms
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+    // the BMP fixture: width 3 (stride 12 = 9 pixel bytes + 3 pad),
+    // h = len/9 full rows, 54-byte header, bottom-up storage. Pad
+    // bytes are zero and EXCLUDED from the mean; the top-left pixel's
+    // blue byte is payload byte 0 (image row 0 = LAST stored row).
+    "q183_bmp_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 9 AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, (54 + 12 * h)::INT AS n_bytes,
+        |  3 AS width, h AS height,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 9*h + 1)])::DOUBLE
+        |      / (9 * h) END, 6) AS mean_pixel,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_blue
+        |FROM f""".stripMargin
   )
 }

@@ -59,6 +59,68 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("BMP decode: pad bytes excluded from mean; bottom-up top-left pinned") {
+    // payload = 2 image rows of 9 pixel bytes each
+    val payload = Array.tabulate(18)(i => (i + 1).toByte)
+    val bmp = MultimodalOps.encodeBmp(payload)
+    assert(bmp.length == 54 + 2 * 12)
+    val d = MultimodalOps.decodeBmp(9L, bmp)
+    assert(d.width == 3 && d.height == 2 && d.n_bytes == 78)
+    // mean over the 18 PIXEL bytes only — the 6 zero pad bytes would
+    // drag a naive all-raster mean down to 171/24
+    val want = payload.map(_ & 0xff).sum.toDouble / 18
+    assert(math.abs(d.mean_pixel - want) < 1e-12)
+    // top-left pixel = image row 0 = LAST stored row; blue = byte 0
+    assert(d.top_left_blue == 1,
+      "decoder must honor bottom-up row order")
+  }
+
+  test("BMP top-down (negative height) also decodes; row order flips") {
+    val payload = Array.tabulate(18)(i => (i + 1).toByte)
+    val bmp = MultimodalOps.encodeBmp(payload)
+    // flip the height field (offset 22, i32 LE) to -2: top-down layout
+    // with the SAME stored bytes — stored row 0 becomes image row 0
+    val bb = java.nio.ByteBuffer.wrap(bmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val d = MultimodalOps.decodeBmp(10L, bmp)
+    assert(d.height == 2)
+    // the encoder stored image row 1 first, so reading top-down makes
+    // payload byte 9 the top-left pixel's blue channel
+    assert(d.top_left_blue == 10)
+  }
+
+  test("BMP zero-height decodes empty; malformed BMPs FAIL") {
+    val empty = MultimodalOps.decodeBmp(11L,
+      MultimodalOps.encodeBmp(Array[Byte](1, 2, 3))) // < 1 row
+    assert(empty.height == 0 && empty.mean_pixel == 0.0
+      && empty.top_left_blue == 0)
+    val good = MultimodalOps.encodeBmp(Array.tabulate(9)(_.toByte))
+    // truncated raster
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeBmp(12L, good.dropRight(5))
+    }
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      val bad = good.clone(); bad(0) = 'X'.toByte
+      MultimodalOps.decodeBmp(13L, bad)
+    }
+    // 8-bit palette BMP unsupported (bpp at offset 28, u16 LE)
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      java.nio.ByteBuffer.wrap(bad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
+      MultimodalOps.decodeBmp(14L, bad)
+    }
+    // RLE compression unsupported (compression at offset 30, u32 LE)
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      java.nio.ByteBuffer.wrap(bad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+      MultimodalOps.decodeBmp(15L, bad)
+    }
+  }
+
   test("fixture encode → real decode identity over document text") {
     val rows = MultimodalOps.decodeImages(
         Tables.load(spark, sfDir, "documents"))

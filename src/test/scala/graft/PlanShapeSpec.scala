@@ -351,4 +351,94 @@ class PlanShapeSpec extends SparkSpecBase {
       s"corpus must not shuffle for the LM join:\n$s")
     assert(s.contains("TakeOrderedAndProject"), s"top-20 must fuse:\n$s")
   }
+
+  test("q171 schema evolution: ONE merged scan over both generations, one agg exchange") {
+    val s = operators.ScaleOps.queries("q171_schema_evolution")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // mergeSchema must plan a SINGLE FileScan spanning both parquet
+    // generations — reading old files a second time is exactly the
+    // rewrite the lakehouse story avoids
+    assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"both generations must flow through one merged scan:\n$s")
+    assert(!s.contains("Join"), s"q171 is a scan+agg, no join:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"one source-keyed agg exchange only:\n$s")
+    assert(s.contains("partial_"), s"agg must map-side combine:\n$s")
+  }
+
+  test("q172 snapshot diff: keyed full-outer over the two manifests, never broadcast") {
+    // the returned frame is a one-row driver report; pin the plan of
+    // the underlying full-outer churn join (same construction as the
+    // query body, over the same ensureSnapshots manifests)
+    val snap = operators.ScaleOps.ensureSnapshots(spark, sfDir)
+    val v1 = snap(1).select(col("doc_id"), col("n_chars").as("c1"))
+    val v2 = snap(2).select(col("doc_id"), col("n_chars").as("c2"))
+    val s = v1.join(v2, Seq("doc_id"), "full_outer")
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(s.contains("FullOuter"), s"diff must be a full-outer join:\n$s")
+    // a full-outer must co-partition BOTH sides on the key (broadcast
+    // cannot produce unmatched build-side rows): one exchange per side
+    assert(!s.contains("BroadcastHashJoin"),
+      s"full-outer cannot broadcast:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 2,
+      s"exactly one key exchange per manifest side:\n$s")
+  }
+
+  test("q175 table profile: the wide stats agg reads the table exactly once") {
+    // same shape as the query body's one-pass agg (nulls + exact NDV +
+    // min/max per column): count-distinct expands internally, but the
+    // parquet scan must happen ONCE no matter how many columns profile
+    val c = Tables.load(spark, sfDir, "customer")
+    val aggs = Seq("c_custkey", "c_mktsegment", "c_acctbal").flatMap(k =>
+      Seq(sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"${k}_nulls"),
+        countDistinct(col(k)).as(s"${k}_ndv"),
+        min(col(k)).cast("string").as(s"${k}_min"),
+        max(col(k)).cast("string").as(s"${k}_max")))
+    val s = c.agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"multi-column profile must scan once:\n$s")
+    assert(s.contains("Expand"),
+      s"multi-distinct should plan the Expand rewrite, not N scans:\n$s")
+  }
+
+  test("q179 group folds: narrow fold tagging — no join, bounded exchanges") {
+    val s = operators.ScaleOps.queries("q179_group_folds")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Join"),
+      s"fold assignment is a pure hash of the group key, no join:\n$s")
+    // countDistinct(user) under groupBy(fold): (fold,user) partial +
+    // fold final = two key exchanges, nothing more
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"fold report must stay two exchanges:\n$s")
+  }
+
+  test("q181 negative edges: anti-join survivors take a bounded TopN, not a global sort") {
+    // reconstruct the proposal -> anti-join -> top-1000 pipeline the
+    // query persists internally (its returned frame is a driver report)
+    val edges = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("ec"),
+        col("l_suppkey").cast("long").as("es"))
+      .distinct()
+    def h(prefix: String) =
+      conv(substring(md5(concat(lit(prefix), col("id"))), 1, 15),
+        16, 10).cast("long")
+    val props = spark.range(5000).select(col("id"),
+      (h("neg-c-") % 1000 + 1).as("c"), (h("neg-s-") % 100 + 1).as("sup"))
+    val s = props.join(edges,
+        props("c") === edges("ec") && props("sup") === edges("es"),
+        "left_anti")
+      .orderBy(col("id").asc).limit(1000)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("LeftAnti"), s"must plan an anti-join:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-1000 of the 5k survivors must fuse, not globally sort:\n$s")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      s"the anti-join must stay an equi-join:\n$s")
+  }
 }
