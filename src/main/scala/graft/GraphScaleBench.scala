@@ -116,7 +116,7 @@ object GraphScaleBench {
     * disagrees by >1.3× the first run's values are kept in a
     * `first_run` field, so an inflated reading stays auditable instead
     * of silently vanishing. */
-  private def merged(a: Point, b: Point): Point = {
+  private[graft] def merged(a: Point, b: Point): Point = {
     val m = Point(a.n, a.edges,
       math.min(a.genSec, b.genSec),
       math.min(a.triSec, b.triSec), a.triOk && b.triOk,

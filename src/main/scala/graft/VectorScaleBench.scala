@@ -53,9 +53,16 @@ object VectorScaleBench {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
-  /** Uniform in [-1, 1), a pure function of the stream key. */
+  /** Uniform in [-1, 1), a pure function of the stream key. The
+    * 53-bit mantissa draw divides by 2^53 (the standard splitmix
+    * double conversion) — an earlier 2^52 divisor silently doubled
+    * the range to [-1, 3), which the hard-corpus zero-mean spec
+    * caught (VectorScaleBenchSpec); the clustered corpus was
+    * internally consistent either way, but the documented geometry
+    * (inter-center L2 ≈ sqrt(2·dim/3)) only holds with the correct
+    * divisor. */
   private def unit(key: Long): Double =
-    (mix(key) >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+    (mix(key) >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
 
   /** Row `id`'s vector: its center (id mod Centers) plus ±0.1 noise —
     * inter-center L2 ≈ sqrt(2·dim/3) ≈ 9.2 at dim 128, intra-cluster
@@ -162,7 +169,7 @@ object VectorScaleBench {
     * is merged with MIN too — the conservative direction for a quality
     * gate. First-run values survive in `first_run` whenever a metric
     * disagrees by >1.3×, keeping inflated readings auditable. */
-  private def merged(a: Point, b: Point): Point = {
+  private[graft] def merged(a: Point, b: Point): Point = {
     val bIdx = b.idx.toMap
     val mIdx = a.idx.map { case (k, ia) =>
       val ib = bIdx.getOrElse(k, ia)

@@ -20,6 +20,24 @@ class GraphScaleBenchSpec extends SparkSpecBase {
         =!= (col("v") / 1000).cast("long")).count() == 0)
   }
 
+  test("noise-guard merge: per-metric min, ANDed flags, auditable first run") {
+    import GraphScaleBench.Point
+    val slow = Point(1000L, 2000L, 1.0, 9.0, true, 2.0, true, 3.0, true,
+      4.0, true)
+    val fast = Point(1000L, 2000L, 0.5, 2.0, true, 2.1, true, 2.5, true,
+      4.1, false)
+    val m = GraphScaleBench.merged(slow, fast)
+    assert(m.triSec == 2.0 && m.ccSec == 2.0 && m.prSec == 2.5
+      && m.lpaSec == 4.0, "every metric keeps the minimum")
+    assert(!m.lpaOk, "a failed invariant in EITHER run must survive")
+    assert(m.first.contains(slow),
+      "a >1.3x disagreement keeps the first run auditable")
+    // quiet pair: no audit blob
+    val q = GraphScaleBench.merged(fast.copy(lpaOk = true),
+      fast.copy(lpaOk = true))
+    assert(q.first.isEmpty && q.allOk)
+  }
+
   test("3k-node point: all four planted checks hold") {
     val p = GraphScaleBench.runPoint(spark, 3000L)
     assert(p.edges == 6000L)
