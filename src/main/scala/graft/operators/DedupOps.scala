@@ -491,6 +491,32 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
+    // EXACT-SUBSTRING span dedup — the SPAN-level variant of document
+    // dedup (the "exact substring" pass of Lee et al. 2022, which
+    // removes repeated spans rather than whole near-dup docs; document-
+    // level MinHash is q46, containment is q127). Maximal shared token
+    // spans between doc pairs fall out of 4-gram matches merged along
+    // (pair, diagonal) islands: a run of r consecutive matching grams
+    // on one diagonal is a shared span of r+3 tokens; gaps break the
+    // run exactly as the suffix-array method would. Hot grams
+    // (df > 50 occurrences) are dropped BEFORE pairing, like LSH band
+    // caps — boilerplate grams pair quadratically and carry no
+    // pairwise signal. Shape: one doc_id exchange builds the gram
+    // stream (posexplode + window leads, codegen); the df cap and the
+    // occurrence self-join are both keyed on the gram (shared
+    // partitioning); the island merge is one pair-diagonal window;
+    // candidates are bounded by Σ df² ≤ cap·|grams| — never |docs|².
+    // The report keeps pairs whose longest shared span ≥ 8 tokens —
+    // the per-pair removal list a span-dedup pass consumes.
+    "q184_substring_dedup" -> ((s, d) =>
+      substringSpans(Tables.load(s, d, "documents"), cap = 50)
+        .groupBy("a_id", "b_id").agg(
+          max("span_len").as("max_span"),
+          count(lit(1)).as("n_spans"),
+          sum(when(col("span_len") >= 8, 1L).otherwise(0L))
+            .as("spans_ge8"))
+        .filter(col("max_span") >= 8)),
+
     // Blocked FUZZY (edit-distance) entity matching — the record-
     // linkage primitive dedup-by-fingerprint can't express.
     // CANONICALIZE FIRST: rows collapse to distinct (name, count)
@@ -943,6 +969,41 @@ object DedupOps {
       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThr""".stripMargin
 
+  /** q184's span extraction over any (doc_id, text) frame — split out
+    * so DedupSpec pins the island semantics (one maximal span per
+    * matching run, gaps break runs, within-doc repeats live on
+    * separate diagonals) on crafted documents. Returns one row per
+    * MAXIMAL shared span: (a_id, b_id, diag, isl, span_len). */
+  private[graft] def substringSpans(docs: DataFrame, cap: Int)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "t")))
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .withColumn("t3", lead("t", 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3")).as("g"))
+    val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("g")
+    val gk = grams.join(kept, "g")
+    val m = gk.select(col("g"), col("doc_id").as("a_id"),
+        col("pos").as("ap"))
+      .join(gk.select(col("g"), col("doc_id").as("b_id"),
+        col("pos").as("bp")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("diag", col("bp") - col("ap"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "diag")
+      .orderBy(col("ap").asc)
+    m.withColumn("isl", col("ap") - row_number().over(iw))
+      .groupBy("a_id", "b_id", "diag", "isl")
+      .agg((count(lit(1)) + 3).as("span_len"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q44_dedup_exact" ->
       """WITH g AS (
@@ -953,6 +1014,39 @@ object DedupOps {
         |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
+    // positions are 1-based here and 0-based in Spark, but diagonals
+    // (bp-ap) and island keys (ap - row_number) are shift-invariant
+    // and no position reaches the output — only span lengths do
+    "q184_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+        |), kept AS (
+        |  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |  WHERE df <= 50
+        |), m AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ap,
+        |    b.pos AS bp
+        |  FROM g a JOIN g b USING (g) JOIN kept USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT a_id, b_id, bp - ap AS diag, ap,
+        |    ap - row_number()
+        |      OVER (PARTITION BY a_id, b_id, bp - ap ORDER BY ap) AS isl
+        |  FROM m
+        |), s AS (
+        |  SELECT a_id, b_id, count(*) + 3 AS span_len
+        |  FROM isl GROUP BY a_id, b_id, diag, isl
+        |)
+        |SELECT a_id, b_id, max(span_len) AS max_span,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN span_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS spans_ge8
+        |FROM s GROUP BY a_id, b_id HAVING max(span_len) >= 8""".stripMargin,
     "q142_fuzzy_join" ->
       """WITH names AS (
         |  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1

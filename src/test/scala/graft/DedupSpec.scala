@@ -226,6 +226,32 @@ class DedupSpec extends SparkSpecBase {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("q184 substring spans: maximal runs, gap breaks, hot-gram cap") {
+    import spark.implicits._
+    def doc(id: Long, words: String*) = (id, words.mkString(" "))
+    val shared = (1 to 10).map(i => s"w$i") // a 10-token shared span
+    val docs = Seq(
+      doc(1L, ("a1" +: "a2" +: shared :+ "a3"): _*),
+      doc(2L, ("b1" +: shared) ++ Seq("b2", "b3"): _*),
+      // doc 3 shares TWO runs with doc 1, split by a mismatch token:
+      // w1..w5 and w7..w10 — the gap must break the island
+      doc(3L, (shared.take(5) ++ Seq("zz") ++ shared.drop(6)): _*)
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.substringSpans(docs, cap = 50)
+      .collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Long]("span_len")))
+    // pair (1,2): exactly ONE maximal span of exactly 10 tokens — the
+    // 7 overlapping gram matches must merge, not count separately
+    val p12 = spans.filter(_._1 == (1L, 2L)).map(_._2)
+    assert(p12.toSeq == Seq(10L), s"want one 10-token span, got ${p12.toSeq}")
+    // pair (1,3): the mismatch splits it — spans of 5 and 4 tokens
+    val p13 = spans.filter(_._1 == (1L, 3L)).map(_._2).sorted
+    assert(p13.toSeq == Seq(4L, 5L), s"gap must break the run: ${p13.toSeq}")
+    // hot-gram cap: with cap=0 every gram is boilerplate -> no spans
+    assert(DedupOps.substringSpans(docs, cap = 0).count() == 0)
+  }
+
   test("q127 containment == local brute-force over shingle sets") {
     import org.apache.spark.sql.functions._
     val got = DedupOps.queries("q127_containment")(spark, sfDir)
