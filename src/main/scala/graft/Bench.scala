@@ -41,7 +41,11 @@ object Bench {
     "q163_outlier_trim", "q164_gap_fill", "q165_ivm_join",
     // fourth-wave shapes worth a curve: the phash self-join, the PCA
     // gram join, the PIT range join, and the TWAP window
-    "q168_phash_dedup", "q169_pca_power", "q174_pit_join", "q176_twap")
+    "q168_phash_dedup", "q169_pca_power", "q174_pit_join", "q176_twap",
+    // round-8: the gram-diagonal substring-dedup family — its
+    // candidate bound (sum df^2 under the hot-gram cap) is exactly
+    // the kind of claim a 2-point curve should check
+    "q184_substring_dedup", "q185_span_removal")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

@@ -517,6 +517,32 @@ object DedupOps {
             .as("spans_ge8"))
         .filter(col("max_span") >= 8)),
 
+    // SPAN-REMOVAL accounting — the planning report a span-dedup pass
+    // produces before rewriting anything: per doc, the UNION of all
+    // token intervals covered by a shared span ≥ 8 tokens (both sides
+    // of every q184 pair), unioned by the classic sweep (sort by
+    // start; an interval whose start exceeds the running max end
+    // opens a new island; union length = Σ per-island max(end) −
+    // min(start) — overlaps counted once, exactly), then rolled up
+    // per source: affected docs, their token mass, duplicated tokens,
+    // duplicated fraction. All integer sums until the one final
+    // rounded division; the sweep is a per-doc window (doc-keyed
+    // exchange), never a global sort. 0/1-based position bases cancel
+    // in every emitted quantity.
+    "q185_span_removal" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      docs.select(col("doc_id"), col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+            .as("n_tokens"))
+        .join(dupTokensPerDoc(docs, cap = 50, minSpan = 8), "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs_affected"),
+          sum("n_tokens").as("total_tokens"),
+          sum("dup_tokens").as("dup_tokens"),
+          round(sum("dup_tokens").cast("double") / sum("n_tokens"), 6)
+            .as("dup_frac"))
+    }),
+
     // Blocked FUZZY (edit-distance) entity matching — the record-
     // linkage primitive dedup-by-fingerprint can't express.
     // CANONICALIZE FIRST: rows collapse to distinct (name, count)
@@ -973,7 +999,11 @@ object DedupOps {
     * so DedupSpec pins the island semantics (one maximal span per
     * matching run, gaps break runs, within-doc repeats live on
     * separate diagonals) on crafted documents. Returns one row per
-    * MAXIMAL shared span: (a_id, b_id, diag, isl, span_len). */
+    * MAXIMAL shared span: (a_id, b_id, diag, isl, span_len, a_start) —
+    * the span covers tokens [a_start, a_start+span_len) in doc a and
+    * [a_start+diag, +span_len) in doc b (q185 turns these into
+    * per-doc interval unions; positions are engine-local 0/1-based
+    * but every emitted quantity is shift-invariant). */
   private[graft] def substringSpans(docs: DataFrame, cap: Int)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1001,7 +1031,42 @@ object DedupOps {
       .orderBy(col("ap").asc)
     m.withColumn("isl", col("ap") - row_number().over(iw))
       .groupBy("a_id", "b_id", "diag", "isl")
-      .agg((count(lit(1)) + 3).as("span_len"))
+      .agg((count(lit(1)) + 3).as("span_len"),
+        min(col("ap")).as("a_start"))
+  }
+
+  /** q185's per-doc duplicated-token mass: every qualifying shared
+    * span contributes its interval on BOTH pair sides, intervals are
+    * deduped (identical ones are redundant for a union — and the
+    * dedup makes (st, en) a total per-doc order, keeping the sweep's
+    * two window passes tie-order free), then unioned by the classic
+    * sweep: sorted by start, an interval whose start exceeds the
+    * running max end opens a new island; union length = Σ per-island
+    * max(end) − min(start) — overlaps counted ONCE. Split out so
+    * DedupSpec pins the overlap semantics on crafted docs. */
+  private[graft] def dupTokensPerDoc(docs: DataFrame, cap: Int,
+      minSpan: Int): DataFrame = {
+    val s8 = substringSpans(docs, cap).filter(col("span_len") >= minSpan)
+    val iv = s8.select(col("a_id").as("doc_id"),
+        col("a_start").as("st"),
+        (col("a_start") + col("span_len")).as("en"))
+      .unionByName(s8.select(col("b_id").as("doc_id"),
+        (col("a_start") + col("diag")).as("st"),
+        (col("a_start") + col("diag") + col("span_len")).as("en")))
+      .distinct()
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("doc_id").orderBy(col("st").asc, col("en").asc)
+    iv
+      .withColumn("runmax",
+        max("en").over(w.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("runmax").isNull || col("st") > col("runmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("new_isl")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg((max("en") - min("st")).as("cov"))
+      .groupBy("doc_id").agg(sum("cov").as("dup_tokens"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -1047,6 +1112,67 @@ object DedupOps {
         |  CAST(sum(CASE WHEN span_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS spans_ge8
         |FROM s GROUP BY a_id, b_id HAVING max(span_len) >= 8""".stripMargin,
+    "q185_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+        |), kept AS (
+        |  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |  WHERE df <= 50
+        |), m AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ap,
+        |    b.pos AS bp
+        |  FROM g a JOIN g b USING (g) JOIN kept USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |), mi AS (
+        |  SELECT a_id, b_id, bp - ap AS diag, ap,
+        |    ap - row_number()
+        |      OVER (PARTITION BY a_id, b_id, bp - ap ORDER BY ap) AS isl
+        |  FROM m
+        |), s AS (
+        |  SELECT a_id, b_id, diag, min(ap) AS a_start,
+        |    count(*) + 3 AS span_len
+        |  FROM mi GROUP BY a_id, b_id, diag, isl
+        |), s8 AS (SELECT * FROM s WHERE span_len >= 8
+        |), iv AS (
+        |  -- UNION (not ALL): duplicate intervals would make the
+        |  -- sweep's ORDER BY (st, en) non-total and its two window
+        |  -- passes tie-order sensitive
+        |  SELECT a_id AS doc_id, a_start AS st,
+        |    a_start + span_len AS en FROM s8
+        |  UNION
+        |  SELECT b_id, a_start + diag, a_start + diag + span_len FROM s8
+        |), marked AS (
+        |  SELECT doc_id, st, en,
+        |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM iv
+        |), isl2 AS (
+        |  SELECT doc_id, st, en,
+        |    sum(CASE WHEN runmax IS NULL OR st > runmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM marked
+        |), u AS (
+        |  SELECT doc_id, isl, max(en) - min(st) AS cov
+        |  FROM isl2 GROUP BY 1, 2
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens
+        |  FROM u GROUP BY 1
+        |), tk AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS docs_affected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+        |  round(sum(dup_tokens)::DOUBLE / sum(n_tokens), 6) AS dup_frac
+        |FROM tk JOIN per_doc USING (doc_id) GROUP BY source""".stripMargin,
     "q142_fuzzy_join" ->
       """WITH names AS (
         |  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1

@@ -252,6 +252,28 @@ class DedupSpec extends SparkSpecBase {
     assert(DedupOps.substringSpans(docs, cap = 0).count() == 0)
   }
 
+  test("q185 dup-token union: both pair sides counted, overlaps once") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, ("a1" +: "a2" +: shared :+ "a3").mkString(" ")),
+      (2L, (("b1" +: shared) ++ Seq("b2", "b3")).mkString(" ")),
+      // doc 4 shares w3..w10 with docs 1 and 2 — inside the w1..w10
+      // interval those docs already carry, so their union must NOT grow
+      (4L, (shared.drop(2) ++ Seq("x", "y", "z")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dup = DedupOps.dupTokensPerDoc(docs, cap = 50, minSpan = 8)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Long]("dup_tokens")).toMap
+    // docs 1 and 2: the 10-token w-span (vs each other) overlapping
+    // the 8-token w3..w10 span (vs doc 4) -> union exactly 10
+    assert(dup(1L) == 10L, s"overlap must count once: ${dup(1L)}")
+    assert(dup(2L) == 10L, s"overlap must count once: ${dup(2L)}")
+    // doc 4: w3..w10 = 8 tokens, claimed by BOTH pair sides + both
+    // partners, still one interval
+    assert(dup(4L) == 8L, s"doc 4 union: ${dup(4L)}")
+  }
+
   test("q127 containment == local brute-force over shingle sets") {
     import org.apache.spark.sql.functions._
     val got = DedupOps.queries("q127_containment")(spark, sfDir)
