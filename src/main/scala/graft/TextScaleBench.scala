@@ -126,13 +126,37 @@ object TextScaleBench {
         s""""planted":$planted,"recall_planted":${r3(recall)}$audit}"""
     }
   }
-  final case class Result(points: Seq[Point]) {
+  /** One size point of the q184 substring-dedup pipeline on the same
+    * planted corpus. The mutation at position p splits doc (id-1, id)
+    * into shared spans of p and len-1-p tokens, so the EXACT expected
+    * max_span of every planted pair is computable from the generator —
+    * `max_span_exact` is the fraction of recovered planted pairs whose
+    * reported longest span equals it (value-checked scale execution,
+    * not just wall time). */
+  final case class SubPoint(n: Long, subSec: Double, pairs: Long,
+      planted: Long, recall: Double, spanExact: Double,
+      subFirst: Double = -1.0) {
+    def json: String = {
+      val audit =
+        if (subFirst > 1.3 * subSec && subFirst - subSec > 0.5)
+          s""","sub_first_sec":${r3(subFirst)}""" else ""
+      s"""{"n":$n,"sub_sec":${r3(subSec)},"pairs_found":$pairs,""" +
+        s""""planted":$planted,"recall_planted":${r3(recall)},""" +
+        s""""max_span_exact":${r3(spanExact)}$audit}"""
+    }
+  }
+  final case class Result(points: Seq[Point],
+      sub: Seq[SubPoint] = Seq.empty) {
     def json: String =
       s"""{"bands":16,"rows_per_band":4,"jaccard_thr":$JaccardThr,""" +
-        s""""points":[${points.map(_.json).mkString(",")}]}"""
+        s""""points":[${points.map(_.json).mkString(",")}],""" +
+        s""""substring":[${sub.map(_.json).mkString(",")}]}"""
     def summary: Option[String] = points.lastOption.map { p =>
+      val subTail = sub.lastOption.map(sp =>
+        s""","sub_sec":${r3(sp.subSec)},"sub_recall":${r3(sp.recall)}""")
+        .getOrElse("")
       s"""{"n_max":${p.n},"lsh_sec":${r3(p.lshSec)},""" +
-        s""""recall_planted":${r3(p.recall)}}"""
+        s""""recall_planted":${r3(p.recall)}$subTail}"""
     }
   }
 
@@ -164,6 +188,54 @@ object TextScaleBench {
       lshFirst = t1)
   }
 
+  /** Expected longest shared span of planted pair (id-1, id): the
+    * mutation at p splits the stream into spans of p and len-1-p
+    * tokens (a span registers only with >= 4 tokens, i.e. one 4-gram;
+    * at len >= 40 the larger side is always >= 19, so every planted
+    * pair qualifies for the >= 8 report). */
+  private[graft] def expectedMaxSpan(id: Long): Long = {
+    val base = id - 1
+    val len = 40 + (mix(base * 7 + 1) & 0x7fffffff).toInt % 40
+    val p = ((mix(id) & 0x7fffffff) % len).toInt
+    math.max(if (p >= 4) p else 0, if (len - 1 - p >= 4) len - 1 - p else 0)
+  }
+
+  /** q184's operator path (gram-diagonal islands, hot-gram cap 50,
+    * min span 8) at generated scale, value-checked: planted-pair
+    * recall AND exact agreement of each recovered pair's max_span
+    * with the generator-derived expectation. */
+  def runSubstringPoint(spark: SparkSession, n: Long): SubPoint = {
+    val docs = corpus(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def once(): (Array[(Long, Long, Long)], Double) = {
+      val (rows, t) = timeIt {
+        DedupOps.substringSpans(docs, cap = 50)
+          .groupBy("a_id", "b_id")
+          .agg(max("span_len").as("max_span"))
+          .filter(col("max_span") >= 8)
+          .collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Long]("max_span")))
+      }
+      (rows, t)
+    }
+    val (found, t1) = once()
+    val (_, t2) = once()
+    docs.unpersist()
+    val byPair = found.map(r => (r._1, r._2) -> r._3).toMap
+    val plantedIds = (1L until n by 100L).filter(_ % 100 == 1)
+    val hits = plantedIds.count(id => byPair.contains((id - 1, id)))
+    val exact = plantedIds.count(id =>
+      byPair.get((id - 1, id)).contains(expectedMaxSpan(id)))
+    SubPoint(n, math.min(t1, t2), found.length,
+      plantedIds.size, if (plantedIds.isEmpty) 1.0
+        else hits.toDouble / plantedIds.size,
+      if (hits == 0) 0.0 else exact.toDouble / hits,
+      subFirst = t1)
+  }
+
   def run(spark: SparkSession, sizes: Seq[Long]): Result =
-    Result(sizes.map(runPoint(spark, _)))
+    Result(sizes.map(runPoint(spark, _)),
+      sizes.map(runSubstringPoint(spark, _)))
 }
