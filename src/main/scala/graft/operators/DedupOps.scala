@@ -1008,6 +1008,11 @@ object DedupOps {
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
+    // localCheckpoint is load-bearing: the gram stream feeds the df
+    // cap AND both self-join sides — left lazy, Spark re-derives it
+    // (posexplode + window + corpus scan) once per consumer, and the
+    // executed q184 plan read the documents parquet FOUR times. One
+    // materialization, every consumer reads the cached partitions.
     val grams = docs
       .select(col("doc_id"), posexplode(
         split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "t")))
@@ -1017,6 +1022,7 @@ object DedupOps {
       .filter(col("t3").isNotNull)
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3")).as("g"))
+      .localCheckpoint(true)
     val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap).select("g")
     val gk = grams.join(kept, "g")
@@ -1046,7 +1052,11 @@ object DedupOps {
     * DedupSpec pins the overlap semantics on crafted docs. */
   private[graft] def dupTokensPerDoc(docs: DataFrame, cap: Int,
       minSpan: Int): DataFrame = {
+    // the span table is pair-count-sized (tiny next to the gram
+    // stream) and feeds BOTH interval sides — checkpoint it so the
+    // whole gram join doesn't run twice
     val s8 = substringSpans(docs, cap).filter(col("span_len") >= minSpan)
+      .localCheckpoint(true)
     val iv = s8.select(col("a_id").as("doc_id"),
         col("a_start").as("st"),
         (col("a_start") + col("span_len")).as("en"))
