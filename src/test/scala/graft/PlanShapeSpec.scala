@@ -441,4 +441,40 @@ class PlanShapeSpec extends SparkSpecBase {
       && !s.contains("BroadcastNestedLoopJoin"),
       s"the anti-join must stay an equi-join:\n$s")
   }
+
+  test("q183 BMP decode: zero exchanges — a pure per-row pipeline") {
+    val s = operators.MultimodalOps.queries("q183_bmp_decode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"),
+      s"per-row decode must not shuffle:\n$s")
+  }
+
+  test("q184 substring dedup: gram stream materialized once, pairing is equi-join only") {
+    val s = operators.DedupOps.queries("q184_substring_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the gram stream (posexplode + window over the corpus) feeds the
+    // df cap and BOTH self-join sides; left lazy, the executed plan
+    // read the documents parquet FOUR times. After localCheckpoint the
+    // query plan must contain NO parquet scan at all — every consumer
+    // reads the one materialized gram RDD.
+    assert(!s.contains("FileScan"),
+      s"corpus must be read once (at gram materialization), not per consumer:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"consumers must read the checkpointed gram stream:\n$s")
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      s"gram pairing must stay a keyed equi-join:\n$s")
+  }
+
+  test("q185 span removal: one corpus scan (token mass) + checkpointed spans, doc-keyed sweep") {
+    val s = operators.DedupOps.queries("q185_span_removal")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the span table (pair-count-sized) is checkpointed and feeds both
+    // interval sides; the only parquet read left is the n_tokens pass.
+    assert(s.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"exactly one corpus scan (token mass) — spans come from the checkpoint:\n$s")
+    // the interval-union sweep is a per-doc window, never a global sort
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"sweep must be doc-keyed, not a global sort:\n$s")
+  }
 }
