@@ -240,16 +240,22 @@ object MultimodalOps {
     out.array()
   }
 
-  /** REAL WAV decode — pure-JVM RIFF chunk walker for PCM16 mono per
-    * the published WAVE format: RIFF header, then (id, size LE)
-    * chunks with odd-size pad bytes, `fmt ` validated
-    * (PCM/mono/16-bit), `data` is the little-endian sample stream.
-    * Unknown chunks are SKIPPED (the spec allows LIST/INFO etc);
-    * malformed payloads throw — fabricated audio poisons everything
-    * downstream. Features: sample count, integer microsecond
-    * duration, peak |amplitude|, RMS (exact integer sum of squares,
-    * one final sqrt). */
-  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Audio = {
+  /** Parsed WAV payload: format fields + per-channel running stats
+    * (peak |amplitude|, exact integer sum of squares) accumulated in
+    * one pass over the interleaved frame stream — no sample array is
+    * materialized. */
+  private final case class WavRaw(rate: Int, ch: Int, bits: Int,
+      frames: Long, peak: Array[Int], sumSq: Array[Long])
+
+  /** REAL WAV chunk walker — pure-JVM RIFF parse per the published
+    * WAVE format: RIFF header, then (id, size LE) chunks with
+    * odd-size pad bytes, `fmt ` validated (integer PCM, 1–2 channels,
+    * 8 or 16 bits), `data` the interleaved frame stream. 16-bit
+    * samples are signed little-endian; 8-bit samples are UNSIGNED
+    * per the spec and re-centered to [-128, 127]. Unknown chunks are
+    * SKIPPED (the spec allows LIST/INFO etc); malformed payloads
+    * throw — fabricated audio poisons everything downstream. */
+  private def walkWav(docId: Long, bytes: Array[Byte]): WavRaw = {
     def fail(why: String) =
       throw new IllegalArgumentException(s"wav decode [$docId]: $why")
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -262,8 +268,13 @@ object MultimodalOps {
     bb.getInt() // riff size (trusting chunk walk, validated per chunk)
     if (fourcc() != "WAVE") fail("missing WAVE")
     var rate = -1
+    var ch = -1
+    var bits = -1
     var haveFmt = false
-    var samples: Array[Short] = null
+    var haveData = false
+    var frames = 0L
+    var peak: Array[Int] = null
+    var sumSq: Array[Long] = null
     while (bb.remaining() >= 8) {
       val id = fourcc()
       val size = bb.getInt()
@@ -272,39 +283,117 @@ object MultimodalOps {
       id match {
         case "fmt " =>
           if (size < 16) fail("fmt chunk too small")
-          val fmt = bb.getShort(); val ch = bb.getShort()
+          val fmt = bb.getShort(); ch = bb.getShort().toInt
           rate = bb.getInt(); bb.getInt(); bb.getShort()
-          val bits = bb.getShort()
+          bits = bb.getShort().toInt
           if (fmt != 1) fail(s"not PCM: format $fmt")
-          if (ch != 1) fail(s"not mono: $ch channels")
-          if (bits != 16) fail(s"not 16-bit: $bits")
+          if (ch < 1 || ch > 2) fail(s"unsupported channel count $ch")
+          if (bits != 8 && bits != 16) fail(s"unsupported bit depth $bits")
           if (rate <= 0) fail(s"bad rate $rate")
           haveFmt = true
         case "data" =>
           if (!haveFmt) fail("data before fmt")
-          val n = size / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) { samples(i) = bb.getShort(); i += 1 }
+          haveData = true
+          val block = ch * (bits / 8)
+          frames = (size / block).toLong
+          peak = new Array[Int](ch)
+          sumSq = new Array[Long](ch)
+          var f = 0L
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              val v =
+                if (bits == 16) bb.getShort().toInt
+                else (bb.get() & 0xff) - 128 // PCM8 is unsigned
+              val a = math.abs(v)
+              if (a > peak(c)) peak(c) = a
+              sumSq(c) += v.toLong * v
+              c += 1
+            }
+            f += 1
+          }
         case _ => () // LIST/INFO/fact/...: skip
       }
       bb.position(math.min(next, bytes.length))
     }
     if (!haveFmt) fail("no fmt chunk")
-    if (samples == null) fail("no data chunk")
-    var peak = 0
-    var sumSq = 0L
-    var i = 0
-    while (i < samples.length) {
-      val v = samples(i).toInt
-      val a = math.abs(v)
-      if (a > peak) peak = a
-      sumSq += v.toLong * v
-      i += 1
-    }
-    val n = samples.length.toLong
-    Audio(docId, bytes.length, rate, n, n * 1000000L / rate, peak,
-      if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+    if (!haveData) fail("no data chunk")
+    if (peak == null) { peak = new Array[Int](ch); sumSq = new Array[Long](ch) }
+    WavRaw(rate, ch, bits, frames, peak, sumSq)
+  }
+
+  /** q161's PCM16-mono decode over the generic walker — stricter than
+    * the container: a stereo or 8-bit payload throws rather than being
+    * silently averaged. Features: sample count, integer microsecond
+    * duration, peak |amplitude|, RMS (exact integer sum of squares,
+    * one final sqrt). */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Audio = {
+    val r = walkWav(docId, bytes)
+    if (r.ch != 1) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not mono: ${r.ch} channels")
+    if (r.bits != 16) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not 16-bit: ${r.bits}")
+    val n = r.frames
+    Audio(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
+      r.peak(0),
+      if (n == 0) 0.0 else math.sqrt(r.sumSq(0).toDouble / n))
+  }
+
+  final case class AudioStereo(doc_id: Long, n_bytes: Int,
+      sample_rate: Int, n_frames: Long, duration_us: Long,
+      peak_l: Int, peak_r: Int, rms_l: Double, rms_r: Double)
+
+  /** Stereo 8-bit fixture encoder: pack the payload into a canonical
+    * 44-byte RIFF/WAVE PCM (8-bit stereo, 11.025 kHz). Frame i is the
+    * raw byte pair — L = payload byte 2i, R = payload byte 2i+1 —
+    * stored verbatim as the UNSIGNED samples the PCM8 spec requires
+    * (a decoder that sign-extends instead of re-centering shows up in
+    * peak/rms). Trailing odd byte dropped (len/2 full frames),
+    * mirroring the oracle's `len // 2`. */
+  private[graft] def encodeWavStereo8(bytes: Array[Byte]): Array[Byte] = {
+    val frames = bytes.length / 2
+    val dataLen = frames * 2 // 2 channels x 1 byte
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2) // PCM, stereo
+      .putInt(11025).putInt(22050) // rate, byte rate
+      .putShort(2).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(bytes, 0, dataLen)
+    out.array()
+  }
+
+  /** q186's stereo-PCM8 decode over the generic walker — per-channel
+    * peak and RMS from the interleaved frame stream; frame count (not
+    * flat sample count) drives duration. */
+  private[graft] def decodeWavStereo8(docId: Long, bytes: Array[Byte])
+      : AudioStereo = {
+    val r = walkWav(docId, bytes)
+    if (r.ch != 2) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not stereo: ${r.ch} channels")
+    if (r.bits != 8) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not 8-bit: ${r.bits}")
+    val n = r.frames
+    def rms(c: Int) =
+      if (n == 0) 0.0 else math.sqrt(r.sumSq(c).toDouble / n)
+    AudioStereo(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
+      r.peak(0), r.peak(1), rms(0), rms(1))
+  }
+
+  /** Binary stereo-audio ingest + partition-wise decode — q186's
+    * pipeline, same typed mapPartitions shape as [[decodeAudio]]. */
+  def decodeAudioStereo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavStereo8(id, encodeWavStereo8(bytes)) }
+      }.toDF()
   }
 
   /** Binary audio ingest + partition-wise decode — the audio twin of
@@ -487,7 +576,20 @@ object MultimodalOps {
       decodeImagesBmp(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), round(col("mean_pixel"), 6).as("mean_pixel"),
-          col("top_left_blue")))
+          col("top_left_blue"))),
+
+    // REAL stereo 8-bit decode — the second audio format next to
+    // q161's PCM16 mono, exercising the walker's channel interleave
+    // and the PCM8 unsigned-to-centered conversion. The oracle
+    // recomputes per-channel peak/RMS from the same alternating text
+    // bytes: a decoder that swaps channels, sign-extends PCM8, or
+    // counts flat samples as frames is a value mismatch.
+    "q186_audio_stereo" -> ((s, d) =>
+      decodeAudioStereo(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_frames"), col("duration_us"), col("peak_l"),
+          col("peak_r"), round(col("rms_l"), 6).as("rms_l"),
+          round(col("rms_r"), 6).as("rms_r")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -604,6 +706,35 @@ object MultimodalOps {
         |      / (9 * h) END, 6) AS mean_pixel,
         |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
         |    AS top_left_blue
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // the stereo fixture stores payload byte pair (2i, 2i+1) verbatim
+    // as the UNSIGNED 8-bit (L, R) samples of frame i; the decoder
+    // re-centers to value - 128. Header is the canonical 44 bytes at
+    // 11025 Hz, block align 2.
+    "q186_audio_stereo" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT // 2 AS nf,
+        |    text
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, nf,
+        |    [ascii(text[2*i+1:2*i+1]) - 128 for i in range(0, nf)] AS lch,
+        |    [ascii(text[2*i+2:2*i+2]) - 128 for i in range(0, nf)] AS rch
+        |  FROM s
+        |)
+        |SELECT doc_id, (44 + 2 * nf)::INT AS n_bytes,
+        |  11025 AS sample_rate, nf AS n_frames,
+        |  nf * 1000000 // 11025 AS duration_us,
+        |  CASE WHEN nf = 0 THEN 0 ELSE
+        |    list_max(list_transform(lch, x -> abs(x)))::INT END AS peak_l,
+        |  CASE WHEN nf = 0 THEN 0 ELSE
+        |    list_max(list_transform(rch, x -> abs(x)))::INT END AS peak_r,
+        |  CASE WHEN nf = 0 THEN 0.0 ELSE
+        |    round(sqrt(list_sum(list_transform(lch, x -> x * x))::DOUBLE
+        |      / nf), 6) END AS rms_l,
+        |  CASE WHEN nf = 0 THEN 0.0 ELSE
+        |    round(sqrt(list_sum(list_transform(rch, x -> x * x))::DOUBLE
+        |      / nf), 6) END AS rms_r
+        |FROM v""".stripMargin
   )
 }

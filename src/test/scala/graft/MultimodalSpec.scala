@@ -182,6 +182,48 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q186 stereo-PCM8 decoder: round-trips the fixture, centers unsigned samples") {
+    // frames (L, R): (0, 255), (128, 1) — PCM8 is unsigned, so the
+    // decoder must re-center: L = -128, 0 ; R = 127, -127
+    val payload = Array[Byte](0, -1, -128, 1, 9) // odd tail drops
+    val a = operators.MultimodalOps.decodeWavStereo8(
+      7L, operators.MultimodalOps.encodeWavStereo8(payload))
+    assert(a.n_frames == 2 && a.sample_rate == 11025)
+    assert(a.n_bytes == 44 + 4)
+    assert(a.duration_us == 2L * 1000000 / 11025)
+    // channel separation: a swap would trade these peaks
+    assert(a.peak_l == 128 && a.peak_r == 127)
+    assert(math.abs(a.rms_l - math.sqrt((128L * 128) / 2.0)) < 1e-12)
+    assert(math.abs(a.rms_r
+      - math.sqrt((127L * 127 + 127L * 127) / 2.0)) < 1e-12)
+  }
+
+  test("q161/q186 decoders reject each other's format — no silent downmix") {
+    val mono16 = operators.MultimodalOps.encodeWav(Array[Byte](1, 2, 3, 4))
+    val stereo8 =
+      operators.MultimodalOps.encodeWavStereo8(Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException] {
+      operators.MultimodalOps.decodeWav(1L, stereo8)
+    }
+    intercept[IllegalArgumentException] {
+      operators.MultimodalOps.decodeWavStereo8(2L, mono16)
+    }
+    // the shared walker still rejects depths/layouts outside the spec'd
+    // matrix (e.g. a 4-channel fmt) rather than guessing
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(4).putInt(8000).putInt(64000)
+      .putShort(8).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    val quad = java.util.Arrays.copyOf(bb.array(), bb.position())
+    intercept[IllegalArgumentException] {
+      operators.MultimodalOps.decodeWavStereo8(3L, quad)
+    }
+  }
+
   test("q168 phash: brightness-invariant gradients; planted pairs collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
