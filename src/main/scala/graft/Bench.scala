@@ -56,7 +56,11 @@ object Bench {
     // the r7-verdict similarity-join watch list: their big-point
     // readings regressed 1.4-2x on a contended host with untouched
     // code — a 3-point curve pins their true exponent either way
-    "q46_minhash_lsh", "q56_jaccard_ppjoin")
+    "q46_minhash_lsh", "q56_jaccard_ppjoin",
+    // round-8: the substring family's 2-point exponent reads ~0.5 —
+    // the third point separates its fixed window/checkpoint overhead
+    // from the Σ df² candidate growth the cap is meant to bound
+    "q184_substring_dedup", "q185_span_removal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
