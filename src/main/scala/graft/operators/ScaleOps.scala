@@ -1188,6 +1188,24 @@ object ScaleOps {
       Seq((n1, n2, ksNum, ks)).toDF("n1", "n2", "ks_num", "ks")
     }),
 
+    // EXACT tie-corrected ROC-AUC of the price signal against order
+    // urgency — the Mann-Whitney rank-sum identity (AUC = (R_pos −
+    // nP(nP+1)/2) / (nP·nN) with average ranks over tied scores), the
+    // model-eval primitive q182's ranked-list metrics don't cover.
+    // Everything is integer until ONE final division: with cb = rows
+    // strictly below a tie group and m its size, twice the positive
+    // rank-sum is Σ pos·(2·cb + m + 1), so auc_num = 2R − nP(nP+1) and
+    // auc = auc_num / (2·nP·nN) — exact in both engines, tie-order
+    // free (the sweep is over DISTINCT scores). Scale shape: one
+    // group-by on score, then the global cumulative rides the same
+    // range-partitioned DistributedPrefix scan as q180's KS sweep —
+    // never a single-task window over the corpus.
+    "q187_auc_exact" -> ((s, d) =>
+      aucExact(Tables.load(s, d, "orders")
+        .select(col("o_totalprice").as("score"),
+          when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
+            .as("p")))),
+
     // TIME-WEIGHTED average of the value signal per user (the metric
     // aggregation where observations hold until superseded — sensor /
     // price / gauge semantics, where a plain mean over-weights bursts):
@@ -1670,6 +1688,36 @@ object ScaleOps {
     local.join(thresh, local(pc) === col("__p"))
       .filter(col(sc) === col("__g") && col(sc) > col("__maxc"))
       .select(col(kc), col(pc), col(sc))
+  }
+
+  /** q187's exact tie-corrected ROC-AUC over a (score: double,
+    * p: 0/1 long) frame — the Mann-Whitney rank-sum identity with
+    * average ranks for tied scores, all-integer until one final
+    * division. Split out so ScaleOpsSpec pins the tie correction and
+    * the degenerate-AUC closures (perfect ranking → 1, reversed → 0,
+    * all-tied → 0.5) on crafted rows. */
+  private[graft] def aucExact(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val grouped = scored
+      .groupBy("score").agg(sum("p").as("pos"), count(lit(1)).as("m"))
+    val tot = grouped.agg(sum("pos"), sum("m")).head()
+    val (nP, n) = (tot.getLong(0), tot.getLong(1))
+    val nN = n - nP
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = grouped
+      .repartitionByRange(parts, col("score").asc)
+      .sortWithinPartitions("score")
+      .as[(Double, Long, Long)]
+    val r2 = DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Double, Long, Long)) => a + r._3,
+      (x: Long, y: Long) => x + y) {
+      case (cb, (_, pos, m)) => pos * (2 * cb + m + 1)
+    }.sum().toLong
+    val aucNum = r2 - nP * (nP + 1)
+    val auc = BigDecimal(aucNum.toDouble / (2.0 * nP * nN))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nP, nN, aucNum, auc)).toDF("n_pos", "n_neg", "auc_num", "auc")
   }
 
   /** Morton (z-order) value of two 12-bit keys: classic mask-shift bit
@@ -2189,6 +2237,30 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |  round(CAST(max(dev) AS BIGINT)::DOUBLE / (n1::DOUBLE * n2), 6)
         |    AS ks
         |FROM r GROUP BY n1, n2""".stripMargin,
+    // the sweep is over DISTINCT scores (GROUP BY), so the window's
+    // ORDER BY is total — no tie-order flake; auc_num stays integer
+    // until the one final division
+    "q187_auc_exact" ->
+      """WITH g AS (
+        |  SELECT o_totalprice AS score,
+        |    CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT pos, m, COALESCE(sum(m) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g
+        |), t AS (
+        |  SELECT (SELECT CAST(sum(pos) AS BIGINT) FROM g) AS np,
+        |    (SELECT CAST(sum(m) - sum(pos) AS BIGINT) FROM g) AS nn,
+        |    CAST(sum(pos * (2 * cb + m + 1)) AS BIGINT) AS r2
+        |  FROM c
+        |)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(r2 - np * (np + 1) AS BIGINT) AS auc_num,
+        |  round((r2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) AS auc
+        |FROM t""".stripMargin,
     "q176_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,

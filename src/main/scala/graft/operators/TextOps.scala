@@ -479,6 +479,24 @@ object TextOps {
           col("tf"), col("df"), col("score"))
     }),
 
+    // CHI-SQUARE token-class association (feature selection for a
+    // corpus classifier, Yang-Pedersen style): per token, the χ²
+    // statistic of the presence × language contingency table — which
+    // tokens carry language signal, ranked. Engine-exact: every cell
+    // term is (O·D − n_t·D_l)² over an integer denominator — ONE
+    // double division of exact integers, rounded to 6 and summed as
+    // DECIMAL (the q93/q176 idiom), so the statistic is identical in
+    // both engines regardless of summation order. The absent-row
+    // cell shares the same squared numerator (row sums are
+    // complementary); n_t = D would zero its denominator and is
+    // guarded to 0 (all absent cells empty, expected 0). Scale shape:
+    // one distinct on (doc, lang, token), one token-keyed count, the
+    // K-row language table broadcast — the grid is vocabulary-sized,
+    // never corpus-sized; top-50 fuses to a TakeOrdered.
+    "q188_token_class_chi2" -> ((s, d) =>
+      tokenClassChi2(Tables.load(s, d, "documents"))
+        .orderBy(col("chi2").desc, col("token").asc).limit(50)),
+
     // Corpus drift monitor: Jensen-Shannon divergence between the
     // existing corpus's and the new batch's token distributions (same
     // %10 split as q88) — the distribution-shift alarm a pipeline
@@ -962,6 +980,36 @@ object TextOps {
       .distinct()
   }
 
+  /** q188's χ² table over any (doc_id, lang, text) frame — one row
+    * per token: (token, n_docs, chi2). Split out so TextOpsSpec pins
+    * the closed-form corners on crafted docs: a perfectly separating
+    * token scores χ² = D (the table's N), a token present in every
+    * doc scores 0, and the statistic is invariant to class renaming. */
+  private[graft] def tokenClassChi2(docs: DataFrame): DataFrame = {
+    val dTot = docs.count()
+    val pres = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("t")).distinct()
+    val ntl = pres.groupBy("t", "lang").agg(count(lit(1)).as("ntl"))
+    val langTot = docs.groupBy("lang").agg(count(lit(1)).as("dl"))
+    val tokTot = ntl.groupBy("t").agg(sum("ntl").as("nt"))
+    val D = lit(dTot)
+    val num = col("ntl") * D - col("nt") * col("dl")
+    val sq = (num * num).cast("double")
+    val present = round(sq
+      / (col("nt") * col("dl") * D).cast("double"), 6)
+    val absent = when(col("nt") === dTot, lit(0.0))
+      .otherwise(round(sq
+        / ((D - col("nt")) * col("dl") * D).cast("double"), 6))
+    tokTot.crossJoin(broadcast(langTot))
+      .join(ntl, Seq("t", "lang"), "left")
+      .na.fill(0L, Seq("ntl"))
+      .withColumn("cell", present.cast("decimal(28,6)")
+        + absent.cast("decimal(28,6)"))
+      .groupBy("t").agg(max("nt").as("n_docs"),
+        sum(col("cell")).cast("double").as("chi2"))
+      .select(col("t").as("token"), col("n_docs"), col("chi2"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q143_bpe_pairs" ->
       """WITH w AS (
@@ -1165,6 +1213,40 @@ object TextOps {
         |)
         |SELECT doc_id, rk, t AS term, tf, df, score
         |FROM r WHERE rk <= 5""".stripMargin,
+    // same per-cell round-to-6-then-exact-DECIMAL-sum as the Spark
+    // side; the absent-row guard mirrors nt = D
+    "q188_token_class_chi2" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), ntl AS (
+        |  SELECT t, lang, CAST(count(*) AS BIGINT) AS ntl
+        |  FROM pres GROUP BY t, lang
+        |), lt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS dl
+        |  FROM documents GROUP BY lang
+        |), tt AS (SELECT t, CAST(sum(ntl) AS BIGINT) AS nt
+        |  FROM ntl GROUP BY t),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+        |grid AS (
+        |  SELECT tt.t, tt.nt, lt.lang, lt.dl, d.d,
+        |    COALESCE(ntl.ntl, 0) AS ntl
+        |  FROM tt CROSS JOIN lt
+        |  LEFT JOIN ntl ON ntl.t = tt.t AND ntl.lang = lt.lang, d
+        |), cells AS (
+        |  SELECT t, nt,
+        |    CAST(round((ntl * d - nt * dl)^2 / (nt * dl * d)::DOUBLE, 6)
+        |      AS DECIMAL(28,6))
+        |    + CAST(CASE WHEN nt = d THEN 0.0 ELSE
+        |        round((ntl * d - nt * dl)^2
+        |          / ((d - nt) * dl * d)::DOUBLE, 6) END
+        |      AS DECIMAL(28,6)) AS cell
+        |  FROM grid
+        |)
+        |SELECT t AS token, nt AS n_docs, sum(cell)::DOUBLE AS chi2
+        |FROM cells GROUP BY t, nt
+        |ORDER BY chi2 DESC, token ASC LIMIT 50""".stripMargin,
     "q103_group_sample" ->
       """WITH u AS (
         |  SELECT doc_id, lang, md5(lower(trim(text))) AS u FROM documents

@@ -477,4 +477,16 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("Exchange rangepartitioning"),
       s"sweep must be doc-keyed, not a global sort:\n$s")
   }
+
+  test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
+    val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the K-row language table expands the grid via broadcast — the
+    // vocabulary side must never shuffle for it
+    assert(s.contains("BroadcastNestedLoopJoin")
+      || s.contains("BroadcastHashJoin"),
+      s"lang totals must broadcast:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-50 over the vocab-sized table must fuse, not globally sort:\n$s")
+  }
 }

@@ -585,4 +585,26 @@ class ScaleOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q187 AUC: tie correction and degenerate closures on crafted rows") {
+    import spark.implicits._
+    def auc(rows: (Double, Long)*): (Long, Double) = {
+      val r = ScaleOps.aucExact(rows.toDF("score", "p")).head()
+      (r.getAs[Long]("auc_num"), r.getAs[Double]("auc"))
+    }
+    // perfect ranking (all positives above all negatives) -> 1
+    assert(auc((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))._2 == 1.0)
+    // reversed ranking -> 0
+    assert(auc((1.0, 1L), (2.0, 1L), (3.0, 0L), (4.0, 0L))._2 == 0.0)
+    // every score tied -> 0.5 exactly (the average-rank correction;
+    // counting concordant pairs without it would read 0 or 1)
+    assert(auc((5.0, 1L), (5.0, 0L), (5.0, 1L), (5.0, 0L))._2 == 0.5)
+    // hand-checked mixed case: scores 1(-),2(+),2(-),3(+) — pairs:
+    // (2+,1-)=1, (2+,2-)=0.5, (3+,1-)=1, (3+,2-)=1 -> AUC = 3.5/4
+    val (num, a) = auc((1.0, 0L), (2.0, 1L), (2.0, 0L), (3.0, 1L))
+    assert(num == 7L && a == 0.875) // auc_num = 2 * 3.5
+    // label flip complements: AUC(p) + AUC(1-p) = 1
+    val flipped = auc((1.0, 1L), (2.0, 0L), (2.0, 1L), (3.0, 0L))._2
+    assert(math.abs(a + flipped - 1.0) < 1e-12)
+  }
 }

@@ -263,4 +263,32 @@ class TextSpec extends SparkSpecBase {
         || coalesce(col("tc"), lit(0L)) =!= col("ct"))
     assert(joined.count() == 0)
   }
+
+  test("q188 chi2: closed-form corners on a crafted 2-class corpus") {
+    import spark.implicits._
+    // 4 docs, 2 langs: 'aa' appears in exactly the two 'x' docs
+    // (perfect separator), 'cc' in every doc (no signal), 'bb' in one
+    // doc of each lang (no signal either — same rate per class)
+    val docs = Seq(
+      (1L, "x", "aa cc bb"), (2L, "x", "aa cc"),
+      (3L, "y", "cc bb"), (4L, "y", "cc dd")
+    ).toDF("doc_id", "lang", "text")
+    val chi = TextOps.tokenClassChi2(docs).collect()
+      .map(r => r.getAs[String]("token")
+        -> (r.getAs[Long]("n_docs"), r.getAs[Double]("chi2"))).toMap
+    // perfect separator scores the table total D = 4
+    assert(chi("aa") == (2L, 4.0))
+    // a token in every doc carries zero signal (absent row guarded)
+    assert(chi("cc") == (4L, 0.0))
+    // equal per-class rates -> 0
+    assert(chi("bb")._2 == 0.0)
+    // class-rename invariance: swapping the lang labels moves nothing
+    val renamed = TextOps.tokenClassChi2(docs.withColumn("lang",
+      when(col("lang") === "x", "y").otherwise("x"))).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Double]("chi2"))
+      .toMap
+    chi.foreach { case (t, (_, v)) =>
+      assert(math.abs(renamed(t) - v) < 1e-12, t)
+    }
+  }
 }
