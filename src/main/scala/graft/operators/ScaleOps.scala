@@ -1206,6 +1206,44 @@ object ScaleOps {
           when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
             .as("p")))),
 
+    // PER-SLICE AUC (the fairness / slice-evaluation audit: does the
+    // score rank consistently across customer segments?) — q187's
+    // rank-sum identity made fully declarative: grouping by (segment,
+    // score) makes the within-segment sweep a per-segment WINDOW (a
+    // segment-keyed exchange that scales with the number of slices),
+    // so no driver scalar and no global sort anywhere. Same integer
+    // algebra: auc_num = Σ pos·(2·cb + m + 1) − nP(nP+1), one final
+    // division per segment. Degenerate slices (no positives or no
+    // negatives) report NULL rather than a fabricated 0.5.
+    "q189_group_auc" -> ((s, d) => {
+      val seg = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val scored = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice").as("score"),
+          when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
+            .as("p"))
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      val g = scored.groupBy("segment", "score")
+        .agg(sum("p").as("pos"), count(lit(1)).as("m"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("segment").orderBy(col("score").asc)
+      g.withColumn("cb", coalesce(sum("m")
+          .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("segment").agg(
+          sum("pos").as("n_pos"),
+          (sum("m") - sum("pos")).as("n_neg"),
+          sum(col("pos") * (lit(2) * col("cb") + col("m") + 1))
+            .as("r2"))
+        .select(col("segment"), col("n_pos"), col("n_neg"),
+          (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+          when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+            .otherwise(round(
+              (col("r2") - col("n_pos") * (col("n_pos") + 1))
+                .cast("double")
+                / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+            .as("auc"))
+    }),
+
     // TIME-WEIGHTED average of the value signal per user (the metric
     // aggregation where observations hold until superseded — sensor /
     // price / gauge semantics, where a plain mean over-weights bursts):
@@ -2260,6 +2298,34 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT np AS n_pos, nn AS n_neg,
         |  CAST(r2 - np * (np + 1) AS BIGINT) AS auc_num,
         |  round((r2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) AS auc
+        |FROM t""".stripMargin,
+    // per-segment twin: the window ORDER BY is over DISTINCT
+    // (segment, score) groups — total within each partition
+    "q189_group_auc" ->
+      """WITH sc AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_totalprice AS score,
+        |    CASE WHEN o.o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS p
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), g AS (
+        |  SELECT segment, score, CAST(sum(p) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM sc GROUP BY segment, score
+        |), c AS (
+        |  SELECT segment, pos, m, COALESCE(sum(m) OVER (
+        |    PARTITION BY segment ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g
+        |), t AS (
+        |  SELECT segment, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(m) - sum(pos) AS BIGINT) AS nn,
+        |    CAST(sum(pos * (2 * cb + m + 1)) AS BIGINT) AS r2
+        |  FROM c GROUP BY segment
+        |)
+        |SELECT segment, np AS n_pos, nn AS n_neg,
+        |  CAST(r2 - np * (np + 1) AS BIGINT) AS auc_num,
+        |  CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE
+        |    round((r2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) END
+        |    AS auc
         |FROM t""".stripMargin,
     "q176_twap" ->
       """WITH e AS (

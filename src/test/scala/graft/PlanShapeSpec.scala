@@ -478,6 +478,20 @@ class PlanShapeSpec extends SparkSpecBase {
       s"sweep must be doc-keyed, not a global sort:\n$s")
   }
 
+  test("q189 per-segment AUC: broadcast dim join, three keyed exchanges, no global sort") {
+    val s = operators.ScaleOps.queries("q189_group_auc")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the segment dim must broadcast onto orders:\n$s")
+    // (segment, score) agg -> segment window -> segment agg: the last
+    // two share the segment partitioning, so three exchanges total
+    // (incl. the broadcast build) is the budget
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"sweep must ride the (segment, score) + segment exchanges only:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort — the sweep is a per-segment window:\n$s")
+  }
+
   test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
     val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -607,4 +607,28 @@ class ScaleOpsSpec extends SparkSpecBase {
     val flipped = auc((1.0, 1L), (2.0, 0L), (2.0, 1L), (3.0, 0L))._2
     assert(math.abs(a + flipped - 1.0) < 1e-12)
   }
+
+  test("q189 per-segment AUC equals the q187 sweep run on each slice") {
+    // two independent constructions of the same statistic: the
+    // declarative per-group window (q189) and the DistributedPrefix
+    // scalar sweep (q187) applied to one segment's subset
+    val seg = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val scored = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice").as("score"),
+        when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
+          .as("p"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    val grouped = ScaleOps.queries("q189_group_auc")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    assert(grouped.size >= 3)
+    grouped.foreach { case (sg, row) =>
+      val solo = ScaleOps.aucExact(
+        scored.filter(col("segment") === sg).select("score", "p")).head()
+      assert(row.getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"), sg)
+      assert(row.getAs[Long]("n_neg") == solo.getAs[Long]("n_neg"), sg)
+      assert(row.getAs[Long]("auc_num") == solo.getAs[Long]("auc_num"), sg)
+      assert(row.getAs[Double]("auc") == solo.getAs[Double]("auc"), sg)
+    }
+  }
 }
