@@ -1244,6 +1244,55 @@ object ScaleOps {
             .as("auc"))
     }),
 
+    // CALIBRATION / reliability bins (the diagram behind "is the
+    // score a probability?"): normalize the score by the global max
+    // (one scalar agg, broadcast back), decile-bin, and report per
+    // bin the mean score vs the empirical positive rate, their gap,
+    // and the per-bin Brier term. Cross-engine exactness: per-row
+    // score and squared-error terms are one double division each,
+    // rounded to 6 and summed as DECIMAL (the q93/q176/q188 idiom);
+    // every emitted mean divides an exact DECIMAL by an exact count.
+    // One exchange (the bin agg) after the broadcast scalar.
+    "q190_calibration_bins" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_totalprice").as("price"),
+          when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
+            .as("p"))
+      val mx = o.agg(max("price").as("mx"))
+      val sc = o.crossJoin(broadcast(mx))
+        .withColumn("score", round(col("price") / col("mx"), 6))
+        .withColumn("bin", least(floor(col("score") * 10), lit(9L))
+          .cast("long"))
+        .withColumn("sqerr",
+          round(pow(col("score") - col("p"), 2), 6))
+      sc.groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum("p").as("n_pos"),
+          round((sum(col("score").cast("decimal(28,6)"))
+            / count(lit(1))).cast("double"), 6).as("mean_score"),
+          round(sum("p").cast("double") / count(lit(1)), 6)
+            .as("pos_rate"),
+          round(sum(col("sqerr").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("brier"))
+        .withColumn("abs_gap",
+          round(abs(col("mean_score") - col("pos_rate")), 6))
+    }),
+
+    // EXACT average precision (the PR-curve twin of q187's ROC-AUC —
+    // the metric that matters under class imbalance): AP = mean over
+    // positives of precision at that positive's rank, under the
+    // DETERMINISTIC total order (score desc, key asc) both engines
+    // share. The global ranking never materializes: the same
+    // range-partitioned DistributedPrefix scan carries (rows, pos)
+    // cumulative counts, each positive emits round(precision, 9) as a
+    // 9-dp DECIMAL, and the exact decimal sum divides once by nP.
+    "q191_average_precision" -> ((s, d) =>
+      averagePrecision(Tables.load(s, d, "orders")
+        .select(col("o_totalprice").as("score"),
+          col("o_orderkey").cast("long").as("k"),
+          when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)
+            .as("p")))),
+
     // TIME-WEIGHTED average of the value signal per user (the metric
     // aggregation where observations hold until superseded — sensor /
     // price / gauge semantics, where a plain mean over-weights bursts):
@@ -1756,6 +1805,43 @@ object ScaleOps {
     val auc = BigDecimal(aucNum.toDouble / (2.0 * nP * nN))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((nP, nN, aucNum, auc)).toDF("n_pos", "n_neg", "auc_num", "auc")
+  }
+
+  /** q191's exact average precision over a (score: double, k: long,
+    * p: 0/1 long) frame, under the deterministic total order
+    * (score desc, k asc): AP = mean over positives of precision at
+    * that positive's rank. The global ranking never materializes —
+    * the range-partitioned DistributedPrefix scan carries (rows, pos)
+    * cumulative counts; each positive emits round(precision, 9) as an
+    * exact 9-dp decimal, summed exactly, one double division at the
+    * end. Split out so ScaleOpsSpec pins the closures (perfect → 1,
+    * single positive ranked last → 1/n, hand-checked mixed case). */
+  private[graft] def averagePrecision(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = scored
+      .repartitionByRange(parts, col("score").desc, col("k").asc)
+      .sortWithinPartitions(col("score").desc, col("k").asc)
+      .as[(Double, Long, Long)]
+    val terms = DistributedPrefix.scan(ranged, (0L, 0L),
+      (a: (Long, Long), r: (Double, Long, Long)) =>
+        (a._1 + 1, a._2 + r._3),
+      (x: (Long, Long), y: (Long, Long)) =>
+        (x._1 + y._1, x._2 + y._2)) {
+      case ((rb, pb), (_, _, p)) =>
+        if (p == 1L)
+          BigDecimal((pb + 1).toDouble / (rb + 1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        else BigDecimal(0)
+    }
+    val sumPrec = terms.reduce(_ + _) // exact 9-dp decimal sum
+    val nP = scored.agg(sum("p")).head().getLong(0)
+    // both engines: exact decimal -> nearest double, ONE double
+    // division, round 9 — bit-identical by construction
+    val ap = BigDecimal(sumPrec.toDouble / nP)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nP, sumPrec.toDouble, ap)).toDF("n_pos", "sum_prec", "ap")
   }
 
   /** Morton (z-order) value of two 12-bit keys: classic mask-shift bit
@@ -2298,6 +2384,56 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |SELECT np AS n_pos, nn AS n_neg,
         |  CAST(r2 - np * (np + 1) AS BIGINT) AS auc_num,
         |  round((r2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) AS auc
+        |FROM t""".stripMargin,
+    // per-row score/sqerr rounded to 6 then DECIMAL-summed, exactly
+    // as the Spark side; LEAST caps the score = 1.0 row into bin 9
+    "q190_calibration_bins" ->
+      """WITH o AS (
+        |  SELECT o_totalprice AS price,
+        |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS p
+        |  FROM orders
+        |), mx AS (SELECT max(price) AS mx FROM o),
+        |sc AS (
+        |  SELECT round(price / mx, 6) AS score, p,
+        |    LEAST(CAST(floor(round(price / mx, 6) * 10) AS BIGINT), 9)
+        |      AS bin,
+        |    round((round(price / mx, 6) - p)^2, 6) AS sqerr
+        |  FROM o, mx
+        |)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) AS BIGINT) AS n_pos,
+        |  round(sum(CAST(score AS DECIMAL(28,6)))::DOUBLE / count(*), 6)
+        |    AS mean_score,
+        |  round(sum(p)::DOUBLE / count(*), 6) AS pos_rate,
+        |  round(sum(CAST(sqerr AS DECIMAL(28,6)))::DOUBLE / count(*), 6)
+        |    AS brier,
+        |  round(abs(round(sum(CAST(score AS DECIMAL(28,6)))::DOUBLE
+        |      / count(*), 6)
+        |    - round(sum(p)::DOUBLE / count(*), 6)), 6) AS abs_gap
+        |FROM sc GROUP BY bin""".stripMargin,
+    // the ranking is the shared deterministic total order
+    // (score DESC, key ASC); per-positive precision rounded to 9 and
+    // DECIMAL-summed, one double division at the end — as the engine
+    "q191_average_precision" ->
+      """WITH sc AS (
+        |  SELECT o_totalprice AS score, o_orderkey AS k,
+        |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS p
+        |  FROM orders
+        |), r AS (
+        |  SELECT p,
+        |    row_number() OVER (ORDER BY score DESC, k ASC) AS rk,
+        |    sum(p) OVER (ORDER BY score DESC, k ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM sc
+        |), t AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS np,
+        |    sum(CASE WHEN p = 1 THEN
+        |      CAST(round(cp::DOUBLE / rk, 9) AS DECIMAL(28,9))
+        |      ELSE 0 END) AS sp
+        |  FROM r
+        |)
+        |SELECT np AS n_pos, sp::DOUBLE AS sum_prec,
+        |  round(sp::DOUBLE / np, 9) AS ap
         |FROM t""".stripMargin,
     // per-segment twin: the window ORDER BY is over DISTINCT
     // (segment, score) groups — total within each partition

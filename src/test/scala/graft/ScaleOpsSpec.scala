@@ -608,6 +608,29 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(math.abs(a + flipped - 1.0) < 1e-12)
   }
 
+  test("q191 average precision: ranking closures on crafted rows") {
+    import spark.implicits._
+    def ap(rows: (Double, Long, Long)*): Double =
+      ScaleOps.averagePrecision(rows.toDF("score", "k", "p"))
+        .head().getAs[Double]("ap")
+    // all positives ranked first -> 1
+    assert(ap((9.0, 1L, 1L), (8.0, 2L, 1L), (1.0, 3L, 0L)) == 1.0)
+    // single positive ranked LAST of 4 -> precision 1/4
+    assert(ap((4.0, 1L, 0L), (3.0, 2L, 0L), (2.0, 3L, 0L),
+      (1.0, 4L, 1L)) == 0.25)
+    // hand-checked mixed: order p = 1,0,1 -> (1/1 + 2/3)/2:
+    // (1 + 0.666666667) / 2 = 0.8333333335, HALF_UP -> ...334
+    assert(ap((3.0, 1L, 1L), (2.0, 2L, 0L), (1.0, 3L, 1L))
+      == 0.833333334)
+    // tied scores resolve by key asc in BOTH engines: moving the
+    // positive to the smaller key inside a tie changes AP as the
+    // deterministic order dictates
+    val tieFirst = ap((5.0, 1L, 1L), (5.0, 2L, 0L))
+    val tieLast = ap((5.0, 2L, 1L), (5.0, 3L, 0L))
+    assert(tieFirst == 1.0 && tieLast == 1.0)
+    assert(ap((5.0, 2L, 1L), (5.0, 1L, 0L)) == 0.5)
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
