@@ -208,6 +208,238 @@ object MultimodalOps {
       .toDF()
   }
 
+  final case class GifDecoded(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_index: Double, top_left_index: Int,
+      pos_sum: Long)
+
+  /** GIF87a fixture encoder — the third image container, and the
+    * first with REAL compression in the round-trip: pixels are
+    * LZW-compressed per the published GIF spec (variable code width
+    * 9→12 bits LSB-first, CLEAR/EOI codes, dictionary reset at 4096,
+    * 255-byte sub-blocks). The 256-entry grayscale global color table
+    * makes pixel index i ≡ payload byte i, so every decoded statistic
+    * is payload-derivable while the bytes on the wire are genuinely
+    * compressed. Width fixed at 4; tail bytes that don't fill a row
+    * are dropped (len/4 full rows), as the oracle recomputes. */
+  private[graft] def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+    val w = 4
+    val h = bytes.length / w
+    val px = java.util.Arrays.copyOf(bytes, w * h)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(w); u16(h); out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C); u16(0); u16(0); u16(w); u16(h); out.write(0)
+    out.write(8) // LZW minimum code size
+    // --- LZW compress (GIF variant) ---
+    val Clear = 256
+    val Eoi = 257
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt // LSB-first packing
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        lzw.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    // dict key = prefixCode << 8 | byte (prefix < 4096 -> fits Int)
+    var table = new java.util.HashMap[Integer, Integer]()
+    var free = Eoi + 1
+    def reset(): Unit = { table = new java.util.HashMap(); free = Eoi + 1 }
+    emit(Clear)
+    if (px.nonEmpty) {
+      var prev = px(0) & 0xff // root codes 0..255 are the bytes
+      var j = 1
+      while (j < px.length) {
+        val c = px(j) & 0xff
+        val key = (prev << 8) | c
+        val hit = table.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          emit(prev)
+          if (free < 4096) {
+            table.put(key, free); free += 1
+            // the just-assigned code needs one more bit once
+            // free - 1 == 1 << codeSize; decoder bumps in lockstep
+            if (free == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else {
+            emit(Clear); codeSize = 9; reset()
+          }
+          prev = c
+        }
+        j += 1
+      }
+      emit(prev)
+      // the decoder performs one more dictionary add (for this final
+      // code) before reading EOI; if that add lands exactly on a
+      // power-of-two boundary the decoder widens first — mirror it,
+      // or the EOI is written one bit narrower than it is read
+      if (free == (1 << codeSize) && codeSize < 12)
+        codeSize += 1
+    }
+    emit(Eoi)
+    if (bitCnt > 0) lzw.write((bitBuf & 0xff).toInt)
+    // --- sub-block the LZW stream ---
+    val z = lzw.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF87a decode — pure-JVM parser with a full GIF-LZW
+    * decompressor (variable code width, CLEAR resets, EOI, the KwKwK
+    * code == free case, 12-bit cap). Validates signature, screen and
+    * image descriptors, sub-block structure and the trailer;
+    * interlace, local color tables and extensions are out of the
+    * fixture's grammar and fail loudly rather than being guessed at.
+    * Features come from the DECODED index stream, so any LZW bug is a
+    * value mismatch against the payload-derived oracle. */
+  private[graft] def decodeGif(docId: Long, bytes: Array[Byte])
+      : GifDecoded = {
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"gif decode [$docId]: $why")
+    if (bytes.length < 13) fail(s"truncated header: ${bytes.length} B")
+    if (new String(bytes, 0, 6, "US-ASCII") != "GIF87a")
+      fail("bad signature")
+    var p = 6
+    def u16(): Int = {
+      val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v
+    }
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    val sw = u16(); val sh = u16()
+    val packed = u8(); u8(); u8() // background, aspect
+    if ((packed & 0x80) == 0) fail("missing global color table")
+    val gctSize = 2 << (packed & 7)
+    if (p + 3 * gctSize > bytes.length) fail("color table truncated")
+    p += 3 * gctSize
+    if (p >= bytes.length) fail("missing image descriptor")
+    if (u8() != 0x2C) fail("expected image descriptor")
+    u16(); u16() // left, top
+    val iw = u16(); val ih = u16()
+    if (iw != sw || ih != sh) fail("sub-screen images unsupported")
+    val ipacked = u8()
+    if ((ipacked & 0x40) != 0) fail("interlace unsupported")
+    if ((ipacked & 0x80) != 0) fail("local color table unsupported")
+    val minCode = u8()
+    if (minCode != 8) fail(s"unexpected min code size $minCode")
+    // --- collect sub-blocks ---
+    val z = new java.io.ByteArrayOutputStream()
+    var bl = if (p < bytes.length) u8() else fail("missing data blocks")
+    while (bl != 0) {
+      if (p + bl > bytes.length) fail("sub-block truncated")
+      z.write(bytes, p, bl); p += bl
+      bl = if (p < bytes.length) u8() else fail("unterminated blocks")
+    }
+    if (p >= bytes.length || u8() != 0x3B) fail("missing trailer")
+    // --- LZW decompress ---
+    val data = z.toByteArray
+    val Clear = 256
+    val Eoi = 257
+    var codeSize = 9
+    var bitPos = 0
+    def read(): Int = {
+      if (bitPos + codeSize > data.length * 8) fail("bitstream exhausted")
+      var v = 0
+      var got = 0
+      while (got < codeSize) {
+        val byteI = (bitPos + got) >> 3
+        val bitI = (bitPos + got) & 7
+        val take = math.min(8 - bitI, codeSize - got)
+        val chunk = ((data(byteI) & 0xff) >> bitI) & ((1 << take) - 1)
+        v |= chunk << got
+        got += take
+      }
+      bitPos += codeSize
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var free = Eoi + 1
+    def emitSeq(code: Int, sink: java.io.ByteArrayOutputStream): Byte = {
+      // walk the prefix chain; returns the FIRST byte of the sequence
+      var c = code
+      val stack = new Array[Byte](4096)
+      var sp = 0
+      while (c >= 258) { stack(sp) = append(c); sp += 1; c = prefix(c) }
+      val first = c.toByte
+      sink.write(c)
+      while (sp > 0) { sp -= 1; sink.write(stack(sp) & 0xff) }
+      first
+    }
+    val pixels = new java.io.ByteArrayOutputStream()
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == Clear) { codeSize = 9; free = Eoi + 1; prev = -1 }
+      else if (code == Eoi) done = true
+      else {
+        if (prev < 0) { // first code after a clear: literal root
+          if (code > 255) fail(s"non-root first code $code")
+          pixels.write(code); prev = code
+        } else {
+          if (code > free) fail(s"code $code beyond dictionary $free")
+          if (code == free) {
+            // KwKwK: sequence = str(prev) + first(str(prev))
+            val tmp = new java.io.ByteArrayOutputStream()
+            val first = emitSeq(prev, tmp)
+            if (free < 4096) {
+              prefix(free) = prev; append(free) = first; free += 1
+              if (free == (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else fail("dictionary overflow")
+            tmp.writeTo(pixels); pixels.write(first & 0xff)
+          } else {
+            val tmp = new java.io.ByteArrayOutputStream()
+            val first = emitSeq(code, tmp)
+            if (free < 4096) {
+              prefix(free) = prev; append(free) = first; free += 1
+              if (free == (1 << codeSize) && codeSize < 12) codeSize += 1
+            }
+            tmp.writeTo(pixels)
+          }
+          prev = code
+        }
+      }
+    }
+    val px = pixels.toByteArray
+    if (px.length != iw * ih)
+      fail(s"decoded ${px.length} pixels, raster needs ${iw * ih}")
+    var sum = 0L
+    var psum = 0L // position-weighted: catches shifts/permutations
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    GifDecoded(docId, iw, ih, px.length.toLong,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  /** q192's pipeline: the GIF twin of [[decodeImages]]/[[decodeImagesBmp]]
+    * — same typed mapPartitions shape, third container format, real
+    * compression inside the round-trip. */
+  def decodeImagesGif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => decodeGif(id, encodeGif(b)) })
+      .toDF()
+  }
+
   final case class Audio(doc_id: Long, n_bytes: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, peak: Int, rms: Double)
 
@@ -589,7 +821,21 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("n_frames"), col("duration_us"), col("peak_l"),
           col("peak_r"), round(col("rms_l"), 6).as("rms_l"),
-          round(col("rms_r"), 6).as("rms_r")))
+          round(col("rms_r"), 6).as("rms_r"))),
+
+    // REAL GIF87a decode with full LZW decompression — the third
+    // image container, and the first where the round-trip crosses
+    // genuine compression (variable 9–12-bit codes, CLEAR resets,
+    // KwKwK). The grayscale palette makes pixel index i ≡ payload
+    // byte i, so the oracle recomputes geometry, mean index, top-left
+    // index AND a position-weighted checksum from the raw bytes — an
+    // LZW bug that shifts, drops or permutes pixels is a value
+    // mismatch, not a silent drift.
+    "q192_gif_decode" -> ((s, d) =>
+      decodeImagesGif(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_index"), 6).as("mean_index"),
+          col("top_left_index"), col("pos_sum")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +981,26 @@ object MultimodalOps {
         |  CASE WHEN nf = 0 THEN 0.0 ELSE
         |    round(sqrt(list_sum(list_transform(rch, x -> x * x))::DOUBLE
         |      / nf), 6) END AS rms_r
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+    // the GIF fixture: width 4, h = len/4 full rows, grayscale
+    // palette => pixel index i = payload byte i; geometry, mean,
+    // top-left and the position-weighted checksum all recomputed from
+    // the same bytes the engine LZW-round-trips
+    "q192_gif_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 4*h + 1)])::DOUBLE
+        |      / (4 * h) END, 6) AS mean_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin
   )
 }

@@ -224,6 +224,76 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q192 GIF-LZW: exhaustive round-trip sweep across code-width boundaries") {
+    import operators.MultimodalOps.{decodeGif, encodeGif}
+    def expect(payload: Array[Byte]): (Long, Long, Int) = {
+      val n = (payload.length / 4) * 4
+      var s = 0L; var ps = 0L
+      var i = 0
+      while (i < n) {
+        val v = payload(i) & 0xff; s += v; ps += (i + 1).toLong * v
+        i += 1
+      }
+      (s, ps, n)
+    }
+    def check(payload: Array[Byte], tag: String): Unit = {
+      val d = decodeGif(1L, encodeGif(payload))
+      val (s, ps, n) = expect(payload)
+      assert(d.n_pixels == n, tag)
+      assert(d.pos_sum == ps, s"$tag: position-weighted checksum")
+      if (n > 0) {
+        assert(d.mean_index == s.toDouble / n, tag)
+        assert(d.top_left_index == (payload(0) & 0xff), tag)
+      }
+    }
+    // deterministic LCG bytes; sweep EVERY pixel count 0..1200 so the
+    // 9->10-bit switch (dict add #254/#255) is crossed at every
+    // alignment, plus spot sizes crossing 10->11, 11->12 and the 4096
+    // dictionary reset (adds track length closely on non-repeating data)
+    var seed = 12345L
+    def lcgBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = (seed >>> 33).toByte; i += 1
+      }
+      a
+    }
+    (0 to 1200).foreach(n => check(lcgBytes(n), s"lcg-$n"))
+    Seq(3000, 5000, 9000, 20000, 50000).foreach(n =>
+      check(lcgBytes(n), s"lcg-big-$n"))
+    // all-same bytes: the KwKwK (code == free) path on every add
+    (0 to 400).foreach(n => check(Array.fill(n)('a'.toByte), s"kwk-$n"))
+    // period-2/3 repeats: KwKwK at varying phases
+    (1 to 300).foreach { n =>
+      check(Array.tabulate(n)(i => (if (i % 2 == 0) 'x' else 'y').toByte),
+        s"ab-$n")
+      check(Array.tabulate(n)(i => ('a' + i % 3).toByte), s"abc-$n")
+    }
+  }
+
+  test("q192 GIF decoder rejects malformed containers") {
+    import operators.MultimodalOps.{decodeGif, encodeGif}
+    val ok = encodeGif("hello gif world!".getBytes("US-ASCII"))
+    assert(decodeGif(1L, ok).n_pixels == 16)
+    intercept[IllegalArgumentException] { // bad signature
+      decodeGif(2L, "GIF89a".getBytes ++ ok.drop(6))
+    }
+    intercept[IllegalArgumentException] { // truncated mid-sub-block
+      decodeGif(3L, java.util.Arrays.copyOf(ok, ok.length - 6))
+    }
+    intercept[IllegalArgumentException] { // missing trailer
+      decodeGif(4L, java.util.Arrays.copyOf(ok, ok.length - 1))
+    }
+    // corrupt LZW: flip a data byte -> decoded raster can't tile WxH
+    // (or the walk hits an out-of-range code) — never silent
+    val corrupt = ok.clone()
+    val dataStart = 6 + 7 + 768 + 10 + 1 + 1
+    corrupt(dataStart) = (corrupt(dataStart) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { decodeGif(5L, corrupt) }
+  }
+
   test("q168 phash: brightness-invariant gradients; planted pairs collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
