@@ -492,6 +492,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no global sort — the sweep is a per-segment window:\n$s")
   }
 
+  test("q190 calibration: broadcast scalar max, ONE bin exchange, single scan") {
+    val s = operators.ScaleOps.queries("q190_calibration_bins")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"per-row scoring is narrow; only the bin agg shuffles:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort in a binning report:\n$s")
+  }
+
   test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
     val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
       .queryExecution.executedPlan.toString
