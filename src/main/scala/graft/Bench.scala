@@ -240,9 +240,17 @@ object Bench {
         case ov =>
           val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
             .getOrElse(Seq(100000L, 1000000L))
+          // SPARK_GRAFT_TEXT_SWEEP: the hard-corpus banding sweep's
+          // size ("off"/"0"/"" disables; unset = 200k) — same pattern
+          // as the vector hard corpus
+          val sweepN = sys.env.get("SPARK_GRAFT_TEXT_SWEEP") match {
+            case Some("") | Some("0") | Some("off") => None
+            case Some(v) => Some(v.trim.toLong)
+            case None => Some(200000L)
+          }
           try {
             spark.catalog.clearCache()
-            Some(TextScaleBench.run(spark, sizes))
+            Some(TextScaleBench.run(spark, sizes, sweepN))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] text_scale FAILED: ${e.getMessage}")
             None

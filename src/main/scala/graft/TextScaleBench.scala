@@ -64,6 +64,45 @@ object TextScaleBench {
       .toDF("doc_id", "text")
   }
 
+  /** Mutation count of a planted pair in the HARD corpus, by id
+    * class: (id/100) % 3 -> 2, 4 or 8 mutated tokens. With 3-gram
+    * shingles each mutation destroys ~3 shingles per side, so the
+    * classes land at J ≈ 0.72–0.87, 0.52–0.73 and 0.23–0.52 — the
+    * range where (bands × rows) genuinely decides detection. */
+  private[graft] def hardK(id: Long): Int =
+    Array(2, 4, 8)(((id / 100) % 3).toInt)
+
+  /** The HARD planted corpus: like [[genTokens]] but planted ids
+    * mutate k distinct tokens (k per [[hardK]]), pushing pairs near
+    * and below the banding threshold instead of safely above it. */
+  private[graft] def genTokensHard(id: Long): Array[String] = {
+    val base = if (id % 100 == 1) id - 1 else id
+    val len = 40 + (mix(base * 7 + 1) & 0x7fffffff).toInt % 40
+    val toks = Array.tabulate(len) { j =>
+      "w" + ((mix(base * 0x100000001B3L + j) & 0x7fffffff) % Vocab)
+    }
+    if (id % 100 == 1) {
+      val taken = new Array[Boolean](len)
+      var j = 0
+      val k = hardK(id)
+      while (j < k) {
+        var p = ((mix(id * 13 + j) & 0x7fffffff) % len).toInt
+        while (taken(p)) p = (p + 1) % len // distinct positions
+        taken(p) = true
+        toks(p) = "m" + ((mix(id * 31 + 7 * (j + 1)) & 0x7fffffff) % Vocab)
+        j += 1
+      }
+    }
+    toks
+  }
+
+  def corpusHard(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, genTokensHard(id).mkString(" "))))
+      .toDF("doc_id", "text")
+  }
+
   private def timeIt[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -108,6 +147,79 @@ object TextScaleBench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** One banding configuration's candidate extraction (shingle →
+    * MinHash(64)/`bands` band keys → salted bucket self-join): the
+    * probabilistic stage the (bands × rows) tradeoff lives in.
+    * Returns the candidate-pair frame — recall of planted pairs in
+    * THIS set is banding recall, before any verify threshold. */
+  private def candidatePairs(docs: DataFrame, bands: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.DistinctShingles.column(
+          operators.TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bnd = sh.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graft.MinHashBands.column(
+        col("sh"), numHashes = 64, bands = bands)).as(Seq("band", "bkey")))
+    DedupOps.bucketPairs(bnd, Seq("band", "bkey"))
+  }
+
+  final case class SweepSetting(bands: Int, lshSec: Double,
+      candidates: Long, recallByK: Map[Int, Double]) {
+    def json: String = {
+      val rk = recallByK.toSeq.sortBy(_._1)
+        .map { case (k, r) => s""""k$k":${r3(r)}""" }.mkString(",")
+      s"""{"bands":$bands,"rows_per_band":${64 / bands},""" +
+        s""""lsh_sec":${r3(lshSec)},"candidate_pairs":$candidates,""" +
+        s""""cand_recall":{$rk}}"""
+    }
+  }
+  final case class SweepResult(n: Long, plantedByK: Map[Int, Long],
+      settings: Seq[SweepSetting]) {
+    def json: String = {
+      val pk = plantedByK.toSeq.sortBy(_._1)
+        .map { case (k, c) => s""""k$k":$c""" }.mkString(",")
+      s"""{"corpus":"hard-planted","n":$n,"planted":{$pk},""" +
+        s""""settings":[${settings.map(_.json).mkString(",")}]}"""
+    }
+  }
+
+  /** The banding-parameter sweep on the HARD corpus — the text twin
+    * of vector_scale's `hard` section: for 64 MinHashes split as
+    * 8×8 / 16×4 / 32×2, measure wall time, candidate volume and
+    * PER-CLASS banding recall of pairs planted at J ≈ 0.8 / 0.6 /
+    * 0.35. The recall column must visibly move with the config (8×8
+    * misses nearly all k=8 pairs, 32×2 finds most) and the candidate
+    * column carries the cost of the permissive configs — the
+    * executed recall-vs-cost tradeoff, not the argued one. */
+  def runSweep(spark: SparkSession, n: Long): SweepResult = {
+    val docs = corpusHard(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val plantedIds = (1L until n by 100L).toSeq
+    val byK = plantedIds.groupBy(hardK)
+    val settings = Seq(8, 16, 32).map { bands =>
+      def once(): (Set[(Long, Long)], Double) = {
+        val (pairs, t) = timeIt {
+          candidatePairs(docs, bands).select("a_id", "b_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        (pairs, t)
+      }
+      val (found, t1) = once()
+      val (_, t2) = once() // best-of-2, steady-state
+      val recall = byK.map { case (k, ids) =>
+        val hit = ids.count(id => found.contains((id - 1, id))
+          || found.contains((id, id - 1)))
+        k -> (if (ids.isEmpty) 1.0 else hit.toDouble / ids.size)
+      }
+      SweepSetting(bands, math.min(t1, t2), found.size, recall)
+    }
+    docs.unpersist()
+    SweepResult(n, byK.map { case (k, ids) => k -> ids.size.toLong },
+      settings)
+  }
+
   final case class Point(n: Long, genSec: Double, lshSec: Double,
       candidates: Long, pairs: Long, planted: Long, recall: Double,
       lshFirst: Double = -1.0) {
@@ -146,11 +258,13 @@ object TextScaleBench {
     }
   }
   final case class Result(points: Seq[Point],
-      sub: Seq[SubPoint] = Seq.empty) {
+      sub: Seq[SubPoint] = Seq.empty,
+      sweep: Option[SweepResult] = None) {
     def json: String =
       s"""{"bands":16,"rows_per_band":4,"jaccard_thr":$JaccardThr,""" +
         s""""points":[${points.map(_.json).mkString(",")}],""" +
-        s""""substring":[${sub.map(_.json).mkString(",")}]}"""
+        s""""substring":[${sub.map(_.json).mkString(",")}]""" +
+        sweep.map(s => s""","sweep":${s.json}""").getOrElse("") + "}"
     def summary: Option[String] = points.lastOption.map { p =>
       val subTail = sub.lastOption.map(sp =>
         s""","sub_sec":${r3(sp.subSec)},"sub_recall":${r3(sp.recall)}""")
@@ -235,7 +349,9 @@ object TextScaleBench {
       subFirst = t1)
   }
 
-  def run(spark: SparkSession, sizes: Seq[Long]): Result =
+  def run(spark: SparkSession, sizes: Seq[Long],
+      sweepN: Option[Long] = None): Result =
     Result(sizes.map(runPoint(spark, _)),
-      sizes.map(runSubstringPoint(spark, _)))
+      sizes.map(runSubstringPoint(spark, _)),
+      sweepN.map(runSweep(spark, _)))
 }

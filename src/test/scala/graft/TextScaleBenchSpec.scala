@@ -49,4 +49,47 @@ class TextScaleBenchSpec extends SparkSpecBase {
     assert(a.zip(b).count { case (x, y) => x != y } == 1)
     assert(TextScaleBench.genTokens(100L).sameElements(a)) // pure
   }
+
+  test("hard generator: exactly k distinct mutations per class, J ordered by k") {
+    def jacc(a: Array[String], b: Array[String]): Double = {
+      def sh(t: Array[String]) = t.sliding(3).map(_.mkString(" ")).toSet
+      val (x, y) = (sh(a), sh(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    // class k = (id/100) % 3 -> 2, 4, 8 mutated tokens, all distinct
+    val byK = Seq(1L, 101L, 201L, 301L, 401L, 501L).map { id =>
+      val a = TextScaleBench.genTokensHard(id - 1)
+      val b = TextScaleBench.genTokensHard(id)
+      val k = TextScaleBench.hardK(id)
+      assert(a.length == b.length, s"id $id")
+      assert(a.zip(b).count { case (x, y) => x != y } == k,
+        s"id $id: expected $k mutations")
+      // unchanged ids replay the base corpus generator exactly
+      assert(TextScaleBench.genTokensHard(id - 1).sameElements(a))
+      k -> jacc(a, b)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    // more mutations -> strictly harder pairs
+    assert(byK(2) > byK(4) && byK(4) > byK(8),
+      s"Jaccard must fall with k: $byK")
+    assert(byK(8) < 0.6, s"k=8 class must sit below the easy zone: $byK")
+  }
+
+  test("banding sweep: recall rises with bands per class; k8 separates configs") {
+    val sw = TextScaleBench.runSweep(spark, 5000L)
+    assert(sw.settings.map(_.bands) == Seq(8, 16, 32))
+    val byBands = sw.settings.map(s => s.bands -> s).toMap
+    for (k <- Seq(2, 4, 8)) {
+      val r8 = byBands(8).recallByK(k)
+      val r16 = byBands(16).recallByK(k)
+      val r32 = byBands(32).recallByK(k)
+      assert(r8 <= r16 + 1e-9 && r16 <= r32 + 1e-9,
+        s"k=$k recall must be monotone in bands: $r8 / $r16 / $r32")
+    }
+    // the hard class genuinely discriminates: 8x8 misses most k=8
+    // pairs, 32x2 finds most of them
+    assert(byBands(8).recallByK(8) < 0.4, s"${byBands(8)}")
+    assert(byBands(32).recallByK(8) > 0.8, s"${byBands(32)}")
+    // permissive banding pays in candidates, never fewer
+    assert(byBands(32).candidates >= byBands(8).candidates)
+  }
 }
