@@ -37,6 +37,21 @@ object TextOps {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     org.apache.spark.sql.graft.CountInSet.column(toks, words)
 
+  /** q42's language prediction as a reusable expression (stopword-hit
+    * argmax with the deterministic en > de > fr > es priority) —
+    * shared by the classifier, its confusion matrix (q193) and the
+    * kappa agreement score (q194). */
+  private def langPredExpr: Column = {
+    val toks = tokens(col("text"))
+    val (en, de, fr, es) = (stopHits(toks, En), stopHits(toks, De),
+      stopHits(toks, Fr), stopHits(toks, Es))
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
   // Minimal per-language stopword lists for the n-gram/stopword
   // heuristic language-ID (deterministic priority en > de > fr > es).
   private val En = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -189,12 +204,7 @@ object TextOps {
         stopHits(toks, Fr), stopHits(toks, Es))
       Tables.load(s, d, "documents").select(
         col("doc_id"), en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
-        es.as("s_es"),
-        when(en >= de && en >= fr && en >= es && en > 0, "en")
-          .when(de >= fr && de >= es && de > 0, "de")
-          .when(fr >= es && fr > 0, "fr")
-          .when(es > 0, "es")
-          .otherwise("und").as("lang_pred"))
+        es.as("s_es"), langPredExpr.as("lang_pred"))
     }),
 
     // Document fingerprinting: md5 over the normalized text (exact-dup
@@ -496,6 +506,47 @@ object TextOps {
     "q188_token_class_chi2" -> ((s, d) =>
       tokenClassChi2(Tables.load(s, d, "documents"))
         .orderBy(col("chi2").desc, col("token").asc).limit(50)),
+
+    // CONFUSION MATRIX of the lang-ID heuristic against the corpus's
+    // true labels — the eval artifact every classifier in the
+    // pipeline owes its consumers. One scan, one (true, pred)
+    // exchange; the matrix is label-domain² rows, never corpus-sized.
+    "q193_lang_confusion" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang").as("true_lang"),
+          langPredExpr.as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))),
+
+    // COHEN'S KAPPA of predictor vs truth — chance-corrected
+    // agreement, exact: with D = total, diag = Σ agreements and
+    // pe_num = Σ_label rowTotal·colTotal, κ = (D·diag − pe_num) /
+    // (D² − pe_num) — all integers until ONE final division, so both
+    // engines agree bit-for-bit. The matrix is bounded by the label
+    // domain (≤ 6²), so finishing the scalar from its collect is a
+    // bounded driver fold, not a corpus collect.
+    "q194_cohens_kappa" -> ((s, d) => {
+      import s.implicits._
+      val m = Tables.load(s, d, "documents")
+        .select(col("lang").as("t"), langPredExpr.as("p"))
+        .groupBy("t", "p").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+      val total = m.map(_._3).sum
+      val diag = m.filter(r => r._1 == r._2).map(_._3).sum
+      val rowTot = m.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._3).sum }
+      val colTot = m.groupBy(_._2).map { case (k, v) =>
+        k -> v.map(_._3).sum }
+      val peNum = (rowTot.keySet ++ colTot.keySet).toSeq.map(l =>
+        rowTot.getOrElse(l, 0L) * colTot.getOrElse(l, 0L)).sum
+      val num = total * diag - peNum
+      val den = total * total - peNum
+      val kappa = BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((total, diag, peNum, num, den, kappa))
+        .toDF("n", "diag", "pe_num", "kappa_num", "kappa_den", "kappa")
+    }),
 
     // Corpus drift monitor: Jensen-Shannon divergence between the
     // existing corpus's and the new batch's token distributions (same
@@ -1213,6 +1264,38 @@ object TextOps {
         |)
         |SELECT doc_id, rk, t AS term, tf, df, score
         |FROM r WHERE rk <= 5""".stripMargin,
+    "q193_lang_confusion" ->
+      s"""WITH l AS ($langOracle)
+        |SELECT d.lang AS true_lang, l.lang_pred AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN l USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // identical integer algebra: kappa stays a ratio of exact BIGINT
+    // sums until the one final division
+    "q194_cohens_kappa" ->
+      s"""WITH l AS ($langOracle), m AS (
+        |  SELECT d.lang AS t, l.lang_pred AS p,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN l USING (doc_id) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+        |      AS diag
+        |  FROM m
+        |), marg AS (
+        |  SELECT COALESCE(r.l, c.l) AS l,
+        |    COALESCE(r.rt, 0) * COALESCE(c.ct, 0) AS prod
+        |  FROM (SELECT t AS l, CAST(sum(n) AS BIGINT) AS rt
+        |        FROM m GROUP BY t) r
+        |  FULL OUTER JOIN (SELECT p AS l, CAST(sum(n) AS BIGINT) AS ct
+        |        FROM m GROUP BY p) c ON r.l = c.l
+        |), pe AS (SELECT CAST(sum(prod) AS BIGINT) AS pe_num FROM marg)
+        |SELECT total AS n, diag, pe_num,
+        |  CAST(total * diag - pe_num AS BIGINT) AS kappa_num,
+        |  CAST(total * total - pe_num AS BIGINT) AS kappa_den,
+        |  round((total * diag - pe_num)::DOUBLE
+        |    / (total * total - pe_num), 6) AS kappa
+        |FROM tot, pe""".stripMargin,
     // same per-cell round-to-6-then-exact-DECIMAL-sum as the Spark
     // side; the absent-row guard mirrors nt = D
     "q188_token_class_chi2" ->

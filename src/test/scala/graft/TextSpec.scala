@@ -264,6 +264,36 @@ class TextSpec extends SparkSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("q194 kappa is consistent with q193's matrix and bounded") {
+    val m = TextOps.queries("q193_lang_confusion")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n")))
+    val k = TextOps.queries("q194_cohens_kappa")(spark, sfDir).head()
+    // recompute every scalar from the matrix independently
+    val total = m.map(_._3).sum
+    val diag = m.filter(r => r._1 == r._2).map(_._3).sum
+    val labels = (m.map(_._1) ++ m.map(_._2)).distinct
+    val pe = labels.map(l =>
+      m.filter(_._1 == l).map(_._3).sum
+        * m.filter(_._2 == l).map(_._3).sum).sum
+    assert(k.getAs[Long]("n") == total)
+    assert(k.getAs[Long]("diag") == diag)
+    assert(k.getAs[Long]("pe_num") == pe)
+    assert(k.getAs[Long]("kappa_num") == total * diag - pe)
+    assert(k.getAs[Long]("kappa_den") == total * total - pe)
+    val kappa = k.getAs[Double]("kappa")
+    // the synthetic corpus draws tokens independently of its lang
+    // label, so TRUE agreement is chance-level: kappa must sit near 0
+    // (a missing chance correction — e.g. dropping pe_num — would
+    // read the raw ~20% accuracy as a strongly positive kappa)
+    assert(kappa > -0.2 && kappa < 0.2,
+      s"chance-level agreement must yield kappa ~ 0: $kappa")
+    val accuracy = diag.toDouble / total
+    assert(accuracy > 0.05, s"accuracy $accuracy") // diag not empty
+    // the matrix itself tiles the corpus exactly once
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("q188 chi2: closed-form corners on a crafted 2-class corpus") {
     import spark.implicits._
     // 4 docs, 2 langs: 'aa' appears in exactly the two 'x' docs
