@@ -912,6 +912,35 @@ object ScaleOps {
           sum(when(col("l") < 3, col("k")).otherwise(0L))
             .as("rows_at_risk"))),
 
+    // T-CLOSENESS — the third rung of the privacy ladder (q148
+    // k-anonymity: classes big enough; q158 l-diversity: sensitive
+    // values varied enough; t-closeness: the class's sensitive
+    // DISTRIBUTION close enough to the global one that membership
+    // leaks nothing). For categorical sensitives the earth-mover
+    // distance is total variation: t_c = ½ Σ_s |Q_c(s) − P(s)| =
+    // tnum_c / (2·k_c·N) with tnum_c = Σ_s |cnt_cs·N − k_c·g_s| — an
+    // EXACT integer per class (zero cells included via the class ×
+    // sensitive grid), one double division each, and the ≥ 0.3
+    // threshold compared in pure integers (10·tnum > 6·k·N). Grid =
+    // classes × sensitive domain, broadcast on the 5-row sensitive
+    // side — never corpus-sized.
+    "q195_t_closeness" -> ((s, d) => {
+      val n = Tables.load(s, d, "customer").count()
+      tClosenessPerClass(Tables.load(s, d, "customer")
+        .select(col("c_nationkey").as("nat"),
+          (floor(col("c_acctbal") / 1000.0) * 1000).cast("long")
+            .as("bal_band"),
+          col("c_mktsegment").as("seg")))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum("k").as("n_rows"),
+          max("t").as("t_max"),
+          sum(when(col("tnum") * 10 > lit(6L) * col("k") * n, 1L)
+            .otherwise(0L)).as("classes_gt03"),
+          sum(when(col("tnum") * 10 > lit(6L) * col("k") * n, col("k"))
+            .otherwise(0L)).as("rows_at_risk"))
+    }),
+
     // Item-item collaborative-filtering similarity (the recommender
     // counterpart of q134's lift pairs): each event type is a vector
     // of per-user interaction counts; report cosine between every
@@ -1807,6 +1836,29 @@ object ScaleOps {
     Seq((nP, nN, aucNum, auc)).toDF("n_pos", "n_neg", "auc_num", "auc")
   }
 
+  /** q195's per-class total-variation distance over a (nat, bal_band,
+    * seg) frame: one row per class with its exact integer numerator
+    * tnum = Σ_s |cnt·N − k·g_s| (zero cells included via the class ×
+    * sensitive grid) and t = tnum / (2·k·N). Split out so
+    * ScaleOpsSpec pins the closures: a single-class table reads t = 0
+    * (the class IS the global distribution) and a perfectly-separated
+    * two-class/two-value table reads t = 0.5 each. */
+  private[graft] def tClosenessPerClass(c: DataFrame): DataFrame = {
+    val n = c.count()
+    val cls = c.groupBy("nat", "bal_band", "seg")
+      .agg(count(lit(1)).as("cnt"))
+    val kTab = cls.groupBy("nat", "bal_band").agg(sum("cnt").as("k"))
+    val gTab = c.groupBy("seg").agg(count(lit(1)).as("g"))
+    kTab.crossJoin(broadcast(gTab))
+      .join(cls, Seq("nat", "bal_band", "seg"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("term", abs(col("cnt") * n - col("k") * col("g")))
+      .groupBy("nat", "bal_band")
+      .agg(max("k").as("k"), sum("term").as("tnum"))
+      .withColumn("t", round(col("tnum").cast("double")
+        / (lit(2.0) * col("k") * lit(n)), 6))
+  }
+
   /** q191's exact average precision over a (score: double, k: long,
     * p: 0/1 long) frame, under the deterministic total order
     * (score desc, k asc): AP = mean over positives of precision at
@@ -2265,6 +2317,42 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
         |    AS rows_at_risk
         |FROM c""".stripMargin,
+    // same exact integer tnum per class (zero cells via the class x
+    // sensitive grid), one double division, integer threshold compare
+    "q195_t_closeness" ->
+      """WITH q AS (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |cls AS (
+        |  SELECT nat, bal_band, seg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM q GROUP BY 1, 2, 3
+        |), kt AS (
+        |  SELECT nat, bal_band, CAST(sum(cnt) AS BIGINT) AS k
+        |  FROM cls GROUP BY 1, 2
+        |), gt AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS g FROM q GROUP BY 1
+        |), grid AS (
+        |  SELECT kt.nat, kt.bal_band, kt.k, gt.g, n.n,
+        |    COALESCE(cls.cnt, 0) AS cnt
+        |  FROM kt CROSS JOIN gt
+        |  LEFT JOIN cls ON cls.nat = kt.nat
+        |    AND cls.bal_band = kt.bal_band AND cls.seg = gt.seg, n
+        |), per AS (
+        |  SELECT nat, bal_band, max(k) AS k, max(n) AS n,
+        |    CAST(sum(abs(cnt * n - k * g)) AS BIGINT) AS tnum
+        |  FROM grid GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  max(round(tnum::DOUBLE / (2.0 * k * n), 6)) AS t_max,
+        |  CAST(sum(CASE WHEN tnum * 10 > 6 * k * n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_gt03,
+        |  CAST(sum(CASE WHEN tnum * 10 > 6 * k * n THEN k ELSE 0 END)
+        |    AS BIGINT) AS rows_at_risk
+        |FROM per""".stripMargin,
     "q159_item_cosine" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, count(*) AS c

@@ -631,6 +631,27 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(ap((5.0, 2L, 1L), (5.0, 1L, 0L)) == 0.5)
   }
 
+  test("q195 t-closeness: closed-form corners on crafted classes") {
+    import spark.implicits._
+    def per(rows: (Long, Long, String)*) =
+      ScaleOps.tClosenessPerClass(rows.toDF("nat", "bal_band", "seg"))
+        .collect().map(r => (r.getAs[Long]("nat"),
+          r.getAs[Long]("tnum"), r.getAs[Double]("t")))
+    // one class = the global distribution -> t = 0 exactly
+    val solo = per((1L, 0L, "A"), (1L, 0L, "A"), (1L, 0L, "B"))
+    assert(solo.length == 1 && solo.head._2 == 0L && solo.head._3 == 0.0)
+    // two classes, each pure in a different value, 50/50 global:
+    // t = (|1-.5| + |0-.5|) / 2 = 0.5 for BOTH
+    val split = per((1L, 0L, "A"), (1L, 0L, "A"),
+      (2L, 0L, "B"), (2L, 0L, "B"))
+    assert(split.length == 2 && split.forall(_._3 == 0.5), split.toSeq)
+    // skewed global 3:1, pure-minority class: t = |1-.25|+|0-.75| / 2
+    val skew = per((1L, 0L, "A"), (1L, 0L, "A"), (1L, 0L, "A"),
+      (2L, 0L, "B"))
+    val minority = skew.find(_._1 == 2L).get
+    assert(minority._3 == 0.75, skew.toSeq)
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
