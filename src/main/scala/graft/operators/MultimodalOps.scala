@@ -440,6 +440,241 @@ object MultimodalOps {
       .toDF()
   }
 
+  final case class PngDecoded(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_gray: Double, top_left_gray: Int,
+      pos_sum: Long)
+
+  /** PNG's Paeth predictor (spec §9, filter type 4): the neighbor
+    * (left/up/up-left) closest to p = a + b − c, ties resolved in
+    * that order. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Scanline predictor shared by [[encodePng]] (subtract) and
+    * [[decodePng]] (add back): filter types 0–4 = None/Sub/Up/
+    * Average/Paeth over the (left, up, up-left) neighborhood at
+    * bpp = 1 (grayscale 8-bit). Returns −1 on an unknown type so the
+    * decoder can fail loudly. */
+  private def pngPredict(f: Int, a: Int, b: Int, c: Int): Int = f match {
+    case 0 => 0
+    case 1 => a
+    case 2 => b
+    case 3 => (a + b) / 2
+    case 4 => paeth(a, b, c)
+    case _ => -1
+  }
+
+  /** PNG fixture encoder — the fourth image container, and the first
+    * whose round-trip crosses BOTH real compression (zlib/DEFLATE via
+    * the JVM's `Deflater`, Adler-32 trailer included) and real
+    * per-scanline prediction: row r is filtered with type r % 5, so a
+    * decoder that botches ANY of None/Sub/Up/Average/Paeth breaks the
+    * value oracle. Grayscale 8-bit (color type 0) at width 4 makes
+    * pixel i ≡ payload byte i; height = len/4 full rows, tail bytes
+    * dropped as the oracle recomputes. The IDAT stream is split into
+    * ≤ 96-byte chunks to exercise multi-IDAT concatenation, and every
+    * chunk carries its spec CRC-32 over type + data. */
+  private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val w = 4
+    val h = bytes.length / w
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      val f = r % 5
+      raw(r * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val orig = bytes(r * w + x) & 0xff
+        val a = if (x > 0) bytes(r * w + x - 1) & 0xff else 0
+        val b = if (r > 0) bytes((r - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && r > 0) bytes((r - 1) * w + x - 1) & 0xff
+          else 0
+        raw(r * (w + 1) + 1 + x) =
+          ((orig - pngPredict(f, a, b, c)) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zb.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zb.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte], from: Int, len: Int)
+        : Unit = {
+      val t = typ.getBytes("US-ASCII")
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      be32(len)
+      out.write(t, 0, 4)
+      out.write(data, from, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t)
+      crc.update(data, from, len)
+      be32(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr, 0, 13)
+    var off = 0
+    while (off < z.length) { // multi-IDAT: ≤ 96-byte slices
+      val n = math.min(96, z.length - off)
+      chunk("IDAT", z, off, n)
+      off += n
+    }
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** REAL PNG decode — pure-JVM parser per the published PNG spec:
+    * 8-byte signature, chunk walk with CRC-32 verified on EVERY chunk
+    * (a flipped bit anywhere is a loud failure, as is a truncated or
+    * non-consecutive IDAT run, trailing bytes after IEND, or a chunk
+    * type outside the fixture's grammar), IHDR validation (bit depth
+    * 8, color type 0, deflate/adaptive/no-interlace), multi-IDAT
+    * concatenation, zlib inflate via the JVM's `Inflater` (Adler-32
+    * checked), exact decompressed-length accounting, and full inverse
+    * filtering of all five scanline predictors. Features come from
+    * the UNFILTERED pixels, so a prediction bug in any filter type is
+    * a value mismatch against the payload-derived oracle. */
+  private[graft] def decodePng(docId: Long, bytes: Array[Byte])
+      : PngDecoded = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"png decode [$docId]: $why")
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a,
+      0x1a, 0x0a)
+    if (bytes.length < 8 ||
+        (0 until 8).exists(i => (bytes(i) & 0xff) != sig(i)))
+      fail("bad signature")
+    def be32(at: Int): Int =
+      ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) |
+        ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+    var p = 8
+    var w = -1
+    var h = -1
+    var seenIhdr = false
+    var seenIend = false
+    var idatDone = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (p + 8 > bytes.length) fail("truncated chunk header")
+      val len = be32(p)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > bytes.length)
+        fail(s"chunk $typ truncated")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, p + 4, 4 + len)
+      if (crc.getValue.toInt != be32(p + 8 + len))
+        fail(s"chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr) fail("duplicate IHDR")
+          if (len != 13) fail(s"IHDR length $len")
+          w = be32(p + 8)
+          h = be32(p + 12)
+          if (w < 0 || h < 0) fail(s"bad dims ${w}x$h")
+          if ((bytes(p + 16) & 0xff) != 8) fail("bit depth != 8")
+          if ((bytes(p + 17) & 0xff) != 0) fail("color type != gray")
+          if ((bytes(p + 18) & 0xff) != 0) fail("bad compression")
+          if ((bytes(p + 19) & 0xff) != 0) fail("bad filter method")
+          if ((bytes(p + 20) & 0xff) != 0) fail("interlace unsupported")
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) fail("IDAT before IHDR")
+          if (idatDone) fail("non-consecutive IDAT") // spec: one run
+          idat.write(bytes, p + 8, len)
+        case "IEND" =>
+          if (!seenIhdr) fail("IEND before IHDR")
+          if (len != 0) fail("IEND not empty")
+          seenIend = true
+        case t => fail(s"unsupported chunk $t")
+      }
+      if (typ != "IDAT" && idat.size() > 0) idatDone = true
+      p += 12 + len
+    }
+    if (p != bytes.length) fail("trailing bytes after IEND")
+    if (idat.size() == 0) fail("missing IDAT")
+    val raw = new Array[Byte](h * (w + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) fail("zlib stream truncated")
+        got += n
+      }
+      // the stream must END here: one more inflate either consumes
+      // just the Adler-32 trailer (returns 0, finished) or proves the
+      // geometry lied
+      val extra = new Array[Byte](1)
+      if (inf.inflate(extra) > 0) fail("decompressed data exceeds raster")
+      if (!inf.finished()) fail("zlib stream not finished")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"zlib: ${e.getMessage}")
+    } finally inf.end()
+    if (got != raw.length)
+      fail(s"decompressed $got, raster needs ${raw.length}")
+    val px = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val f = raw(r * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val v = raw(r * (w + 1) + 1 + x) & 0xff
+        val a = if (x > 0) px(r * w + x - 1) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff
+          else 0
+        val pred = pngPredict(f, a, b, c)
+        if (pred < 0) fail(s"unknown filter type $f")
+        px(r * w + x) = ((v + pred) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    var sum = 0L
+    var psum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    PngDecoded(docId, w, h, px.length.toLong,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  /** q196's pipeline: the PNG twin of [[decodeImagesGif]] — same typed
+    * mapPartitions shape, fourth container format, zlib compression
+    * AND per-scanline prediction inside the round-trip. */
+  def decodeImagesPng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => decodePng(id, encodePng(b)) })
+      .toDF()
+  }
+
   final case class Audio(doc_id: Long, n_bytes: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, peak: Int, rms: Double)
 
@@ -835,7 +1070,20 @@ object MultimodalOps {
       decodeImagesGif(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"), round(col("mean_index"), 6).as("mean_index"),
-          col("top_left_index"), col("pos_sum")))
+          col("top_left_index"), col("pos_sum"))),
+
+    // REAL PNG decode — the fourth image container, crossing BOTH
+    // zlib/DEFLATE compression (JVM Inflater, Adler-32 checked) and
+    // per-scanline prediction (filter r % 5 cycles None/Sub/Up/
+    // Average/Paeth), with CRC-32 verified on every chunk and
+    // multi-IDAT concatenation. The oracle recomputes geometry, mean,
+    // top-left and the position-weighted checksum from the raw bytes —
+    // an inflate or inverse-filter bug is a value mismatch.
+    "q196_png_decode" -> ((s, d) =>
+      decodeImagesPng(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_gray"), 6).as("mean_gray"),
+          col("top_left_gray"), col("pos_sum")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,6 +1246,26 @@ object MultimodalOps {
         |      / (4 * h) END, 6) AS mean_index,
         |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
         |    AS top_left_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+    // the PNG fixture: width 4, h = len/4 full rows, grayscale 8-bit
+    // => pixel i = payload byte i; geometry, mean, top-left and the
+    // position-weighted checksum recomputed from the same bytes the
+    // engine zlib-round-trips and unfilters
+    "q196_png_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 4*h + 1)])::DOUBLE
+        |      / (4 * h) END, 6) AS mean_gray,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_gray,
         |  CASE WHEN h = 0 THEN 0 ELSE CAST(
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
         |    AS BIGINT) END AS pos_sum

@@ -294,6 +294,73 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodeGif(5L, corrupt) }
   }
 
+  test("q196 PNG: round-trip sweep crosses zlib + all five filters") {
+    import operators.MultimodalOps.{decodePng, encodePng}
+    def check(payload: Array[Byte], tag: String): Unit = {
+      val d = decodePng(1L, encodePng(payload))
+      val n = (payload.length / 4) * 4
+      var s = 0L; var ps = 0L
+      var i = 0
+      while (i < n) {
+        val v = payload(i) & 0xff; s += v; ps += (i + 1).toLong * v
+        i += 1
+      }
+      assert(d.width == 4 && d.n_pixels == n, tag)
+      assert(d.pos_sum == ps, s"$tag: position-weighted checksum")
+      if (n > 0) {
+        assert(d.mean_gray == s.toDouble / n, tag)
+        assert(d.top_left_gray == (payload(0) & 0xff), tag)
+      }
+    }
+    // every size 0..600: rows cycle filter r % 5, so any height >= 5
+    // exercises None/Sub/Up/Average/Paeth against real neighbor bytes
+    var seed = 987654321L
+    def lcgBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = (seed >>> 33).toByte; i += 1
+      }
+      a
+    }
+    (0 to 600).foreach(n => check(lcgBytes(n), s"lcg-$n"))
+    Seq(5000, 20000, 100000).foreach(n => check(lcgBytes(n), s"big-$n"))
+    // constant + ramp rasters: Sub/Up residuals go all-zero (max
+    // DEFLATE compression), Average/Paeth predictions exact
+    (0 to 200).foreach(n => check(Array.fill(n)('m'.toByte), s"flat-$n"))
+    check(Array.tabulate(1024)(i => (i % 251).toByte), "ramp")
+  }
+
+  test("q196 PNG decoder rejects malformed containers") {
+    import operators.MultimodalOps.{decodePng, encodeBmp, encodeGif,
+      encodePng}
+    val payload = "the quick brown png fox jumps".getBytes("US-ASCII")
+    val ok = encodePng(payload)
+    assert(decodePng(1L, ok).n_pixels == 28)
+    intercept[IllegalArgumentException] { // bad signature
+      decodePng(2L, "PNG!".getBytes ++ ok.drop(4))
+    }
+    intercept[IllegalArgumentException] { // truncated mid-chunk
+      decodePng(3L, java.util.Arrays.copyOf(ok, ok.length - 6))
+    }
+    intercept[IllegalArgumentException] { // trailing bytes after IEND
+      decodePng(4L, ok :+ 0.toByte)
+    }
+    // corrupt ANY single IDAT payload byte -> the chunk CRC catches it
+    val corrupt = ok.clone()
+    val idatData = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+    corrupt(idatData) = (corrupt(idatData) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { decodePng(5L, corrupt) }
+    // corrupt the CRC itself -> same loud failure
+    val badCrc = ok.clone() // last 4 bytes = IEND's CRC
+    badCrc(badCrc.length - 2) = (badCrc(badCrc.length - 2) ^ 1).toByte
+    intercept[IllegalArgumentException] { decodePng(6L, badCrc) }
+    // cross-format: the PNG decoder refuses the other containers
+    intercept[IllegalArgumentException] { decodePng(7L, encodeGif(payload)) }
+    intercept[IllegalArgumentException] { decodePng(8L, encodeBmp(payload)) }
+  }
+
   test("q168 phash: brightness-invariant gradients; planted pairs collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
