@@ -941,6 +941,36 @@ object ScaleOps {
             .otherwise(0L)).as("rows_at_risk"))
     }),
 
+    // K-CORE decomposition — the degeneracy rung of the graph family
+    // (q110 rank, q125 triangles, q157 communities): iteratively peel
+    // nodes of degree < k until fixpoint; what survives is the
+    // k-core. Each peel round is two co-partitioned semi-joins
+    // (edges ⋈ survivors on src and on dst) plus a map-side-combined
+    // degree count — shuffle volume is the LIVE edge set, which only
+    // shrinks, and the round count is the graph's peel DEPTH, not its
+    // size. Per k ∈ {8, 20, 40} on the bipartite customer–supplier
+    // graph: core size, undirected core edges, an id-sum membership
+    // checksum (same-count-wrong-set cannot pass), and rounds to
+    // fixpoint (survivors only shrink, so count equality IS set
+    // equality). The oracle unrolls 8 peel rounds per k as generated
+    // CTE chains; these graphs fix in ≤ 3, and the spec pins a
+    // one-node-per-round chain cascade where the depth is 4.
+    "q197_kcore" -> ((s, d) => {
+      val eo = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eo.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eo.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      Seq(8, 20, 40).map(k => kCore(edges, k)).reduce(_ unionByName _)
+        .orderBy("k")
+    }),
+
     // Item-item collaborative-filtering similarity (the recommender
     // counterpart of q134's lift pairs): each event type is a vector
     // of per-user interaction counts; report cosine between every
@@ -1859,6 +1889,41 @@ object ScaleOps {
         / (lit(2.0) * col("k") * lit(n)), 6))
   }
 
+  /** q197's fixpoint peel: the k-core of a SYMMETRIC (src, dst) edge
+    * table, as one row (k, n_core, n_core_edges, id_sum, rounds).
+    * `rounds` counts peel iterations INCLUDING the confirming one
+    * (survivors only shrink, so an unchanged count is the fixpoint).
+    * Split out so ScaleOpsSpec pins the cascade: a 4-clique with a
+    * 3-node tail chain peels one tail node per round at k = 2
+    * (rounds = 4), collapses in one at k = 3, and empties at k = 4. */
+  private[graft] def kCore(edges: DataFrame, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def aliveOf(surv: DataFrame): DataFrame = edges
+      .join(surv.select(col("v").as("src")), Seq("src"))
+      .join(surv.select(col("v").as("dst")), Seq("dst"))
+    var surv = edges.select(col("src").as("v")).distinct()
+      .localCheckpoint(true)
+    var n = surv.count()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      val next = aliveOf(surv)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      done = m == n
+      surv = next
+      n = m
+    }
+    val ne = aliveOf(surv).count() / 2
+    val idSum = if (n == 0) 0L else surv.agg(sum("v")).as[Long].head()
+    Seq((k, n, ne, idSum, rounds))
+      .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
+  }
+
   /** q191's exact average precision over a (score: double, k: long,
     * p: 0/1 long) frame, under the deterministic total order
     * (score desc, k asc): AP = mean over positives of precision at
@@ -2353,6 +2418,47 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"""),
         |  CAST(sum(CASE WHEN tnum * 10 > 6 * k * n THEN k ELSE 0 END)
         |    AS BIGINT) AS rows_at_risk
         |FROM per""".stripMargin,
+    // same peel unrolled: 8 generated CTE rounds per k (the fixture
+    // graphs fix in <= 3); rounds = first round whose survivor count
+    // matches its predecessor (sets only shrink), id_sum = membership
+    // checksum
+    "q197_kcore" -> {
+      val ks = Seq(8, 20, 40)
+      val nr = 8
+      def prevOf(k: Int, r: Int) = if (r == 1) "s0" else s"k${k}_s${r - 1}"
+      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs
+      // per reference, and 8 unrolled rounds × 3 k values reference
+      // `e` ~50 times — each re-opening the parquet (ulimit blowup)
+      val chains = ks.flatMap(k => (1 to nr).map(r => s""",
+k${k}_s$r AS MATERIALIZED (
+  SELECT e.src AS v FROM e
+  JOIN ${prevOf(k, r)} a ON e.src = a.v
+  JOIN ${prevOf(k, r)} b ON e.dst = b.v
+  GROUP BY e.src HAVING count(*) >= $k
+)""")).mkString
+      val bodies = ks.map { k =>
+        val roundCase = (1 to nr).map(r =>
+          s"WHEN (SELECT count(*) FROM k${k}_s$r) = " +
+            s"(SELECT count(*) FROM ${prevOf(k, r)}) THEN $r").mkString(" ")
+        s"""SELECT $k AS k,
+  (SELECT count(*) FROM k${k}_s$nr) AS n_core,
+  (SELECT count(*) // 2 FROM e
+     JOIN k${k}_s$nr a ON e.src = a.v
+     JOIN k${k}_s$nr b ON e.dst = b.v) AS n_core_edges,
+  CAST(COALESCE((SELECT sum(v) FROM k${k}_s$nr), 0) AS BIGINT)
+    AS id_sum,
+  (CASE $roundCase END) AS rounds"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH eo AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS a,
+    CAST(l_suppkey AS BIGINT) * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM eo UNION ALL SELECT b, a FROM eo
+), s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)$chains
+$bodies
+ORDER BY k"""
+    },
     "q159_item_cosine" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, count(*) AS c

@@ -652,6 +652,27 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(minority._3 == 0.75, skew.toSeq)
   }
 
+  test("q197 k-core: chain cascade peels one node per round; clique corners") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + tail chain 4-5-6-7
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def core(k: Int) = {
+      val r = ScaleOps.kCore(edges, k).collect().head
+      (r.getAs[Long]("n_core"), r.getAs[Long]("n_core_edges"),
+        r.getAs[Long]("id_sum"), r.getAs[Int]("rounds"))
+    }
+    // k=2: the chain peels ONE node per round (7, then 6, then 5) —
+    // the cascade the round counter must see: 3 removing + 1 confirming
+    assert(core(2) == ((4L, 6L, 10L, 4)))
+    // k=3: both bare chain nodes drop together in round 1
+    assert(core(3) == ((4L, 6L, 10L, 2)))
+    // k=4: node 4 (3 clique edges + the chain) survives round 1
+    // alone, starves in round 2, round 3 confirms the empty fixpoint
+    assert(core(4) == ((0L, 0L, 0L, 3)))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
