@@ -971,6 +971,37 @@ object ScaleOps {
         .orderBy("k")
     }),
 
+    // LINK PREDICTION by wedge enumeration — the graph twin of q134's
+    // basket lift: score NON-adjacent part pairs by their common
+    // neighbors in the session-adjacency graph (parts consecutive by
+    // line number within an order — the item2item graph recommenders
+    // build from browse sequences). Score = the Resource-Allocation
+    // index Σ_w 1/deg(w) over shared neighbors w (Zhou-Lü-Zhang 2009;
+    // Adamic-Adar is the same shape with 1/ln deg) — per-wedge terms
+    // are one IEEE division rounded to 9 dp and DECIMAL-summed, so
+    // both engines agree exactly. Wedges enumerate via the CENTER
+    // node (one self-join shuffle on src); cost is Σ C(deg,2) — on a
+    // session graph degree is bounded by co-occurrence fan-out, not
+    // corpus size (and the standard hub cap applies before the join
+    // at 100 TB). Candidates anti-join the edge set (predict only
+    // MISSING links); node-sized degree table broadcasts; TakeOrdered
+    // top-20 under the total (ra desc, u, v) order.
+    "q198_link_predict" -> ((s, d) => {
+      val sq = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("p"))
+      val und = sq.as("a").join(sq.as("b"),
+          col("a.o") === col("b.o") &&
+            col("b.ln") === col("a.ln") + 1 &&
+            col("a.p") =!= col("b.p"))
+        .select(least(col("a.p"), col("b.p")).as("u"),
+          greatest(col("a.p"), col("b.p")).as("v"))
+        .distinct().localCheckpoint(true)
+      linkPredict(und)
+        .orderBy(col("ra").desc, col("u").asc, col("v").asc)
+        .limit(20)
+    }),
+
     // Item-item collaborative-filtering similarity (the recommender
     // counterpart of q134's lift pairs): each event type is a vector
     // of per-user interaction counts; report cosine between every
@@ -1924,6 +1955,30 @@ object ScaleOps {
       .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
   }
 
+  /** q198's wedge scorer over an UNDIRECTED (u < v) edge table: every
+    * non-adjacent pair with ≥ 1 common neighbor, its common-neighbor
+    * count and Resource-Allocation score Σ_w round(1/deg(w), 9) as an
+    * exact DECIMAL sum cast once to double. Split out so ScaleOpsSpec
+    * pins the algebra: a path's endpoints read (cn 1, ra 1/2), a
+    * 4-cycle's diagonals (cn 2, ra 1), a triangle predicts nothing. */
+  private[graft] def linkPredict(und: DataFrame): DataFrame = {
+    val e = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = e.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
+    val wedges = e.as("x").join(e.as("y"), Seq("src"))
+      .filter(col("x.dst") < col("y.dst"))
+      .select(col("src").as("w"), col("x.dst").as("u"),
+        col("y.dst").as("v"))
+    wedges.join(broadcast(deg), "w")
+      .withColumn("term",
+        round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum("term").as("rasum"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("cn"),
+        col("rasum").cast("double").as("ra"))
+  }
+
   /** q191's exact average precision over a (score: double, k: long,
     * p: 0/1 long) frame, under the deterministic total order
     * (score desc, k asc): AP = mean over positives of precision at
@@ -2459,6 +2514,32 @@ k${k}_s$r AS MATERIALIZED (
 $bodies
 ORDER BY k"""
     },
+    // same wedge enumeration + 9-dp DECIMAL-summed 1/deg terms; anti
+    // join drops existing edges; total (ra desc, u, v) order
+    "q198_link_predict" ->
+      """WITH sq AS MATERIALIZED (
+        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+        |  FROM lineitem
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |  FROM sq a JOIN sq b
+        |    ON a.o = b.o AND b.ln = a.ln + 1 AND a.p <> b.p
+        |), e AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |), deg AS MATERIALIZED (
+        |  SELECT src AS w, count(*) AS d FROM e GROUP BY 1
+        |), wedge AS (
+        |  SELECT x.src AS w, x.dst AS u, y.dst AS v
+        |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+        |), sc AS (
+        |  SELECT u, v, count(*) AS cn,
+        |    sum(CAST(round(1.0 / d, 9) AS DECIMAL(18,9))) AS rasum
+        |  FROM wedge JOIN deg USING (w) GROUP BY 1, 2
+        |)
+        |SELECT u, v, cn, CAST(rasum AS DOUBLE) AS ra
+        |FROM sc ANTI JOIN und USING (u, v)
+        |ORDER BY ra DESC, u, v LIMIT 20""".stripMargin,
     "q159_item_cosine" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, count(*) AS c

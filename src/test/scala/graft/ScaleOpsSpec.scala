@@ -673,6 +673,26 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(core(4) == ((0L, 0L, 0L, 3)))
   }
 
+  test("q198 link prediction: path, 4-cycle and triangle corners") {
+    import spark.implicits._
+    def predict(und: (Long, Long)*) =
+      ScaleOps.linkPredict(und.toDF("u", "v")).collect()
+        .map(r => ((r.getAs[Long]("u"), r.getAs[Long]("v")),
+          (r.getAs[Long]("cn"), r.getAs[Double]("ra")))).toMap
+    // path 1-2-3: the endpoints share center 2 (deg 2) -> ra = 0.5
+    assert(predict((1L, 2L), (2L, 3L)) == Map((1L, 3L) -> ((1L, 0.5))))
+    // 4-cycle: each diagonal has TWO degree-2 centers -> cn 2, ra 1.0
+    val cyc = predict((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(cyc == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // triangle: every wedge closes into an existing edge -> nothing
+    assert(predict((1L, 2L), (2L, 3L), (1L, 3L)).isEmpty)
+    // star K1,3: leaf pairs share the degree-3 hub -> ra rounds to
+    // 0.333333333 exactly (the 9-dp DECIMAL term, not 1/3)
+    val star = predict((1L, 10L), (2L, 10L), (3L, 10L))
+    assert(star.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(star.values.forall(_ == ((1L, 0.333333333))))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
