@@ -711,15 +711,28 @@ object MultimodalOps {
     * (peak |amplitude|, exact integer sum of squares) accumulated in
     * one pass over the interleaved frame stream — no sample array is
     * materialized. */
-  private final case class WavRaw(rate: Int, ch: Int, bits: Int,
-      frames: Long, peak: Array[Int], sumSq: Array[Long])
+  private final case class WavRaw(fmt: Int, rate: Int, ch: Int,
+      bits: Int, frames: Long, peak: Array[Int], sumSq: Array[Long])
+
+  /** G.711 μ-law expansion (the classic CCITT/Sun `ulaw2linear`):
+    * complement the code, rebuild the biased segment/mantissa
+    * magnitude, subtract the bias back out. Pure integer — range
+    * ±32124 — so peak/RMS stay exact and any engine reproduces it
+    * with shifts and adds. */
+  private[graft] def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
 
   /** REAL WAV chunk walker — pure-JVM RIFF parse per the published
     * WAVE format: RIFF header, then (id, size LE) chunks with
-    * odd-size pad bytes, `fmt ` validated (integer PCM, 1–2 channels,
-    * 8 or 16 bits), `data` the interleaved frame stream. 16-bit
-    * samples are signed little-endian; 8-bit samples are UNSIGNED
-    * per the spec and re-centered to [-128, 127]. Unknown chunks are
+    * odd-size pad bytes, `fmt ` validated (integer PCM with 8 or 16
+    * bits, or 8-bit G.711 μ-law, 1–2 channels), `data` the
+    * interleaved frame stream. 16-bit samples are signed
+    * little-endian; 8-bit PCM samples are UNSIGNED per the spec and
+    * re-centered to [-128, 127]; μ-law bytes expand through
+    * [[ulaw2linear]] to their 16-bit values. Unknown chunks are
     * SKIPPED (the spec allows LIST/INFO etc); malformed payloads
     * throw — fabricated audio poisons everything downstream. */
   private def walkWav(docId: Long, bytes: Array[Byte]): WavRaw = {
@@ -734,6 +747,7 @@ object MultimodalOps {
     if (fourcc() != "RIFF") fail("missing RIFF")
     bb.getInt() // riff size (trusting chunk walk, validated per chunk)
     if (fourcc() != "WAVE") fail("missing WAVE")
+    var fmt = -1
     var rate = -1
     var ch = -1
     var bits = -1
@@ -750,11 +764,12 @@ object MultimodalOps {
       id match {
         case "fmt " =>
           if (size < 16) fail("fmt chunk too small")
-          val fmt = bb.getShort(); ch = bb.getShort().toInt
+          fmt = bb.getShort().toInt; ch = bb.getShort().toInt
           rate = bb.getInt(); bb.getInt(); bb.getShort()
           bits = bb.getShort().toInt
-          if (fmt != 1) fail(s"not PCM: format $fmt")
+          if (fmt != 1 && fmt != 7) fail(s"not PCM/μ-law: format $fmt")
           if (ch < 1 || ch > 2) fail(s"unsupported channel count $ch")
+          if (fmt == 7 && bits != 8) fail(s"μ-law must be 8-bit: $bits")
           if (bits != 8 && bits != 16) fail(s"unsupported bit depth $bits")
           if (rate <= 0) fail(s"bad rate $rate")
           haveFmt = true
@@ -770,7 +785,8 @@ object MultimodalOps {
             var c = 0
             while (c < ch) {
               val v =
-                if (bits == 16) bb.getShort().toInt
+                if (fmt == 7) ulaw2linear(bb.get() & 0xff)
+                else if (bits == 16) bb.getShort().toInt
                 else (bb.get() & 0xff) - 128 // PCM8 is unsigned
               val a = math.abs(v)
               if (a > peak(c)) peak(c) = a
@@ -786,7 +802,7 @@ object MultimodalOps {
     if (!haveFmt) fail("no fmt chunk")
     if (!haveData) fail("no data chunk")
     if (peak == null) { peak = new Array[Int](ch); sumSq = new Array[Long](ch) }
-    WavRaw(rate, ch, bits, frames, peak, sumSq)
+    WavRaw(fmt, rate, ch, bits, frames, peak, sumSq)
   }
 
   /** q161's PCM16-mono decode over the generic walker — stricter than
@@ -796,6 +812,8 @@ object MultimodalOps {
     * one final sqrt). */
   private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): Audio = {
     val r = walkWav(docId, bytes)
+    if (r.fmt != 1) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not integer PCM: format ${r.fmt}")
     if (r.ch != 1) throw new IllegalArgumentException(
       s"wav decode [$docId]: not mono: ${r.ch} channels")
     if (r.bits != 16) throw new IllegalArgumentException(
@@ -839,6 +857,8 @@ object MultimodalOps {
   private[graft] def decodeWavStereo8(docId: Long, bytes: Array[Byte])
       : AudioStereo = {
     val r = walkWav(docId, bytes)
+    if (r.fmt != 1) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not integer PCM: format ${r.fmt}")
     if (r.ch != 2) throw new IllegalArgumentException(
       s"wav decode [$docId]: not stereo: ${r.ch} channels")
     if (r.bits != 8) throw new IllegalArgumentException(
@@ -848,6 +868,57 @@ object MultimodalOps {
       if (n == 0) 0.0 else math.sqrt(r.sumSq(c).toDouble / n)
     AudioStereo(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
       r.peak(0), r.peak(1), rms(0), rms(1))
+  }
+
+  /** μ-law fixture encoder: the payload bytes ARE the G.711 codes —
+    * one byte per sample, stored verbatim in a canonical 44-byte
+    * RIFF/WAVE container with format tag 7 (WAVE_FORMAT_MULAW),
+    * 8-bit mono at the G.711-standard 8 kHz. The decoder must expand
+    * every code through the published companding curve; treating the
+    * bytes as PCM8 (or sign-extending) lands peak/RMS in a completely
+    * different range and fails the oracle. */
+  private[graft] def encodeWavMulaw(bytes: Array[Byte]): Array[Byte] = {
+    val ns = bytes.length
+    val out = java.nio.ByteBuffer.allocate(44 + ns)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + ns)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7).putShort(1) // μ-law, mono
+      .putInt(8000).putInt(8000) // rate, byte rate
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(ns)
+      .put(bytes, 0, ns)
+    out.array()
+  }
+
+  /** q199's μ-law decode over the generic walker — strict on the
+    * format tag (an integer-PCM payload throws; no silent
+    * reinterpretation), features over the EXPANDED 16-bit values. */
+  private[graft] def decodeWavMulaw(docId: Long, bytes: Array[Byte])
+      : Audio = {
+    val r = walkWav(docId, bytes)
+    if (r.fmt != 7) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not μ-law: format ${r.fmt}")
+    if (r.ch != 1) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not mono: ${r.ch} channels")
+    val n = r.frames
+    Audio(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
+      r.peak(0),
+      if (n == 0) 0.0 else math.sqrt(r.sumSq(0).toDouble / n))
+  }
+
+  /** Binary μ-law ingest + partition-wise decode — q199's pipeline,
+    * same typed mapPartitions shape as [[decodeAudio]]. */
+  def decodeAudioMulaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavMulaw(id, encodeWavMulaw(bytes)) }
+      }.toDF()
   }
 
   /** Binary stereo-audio ingest + partition-wise decode — q186's
@@ -1083,7 +1154,20 @@ object MultimodalOps {
       decodeImagesPng(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"), round(col("mean_gray"), 6).as("mean_gray"),
-          col("top_left_gray"), col("pos_sum")))
+          col("top_left_gray"), col("pos_sum"))),
+
+    // REAL G.711 μ-law decode — the third audio format, and the first
+    // COMPANDED one: payload bytes are the μ-law codes, the decoder
+    // expands each through the published curve (complement, biased
+    // segment/mantissa rebuild, bias out — pure integers, range
+    // ±32124). The oracle replays the same expansion in SQL, so a
+    // decoder that reads the bytes as PCM8 or botches a segment shift
+    // is a value mismatch in peak/rms, not a silent drift.
+    "q199_mulaw_decode" -> ((s, d) =>
+      decodeAudioMulaw(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_samples"), col("duration_us"), col("peak"),
+          round(col("rms"), 6).as("rms")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1269,6 +1353,32 @@ object MultimodalOps {
         |  CASE WHEN h = 0 THEN 0 ELSE CAST(
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
         |    AS BIGINT) END AS pos_sum
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // the μ-law fixture stores payload byte i verbatim as code i; the
+    // oracle expands codes with the same G.711 integer algebra
+    // (u = 255 - c, t = ((u%16)*8 + 132) << ((u//16)%8), ±(t - 132))
+    "q199_mulaw_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS ns, text
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(
+        |      [255 - ascii(text[i+1:i+1]) for i in range(0, ns)],
+        |      u -> CASE WHEN u >= 128
+        |        THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+        |        ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+        |        END) AS smp
+        |  FROM s
+        |)
+        |SELECT doc_id, (44 + ns)::INT AS n_bytes,
+        |  8000 AS sample_rate, ns AS n_samples,
+        |  ns * 1000000 // 8000 AS duration_us,
+        |  CASE WHEN ns = 0 THEN 0 ELSE
+        |    list_max(list_transform(smp, x -> abs(x)))::INT END AS peak,
+        |  CASE WHEN ns = 0 THEN 0.0 ELSE
+        |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
+        |      / ns), 6) END AS rms
+        |FROM v""".stripMargin
   )
 }

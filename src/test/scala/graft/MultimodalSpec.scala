@@ -294,6 +294,49 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodeGif(5L, corrupt) }
   }
 
+  test("q199 μ-law: G.711 curve anchors, symmetry, monotone segments") {
+    import operators.MultimodalOps.ulaw2linear
+    // published extremes of the Sun/CCITT ulaw2linear table
+    assert(ulaw2linear(0x00) == -32124)
+    assert(ulaw2linear(0x80) == 32124)
+    assert(ulaw2linear(0x7f) == 0)
+    assert(ulaw2linear(0xff) == 0)
+    // sign bit negates the magnitude, for every code
+    (0 to 255).foreach(c =>
+      assert(ulaw2linear(c ^ 0x80) == -ulaw2linear(c), s"code $c"))
+    // the positive half decodes strictly decreasing 32124 -> 0
+    val pos = (0x80 to 0xff).map(ulaw2linear)
+    assert(pos.zip(pos.tail).forall { case (a, b) => a > b })
+  }
+
+  test("q199 μ-law decoder: round-trips the fixture; strict format tag") {
+    import operators.MultimodalOps.{decodeWav, decodeWavMulaw,
+      decodeWavStereo8, encodeWav, encodeWavMulaw, encodeWavStereo8,
+      ulaw2linear}
+    val payload = (0 to 255).map(_.toByte).toArray
+    val d = decodeWavMulaw(7L, encodeWavMulaw(payload))
+    val vals = payload.map(b => ulaw2linear(b & 0xff))
+    assert(d.n_samples == 256 && d.sample_rate == 8000)
+    assert(d.n_bytes == 44 + 256 && d.duration_us == 256000000L / 8000)
+    assert(d.peak == vals.map(math.abs).max)
+    val sumSq = vals.map(v => v.toLong * v).sum
+    assert(d.rms == math.sqrt(sumSq.toDouble / 256))
+    assert(decodeWavMulaw(8L, encodeWavMulaw(Array.empty)).rms == 0.0)
+    // format tags are mutually exclusive: no silent reinterpretation
+    intercept[IllegalArgumentException] {
+      decodeWavMulaw(9L, encodeWav(payload))
+    }
+    intercept[IllegalArgumentException] {
+      decodeWavMulaw(10L, encodeWavStereo8(payload))
+    }
+    intercept[IllegalArgumentException] {
+      decodeWav(11L, encodeWavMulaw(payload))
+    }
+    intercept[IllegalArgumentException] {
+      decodeWavStereo8(12L, encodeWavMulaw(payload))
+    }
+  }
+
   test("q196 PNG: round-trip sweep crosses zlib + all five filters") {
     import operators.MultimodalOps.{decodePng, encodePng}
     def check(payload: Array[Byte], tag: String): Unit = {
