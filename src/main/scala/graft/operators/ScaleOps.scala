@@ -1002,6 +1002,34 @@ object ScaleOps {
         .limit(20)
     }),
 
+    // HITS hubs & authorities — the query-dependent ranking twin of
+    // q110's PageRank, on the bipartite customer→supplier graph
+    // (customers are hubs, suppliers authorities). UNNORMALIZED for
+    // three rounds, so every score is an exact BIGINT count of
+    // alternating paths (a_r = Iᵀh_{r-1}, h_r = I·a_r — Kleinberg's
+    // recurrence with the normalization deferred, which changes no
+    // ranking): zero float exposure in either engine. Each half-round
+    // is one edge-shuffle aggregate with a broadcast node-sized score
+    // table; 3 rounds ⇒ scores ≤ deg⁶·n ≈ 1e12 here — far inside
+    // BIGINT at any tested sf. Top-10 per role under the total
+    // (score desc, id) order.
+    "q200_hits" -> ((s, d) => {
+      val e = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sp"))
+        .distinct().localCheckpoint(true)
+      val (a, h) = hitsScores(e, rounds = 3)
+      val topA = a.select(lit("auth").as("role"), col("sp").as("id"),
+        col("score")).orderBy(col("score").desc, col("id").asc).limit(10)
+      val topH = h.select(lit("hub").as("role"), col("c").as("id"),
+        col("score")).orderBy(col("score").desc, col("id").asc).limit(10)
+      topA.unionByName(topH)
+    }),
+
     // Item-item collaborative-filtering similarity (the recommender
     // counterpart of q134's lift pairs): each event type is a vector
     // of per-user interaction counts; report cosine between every
@@ -1955,6 +1983,25 @@ object ScaleOps {
       .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
   }
 
+  /** q200's deferred-normalization HITS over a bipartite (c, sp) edge
+    * table: h0 = 1, then a_r = Iᵀh_{r-1}, h_r = I·a_r for `rounds`
+    * rounds — every score an exact BIGINT alternating-path count.
+    * Returns (authority, hub) score tables. Split out so ScaleOpsSpec
+    * pins the recurrence on a hand-walked 2×2 graph. */
+  private[graft] def hitsScores(e: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    var a = e.groupBy("sp").agg(count(lit(1)).as("score"))
+    var h = e.join(broadcast(a), "sp")
+      .groupBy("c").agg(sum("score").as("score"))
+    for (_ <- 2 to rounds) {
+      a = e.join(broadcast(h), "c")
+        .groupBy("sp").agg(sum("score").as("score"))
+      h = e.join(broadcast(a), "sp")
+        .groupBy("c").agg(sum("score").as("score"))
+    }
+    (a, h)
+  }
+
   /** q198's wedge scorer over an UNDIRECTED (u < v) edge table: every
     * non-adjacent pair with ≥ 1 common neighbor, its common-neighbor
     * count and Resource-Allocation score Σ_w round(1/deg(w), 9) as an
@@ -2540,6 +2587,36 @@ ORDER BY k"""
         |SELECT u, v, cn, CAST(rasum AS DOUBLE) AS ra
         |FROM sc ANTI JOIN und USING (u, v)
         |ORDER BY ra DESC, u, v LIMIT 20""".stripMargin,
+    // same deferred-normalization recurrence: every score an exact
+    // BIGINT alternating-path count after 3 rounds
+    "q200_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(l_suppkey AS BIGINT) AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), a1 AS MATERIALIZED (
+        |  SELECT sp, CAST(count(*) AS BIGINT) AS score FROM e GROUP BY 1
+        |), h1 AS MATERIALIZED (
+        |  SELECT c, CAST(sum(score) AS BIGINT) AS score
+        |  FROM e JOIN a1 USING (sp) GROUP BY 1
+        |), a2 AS MATERIALIZED (
+        |  SELECT sp, CAST(sum(score) AS BIGINT) AS score
+        |  FROM e JOIN h1 USING (c) GROUP BY 1
+        |), h2 AS MATERIALIZED (
+        |  SELECT c, CAST(sum(score) AS BIGINT) AS score
+        |  FROM e JOIN a2 USING (sp) GROUP BY 1
+        |), a3 AS MATERIALIZED (
+        |  SELECT sp, CAST(sum(score) AS BIGINT) AS score
+        |  FROM e JOIN h2 USING (c) GROUP BY 1
+        |), h3 AS MATERIALIZED (
+        |  SELECT c, CAST(sum(score) AS BIGINT) AS score
+        |  FROM e JOIN a3 USING (sp) GROUP BY 1
+        |)
+        |(SELECT 'auth' AS role, sp AS id, score FROM a3
+        | ORDER BY score DESC, id LIMIT 10)
+        |UNION ALL
+        |(SELECT 'hub' AS role, c AS id, score FROM h3
+        | ORDER BY score DESC, id LIMIT 10)""".stripMargin,
     "q159_item_cosine" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, count(*) AS c

@@ -693,6 +693,27 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(star.values.forall(_ == ((1L, 0.333333333))))
   }
 
+  test("q200 HITS: hand-walked alternating-path counts on a 2x2 graph") {
+    import spark.implicits._
+    // customers {1,2}, suppliers {10,20}; 1->10, 1->20, 2->10
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("c", "sp")
+    val (a, h) = ScaleOps.hitsScores(e, rounds = 3)
+    val am = a.collect().map(r =>
+      r.getAs[Long]("sp") -> r.getAs[Long]("score")).toMap
+    val hm = h.collect().map(r =>
+      r.getAs[Long]("c") -> r.getAs[Long]("score")).toMap
+    // a1 = {10:2, 20:1}; h1 = {1:3, 2:2}; a2 = {10:5, 20:3};
+    // h2 = {1:8, 2:5}; a3 = {10:13, 20:8}; h3 = {1:21, 2:13}
+    assert(am == Map(10L -> 13L, 20L -> 8L))
+    assert(hm == Map(1L -> 21L, 2L -> 13L))
+    // one round = pure degree / degree-sum (the recurrence's base)
+    val (a1, h1) = ScaleOps.hitsScores(e, rounds = 1)
+    assert(a1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(10L -> 2L, 20L -> 1L))
+    assert(h1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
