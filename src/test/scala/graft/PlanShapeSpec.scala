@@ -501,6 +501,50 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no global sort in a binning report:\n$s")
   }
 
+  test("q195 t-closeness: sensitive side broadcasts the grid, no global sort") {
+    val s = operators.ScaleOps.queries("q195_t_closeness")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the class × sensitive grid comes from crossing with the 5-row
+    // segment table — that side must broadcast, never shuffle classes
+    assert(s.contains("BroadcastNestedLoopJoin")
+      || s.contains("BroadcastHashJoin"),
+      s"sensitive domain must broadcast:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort in a privacy audit scalar:\n$s")
+  }
+
+  test("q196/q199 decode: zero exchanges — pure per-row pipelines") {
+    for (q <- Seq("q196_png_decode", "q199_mulaw_decode")) {
+      val s = operators.MultimodalOps.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("Exchange"), s"$q decode must not shuffle:\n$s")
+    }
+  }
+
+  test("q198 link prediction: broadcast degrees, TakeOrdered tail, no global sort") {
+    val s = operators.ScaleOps.queries("q198_link_predict")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"node-sized degree table must broadcast onto the wedges:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-20 must fuse into TakeOrdered, not a global sort:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere in the candidate pipeline:\n$s")
+  }
+
+  test("q200 HITS: every half-round joins a broadcast score table") {
+    val s = operators.ScaleOps.queries("q200_hits")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // 6 half-rounds lazily chained: at least 5 broadcast joins must
+    // survive in the final plan (the edge table itself never rebuilds)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 5,
+      s"score tables are node-sized and must broadcast:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-10 per role must fuse:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort:\n$s")
+  }
+
   test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
     val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
       .queryExecution.executedPlan.toString
