@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupOps, ScaleOps}
 
-/** The graph twin of [[VectorScaleBench]]/[[TextScaleBench]]: the four
+/** The graph twin of [[VectorScaleBench]]/[[TextScaleBench]]: the six
   * graph operators (triangle counting, connected components, PageRank,
-  * label propagation) executed on GENERATED graphs at 100k and 1M
-  * nodes — far beyond the driver tables' ~1.5k-node ceiling — with
-  * PLANTED ground truth so every number is checked, not just timed:
+  * label propagation, k-core, link prediction) executed on GENERATED
+  * graphs at 100k and 1M nodes — far beyond the driver tables' ~1.5k-
+  * node ceiling — with PLANTED ground truth so every number is
+  * checked, not just timed:
   *
   *  - ring+chord clusters (1000 nodes each; node i joins i+1 and i+2
   *    mod cluster): exactly ONE triangle per node ({i, i+1, i+2} — no
@@ -24,6 +25,12 @@ import graft.operators.{DedupOps, ScaleOps}
   *  - LPA on the ring+chord graph: labels can only travel edges, so
   *    after 3 rounds every surviving label's members sit in ONE
   *    cluster — the locality invariant.
+  *  - link prediction on ring+chord: the candidate set is EXACTLY n
+  *    diff-3 pairs (cn 2, ra 0.5) + n diff-4 pairs (cn 1, ra 0.25).
+  *  - k-core on [[coreTailEdges]]: the 2-core is precisely the 0.9n
+  *    ring nodes (count + id-sum membership checksum) reached at peel
+  *    depth 6 (chains cascade one node per round), and k=5 dissolves
+  *    everything in exactly 3 rounds.
   *
   * Everything derives from the node id (pure functions, deterministic
   * under any partitioning); nothing is collected except O(1) check
@@ -50,6 +57,37 @@ object GraphScaleBench {
     spark.range(n).as[Long].flatMap { v =>
       val base = v / ClusterSize * ClusterSize
       if (v == base) Iterator.empty else Iterator((base, v))
+    }.toDF("u", "v")
+  }
+
+  /** core+tail: per 1000-node cluster, nodes 0–899 form a 4-regular
+    * ring+chord (i joins i+1, i+2 mod 900) and nodes 900–999 hang off
+    * it as twenty DEPTH-5 chains (chain j anchors at ring node 45j).
+    * The k-core structure is exact by construction:
+    *  - k=2: every chain peels ONE node per round from its free end
+    *    (5 removing rounds + confirm = depth 6) and the 2-core is
+    *    precisely the 0.9n ring nodes;
+    *  - k=5: ring degree is 4, so only the degree-5 anchors survive
+    *    round 1, starve in round 2, and round 3 confirms empty.
+    * One row per undirected edge; every edge emitted by exactly one
+    * generating node (ring nodes emit forward, tail nodes emit their
+    * predecessor link). */
+  def coreTailEdges(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val ring = ClusterSize - 100 // 900 ring nodes per cluster
+    spark.range(n).as[Long].flatMap { v =>
+      val base = v / ClusterSize * ClusterSize
+      val i = v % ClusterSize
+      if (i < ring)
+        Seq(base + (i + 1) % ring, base + (i + 2) % ring)
+          .map(w => (math.min(v, w), math.max(v, w)))
+      else {
+        val t = i - ring // 0..99: chain j = t/5, position m = t%5
+        val prev =
+          if (t % 5 == 0) base + (t / 5) * 45 // anchor ring node
+          else v - 1
+        Iterator((math.min(prev, v), math.max(prev, v)))
+      }
     }.toDF("u", "v")
   }
 
@@ -96,15 +134,20 @@ object GraphScaleBench {
   final case class Point(n: Long, edges: Long, genSec: Double,
       triSec: Double, triOk: Boolean, ccSec: Double, ccOk: Boolean,
       prSec: Double, prOk: Boolean, lpaSec: Double, lpaOk: Boolean,
+      kcSec: Double = 0.0, kcOk: Boolean = true,
+      lpdSec: Double = 0.0, lpdOk: Boolean = true,
       first: Option[Point] = None) {
     def json: String =
       s"""{"n":$n,"edges":$edges,"gen_sec":${r3(genSec)},""" +
         s""""tri_sec":${r3(triSec)},"triangles_ok":$triOk,""" +
         s""""cc_sec":${r3(ccSec)},"components_ok":$ccOk,""" +
         s""""pr_sec":${r3(prSec)},"rank_conserved":$prOk,""" +
-        s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk""" +
+        s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk,""" +
+        s""""kcore_sec":${r3(kcSec)},"kcore_ok":$kcOk,""" +
+        s""""linkpred_sec":${r3(lpdSec)},"linkpred_ok":$lpdOk""" +
         first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
-    def allOk: Boolean = triOk && ccOk && prOk && lpaOk
+    def allOk: Boolean =
+      triOk && ccOk && prOk && lpaOk && kcOk && lpdOk
   }
 
   /** Noise guard — the same treatment per-query timings get: each
@@ -122,10 +165,13 @@ object GraphScaleBench {
       math.min(a.triSec, b.triSec), a.triOk && b.triOk,
       math.min(a.ccSec, b.ccSec), a.ccOk && b.ccOk,
       math.min(a.prSec, b.prSec), a.prOk && b.prOk,
-      math.min(a.lpaSec, b.lpaSec), a.lpaOk && b.lpaOk)
+      math.min(a.lpaSec, b.lpaSec), a.lpaOk && b.lpaOk,
+      math.min(a.kcSec, b.kcSec), a.kcOk && b.kcOk,
+      math.min(a.lpdSec, b.lpdSec), a.lpdOk && b.lpdOk)
     val noisy = Seq(
       (a.triSec, m.triSec), (a.ccSec, m.ccSec),
-      (a.prSec, m.prSec), (a.lpaSec, m.lpaSec))
+      (a.prSec, m.prSec), (a.lpaSec, m.lpaSec),
+      (a.kcSec, m.kcSec), (a.lpdSec, m.lpdSec))
       .exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
     if (noisy) m.copy(first = Some(a)) else m
   }
@@ -183,10 +229,41 @@ object GraphScaleBench {
         .filter(col("nc") > 1).count()
     }
     val lpaOk = badLabels == 0
+    // link prediction on ring+chord: the candidate set is EXACTLY the
+    // diff-3 pairs (two degree-4 centers: cn 2, ra 0.5) plus the
+    // diff-4 pairs (one center: cn 1, ra 0.25) — n of each
+    val (lpdOk, lpdSec) = timeIt {
+      val cand = ScaleOps.linkPredict(rc)
+        .groupBy("cn", "ra").agg(count(lit(1)).as("k"))
+        .collect().map(r => (r.getAs[Long]("cn"),
+          r.getAs[Double]("ra")) -> r.getAs[Long]("k")).toMap
+      cand == Map((2L, 0.5) -> n, (1L, 0.25) -> n)
+    }
     val nEdges = rc.count()
     rc.unpersist()
+    // k-core on the core+tail graph: exact planted core, membership
+    // id-sum, and peel DEPTH (k=2 cascades one chain node per round;
+    // k=5 leaves only the degree-5 anchors for one round)
+    val (kcOk, kcSec) = timeIt {
+      val ct = coreTailEdges(spark, n)
+      val sym = ct.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(ct.select(col("v").as("src"), col("u").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      val ringSum = spark.range(n)
+        .filter(col("id") % ClusterSize < ClusterSize - 100)
+        .agg(sum("id")).head().getLong(0)
+      val c2 = ScaleOps.kCore(sym, 2).head()
+      val c5 = ScaleOps.kCore(sym, 5).head()
+      sym.unpersist()
+      c2.getAs[Long]("n_core") == n * 9 / 10 &&
+        c2.getAs[Long]("id_sum") == ringSum &&
+        c2.getAs[Int]("rounds") == 6 &&
+        c5.getAs[Long]("n_core") == 0L &&
+        c5.getAs[Int]("rounds") == 3
+    }
     Point(n, nEdges, genSec, triSec, triOk, ccSec, ccOk, prSec, prOk,
-      lpaSec, lpaOk)
+      lpaSec, lpaOk, kcSec, kcOk, lpdSec, lpdOk)
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result =
