@@ -1030,6 +1030,20 @@ object ScaleOps {
       topA.unionByName(topH)
     }),
 
+    // BUTTERFLY counting — the bipartite analogue of q125's triangles
+    // (a butterfly = a 2×2 biclique = two orders sharing two parts),
+    // the motif that measures co-purchase redundancy where triangles
+    // can't exist (bipartite graphs have none). Wedges enumerate
+    // through the ORDER side, whose degree is basket-bounded (a
+    // handful of parts per order), so wedge volume is Σ C(deg_o, 2) ≈
+    // 6·|orders| — linear in the corpus, never |parts|². One shuffle
+    // to the (p1, p2) co-degree table, then butterflies = Σ C(m, 2)
+    // per pair — pure BIGINT end to end.
+    "q201_butterflies" -> ((s, d) =>
+      butterflyStats(Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())),
+
     // Item-item collaborative-filtering similarity (the recommender
     // counterpart of q134's lift pairs): each event type is a vector
     // of per-user interaction counts; report cosine between every
@@ -1983,6 +1997,20 @@ object ScaleOps {
       .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
   }
 
+  /** q201's butterfly census over a bipartite (o, p) incidence table:
+    * wedges (p1 < p2 sharing an order) → per-pair co-degree m →
+    * butterflies = Σ C(m, 2). Split out so ScaleOpsSpec pins the
+    * K_{a,b} closed forms (C(a,2)·C(b,2) butterflies). */
+  private[graft] def butterflyStats(op: DataFrame): DataFrame = {
+    val w = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+    w.groupBy("p1", "p2").agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("wedge_pairs"), sum("m").as("wedges"),
+        sum(expr("(m * (m - 1)) div 2")).as("butterflies"),
+        max("m").as("max_codeg"))
+  }
+
   /** q200's deferred-normalization HITS over a bipartite (c, sp) edge
     * table: h0 = 1, then a_r = Iᵀh_{r-1}, h_r = I·a_r for `rounds`
     * rounds — every score an exact BIGINT alternating-path count.
@@ -2617,6 +2645,21 @@ ORDER BY k"""
         |UNION ALL
         |(SELECT 'hub' AS role, c AS id, score FROM h3
         | ORDER BY score DESC, id LIMIT 10)""".stripMargin,
+    // same order-side wedge enumeration and integer C(m,2) census
+    "q201_butterflies" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), w AS (
+        |  SELECT a.p AS p1, b.p AS p2
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |), cd AS (
+        |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS m FROM w GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS wedge_pairs,
+        |  CAST(sum(m) AS BIGINT) AS wedges,
+        |  CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS butterflies,
+        |  max(m) AS max_codeg
+        |FROM cd""".stripMargin,
     "q159_item_cosine" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, count(*) AS c

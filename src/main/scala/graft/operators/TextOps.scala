@@ -24,6 +24,34 @@ object TextOps {
     * dedup suite (DedupOps). */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** q202's collocation scorer over a `text` corpus: adjacent-token
+    * pairs with count ≥ minCount, their marginals (left/right bigram
+    * occurrences), the float-free BIGINT ranking key
+    * r = (c_ab·N·1e6) div (c_a·c_b) and the display-only 6-dp PMI.
+    * Split out so TextSpec pins the algebra on a crafted corpus. */
+  private[graft] def pmiCollocations(docs: DataFrame, minCount: Long)
+      : DataFrame = {
+    val toks = tokens(col("text"))
+    val big = docs.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .select(col("bg.t1").as("a"), col("bg.t2").as("b"))
+    val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val n = c2.agg(sum("c_ab")).head.getLong(0)
+    val la = c2.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val rb = c2.groupBy("b").agg(sum("c_ab").as("c_b"))
+    c2.join(broadcast(la), "a").join(broadcast(rb), "b")
+      .filter(col("c_ab") >= minCount)
+      .withColumn("r",
+        expr(s"(c_ab * $n * 1000000) div (c_a * c_b)"))
+      .withColumn("pmi", round(log(col("c_ab").cast("double") * n
+        / (col("c_a") * col("c_b"))), 6))
+      .select("a", "b", "c_ab", "c_a", "c_b", "r", "pmi")
+  }
+
   /** THE content fingerprint — one definition shared by q43/q44/q68
     * and the streaming dedup, so batch and streaming can never
     * silently diverge on normalization. */
@@ -736,6 +764,22 @@ object TextOps {
           round(sum(col("logp")).cast("double") / count(lit(1)), 6)
             .as("avg_logp"))
     }),
+
+    // PMI COLLOCATIONS — association mining over adjacent-token
+    // pairs, the phrase-discovery pass (Church & Hanks 1990) that
+    // decides which bigrams to merge before tokenizer training. Pair
+    // extraction is the same NARROW zip_with as q126 (no window just
+    // to pair neighbors); marginals c_a (left) / c_b (right) come
+    // from re-aggregating the bigram table, never a second corpus
+    // scan, and join back BROADCAST. RANKING is float-free: the
+    // monotone transform r = (c_ab·N·1e6) div (c_a·c_b) is pure
+    // BIGINT (≤ ~1e17 at any tested sf), so the top-20 cut is
+    // bit-identical in both engines; the ln is display-only, rounded
+    // to 6, never compared against the cut.
+    "q202_pmi_collocations" -> ((s, d) =>
+      pmiCollocations(Tables.load(s, d, "documents"), minCount = 5)
+        .orderBy(col("r").desc, col("a").asc, col("b").asc)
+        .limit(20)),
 
     // Shannon entropy of each source's token distribution — the
     // corpus-diversity signal (template farms and boilerplate-heavy
@@ -1464,6 +1508,31 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(logp)::DOUBLE / count(*), 6) AS avg_logp
         |FROM b JOIN lp USING (t1, t2) GROUP BY doc_id""".stripMargin,
+    // same zip-pair bigrams, integer-ratio ranking, display-only ln
+    "q202_pmi_collocations" ->
+      """WITH l AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        |), bg AS (
+        |  SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+        |    unnest(list_slice(l, 2, len(l))) AS b
+        |  FROM l
+        |), c2 AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bg GROUP BY 1, 2
+        |), n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM c2),
+        |la AS (
+        |  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM c2 GROUP BY 1
+        |), rb AS (
+        |  SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM c2 GROUP BY 1
+        |)
+        |SELECT a, b, c_ab, c_a, c_b,
+        |  (c_ab * n.n * 1000000) // (c_a * c_b) AS r,
+        |  round(ln(c_ab::DOUBLE * n.n / (c_a * c_b)), 6) AS pmi
+        |FROM c2 JOIN la USING (a) JOIN rb USING (b), n
+        |WHERE c_ab >= 5
+        |ORDER BY r DESC, a, b LIMIT 20""".stripMargin,
     "q130_token_entropy" ->
       """WITH t AS (
         |  SELECT source,

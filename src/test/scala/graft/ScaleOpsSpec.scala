@@ -714,6 +714,26 @@ class ScaleOpsSpec extends SparkSpecBase {
       == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("q201 butterflies: K_{a,b} closed forms and a butterfly-free order") {
+    import spark.implicits._
+    def stats(rows: (Long, Long)*) = {
+      val r = ScaleOps.butterflyStats(rows.toDF("o", "p")).collect().head
+      (r.getAs[Long]("wedge_pairs"), r.getAs[Long]("wedges"),
+        r.getAs[Long]("butterflies"), r.getAs[Long]("max_codeg"))
+    }
+    // K_{2,2}: two orders share parts {1,2} -> exactly one butterfly
+    assert(stats((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      == ((1L, 2L, 1L, 2L)))
+    // K_{3,2}: C(3,2)*C(2,2) = 3 butterflies through one part pair
+    assert(stats((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L)) == ((1L, 3L, 3L, 3L)))
+    // K_{2,3}: C(2,2)*C(3,2) = 3 butterflies across three part pairs
+    assert(stats((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L)) == ((3L, 6L, 3L, 2L)))
+    // one order with 3 parts: wedges but zero butterflies
+    assert(stats((1L, 1L), (1L, 2L), (1L, 3L)) == ((3L, 3L, 0L, 1L)))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix

@@ -294,6 +294,30 @@ class TextSpec extends SparkSpecBase {
     assert(total == Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("q202 PMI: integer ranking key and marginals on a crafted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bigrams: (a,b)x2, (a,c)x1, (d,c)x1; N=4; left a=3 d=1;
+    // right b=2 c=2
+    val docs = Seq("a b", "a b", "a c", "d c").toDF("text")
+    val out = operators.TextOps.pmiCollocations(docs, minCount = 1)
+      .orderBy(col("r").desc, col("a"), col("b")).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"),
+        r.getAs[Long]("c_b"), r.getAs[Long]("r"),
+        r.getAs[Double]("pmi")))
+    // r = c_ab*4e6 div (c_a*c_b): (d,c) 2e6 > (a,b) 1333333 > (a,c) 666666
+    assert(out.map(t => (t._1, t._2)).toSeq
+      == Seq(("d", "c"), ("a", "b"), ("a", "c")))
+    assert(out(0) == (("d", "c", 1L, 1L, 2L, 2000000L,
+      math.rint(math.log(2.0) * 1e6) / 1e6)))
+    assert(out(1)._6 == 1333333L && out(1)._4 == 3L && out(1)._5 == 2L)
+    assert(out(2)._6 == 666666L)
+    // min-count gate: at 2 only the repeated pair survives
+    assert(operators.TextOps.pmiCollocations(docs, minCount = 2)
+      .count() == 1)
+  }
+
   test("q188 chi2: closed-form corners on a crafted 2-class corpus") {
     import spark.implicits._
     // 4 docs, 2 langs: 'aa' appears in exactly the two 'x' docs
