@@ -45,7 +45,11 @@ object Bench {
     // round-8: the gram-diagonal substring-dedup family — its
     // candidate bound (sum df^2 under the hot-gram cap) is exactly
     // the kind of claim a 2-point curve should check
-    "q184_substring_dedup", "q185_span_removal")
+    "q184_substring_dedup", "q185_span_removal",
+    // round-8 second wave: the fixpoint peel (round count = peel
+    // depth, live-edge volume shrinks), the wedge-enumeration pair
+    // generators (Σ C(deg,2) claims), and the 6-half-round HITS chain
+    "q197_kcore", "q198_link_predict", "q200_hits", "q201_butterflies")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead
