@@ -1030,6 +1030,47 @@ object ScaleOps {
       topA.unionByName(topH)
     }),
 
+    // MULTI-SOURCE WEIGHTED SHORTEST PATHS (Bellman-Ford relaxation)
+    // — the "distance to nearest depot" shape: every 100th customer
+    // is a seed, edge weight = the minimum shared-order quantity on
+    // the customer–supplier edge, and six relaxation rounds (the
+    // graph's hop diameter is ~4) converge to exact integer
+    // distances. Each round is one co-partitioned edge⋈frontier join
+    // + a map-side-combined min — the standard distributed SSSP
+    // shape, volume bounded by the live frontier. min-relaxation is
+    // order-independent, so both engines agree exactly; the output
+    // carries a CONVERGED flag (round 6 changed nothing vs round 5)
+    // so an undersized round budget is a visible false, not a silent
+    // wrong answer.
+    "q203_sssp" -> ((s, d) => {
+      val wEdges = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val edges = wEdges.select(col("a").as("src"), col("b").as("dst"),
+          col("w"))
+        .unionByName(wEdges.select(col("b").as("src"),
+          col("a").as("dst"), col("w")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("v")).distinct()
+        .localCheckpoint(true)
+      val seeds = nodes.filter(col("v") % 200 === 0) // custkey % 100 == 0
+        .select(col("v"), lit(0L).as("dist"))
+      val (d5, d6) = ssspRounds(edges, seeds, rounds = 6)
+      val changed = d6.join(d5.withColumnRenamed("dist", "prev"),
+          Seq("v"), "left")
+        .filter(col("prev").isNull || col("dist") < col("prev")).count()
+      val nNodes = nodes.count()
+      d6.agg(count(lit(1)).as("n_reached"),
+          sum("dist").as("sum_dist"), max("dist").as("max_dist"))
+        .withColumn("n_unreached", lit(nNodes) - col("n_reached"))
+        .withColumn("converged", lit(changed == 0L))
+    }),
+
     // BUTTERFLY counting — the bipartite analogue of q125's triangles
     // (a butterfly = a 2×2 biclique = two orders sharing two parts),
     // the motif that measures co-purchase redundancy where triangles
@@ -1997,6 +2038,28 @@ object ScaleOps {
       .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
   }
 
+  /** q203's Bellman-Ford relaxation over a SYMMETRIC weighted
+    * (src, dst, w) edge table from a (v, dist) seed frontier: each
+    * round takes the element-wise min of the previous distances and
+    * every one-edge extension. Returns the LAST TWO rounds so the
+    * caller can flag convergence. Split out so ScaleOpsSpec pins the
+    * relaxation on a hand-walked weighted path (a longer-hop cheaper
+    * route must win once enough rounds allow it). */
+  private[graft] def ssspRounds(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    var prev: DataFrame = null
+    var dist = seeds.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      prev = dist
+      dist = edges.join(dist.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    (prev, dist)
+  }
+
   /** q201's butterfly census over a bipartite (o, p) incidence table:
     * wedges (p1 < p2 sharing an order) → per-pair co-degree m →
     * butterflies = Σ C(m, 2). Split out so ScaleOpsSpec pins the
@@ -2645,6 +2708,38 @@ ORDER BY k"""
         |UNION ALL
         |(SELECT 'hub' AS role, c AS id, score FROM h3
         | ORDER BY score DESC, id LIMIT 10)""".stripMargin,
+    // same min-relaxation unrolled: 6 MATERIALIZED rounds, converged
+    // = round 6 added/improved nothing over round 5
+    "q203_sssp" -> {
+      val rounds = (1 to 6).map { r =>
+        s""",
+d$r AS MATERIALIZED (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT e.dst AS v, d.dist + e.w AS dist
+    FROM e JOIN d${r - 1} d ON e.src = d.v
+    UNION ALL SELECT v, dist FROM d${r - 1}) GROUP BY 1
+)"""
+      }.mkString
+      s"""WITH we AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) * 2 AS a,
+    CAST(l_suppkey AS BIGINT) * 2 + 1 AS b,
+    min(CAST(l_quantity AS BIGINT)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM we
+  UNION ALL SELECT b, a, w FROM we
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+d0 AS MATERIALIZED (
+  SELECT v, CAST(0 AS BIGINT) AS dist FROM nodes WHERE v % 200 = 0
+)$rounds
+SELECT CAST(count(*) AS BIGINT) AS n_reached,
+  CAST(sum(dist) AS BIGINT) AS sum_dist, max(dist) AS max_dist,
+  (SELECT count(*) FROM nodes) - CAST(count(*) AS BIGINT)
+    AS n_unreached,
+  (SELECT count(*) FROM d6 x LEFT JOIN d5 y ON x.v = y.v
+   WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
+FROM d6"""
+    },
     // same order-side wedge enumeration and integer C(m,2) census
     "q201_butterflies" ->
       """WITH op AS (

@@ -734,6 +734,32 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(stats((1L, 1L), (1L, 2L), (1L, 3L)) == ((3L, 3L, 0L, 1L)))
   }
 
+  test("q203 SSSP: cheaper two-hop route wins; convergence is detectable") {
+    import spark.implicits._
+    def sym(und: (Long, Long, Long)*) =
+      (und ++ und.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val seeds = Seq((0L, 0L)).toDF("v", "dist")
+    // triangle: direct 0-2 costs 100, the 0-1-2 detour costs 20
+    val tri = sym((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L))
+    val (d1, d2) = ScaleOps.ssspRounds(tri, seeds, rounds = 2)
+    val after1 = d1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after2 = d2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1 == Map(0L -> 0L, 1L -> 10L, 2L -> 100L))
+    assert(after2 == Map(0L -> 0L, 1L -> 10L, 2L -> 20L),
+      "the relaxation must replace the expensive direct edge")
+    // unit chain 0-1-2-3-4: round r reaches node r — an undersized
+    // round budget shows as round R vs R-1 still differing
+    val chain = sym((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val (c2, c3) = ScaleOps.ssspRounds(chain, seeds, rounds = 3)
+    assert(c2.count() == 3 && c3.count() == 4, "frontier grows per round")
+    val (c4, c5) = ScaleOps.ssspRounds(chain, seeds, rounds = 5)
+    assert(c4.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(c5.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted), "diameter+1 rounds: fixpoint reached")
+    assert(c5.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
