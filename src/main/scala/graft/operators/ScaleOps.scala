@@ -1071,6 +1071,34 @@ object ScaleOps {
         .withColumn("converged", lit(changed == 0L))
     }),
 
+    // FUNCTIONAL-DEPENDENCY audit — the data-profiling pass
+    // (Metanome-style) that validates assumed keys and discovers
+    // denormalization errors before a pipeline trusts them. Five
+    // candidate FDs across three tables, each ONE partial+final
+    // aggregate over its LHS (the distinct-RHS count is bounded by
+    // the RHS domain): reports distinct LHS groups, violating groups
+    // (>1 distinct RHS), the row mass inside violating groups, and a
+    // holds flag. Two candidates are true keys (must hold), three are
+    // plausible-but-false dependencies (must report exact violation
+    // mass) — a profiler that only samples would miss the near-keys.
+    "q204_fd_audit" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val ord = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      Seq(
+        fdAudit(ord, "o_orderkey->o_custkey",
+          Seq("o_orderkey"), "o_custkey"),
+        fdAudit(li, "l_orderkey,l_linenumber->l_partkey",
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        fdAudit(cust, "c_nationkey->c_mktsegment",
+          Seq("c_nationkey"), "c_mktsegment"),
+        fdAudit(ord, "o_custkey->o_orderstatus",
+          Seq("o_custkey"), "o_orderstatus"),
+        fdAudit(li, "l_orderkey->l_suppkey",
+          Seq("l_orderkey"), "l_suppkey")
+      ).reduce(_ unionByName _)
+    }),
+
     // BUTTERFLY counting — the bipartite analogue of q125's triangles
     // (a butterfly = a 2×2 biclique = two orders sharing two parts),
     // the motif that measures co-purchase redundancy where triangles
@@ -2060,6 +2088,24 @@ object ScaleOps {
     (prev, dist)
   }
 
+  /** q204's per-candidate FD check: does lhs → rhs hold in df? One
+    * aggregate over the LHS; a group violates when it sees more than
+    * one distinct RHS value. Split out so ScaleOpsSpec pins the
+    * corners (a key, a violated dependency, NULL-as-value). */
+  private[graft] def fdAudit(df: DataFrame, name: String,
+      lhs: Seq[String], rhs: String): DataFrame = {
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("nrhs"), count(lit(1)).as("nrows"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("nrhs") > 1, 1L).otherwise(0L))
+          .as("violating_lhs"),
+        sum(when(col("nrhs") > 1, col("nrows")).otherwise(0L))
+          .as("violating_rows"))
+      .select(lit(name).as("fd"), col("n_lhs"), col("violating_lhs"),
+        col("violating_rows"),
+        (col("violating_lhs") === 0L).as("holds"))
+  }
+
   /** q201's butterfly census over a bipartite (o, p) incidence table:
     * wedges (p1 < p2 sharing an order) → per-pair co-degree m →
     * butterflies = Σ C(m, 2). Split out so ScaleOpsSpec pins the
@@ -2739,6 +2785,30 @@ SELECT CAST(count(*) AS BIGINT) AS n_reached,
   (SELECT count(*) FROM d6 x LEFT JOIN d5 y ON x.v = y.v
    WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
 FROM d6"""
+    },
+    // same one-aggregate-per-candidate violation census
+    "q204_fd_audit" -> {
+      def fd(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+  CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_lhs,
+  CAST(sum(CASE WHEN nrhs > 1 THEN nrows ELSE 0 END) AS BIGINT)
+    AS violating_rows,
+  sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT $lhs, count(DISTINCT $rhs) AS nrhs,
+        CAST(count(*) AS BIGINT) AS nrows
+      FROM $table GROUP BY $lhs)"""
+      Seq(
+        fd("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        fd("l_orderkey,l_linenumber->l_partkey", "lineitem",
+          "l_orderkey, l_linenumber", "l_partkey"),
+        fd("c_nationkey->c_mktsegment", "customer", "c_nationkey",
+          "c_mktsegment"),
+        fd("o_custkey->o_orderstatus", "orders", "o_custkey",
+          "o_orderstatus"),
+        fd("l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+          "l_suppkey")
+      ).mkString("\nUNION ALL\n")
     },
     // same order-side wedge enumeration and integer C(m,2) census
     "q201_butterflies" ->

@@ -760,6 +760,24 @@ class ScaleOpsSpec extends SparkSpecBase {
       == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("q204 FD audit: key holds, violated dependency counts exact mass") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (1L, "a", 11L), (2L, "b", 10L),
+      (2L, "c", 10L), (2L, "c", 12L), (3L, "d", 13L))
+      .toDF("k", "s", "x")
+    def audit(lhs: Seq[String], rhs: String) = {
+      val r = ScaleOps.fdAudit(df, "t", lhs, rhs).collect().head
+      (r.getAs[Long]("n_lhs"), r.getAs[Long]("violating_lhs"),
+        r.getAs[Long]("violating_rows"), r.getAs[Boolean]("holds"))
+    }
+    // k -> s: group 2 sees {b, c} -> 3 violating rows; 1 and 3 clean
+    assert(audit(Seq("k"), "s") == ((3L, 1L, 3L, false)))
+    // (k, s) -> x: (1,a) sees {10,11}, (2,c) sees {10,12} -> 4 rows
+    assert(audit(Seq("k", "s"), "x") == ((4L, 2L, 4L, false)))
+    // s -> k HOLDS (each letter maps to exactly one k)
+    assert(audit(Seq("s"), "k") == ((4L, 0L, 0L, true)))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
