@@ -1071,6 +1071,23 @@ object ScaleOps {
         .withColumn("converged", lit(changed == 0L))
     }),
 
+    // PERMUTATION TEST — the significance gate for pipeline A/B
+    // audits ("is src0's doc length different from src1's beyond
+    // chance?"), with every arbitrary choice made deterministic and
+    // engine-identical: the P = 100 permutations come from the parity
+    // of md5(doc_id:p) (reproducible across engines and reruns, the
+    // q105/q115 idiom), and the extremeness comparison
+    // |mean₀−mean₁| ≥ |mean_a−mean_b| is evaluated by exact integer
+    // cross-multiplication |S₀n₁−S₁n₀|·(n_a n_b) ≥ |S_a n_b−S_b n_a|·
+    // (n₀n₁) — no float ever decides a count. The permutation
+    // dimension is a narrow explode bounded by P; partial aggregation
+    // collapses it to 2P rows per partition before the one shuffle.
+    "q205_perm_test" -> ((s, d) =>
+      permTest(Tables.load(s, d, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("n_chars").as("x")),
+        "src0", "src1")),
+
     // FUNCTIONAL-DEPENDENCY audit — the data-profiling pass
     // (Metanome-style) that validates assumed keys and discovers
     // denormalization errors before a pipeline trusts them. Five
@@ -2088,6 +2105,50 @@ object ScaleOps {
     (prev, dist)
   }
 
+  /** q205's deterministic permutation test over a (doc_id, source, x)
+    * pool with real groups `a`/`b`: P = 100 md5-parity permutations,
+    * extremeness decided by exact integer cross-multiplication.
+    * Split out so ScaleOpsSpec pins that equality COUNTS as extreme
+    * (an all-equal pool reads p ≈ 1) and that a maximal planted
+    * difference reads p near 1/101. */
+  private[graft] def permTest(poolDf: DataFrame, a: String, b: String)
+      : DataFrame = {
+    val spark = poolDf.sparkSession
+    import spark.implicits._
+    val pool = poolDf.localCheckpoint(true)
+    val o = pool.agg(
+      sum(when(col("source") === a, col("x"))).as("sa"),
+      sum(when(col("source") === a, 1L)).as("na"),
+      sum(when(col("source") === b, col("x"))).as("sb"),
+      sum(when(col("source") === b, 1L)).as("nb")).head()
+    val (sa, na, sb, nb) = (o.getLong(0), o.getLong(1),
+      o.getLong(2), o.getLong(3))
+    val obsNum = math.abs(sa * nb - sb * na)
+    val perms = pool
+      .select(col("doc_id"), col("x"),
+        explode(lit((0 until 100).toArray)).as("p"))
+      .withColumn("bit",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("p"))),
+          1, 1), 16, 10).cast("long") % 2)
+      .groupBy("p").agg(
+        sum(when(col("bit") === 0, col("x")).otherwise(0L)).as("s0"),
+        sum(when(col("bit") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("bit") === 1, col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("bit") === 1, 1L).otherwise(0L)).as("n1"))
+    val nExtreme = perms
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        abs(col("s0") * col("n1") - col("s1") * col("n0"))
+          * lit(na * nb)
+          >= lit(obsNum) * col("n0") * col("n1"))
+      .count()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, nb, r6(sa.toDouble / na), r6(sb.toDouble / nb),
+      obsNum, nExtreme, r6((nExtreme + 1).toDouble / 101)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "obs_scaled",
+        "n_extreme", "p_value")
+  }
+
   /** q204's per-candidate FD check: does lhs → rhs hold in df? One
     * aggregate over the LHS; a group violates when it sees more than
     * one distinct RHS value. Split out so ScaleOpsSpec pins the
@@ -2786,6 +2847,43 @@ SELECT CAST(count(*) AS BIGINT) AS n_reached,
    WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
 FROM d6"""
     },
+    // same md5-parity permutations and integer cross-multiplied
+    // extremeness census
+    "q205_perm_test" ->
+      """WITH pool AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars AS x FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |), obs AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN source = 'src0' THEN x END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN x END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 END) AS BIGINT) AS nb
+        |  FROM pool
+        |), bits AS (
+        |  SELECT x, r.range AS p,
+        |    ('0x' || md5(doc_id || ':' || r.range)[1:1])::BIGINT % 2
+        |      AS bit
+        |  FROM pool CROSS JOIN range(100) r
+        |), perm AS (
+        |  SELECT p,
+        |    CAST(sum(CASE WHEN bit = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN bit = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM bits GROUP BY p
+        |), ext AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_extreme FROM perm, obs
+        |  WHERE n0 > 0 AND n1 > 0
+        |    AND abs(s0 * n1 - s1 * n0) * (na * nb)
+        |      >= abs(sa * nb - sb * na) * (n0 * n1)
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(sa::DOUBLE / na, 6) AS mean_a,
+        |  round(sb::DOUBLE / nb, 6) AS mean_b,
+        |  abs(sa * nb - sb * na) AS obs_scaled, n_extreme,
+        |  round((n_extreme + 1)::DOUBLE / 101, 6) AS p_value
+        |FROM obs, ext""".stripMargin,
     // same one-aggregate-per-candidate violation census
     "q204_fd_audit" -> {
       def fd(name: String, table: String, lhs: String, rhs: String) =

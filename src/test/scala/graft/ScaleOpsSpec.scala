@@ -778,6 +778,31 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(audit(Seq("s"), "k") == ((4L, 0L, 0L, true)))
   }
 
+  test("q205 permutation test: ties count as extreme; planted gap is rare") {
+    import spark.implicits._
+    def pool(rows: (Long, String, Long)*) =
+      rows.toDF("doc_id", "source", "x")
+    def run(p: org.apache.spark.sql.DataFrame) = {
+      val r = ScaleOps.permTest(p, "A", "B").collect().head
+      (r.getAs[Long]("obs_scaled"), r.getAs[Long]("n_extreme"),
+        r.getAs[Double]("p_value"))
+    }
+    // all-equal pool: every non-degenerate permutation TIES the
+    // observed 0 — >= must include equality, so p reads ~1
+    val flat = run(pool((1L to 20L).map(i =>
+      (i, if (i <= 10) "A" else "B", 5L)): _*))
+    assert(flat._1 == 0L && flat._2 >= 95L,
+      s"ties must count as extreme: $flat")
+    assert(flat._3 == BigDecimal((flat._2 + 1).toDouble / 101)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // maximal planted difference: only a parity split that exactly
+    // reproduces the partition (or its complement) can match
+    val gap = run(pool((1L to 20L).map(i =>
+      (i, if (i <= 10) "A" else "B", if (i <= 10) 1000000L else 0L)): _*))
+    assert(gap._2 <= 2L && gap._3 <= 0.0297030,
+      s"a 1e6x gap should be near-unreproducible by parity: $gap")
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
