@@ -1088,6 +1088,22 @@ object ScaleOps {
         .select(col("doc_id"), col("source"), col("n_chars").as("x")),
         "src0", "src1")),
 
+    // POISSON BOOTSTRAP confidence interval — the DISTRIBUTED
+    // bootstrap (Chamandy et al., "Estimating Uncertainty for
+    // Massive Data Streams"): classic with-replacement resampling
+    // needs global coordination, but Binomial(n, 1/n) → Poisson(1)
+    // per row, so each replicate assigns every doc an independent
+    // Poisson(1) weight and the resample never materializes. Here
+    // the Poisson draw is DETERMINISTIC: u = md5(doc_id:r)-uniform
+    // inverted through the λ=1 CDF thresholds (fixed 10-dp literals,
+    // identical in both engines). Replicate sums stay integer
+    // (W = Σw, S = Σw·x); means round to 6 dp only for the final
+    // nearest-rank 2.5%/97.5% selection under the total (mean, r)
+    // order. Same narrow P-bounded explode shape as q205.
+    "q206_bootstrap_ci" -> ((s, d) =>
+      bootstrapCi(Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").as("x")))),
+
     // FUNCTIONAL-DEPENDENCY audit — the data-profiling pass
     // (Metanome-style) that validates assumed keys and discovers
     // denormalization errors before a pipeline trusts them. Five
@@ -2105,6 +2121,58 @@ object ScaleOps {
     (prev, dist)
   }
 
+  /** λ=1 Poisson inverse-CDF thresholds (cumulative, 10 dp — fixed
+    * literals shared verbatim with the DuckDB oracle via
+    * [[poissonCaseSql]]). */
+  private[graft] val PoissonCdf1 = Seq(
+    "0.3678794412", "0.7357588823", "0.9196986029", "0.9810118431",
+    "0.9963401532", "0.9994058152", "0.9999167589")
+
+  /** The CASE expression mapping a uniform `u` to a Poisson(1) draw —
+    * GENERATED once and evaluated verbatim by BOTH engines, so the
+    * inversion cannot drift. */
+  private[graft] def poissonCaseSql(u: String): String =
+    PoissonCdf1.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  /** q206's Poisson-bootstrap CI over a (doc_id, x) frame: P = 100
+    * deterministic replicates, integer (W, S) per replicate, 6-dp
+    * means, nearest-rank 2.5%/97.5% under the total (mean, r) order.
+    * The O(P) replicate table is collected driver-side — bounded by
+    * construction. Split out so ScaleOpsSpec pins the CDF inversion
+    * corners and that a constant column yields a zero-width CI. */
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pool = docs.localCheckpoint(true)
+    val o = pool.agg(sum("x"), count(lit(1))).head()
+    val (sObs, nObs) = (o.getLong(0), o.getLong(1))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = conv(substring(md5(concat_ws(":", col("doc_id"), col("p"))),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val repRows = pool
+      .select(col("doc_id"), col("x"),
+        explode(lit((0 until 100).toArray)).as("p"))
+      .withColumn("u_val", u)
+      .withColumn("w", expr(poissonCaseSql("u_val")).cast("long"))
+      .groupBy("p").agg(sum("w").as("wsum"),
+        sum(col("w") * col("x")).as("ssum"))
+      .filter(col("wsum") > 0)
+      .collect()
+      .map(r => (r.getAs[Int]("p"), r.getAs[Long]("wsum"),
+        r.getAs[Long]("ssum")))
+    val means = repRows
+      .map { case (p, w, sv) => (r6(sv.toDouble / w), p) }
+      .sorted
+    val nRep = means.length
+    val lo = means(math.ceil(0.025 * nRep).toInt - 1)._1
+    val hi = means(math.ceil(0.975 * nRep).toInt - 1)._1
+    Seq((nObs, r6(sObs.toDouble / nObs), nRep.toLong, lo, hi))
+      .toDF("n_docs", "mean_obs", "n_replicates", "ci_lo", "ci_hi")
+  }
+
   /** q205's deterministic permutation test over a (doc_id, source, x)
     * pool with real groups `a`/`b`: P = 100 md5-parity permutations,
     * extremeness decided by exact integer cross-multiplication.
@@ -2846,6 +2914,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_reached,
   (SELECT count(*) FROM d6 x LEFT JOIN d5 y ON x.v = y.v
    WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
 FROM d6"""
+    },
+    // same md5-uniform Poisson draws (thresholds shared via
+    // poissonCaseSql), integer replicate sums, nearest-rank CI
+    "q206_bootstrap_ci" -> {
+      val u = "(('0x' || md5(doc_id || ':' || r.range)[1:8])::BIGINT" +
+        " / 4294967296.0)"
+      s"""WITH pool AS MATERIALIZED (
+  SELECT doc_id, n_chars AS x FROM documents
+), obs AS (
+  SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM pool
+), reps AS MATERIALIZED (
+  SELECT p, CAST(sum(w) AS BIGINT) AS wsum,
+    CAST(sum(w * x) AS BIGINT) AS ssum
+  FROM (
+    SELECT x, r.range AS p, ${poissonCaseSql(u)} AS w
+    FROM pool CROSS JOIN range(100) r
+  ) GROUP BY p HAVING sum(w) > 0
+), m AS (
+  SELECT round(ssum::DOUBLE / wsum, 6) AS mean, p,
+    row_number() OVER (ORDER BY round(ssum::DOUBLE / wsum, 6), p)
+      AS rk,
+    count(*) OVER () AS nr
+  FROM reps
+)
+SELECT (SELECT n FROM obs) AS n_docs,
+  (SELECT round(s::DOUBLE / n, 6) FROM obs) AS mean_obs,
+  (SELECT CAST(count(*) AS BIGINT) FROM reps) AS n_replicates,
+  (SELECT mean FROM m WHERE rk = CAST(ceil(0.025 * nr) AS BIGINT))
+    AS ci_lo,
+  (SELECT mean FROM m WHERE rk = CAST(ceil(0.975 * nr) AS BIGINT))
+    AS ci_hi"""
     },
     // same md5-parity permutations and integer cross-multiplied
     // extremeness census

@@ -803,6 +803,34 @@ class ScaleOpsSpec extends SparkSpecBase {
       s"a 1e6x gap should be near-unreproducible by parity: $gap")
   }
 
+  test("q206 bootstrap: Poisson inversion corners; constant column -> zero-width CI") {
+    import spark.implicits._
+    // the generated CASE inverts the lambda=1 CDF at its thresholds
+    val cases = ScaleOps.poissonCaseSql("u")
+    val probe = Seq(0.0, 0.3678794411, 0.3678794413, 0.73575888,
+      0.9196986, 0.999, 0.99999).toDF("u")
+      .selectExpr(s"$cases AS w").collect().map(_.getInt(0)).toSeq
+    assert(probe == Seq(0, 0, 1, 1, 2, 5, 7))
+    // a constant column: EVERY replicate mean is exactly that
+    // constant, so the CI has zero width and equals the mean
+    val flat = ScaleOps.bootstrapCi(
+      (1L to 50L).map(i => (i, 7L)).toDF("doc_id", "x"))
+      .collect().head
+    assert(flat.getAs[Double]("mean_obs") == 7.0)
+    assert(flat.getAs[Double]("ci_lo") == 7.0)
+    assert(flat.getAs[Double]("ci_hi") == 7.0)
+    assert(flat.getAs[Long]("n_replicates") == 100L)
+    // a spread column: the CI brackets the observed mean
+    val spread = ScaleOps.bootstrapCi(
+      (1L to 200L).map(i => (i, i % 13)).toDF("doc_id", "x"))
+      .collect().head
+    assert(spread.getAs[Double]("ci_lo")
+      <= spread.getAs[Double]("mean_obs"))
+    assert(spread.getAs[Double]("ci_hi")
+      >= spread.getAs[Double]("mean_obs"))
+    assert(spread.getAs[Double]("ci_lo") < spread.getAs[Double]("ci_hi"))
+  }
+
   test("q189 per-segment AUC equals the q187 sweep run on each slice") {
     // two independent constructions of the same statistic: the
     // declarative per-group window (q189) and the DistributedPrefix
