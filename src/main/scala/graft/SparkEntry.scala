@@ -15,7 +15,8 @@ object SparkEntry {
     operators.RelationalOps.queries ++ operators.VectorOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries ++
-      operators.ScaleOps.queries ++ operators.StreamGateOps.queries
+      operators.ScaleOps.queries ++ operators.StreamGateOps.queries ++
+      operators.SpatialOps.queries ++ operators.StatOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     operators.RelationalOps.oracles ++ operators.VectorOps.oracles ++
       operators.TextOps.oracles ++ operators.DedupOps.oracles ++
       operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles ++
-      operators.ScaleOps.oracles ++ operators.StreamGateOps.oracles
+      operators.ScaleOps.oracles ++ operators.StreamGateOps.oracles ++
+      operators.SpatialOps.oracles ++ operators.StatOps.oracles
 }

@@ -1,0 +1,471 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distribution-statistics operators — the audit passes a pipeline
+  * runs over a corpus before trusting it: inequality/concentration
+  * (Gini), digit-distribution fraud checks (Benford), rank
+  * correlation (Spearman), trend and change-point detection over
+  * daily series. The reference engine stops at plain aggregates;
+  * these are supersets, each built on the repo's exact-algebra
+  * idioms: integer cents, DistributedPrefix instead of global
+  * windows, fixed shared literals where a transcendental constant is
+  * unavoidable, and one final rounded division.
+  */
+object StatOps {
+
+  private def r6(v: Double) = BigDecimal(v)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact Gini coefficient over a (v: long) frame of non-negative
+    * integer amounts: G = (2·Σ i·v_i − (n+1)·Σv) / (n·Σv) with v
+    * ascending, i = 1..n. Rank products never materialize per row:
+    * group by value (c rows per distinct v), DistributedPrefix gives
+    * the exclusive count C_before, and the group's Σi·v collapses to
+    * the closed form v·(c·C_before + c(c+1)/2). Intra-tie order
+    * cancels out of the formula, so the statistic is deterministic
+    * with no tiebreak column. Per-group terms fit BIGINT; the global
+    * sum is folded in BigInt (it crosses 2^53 at sf0.1 — an RDD
+    * .sum() would silently lose low bits in its Double accumulator).
+    * Split out so StatOpsSpec pins the closed forms (all-equal → 0,
+    * one-holder-takes-all → (n-1)/n). */
+  private[graft] def giniExact(amounts: DataFrame): DataFrame = {
+    val s = amounts.sparkSession
+    import s.implicits._
+    val grouped = amounts.groupBy("v").agg(count(lit(1)).as("c"))
+    val tot = grouped
+      .agg(sum(col("c")).as("n"), sum(col("v") * col("c")).as("sv"))
+      .head()
+    val (n, sv) = (tot.getLong(0), tot.getLong(1))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = grouped
+      .repartitionByRange(parts, col("v").asc)
+      .sortWithinPartitions("v")
+      .as[(Long, Long)]
+    val t = DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Long, Long)) => a + r._2,
+      (x: Long, y: Long) => x + y) {
+      case (cb, (v, c)) => v * (c * cb + c * (c + 1) / 2)
+    }.map(BigInt(_)).fold(BigInt(0))(_ + _)
+    val num = 2 * t - BigInt(n + 1) * BigInt(sv)
+    val den = BigInt(n) * BigInt(sv)
+    Seq((n, sv, r6(num.toDouble / den.toDouble)))
+      .toDF("n", "total_cents", "gini")
+  }
+
+  /** Benford expected first-digit probabilities, fixed to 10 dp so
+    * the Spark query and the DuckDB oracle share VERBATIM literals
+    * (the q206 CDF-threshold idiom) — no cross-engine log10. */
+  private[graft] val benfordP: Map[Int, String] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toString).toMap
+
+  /** Average-rank table over a (v: long) frame: one row per DISTINCT
+    * value with r2 = 2·avg_rank = 2·C_before + c + 1 — the doubled
+    * rank stays INTEGER through ties (.5 average ranks never touch a
+    * float). Same grouped DistributedPrefix sweep as [[giniExact]];
+    * the output is domain-sized, joined back to rows by value. */
+  private[graft] def rankTable(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val grouped = df.groupBy("v").agg(count(lit(1)).as("c"))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = grouped
+      .repartitionByRange(parts, col("v").asc)
+      .sortWithinPartitions("v")
+      .as[(Long, Long)]
+    DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Long, Long)) => a + r._2,
+      (x: Long, y: Long) => x + y) {
+      case (cb, (v, c)) => (v, 2 * cb + c + 1)
+    }.toDF("v", "r2")
+  }
+
+  /** Exact Spearman rank correlation over an (a: long, b: long) pair
+    * frame: average ranks through the doubled-rank integer tables,
+    * five BIGINT moment sums, then ONE driver-side BigInt combination
+    * (n·Σab − Σa·Σb crosses 2^63 at sf0.1 — a Long multiply would
+    * silently wrap) and one rounded double division. Split out so
+    * StatOpsSpec pins the closures (monotone → 1, reversed → -1,
+    * tie-heavy case against a hand formula). */
+  private[graft] def spearmanExact(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p = pairs.localCheckpoint(true)
+    val ra = rankTable(p.select(col("a").as("v")))
+      .select(col("v").as("a"), col("r2").as("ra"))
+    val rb = rankTable(p.select(col("b").as("v")))
+      .select(col("v").as("b"), col("r2").as("rb"))
+    val m = p.join(ra, "a").join(rb, "b")
+      .agg(count(lit(1)).as("n"), sum(col("ra")).as("sa"),
+        sum(col("rb")).as("sb"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"),
+        sum(col("ra") * col("rb")).as("sab"))
+      .head()
+    val n = m.getLong(0)
+    val Seq(sa, sb, saa, sbb, sab) =
+      (1 to 5).map(i => BigInt(m.getLong(i)))
+    val num = n * sab - sa * sb
+    val denA = n * saa - sa * sa
+    val denB = n * sbb - sb * sb
+    val rho = r6(num.toDouble /
+      (math.sqrt(denA.toDouble) * math.sqrt(denB.toDouble)))
+    Seq((n, rho)).toDF("n", "rho")
+  }
+
+  /** Zero-filled daily count series over events: one row per calendar
+    * day in [min_day, max_day] with t = day index and x = event
+    * count. The day-grain series is bounded by the time span (never
+    * by corpus size) — the heavy lifting is the ONE partial+final
+    * count aggregate underneath. */
+  private def dailySeries(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    span.select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"), col("d0"))
+      .join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("x"))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        col("day"), col("x"))
+  }
+
+  /** CUSUM change point over a (t, day, x) series: deviations
+    * dev_t = n·x_t − T (integer — n·mean never becomes a float),
+    * cumulative S_t by DistributedPrefix in day order, split at
+    * argmax |S_t| (earliest t breaks ties). Split out so StatOpsSpec
+    * pins a planted level shift and the flat-series degenerate. */
+  private[graft] def cusumSplit(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val ser = series.localCheckpoint(true)
+    val tot = ser.agg(count(lit(1)).as("n"), sum("x").as("tx")).head()
+    val (n, tx) = (tot.getLong(0), tot.getLong(1))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = ser
+      .select(col("t"), col("day").cast("string").as("day"), col("x"))
+      .repartitionByRange(parts, col("t").asc)
+      .sortWithinPartitions("t")
+      .as[(Long, String, Long)]
+    val cum = DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Long, String, Long)) => a + (n * r._3 - tx),
+      (x: Long, y: Long) => x + y) {
+      case (before, (t, day, x)) => (t, day, x, before + (n * x - tx))
+    }.toDF("t", "day", "x", "s")
+    val top = cum.orderBy(abs(col("s")).desc, col("t").asc).limit(1)
+      .head()
+    val (split, splitDay, maxAbs) =
+      (top.getAs[Long]("t"), top.getAs[String]("day"),
+        math.abs(top.getAs[Long]("s")))
+    val seg = ser.agg(
+      sum(when(col("t") <= split, col("x"))).as("xb"),
+      sum(when(col("t") > split, col("x"))).as("xa"),
+      sum(when(col("t") > split, 1L).otherwise(0L)).as("na")).head()
+    val (xb, xa, na) = (seg.getLong(0),
+      if (seg.isNullAt(1)) 0L else seg.getLong(1), seg.getLong(2))
+    val nb = n - na
+    Seq((n, splitDay, maxAbs, nb, na, r6(xb.toDouble / nb),
+      if (na == 0) 0.0 else r6(xa.toDouble / na)))
+      .toDF("n_days", "split_day", "max_abs_s", "n_before", "n_after",
+        "mean_before", "mean_after")
+  }
+
+  /** One inclusion-dependency candidate: is every distinct value of
+    * dfA.ca present in dfB.cb? Distinct both domains, LEFT join,
+    * count the misses — domain-sized work, never row-sized. */
+  private[graft] def inclusionAudit(name: String, dfA: DataFrame,
+      ca: String, dfB: DataFrame, cb: String): DataFrame = {
+    val da = dfA.select(col(ca).cast("long").as("a")).distinct()
+    val db = dfB.select(col(cb).cast("long").as("b")).distinct()
+    da.join(db, col("a") === col("b"), "left")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("b").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .select(lit(name).as("dep"), col("n_distinct"), col("n_missing"),
+        (col("n_missing") === 0L).as("holds"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GINI COEFFICIENT — the concentration audit (how skewed is
+    // revenue across orders?) on exact integer cents. The textbook
+    // formula needs every row's global rank; the global-window rank
+    // is the scale-killer, so this is the grouped closed form over a
+    // DistributedPrefix sweep of the DISTINCT amounts — same shape as
+    // q187's AUC, one aggregate + one O(partitions) scan.
+    "q209_gini" -> ((s, d) =>
+      giniExact(Tables.load(s, d, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("v")))),
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data smell
+    // test: observed first-significant-digit counts of order amounts
+    // vs Benford's log10(1+1/d) law, with the per-digit chi-square
+    // contribution. The digit comes from the INTEGER cents rendered
+    // as a string — no float log decides a bucket — and the expected
+    // probabilities are fixed 10-dp literals shared with the oracle.
+    // One partial+final aggregate over 9 groups.
+    "q211_benford" -> ((s, d) => {
+      val cents = Tables.load(s, d, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("v"))
+      val tot = cents.count().toDouble
+      val pCol = (1 to 9).foldLeft(lit(0.0)) { (acc, dd) =>
+        when(col("digit") === dd, lit(benfordP(dd).toDouble))
+          .otherwise(acc)
+      }
+      cents
+        .select(substring(col("v").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("p_exp", pCol)
+        .select(col("digit"), col("n_obs"),
+          round(lit(tot) * col("p_exp"), 6).as("expected_n"),
+          round((col("n_obs") - lit(tot) * col("p_exp"))
+            * (col("n_obs") - lit(tot) * col("p_exp"))
+            / (lit(tot) * col("p_exp")), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // SPEARMAN RANK CORRELATION — the monotone-association audit
+    // (does quantity track price?) that Pearson gets wrong under
+    // skew. Exact through ties: doubled average ranks stay integer,
+    // five moment sums in one aggregate, one BigInt driver combine.
+    // The quantity rank table is 50 rows (broadcasts); the price
+    // rank table is domain-sized and equi-joins by value.
+    "q210_spearman" -> ((s, d) =>
+      spearmanExact(Tables.load(s, d, "lineitem")
+        .select(round(col("l_quantity"), 0).cast("long").as("a"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("b")))),
+
+    // AUTOCORRELATION FUNCTION — lag-1..7 ACF of the daily event
+    // volume (the seasonality fingerprint: a weekly cadence shows as
+    // a lag-7 peak). Textbook estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)
+    // / Σ(x_t−x̄)², cleared of the rational mean by n²: both sides
+    // use dev_t = n·x_t − S, all BIGINT until the final divide. The
+    // series is day-grain (span-bounded); pairs come from ONE
+    // self-equi-join on t+k over an exploded 7-lag column.
+    "q212_acf" -> ((s, d) => {
+      val ser = dailySeries(s, d).localCheckpoint(true)
+      val tot = ser.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .head()
+      val (n, sx) = (tot.getLong(0), tot.getLong(1))
+      val den = ser
+        .agg(sum((col("x") * n - sx) * (col("x") * n - sx)))
+        .head().getLong(0)
+      val lagged = ser.select(col("t"), col("x"),
+          explode(lit((1 to 7).map(_.toLong).toArray)).as("k"))
+        .withColumn("tk", col("t") + col("k"))
+      lagged.join(ser.select(col("t").as("tk"), col("x").as("xk")),
+          Seq("tk"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("x") * n - sx) * (col("xk") * n - sx)).as("num"))
+        .select(col("k"), col("n_pairs"),
+          round(col("num").cast("double") / lit(den.toDouble), 6)
+            .as("acf"))
+        .orderBy("k")
+    }),
+
+    // CUSUM CHANGE POINT — where did the daily event level shift?
+    // Cumulative sum of integer deviations n·x_t − T peaks at the
+    // most likely split; the scan is a DistributedPrefix (the global
+    // cumulative window this family always replaces), the argmax a
+    // bounded TopN, the segment means one conditional aggregate.
+    "q213_cusum" -> ((s, d) => cusumSplit(dailySeries(s, d))),
+
+    // INCLUSION-DEPENDENCY AUDIT — the foreign-key discovery pass
+    // (Metanome SPIDER-style, the sibling of q204's FD audit): six
+    // candidates across the star schema, four true FKs, two planted
+    // near-misses (p_size's domain outruns nation keys; customers
+    // without orders break the reverse direction). Each candidate is
+    // distinct-domain work: two partial-agg distincts and one LEFT
+    // join on the value — never row-volume.
+    "q214_inclusion_deps" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val ord = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      Seq(
+        inclusionAudit("o_custkey<=c_custkey", ord, "o_custkey",
+          cust, "c_custkey"),
+        inclusionAudit("l_partkey<=p_partkey", li, "l_partkey",
+          Tables.load(s, d, "part"), "p_partkey"),
+        inclusionAudit("l_suppkey<=s_suppkey", li, "l_suppkey",
+          Tables.load(s, d, "supplier"), "s_suppkey"),
+        inclusionAudit("c_nationkey<=n_nationkey", cust, "c_nationkey",
+          Tables.load(s, d, "nation"), "n_nationkey"),
+        inclusionAudit("p_size<=n_nationkey",
+          Tables.load(s, d, "part"), "p_size",
+          Tables.load(s, d, "nation"), "n_nationkey"),
+        inclusionAudit("c_custkey<=o_custkey", cust, "c_custkey",
+          ord, "o_custkey")
+      ).reduce(_ unionByName _)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // same grouped closed form; the exclusive cumulative count runs
+    // over DISTINCT v — a total order, so the window is deterministic
+    "q209_gini" ->
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM g
+        |), t AS (
+        |  SELECT sum(v * (c * cb + c * (c + 1) // 2)) AS ti,
+        |    sum(c) AS n, sum(v * c) AS sv
+        |  FROM p
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT)
+        |    AS total_cents,
+        |  round((2 * ti - (n + 1) * sv)::DOUBLE
+        |    / ((n * sv)::DOUBLE), 6) AS gini
+        |FROM t""".stripMargin,
+
+    // same string-rendered first digit and shared 10-dp literals
+    "q211_benford" -> {
+      val pCase = (1 to 9)
+        .map(d => s"WHEN $d THEN ${benfordP(d)}")
+        .mkString(" ")
+      s"""WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), tot AS (SELECT count(*)::DOUBLE AS n FROM cents),
+dg AS (
+  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+    CAST(count(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+)
+SELECT digit, n_obs,
+  round(n * p, 6) AS expected_n,
+  round((n_obs - n * p) * (n_obs - n * p) / (n * p), 6) AS chi2_term
+FROM (SELECT digit, n_obs, CASE digit $pCase END AS p FROM dg), tot
+ORDER BY digit"""
+    },
+
+    // same doubled-average-rank algebra; rank() + per-value count
+    // reproduce 2r = 2·C_before + c + 1 deterministically through ties
+    "q210_spearman" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS a,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS b
+        |  FROM lineitem
+        |), rr AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY a)
+        |      + count(*) OVER (PARTITION BY a) - 1 AS ra,
+        |    2 * rank() OVER (ORDER BY b)
+        |      + count(*) OVER (PARTITION BY b) - 1 AS rb
+        |  FROM p
+        |), m AS (
+        |  SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+        |    sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+        |    sum(ra * rb) AS sab
+        |  FROM rr
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sab - sa * sb)::DOUBLE
+        |    / (sqrt((n * saa - sa * sa)::DOUBLE)
+        |       * sqrt((n * sbb - sb * sb)::DOUBLE)), 6) AS rho
+        |FROM m""".stripMargin,
+
+    // same n-cleared integer deviations over the same zero-filled
+    // calendar; one self-join per lag
+    "q212_acf" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day, d0 FROM span
+        |), ser AS MATERIALIZED (
+        |  SELECT date_diff('day', d0, day) AS t, coalesce(x, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)
+        |), tot AS (SELECT count(*) AS n, sum(x) AS sx FROM ser),
+        |den AS (
+        |  SELECT sum((x * n - sx) * (x * n - sx)) AS dd FROM ser, tot
+        |)
+        |SELECT lr.range AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(sum((a.x * n - sx) * (b.x * n - sx))::DOUBLE
+        |    / (SELECT dd FROM den)::DOUBLE, 6) AS acf
+        |FROM ser a
+        |JOIN range(1, 8) lr ON true
+        |JOIN ser b ON b.t = a.t + lr.range
+        |CROSS JOIN tot
+        |GROUP BY lr.range
+        |ORDER BY lr.range""".stripMargin,
+
+    // same integer-deviation cumulative scan (t is unique — the
+    // window order is total) and earliest-argmax tiebreak
+    "q213_cusum" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day, d0 FROM span
+        |), ser AS MATERIALIZED (
+        |  SELECT date_diff('day', d0, day) AS t, day, coalesce(x, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)
+        |), tot AS (SELECT count(*) AS n, sum(x) AS tx FROM ser),
+        |cum AS (
+        |  SELECT t, day, sum(x * n - tx) OVER (ORDER BY t) AS s
+        |  FROM ser, tot
+        |), top AS (
+        |  SELECT t AS split, day, abs(s) AS mx
+        |  FROM cum ORDER BY abs(s) DESC, t ASC LIMIT 1
+        |)
+        |SELECT CAST(tot.n AS BIGINT) AS n_days,
+        |  strftime(top.day, '%Y-%m-%d') AS split_day,
+        |  CAST(top.mx AS BIGINT) AS max_abs_s,
+        |  CAST(top.split + 1 AS BIGINT) AS n_before,
+        |  CAST(tot.n - top.split - 1 AS BIGINT) AS n_after,
+        |  round((SELECT sum(x) FROM ser WHERE t <= top.split)::DOUBLE
+        |    / (top.split + 1), 6) AS mean_before,
+        |  CASE WHEN tot.n - top.split - 1 = 0 THEN 0.0
+        |    ELSE round((SELECT sum(x) FROM ser
+        |      WHERE t > top.split)::DOUBLE
+        |      / (tot.n - top.split - 1), 6) END AS mean_after
+        |FROM top, tot""".stripMargin,
+
+    // same distinct-domain LEFT-join census per candidate
+    "q214_inclusion_deps" -> {
+      def inc(name: String, ta: String, ca: String, tb: String,
+          cb: String) =
+        s"""SELECT '$name' AS dep, CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing,
+  sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT DISTINCT CAST($ca AS BIGINT) AS a FROM $ta) da
+LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
+  ON da.a = db.b"""
+      Seq(
+        inc("o_custkey<=c_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        inc("l_partkey<=p_partkey", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        inc("l_suppkey<=s_suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        inc("c_nationkey<=n_nationkey", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        inc("p_size<=n_nationkey", "part", "p_size",
+          "nation", "n_nationkey"),
+        inc("c_custkey<=o_custkey", "customer", "c_custkey",
+          "orders", "o_custkey")
+      ).mkString("\nUNION ALL\n")
+    }
+  )
+}
