@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.StatOps
 
 /** Closed-form pins for the distribution-statistics family: Gini's
@@ -39,5 +41,65 @@ class StatOpsSpec extends SparkSpecBase {
     assert((ps.sum - 1).abs <= BigDecimal("0.0000000009") * 9)
     assert(ps == ps.sortBy(p => -p))
     assert(StatOps.benfordP(1) == "0.3010299957")
+  }
+
+  private def rho(ps: Seq[(Long, Long)]): Double =
+    StatOps.spearmanExact(ps.toDF("a", "b")).head().getAs[Double]("rho")
+
+  test("spearman: strictly monotone reads 1, reversed reads -1") {
+    val mono = Seq((1L, 10L), (2L, 40L), (3L, 90L), (5L, 160L))
+    assert(rho(mono) == 1.0)
+    assert(rho(mono.map { case (a, b) => (a, -b) }) == -1.0)
+  }
+
+  test("spearman: tie-heavy case matches the average-rank hand formula") {
+    // a: (1,1,2) → avg ranks (1.5, 1.5, 3); b: (5,7,7) → (1, 2.5, 2.5)
+    // pearson on ranks: num = 3*Σrarb - ΣraΣrb with doubled ranks
+    val got = rho(Seq((1L, 5L), (1L, 7L), (2L, 7L)))
+    val (ra, rb) = (Seq(1.5, 1.5, 3.0), Seq(1.0, 2.5, 2.5))
+    val n = 3
+    val num = n * ra.zip(rb).map { case (x, y) => x * y }.sum -
+      ra.sum * rb.sum
+    val den = math.sqrt(n * ra.map(x => x * x).sum - ra.sum * ra.sum) *
+      math.sqrt(n * rb.map(x => x * x).sum - rb.sum * rb.sum)
+    val expect = BigDecimal(num / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == expect)
+  }
+
+  private def cusum(xs: Seq[Long]) = {
+    val ser = xs.zipWithIndex
+      .map { case (x, t) => (t.toLong, s"day$t", x) }
+      .toDF("t", "day", "x")
+    StatOps.cusumSplit(ser).head()
+  }
+
+  test("cusum: planted level shift splits exactly at the step") {
+    // 5 days at 10 then 5 days at 50: |S_t| peaks at t=4 (last low day)
+    val r = cusum(Seq(10L, 10L, 10L, 10L, 10L, 50L, 50L, 50L, 50L, 50L))
+    assert(r.getAs[String]("split_day") == "day4")
+    assert(r.getAs[Long]("n_before") == 5L)
+    assert(r.getAs[Double]("mean_before") == 10.0)
+    assert(r.getAs[Double]("mean_after") == 50.0)
+    // S_4 = Σ(10·x − 300) over 5 low days = 5·(100−300) = -1000
+    assert(r.getAs[Long]("max_abs_s") == 1000L)
+  }
+
+  test("cusum: flat series reads zero deviation, earliest-t tiebreak") {
+    val r = cusum(Seq(7L, 7L, 7L, 7L))
+    assert(r.getAs[Long]("max_abs_s") == 0L)
+    assert(r.getAs[String]("split_day") == "day0")
+  }
+
+  test("inclusion audit: containment holds, misses counted exactly") {
+    val a = Seq(1L, 2L, 2L, 3L, 9L).toDF("x")
+    val b = Seq(1L, 2L, 3L, 4L).toDF("y")
+    val hit = StatOps.inclusionAudit("b_covers", a, "x", b, "y").head()
+    assert(hit.getAs[Long]("n_distinct") == 4L)
+    assert(hit.getAs[Long]("n_missing") == 1L) // the 9
+    assert(!hit.getAs[Boolean]("holds"))
+    val ok = StatOps.inclusionAudit("rev", b.filter(col("y") < 4), "y",
+      a, "x").head()
+    assert(ok.getAs[Boolean]("holds"))
   }
 }
