@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -175,6 +177,50 @@ object StatOps {
         "mean_before", "mean_after")
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the mergeable
+    * fixed-size state the 100TB distinct-count layer is built from
+    * (next to q82's HLL and q92's CMS, but EXACTLY reproducible:
+    * deterministic md5 hashes, deterministic K smallest). The buffer
+    * is a sorted ≤K-element array: map-side partial aggregation keeps
+    * every executor's state at O(K) no matter the row volume, and
+    * merge is "K smallest of the union" — associative, commutative,
+    * and LOSSLESS for the final K-th value (every global top-K hash
+    * survives any partial sketch it passes through, the invariant
+    * KmvSpec pins and the q215 oracle proves cross-engine). */
+  private[graft] class KmvSketchAgg(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], h: Long): Array[Long] =
+      if (b.length < k || h < b.last) {
+        if (java.util.Arrays.binarySearch(b, h) >= 0) b
+        else ((b :+ h).sorted).take(k)
+      } else b
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Merge-side of [[KmvSketchAgg]]: folds already-built sketches
+    * (the daily rollup → total path, q114's shape). */
+  private[graft] class KmvMergeAgg(k: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new KmvSketchAgg(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(b: Array[Long], s: Array[Long]): Array[Long] =
+      inner.merge(b, s)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
   /** One inclusion-dependency candidate: is every distinct value of
     * dfA.ca present in dfB.cb? Distinct both domains, LEFT join,
     * count the misses — domain-sized work, never row-sized. */
@@ -305,8 +351,85 @@ object StatOps {
         inclusionAudit("c_custkey<=o_custkey", cust, "c_custkey",
           ord, "o_custkey")
       ).reduce(_ unionByName _)
-    })
+    }),
+
+    // KMV DISTINCT SKETCH — the exactly-reproducible member of the
+    // mergeable-sketch tier (q82 HLL / q92 CMS are probabilistic
+    // library state; KMV's "K smallest deterministic hashes" is
+    // bit-checkable cross-engine). Built the ROLLUP way on purpose:
+    // per-(type, day) sketches from a bounded-state typed Aggregator,
+    // merged per type — the oracle computes the DIRECT global K-th
+    // smallest, so a value match proves the merge lossless, not just
+    // plausible. Estimate (K−1)·2³²/h_K lands within ~12% at K=64.
+    "q215_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val kmv = udaf(new KmvSketchAgg(k))
+      val kmvMerge = udaf(new KmvMergeAgg(k))
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      val hashed = ev.select(col("event_type"), col("day"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      val daily = hashed.groupBy("event_type", "day")
+        .agg(kmv(col("h")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(kmvMerge(col("sk")).as("sk"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          size(col("sk")).cast("long").as("sketch_m"),
+          when(size(col("sk")) === k, element_at(col("sk"), k))
+            .otherwise(0L).as("kth_h"))
+        .withColumn("est",
+          when(col("sketch_m") < k, col("sketch_m").cast("double"))
+            .otherwise(round(lit((k - 1) * 4294967296.0)
+              / col("kth_h"), 6)))
+        .withColumn("rel_err",
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 6))
+        .orderBy("event_type")
+    }),
+
+    // MANN-KENDALL TREND TEST — the nonparametric drift gate for
+    // daily pipeline volume (the monitoring twin of q180's KS test:
+    // KS compares two samples, MK asks "is this series trending?").
+    // S = Σ sgn(x_j − x_i) over day pairs with the exact tie-corrected
+    // variance — all BIGINT; the pair join is day-grain (span², never
+    // corpus²; beyond ~10⁴ days the rank formulation takes over).
+    "q216_mann_kendall" -> ((s, d) => mannKendall(dailySeries(s, d)))
   )
+
+  /** Mann-Kendall core over a (t, x) series frame — integer S over
+    * the t-ordered pair join, exact tie-corrected variance, one
+    * rounded z. Split out so StatOpsSpec pins hand-walked series
+    * (short monotone below the 1.96 gate, long monotone above it,
+    * all-tied → S = 0, z = 0). */
+  private[graft] def mannKendall(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val ser = series.localCheckpoint(true)
+    val n = ser.count()
+    val sStat = ser.as("a")
+      .join(ser.as("b"), col("b.t") > col("a.t"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s"))
+      .head().getLong(0)
+    val tieRow = ser.groupBy("x").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) * (2 * c + 5)"))).head()
+    val tt = if (tieRow.isNullAt(0)) 0L else tieRow.getLong(0)
+    val var18 = n * (n - 1) * (2 * n + 5) - tt
+    val z =
+      if (sStat > 0) r6((sStat - 1).toDouble
+        / math.sqrt(var18.toDouble / 18.0))
+      else if (sStat < 0) r6((sStat + 1).toDouble
+        / math.sqrt(var18.toDouble / 18.0))
+      else 0.0
+    val trend = if (z > 1.96) "increasing"
+      else if (z < -1.96) "decreasing" else "no_trend"
+    Seq((n, sStat, var18, z, trend))
+      .toDF("n_days", "s_stat", "var18", "z", "trend")
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -466,6 +589,80 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         inc("c_custkey<=o_custkey", "customer", "c_custkey",
           "orders", "o_custkey")
       ).mkString("\nUNION ALL\n")
-    }
+    },
+
+    // DIRECT K-th smallest over the same deterministic hashes — a
+    // value match proves the Spark side's daily-sketch merge lossless
+    "q215_kmv_distinct" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || md5('kmv:' || user_id)[1:8])::BIGINT AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1
+        |), sk AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    CAST(least(max(nd), 64) AS BIGINT) AS sketch_m,
+        |    CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 0)
+        |      AS BIGINT) AS kth_h
+        |  FROM r GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, nd, sketch_m, kth_h,
+        |    CASE WHEN nd < 64 THEN nd::DOUBLE
+        |      ELSE round(63 * 4294967296.0 / kth_h, 6) END AS est
+        |  FROM sk
+        |)
+        |SELECT ex.event_type, n_exact, sketch_m, kth_h, est,
+        |  round(abs(est - n_exact) / n_exact, 6) AS rel_err
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // same integer S and tie-corrected variance over the same
+    // zero-filled calendar
+    "q216_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day, d0 FROM span
+        |), ser AS MATERIALIZED (
+        |  SELECT date_diff('day', d0, day) AS t, coalesce(x, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+        |sp AS (
+        |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM ser a JOIN ser b ON b.t > a.t
+        |), ties AS (
+        |  SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+        |    AS BIGINT) AS tt
+        |  FROM (SELECT count(*) AS c FROM ser GROUP BY x)
+        |), v AS (
+        |  SELECT n, s, n * (n - 1) * (2 * n + 5) - tt AS var18
+        |  FROM tot, sp, ties
+        |), zc AS (
+        |  SELECT n, s, var18,
+        |    CASE WHEN s > 0
+        |      THEN round((s - 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0), 6)
+        |    WHEN s < 0
+        |      THEN round((s + 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0), 6)
+        |    ELSE 0.0 END AS z
+        |  FROM v
+        |)
+        |SELECT n AS n_days, s AS s_stat, var18, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |    WHEN z < -1.96 THEN 'decreasing'
+        |    ELSE 'no_trend' END AS trend
+        |FROM zc""".stripMargin
   )
 }

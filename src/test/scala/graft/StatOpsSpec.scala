@@ -91,6 +91,47 @@ class StatOpsSpec extends SparkSpecBase {
     assert(r.getAs[String]("split_day") == "day0")
   }
 
+  test("kmv sketch: order-independent, capped, dedup'd, and merge " +
+      "is lossless (merge of split streams == direct sketch of union)") {
+    val agg = new graft.operators.StatOps.KmvSketchAgg(4)
+    def build(hs: Seq[Long]) = hs.foldLeft(agg.zero)(agg.reduce)
+    val hs = Seq(50L, 10L, 90L, 10L, 30L, 70L, 20L, 90L, 60L)
+    val direct = build(hs)
+    assert(direct.toSeq == Seq(10L, 20L, 30L, 50L)) // 4 smallest, dedup'd
+    assert(build(hs.reverse).toSeq == direct.toSeq)
+    // split anywhere, sketch each half, merge: identical to direct —
+    // the invariant that makes the daily-rollup path exact
+    for (cut <- 1 until hs.size) {
+      val (l, r) = hs.splitAt(cut)
+      assert(agg.merge(build(l), build(r)).toSeq == direct.toSeq)
+    }
+    assert(build(Seq(5L)).toSeq == Seq(5L)) // under-full stays exact
+  }
+
+  private def mk(xs: Seq[Long]) = {
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }
+      .toDF("t", "x")
+    graft.operators.StatOps.mannKendall(df).head()
+  }
+
+  test("mann-kendall: hand-walked series (short monotone under the " +
+      "gate, long monotone over it, all-tied zero)") {
+    val short = mk(Seq(1L, 2L, 3L, 4L)) // S=6, var18=4·3·13=156
+    assert(short.getAs[Long]("s_stat") == 6L)
+    assert(short.getAs[Long]("var18") == 156L)
+    val zs = BigDecimal(5.0 / math.sqrt(156.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(short.getAs[Double]("z") == zs)
+    assert(short.getAs[String]("trend") == "no_trend")
+    val long = mk((1L to 10L).toSeq) // S=45, var18=2250, z≈3.93
+    assert(long.getAs[Long]("s_stat") == 45L)
+    assert(long.getAs[String]("trend") == "increasing")
+    val flat = mk(Seq(5L, 5L, 5L))
+    assert(flat.getAs[Long]("s_stat") == 0L &&
+      flat.getAs[Double]("z") == 0.0 &&
+      flat.getAs[String]("trend") == "no_trend")
+  }
+
   test("inclusion audit: containment holds, misses counted exactly") {
     val a = Seq(1L, 2L, 2L, 3L, 9L).toDF("x")
     val b = Seq(1L, 2L, 3L, 4L).toDF("y")
