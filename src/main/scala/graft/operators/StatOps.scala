@@ -397,8 +397,116 @@ object StatOps {
     // S = Σ sgn(x_j − x_i) over day pairs with the exact tie-corrected
     // variance — all BIGINT; the pair join is day-grain (span², never
     // corpus²; beyond ~10⁴ days the rank formulation takes over).
-    "q216_mann_kendall" -> ((s, d) => mannKendall(dailySeries(s, d)))
+    "q216_mann_kendall" -> ((s, d) => mannKendall(dailySeries(s, d))),
+
+    // STRATIFIED SAMPLE with LARGEST-REMAINDER allocation — the
+    // training-mixture primitive: a 20% budget split across language
+    // strata proportionally, the floor shortfall distributed by
+    // largest remainder (the seat-apportionment rule — exact, no
+    // float quota), selection by deterministic md5 rank inside each
+    // stratum. Allocation is driver-side over O(strata) counts; the
+    // per-stratum rank window is partitioned by stratum (never a
+    // global window); the checksum pins the EXACT sample, not just
+    // its size.
+    "q217_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("nh"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      val b = counts.map(_._2).sum / 5
+      val alloc = largestRemainder(counts, b)
+        .toDF("lang", "n_total", "n_alloc")
+      val u = conv(substring(md5(concat(lit("ss:"), col("doc_id"))),
+        1, 8), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
+      val sel = docs.withColumn("u", u)
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(alloc), "lang")
+        .filter(col("rk") <= col("n_alloc"))
+      // LEFT from alloc so a zero-allocation stratum still reports
+      val selAgg = sel.groupBy("lang")
+        .agg(count(lit(1)).as("n_sel"), sum("doc_id").as("sel_checksum"))
+      alloc.join(selAgg, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_sel", "sel_checksum"))
+        .select(col("lang"), col("n_total"), col("n_alloc"),
+          col("n_sel"), col("sel_checksum"))
+        .orderBy("lang")
+    }),
+
+    // DECISION STUMP by EXACT accuracy — the simplest trainable
+    // model as a query: sweep every distinct price threshold, each
+    // side predicts its majority class, pick the split maximizing
+    // exact integer correct-count (accuracy, unlike Gini gain,
+    // compares across thresholds without rational arithmetic). The
+    // sweep is the q187/q209 shape: grouped distinct-value prefix
+    // scan, then a bounded TopN argmax — never a per-row rank.
+    "q218_decision_stump" -> ((s, d) =>
+      decisionStump(Tables.load(s, d, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+            .as("p"))))
   )
+
+  /** q217's largest-remainder (Hamilton) apportionment: split budget
+    * b across strata proportionally to their counts — integer floors
+    * first, the shortfall to the largest fractional remainders
+    * (stratum name breaks remainder ties). Exactly sums to b and
+    * never exceeds a stratum's population when b ≤ Σcounts. Split
+    * out so StatOpsSpec pins those two invariants plus a hand case. */
+  private[graft] def largestRemainder(counts: Seq[(String, Long)],
+      b: Long): Seq[(String, Long, Long)] = {
+    val n = counts.map(_._2).sum
+    val base = counts.map { case (l, nh) =>
+      (l, nh, b * nh / n, b * nh % n) }
+    val leftover = (b - base.map(_._3).sum).toInt
+    val bump = base.sortBy { case (l, _, _, rem) => (-rem, l) }
+      .take(leftover).map(_._1).toSet
+    base.map { case (l, nh, bs, _) =>
+      (l, nh, bs + (if (bump(l)) 1L else 0L)) }
+  }
+
+  /** q218's threshold sweep over a (v: long, p: 0/1 long) frame:
+    * inclusive prefix (n_left, pos_left) per distinct v via
+    * DistributedPrefix, correct(t) = best-majority on both sides,
+    * argmax by (correct desc, t asc). Split out so StatOpsSpec pins
+    * a perfectly separable split and the all-one-class degenerate. */
+  private[graft] def decisionStump(labeled: DataFrame): DataFrame = {
+    val s = labeled.sparkSession
+    import s.implicits._
+    val g = labeled.groupBy("v")
+      .agg(count(lit(1)).as("c"), sum("p").as("pos"))
+    val tot = g.agg(sum("c"), sum("pos")).head()
+    val (n, pp) = (tot.getLong(0), tot.getLong(1))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = g.repartitionByRange(parts, col("v").asc)
+      .sortWithinPartitions("v")
+      .as[(Long, Long, Long)]
+    val scored = DistributedPrefix.scan(ranged, (0L, 0L),
+      (a: (Long, Long), r: (Long, Long, Long)) =>
+        (a._1 + r._2, a._2 + r._3),
+      (x: (Long, Long), y: (Long, Long)) =>
+        (x._1 + y._1, x._2 + y._2)) {
+      case ((cb, pb), (v, c, pos)) =>
+        val (nl, pl) = (cb + c, pb + pos)
+        val correct = math.max(pl, nl - pl) +
+          math.max(pp - pl, (n - nl) - (pp - pl))
+        (v, correct)
+    }.toDF("threshold", "n_correct")
+    val best = scored
+      .orderBy(col("n_correct").desc, col("threshold").asc).limit(1)
+      .head()
+    val (t, correct) =
+      (best.getAs[Long]("threshold"), best.getAs[Long]("n_correct"))
+    val maj = math.max(pp, n - pp)
+    Seq((t, n, correct, r6(correct.toDouble / n), maj,
+      r6((correct - maj).toDouble / n)))
+      .toDF("threshold", "n", "n_correct", "accuracy",
+        "majority_correct", "gain")
+  }
 
   /** Mann-Kendall core over a (t, x) series frame — integer S over
     * the t-ordered pair join, exact tie-corrected variance, one
@@ -663,6 +771,76 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  CASE WHEN z > 1.96 THEN 'increasing'
         |    WHEN z < -1.96 THEN 'decreasing'
         |    ELSE 'no_trend' END AS trend
-        |FROM zc""".stripMargin
+        |FROM zc""".stripMargin,
+
+    // same apportionment integers and md5 rank selection
+    "q217_stratified_sample" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nh
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(nh) AS n, sum(nh) // 5 AS b FROM st
+        |), ab AS (
+        |  SELECT lang, nh, (b * nh) // n AS base, (b * nh) % n AS rem,
+        |    b FROM st, tot
+        |), lr AS (
+        |  SELECT lang, nh, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |    b - sum(base) OVER () AS leftover
+        |  FROM ab
+        |), alloc AS (
+        |  SELECT lang, nh AS n_total,
+        |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+        |      AS n_alloc
+        |  FROM lr
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || md5('ss:' || doc_id)[1:8])::BIGINT ASC,
+        |        doc_id ASC) AS rk
+        |  FROM documents
+        |), sel AS (
+        |  SELECT r.lang, r.doc_id
+        |  FROM ranked r JOIN alloc a USING (lang)
+        |  WHERE r.rk <= a.n_alloc
+        |)
+        |SELECT a.lang, a.n_total, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+        |  CAST(count(s.doc_id) AS BIGINT) AS n_sel,
+        |  CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS sel_checksum
+        |FROM alloc a LEFT JOIN sel s ON a.lang = s.lang
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
+
+    // same inclusive prefix sweep and (correct desc, t asc) argmax
+    "q218_decision_stump" ->
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS pp FROM g
+        |), cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS nl,
+        |    sum(p) OVER (ORDER BY v) AS pl
+        |  FROM g
+        |), sc AS (
+        |  SELECT v,
+        |    greatest(pl, nl - pl)
+        |      + greatest(pp - pl, (n - nl) - (pp - pl)) AS correct
+        |  FROM cum, tot
+        |), best AS (
+        |  SELECT v, correct FROM sc
+        |  ORDER BY correct DESC, v ASC LIMIT 1
+        |)
+        |SELECT CAST(best.v AS BIGINT) AS threshold, tot.n,
+        |  CAST(best.correct AS BIGINT) AS n_correct,
+        |  round(best.correct::DOUBLE / tot.n, 6) AS accuracy,
+        |  CAST(greatest(pp, n - pp) AS BIGINT) AS majority_correct,
+        |  round((best.correct - greatest(pp, n - pp))::DOUBLE / tot.n,
+        |    6) AS gain
+        |FROM best, tot""".stripMargin
   )
 }

@@ -132,6 +132,45 @@ class StatOpsSpec extends SparkSpecBase {
       flat.getAs[String]("trend") == "no_trend")
   }
 
+  test("largest remainder: sums to budget, caps at population, " +
+      "hand-checked apportionment") {
+    val counts = Seq(("a", 7L), ("b", 5L), ("c", 3L)) // n=15
+    val got = StatOps.largestRemainder(counts, 10L)
+    // quotas 4.67/3.33/2.0 → floors 4/3/2, leftover 1 → largest
+    // remainder is a (.67)
+    assert(got == Seq(("a", 7L, 5L), ("b", 5L, 3L), ("c", 3L, 2L)))
+    assert(got.map(_._3).sum == 10L)
+    assert(got.forall { case (_, nh, al) => al <= nh })
+    // b == n degenerates to the full population
+    assert(StatOps.largestRemainder(counts, 15L).map(_._3) ==
+      Seq(7L, 5L, 3L))
+    // remainder tie broken by stratum name: quotas 0.5/0.5 → "a" wins
+    assert(StatOps.largestRemainder(Seq(("a", 2L), ("b", 2L)), 1L) ==
+      Seq(("a", 2L, 1L), ("b", 2L, 0L)))
+  }
+
+  private def stump(rows: Seq[(Long, Long)]) =
+    StatOps.decisionStump(rows.toDF("v", "p")).head()
+
+  test("decision stump: perfectly separable split found exactly") {
+    // p=1 iff v <= 20: threshold 20 classifies all 6 rows
+    val r = stump(Seq((10L, 1L), (15L, 1L), (20L, 1L),
+      (30L, 0L), (40L, 0L), (50L, 0L)))
+    assert(r.getAs[Long]("threshold") == 20L)
+    assert(r.getAs[Long]("n_correct") == 6L)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    assert(r.getAs[Long]("majority_correct") == 3L)
+    assert(r.getAs[Double]("gain") == 0.5)
+  }
+
+  test("decision stump: one-class corpus gains nothing, earliest " +
+      "threshold tiebreak") {
+    val r = stump(Seq((5L, 1L), (9L, 1L), (12L, 1L)))
+    assert(r.getAs[Long]("n_correct") == 3L)
+    assert(r.getAs[Double]("gain") == 0.0)
+    assert(r.getAs[Long]("threshold") == 5L) // all splits tie → min v
+  }
+
   test("inclusion audit: containment holds, misses counted exactly") {
     val a = Seq(1L, 2L, 2L, 3L, 9L).toDF("x")
     val b = Seq(1L, 2L, 3L, 4L).toDF("y")
