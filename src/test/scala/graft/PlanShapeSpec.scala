@@ -545,6 +545,75 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no global sort:\n$s")
   }
 
+  test("q207 radius join: grid cells equi-join broadcast, ONE corpus exchange") {
+    val s = operators.SpatialOps.queries("q207_grid_radius_join")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the x9-exploded facility-cell side must broadcast:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"only the per-facility agg shuffles — candidates never all-pair:\n$s")
+    assert("Exchange rangepartitioning".r.findAllIn(s).size <= 1,
+      s"only the cosmetic supplier-domain orderBy may range:\n$s")
+  }
+
+  test("q208 point-in-polygon: 6-row edge literal broadcasts, per-point agg") {
+    val s = operators.SpatialOps.queries("q208_point_in_polygon")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the edge literal is O(edges) and must broadcast:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"per-point crossings + per-nation rollup are the only shuffles:\n$s")
+  }
+
+  test("q211 benford: single scan, ONE 9-group exchange, no join") {
+    val s = operators.StatOps.queries("q211_benford")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"the digit census is one partial+final agg:\n$s")
+    assert(!s.contains("Join"), s"no join in a first-digit census:\n$s")
+  }
+
+  test("q212 ACF: the 7-lag self-join rides the checkpointed day series") {
+    val s = operators.StatOps.queries("q212_acf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-width count agg is BEHIND the localCheckpoint; what
+    // executes per run is day-grain: lag explode + equi-join + k agg
+    assert(!s.contains("FileScan"),
+      s"the corpus scan must be materialized once, not per lag:\n$s")
+    assert("Exchange rangepartitioning".r.findAllIn(s).size <= 1,
+      s"only the cosmetic 7-row orderBy(k) may range:\n$s")
+  }
+
+  test("q214 inclusion deps: domain-sized distincts, zero global sorts") {
+    val s = operators.StatOps.queries("q214_inclusion_deps")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"an FK audit never globally sorts:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("Cartesian"),
+      s"every candidate is an equi-join on the value domain:\n$s")
+  }
+
+  test("q215 KMV: typed-aggregator sketches keep object agg at BOTH levels") {
+    val s = operators.StatOps.queries("q215_kmv_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // daily sketch build + per-type merge: partial+final object
+    // hash aggregation at each level = bounded executor state
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 4,
+      s"both sketch levels must partial+final aggregate:\n$s")
+  }
+
+  test("q217 stratified sample: stratum-partitioned rank, broadcast allocation") {
+    val s = operators.StatOps.queries("q217_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("Window"), s"selection rank is a window:\n$s")
+    assert(s.contains("hashpartitioning(lang"),
+      s"the rank window must partition by stratum, never globally:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the O(strata) allocation table must broadcast:\n$s")
+    assert("Exchange rangepartitioning".r.findAllIn(s).size <= 1,
+      s"only the cosmetic strata orderBy may range:\n$s")
+  }
+
   test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
     val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
       .queryExecution.executedPlan.toString
