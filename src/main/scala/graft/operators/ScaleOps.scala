@@ -1780,8 +1780,63 @@ object ScaleOps {
           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
-          col("event_type"), col("n"), col("sum_value")))
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // RENDEZVOUS-HASH SHARD ASSIGNMENT — the shard map that survives
+    // topology changes (highest-random-weight / HRW hashing): owner =
+    // argmax over shards of md5(doc:shard). The payoff is the
+    // MINIMAL-DISRUPTION invariant this query proves end-to-end:
+    // removing shard 7 moves exactly the docs shard 7 owned and
+    // nothing else (a mod-N map would reshuffle ~15/16 of the
+    // corpus). The 16-way explode collapses map-side via max(struct)
+    // — both owners (before/after removal) computed in ONE aggregate,
+    // no window; per-doc ties are impossible to matter because the
+    // (h, shard) struct order is total.
+    "q222_rendezvous_shards" -> ((s, d) =>
+      rendezvousCensus(
+        Tables.load(s, d, "documents").select(col("doc_id")),
+        nShards = 16, removed = 7L))
   )
+
+  /** q222's HRW census over an id frame: per-shard doc counts before
+    * and after removing shard `removed`, the exact moved mass, and
+    * the minimal-disruption flag (moved == docs the removed shard
+    * owned — HRW's defining property; a mod-N map moves ~(n−1)/n of
+    * everything). Both owners come from ONE max(struct) aggregate —
+    * the (h, shard) order is total, so no tiebreak ambiguity exists
+    * in either engine. Split out so ScaleOpsSpec pins the invariant
+    * and the stay-put property on a fixture. */
+  private[graft] def rendezvousCensus(ids: DataFrame, nShards: Int,
+      removed: Long): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val shards = broadcast((0L until nShards.toLong).toDF("shard"))
+    val h = conv(substring(md5(concat_ws(":", lit("rvh"),
+      col("doc_id"), col("shard"))), 1, 12), 16, 10).cast("long")
+    val owners = ids.crossJoin(shards).withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(max(struct(col("h"), col("shard")))
+          .getField("shard").as("owner16"),
+        max(when(col("shard") =!= removed,
+            struct(col("h"), col("shard"))))
+          .getField("shard").as("owner15"))
+      .localCheckpoint(true)
+    val gate = owners.agg(
+      sum(when(col("owner16") =!= col("owner15"), 1L).otherwise(0L)),
+      sum(when(col("owner16") === removed, 1L).otherwise(0L))).head()
+    val (nMoved, nOnRemoved) = (gate.getLong(0), gate.getLong(1))
+    val before = owners.groupBy(col("owner16").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = owners.groupBy(col("owner15").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("owner16") === removed, 1L).otherwise(0L))
+          .as("n_gained"))
+    before.join(after, Seq("shard"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after", "n_gained"))
+      .withColumn("total_moved", lit(nMoved))
+      .withColumn("minimal_disruption", lit(nMoved == nOnRemoved))
+      .orderBy("shard")
+  }
 
   /** The q139 snapshot layout, built once per (JVM, dataset) behind a
     * ScratchGuard signature: version = immutable file list (manifest);
@@ -3057,6 +3112,51 @@ FROM (SELECT $lhs, count(DISTINCT $rhs) AS nrhs,
         |SELECT win_start_us, event_type, count(*) AS n,
         |  round(sum(v)::DOUBLE, 6) AS sum_value
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // same HRW argmax via a (h DESC, shard DESC) window — the total
+    // order Spark's max(struct) comparison encodes
+    "q222_rendezvous_shards" ->
+      """WITH sc AS MATERIALIZED (
+        |  SELECT doc_id, u.shard,
+        |    ('0x' || substring(md5('rvh:' || doc_id || ':' || u.shard),
+        |      1, 12))::BIGINT AS h
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 15)) AS shard) u
+        |), o16 AS (
+        |  SELECT doc_id, shard AS owner16 FROM (
+        |    SELECT doc_id, shard, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+        |    FROM sc) WHERE rn = 1
+        |), o15 AS (
+        |  SELECT doc_id, shard AS owner15 FROM (
+        |    SELECT doc_id, shard, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+        |    FROM sc WHERE shard != 7) WHERE rn = 1
+        |), own AS MATERIALIZED (
+        |  SELECT doc_id, owner16, owner15
+        |  FROM o16 JOIN o15 USING (doc_id)
+        |), gate AS (
+        |  SELECT
+        |    sum(CASE WHEN owner16 != owner15 THEN 1 ELSE 0 END)
+        |      AS n_moved,
+        |    sum(CASE WHEN owner16 = 7 THEN 1 ELSE 0 END)
+        |      AS n_on_removed
+        |  FROM own
+        |), b AS (
+        |  SELECT owner16 AS shard, count(*) AS n_before
+        |  FROM own GROUP BY 1
+        |), a AS (
+        |  SELECT owner15 AS shard, count(*) AS n_after,
+        |    sum(CASE WHEN owner16 = 7 THEN 1 ELSE 0 END) AS n_gained
+        |  FROM own GROUP BY 1
+        |)
+        |SELECT coalesce(b.shard, a.shard) AS shard,
+        |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+        |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained,
+        |  CAST(n_moved AS BIGINT) AS total_moved,
+        |  (n_moved = n_on_removed) AS minimal_disruption
+        |FROM b FULL JOIN a ON b.shard = a.shard, gate""".stripMargin,
     "q181_negative_edges" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ec,

@@ -448,8 +448,133 @@ object StatOps {
         .select(round(col("o_totalprice") * 100, 0).cast("long")
           .as("v"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L)
-            .as("p"))))
+            .as("p")))),
+
+    // KMV SET OPERATIONS — overlap estimation between two corpus
+    // snapshots WITHOUT joining them (Beyer et al., K-min synopses):
+    // the 100TB story is comparing yesterday's and today's key sets
+    // from two K-element sketches instead of a cross-snapshot
+    // shuffle. Sides = distinct order keys shipping in 1996 vs 1997
+    // (Jaccard ≈ 0.29 — a real partial overlap). Union sketch = K
+    // smallest of the merged sketches (valid since h_K(A∪B) ≤ both
+    // h_K's, so membership of every union-sketch hash is decidable
+    // from the side sketches); ρ/K estimates Jaccard. The oracle
+    // recomputes the sketches DIRECTLY from the full domains plus the
+    // exact overlap census, so a value match proves the distributed
+    // sketch path AND the estimator algebra, not just one of them.
+    "q219_kmv_setops" -> ((s, d) => {
+      import s.implicits._
+      val k = 256
+      val kmv = udaf(new KmvSketchAgg(k))
+      def keys(y: Int) = Tables.load(s, d, "lineitem")
+        .filter(year(col("l_shipdate")) === y)
+        .select(col("l_orderkey").as("kk")).distinct()
+        .localCheckpoint(true)
+      val (a, b) = (keys(1996), keys(1997))
+      val h = conv(substring(md5(concat(lit("kso:"), col("kk"))),
+        1, 12), 16, 10).cast("long")
+      def sketch(df: DataFrame): Array[Long] = df.select(h.as("h"))
+        .agg(kmv(col("h"))).head().getSeq[Long](0).toArray
+      val (ska, skb) = (sketch(a), sketch(b))
+      val (nA, nB) = (a.count(), b.count())
+      val nInter = a.join(b, "kk").count()
+      val nUnion = nA + nB - nInter
+      val (_, rho, estU, estI) = kmvSetAlgebra(ska, skb, k)
+      Seq((nA, nB, nInter, r6(nInter.toDouble / nUnion),
+        kmvEst(ska, k), kmvEst(skb, k), estU, rho, estI,
+        r6(rho.toDouble / k),
+        r6(math.abs(estU - nUnion) / nUnion)))
+        .toDF("n_a", "n_b", "n_inter", "jaccard_exact", "est_a",
+          "est_b", "est_union", "rho", "est_inter", "jaccard_est",
+          "rel_err_union")
+    }),
+
+    // JOIN-SIZE FORECAST — the shuffle you didn't pay for: exact
+    // output cardinality + skew profile of three joins from their key
+    // histograms alone (Σ aₖ·bₖ), never materializing a single output
+    // row. The three shapes are the planner's textbook cases: a
+    // benign PK-FK join (expansion ≈ 1), a per-user self-join whose
+    // output grows QUADRATICALLY in events-per-user (the
+    // sessionization trap), and a low-cardinality self-join that
+    // explodes 4+ orders of magnitude (the accidental-key trap).
+    // top_share_ppm is integer parts-per-million — no float decides
+    // the skew ranking.
+    "q220_join_forecast" -> ((s, d) => {
+      import s.implicits._
+      val rows = Seq(
+        joinForecast("orders*lineitem@orderkey",
+          Tables.load(s, d, "orders")
+            .select(col("o_orderkey").cast("string").as("k")),
+          Tables.load(s, d, "lineitem")
+            .select(col("l_orderkey").cast("string").as("k"))),
+        joinForecast("events*events@user_id",
+          Tables.load(s, d, "events")
+            .select(col("user_id").cast("string").as("k")),
+          Tables.load(s, d, "events")
+            .select(col("user_id").cast("string").as("k"))),
+        joinForecast("documents*documents@lang",
+          Tables.load(s, d, "documents").select(col("lang").as("k")),
+          Tables.load(s, d, "documents").select(col("lang").as("k"))))
+      rows.toDF("join_name", "n_left", "n_right", "keys_left",
+        "keys_right", "keys_matching", "out_rows", "top_key",
+        "top_key_out", "top_share_ppm", "expansion")
+    }),
+
+    // QUANTILE NORMALIZATION — the cross-source score-calibration
+    // pass (quality scores from heterogeneous sources aren't
+    // comparable; their QUANTILES are): each doc's within-source rank
+    // maps to the global value at the same nearest-rank quantile,
+    // p = ceil(r·N/n_s), all integer. The global order never
+    // materializes as a per-row sort: it lives in the domain-sized
+    // cumulative table whose (lo, hi) position intervals explode to
+    // an N-row position→value table, making the final lookup a plain
+    // EQUI-join (no range join, no global window). The per-source
+    // rank window partitions by source.
+    "q221_quantile_norm" -> ((s, d) =>
+      quantileNormalize(Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))))
   )
+
+  /** q221's exact nearest-rank quantile normalization over a
+    * (doc_id, source, n_chars) frame: within-source rank r (total
+    * (n_chars, doc_id) tiebreak) maps to the global value at position
+    * p = ceil(r·N/n_s). The global order never materializes per row:
+    * the domain-sized cumulative table's (lo, hi] intervals explode
+    * to an N-row position→value table and the lookup is an equi-join.
+    * Split out so StatOpsSpec pins the hand mapping and the
+    * equal-size closure (each source's normalized multiset == the
+    * global multiset restricted to its quantile grid). */
+  private[graft] def quantileNormalize(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val docs = docs0.localCheckpoint(true)
+    val n = docs.count()
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val rk = docs
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .join(broadcast(ns), "source")
+      .withColumn("global_pos",
+        expr(s"(src_rank * $n + n_s - 1) DIV n_s"))
+    val g = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = g.repartitionByRange(parts, col("v").asc)
+      .sortWithinPartitions("v").as[(Long, Long)]
+    val cum = DistributedPrefix.scan(ranged, 0L,
+      (a: Long, r: (Long, Long)) => a + r._2,
+      (x: Long, y: Long) => x + y) {
+      case (cb, (v, c)) => (v, cb, c)
+    }.toDF("v", "cb", "c")
+    val pv = cum.select(col("v").as("normalized"),
+      explode(sequence(col("cb") + 1, col("cb") + col("c")))
+        .as("global_pos"))
+    rk.join(pv, "global_pos")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("global_pos"), col("normalized"))
+  }
 
   /** q217's largest-remainder (Hamilton) apportionment: split budget
     * b across strata proportionally to their counts — integer floors
@@ -467,6 +592,63 @@ object StatOps {
       .take(leftover).map(_._1).toSet
     base.map { case (l, nh, bs, _) =>
       (l, nh, bs + (if (bump(l)) 1L else 0L)) }
+  }
+
+  /** q219's KMV set algebra over two driver-side sketches (sorted
+    * ≤K arrays of distinct 48-bit hashes). The union sketch is the K
+    * smallest of the merged arrays — valid because h_K(A∪B) ≤
+    * min(h_K(A), h_K(B)), so every union-sketch member's presence in
+    * A or B is DECIDABLE from the A/B sketches alone (the Beyer et
+    * al. K-min synopses result). ρ = members of the union sketch
+    * present in both sides; est_jaccard = ρ/K, est_inter = ρ/K ·
+    * est_union. Driver-side O(K); split out so StatOpsSpec pins the
+    * saturated-K exactness (K ≥ |domain| ⇒ every estimate exact) and
+    * a planted half-overlap. */
+  private[graft] def kmvSetAlgebra(ska: Array[Long], skb: Array[Long],
+      k: Int): (Array[Long], Long, Double, Double) = {
+    val union = (ska ++ skb).distinct.sorted.take(k)
+    val (sa, sb) = (ska.toSet, skb.toSet)
+    val rho = union.count(h => sa(h) && sb(h)).toLong
+    val estU =
+      if (union.length < k) union.length.toDouble
+      else r6((k - 1) * 281474976710656.0 / union.last)
+    (union, rho, estU, r6(rho.toDouble * estU / k))
+  }
+
+  /** One side's KMV estimate — mirrors q215's (K−1)·2⁴⁸/h_K with the
+    * under-K exact fallback. */
+  private[graft] def kmvEst(sk: Array[Long], k: Int): Double =
+    if (sk.length < k) sk.length.toDouble
+    else r6((k - 1) * 281474976710656.0 / sk.last)
+
+  /** q220's single-join forecast: exact output size and skew profile
+    * of an equi-join WITHOUT executing it — Σ aₖ·bₖ over the two key
+    * HISTOGRAMS (domain-sized), the top key by contribution a bounded
+    * TopN. This is the planning pass AQE runs from runtime stats,
+    * expressed as a query: at 100 TB you buy the O(keys) census
+    * before paying for the O(output) shuffle. Sides arrive as single
+    * string column `k`; self-joins pass the same frame twice. */
+  private[graft] def joinForecast(name: String, left: DataFrame,
+      right: DataFrame): (String, Long, Long, Long, Long, Long, Long,
+      String, Long, Long, Double) = {
+    val ha = left.groupBy("k").agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val hb = right.groupBy("k").agg(count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    val sa = ha.agg(sum("a"), count(lit(1))).head()
+    val sb = hb.agg(sum("b"), count(lit(1))).head()
+    val (nL, kL) = (sa.getLong(0), sa.getLong(1))
+    val (nR, kR) = (sb.getLong(0), sb.getLong(1))
+    val m = ha.join(hb, "k")
+      .select(col("k"), (col("a") * col("b")).as("ab"))
+      .localCheckpoint(true)
+    val t = m.agg(count(lit(1)), sum("ab")).head()
+    val (kM, out) =
+      (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
+    val top = m.orderBy(col("ab").desc, col("k").asc).limit(1).head()
+    (name, nL, nR, kL, kR, kM, out, top.getString(0),
+      top.getAs[Long]("ab"), top.getAs[Long]("ab") * 1000000L / out,
+      r6(out.toDouble / math.max(nL, nR)))
   }
 
   /** q218's threshold sweep over a (v: long, p: 0/1 long) frame:
@@ -841,6 +1023,155 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  CAST(greatest(pp, n - pp) AS BIGINT) AS majority_correct,
         |  round((best.correct - greatest(pp, n - pp))::DOUBLE / tot.n,
         |    6) AS gain
-        |FROM best, tot""".stripMargin
+        |FROM best, tot""".stripMargin,
+
+    // the oracle builds the sketches DIRECTLY (K smallest hashes of
+    // each full domain) and the exact overlap census — matching the
+    // distributed sketch path proves the typed-aggregator fold AND
+    // the estimator algebra; 255·2⁴⁸ has 8 significant bits so the
+    // double arithmetic is engine-identical
+    "q219_kmv_setops" ->
+      """WITH a AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS kk FROM lineitem
+        |  WHERE year(l_shipdate) = 1996
+        |), b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS kk FROM lineitem
+        |  WHERE year(l_shipdate) = 1997
+        |), ka AS MATERIALIZED (
+        |  SELECT ('0x' || substring(md5('kso:' || kk), 1, 12))::BIGINT
+        |    AS h
+        |  FROM a ORDER BY 1 LIMIT 256
+        |), kb AS MATERIALIZED (
+        |  SELECT ('0x' || substring(md5('kso:' || kk), 1, 12))::BIGINT
+        |    AS h
+        |  FROM b ORDER BY 1 LIMIT 256
+        |), ku AS MATERIALIZED (
+        |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |  ORDER BY h LIMIT 256
+        |), ex AS (
+        |  SELECT (SELECT count(*) FROM a) AS n_a,
+        |    (SELECT count(*) FROM b) AS n_b,
+        |    (SELECT count(*) FROM a JOIN b USING (kk)) AS n_inter
+        |), sk AS (
+        |  SELECT (SELECT count(*) FROM ka) AS ma,
+        |    (SELECT max(h) FROM ka) AS hka,
+        |    (SELECT count(*) FROM kb) AS mb,
+        |    (SELECT max(h) FROM kb) AS hkb,
+        |    (SELECT count(*) FROM ku) AS mu,
+        |    (SELECT max(h) FROM ku) AS hku,
+        |    (SELECT count(*) FROM ku
+        |     WHERE h IN (SELECT h FROM ka)
+        |       AND h IN (SELECT h FROM kb)) AS rho
+        |), est AS (
+        |  SELECT *,
+        |    CASE WHEN ma < 256 THEN ma::DOUBLE
+        |      ELSE round(255 * 281474976710656.0 / hka, 6) END AS ea,
+        |    CASE WHEN mb < 256 THEN mb::DOUBLE
+        |      ELSE round(255 * 281474976710656.0 / hkb, 6) END AS eb,
+        |    CASE WHEN mu < 256 THEN mu::DOUBLE
+        |      ELSE round(255 * 281474976710656.0 / hku, 6) END AS eu
+        |  FROM sk
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_inter AS BIGINT) AS n_inter,
+        |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6)
+        |    AS jaccard_exact,
+        |  ea AS est_a, eb AS est_b, eu AS est_union,
+        |  CAST(rho AS BIGINT) AS rho,
+        |  round(rho * eu / 256, 6) AS est_inter,
+        |  round(rho::DOUBLE / 256, 6) AS jaccard_est,
+        |  round(abs(eu - (n_a + n_b - n_inter))
+        |    / (n_a + n_b - n_inter), 6) AS rel_err_union
+        |FROM est, ex""".stripMargin,
+
+    // same histogram census — the oracle also never executes the
+    // forecast joins; integer ppm, one rounded expansion ratio
+    "q220_join_forecast" ->
+      """WITH ho AS MATERIALIZED (
+        |  SELECT o_orderkey::VARCHAR AS k, count(*) AS a
+        |  FROM orders GROUP BY 1
+        |), hl AS MATERIALIZED (
+        |  SELECT l_orderkey::VARCHAR AS k, count(*) AS b
+        |  FROM lineitem GROUP BY 1
+        |), he AS MATERIALIZED (
+        |  SELECT user_id::VARCHAR AS k, count(*) AS c
+        |  FROM events GROUP BY 1
+        |), hd AS MATERIALIZED (
+        |  SELECT lang AS k, count(*) AS c FROM documents GROUP BY 1
+        |), j1 AS MATERIALIZED (
+        |  SELECT k, a * b AS ab FROM ho JOIN hl USING (k)
+        |), j2 AS MATERIALIZED (SELECT k, c * c AS ab FROM he),
+        |j3 AS MATERIALIZED (SELECT k, c * c AS ab FROM hd),
+        |rows_all AS (
+        |  SELECT 'orders*lineitem@orderkey' AS join_name,
+        |    (SELECT sum(a) FROM ho) AS n_left,
+        |    (SELECT sum(b) FROM hl) AS n_right,
+        |    (SELECT count(*) FROM ho) AS keys_left,
+        |    (SELECT count(*) FROM hl) AS keys_right,
+        |    (SELECT count(*) FROM j1) AS keys_matching,
+        |    (SELECT sum(ab) FROM j1) AS out_rows,
+        |    (SELECT k FROM j1 ORDER BY ab DESC, k LIMIT 1) AS top_key,
+        |    (SELECT ab FROM j1 ORDER BY ab DESC, k LIMIT 1)
+        |      AS top_key_out
+        |  UNION ALL
+        |  SELECT 'events*events@user_id',
+        |    (SELECT sum(c) FROM he), (SELECT sum(c) FROM he),
+        |    (SELECT count(*) FROM he), (SELECT count(*) FROM he),
+        |    (SELECT count(*) FROM j2), (SELECT sum(ab) FROM j2),
+        |    (SELECT k FROM j2 ORDER BY ab DESC, k LIMIT 1),
+        |    (SELECT ab FROM j2 ORDER BY ab DESC, k LIMIT 1)
+        |  UNION ALL
+        |  SELECT 'documents*documents@lang',
+        |    (SELECT sum(c) FROM hd), (SELECT sum(c) FROM hd),
+        |    (SELECT count(*) FROM hd), (SELECT count(*) FROM hd),
+        |    (SELECT count(*) FROM j3), (SELECT sum(ab) FROM j3),
+        |    (SELECT k FROM j3 ORDER BY ab DESC, k LIMIT 1),
+        |    (SELECT ab FROM j3 ORDER BY ab DESC, k LIMIT 1)
+        |)
+        |SELECT join_name, CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(keys_left AS BIGINT) AS keys_left,
+        |  CAST(keys_right AS BIGINT) AS keys_right,
+        |  CAST(keys_matching AS BIGINT) AS keys_matching,
+        |  CAST(out_rows AS BIGINT) AS out_rows, top_key,
+        |  CAST(top_key_out AS BIGINT) AS top_key_out,
+        |  CAST((top_key_out * 1000000) // out_rows AS BIGINT)
+        |    AS top_share_ppm,
+        |  round(out_rows::DOUBLE / greatest(n_left, n_right), 6)
+        |    AS expansion
+        |FROM rows_all""".stripMargin,
+
+    // same integer nearest-rank algebra: per-source row_number with
+    // the identical (n_chars, doc_id) tiebreak, position intervals
+    // unnested to the same position→value lookup
+    "q221_quantile_norm" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), tot AS (SELECT count(*) AS n FROM d),
+        |ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |rk AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS src_rank
+        |  FROM d
+        |), pos AS (
+        |  SELECT doc_id, source, n_chars, src_rank,
+        |    (src_rank * n + n_s - 1) // n_s AS global_pos
+        |  FROM rk JOIN ns USING (source), tot
+        |), g AS (
+        |  SELECT n_chars AS v, count(*) AS c,
+        |    coalesce(sum(count(*)) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM d GROUP BY n_chars
+        |), pv AS (
+        |  SELECT v AS normalized,
+        |    cb + unnest(generate_series(1, c)) AS global_pos
+        |  FROM g
+        |)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(src_rank AS BIGINT) AS src_rank,
+        |  CAST(global_pos AS BIGINT) AS global_pos, normalized
+        |FROM pos JOIN pv USING (global_pos)""".stripMargin
   )
 }

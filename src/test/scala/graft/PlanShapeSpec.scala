@@ -614,6 +614,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"only the cosmetic strata orderBy may range:\n$s")
   }
 
+  test("q221 quantile norm: source-partitioned rank, equi-join position lookup") {
+    val s = operators.StatOps.queries("q221_quantile_norm")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("hashpartitioning(source"),
+      s"the rank window partitions by source, never globally:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("Cartesian"),
+      s"the position lookup must stay an equi-join (no range join):\n$s")
+  }
+
   test("q188 chi2: broadcast lang grid, vocab-sized TakeOrdered tail") {
     val s = operators.TextOps.queries("q188_token_class_chi2")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -854,4 +854,26 @@ class ScaleOpsSpec extends SparkSpecBase {
       assert(row.getAs[Double]("auc") == solo.getAs[Double]("auc"), sg)
     }
   }
+
+  test("rendezvous census: removal moves exactly the removed shard's docs") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+    val rows = ScaleOps.rendezvousCensus(ids, nShards = 8, removed = 3L)
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Boolean]("minimal_disruption")))
+    assert(rows.map(_.getAs[Long]("n_before")).sum == 200L)
+    assert(rows.map(_.getAs[Long]("n_after")).sum == 200L)
+    val removedRow = rows.find(_.getAs[Long]("shard") == 3L).get
+    assert(removedRow.getAs[Long]("n_after") == 0L)
+    assert(rows.head.getAs[Long]("total_moved")
+      == removedRow.getAs[Long]("n_before"))
+    // stay-put property: every surviving shard keeps all its docs and
+    // only GAINS refugees — n_after = n_before + n_gained
+    rows.filter(_.getAs[Long]("shard") != 3L).foreach { r =>
+      assert(r.getAs[Long]("n_after")
+        == r.getAs[Long]("n_before") + r.getAs[Long]("n_gained"),
+        r.toString)
+    }
+  }
 }

@@ -108,6 +108,60 @@ class StatOpsSpec extends SparkSpecBase {
     assert(build(Seq(5L)).toSeq == Seq(5L)) // under-full stays exact
   }
 
+  test("kmv set algebra: saturated K is exact; half-overlap estimates match") {
+    import graft.operators.StatOps.{kmvSetAlgebra, kmvEst}
+    // K >= |domain|: every estimate collapses to the exact value
+    val a = Array(10L, 20L, 30L, 40L)
+    val b = Array(30L, 40L, 50L, 60L)
+    val (u, rho, estU, estI) = kmvSetAlgebra(a, b, k = 16)
+    assert(u.toSeq == Seq(10L, 20L, 30L, 40L, 50L, 60L))
+    assert(rho == 2L && estU == 6.0 && estI == 0.75)
+    assert(kmvEst(a, 16) == 4.0)
+    // saturated sketches: union = K smallest of merge, rho counts
+    // only union-sketch members present in BOTH side sketches
+    val (u2, rho2, _, _) =
+      kmvSetAlgebra(Array(1L, 2L, 3L), Array(2L, 3L, 9L), k = 3)
+    assert(u2.toSeq == Seq(1L, 2L, 3L) && rho2 == 2L)
+    // h_K(A∪B) <= min(h_K sides): every union member decidable
+    assert(u2.last <= math.min(3L, 9L))
+  }
+
+  test("join forecast: exact Σab census, integer ppm, smallest-key tiebreak") {
+    val left = Seq("a", "a", "b").toDF("k")
+    val right = Seq("a", "b", "b", "c").toDF("k")
+    val (_, nL, nR, kL, kR, kM, out, topK, topAb, ppm, exp) =
+      StatOps.joinForecast("t", left, right)
+    assert((nL, nR, kL, kR, kM) == ((3L, 4L, 2L, 3L, 2L)))
+    assert(out == 4L) // a: 2*1, b: 1*2
+    assert(topK == "a" && topAb == 2L) // 'a' ties 'b' at 2 -> k asc
+    assert(ppm == 500000L && exp == 1.0)
+  }
+
+  test("quantile norm: hand mapping and the rank-preservation closure") {
+    // s1 = [10, 20] (n_s=2), s2 = [1, 2, 3, 4] (n_s=4), N=6
+    // global sorted = [1, 2, 3, 4, 10, 20]
+    // s1: p = ceil(r*6/2) = 3, 6      -> normalized 3, 20
+    // s2: p = ceil(r*6/4) = 2, 3, 5, 6 -> normalized 2, 3, 10, 20
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 20L),
+      (3L, "s2", 1L), (4L, "s2", 2L), (5L, "s2", 3L), (6L, "s2", 4L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = StatOps.quantileNormalize(docs)
+      .select("doc_id", "src_rank", "global_pos", "normalized")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 6L, 20L),
+      (3L, 1L, 2L, 2L), (4L, 2L, 3L, 3L), (5L, 3L, 5L, 10L),
+      (6L, 4L, 6L, 20L)))
+    // equal-size sources: every source maps rank i to the SAME value
+    val eq = Seq((1L, "a", 50L), (2L, "a", 10L), (3L, "b", 7L),
+      (4L, "b", 99L)).toDF("doc_id", "source", "n_chars")
+    val byRank = StatOps.quantileNormalize(eq)
+      .select("source", "src_rank", "normalized").collect()
+      .groupBy(_.getLong(1)).values
+    assert(byRank.forall(rows => rows.map(_.getLong(2)).toSet.size == 1))
+  }
+
   private def mk(xs: Seq[Long]) = {
     val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }
       .toDF("t", "x")
