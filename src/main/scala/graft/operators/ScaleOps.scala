@@ -1795,7 +1795,30 @@ object ScaleOps {
     "q222_rendezvous_shards" -> ((s, d) =>
       rendezvousCensus(
         Tables.load(s, d, "documents").select(col("doc_id")),
-        nShards = 16, removed = 7L))
+        nShards = 16, removed = 7L)),
+
+    // BORŮVKA MINIMUM SPANNING FOREST — the connectivity backbone at
+    // minimum cost (network design, single-linkage clustering's
+    // dendrogram skeleton), and the classic DISTRIBUTED MST: every
+    // component picks its min incident edge in one map-side-combined
+    // aggregate, so each round is two co-partitioned joins + one
+    // min(struct) — components at least halve per round. Weighted
+    // customer–supplier graph (the q203 edge set); distinct
+    // (w, ku, kv) keys make the forest UNIQUE, so the oracle's
+    // identical unrolled algebra must reproduce the exact tree —
+    // pinned by the edge-set checksum, not just the total weight.
+    "q223_boruvka_msf" -> ((s, d) => {
+      val wEdges = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey").cast("long") * 2).as("u"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      boruvkaMsf(wEdges, rounds = 5, jumps = 6)
+    })
   )
 
   /** q222's HRW census over an id frame: per-shard doc counts before
@@ -2161,6 +2184,116 @@ object ScaleOps {
     * caller can flag convergence. Split out so ScaleOpsSpec pins the
     * relaxation on a hand-walked weighted path (a longer-hop cheaper
     * route must win once enough rounds allow it). */
+  /** q223's Borůvka minimum spanning forest over canonical
+    * UNDIRECTED edges (ku < kv, one row per edge, DISTINCT (w,ku,kv)
+    * keys — the lexicographic total order makes the MSF unique, so
+    * Borůvka and Kruskal agree and both engines produce the SAME
+    * tree, not just the same weight). Per round: each component
+    * selects its minimum incident cross edge (one partial+final
+    * min(struct) aggregate — map-side combined, never a window),
+    * selected pointers form a functional graph whose only cycles are
+    * 2-cycles (mutual minima under a total order), broken by rooting
+    * the smaller id; `jumps` pointer-doubling steps contract the
+    * merge forest. Budgets are HONEST: `fully_contracted` records
+    * that every round's pointer forest reached fixpoint and
+    * `converged` that no cross-component edge survived — an
+    * undersized budget is a visible false, never a silent wrong
+    * tree (the q203 idiom). Returns the one-row census including an
+    * edge-set checksum (Σ ku·10⁶ + kv) that pins the exact tree. */
+  private[graft] def boruvkaMsf(edges0: DataFrame, rounds: Int,
+      jumps: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    // localCheckpoint PRESERVES origin size statistics, and pointer
+    // doubling SELF-joins p with p — Catalyst's size estimate is the
+    // product of the children's, so each jump SQUARES the BigInt
+    // sizeInBytes: 30 jumps ⇒ a billion-bit BigInteger and planner
+    // overflow. Rebasing through createDataFrame(rdd, schema) resets
+    // the stat to the default, keeping every estimate bounded.
+    def rebased(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val edges = rebased(edges0.select(
+      least(col("u"), col("v")).as("ku"),
+      greatest(col("u"), col("v")).as("kv"), col("w")))
+    val e2 = rebased(edges.select(col("ku").as("x"), col("kv").as("y"),
+        col("w"), col("ku"), col("kv"))
+      .unionByName(edges.select(col("kv").as("x"), col("ku").as("y"),
+        col("w"), col("ku"), col("kv"))))
+    val nodes = rebased(edges.select(col("ku").as("v"))
+      .unionByName(edges.select(col("kv").as("v"))).distinct())
+    var comp = rebased(nodes.select(col("v"), col("v").as("c")))
+    var tree = rebased(Seq.empty[(Long, Long, Long)]
+      .toDF("ku", "kv", "w"))
+    var allContracted = true
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      r += 1
+      val lab = e2
+        .join(comp.select(col("v").as("x"), col("c").as("cs")), "x")
+        .join(comp.select(col("v").as("y"), col("c").as("cd")), "y")
+        .filter(col("cs") =!= col("cd"))
+      val sel = rebased(lab.groupBy("cs")
+        .agg(min(struct(col("w"), col("ku"), col("kv"), col("cd")))
+          .as("m"))
+        .select(col("cs").as("c"), col("m.cd").as("t"),
+          col("m.w").as("w"), col("m.ku").as("ku"),
+          col("m.kv").as("kv")))
+      if (sel.isEmpty) {
+        // no cross-component edge anywhere: the forest is final and
+        // the remaining rounds are no-ops in both engines
+        converged = true
+      } else {
+        tree = rebased(tree
+          .unionByName(sel.select("ku", "kv", "w").distinct()))
+        val comps = comp.select(col("c")).distinct()
+        val p0 = rebased(comps
+          .join(sel.select(col("c"), col("t")), Seq("c"), "left")
+          .select(col("c"), coalesce(col("t"), col("c")).as("t")))
+        // break the 2-cycles a total-order min selection can create:
+        // the smaller endpoint becomes its own root
+        var p = rebased(p0.as("a")
+          .join(p0.select(col("c").as("t"), col("t").as("tt")), "t")
+          .select(col("c"),
+            when(col("tt") === col("c") && col("c") < col("t"),
+              col("c")).otherwise(col("t")).as("t")))
+        var j = 0
+        var settled = false
+        while (j < jumps && !settled) {
+          j += 1
+          p = rebased(p.as("a")
+            .join(p.select(col("c").as("t"), col("t").as("t2")), "t")
+            .select(col("c"), col("t2").as("t")))
+          settled = p
+            .join(p.select(col("c").as("t"), col("t").as("t2")), "t")
+            .filter(col("t2") =!= col("t")).isEmpty
+        }
+        if (!settled) allContracted = false
+        comp = rebased(comp
+          .join(p.select(col("c"), col("t").as("nc")), "c")
+          .select(col("v"), col("nc").as("c")))
+      }
+    }
+    val leftover = e2
+      .join(comp.select(col("v").as("x"), col("c").as("cs")), "x")
+      .join(comp.select(col("v").as("y"), col("c").as("cd")), "y")
+      .filter(col("cs") =!= col("cd")).count()
+    val nNodes = nodes.count()
+    val nComp = comp.select("c").distinct().count()
+    val t = tree.agg(count(lit(1)), sum("w"),
+      sum(col("ku") * 1000000L + col("kv"))).head()
+    val (nTree, wTot, ck) = (t.getLong(0),
+      if (t.isNullAt(1)) 0L else t.getLong(1),
+      if (t.isNullAt(2)) 0L else t.getLong(2))
+    Seq((nNodes, nComp, nTree, wTot, ck,
+      nTree == nNodes - nComp, allContracted, leftover == 0L))
+      .toDF("n_nodes", "n_components", "n_tree_edges", "total_weight",
+        "edge_checksum", "forest_valid", "fully_contracted",
+        "converged")
+  }
+
   private[graft] def ssspRounds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     var prev: DataFrame = null
@@ -2940,6 +3073,91 @@ ORDER BY k"""
         | ORDER BY score DESC, id LIMIT 10)""".stripMargin,
     // same min-relaxation unrolled: 6 MATERIALIZED rounds, converged
     // = round 6 added/improved nothing over round 5
+    // the same unrolled Borůvka algebra: per round a min-edge
+    // selection under the (w, ku, kv) total order, 2-cycle break
+    // rooting the smaller id, 6 pointer-doubling steps; the full
+    // R×J budget is unrolled — once converged every further CTE is
+    // an identity, exactly like the Spark loop's early exit
+    "q223_boruvka_msf" -> {
+      val (rounds, jumps) = (5, 6)
+      def prevC(r: Int) = if (r == 1) "c0" else s"c${r - 1}"
+      val roundSql = (1 to rounds).map { r =>
+        val jumpChain = (1 to jumps).map { j =>
+          val prev = if (j == 1) s"pb_$r" else s"pj_${r}_${j - 1}"
+          s""",
+pj_${r}_$j AS MATERIALIZED (
+  SELECT a.c, b.t FROM $prev a JOIN $prev b ON a.t = b.c
+)"""
+        }.mkString
+        s""",
+sel_$r AS MATERIALIZED (
+  SELECT cs AS c, cd AS t, w, ku, kv FROM (
+    SELECT a.c AS cs, b.c AS cd, e2.w, e2.ku, e2.kv,
+      row_number() OVER (PARTITION BY a.c
+        ORDER BY e2.w, e2.ku, e2.kv) AS rn
+    FROM e2 JOIN ${prevC(r)} a ON e2.x = a.v
+    JOIN ${prevC(r)} b ON e2.y = b.v
+    WHERE a.c <> b.c) WHERE rn = 1
+),
+p0_$r AS MATERIALIZED (
+  SELECT cm.c, coalesce(s.t, cm.c) AS t
+  FROM (SELECT DISTINCT c FROM ${prevC(r)}) cm
+  LEFT JOIN sel_$r s ON cm.c = s.c
+),
+pb_$r AS MATERIALIZED (
+  SELECT a.c,
+    CASE WHEN b.t = a.c AND a.c < a.t THEN a.c ELSE a.t END AS t
+  FROM p0_$r a JOIN p0_$r b ON a.t = b.c
+)$jumpChain,
+c$r AS MATERIALIZED (
+  SELECT cp.v, pj.t AS c
+  FROM ${prevC(r)} cp JOIN pj_${r}_$jumps pj ON cp.c = pj.c
+)"""
+      }.mkString
+      val unsSum = (1 to rounds).map(r =>
+        s"(SELECT count(*) FROM pj_${r}_$jumps a " +
+          s"JOIN pj_${r}_$jumps b ON a.t = b.c WHERE b.t <> a.t)")
+        .mkString(" + ")
+      val treeUnion = (1 to rounds)
+        .map(r => s"SELECT ku, kv, w FROM sel_$r")
+        .mkString(" UNION ALL ")
+      s"""WITH we AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) * 2 AS u,
+    CAST(l_suppkey AS BIGINT) * 2 + 1 AS v,
+    min(CAST(l_quantity AS BIGINT)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT least(u, v) AS ku, greatest(u, v) AS kv, w FROM we
+), e2 AS MATERIALIZED (
+  SELECT ku AS x, kv AS y, w, ku, kv FROM e
+  UNION ALL SELECT kv, ku, w, ku, kv FROM e
+), nn AS MATERIALIZED (SELECT DISTINCT x AS v FROM e2),
+c0 AS MATERIALIZED (SELECT v, v AS c FROM nn)$roundSql,
+tree AS MATERIALIZED (
+  SELECT DISTINCT ku, kv, w FROM ($treeUnion)
+), fin AS (
+  SELECT (SELECT count(*) FROM nn) AS n_nodes,
+    (SELECT count(DISTINCT c) FROM c$rounds) AS n_components,
+    (SELECT count(*) FROM tree) AS n_tree_edges,
+    (SELECT coalesce(sum(w), 0) FROM tree) AS total_weight,
+    (SELECT coalesce(sum(ku * 1000000 + kv), 0) FROM tree)
+      AS edge_checksum,
+    ($unsSum) AS uns,
+    (SELECT count(*) FROM e2
+     JOIN c$rounds a ON e2.x = a.v JOIN c$rounds b ON e2.y = b.v
+     WHERE a.c <> b.c) AS leftover
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(n_components AS BIGINT) AS n_components,
+  CAST(n_tree_edges AS BIGINT) AS n_tree_edges,
+  CAST(total_weight AS BIGINT) AS total_weight,
+  CAST(edge_checksum AS BIGINT) AS edge_checksum,
+  (n_tree_edges = n_nodes - n_components) AS forest_valid,
+  (uns = 0) AS fully_contracted,
+  (leftover = 0) AS converged
+FROM fin"""
+    },
+
     "q203_sssp" -> {
       val rounds = (1 to 6).map { r =>
         s""",

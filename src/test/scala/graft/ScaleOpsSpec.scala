@@ -855,6 +855,40 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("boruvka msf: triangle drops the heavy edge; chain contracts in one round") {
+    import spark.implicits._
+    def msf(es: Seq[(Long, Long, Long)]) =
+      ScaleOps.boruvkaMsf(es.toDF("u", "v", "w"), rounds = 5, jumps = 6)
+        .head()
+    // triangle: MST = the two lightest edges, exact checksum
+    val tri = msf(Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 3L, 9L)))
+    assert(tri.getAs[Long]("n_tree_edges") == 2L)
+    assert(tri.getAs[Long]("total_weight") == 8L)
+    assert(tri.getAs[Long]("edge_checksum") == 3000005L)
+    assert(tri.getAs[Boolean]("forest_valid")
+      && tri.getAs[Boolean]("fully_contracted")
+      && tri.getAs[Boolean]("converged"))
+    // increasing-weight path: the merge forest is a DEEP chain — the
+    // pointer-jump budget must close it; all 5 edges are tree edges
+    val chain = msf((1L to 5L).map(i => (i, i + 1, i)))
+    assert(chain.getAs[Long]("n_tree_edges") == 5L)
+    assert(chain.getAs[Long]("total_weight") == 15L)
+    assert(chain.getAs[Long]("n_components") == 1L)
+    assert(chain.getAs[Boolean]("fully_contracted")
+      && chain.getAs[Boolean]("converged"))
+    // two disconnected triangles: a spanning FOREST, 2 components
+    val forest = msf(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 7L),
+      (10L, 11L, 4L), (11L, 12L, 5L), (10L, 12L, 9L)))
+    assert(forest.getAs[Long]("n_components") == 2L)
+    assert(forest.getAs[Long]("n_tree_edges") == 4L)
+    assert(forest.getAs[Long]("total_weight") == 12L)
+    assert(forest.getAs[Boolean]("forest_valid"))
+    // single mutual-min pair: the 2-cycle break roots the smaller id
+    val pair = msf(Seq((7L, 8L, 42L)))
+    assert(pair.getAs[Long]("n_tree_edges") == 1L)
+    assert(pair.getAs[Boolean]("converged"))
+  }
+
   test("rendezvous census: removal moves exactly the removed shard's docs") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
