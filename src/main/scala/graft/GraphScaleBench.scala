@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupOps, ScaleOps}
 
-/** The graph twin of [[VectorScaleBench]]/[[TextScaleBench]]: the six
-  * graph operators (triangle counting, connected components, PageRank,
-  * label propagation, k-core, link prediction) executed on GENERATED
-  * graphs at 100k and 1M nodes — far beyond the driver tables' ~1.5k-
-  * node ceiling — with PLANTED ground truth so every number is
-  * checked, not just timed:
+/** The graph twin of [[VectorScaleBench]]/[[TextScaleBench]]: the
+  * SEVEN graph operators (triangle counting, connected components,
+  * PageRank, label propagation, k-core, link prediction, Borůvka
+  * MSF) executed on GENERATED graphs at 100k and 1M nodes — far
+  * beyond the driver tables' ~1.5k-node ceiling — with PLANTED
+  * ground truth so every number is checked, not just timed:
   *
   *  - ring+chord clusters (1000 nodes each; node i joins i+1 and i+2
   *    mod cluster): exactly ONE triangle per node ({i, i+1, i+2} — no
@@ -31,6 +31,12 @@ import graft.operators.{DedupOps, ScaleOps}
   *    ring nodes (count + id-sum membership checksum) reached at peel
   *    depth 6 (chains cascade one node per round), and k=5 dissolves
   *    everything in exactly 3 rounds.
+  *  - Borůvka MSF on ring+chord with ring weight 1 / chord weight 2:
+  *    the minimum forest is EXACTLY the 999 consecutive ring edges
+  *    per cluster — count, weight and the edge-set checksum are
+  *    closed-form; the round-1 merge chain spans the whole ring, so
+  *    the jumps = 10 pointer-doubling budget is itself under test
+  *    (fully_contracted must read true).
   *
   * Everything derives from the node id (pure functions, deterministic
   * under any partitioning); nothing is collected except O(1) check
@@ -136,6 +142,7 @@ object GraphScaleBench {
       prSec: Double, prOk: Boolean, lpaSec: Double, lpaOk: Boolean,
       kcSec: Double = 0.0, kcOk: Boolean = true,
       lpdSec: Double = 0.0, lpdOk: Boolean = true,
+      mstSec: Double = 0.0, mstOk: Boolean = true,
       first: Option[Point] = None) {
     def json: String =
       s"""{"n":$n,"edges":$edges,"gen_sec":${r3(genSec)},""" +
@@ -144,10 +151,11 @@ object GraphScaleBench {
         s""""pr_sec":${r3(prSec)},"rank_conserved":$prOk,""" +
         s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk,""" +
         s""""kcore_sec":${r3(kcSec)},"kcore_ok":$kcOk,""" +
-        s""""linkpred_sec":${r3(lpdSec)},"linkpred_ok":$lpdOk""" +
+        s""""linkpred_sec":${r3(lpdSec)},"linkpred_ok":$lpdOk,""" +
+        s""""mst_sec":${r3(mstSec)},"mst_ok":$mstOk""" +
         first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
     def allOk: Boolean =
-      triOk && ccOk && prOk && lpaOk && kcOk && lpdOk
+      triOk && ccOk && prOk && lpaOk && kcOk && lpdOk && mstOk
   }
 
   /** Noise guard — the same treatment per-query timings get: each
@@ -167,11 +175,13 @@ object GraphScaleBench {
       math.min(a.prSec, b.prSec), a.prOk && b.prOk,
       math.min(a.lpaSec, b.lpaSec), a.lpaOk && b.lpaOk,
       math.min(a.kcSec, b.kcSec), a.kcOk && b.kcOk,
-      math.min(a.lpdSec, b.lpdSec), a.lpdOk && b.lpdOk)
+      math.min(a.lpdSec, b.lpdSec), a.lpdOk && b.lpdOk,
+      math.min(a.mstSec, b.mstSec), a.mstOk && b.mstOk)
     val noisy = Seq(
       (a.triSec, m.triSec), (a.ccSec, m.ccSec),
       (a.prSec, m.prSec), (a.lpaSec, m.lpaSec),
-      (a.kcSec, m.kcSec), (a.lpdSec, m.lpdSec))
+      (a.kcSec, m.kcSec), (a.lpdSec, m.lpdSec),
+      (a.mstSec, m.mstSec))
       .exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
     if (noisy) m.copy(first = Some(a)) else m
   }
@@ -239,6 +249,36 @@ object GraphScaleBench {
           r.getAs[Double]("ra")) -> r.getAs[Long]("k")).toMap
       cand == Map((2L, 0.5) -> n, (1L, 0.25) -> n)
     }
+    // Borůvka MSF on ring+chord with ring edges weight 1, chords
+    // weight 2: the unique-cost spanning forest takes the 999
+    // consecutive ring edges per cluster — count, total weight AND
+    // the exact edge-set checksum are closed-form. The merge pointer
+    // chain runs the whole ring (depth ~1000), so jumps = 10
+    // (2^10 ≥ 999) is the honest contraction budget; round 2 must
+    // observe convergence (clusters are disjoint).
+    val (mstOk, mstSec) = timeIt {
+      val we = rc.withColumn("w",
+        when(col("v") - col("u") === 1L ||
+            col("v") - col("u") === lit(ClusterSize - 1), 1L)
+          .otherwise(2L))
+      val r = ScaleOps.boruvkaMsf(we, rounds = 3, jumps = 10).head()
+      val nc = n / ClusterSize
+      // the chosen tree per cluster b: (b+i-1, b+i) for i = 1..998
+      // PLUS the wrap edge (b, b+999) — node 999's min key is
+      // (1, b, b+999), which sorts BELOW (1, b+998, b+999); hence
+      // Σ ku·10⁶+kv = 10⁶·(999b + 497503) + 999b + 499500
+      val expCk = (0L until nc).map { c =>
+        val b = c * ClusterSize
+        BigInt(1000000L) * (999 * b + 497503L) + (999 * b + 499500L)
+      }.sum
+      r.getAs[Long]("n_components") == nc &&
+        r.getAs[Long]("n_tree_edges") == n - nc &&
+        r.getAs[Long]("total_weight") == n - nc &&
+        BigInt(r.getAs[Long]("edge_checksum")) == expCk &&
+        r.getAs[Boolean]("forest_valid") &&
+        r.getAs[Boolean]("fully_contracted") &&
+        r.getAs[Boolean]("converged")
+    }
     val nEdges = rc.count()
     rc.unpersist()
     // k-core on the core+tail graph: exact planted core, membership
@@ -263,7 +303,7 @@ object GraphScaleBench {
         c5.getAs[Int]("rounds") == 3
     }
     Point(n, nEdges, genSec, triSec, triOk, ccSec, ccOk, prSec, prOk,
-      lpaSec, lpaOk, kcSec, kcOk, lpdSec, lpdOk)
+      lpaSec, lpaOk, kcSec, kcOk, lpdSec, lpdOk, mstSec, mstOk)
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result =

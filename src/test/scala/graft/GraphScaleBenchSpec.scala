@@ -56,7 +56,7 @@ class GraphScaleBenchSpec extends SparkSpecBase {
     assert(q.first.isEmpty && q.allOk)
   }
 
-  test("3k-node point: all six planted checks hold") {
+  test("3k-node point: all seven planted checks hold") {
     val p = GraphScaleBench.runPoint(spark, 3000L)
     assert(p.edges == 6000L)
     assert(p.triOk, "triangle count must equal n exactly")
@@ -65,5 +65,7 @@ class GraphScaleBenchSpec extends SparkSpecBase {
     assert(p.lpaOk, "an LPA label escaped its cluster")
     assert(p.kcOk, "k-core planted core/depth checks failed")
     assert(p.lpdOk, "link-prediction planted candidate census failed")
+    assert(p.mstOk,
+      "MSF planted ring-tree (count/weight/checksum/flags) failed")
   }
 }
