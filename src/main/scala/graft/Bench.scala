@@ -291,6 +291,32 @@ object Bench {
           .exists(v => v == "" || v == "0" || v == "off")) "null"
       else "\"FAILED\"")
 
+    // ---- stateful streaming at scale ---------------------------------
+    // Same contract for the streaming family: sessionization /
+    // watermarked dedup / tumbling windows as REAL micro-batched
+    // streaming queries over generated corpora with planted ground
+    // truth (closed-form session census, exact survivor count, exact
+    // window mass). SPARK_GRAFT_STREAM_SCALE: comma sizes, "off"/"0"/
+    // "" disables, unset = 200k + 1M events.
+    val ssResult: Option[StreamScaleBench.Result] =
+      sys.env.get("SPARK_GRAFT_STREAM_SCALE") match {
+        case Some("") | Some("0") | Some("off") => None
+        case ov =>
+          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(Seq(200000L, 1000000L))
+          try {
+            spark.catalog.clearCache()
+            Some(StreamScaleBench.run(spark, sizes))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stream_scale FAILED: ${e.getMessage}")
+            None
+          }
+      }
+    val streamScaleJson = ssResult.map(_.json).getOrElse(
+      if (sys.env.get("SPARK_GRAFT_STREAM_SCALE")
+          .exists(v => v == "" || v == "0" || v == "off")) "null"
+      else "\"FAILED\"")
+
     def jsonMap(kv: Seq[(String, Double)]) = kv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val big = results2.toMap
@@ -329,7 +355,7 @@ object Bench {
     // timed above — a recall regression is visible across rounds
     // without the oracle
     val recallJson = jsonMap(GateMetrics.snapshot)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"stream_scale":$streamScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
 
     // ---- emit ----------------------------------------------------------
     // The driver captures only the last ~2000 chars of stdout and parses
@@ -377,9 +403,11 @@ object Bench {
       .map(s => s""","graph_scale":$s""").getOrElse("")
     val tsCompact = tsResult.flatMap(_.summary)
       .map(s => s""","text_scale":$s""").getOrElse("")
+    val ssCompact = ssResult.flatMap(_.summary)
+      .map(s => s""","stream_scale":$s""").getOrElse("")
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact$ssCompact,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // bounded: after headNames.size+1 steps the seq is empty — without
     // take(), dropRight on empty yields empty forever and a too-long

@@ -1818,8 +1818,54 @@ object ScaleOps {
           (col("l_suppkey").cast("long") * 2 + 1).as("v"))
         .agg(min(col("l_quantity").cast("long")).as("w"))
       boruvkaMsf(wEdges, rounds = 5, jumps = 6)
+    }),
+
+    // DETERMINISTIC CORPUS SHUFFLE — the training-order permutation.
+    // A 100 TB pretraining run needs a GLOBAL random document order
+    // that is reproducible (same seed → same order), seekable (resume
+    // at step k without replaying), and collision-free (hash keys tie;
+    // ties make the order partitioning-dependent). A 4-round Feistel
+    // network over 16-bit halves is a BIJECTION of [0, 2^32): sorting
+    // by feistel(doc_id) IS the shuffle — a plain range-partitioned
+    // sort, no RNG state, no tiebreak column. Output: the first 20
+    // docs of the shuffled order plus an injectivity census
+    // (n_keys = n_docs proves no key collides, so the order is total).
+    "q224_feistel_shuffle" -> ((s, d) => {
+      val keyed = Tables.load(s, d, "documents").select(col("doc_id"))
+        .withColumn("skey", feistelKey(col("doc_id")))
+      val cen = keyed.agg(count(lit(1)).as("n"),
+        countDistinct(col("skey")).as("k")).head()
+      val (nDocs, nKeys) = (cen.getLong(0), cen.getLong(1))
+      // top-20 of the permuted order (TakeOrderedAndProject), then a
+      // BOUNDED 20-row rank — the corpus is never globally windowed
+      val w = Window.partitionBy(lit(1)).orderBy(col("skey").asc)
+      keyed.orderBy(col("skey").asc).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("rk"), col("doc_id"), col("skey"),
+          lit(nDocs).as("n_docs"), lit(nKeys).as("n_keys"),
+          lit(nDocs == nKeys).as("bijective"))
     })
   )
+
+  /** q224's permutation key: 4-round balanced Feistel over 16-bit
+    * halves — a bijection of [0, 2^32) built from pure codegen integer
+    * arithmetic (Luby–Rackoff construction; the round function is a
+    * Knuth multiplicative hash of the right half + round key, high 16
+    * bits kept). Bijective because every round is invertible:
+    * (L,R) → (R, L xor F(R,K)) undoes with the SAME F. No float, no
+    * RNG, no tiebreak — equal inputs are impossible, so sorting by the
+    * key gives a total deterministic order under any partitioning. */
+  private[graft] def feistelKey(id: Column): Column = {
+    val roundKeys = Seq(40503L, 11665L, 30841L, 22621L)
+    val l0 = shiftright(id, 16)
+    val r0 = id.bitwiseAND(lit(65535L))
+    val (l4, r4) = roundKeys.foldLeft((l0, r0)) { case ((l, r), k) =>
+      val f = shiftright(
+        ((r + lit(k)) * lit(2654435761L)) % lit(4294967296L), 16)
+      (r, l.bitwiseXOR(f))
+    }
+    l4 * lit(65536L) + r4
+  }
 
   /** q222's HRW census over an id frame: per-shard doc counts before
     * and after removing shard `removed`, the exact moved mass, and
@@ -3156,6 +3202,32 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
   (uns = 0) AS fully_contracted,
   (leftover = 0) AS converged
 FROM fin"""
+    },
+
+    // q224: the same 4 Feistel rounds unrolled — pure BIGINT shift/
+    // mask/xor arithmetic, so both engines compute the identical
+    // permutation key and the injectivity census is exact
+    "q224_feistel_shuffle" -> {
+      val roundKeys = Seq(40503L, 11665L, 30841L, 22621L)
+      val rounds = roundKeys.zipWithIndex.map { case (k, i) =>
+        s""", f${i + 1} AS (
+  SELECT doc_id, r AS l,
+    xor(l, (((r + $k) * 2654435761) % 4294967296) >> 16) AS r
+  FROM f$i
+)"""
+      }.mkString
+      s"""WITH f0 AS (
+  SELECT doc_id, doc_id >> 16 AS l, doc_id & 65535 AS r
+  FROM documents
+)$rounds, k AS (
+  SELECT doc_id, l * 65536 + r AS skey FROM f4
+), cen AS (
+  SELECT count(*) AS n_docs, count(DISTINCT skey) AS n_keys FROM k
+)
+SELECT row_number() OVER (ORDER BY skey ASC) AS rk, doc_id, skey,
+  n_docs, n_keys, (n_docs = n_keys) AS bijective
+FROM (SELECT * FROM k ORDER BY skey ASC LIMIT 20), cen
+ORDER BY rk"""
     },
 
     "q203_sssp" -> {

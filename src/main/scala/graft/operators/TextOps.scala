@@ -966,8 +966,83 @@ object TextOps {
             / count(lit(1)), 6).as("avg_tokens_per_word"),
           round(sum(length(col("w")).cast("long")).cast("double")
             / sum(col("n_sym").cast("long")), 6).as("compression"))
-    })
+    }),
+
+    // N-GRAM NOVELTY CURVE — the corpus-growth signal: as a crawl
+    // ingests docs in arrival order (doc_id), what fraction of each
+    // doc's distinct 5-gram shingles has NEVER appeared in an earlier
+    // doc? A healthy fresh crawl holds high novelty; a saturated or
+    // self-copying one decays toward 0 — the curve (here binned into
+    // 10 arrival-order deciles) is the "is more data still new data?"
+    // dashboard. First occurrence is a pure min(doc_id) per shingle —
+    // one keyed agg over the shingle inventory + one co-keyed join
+    // back, never a window, never per-pair work. All counts integer;
+    // one rounded division at the end.
+    "q225_ngram_novelty" -> ((s, d) =>
+      ngramNovelty(Tables.load(s, d, "documents"))),
+
+    // KNESER-NEY CONTINUATION COUNTS — the smoothing statistic the
+    // MLE bigram LM (q126) lacks: a word's continuation count is how
+    // many DISTINCT left contexts it follows (bigram TYPES, not
+    // occurrences) — "francisco" is frequent but only ever follows
+    // "san", so its continuation probability is tiny. This is the
+    // unigram distribution interpolated KN backs off to. One distinct
+    // over the bigram-type inventory + one agg; counts exact, the
+    // probability is a single rounded division.
+    "q226_kn_continuation" -> ((s, d) =>
+      knContinuation(Tables.load(s, d, "documents"), k = 20))
   )
+
+  /** q225's novelty curve over a (doc_id, text) frame: per
+    * arrival-order decile, the fraction of distinct word 5-gram
+    * shingles whose FIRST occurrence (global min doc_id owner) falls
+    * in that doc. Split out so TextSpec pins the closed forms (an
+    * all-identical corpus is novel only in its first doc; an
+    * all-distinct corpus is novel everywhere). */
+  private[graft] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val toks = tokens(col("text"))
+    val pairs = docs.filter(size(toks) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks) - 4),
+        i => concat_ws(" ", slice(toks, i, lit(5))))).as("sh"))
+      .distinct()
+    val first = pairs.groupBy("sh").agg(min("doc_id").as("fd"))
+    pairs.join(first, "sh")
+      .groupBy(expr(s"((doc_id - $lo) * 10) DIV $span").as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(
+        col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("bucket")
+  }
+
+  /** q226's continuation-count table over a (text) frame: one row per
+    * word w with cont = |{t1 : bigram type (t1, w) exists}|, ranked
+    * (cont desc, w asc), top k. TextSpec pins the "frequent but
+    * predictable" corner: a word that only ever follows one context
+    * ranks below a rarer word with many contexts. */
+  private[graft] def knContinuation(docs: DataFrame, k: Int)
+      : DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = docs.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .distinct()
+    val total = bg.count()
+    bg.groupBy(col("t2").as("w")).agg(count(lit(1)).as("cont"))
+      .orderBy(col("cont").desc, col("w").asc).limit(k)
+      .select(col("w"), col("cont"),
+        lit(total).as("total_types"),
+        round(col("cont").cast("double") / lit(total.toDouble), 8)
+          .as("p_cont"))
+  }
 
   private[graft] val BpeRounds = 8
 
@@ -1662,7 +1737,55 @@ SELECT source, count(*) AS words,
   CAST(sum(n_sym) AS BIGINT) AS bpe_tokens,
   round(sum(n_sym)::DOUBLE / count(*), 6) AS avg_tokens_per_word,
   round(sum(length(w))::DOUBLE / sum(n_sym), 6) AS compression
-FROM cw JOIN enc USING (w) GROUP BY source""")
+FROM cw JOIN enc USING (w) GROUP BY source"""),
+
+    // q225: same shingle inventory (1-based list slicing mirrors the
+    // Spark slice(toks, i, 5)), same min-owner novelty tagging, same
+    // arrival-order decile arithmetic in pure BIGINT
+    "q225_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS t
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS sh
+        |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5
+        |), first AS (
+        |  SELECT sh, min(doc_id) AS fd FROM pairs GROUP BY sh
+        |), b AS (
+        |  SELECT min(doc_id) AS lo,
+        |    max(doc_id) - min(doc_id) + 1 AS span
+        |  FROM documents
+        |)
+        |SELECT ((doc_id - lo) * 10) // span AS bucket,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM pairs JOIN first USING (sh), b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q226: bigram-type inventory via DISTINCT adjacent pairs; the
+    // continuation count is a plain group count over types
+    "q226_kn_continuation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT DISTINCT t[i] AS t1, t[i+1] AS t2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), tot AS (SELECT count(*) AS total_types FROM bg)
+        |SELECT t2 AS w, count(*) AS cont, total_types,
+        |  round(count(*)::DOUBLE / total_types, 8) AS p_cont
+        |FROM bg, tot GROUP BY t2, total_types
+        |ORDER BY cont DESC, w ASC LIMIT 20""".stripMargin
   )
 
   /** Unrolled BPE-learning CTE chain for the q155/q156 oracles — the

@@ -634,4 +634,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("TakeOrderedAndProject"),
       s"top-50 over the vocab-sized table must fuse, not globally sort:\n$s")
   }
+
+  test("q224 feistel shuffle: TopN of the permuted order, key codegen'd, no corpus window") {
+    val s = operators.ScaleOps.queries("q224_feistel_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the "global shuffle" surfaces as a fused top-k of the key order,
+    // never a full sort + window over the corpus
+    assert(s.contains("TakeOrderedAndProject"),
+      s"permuted head must fuse to TopN:\n$s")
+    assert("Window".r.findAllIn(s).size <= 1,
+      s"only the bounded 20-row rank may window:\n$s")
+    // the Feistel key is pure integer arithmetic inside codegen —
+    // shiftright/xor appear in the projected expression, no UDF
+    assert(s.contains("shiftright") && !s.contains("BatchEvalPython"),
+      s"key must be native codegen arithmetic:\n$s")
+  }
+
+  test("q225 novelty: keyed aggs + one shingle-keyed join, zero windows") {
+    val s = operators.TextOps.queries("q225_ngram_novelty")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window"),
+      s"first-occurrence is a min-agg, never a window:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin")
+      || s.contains("BroadcastHashJoin"),
+      s"inventory joins back on the shingle key:\n$s")
+    assert(s.contains("partial_"),
+      s"novelty aggs must map-side combine:\n$s")
+  }
+
+  test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
+    val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"no window:\n$s")
+    assert(!s.contains("Join"),
+      s"continuation counting is pure agg over the type inventory:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k over the vocab-sized counts must fuse:\n$s")
+  }
 }

@@ -910,4 +910,40 @@ class ScaleOpsSpec extends SparkSpecBase {
         r.toString)
     }
   }
+
+  test("feistel key: bijective on a full 16-bit domain, stable, in range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exhaustive injectivity over 0..65535 (l half = 0 throughout:
+    // the worst case for half-mixing) plus a shifted slab that
+    // exercises the high half
+    val dom = spark.range(0L, 65536L).toDF("doc_id")
+      .union(spark.range(1000000L, 1065536L).toDF("doc_id"))
+    val keyed = dom.withColumn("skey",
+      ScaleOps.feistelKey(col("doc_id")))
+    val cen = keyed.agg(count(lit(1)).as("n"),
+      countDistinct(col("skey")).as("k"),
+      min("skey").as("mn"), max("skey").as("mx")).head()
+    assert(cen.getLong(0) == 131072L && cen.getLong(1) == 131072L)
+    assert(cen.getLong(2) >= 0L && cen.getLong(3) < (1L << 32))
+    // pinned constants: a changed round key or shift silently
+    // reshuffles training order — fail loudly instead
+    val probe = Seq(0L, 1L, 65535L, 65536L, 123456789L)
+    val got = dom.sparkSession.range(1).select(
+      probe.map(i => ScaleOps.feistelKey(lit(i))): _*).head()
+    val expected = probe.map(feistelRef)
+    probe.indices.foreach(i =>
+      assert(got.getLong(i) == expected(i), s"id=${probe(i)}"))
+  }
+
+  /** Driver-side reference Feistel — same rounds in plain Scala. */
+  private def feistelRef(id: Long): Long = {
+    val ks = Seq(40503L, 11665L, 30841L, 22621L)
+    var l = id >> 16; var r = id & 65535L
+    ks.foreach { k =>
+      val f = (((r + k) * 2654435761L) % 4294967296L) >> 16
+      val nl = r; val nr = l ^ f; l = nl; r = nr
+    }
+    l * 65536L + r
+  }
 }

@@ -345,4 +345,55 @@ class TextSpec extends SparkSpecBase {
       assert(math.abs(renamed(t) - v) < 1e-12, t)
     }
   }
+
+  test("q225 novelty: closed forms on identical vs all-distinct corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 identical docs, 6 tokens each => 2 shingles per doc, first
+    // doc owns both; bucket k holds exactly doc k (ids 0..9)
+    val same = (0L until 10L).map(i => (i, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(same).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out.size == 10)
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    (1L to 9L).foreach(bkt => assert(out(bkt) == ((2L, 0L, 0.0)), bkt))
+    // all-distinct corpus: every shingle is a first occurrence
+    val uniq = (0L until 10L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    TextOps.ngramNovelty(uniq).collect().foreach { r =>
+      assert(r.getAs[Double]("novelty") == 1.0, r.toString)
+    }
+    // short docs (< 5 tokens) produce no shingles and no buckets
+    assert(TextOps.ngramNovelty(
+      Seq((0L, "a b c"), (1L, "x y")).toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
+  test("q226 continuation counts: frequency is not predictability") {
+    import spark.implicits._
+    // "san francisco" 5x: francisco is FREQUENT (5 occurrences) but
+    // follows only one context; "the" follows 3 distinct contexts
+    // despite fewer occurrences. Continuation ranks the, francisco.
+    val docs = Seq(
+      "san francisco", "san francisco", "san francisco",
+      "san francisco", "san francisco",
+      "over the", "under the", "across the"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextOps.knContinuation(docs, k = 10).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("cont"), r.getAs[Long]("total_types"),
+          r.getAs[Double]("p_cont"))).toMap
+    // bigram TYPES: (san,francisco), (over,the), (under,the),
+    // (across,the) => total 4
+    assert(rows("the") == ((3L, 4L, 0.75)))
+    assert(rows("francisco") == ((1L, 4L, 0.25)))
+    // ranking: "the" first despite 3 < 5 occurrences
+    val top = TextOps.knContinuation(docs, k = 1).collect()
+    assert(top.head.getAs[String]("w") == "the")
+  }
 }
