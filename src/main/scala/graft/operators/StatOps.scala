@@ -450,6 +450,25 @@ object StatOps {
           when(col("o_orderstatus") === "F", 1L).otherwise(0L)
             .as("p")))),
 
+    // CALIBRATION CURVE + ECE — the reliability diagram that audits a
+    // model SCORE, the eval-tier complement of q218 (which audits a
+    // model SPLIT): bin the predicted probability, compare each bin's
+    // mean prediction to its observed positive rate, and weight the
+    // gaps into the expected calibration error. Score = l_discount×10
+    // (a stored per-row score in [0,1], spanning all ten deciles),
+    // outcome = returned flag. All binning is integer (the score
+    // rounds to integer PERCENT first, so no float ever decides a
+    // bucket); per-bin rates are single divisions of exact integers;
+    // ECE folds the ≤10 per-bin gaps rounded-to-8 through a DECIMAL
+    // sum. One scan, one |bins|-keyed exchange, one scalar broadcast
+    // back.
+    "q229_calibration" -> ((s, d) =>
+      calibrationCurve(Tables.load(s, d, "lineitem")
+        .select(round(col("l_discount") * 1000, 0).cast("long")
+          .as("pct"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("y")))),
+
     // KMV SET OPERATIONS — overlap estimation between two corpus
     // snapshots WITHOUT joining them (Beyer et al., K-min synopses):
     // the 100TB story is comparing yesterday's and today's key sets
@@ -656,6 +675,41 @@ object StatOps {
     * DistributedPrefix, correct(t) = best-majority on both sides,
     * argmax by (correct desc, t asc). Split out so StatOpsSpec pins
     * a perfectly separable split and the all-one-class degenerate. */
+  /** q229's reliability diagram over a (pct: 0..100 long, y: 0/1
+    * long) frame: decile bins on the integer percent score (bin 9
+    * also absorbs pct = 100), per-bin mean prediction Σpct/(100·n)
+    * vs observed rate pos/n, |gap|, and the global ECE
+    * Σ n_b·|gap_b| / N repeated on every row. StatOpsSpec pins the
+    * closed forms: a perfectly calibrated frame has ECE 0; a
+    * constant-score frame collapses to one bin whose gap IS the
+    * ECE. */
+  private[graft] def calibrationCurve(scored: DataFrame): DataFrame = {
+    val bins = scored
+      .groupBy(least(expr("pct DIV 10"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        sum("pct").as("sp"))
+    val rated = bins.select(col("bin"), col("n"), col("pos"),
+        (col("sp").cast("double") / col("n").cast("double") /
+          lit(100.0)).as("pred"),
+        (col("pos").cast("double") / col("n").cast("double"))
+          .as("obs"))
+      .withColumn("gap8",
+        round(abs(col("obs") - col("pred")), 8)
+          .cast("decimal(20,8)"))
+      .localCheckpoint(true) // <= 10 rows; feeds the ECE and the output
+    val tot = rated
+      .agg(sum(col("gap8") * col("n")).as("wg"), sum("n").as("nn"))
+      .head()
+    val ece = BigDecimal(tot.getDecimal(0))
+      .toDouble / tot.getLong(1).toDouble
+    rated.select(col("bin"), col("n"), col("pos"),
+        round(col("pred"), 6).as("pred_mean"),
+        round(col("obs"), 6).as("obs_rate"),
+        round(col("gap8").cast("double"), 6).as("abs_gap"),
+        lit(r6(ece)).as("ece"))
+      .orderBy("bin")
+  }
+
   private[graft] def decisionStump(labeled: DataFrame): DataFrame = {
     val s = labeled.sparkSession
     import s.implicits._
@@ -1024,6 +1078,37 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  round((best.correct - greatest(pp, n - pp))::DOUBLE / tot.n,
         |    6) AS gain
         |FROM best, tot""".stripMargin,
+
+    // same integer percent binning, same ratio+rounded-gap algebra;
+    // the ECE folds the <=10 bins through a DECIMAL sum
+    "q229_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_discount * 1000) AS BIGINT) AS pct,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT least(pct // 10, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(pct) AS BIGINT) AS sp
+        |  FROM b GROUP BY 1
+        |), r AS (
+        |  SELECT bin, n, pos,
+        |    sp::DOUBLE / n / 100.0 AS pred,
+        |    pos::DOUBLE / n AS obs
+        |  FROM g
+        |), w AS (
+        |  SELECT bin, n, pos, pred, obs,
+        |    CAST(round(abs(obs - pred), 8) AS DECIMAL(20,8)) AS gap8
+        |  FROM r
+        |), t AS (
+        |  SELECT sum(gap8 * n) AS wg, CAST(sum(n) AS BIGINT) AS nn
+        |  FROM w
+        |)
+        |SELECT bin, n, pos, round(pred, 6) AS pred_mean,
+        |  round(obs, 6) AS obs_rate, round(gap8::DOUBLE, 6) AS abs_gap,
+        |  round(wg::DOUBLE / nn, 6) AS ece
+        |FROM w, t ORDER BY bin""".stripMargin,
 
     // the oracle builds the sketches DIRECTLY (K smallest hashes of
     // each full domain) and the exact overlap census — matching the

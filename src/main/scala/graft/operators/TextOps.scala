@@ -990,7 +990,34 @@ object TextOps {
     // over the bigram-type inventory + one agg; counts exact, the
     // probability is a single rounded division.
     "q226_kn_continuation" -> ((s, d) =>
-      knContinuation(Tables.load(s, d, "documents"), k = 20))
+      knContinuation(Tables.load(s, d, "documents"), k = 20)),
+
+    // INTERPOLATED KNESER-NEY bigram probabilities (Chen & Goodman
+    // 1999) — the smoothing that actually ships in n-gram LMs,
+    // closing the q126 (add-k) / q226 (continuation counts) arc:
+    //   P_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T
+    // with discount D = 3/4. Every input is an integer count, so
+    // with D = 3/4 the probability is the EXACT RATIONAL
+    //   (max(4·c12−3, 0)·T + 3·nl·cr) / (4·c1·T)
+    // — both engines emit the identical BIGINT num/den pair (the
+    // float division happens once, for display). The top-20 cut by
+    // (c12 desc, t1, t2) happens BEFORE the model joins, so the
+    // context/continuation lookups run with a 20-row broadcast side
+    // against the vocabulary-sized tables.
+    "q227_kn_bigram" -> ((s, d) =>
+      knBigramProb(Tables.load(s, d, "documents"), k = 20)),
+
+    // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multi-source sampling
+    // schedule (the alpha = 0.3 smoothing exponent of XLM-R / GPT-3
+    // style mixtures): w_s ∝ n_s^alpha flattens the source-size
+    // distribution so small sources aren't drowned. Output per
+    // source: token count, raw share, smoothed weight, and effective
+    // epochs per mixture pass (w_s·N/n_s — the over-exposure signal
+    // saying how often a small source repeats). pow is rounded to 8
+    // and summed as DECIMAL over the |sources|-sized table (q177
+    // idiom); shares divide once at the end.
+    "q230_mixture_weights" -> ((s, d) =>
+      mixtureWeights(Tables.load(s, d, "documents")))
   )
 
   /** q225's novelty curve over a (doc_id, text) frame: per
@@ -1042,6 +1069,76 @@ object TextOps {
         lit(total).as("total_types"),
         round(col("cont").cast("double") / lit(total.toDouble), 8)
           .as("p_cont"))
+  }
+
+  /** q227's interpolated-KN table over a (text) frame: for the top-k
+    * bigrams by occurrence count, the exact-rational KN probability
+    * (num/den BIGINT pair) next to the MLE. The bigram-TYPE inventory
+    * (c12 per (t1,t2)) is materialized once and feeds all four
+    * consumers (top-k, context totals, continuation counts, T) — the
+    * q184 lesson: left lazy, Spark re-derives the corpus subtree per
+    * consumer. TextSpec pins the rational algebra on a crafted corpus
+    * where smoothing visibly reranks (predictable-but-frequent loses
+    * mass to diverse continuations). */
+  private[graft] def knBigramProb(docs: DataFrame, k: Int)
+      : DataFrame = {
+    val toks = tokens(col("text"))
+    val c2 = docs.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val nTypes = c2.count()
+    val ctx = c2.groupBy("t1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nl"))
+    val cont = c2.groupBy("t2").agg(count(lit(1)).as("cr"))
+    val top = broadcast(
+      c2.orderBy(col("c12").desc, col("t1").asc, col("t2").asc)
+        .limit(k))
+    val num = greatest(col("c12") * 4 - 3, lit(0L)) * lit(nTypes) +
+      lit(3L) * col("nl") * col("cr")
+    val den = col("c1") * 4 * lit(nTypes)
+    broadcast(top.join(ctx, "t1")).join(cont, "t2")
+      .select(col("t1"), col("t2"), col("c12"), col("c1"),
+        col("nl"), col("cr"), lit(nTypes).as("n_types"),
+        num.as("kn_num"), den.as("kn_den"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p_mle"),
+        round(num.cast("double") / den.cast("double"), 6).as("p_kn"))
+      .orderBy(col("c12").desc, col("t1").asc, col("t2").asc)
+  }
+
+  /** q230's mixture-weight table over a (source, text) frame: per
+    * source, n_s tokens, raw share n_s/N, temperature-smoothed weight
+    * n_s^alpha / Σ n^alpha (alpha fixed 0.3, rounded-pow DECIMAL
+    * sums) and effective epochs w_s·N/n_s. TextSpec pins the closed
+    * forms (equal sources → uniform both ways; the smoothed weight of
+    * a small source strictly exceeds its raw share). */
+  private[graft] def mixtureWeights(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), size(tokens(col("text"))).as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt").cast("long")).as("n_tokens"))
+      .withColumn("pw",
+        round(pow(col("n_tokens").cast("double"), lit(0.3)), 8)
+          .cast("decimal(28,8)"))
+      .localCheckpoint(true) // |sources| rows; scanned twice below
+    val tot = cnt.agg(sum("n_tokens"), sum("pw")).head()
+    val n = tot.getLong(0)
+    // the exact DECIMAL sum converts to double ONCE (correctly
+    // rounded in both engines); ratios then divide in plain double —
+    // DECIMAL/DECIMAL division scale rules differ across engines
+    val sp = tot.getDecimal(1).doubleValue
+    val w = col("pw").cast("double") / lit(sp)
+    cnt.select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / lit(n.toDouble), 6)
+          .as("raw_share"),
+        round(w, 6).as("weight"),
+        round(w * lit(n.toDouble) / col("n_tokens").cast("double"), 6)
+          .as("eff_epochs"))
+      .orderBy(col("source").asc)
   }
 
   private[graft] val BpeRounds = 8
@@ -1769,6 +1866,62 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |    / count(*), 6) AS novelty
         |FROM pairs JOIN first USING (sh), b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q227: identical integer-rational KN algebra — num/den BIGINTs
+    // must match bit-exact; floats are display-only
+    "q227_kn_bigram" ->
+      """WITH l AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        |), bg AS (
+        |  SELECT unnest(list_slice(l, 1, len(l) - 1)) AS t1,
+        |    unnest(list_slice(l, 2, len(l))) AS t2
+        |  FROM l
+        |), c2 AS (
+        |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2),
+        |ctx AS (
+        |  SELECT t1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS nl
+        |  FROM c2 GROUP BY 1
+        |), cont AS (
+        |  SELECT t2, CAST(count(*) AS BIGINT) AS cr FROM c2 GROUP BY 1
+        |), top AS (
+        |  SELECT t1, t2, c12 FROM c2
+        |  ORDER BY c12 DESC, t1 ASC, t2 ASC LIMIT 20
+        |)
+        |SELECT top.t1, top.t2, c12, c1, nl, cr, n_types,
+        |  greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr AS kn_num,
+        |  4 * c1 * n_types AS kn_den,
+        |  round(c12::DOUBLE / c1, 6) AS p_mle,
+        |  round((greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
+        |    ::DOUBLE / (4 * c1 * n_types), 6) AS p_kn
+        |FROM top JOIN ctx USING (t1) JOIN cont USING (t2), t""".stripMargin,
+
+    // q230: same rounded-pow DECIMAL fold; the exact sum converts to
+    // double once, ratios divide in plain double
+    "q230_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(
+        |    len(string_split_regex(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(pow(n_tokens, 0.3), 8) AS DECIMAL(28,8)) AS pw
+        |  FROM c
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n,
+        |    CAST(sum(pw) AS DECIMAL(28,8))::DOUBLE AS sp
+        |  FROM p
+        |)
+        |SELECT source, n_tokens,
+        |  round(n_tokens::DOUBLE / n, 6) AS raw_share,
+        |  round(pw::DOUBLE / sp, 6) AS weight,
+        |  round((pw::DOUBLE / sp) * n / n_tokens, 6) AS eff_epochs
+        |FROM p, tot ORDER BY source""".stripMargin,
 
     // q226: bigram-type inventory via DISTINCT adjacent pairs; the
     // continuation count is a plain group count over types

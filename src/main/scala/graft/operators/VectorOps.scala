@@ -540,6 +540,17 @@ object VectorOps {
           round(min("x"), 6).as("x_min"),
           round(max("x"), 6).as("x_max"))),
 
+    // INT8 SCALAR-QUANTIZATION AUDIT — the compression decision every
+    // embedding store makes before PQ: per-vector symmetric int8
+    // (scale = max|x|/127, q_i = round(x_i/s), dequant q_i·s), audited
+    // per label by reconstruction MSE and worst absolute error. Spark
+    // shape: all per-element work is ONE codegen'd transform+aggregate
+    // over the array (no explode — at 100 TB the per-row fold beats a
+    // dim× row blow-up), per-row stats round to 8 then DECIMAL-sum per
+    // label, so the agg is order-exact. Zero vectors (s = 0) are
+    // guarded and counted.
+    "q228_int8_quant" -> ((s, d) => int8QuantAudit(emb(s, d))),
+
     // Batch KNN JOIN — top-k neighbors for a whole query set in ONE
     // job (the Spark-native serving form; SURVEY §2.4). Brute variant:
     // broadcast query set, single data scan, window top-k per query.
@@ -827,6 +838,41 @@ object VectorOps {
     })
   )
 
+  /** q228's audit over a (label, embedding) frame: per label, the
+    * reconstruction stats of per-vector symmetric int8 quantization.
+    * Split out so VectorSpec pins the closed forms: an all-zero
+    * vector is counted and contributes zero error; a vector whose
+    * components are exact multiples of max|x|/127 reconstructs
+    * EXACTLY (mse = 0); a known 2-component vector's mse matches the
+    * hand-computed value. */
+  private[graft] def int8QuantAudit(e: DataFrame): DataFrame = {
+    // materialize the per-row scale in its own projection step so the
+    // fold computing it runs once per ROW, not once per element
+    val staged = e.select(col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("s", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+    // s = 0 (zero vector) => every component is exactly 0: errors 0
+    val errs = when(col("s") === 0.0,
+      transform(col("v"), _ => lit(0.0))).otherwise(
+      transform(col("v"),
+        x => x - round(x / col("s"), 0) * col("s")))
+    val mse = aggregate(errs, lit(0.0), (a, x) => a + x * x) /
+      size(col("v")).cast("double")
+    val maxerr = aggregate(errs, lit(0.0),
+      (a, x) => greatest(a, abs(x)))
+    staged.select(col("label"),
+        round(mse, 8).cast("decimal(20,8)").as("mse8"),
+        round(maxerr, 8).as("me8"),
+        when(col("s") === 0.0, 1L).otherwise(0L).as("z"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("mse8")).cast("double") / count(lit(1)), 8)
+          .as("avg_mse"),
+        max(col("me8")).as("max_abs_err"),
+        sum(col("z")).as("n_zero_vecs"))
+  }
+
   /** q124's engine: exact radius search over the IVF bucketed layout.
     * Returns (result, bucketsProbed, totalNonEmptyBuckets) so specs
     * can assert soundness AND pruning without re-deriving the model. */
@@ -1031,6 +1077,34 @@ object VectorOps {
         |    AS mean_sq,
         |  round(min(x), 6) AS x_min, round(max(x), 6) AS x_max
         |FROM u GROUP BY dim""".stripMargin,
+    // q228: same per-row quantize→dequantize fold (1-arg round is
+    // half-away-from-zero in both engines, matching Spark's HALF_UP),
+    // same rounded-to-8 DECIMAL label sums
+    "q228_int8_quant" ->
+      """WITH b AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) / 127.0 AS s
+        |  FROM embeddings
+        |), er AS (
+        |  SELECT label, s, len(v) AS d,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v, x -> x - round(x / s) * s) END AS e
+        |  FROM b
+        |), r AS (
+        |  SELECT label,
+        |    CAST(round(list_sum(list_transform(e, x -> x * x))
+        |      / d, 8) AS DECIMAL(20,8)) AS mse8,
+        |    round(list_max(list_transform(e, x -> abs(x))), 8) AS me8,
+        |    CASE WHEN s = 0 THEN 1 ELSE 0 END AS z
+        |  FROM er
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(sum(mse8)::DOUBLE / count(*), 8) AS avg_mse,
+        |  max(me8) AS max_abs_err,
+        |  CAST(sum(z) AS BIGINT) AS n_zero_vecs
+        |FROM r GROUP BY label""".stripMargin,
+
     "q38_knn_rewrite" -> bruteOracle,
     "q26_knn_join_brute" -> knnJoinOracle,
     "q27_knn_join_ivf" -> knnJoinOracle,

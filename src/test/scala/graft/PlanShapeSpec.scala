@@ -662,6 +662,49 @@ class PlanShapeSpec extends SparkSpecBase {
       s"novelty aggs must map-side combine:\n$s")
   }
 
+  test("q227 KN bigram: 20-row broadcast side for the model joins, no windows") {
+    val s = operators.TextOps.queries("q227_kn_bigram")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"no window:\n$s")
+    // the top-k cut happens before the model joins: both lookups are
+    // broadcast joins with the 20-row side as build
+    assert("BroadcastHashJoin".r.findAllIn(s).size == 2,
+      s"context+continuation lookups must both broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no vocabulary-sized shuffle join:\n$s")
+  }
+
+  test("q228 int8 quant: per-row array fold, no explode, map-side combine") {
+    val s = operators.VectorOps.queries("q228_int8_quant")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Generate"),
+      s"per-element work is an array fold, never an explode:\n$s")
+    assert(s.contains("partial_"),
+      s"label aggs must map-side combine:\n$s")
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"one scan, one keyed agg, nothing else:\n$s")
+  }
+
+  test("q229 calibration: published frame is bounded bin-table work only") {
+    val df = operators.StatOps.queries("q229_calibration")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    // the corpus agg ran once into the <=10-row checkpointed bin
+    // table during construction; the published frame re-reads that —
+    // no join (the ECE is a literal), no window, no file scan
+    assert(!s.contains("Window"), s"no window:\n$s")
+    assert(!s.contains("Join"),
+      s"the ECE scalar is a literal, never a joined side:\n$s")
+    assert(!s.contains("FileScan") && !s.contains("BatchScan"),
+      s"published frame must not rescan the corpus:\n$s")
+  }
+
+  test("q230 mixture weights: one corpus scan into a source-keyed agg") {
+    val s = operators.TextOps.queries("q230_mixture_weights")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window") && !s.contains("Join"),
+      s"per-source totals + literal-scalar ratios only:\n$s")
+  }
+
   test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
     val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
       .queryExecution.executedPlan.toString

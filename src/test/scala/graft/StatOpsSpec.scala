@@ -225,6 +225,43 @@ class StatOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("threshold") == 5L) // all splits tie → min v
   }
 
+  test("calibration curve: perfectly calibrated frame has ECE 0") {
+    // 10 rows at pct=30 with exactly 3 positives: pred 0.3 == obs 0.3
+    val rows = (0 until 10).map(i => (30L, if (i < 3) 1L else 0L))
+    val r = StatOps.calibrationCurve(rows.toDF("pct", "y")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("bin") == 3L)
+    assert(r.head.getAs[Double]("pred_mean") == 0.3)
+    assert(r.head.getAs[Double]("obs_rate") == 0.3)
+    assert(r.head.getAs[Double]("abs_gap") == 0.0)
+    assert(r.head.getAs[Double]("ece") == 0.0)
+  }
+
+  test("calibration curve: constant-score frame's gap IS the ECE; " +
+      "pct=100 folds into bin 9") {
+    // 4 rows at pct=100, 1 positive: pred 1.0, obs 0.25, gap 0.75
+    val r = StatOps.calibrationCurve(
+      Seq((100L, 1L), (100L, 0L), (100L, 0L), (100L, 0L))
+        .toDF("pct", "y")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("bin") == 9L)
+    assert(r.head.getAs[Double]("abs_gap") == 0.75)
+    assert(r.head.getAs[Double]("ece") == 0.75)
+  }
+
+  test("calibration curve: ECE is the n-weighted gap average") {
+    // bin 0: 3 rows pct=0, all positive -> gap 1.0
+    // bin 9: 1 row pct=90, positive    -> gap 0.1
+    // ECE = (3*1.0 + 1*0.1) / 4 = 0.775
+    val r = StatOps.calibrationCurve(
+      Seq((0L, 1L), (0L, 1L), (0L, 1L), (90L, 1L)).toDF("pct", "y"))
+      .collect().map(x => x.getAs[Long]("bin") -> x).toMap
+    assert(r(0L).getAs[Double]("abs_gap") == 1.0)
+    assert(math.abs(r(9L).getAs[Double]("abs_gap") - 0.1) < 1e-9)
+    assert(r(0L).getAs[Double]("ece") == 0.775)
+    assert(r(9L).getAs[Double]("ece") == 0.775)
+  }
+
   test("inclusion audit: containment holds, misses counted exactly") {
     val a = Seq(1L, 2L, 2L, 3L, 9L).toDF("x")
     val b = Seq(1L, 2L, 3L, 4L).toDF("y")

@@ -373,6 +373,69 @@ class TextSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("q227 KN bigram: exact rational algebra on a crafted corpus") {
+    import spark.implicits._
+    // corpus: "san francisco" x5, "over the" / "under the" /
+    // "across the" -> bigram TYPES: (san,francisco), (over,the),
+    // (under,the), (across,the); T = 4.
+    val docs = Seq(
+      "san francisco", "san francisco", "san francisco",
+      "san francisco", "san francisco",
+      "over the", "under the", "across the"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextOps.knBigramProb(docs, k = 10).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) -> r)
+      .toMap
+    // (san, francisco): c12=5, c1=5, nl=1, cr=1, T=4
+    // num = max(20-3,0)*4 + 3*1*1 = 71; den = 4*5*4 = 80
+    val sf = rows(("san", "francisco"))
+    assert(sf.getAs[Long]("kn_num") == 71L)
+    assert(sf.getAs[Long]("kn_den") == 80L)
+    assert(sf.getAs[Double]("p_mle") == 1.0)
+    assert(sf.getAs[Double]("p_kn") == 0.8875)
+    // (over, the): c12=1, c1=1, nl=1, cr=3
+    // num = max(4-3,0)*4 + 3*1*3 = 13; den = 4*1*4 = 16
+    val ot = rows(("over", "the"))
+    assert(ot.getAs[Long]("kn_num") == 13L)
+    assert(ot.getAs[Long]("kn_den") == 16L)
+    assert(ot.getAs[Double]("p_kn") == 0.8125)
+    // smoothing strictly discounts the MLE everywhere (D > 0 and the
+    // backoff never fully restores it when cr < T)
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("p_kn") < r.getAs[Double]("p_mle") + 1e-9,
+        r.toString)
+    }
+  }
+
+  test("q230 mixture weights: uniform stays uniform, small sources " +
+      "get boosted above their raw share") {
+    import spark.implicits._
+    // equal sources: 2 docs x 3 tokens each -> all weights 0.5
+    val eq = Seq(("a", "x y z"), ("b", "p q r"))
+      .toDF("source", "text")
+    TextOps.mixtureWeights(eq).collect().foreach { r =>
+      assert(r.getAs[Double]("raw_share") == 0.5)
+      assert(r.getAs[Double]("weight") == 0.5)
+      assert(r.getAs[Double]("eff_epochs") == 1.0)
+    }
+    // skewed: source a has 16 tokens, b has 1 -> alpha=0.3 flattens:
+    // b's weight > b's raw share, a's weight < a's raw share;
+    // weights sum to ~1
+    val sk = Seq(
+      ("a", (1 to 16).map(i => s"w$i").mkString(" ")), ("b", "solo"))
+      .toDF("source", "text")
+    val m = TextOps.mixtureWeights(sk).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("b").getAs[Double]("weight") >
+      m("b").getAs[Double]("raw_share"))
+    assert(m("a").getAs[Double]("weight") <
+      m("a").getAs[Double]("raw_share"))
+    assert(math.abs(m("a").getAs[Double]("weight") +
+      m("b").getAs[Double]("weight") - 1.0) < 1e-5)
+    assert(m("b").getAs[Double]("eff_epochs") > 1.0)
+  }
+
   test("q226 continuation counts: frequency is not predictability") {
     import spark.implicits._
     // "san francisco" 5x: francisco is FREQUENT (5 occurrences) but

@@ -210,6 +210,34 @@ class VectorDistanceSpec extends SparkSpecBase {
     assert(math.abs(dot) / (na * nb) > 0.999,
       s"component direction drifted: ${math.abs(dot) / (na * nb)}")
   }
+
+  test("q228 int8 quant audit: zero vector, exact-grid vector, " +
+      "hand-computed error") {
+    import spark.implicits._
+    // label 0: zero vector -> counted, zero error
+    // label 1: components are exact multiples of s = 127/127 = 1.0
+    //   (max|x| = 127) -> reconstructs exactly, mse 0
+    // label 2: (1.0, 0.3): s = 1/127; 0.3/s = 38.1 -> q = 38;
+    //   deq = 38/127; err = 0.3 - 38/127; mse = err^2 / 2
+    val e = Seq(
+      (0, Array(0.0f, 0.0f)),
+      (1, Array(127.0f, 64.0f)),
+      (2, Array(1.0f, 0.3f))
+    ).toDF("label", "embedding")
+    val r = graft.operators.VectorOps.int8QuantAudit(e).collect()
+      .map(x => x.getAs[Int]("label") -> x).toMap
+    assert(r(0).getAs[Long]("n_zero_vecs") == 1L)
+    assert(r(0).getAs[Double]("avg_mse") == 0.0)
+    assert(r(0).getAs[Double]("max_abs_err") == 0.0)
+    assert(r(1).getAs[Double]("avg_mse") == 0.0)
+    assert(r(1).getAs[Long]("n_zero_vecs") == 0L)
+    val s = 1.0 / 127.0
+    val err = 0.3f.toDouble - math.round(0.3f.toDouble / s) * s
+    def r8(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(2).getAs[Double]("avg_mse") == r8(r8(err * err / 2.0)))
+    assert(r(2).getAs[Double]("max_abs_err") == r8(math.abs(err)))
+  }
 }
 
 object VectorFunctionsRegistrar {
