@@ -1844,6 +1844,37 @@ object ScaleOps {
         .select(col("rk"), col("doc_id"), col("skey"),
           lit(nDocs).as("n_docs"), lit(nKeys).as("n_keys"),
           lit(nDocs == nKeys).as("bijective"))
+    }),
+
+    // TEMPORAL BAND SELF-JOIN — the time twin of q207's spatial grid
+    // blocking and the batch shape of the stream-stream join bound:
+    // pairs of orders by the SAME customer placed within 7 days.
+    // Naively |t1−t2| ≤ δ is a per-customer cross join; blocked on
+    // bucket = day DIV 7, |d1−d2| ≤ 7 forces |bucket1−bucket2| ≤ 1,
+    // so ONE side replicates to its 3 neighbor buckets and the join
+    // is a plain (custkey, bucket) EQUI-join — hash-partitionable,
+    // never nested-loop. Each qualifying pair survives exactly once:
+    // one replica matches the probe bucket, and the okey< order keeps
+    // one orientation. Output: exact day-gap histogram + distinct
+    // customer census per gap — all integers.
+    "q231_band_join" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders").select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).as("day"))
+      val probe = o.withColumn("bucket", expr("day DIV 7"))
+      val repl = o.select(col("ck").as("ck2"), col("ok").as("ok2"),
+          col("day").as("day2"),
+          explode(array(expr("day DIV 7 - 1"), expr("day DIV 7"),
+            expr("day DIV 7 + 1"))).as("bucket"))
+      repl.join(probe,
+          col("ck2") === col("ck") && repl("bucket") === probe("bucket")
+            && col("ok2") < col("ok")
+            && abs(col("day2") - col("day")) <= 7)
+        .groupBy(abs(col("day2") - col("day")).as("gap_days"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ck")).as("n_customers"))
+        .orderBy("gap_days")
     })
   )
 
@@ -3229,6 +3260,22 @@ SELECT row_number() OVER (ORDER BY skey ASC) AS rk, doc_id, skey,
 FROM (SELECT * FROM k ORDER BY skey ASC LIMIT 20), cen
 ORDER BY rk"""
     },
+
+    // q231: the oracle joins on the raw inequality — DuckDB at sf0.01
+    // affords the per-customer quadratic the Spark side blocks away
+    "q231_band_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+        |      AS day
+        |  FROM orders
+        |)
+        |SELECT abs(a.day - b.day) AS gap_days,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.ck) AS BIGINT) AS n_customers
+        |FROM o a JOIN o b ON a.ck = b.ck AND a.ok < b.ok
+        |  AND abs(a.day - b.day) <= 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q203_sssp" -> {
       val rounds = (1 to 6).map { r =>

@@ -469,6 +469,36 @@ object StatOps {
           when(col("l_returnflag") === "R", 1L).otherwise(0L)
             .as("y")))),
 
+    // GROUPED EXACT LEAST SQUARES — per-source trend of document
+    // length over arrival order, the drift detector that says WHICH
+    // source is growing/shrinking its docs (q177's Zipf regression is
+    // global and rank-based; this is per-group over raw ids). The
+    // distributed part is ONE keyed agg of five integer moments
+    // (n, Σx, Σy, Σxy, Σx²) carried in DECIMAL(38,0); the closed-form
+    // slope/intercept algebra then runs on the |sources|-sized
+    // collected frame in exact BigInt (the q177/q182 bounded-driver
+    // discipline) — num/den never lose a bit, one double division
+    // per coefficient at the end.
+    "q232_group_trend" -> ((s, d) =>
+      groupedOls(Tables.load(s, d, "documents")
+        .select(col("source").as("g"), col("doc_id").as("x"),
+          length(col("text")).cast("long").as("y")))),
+
+    // GROUPED MEDIAN + MAD ROBUST OUTLIERS — the robust twin of
+    // q167's z-scores (mean/stddev break under the heavy tails
+    // crawl-length distributions actually have): per source, exact
+    // nearest-rank median, exact MAD (median of |x−med|), and the
+    // |x−med| > 5·MAD outlier census — every statistic an integer, so
+    // the oracle matches bit-exact. The selection never sorts rows:
+    // both medians run on the (group × distinct value) table (the
+    // q163 rank-selection shape) with a group-partitioned cumulative
+    // window, and the per-row passes are broadcast-joined against the
+    // |sources|-row med/mad tables.
+    "q233_mad_outliers" -> ((s, d) =>
+      groupedMadOutliers(Tables.load(s, d, "documents")
+        .select(col("source").as("g"),
+          length(col("text")).cast("long").as("x")), thr = 5)),
+
     // KMV SET OPERATIONS — overlap estimation between two corpus
     // snapshots WITHOUT joining them (Beyer et al., K-min synopses):
     // the 100TB story is comparing yesterday's and today's key sets
@@ -675,6 +705,82 @@ object StatOps {
     * DistributedPrefix, correct(t) = best-majority on both sides,
     * argmax by (correct desc, t asc). Split out so StatOpsSpec pins
     * a perfectly separable split and the all-one-class degenerate. */
+  /** q232's per-group exact OLS over a (g, x: long, y: long) frame:
+    * one keyed agg of integer moments in DECIMAL(38,0), closed-form
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
+    * (Σy·den − num·Σx)/(n·den) evaluated in exact BigInt on the
+    * collected |groups|-sized frame. den = 0 (constant x) yields
+    * zero slope/intercept with a flag, never a NaN. StatOpsSpec pins
+    * exact lines, shift invariance of the slope, and the den = 0
+    * guard. */
+  private[graft] def groupedOls(pts: DataFrame): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val moments = pts.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+      sum(d38(col("x")) * d38(col("x")))
+        .as("sxx")).collect()
+    def r8(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = moments.map { r =>
+      val n = BigInt(r.getLong(1))
+      def bi(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      val (sx, sy, sxy, sxx) = (bi(2), bi(3), bi(4), bi(5))
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      if (den == 0)
+        (r.getString(0), r.getLong(1), 0.0, 0.0, true)
+      else
+        (r.getString(0), r.getLong(1),
+          r8(num.toDouble / den.toDouble),
+          r6((sy * den - num * sx).toDouble / (n * den).toDouble),
+          false)
+    }
+    rows.toSeq.toDF("source", "n", "slope", "intercept", "degenerate")
+      .orderBy("source")
+  }
+
+  /** Exact nearest-rank grouped median over a (g, x: long) frame —
+    * rank ⌈n/2⌉ = (n+1) DIV 2, the lower median. Selection runs on
+    * the (g × distinct x) table with a group-partitioned cumulative
+    * window (bounded by the value domain, never the row count). */
+  private def groupedMedian(vals: DataFrame): DataFrame = {
+    val grp = vals.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("x")
+    val tot = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    grp.withColumn("cum", sum("c").over(w))
+      .join(tot, "g")
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("g").agg(min("x").as("med"))
+  }
+
+  /** q233's robust-outlier census over a (g, x: long) frame: per
+    * group, n, exact median, exact MAD, and the count of rows with
+    * |x − med| > thr·MAD. All integers; two rank selections + two
+    * broadcast joins of |groups|-row tables. StatOpsSpec pins the
+    * hand-computed closed forms including the even-count lower-median
+    * convention and the MAD = 0 (constant group) corner. */
+  private[graft] def groupedMadOutliers(vals: DataFrame, thr: Int)
+      : DataFrame = {
+    val meds = broadcast(groupedMedian(vals))
+    val dev = vals.join(meds, "g")
+      .select(col("g"), abs(col("x") - col("med")).as("x"))
+    val mads = broadcast(groupedMedian(dev)
+      .select(col("g"), col("med").as("mad")))
+    vals.join(meds, "g").join(mads, "g")
+      .groupBy(col("g").as("source"))
+      .agg(count(lit(1)).as("n"), min("med").as("median"),
+        min("mad").as("mad"),
+        sum(when(abs(col("x") - col("med")) >
+          lit(thr.toLong) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
   /** q229's reliability diagram over a (pct: 0..100 long, y: 0/1
     * long) frame: decile bins on the integer percent score (bin 9
     * also absorbs pct = 100), per-bin mean prediction Σpct/(100·n)
@@ -1078,6 +1184,61 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  round((best.correct - greatest(pp, n - pp))::DOUBLE / tot.n,
         |    6) AS gain
         |FROM best, tot""".stripMargin,
+
+    // q232: the same five integer moments in HUGEINT (128-bit — no
+    // bit ever lost), same closed-form rational, one double division
+    // per coefficient
+    "q232_group_trend" ->
+      """WITH p AS (
+        |  SELECT source AS g, doc_id::HUGEINT AS x,
+        |    length(text)::HUGEINT AS y
+        |  FROM documents
+        |), a AS (
+        |  SELECT g, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p GROUP BY g
+        |), f AS (
+        |  SELECT g, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den, sx, sy
+        |  FROM a
+        |)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den = 0 THEN 0.0
+        |    ELSE round(num::DOUBLE / den::DOUBLE, 8) END AS slope,
+        |  CASE WHEN den = 0 THEN 0.0
+        |    ELSE round((sy * den - num * sx)::DOUBLE
+        |      / (n * den)::DOUBLE, 6) END AS intercept,
+        |  (den = 0) AS degenerate
+        |FROM f ORDER BY source""".stripMargin,
+
+    // q233: identical nearest-rank selection over the (group x
+    // distinct value) table, twice; every output an integer
+    "q233_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT source AS g, length(text)::BIGINT AS x FROM documents
+        |), t AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY g),
+        |c1 AS (
+        |  SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum
+        |  FROM (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2)
+        |), m1 AS (
+        |  SELECT g, min(x) AS med
+        |  FROM c1 JOIN t USING (g) WHERE cum >= (n + 1) // 2
+        |  GROUP BY g
+        |), d AS (
+        |  SELECT v.g, abs(v.x - med) AS x FROM v JOIN m1 USING (g)
+        |), c2 AS (
+        |  SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum
+        |  FROM (SELECT g, x, count(*) AS c FROM d GROUP BY 1, 2)
+        |), m2 AS (
+        |  SELECT g, min(x) AS mad
+        |  FROM c2 JOIN t USING (g) WHERE cum >= (n + 1) // 2
+        |  GROUP BY g
+        |)
+        |SELECT g AS source, n, med AS median, mad,
+        |  CAST(sum(CASE WHEN abs(v.x - med) > 5 * mad THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_outliers
+        |FROM v JOIN m1 USING (g) JOIN m2 USING (g) JOIN t USING (g)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     // same integer percent binning, same ratio+rounded-gap algebra;
     // the ECE folds the <=10 bins through a DECIMAL sum

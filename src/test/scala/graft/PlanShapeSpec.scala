@@ -705,6 +705,36 @@ class PlanShapeSpec extends SparkSpecBase {
       s"per-source totals + literal-scalar ratios only:\n$s")
   }
 
+  test("q231 band join: equi-join on (customer, bucket), never nested-loop") {
+    val s = operators.ScaleOps.queries("q231_band_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      s"the band predicate must ride the bucket equi-join:\n$s")
+    assert(s.contains("Join"), s"pairs come from one join:\n$s")
+    assert(!s.contains("Window"), s"no window:\n$s")
+  }
+
+  test("q232 grouped OLS: published frame is the driver-side closed form") {
+    val s = operators.StatOps.queries("q232_group_trend")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // moments were one keyed agg during construction; the emitted
+    // frame is the |sources|-row local table — no rescans, no joins
+    assert(!s.contains("FileScan") && !s.contains("Join")
+      && !s.contains("Window"),
+      s"published frame must be bounded local work:\n$s")
+  }
+
+  test("q233 MAD outliers: rank selection on distinct values, broadcast med/mad") {
+    val s = operators.StatOps.queries("q233_mad_outliers")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"med and mad tables must broadcast back:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no row-count-sized shuffle join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+  }
+
   test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
     val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
       .queryExecution.executedPlan.toString

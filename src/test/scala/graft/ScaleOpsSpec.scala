@@ -936,6 +936,30 @@ class ScaleOpsSpec extends SparkSpecBase {
       assert(got.getLong(i) == expected(i), s"id=${probe(i)}"))
   }
 
+  test("q231 band join: blocked pairs == brute-force inequality join") {
+    import org.apache.spark.sql.functions._
+    // the bucket-blocked plan must find EXACTLY the pairs the naive
+    // per-customer cross join finds — including pairs whose buckets
+    // differ by 1 in either direction
+    val got = ScaleOps.queries("q231_band_join")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_customers")))
+      .toMap
+    val o = Tables.load(spark, sfDir, "orders").select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = (for {
+      a <- o; b <- o
+      if a._1 == b._1 && a._2 < b._2 && math.abs(a._3 - b._3) <= 7
+    } yield (math.abs(a._3 - b._3), a._1))
+    val expected = brute.groupBy(_._1).map { case (g, xs) =>
+      g -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must produce at least one band pair")
+  }
+
   /** Driver-side reference Feistel — same rounds in plain Scala. */
   private def feistelRef(id: Long): Long = {
     val ks = Seq(40503L, 11665L, 30841L, 22621L)

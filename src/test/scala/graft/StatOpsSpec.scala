@@ -225,6 +225,49 @@ class StatOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("threshold") == 5L) // all splits tie → min v
   }
 
+  test("grouped OLS: exact line, slope shift-invariance, den=0 guard") {
+    // perfect line y = 2x + 3
+    val line = Seq(("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L),
+      ("a", 3L, 9L)).toDF("g", "x", "y")
+    val r = StatOps.groupedOls(line).head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+    assert(!r.getAs[Boolean]("degenerate"))
+    // slope is invariant under an x shift; intercept moves by -2*1000
+    val shifted = StatOps.groupedOls(
+      line.select(col("g"), (col("x") + 1000L).as("x"), col("y")))
+      .head()
+    assert(shifted.getAs[Double]("slope") == 2.0)
+    assert(shifted.getAs[Double]("intercept") == 3.0 - 2000.0)
+    // constant x: den = 0 -> flagged, zeroed, never NaN
+    val const = StatOps.groupedOls(Seq(("c", 5L, 1L), ("c", 5L, 9L))
+      .toDF("g", "x", "y")).head()
+    assert(const.getAs[Boolean]("degenerate"))
+    assert(const.getAs[Double]("slope") == 0.0)
+  }
+
+  test("grouped MAD: hand-computed medians, even-count lower median, " +
+      "constant group") {
+    // odd group: values 1,2,3,4,100 -> med 3; |x-3| sorted
+    // 0,1,1,2,97 -> mad 1; |x-3| > 5 only for 100
+    val v = (Seq(1L, 2L, 3L, 4L, 100L).map(("odd", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("even", _)) ++
+      Seq(7L, 7L, 7L).map(("const", _))).toDF("g", "x")
+    val r = StatOps.groupedMadOutliers(v, thr = 5).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("odd").getAs[Long]("median") == 3L)
+    assert(r("odd").getAs[Long]("mad") == 1L)
+    assert(r("odd").getAs[Long]("n_outliers") == 1L)
+    // even count: nearest-rank (n+1) DIV 2 = 2 -> LOWER median 2
+    assert(r("even").getAs[Long]("median") == 2L)
+    assert(r("even").getAs[Long]("mad") == 1L)
+    assert(r("even").getAs[Long]("n_outliers") == 0L)
+    // constant group: mad 0, strict > keeps outliers at 0
+    assert(r("const").getAs[Long]("median") == 7L)
+    assert(r("const").getAs[Long]("mad") == 0L)
+    assert(r("const").getAs[Long]("n_outliers") == 0L)
+  }
+
   test("calibration curve: perfectly calibrated frame has ECE 0") {
     // 10 rows at pct=30 with exactly 3 positives: pred 0.3 == obs 0.3
     val rows = (0 until 10).map(i => (30L, if (i < 3) 1L else 0L))
