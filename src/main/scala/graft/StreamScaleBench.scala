@@ -69,10 +69,10 @@ object StreamScaleBench {
     * (observed: an entire planted session vanishing at n=2k). So the
     * mtimes are re-stamped strictly increasing in slab order; the
     * path name is then only documentation. */
-  private def writeSrc(df: DataFrame, dir: java.io.File,
-      parts: Int): String = {
+  private[graft] def writeSrc(df: DataFrame, dir: java.io.File,
+      parts: Int, byCol: String = "ts"): String = {
     val stage = new java.io.File(dir, "stage")
-    df.repartitionByRange(parts, col("ts"))
+    df.repartitionByRange(parts, col(byCol))
       .write.mode("overwrite").parquet(stage.getAbsolutePath)
     val src = new java.io.File(dir, "src"); src.mkdirs()
     val t0 = System.currentTimeMillis()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
@@ -466,9 +466,105 @@ object StreamGateOps {
       Seq((n, first, second, first == n && second == n))
         .toDF("n_events", "after_first_run", "after_second_run",
           "exactly_once")
+    }),
+
+    // STREAMING NEAR-DUP LSH GATE — the production crawl-ingestion
+    // shape no batch query covers: MinHash-LSH dedup applied
+    // INCREMENTALLY as micro-batches arrive, with a persistent bucket
+    // store accumulating across batches. Dedup rule (order-free, so
+    // the batch twin can recompute it): a doc survives iff it is the
+    // MINIMUM doc_id in EVERY band bucket it occupies. Incrementally,
+    // with id-ordered micro-batches (8 range slabs, mtime-ordered):
+    // drop a doc if any of its buckets is already in the store (an
+    // earlier, smaller-id doc owns it) or if it isn't the batch-local
+    // bucket minimum; then add ALL the batch's buckets — of dropped
+    // docs too, since occupancy is what poisons a bucket — to the
+    // store. foreachBatch runs sequentially, so store reads/writes
+    // never race. Equivalence to the global rule is checked in-engine
+    // (survivor sets compared as multisets); the gate row carries the
+    // DuckDB-checkable census + the must-be-zero diff counts (the q47
+    // discipline — xxhash band keys can never value-match another
+    // engine, the EQUIVALENCE is the oracle-visible fact).
+    "q234_stream_lsh_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("lshstream", d)
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      def bandsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.DistinctShingles.column(
+            TextOps.tokens(col("text")), 3).as("sh"))
+        // empty shingle sets: constant MinHash signature -> one mega
+        // bucket; sub-3-token docs carry no bands and always survive
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graft.MinHashBands.column(
+            col("sh"), numHashes = 64, bands = 16))
+          .as(Seq("band", "bkey")))
+      val storeDir = dir + "/store"
+      val keptDir = dir + "/kept"
+      val srcDir = {
+        val f = new java.io.File(dir)
+        if (!new java.io.File(f, "src").exists())
+          graft.StreamScaleBench.writeSrc(docs, f, parts = 8,
+            byCol = "doc_id")
+        new java.io.File(f, "src").getAbsolutePath
+      }
+      if (!new java.io.File(keptDir).exists()) {
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream
+          .option("checkpointLocation", dir + "/cp")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val bb = bandsOf(b).localCheckpoint(true)
+            val store: Option[DataFrame] =
+              if (new java.io.File(storeDir).exists())
+                Some(s.read.parquet(storeDir)) else None
+            val conflicted = store.map(st =>
+              bb.join(st, Seq("band", "bkey"), "left_semi"))
+              .getOrElse(bb.limit(0))
+              .select("doc_id").distinct()
+            val notMin = bb
+              .join(bb.groupBy("band", "bkey")
+                .agg(min("doc_id").as("mn")), Seq("band", "bkey"))
+              .filter(col("doc_id") =!= col("mn"))
+              .select("doc_id").distinct()
+            val dropped = conflicted.union(notMin).distinct()
+            b.select("doc_id")
+              .join(dropped, Seq("doc_id"), "left_anti")
+              .write.mode(SaveMode.Append).parquet(keptDir)
+            bb.select("band", "bkey").distinct()
+              .write.mode(SaveMode.Append).parquet(storeDir)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val streamKept = s.read.parquet(keptDir).select("doc_id")
+      // batch twin of the same rule, one global pass
+      val allBands = bandsOf(docs)
+      val losers = allBands
+        .join(allBands.groupBy("band", "bkey")
+          .agg(min("doc_id").as("mn")), Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("mn"))
+        .select("doc_id").distinct()
+      val batchKept = docs.select("doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+      val missed = batchKept.exceptAll(streamKept).count()
+      val extra = streamKept.exceptAll(batchKept).count()
+      val nDocs = docs.count()
+      Seq((nDocs, missed, extra, missed == 0L && extra == 0L))
+        .toDF("n_docs", "missed", "extra", "stream_eq_batch")
     }))
 
   val oracles: Map[String, String] = Map(
+    // q234: band keys are engine-local (xxhash); what DuckDB checks is
+    // the census + the zero diff counts + the equivalence flag (q47
+    // discipline — the assertion itself is the oracle-visible fact)
+    "q234_stream_lsh_gate" ->
+      """SELECT count(*) AS n_docs, 0::BIGINT AS missed,
+        |  0::BIGINT AS extra, true AS stream_eq_batch
+        |FROM documents""".stripMargin,
     "q178_stream_idempotent_gate" ->
       """SELECT count(*) AS n_events, count(*) AS after_first_run,
         |  count(*) AS after_second_run, true AS exactly_once

@@ -436,4 +436,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Long]("late_in_sink") == 0)
     assert(r.getAs[Long]("events_in_sink") == r.getAs[Long]("n_events"))
   }
+
+  test("q234 stream LSH gate: cross-batch planted dups make the " +
+      "bucket store load-bearing; incremental == global rule") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // 200 docs in 8 id-range slabs of 25; doc i and i+100 carry
+    // IDENTICAL text (identical shingles -> identical 16 band keys),
+    // so every planted conflict crosses a micro-batch boundary and
+    // must be caught by the PERSISTENT store, not batch-local dedup.
+    // A store that forgot dropped docs' buckets, or read after its
+    // own append, would break the in-engine equivalence flag.
+    val dir = Files.createTempDirectory("lsh_gate_fixture_").toFile
+    (0L until 200L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta d${i % 100}"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.getAbsolutePath + "/documents.parquet")
+    val r = operators.StreamGateOps
+      .queries("q234_stream_lsh_gate")(spark, dir.getAbsolutePath)
+      .head()
+    assert(r.getAs[Long]("n_docs") == 200L)
+    assert(r.getAs[Long]("missed") == 0L, r.toString)
+    assert(r.getAs[Long]("extra") == 0L, r.toString)
+    assert(r.getAs[Boolean]("stream_eq_batch"))
+    Util.deleteRecursively(dir)
+  }
+
+  test("q234 stream LSH gate holds on the test corpus") {
+    val r = operators.StreamGateOps
+      .queries("q234_stream_lsh_gate")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("stream_eq_batch"), r.toString)
+    assert(r.getAs[Long]("missed") == 0L && r.getAs[Long]("extra") == 0L)
+  }
 }
