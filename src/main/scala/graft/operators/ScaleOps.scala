@@ -1875,8 +1875,80 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("ck")).as("n_customers"))
         .orderBy("gap_days")
-    })
+    }),
+
+    // ZONE-MAP PRUNING FORECAST — "sort your data" QUANTIFIED, the
+    // lakehouse-planning twin of q220's join forecast: for a set of
+    // range predicates on doc length, how many 1000-row shards could
+    // a min/max zone map skip under (a) the ARRIVAL layout (shard =
+    // doc_id range) vs (b) the length-SORTED layout — without ever
+    // materializing layout (b): its per-shard min/max come from the
+    // value-domain cumulative table alone (value v spans sorted
+    // shards (cum−c) DIV S .. (cum−1) DIV S), the q163/q233
+    // rank-selection discipline. Every count is an integer; the skip
+    // ratio and exact selectivity divide once.
+    "q236_zonemap_forecast" -> ((s, d) =>
+      zonemapForecast(Tables.load(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("v")),
+        shardSize = 1000L,
+        preds = Seq((0L, 199L), (200L, 299L), (300L, 399L),
+          (310L, 329L), (400L, 100000L))))
   )
+
+  /** q236's forecast over a (doc_id, v) frame: per (layout,
+    * predicate), shard census, zone-map-skippable shard count, and
+    * the exact row selectivity. ScaleOpsSpec pins the closed forms on
+    * a crafted frame (sorted layout skips everything outside the
+    * value band; arrival layout with interleaved values skips
+    * nothing) and the span-table identity (Σ spans == shard count
+    * when every shard is non-empty). */
+  private[graft] def zonemapForecast(rows: DataFrame, shardSize: Long,
+      preds: Seq[(Long, Long)]): DataFrame = {
+    val s = rows.sparkSession
+    // layout (a): arrival shards, one keyed agg
+    val arrival = rows.groupBy(expr(s"doc_id DIV $shardSize").as("shard"))
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    // layout (b): sorted-shard stats from the value-domain cumulative
+    // table — the |domain|-sized bounded rank (q224 idiom), never a
+    // per-row global sort
+    val w = Window.partitionBy(lit(1)).orderBy(col("v").asc)
+    val spans = rows.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .select(col("v"), explode(sequence(
+        expr(s"(cum - c) DIV $shardSize"),
+        expr(s"(cum - 1) DIV $shardSize"))).as("shard"))
+    val sorted = spans.groupBy("shard")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    val predCol = explode(array(preds.map { case (lo, hi) =>
+      struct(lit(lo).as("lo"), lit(hi).as("hi")) }: _*))
+    def forecast(stats: DataFrame, layout: String): DataFrame = stats
+      .select(col("mn"), col("mx"), predCol.as("p"))
+      .groupBy(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("mx") < col("p.lo") || col("mn") > col("p.hi"),
+          1L).otherwise(0L)).as("n_skipped"))
+      .withColumn("layout", lit(layout))
+    // exact selectivity per predicate: one conditional-sum scan
+    val selRow = rows.agg(count(lit(1)).as("n"),
+      preds.map { case (lo, hi) =>
+        sum(when(col("v") >= lo && col("v") <= hi, 1L).otherwise(0L))
+          .as(s"m_${lo}_$hi") }: _*).head()
+    val n = selRow.getLong(0)
+    val sel = preds.zipWithIndex.map { case ((lo, hi), i) =>
+      (lo, hi, selRow.getLong(i + 1)) }
+    import s.implicits._
+    val selDf = broadcast(sel.toDF("lo", "hi", "n_match"))
+    forecast(arrival, "arrival").union(forecast(sorted, "sorted"))
+      .join(selDf, Seq("lo", "hi"))
+      .select(col("layout"), col("lo"), col("hi"), col("n_shards"),
+        col("n_skipped"),
+        round(col("n_skipped").cast("double")
+          / col("n_shards").cast("double"), 6).as("skip_ratio"),
+        col("n_match"),
+        round(col("n_match").cast("double") / lit(n.toDouble), 6)
+          .as("selectivity"))
+      .orderBy(col("layout"), col("lo"))
+  }
 
   /** q224's permutation key: 4-round balanced Feistel over 16-bit
     * halves — a bijection of [0, 2^32) built from pure codegen integer
@@ -3260,6 +3332,48 @@ SELECT row_number() OVER (ORDER BY skey ASC) AS rk, doc_id, skey,
 FROM (SELECT * FROM k ORDER BY skey ASC LIMIT 20), cen
 ORDER BY rk"""
     },
+
+    // q236: identical arrival shards, identical span algebra for the
+    // sorted layout (value v covers sorted shards (cum−c)//S ..
+    // (cum−1)//S), identical skip condition — integers everywhere
+    "q236_zonemap_forecast" ->
+      """WITH r AS (
+        |  SELECT doc_id, length(text)::BIGINT AS v FROM documents
+        |), pr AS (
+        |  SELECT * FROM (VALUES (0::BIGINT, 199::BIGINT), (200, 299),
+        |    (300, 399), (310, 329), (400, 100000)) AS t(lo, hi)
+        |), arr AS (
+        |  SELECT doc_id // 1000 AS shard, min(v) AS mn, max(v) AS mx
+        |  FROM r GROUP BY 1
+        |), cumt AS (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cum
+        |  FROM (SELECT v, count(*) AS c FROM r GROUP BY v)
+        |), spans AS (
+        |  SELECT v, unnest(range(CAST((cum - c) // 1000 AS BIGINT),
+        |    CAST((cum - 1) // 1000 + 1 AS BIGINT))) AS shard
+        |  FROM cumt
+        |), srt AS (
+        |  SELECT shard, min(v) AS mn, max(v) AS mx FROM spans GROUP BY 1
+        |), u AS (
+        |  SELECT 'arrival' AS layout, lo, hi, mn, mx FROM arr, pr
+        |  UNION ALL
+        |  SELECT 'sorted' AS layout, lo, hi, mn, mx FROM srt, pr
+        |), f AS (
+        |  SELECT layout, lo, hi, count(*)::BIGINT AS n_shards,
+        |    CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_skipped
+        |  FROM u GROUP BY 1, 2, 3
+        |), tot AS (SELECT count(*)::BIGINT AS n FROM r),
+        |sel AS (
+        |  SELECT lo, hi, CAST(sum(CASE WHEN v BETWEEN lo AND hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM r, pr GROUP BY 1, 2
+        |)
+        |SELECT layout, lo, hi, n_shards, n_skipped,
+        |  round(n_skipped::DOUBLE / n_shards, 6) AS skip_ratio,
+        |  n_match, round(n_match::DOUBLE / n, 6) AS selectivity
+        |FROM f JOIN sel USING (lo, hi), tot
+        |ORDER BY layout, lo""".stripMargin,
 
     // q231: the oracle joins on the raw inequality — DuckDB at sf0.01
     // affords the per-customer quadratic the Spark side blocks away

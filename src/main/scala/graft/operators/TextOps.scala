@@ -1007,6 +1007,40 @@ object TextOps {
     "q227_kn_bigram" -> ((s, d) =>
       knBigramProb(Tables.load(s, d, "documents"), k = 20)),
 
+    // CONTENT-DEFINED CHUNKING DEDUP — the storage-dedup pass (LBFS /
+    // restic-style CDC, token granularity): a chunk boundary falls
+    // AFTER any token whose character-code sum ≡ 7 (mod 8), so
+    // boundaries are CONTENT-LOCAL — an insertion re-chunks only its
+    // own neighborhood, unlike q74's fixed-size chunking where one
+    // shifted token re-fingerprints every downstream chunk. Chunks
+    // are md5-fingerprinted; output = corpus dedup census (total vs
+    // distinct chunks, mean chunk length) + the top-10 most repeated
+    // chunks. One doc-keyed exchange (the per-doc position window);
+    // everything after the chunk table is fingerprint-keyed aggs.
+    "q235_cdc_chunks" -> ((s, d) => {
+      val ch = cdcChunks(Tables.load(s, d, "documents"))
+        .localCheckpoint(true) // feeds the census AND the top-10
+      val tot = ch.agg(count(lit(1)).as("nc"),
+        countDistinct(col("fp")).as("nd"),
+        sum(col("ntok")).as("nt")).head()
+      val (nC, nD, nT) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("n_occ").desc, col("fp").asc)
+      ch.groupBy("fp")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("ntok")).as("tok_len"))
+        .orderBy(col("n_occ").desc, col("fp").asc).limit(10)
+        .withColumn("rk", row_number().over(w)) // bounded 10-row rank
+        .select(col("rk"), col("fp"), col("n_occ"), col("n_docs"),
+          col("tok_len"), lit(nC).as("n_chunks_total"),
+          lit(nD).as("n_distinct_total"),
+          round(lit(nD.toDouble) / lit(nC.toDouble), 6)
+            .as("dedup_ratio"),
+          round(lit(nT.toDouble) / lit(nC.toDouble), 6)
+            .as("mean_chunk_tokens"))
+    }),
+
     // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multi-source sampling
     // schedule (the alpha = 0.3 smoothing exponent of XLM-R / GPT-3
     // style mixtures): w_s ∝ n_s^alpha flattens the source-size
@@ -1108,6 +1142,38 @@ object TextOps {
         round(col("c12").cast("double") / col("c1"), 6).as("p_mle"),
         round(num.cast("double") / den.cast("double"), 6).as("p_kn"))
       .orderBy(col("c12").desc, col("t1").asc, col("t2").asc)
+  }
+
+  /** q235's chunk table over a (doc_id, text) frame: one row per
+    * content-defined chunk with its md5 fingerprint and token count.
+    * Boundary rule: after any token whose char-code sum ≡ 7 (mod 8);
+    * a token's chunk index is the count of boundary tokens BEFORE it
+    * (exclusive prefix sum over the per-doc position window).
+    * TextSpec pins the content-locality property: inserting a prefix
+    * re-fingerprints only the chunk it lands in — every later chunk
+    * fingerprint survives (the fixed-size chunker's q74 shift destroys
+    * them all). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def charSum(t: Column): Column = when(length(t) === 0, lit(0L))
+      .otherwise(aggregate(sequence(lit(1), length(t)), lit(0L),
+        (acc, i) => acc + ascii(t.substr(i, lit(1)))))
+    val pos = docs.filter(size(toks) >= 1)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .withColumn("b",
+        when(charSum(col("t")) % 8 === 7, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    pos.withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("ntok"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("txt"))
+      .select(col("doc_id"), col("chunk"), md5(col("txt")).as("fp"),
+        col("ntok"))
   }
 
   /** q230's mixture-weight table over a (source, text) frame: per
@@ -1899,6 +1965,48 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round((greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
         |    ::DOUBLE / (4 * c1 * n_types), 6) AS p_kn
         |FROM top JOIN ctx USING (t1) JOIN cont USING (t2), t""".stripMargin,
+
+    // q235: identical boundary rule (char-code sum mod 8), identical
+    // exclusive prefix-sum chunk assignment, identical md5 over the
+    // space-joined chunk — census and top-10 match exactly
+    "q235_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS l
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, i AS pos, l[i] AS t,
+        |    CASE WHEN list_sum([ascii(l[i][j:j])
+        |        for j in range(1, len(l[i]) + 1)]) % 8 = 7
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tk, unnest(range(1, len(l) + 1)) AS u(i)
+        |), wc AS (
+        |  SELECT doc_id, pos, t,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM p
+        |), ch AS (
+        |  SELECT doc_id, chunk, count(*) AS ntok,
+        |    md5(string_agg(t, ' ' ORDER BY pos)) AS fp
+        |  FROM wc GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS nc,
+        |    count(DISTINCT fp)::BIGINT AS nd,
+        |    CAST(sum(ntok) AS BIGINT) AS nt
+        |  FROM ch
+        |), top AS (
+        |  SELECT fp, count(*)::BIGINT AS n_occ,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    CAST(min(ntok) AS BIGINT) AS tok_len
+        |  FROM ch GROUP BY fp ORDER BY n_occ DESC, fp ASC LIMIT 10
+        |)
+        |SELECT row_number() OVER (ORDER BY n_occ DESC, fp ASC) AS rk,
+        |  fp, n_occ, n_docs, tok_len,
+        |  nc AS n_chunks_total, nd AS n_distinct_total,
+        |  round(nd::DOUBLE / nc, 6) AS dedup_ratio,
+        |  round(nt::DOUBLE / nc, 6) AS mean_chunk_tokens
+        |FROM top, tot""".stripMargin,
 
     // q230: same rounded-pow DECIMAL fold; the exact sum converts to
     // double once, ratios divide in plain double

@@ -735,6 +735,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
   }
 
+  test("q235 CDC chunks: published frame is fp-keyed aggs + fused TopN") {
+    val s = operators.TextOps.queries("q235_cdc_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the per-doc position window ran once into the checkpointed
+    // chunk table; the published frame aggregates that and fuses the
+    // top-10 — only the bounded 10-row rank may window
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-10 must fuse, not globally sort:\n$s")
+    assert("Window".r.findAllIn(s).size <= 1,
+      s"only the bounded 10-row rank may window:\n$s")
+    assert(!s.contains("FileScan"),
+      s"published frame must reuse the checkpointed chunk table:\n$s")
+  }
+
+  test("q236 zonemap forecast: shard stats + broadcast selectivity join only") {
+    val s = operators.ScaleOps.queries("q236_zonemap_forecast")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the 5-row selectivity table must broadcast:\n$s")
+    assert("Window".r.findAllIn(s).size <= 1,
+      s"only the value-domain cumulative table may window:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"nothing here is big enough to shuffle-join:\n$s")
+  }
+
   test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
     val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -936,6 +936,29 @@ class ScaleOpsSpec extends SparkSpecBase {
       assert(got.getLong(i) == expected(i), s"id=${probe(i)}"))
   }
 
+  test("q236 zonemap forecast: sorted layout prunes, interleaved " +
+      "arrival layout cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 rows, v = doc_id % 4 (fully interleaved), shards of 10:
+    // arrival shards all span [0,3]; the sorted layout gives each
+    // value its own shard — the forecast must show 0 vs 3 skips
+    val rows = spark.range(40).select(col("id").as("doc_id"),
+      (col("id") % 4).as("v"))
+    val got = ScaleOps.zonemapForecast(rows, shardSize = 10L,
+        preds = Seq((0L, 0L), (1L, 2L), (5L, 9L))).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("lo")) ->
+        (r.getAs[Long]("n_shards"), r.getAs[Long]("n_skipped"),
+          r.getAs[Long]("n_match"), r.getAs[Double]("selectivity")))
+      .toMap
+    assert(got(("arrival", 0L)) == ((4L, 0L, 10L, 0.25)))
+    assert(got(("arrival", 1L)) == ((4L, 0L, 20L, 0.5)))
+    assert(got(("arrival", 5L)) == ((4L, 4L, 0L, 0.0)))
+    assert(got(("sorted", 0L)) == ((4L, 3L, 10L, 0.25)))
+    assert(got(("sorted", 1L)) == ((4L, 2L, 20L, 0.5)))
+    assert(got(("sorted", 5L)) == ((4L, 4L, 0L, 0.0)))
+  }
+
   test("q231 band join: blocked pairs == brute-force inequality join") {
     import org.apache.spark.sql.functions._
     // the bucket-blocked plan must find EXACTLY the pairs the naive

@@ -436,6 +436,40 @@ class TextSpec extends SparkSpecBase {
     assert(m("b").getAs[Double]("eff_epochs") > 1.0)
   }
 
+  test("q235 CDC chunks: content-locality — an inserted prefix " +
+      "re-fingerprints ONE chunk, fixed-size would shift them all") {
+    import spark.implicits._
+    // 'g' (103 % 8 = 7) is a boundary token; 'x' (120 % 8 = 0) is not
+    val a = Seq((0L, "a b g c d g e f")).toDF("doc_id", "text")
+    val b = Seq((1L, "x a b g c d g e f")).toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      TextOps.cdcChunks(df).collect()
+        .map(r => r.getAs[Long]("chunk") -> r.getAs[String]("fp"))
+        .sortBy(_._1)
+    val fa = fps(a); val fb = fps(b)
+    // same chunk structure: [.. g][c d g][e f]
+    assert(fa.length == 3 && fb.length == 3)
+    // first chunk differs (the insertion landed there)...
+    assert(fa.head._2 != fb.head._2)
+    // ...every later chunk fingerprint SURVIVES the insertion
+    assert(fa.drop(1).map(_._2) == fb.drop(1).map(_._2))
+  }
+
+  test("q235 CDC chunks: boundary rule and census are exact") {
+    import spark.implicits._
+    // "g" ends a chunk; trailing boundary produces no empty chunk
+    val one = TextOps.cdcChunks(
+      Seq((0L, "a g b g")).toDF("doc_id", "text")).collect()
+    assert(one.length == 2)
+    assert(one.map(_.getAs[Long]("ntok")).sorted.toSeq == Seq(2L, 2L))
+    // identical docs dedup to the same fingerprints
+    val dup = TextOps.cdcChunks(
+      Seq((0L, "a b g c d"), (1L, "a b g c d"))
+        .toDF("doc_id", "text"))
+      .groupBy("fp").count().collect()
+    assert(dup.length == 2 && dup.forall(_.getAs[Long]("count") == 2L))
+  }
+
   test("q226 continuation counts: frequency is not predictability") {
     import spark.implicits._
     // "san francisco" 5x: francisco is FREQUENT (5 occurrences) but
