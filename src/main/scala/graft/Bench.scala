@@ -49,7 +49,14 @@ object Bench {
     // round-8 second wave: the fixpoint peel (round count = peel
     // depth, live-edge volume shrinks), the wedge-enumeration pair
     // generators (Σ C(deg,2) claims), and the 6-half-round HITS chain
-    "q197_kcore", "q198_link_predict", "q200_hits", "q201_butterflies")
+    "q197_kcore", "q198_link_predict", "q200_hits", "q201_butterflies",
+    // round-8 third wave: the shingle-inventory novelty join (first-
+    // occurrence volume tracks distinct shingles), the bucket-blocked
+    // band self-join (pair growth is the risk the blocking bounds),
+    // the streaming LSH gate (persistent bucket store grows with the
+    // corpus), and the CDC chunk window + fp aggs
+    "q225_ngram_novelty", "q231_band_join", "q234_stream_lsh_gate",
+    "q235_cdc_chunks")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead
