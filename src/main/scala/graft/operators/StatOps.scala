@@ -469,6 +469,30 @@ object StatOps {
           when(col("l_returnflag") === "R", 1L).otherwise(0L)
             .as("y")))),
 
+    // HILL TAIL-INDEX ESTIMATOR (Hill 1975) — how heavy is the
+    // document-length tail? α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    // top-k order statistics; small α means the 99.9th-percentile
+    // doc dominates shard sizing and skew planning. The distributed
+    // part is ONE TakeOrdered of k+1 values (k = 100, bounded); the
+    // estimator folds rounded-to-8 ln terms through exact BigDecimal
+    // on the driver (the q177 Zipf discipline). Also emitted: the
+    // implied tail-halving ratio P(X>2t)/P(X>t) = 2^−α̂.
+    "q237_hill_tail" -> ((s, d) =>
+      hillTail(Tables.load(s, d, "documents")
+        .select(length(col("text")).cast("long").as("x")), k = 100)),
+
+    // EMBEDDING ANISOTROPY AUDIT — the representation-health check
+    // (Ethayarajh 2019): the mean pairwise cosine over ALL n² vector
+    // pairs, computed WITHOUT any pair join via the moment identity
+    //   mean_{i≠j} cos(vᵢ,vⱼ) = (‖Σ v̂ᵢ‖² − n) / (n(n−1))
+    // — one O(n·d) pass for an O(n²) statistic; at 100 TB this is
+    // the difference between a scan and an impossible self-join.
+    // Normalized components round to 8 and sum per dimension in
+    // DECIMAL (order-exact); the norm² of the summed vector folds the
+    // same way. Emitted globally and per label (within-class
+    // anisotropy), each from the same single pass.
+    "q238_anisotropy" -> ((s, d) => anisotropy(emb2(s, d))),
+
     // GROUPED EXACT LEAST SQUARES — per-source trend of document
     // length over arrival order, the drift detector that says WHICH
     // source is growing/shrinking its docs (q177's Zipf regression is
@@ -705,6 +729,100 @@ object StatOps {
     * DistributedPrefix, correct(t) = best-majority on both sides,
     * argmax by (correct desc, t asc). Split out so StatOpsSpec pins
     * a perfectly separable split and the all-one-class degenerate. */
+  private def emb2(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings").select(col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** q237's Hill estimator over an (x: long) frame: top-(k+1) order
+    * statistics via one TakeOrdered, rounded-ln fold in exact
+    * BigDecimal on the driver. Degenerate (fewer than k+1 rows,
+    * non-positive threshold, or a zero ln-sum — all top values equal
+    * the threshold) is flagged, never a NaN. StatOpsSpec pins the
+    * closed form on an exact-Pareto fixture and the degenerate
+    * corners. */
+  private[graft] def hillTail(vals: DataFrame, k: Int): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val top = vals.orderBy(col("x").desc).limit(k + 1)
+      .collect().map(_.getLong(0))
+    val n = vals.count()
+    def r8(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val out =
+      if (top.length < k + 1 || top(k) <= 0L)
+        (n, k.toLong, if (top.length > k) top(k) else 0L, 0.0, 0.0,
+          true)
+      else {
+        val thr = top(k)
+        val sumLn = top.take(k)
+          .map(x => r8(math.log(x.toDouble / thr.toDouble))).sum
+        if (sumLn.signum == 0) (n, k.toLong, thr, 0.0, 0.0, true)
+        else {
+          val alpha = k.toDouble / sumLn.toDouble
+          (n, k.toLong, thr, r6(alpha), r6(math.pow(2.0, -alpha)),
+            false)
+        }
+      }
+    Seq(out).toDF("n", "k", "x_threshold", "alpha", "tail_halving",
+      "degenerate")
+  }
+
+  /** q238's anisotropy audit over a (label, v: array<double>) frame:
+    * mean pairwise cosine over all ordered pairs i ≠ j via the moment
+    * identity ‖Σû‖² − Σ‖ûᵢ‖², one O(n·d) pass, no pair join. Each
+    * normalized component is fixed to the integer round(x/‖v‖·1e8)
+    * in BOTH engines, so every cross-row sum is exact integer
+    * algebra (per-dimension sums and per-row square sums ride
+    * DECIMAL(38,0); the norm² of the summed vector folds in BigInt on
+    * the |labels|·dim collected frame). Zero vectors contribute zero
+    * dot products and are counted. StatOpsSpec pins the identity
+    * against a brute pairwise loop and the closed forms (identical
+    * vectors → 1, an orthogonal pair → 0). */
+  private[graft] def anisotropy(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val m = when(nrm === 0.0, transform(col("v"), _ => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => round(x / nrm * lit(1e8), 0).cast("long")))
+    val staged = e.select(col("label"), m.as("m")).cache()
+    val rowStats = staged.select(col("label"),
+        aggregate(col("m"), lit(0L), (a, x) => a + x * x)
+          .cast("decimal(38,0)").as("q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("nl"), sum("q").as("ql")).collect()
+    val dimSums = staged
+      .select(col("label"), posexplode(col("m")).as(Seq("pos", "mx")))
+      .groupBy("label", "pos")
+      .agg(sum(col("mx").cast("decimal(38,0)")).as("sl")).collect()
+    staged.unpersist()
+    def bi(d: java.math.BigDecimal) = BigInt(d.toBigInteger)
+    val byLabel = dimSums.groupBy(_.getInt(0))
+    val perLabel = rowStats.map { r =>
+      val lab = r.getInt(0)
+      val nl = r.getLong(1)
+      val ql = bi(r.getDecimal(2))
+      val sums = byLabel(lab).map(x => bi(x.getDecimal(2)))
+      val normSq = sums.map(v => v * v).sum
+      (lab, nl, ql, normSq)
+    }.sortBy(_._1)
+    // global: per-dimension sums add across labels; Σ‖û‖² adds too
+    val gN = perLabel.map(_._2).sum
+    val gQ = perLabel.map(_._3).sum
+    val gDim = dimSums.groupBy(_.getInt(1)).values
+      .map(rs => rs.map(x => bi(x.getDecimal(2))).sum)
+    val gNormSq = gDim.map(v => v * v).sum
+    def mean(normSq: BigInt, q: BigInt, cnt: Long): Double =
+      if (cnt < 2) 0.0
+      else r6((normSq - q).toDouble /
+        (cnt.toDouble * (cnt - 1).toDouble) / 1e16)
+    val rows = perLabel.map { case (lab, nl, ql, nsq) =>
+      (lab, nl, mean(nsq, ql, nl)) }.toSeq :+
+      ((-1, gN, mean(gNormSq, gQ, gN)))
+    rows.toDF("scope_label", "n_vecs", "mean_pairwise_cos")
+      .orderBy("scope_label")
+  }
+
   /** q232's per-group exact OLS over a (g, x: long, y: long) frame:
     * one keyed agg of integer moments in DECIMAL(38,0), closed-form
     * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
@@ -1184,6 +1302,80 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  round((best.correct - greatest(pp, n - pp))::DOUBLE / tot.n,
         |    6) AS gain
         |FROM best, tot""".stripMargin,
+
+    // q237: same top-(k+1) order statistics, same rounded-ln DECIMAL
+    // fold, same two final divisions
+    "q237_hill_tail" ->
+      """WITH v AS (
+        |  SELECT length(text)::BIGINT AS x FROM documents
+        |), t AS (
+        |  SELECT x, row_number() OVER (ORDER BY x DESC) AS r
+        |  FROM v QUALIFY r <= 101
+        |), thr AS (SELECT x AS xt FROM t WHERE r = 101),
+        |s AS (
+        |  SELECT CAST(sum(CAST(round(ln(x::DOUBLE / xt), 8)
+        |    AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sl
+        |  FROM t, thr WHERE r <= 100
+        |), n AS (SELECT count(*)::BIGINT AS n FROM v)
+        |SELECT n, 100::BIGINT AS k, xt AS x_threshold,
+        |  round(100::DOUBLE / sl::DOUBLE, 6) AS alpha,
+        |  round(pow(2, -(100::DOUBLE / sl::DOUBLE)), 6)
+        |    AS tail_halving,
+        |  false AS degenerate
+        |FROM n, thr, s""".stripMargin,
+
+    // q238: identical integer fixing of the normalized components
+    // (round(x/‖v‖·1e8)), identical moment identity in HUGEINT
+    "q238_anisotropy" ->
+      """WITH b AS (
+        |  SELECT label,
+        |    CASE WHEN list_sum(list_transform(CAST(embedding AS
+        |        DOUBLE[]), y -> y * y)) = 0
+        |      THEN list_transform(CAST(embedding AS DOUBLE[]),
+        |        y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(CAST(embedding AS DOUBLE[]),
+        |        y -> CAST(round(y / sqrt(list_sum(list_transform(
+        |          CAST(embedding AS DOUBLE[]), z -> z * z))) * 1e8)
+        |          AS BIGINT)) END AS m
+        |  FROM embeddings
+        |), rq AS (
+        |  SELECT label,
+        |    CAST(list_sum(list_transform(m, x -> x * x)) AS HUGEINT)
+        |      AS q
+        |  FROM b
+        |), lq AS (
+        |  SELECT label, count(*)::BIGINT AS nl, sum(q) AS ql
+        |  FROM rq GROUP BY label
+        |), ds AS (
+        |  SELECT label, i AS pos,
+        |    CAST(sum(m[i]) AS HUGEINT) AS sl
+        |  FROM b, unnest(range(1, len(m) + 1)) AS u(i)
+        |  GROUP BY 1, 2
+        |), lnorm AS (
+        |  SELECT label, sum(sl * sl) AS nsq FROM ds GROUP BY label
+        |), gds AS (
+        |  SELECT pos, CAST(sum(sl) AS HUGEINT) AS sg FROM ds GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(nl) AS BIGINT) AS gn,
+        |    CAST(sum(ql) AS HUGEINT) AS gq
+        |  FROM lq
+        |), gnorm AS (SELECT sum(sg * sg) AS gnsq FROM gds),
+        |per AS (
+        |  SELECT lq.label AS scope_label, nl AS n_vecs,
+        |    CASE WHEN nl < 2 THEN 0.0
+        |      ELSE round((nsq - ql)::DOUBLE
+        |        / (nl::DOUBLE * (nl - 1)) / 1e16, 6) END
+        |      AS mean_pairwise_cos
+        |  FROM lq JOIN lnorm ON lq.label = lnorm.label
+        |)
+        |SELECT * FROM per
+        |UNION ALL
+        |SELECT -1 AS scope_label, gn AS n_vecs,
+        |  CASE WHEN gn < 2 THEN 0.0
+        |    ELSE round((gnsq - gq)::DOUBLE
+        |      / (gn::DOUBLE * (gn - 1)) / 1e16, 6) END
+        |FROM g, gnorm
+        |ORDER BY scope_label""".stripMargin,
 
     // q232: the same five integer moments in HUGEINT (128-bit — no
     // bit ever lost), same closed-form rational, one double division

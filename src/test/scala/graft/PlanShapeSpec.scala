@@ -761,6 +761,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"nothing here is big enough to shuffle-join:\n$s")
   }
 
+  test("q237/q238: published frames are the bounded driver closed forms") {
+    for (q <- Seq("q237_hill_tail", "q238_anisotropy")) {
+      val s = operators.StatOps.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // the corpus work (TakeOrdered / the one O(n·d) pass) ran
+      // during construction; the emitted frame is a local table
+      // (its display sort may exchange the <=11 local rows)
+      assert(!s.contains("FileScan") && !s.contains("Join"),
+        s"$q published frame must be bounded local work:\n$s")
+    }
+  }
+
   test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
     val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
       .queryExecution.executedPlan.toString

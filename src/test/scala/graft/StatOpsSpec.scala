@@ -225,6 +225,65 @@ class StatOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("threshold") == 5L) // all splits tie → min v
   }
 
+  test("hill tail index: closed form on a geometric ladder, " +
+      "degenerate corners flagged") {
+    def r8(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def r6d(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // top-3 of (8,4,2,1,1) with k=2: thr=2, sum = ln4 + ln2 (rounded)
+    val r = StatOps.hillTail(
+      Seq(8L, 4L, 2L, 1L, 1L).toDF("x"), k = 2).head()
+    val sum = r8(math.log(4.0)) + r8(math.log(2.0))
+    assert(r.getAs[Long]("x_threshold") == 2L)
+    assert(r.getAs[Double]("alpha") == r6d(2.0 / sum.toDouble))
+    assert(!r.getAs[Boolean]("degenerate"))
+    // fewer than k+1 rows -> degenerate, zeroed
+    assert(StatOps.hillTail(Seq(5L, 3L).toDF("x"), k = 2)
+      .head().getAs[Boolean]("degenerate"))
+    // all top values equal the threshold -> ln-sum 0 -> degenerate
+    assert(StatOps.hillTail(Seq(7L, 7L, 7L, 7L).toDF("x"), k = 2)
+      .head().getAs[Boolean]("degenerate"))
+  }
+
+  test("anisotropy: exact closed forms and identity == brute pairwise") {
+    import org.apache.spark.sql.functions._
+    // identical (3,4) vectors: rounded components are EXACT
+    // (0.6, 0.8)*1e8, so mean pairwise cosine is exactly 1
+    val same = Seq((0, Seq(3.0, 4.0)), (0, Seq(3.0, 4.0)),
+      (0, Seq(3.0, 4.0))).toDF("label", "v")
+    val r1 = StatOps.anisotropy(same).collect()
+      .map(x => x.getAs[Int]("scope_label") -> x).toMap
+    assert(r1(0).getAs[Double]("mean_pairwise_cos") == 1.0)
+    assert(r1(-1).getAs[Double]("mean_pairwise_cos") == 1.0)
+    // orthogonal pair -> 0; a zero vector contributes zero dots
+    val orth = Seq((1, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)),
+      (1, Seq(0.0, 0.0))).toDF("label", "v")
+    val r2 = StatOps.anisotropy(orth).collect()
+      .map(x => x.getAs[Int]("scope_label") -> x).toMap
+    assert(r2(1).getAs[Double]("mean_pairwise_cos") == 0.0)
+    // identity == brute: fixed vectors, brute mean over ordered pairs
+    // of the SAME integer-fixed normalized components
+    val vecs = Seq(Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0),
+      Seq(5.0, 0.0, 1.0), Seq(1.0, 1.0, 1.0))
+    val df = vecs.map(v => (9, v)).toDF("label", "v")
+    val got = StatOps.anisotropy(df).collect()
+      .find(_.getAs[Int]("scope_label") == 9).get
+      .getAs[Double]("mean_pairwise_cos")
+    val ms = vecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.round(x / n * 1e8))
+    }
+    val pairs = for {
+      i <- ms.indices; j <- ms.indices if i != j
+    } yield ms(i).zip(ms(j)).map { case (a, b) => a * b }.sum
+    val brute = pairs.map(BigInt(_)).sum.toDouble /
+      (ms.length.toDouble * (ms.length - 1).toDouble) / 1e16
+    def r6d(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == r6d(brute))
+  }
+
   test("grouped OLS: exact line, slope shift-invariance, den=0 guard") {
     // perfect line y = 2x + 3
     val line = Seq(("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L),
