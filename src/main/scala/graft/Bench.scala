@@ -71,7 +71,11 @@ object Bench {
     // round-8: the substring family's 2-point exponent reads ~0.5 —
     // the third point separates its fixed window/checkpoint overhead
     // from the Σ df² candidate growth the cap is meant to bound
-    "q184_substring_dedup", "q185_span_removal")
+    "q184_substring_dedup", "q185_span_removal",
+    // round-8 final artifact's top exponent (0.84 — near-linear, as a
+    // full shingle-inventory pass should be): the third point pins
+    // that it's volume, not a hidden quadratic
+    "q225_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
