@@ -650,6 +650,63 @@ object DedupOps {
         .select(col("lbl").as("cluster_id"), col("id").as("keeper_id"),
           col("quality").as("keeper_quality"))),
 
+    // CROSS-SOURCE DUPLICATION MATRIX — "which source is copying
+    // which": every exact near-dup pair classified by its (source,
+    // source) cell, the dashboard that turns pair-level dedup into a
+    // crawl-policy decision (a hot cross-source cell = a mirror or a
+    // scraper; a hot diagonal = a template farm). Pairs are the q45
+    // exact join (dup-rate-sized), broadcast onto the 2-column doc→
+    // source map — the corpus never shuffles.
+    "q239_dup_source_matrix" -> ((s, d) => {
+      val pairs = queries("q45_ngram_jaccard")(s, d)
+        .select("a_id", "b_id")
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      broadcast(broadcast(pairs)
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("sa")), "a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("sb")), "b_id")
+        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"),
+          (col("sa") =!= col("sb")).as("cross_source"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
+    // DEDUP YIELD FORECAST — "how much does dedup buy", the decision
+    // artifact that justifies (or kills) a dedup pass before anyone
+    // runs it on 100 TB: connected near-dup clusters keep their
+    // canonical (min-id) member; everything else is forecast removed,
+    // and the row reports the doc and TOKEN mass that disappears.
+    // Cluster labels are the q65 HashMin components; the removed-id
+    // set (dup-rate-sized) broadcasts onto the token counts.
+    "q240_dedup_yield" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      val lbl = dupLabels(s, d)
+      val tot = toks.agg(count(lit(1)).as("n"), sum("nt").as("t"))
+        .head()
+      val (nDocs, nToks) = (tot.getLong(0), tot.getLong(1))
+      val removed = lbl.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_id"))
+      val rem = broadcast(removed).join(toks, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("nt"), lit(0L)).as("t")).head()
+      val (nRem, tRem) = (rem.getLong(0), rem.getLong(1))
+      val nClusters = lbl.select("lbl").distinct().count()
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nDocs, nToks, nClusters, nRem, tRem,
+          r6(nRem.toDouble / nDocs.toDouble),
+          r6(tRem.toDouble / nToks.toDouble)))
+        .toDF("n_docs", "tokens_total", "n_dup_clusters",
+          "docs_removed", "tokens_saved", "pct_docs_removed",
+          "pct_tokens_saved")
+    }),
+
     // Prefix-filtered exact similarity join (see prefixCandidates):
     // exact for the threshold, ~27x fewer candidate pairs than q45's
     // full inverted index at sf0.1. Shares q45's oracle.
@@ -1259,6 +1316,46 @@ object DedupOps {
         |        FROM reach GROUP BY s)
         |SELECT cluster_id, count(*) AS size, max(id) AS max_member
         |FROM lbl GROUP BY cluster_id""".stripMargin,
+    // q239: the same exact pair join, classified by source cell
+    "q239_dup_source_matrix" ->
+      s"""WITH p AS ($pairOracle),
+        |m AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS src_lo,
+        |  greatest(sa.source, sb.source) AS src_hi,
+        |  (sa.source <> sb.source) AS cross_source,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN m sa ON p.a_id = sa.doc_id
+        |  JOIN m sb ON p.b_id = sb.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // q240: q65's recursive components + the token-mass algebra
+    "q240_dedup_yield" ->
+      s"""WITH RECURSIVE p AS ($pairOracle),
+        |edges AS (SELECT a_id AS s, b_id AS t FROM p
+        |          UNION ALL SELECT b_id, a_id FROM p),
+        |reach(s, t) AS (SELECT s, t FROM edges
+        |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |lbl AS (SELECT s AS id, least(s, min(t)) AS cluster_id
+        |        FROM reach GROUP BY s),
+        |tk AS (SELECT doc_id, CAST(len(string_split_regex(
+        |    lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(nt) AS BIGINT) AS t FROM tk),
+        |rem AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+        |  FROM lbl JOIN tk ON lbl.id = tk.doc_id
+        |  WHERE id <> cluster_id
+        |), cl AS (
+        |  SELECT count(DISTINCT cluster_id)::BIGINT AS c FROM lbl)
+        |SELECT tot.n AS n_docs, tot.t AS tokens_total,
+        |  cl.c AS n_dup_clusters, rem.n AS docs_removed,
+        |  rem.t AS tokens_saved,
+        |  round(rem.n::DOUBLE / tot.n, 6) AS pct_docs_removed,
+        |  round(rem.t::DOUBLE / tot.t, 6) AS pct_tokens_saved
+        |FROM tot, rem, cl""".stripMargin,
+
     "q88_incremental_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, md5(lower(trim(text))) AS fp,

@@ -294,4 +294,31 @@ class DedupSpec extends SparkSpecBase {
     assert(got.keySet == want.keySet)
     for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"$k")
   }
+
+  test("q239 source matrix: cells partition the q45 pair set") {
+    import org.apache.spark.sql.functions._
+    val rows = DedupOps.queries("q239_dup_source_matrix")(spark, sfDir)
+      .collect()
+    val nPairs = DedupOps.queries("q45_ngram_jaccard")(spark, sfDir)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "matrix cells must partition the exact pair set")
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[String]("src_lo"), r.getAs[String]("src_hi"))
+      assert(lo <= hi, r.toString)
+      assert(r.getAs[Boolean]("cross_source") == (lo != hi), r.toString)
+    }
+  }
+
+  test("q240 dedup yield: consistent with the cluster labels and bounded") {
+    val r = DedupOps.queries("q240_dedup_yield")(spark, sfDir).head()
+    val n = r.getAs[Long]("n_docs")
+    val rem = r.getAs[Long]("docs_removed")
+    val cl = r.getAs[Long]("n_dup_clusters")
+    assert(n > 0 && rem >= cl, // every cluster removes >= 1 member
+      r.toString)
+    assert(r.getAs[Long]("tokens_saved") <= r.getAs[Long]("tokens_total"))
+    val pd = r.getAs[Double]("pct_docs_removed")
+    assert(pd >= 0.0 && pd < 1.0, r.toString)
+  }
 }

@@ -773,6 +773,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q239 source matrix: dup pairs broadcast onto the source map") {
+    val s = operators.DedupOps.queries("q239_dup_source_matrix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the dup-rate-sized pair set must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+  }
+
+  test("q240 dedup yield: published frame is the driver-assembled row") {
+    val s = operators.DedupOps.queries("q240_dedup_yield")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("FileScan") && !s.contains("Join"),
+      s"published frame must be one local row:\n$s")
+  }
+
   test("q226 continuation: distinct + agg + fused TopN, zero windows and joins") {
     val s = operators.TextOps.queries("q226_kn_continuation")(spark, sfDir)
       .queryExecution.executedPlan.toString
