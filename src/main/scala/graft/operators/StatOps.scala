@@ -703,25 +703,41 @@ object StatOps {
     * string column `k`; self-joins pass the same frame twice. */
   private[graft] def joinForecast(name: String, left: DataFrame,
       right: DataFrame): (String, Long, Long, Long, Long, Long, Long,
-      String, Long, Long, Double) = {
-    val ha = left.groupBy("k").agg(count(lit(1)).as("a"))
+      Option[String], Option[Long], Option[Long], Double) = {
+    // counts ride DECIMAL(19,0) so the aₖ·bₖ products and their sum
+    // are exact (38,0) — Spark Long multiplication wraps silently in
+    // non-ANSI mode while the oracle's HUGEINT promotes; at a
+    // low-cardinality self-join scale (~3M rows/key) they'd diverge
+    val ha = left.groupBy("k")
+      .agg(count(lit(1)).cast("decimal(19,0)").as("a"))
       .localCheckpoint(true)
-    val hb = right.groupBy("k").agg(count(lit(1)).as("b"))
+    val hb = right.groupBy("k")
+      .agg(count(lit(1)).cast("decimal(19,0)").as("b"))
       .localCheckpoint(true)
     val sa = ha.agg(sum("a"), count(lit(1))).head()
     val sb = hb.agg(sum("b"), count(lit(1))).head()
-    val (nL, kL) = (sa.getLong(0), sa.getLong(1))
-    val (nR, kR) = (sb.getLong(0), sb.getLong(1))
+    def biOf(r: org.apache.spark.sql.Row, i: Int): BigInt =
+      if (r.isNullAt(i)) BigInt(0) else BigInt(r.getDecimal(i).toBigInteger)
+    val (nL, kL) = (biOf(sa, 0).toLong, sa.getLong(1))
+    val (nR, kR) = (biOf(sb, 0).toLong, sb.getLong(1))
     val m = ha.join(hb, "k")
       .select(col("k"), (col("a") * col("b")).as("ab"))
       .localCheckpoint(true)
     val t = m.agg(count(lit(1)), sum("ab")).head()
-    val (kM, out) =
-      (t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1))
-    val top = m.orderBy(col("ab").desc, col("k").asc).limit(1).head()
-    (name, nL, nR, kL, kR, kM, out, top.getString(0),
-      top.getAs[Long]("ab"), top.getAs[Long]("ab") * 1000000L / out,
-      r6(out.toDouble / math.max(nL, nR)))
+    val (kM, out) = (t.getLong(0), biOf(t, 1))
+    // a join pair sharing no keys has no top key: NULLs, never a
+    // head() throw or a divide-by-zero — the oracle's convention
+    val top = m.orderBy(col("ab").desc, col("k").asc).limit(1)
+      .collect().headOption
+    top match {
+      case Some(r) =>
+        val topAb = BigInt(r.getDecimal(1).toBigInteger)
+        (name, nL, nR, kL, kR, kM, out.toLong, Some(r.getString(0)),
+          Some(topAb.toLong), Some((topAb * 1000000 / out).toLong),
+          r6(out.toDouble / math.max(nL, nR)))
+      case None =>
+        (name, nL, nR, kL, kR, 0L, 0L, None, None, None, 0.0)
+    }
   }
 
   /** q218's threshold sweep over a (v: long, p: 0/1 long) frame:
@@ -802,7 +818,12 @@ object StatOps {
       val lab = r.getInt(0)
       val nl = r.getLong(1)
       val ql = bi(r.getDecimal(2))
-      val sums = byLabel(lab).map(x => bi(x.getDecimal(2)))
+      // a label whose vectors are ALL empty arrays appears in rowStats
+      // but posexplode yields no dimSums rows for it — its per-dim
+      // sums are an all-zero vector, not a lookup failure
+      val sums = byLabel.getOrElse(lab,
+          Array.empty[org.apache.spark.sql.Row])
+        .map(x => bi(x.getDecimal(2)))
       val normSq = sums.map(v => v * v).sum
       (lab, nl, ql, normSq)
     }.sortBy(_._1)
@@ -1304,25 +1325,37 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |FROM best, tot""".stripMargin,
 
     // q237: same top-(k+1) order statistics, same rounded-ln DECIMAL
-    // fold, same two final divisions
+    // fold, same two final divisions — and the SAME degenerate guards
+    // as the Spark path (fewer than k+1 rows, non-positive threshold,
+    // or a zero ln-sum all flag, never divide by zero / drop the row)
     "q237_hill_tail" ->
       """WITH v AS (
         |  SELECT length(text)::BIGINT AS x FROM documents
         |), t AS (
         |  SELECT x, row_number() OVER (ORDER BY x DESC) AS r
         |  FROM v QUALIFY r <= 101
-        |), thr AS (SELECT x AS xt FROM t WHERE r = 101),
-        |s AS (
-        |  SELECT CAST(sum(CAST(round(ln(x::DOUBLE / xt), 8)
-        |    AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sl
+        |), thr AS (
+        |  SELECT coalesce(max(CASE WHEN r = 101 THEN x END), 0) AS xt,
+        |    count(*)::BIGINT AS tc
+        |  FROM t
+        |), s AS (
+        |  SELECT coalesce(CAST(sum(CAST(round(ln(x::DOUBLE
+        |      / nullif(CASE WHEN xt > 0 THEN xt END, 0)), 8)
+        |    AS DECIMAL(20,8))) AS DECIMAL(38,8)), 0) AS sl
         |  FROM t, thr WHERE r <= 100
-        |), n AS (SELECT count(*)::BIGINT AS n FROM v)
+        |), n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |f AS (
+        |  SELECT n, xt, (tc < 101 OR xt <= 0 OR sl = 0) AS dg, sl
+        |  FROM n, thr, s
+        |)
         |SELECT n, 100::BIGINT AS k, xt AS x_threshold,
-        |  round(100::DOUBLE / sl::DOUBLE, 6) AS alpha,
-        |  round(pow(2, -(100::DOUBLE / sl::DOUBLE)), 6)
+        |  CASE WHEN dg THEN 0.0
+        |    ELSE round(100::DOUBLE / sl::DOUBLE, 6) END AS alpha,
+        |  CASE WHEN dg THEN 0.0
+        |    ELSE round(pow(2, -(100::DOUBLE / sl::DOUBLE)), 6) END
         |    AS tail_halving,
-        |  false AS degenerate
-        |FROM n, thr, s""".stripMargin,
+        |  dg AS degenerate
+        |FROM f""".stripMargin,
 
     // q238: identical integer fixing of the normalized components
     // (round(x/‖v‖·1e8)), identical moment identity in HUGEINT
@@ -1340,8 +1373,8 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  FROM embeddings
         |), rq AS (
         |  SELECT label,
-        |    CAST(list_sum(list_transform(m, x -> x * x)) AS HUGEINT)
-        |      AS q
+        |    CAST(coalesce(list_sum(list_transform(m, x -> x * x)), 0)
+        |      AS HUGEINT) AS q
         |  FROM b
         |), lq AS (
         |  SELECT label, count(*)::BIGINT AS nl, sum(q) AS ql
@@ -1359,14 +1392,15 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  SELECT CAST(sum(nl) AS BIGINT) AS gn,
         |    CAST(sum(ql) AS HUGEINT) AS gq
         |  FROM lq
-        |), gnorm AS (SELECT sum(sg * sg) AS gnsq FROM gds),
-        |per AS (
+        |), gnorm AS (
+        |  SELECT coalesce(sum(sg * sg), 0) AS gnsq FROM gds
+        |), per AS (
         |  SELECT lq.label AS scope_label, nl AS n_vecs,
         |    CASE WHEN nl < 2 THEN 0.0
-        |      ELSE round((nsq - ql)::DOUBLE
+        |      ELSE round((coalesce(nsq, 0) - ql)::DOUBLE
         |        / (nl::DOUBLE * (nl - 1)) / 1e16, 6) END
         |      AS mean_pairwise_cos
-        |  FROM lq JOIN lnorm ON lq.label = lnorm.label
+        |  FROM lq LEFT JOIN lnorm ON lq.label = lnorm.label
         |)
         |SELECT * FROM per
         |UNION ALL
@@ -1523,19 +1557,22 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |FROM est, ex""".stripMargin,
 
     // same histogram census — the oracle also never executes the
-    // forecast joins; integer ppm, one rounded expansion ratio
+    // forecast joins; HUGEINT products/sums (exact, matching the
+    // Spark side's DECIMAL(38,0)), integer ppm, one rounded expansion
+    // ratio; empty-match joins yield NULL top fields and 0 out_rows
     "q220_join_forecast" ->
       """WITH ho AS MATERIALIZED (
-        |  SELECT o_orderkey::VARCHAR AS k, count(*) AS a
+        |  SELECT o_orderkey::VARCHAR AS k, count(*)::HUGEINT AS a
         |  FROM orders GROUP BY 1
         |), hl AS MATERIALIZED (
-        |  SELECT l_orderkey::VARCHAR AS k, count(*) AS b
+        |  SELECT l_orderkey::VARCHAR AS k, count(*)::HUGEINT AS b
         |  FROM lineitem GROUP BY 1
         |), he AS MATERIALIZED (
-        |  SELECT user_id::VARCHAR AS k, count(*) AS c
+        |  SELECT user_id::VARCHAR AS k, count(*)::HUGEINT AS c
         |  FROM events GROUP BY 1
         |), hd AS MATERIALIZED (
-        |  SELECT lang AS k, count(*) AS c FROM documents GROUP BY 1
+        |  SELECT lang AS k, count(*)::HUGEINT AS c
+        |  FROM documents GROUP BY 1
         |), j1 AS MATERIALIZED (
         |  SELECT k, a * b AS ab FROM ho JOIN hl USING (k)
         |), j2 AS MATERIALIZED (SELECT k, c * c AS ab FROM he),
@@ -1571,12 +1608,13 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |  CAST(keys_left AS BIGINT) AS keys_left,
         |  CAST(keys_right AS BIGINT) AS keys_right,
         |  CAST(keys_matching AS BIGINT) AS keys_matching,
-        |  CAST(out_rows AS BIGINT) AS out_rows, top_key,
+        |  CAST(coalesce(out_rows, 0) AS BIGINT) AS out_rows, top_key,
         |  CAST(top_key_out AS BIGINT) AS top_key_out,
-        |  CAST((top_key_out * 1000000) // out_rows AS BIGINT)
+        |  CAST(CASE WHEN coalesce(out_rows, 0) = 0 THEN NULL
+        |    ELSE (top_key_out * 1000000) // out_rows END AS BIGINT)
         |    AS top_share_ppm,
-        |  round(out_rows::DOUBLE / greatest(n_left, n_right), 6)
-        |    AS expansion
+        |  round(coalesce(out_rows, 0)::DOUBLE
+        |    / greatest(n_left, n_right), 6) AS expansion
         |FROM rows_all""".stripMargin,
 
     // same integer nearest-rank algebra: per-source row_number with

@@ -133,8 +133,14 @@ class StatOpsSpec extends SparkSpecBase {
       StatOps.joinForecast("t", left, right)
     assert((nL, nR, kL, kR, kM) == ((3L, 4L, 2L, 3L, 2L)))
     assert(out == 4L) // a: 2*1, b: 1*2
-    assert(topK == "a" && topAb == 2L) // 'a' ties 'b' at 2 -> k asc
-    assert(ppm == 500000L && exp == 1.0)
+    assert(topK == Some("a") && topAb == Some(2L)) // 'a' ties 'b' -> k asc
+    assert(ppm == Some(500000L) && exp == 1.0)
+    // disjoint key sets: NULL top fields and zero out_rows, never a
+    // head() throw or a divide-by-zero (the oracle's convention)
+    val (_, _, _, _, _, kM0, out0, topK0, topAb0, ppm0, exp0) =
+      StatOps.joinForecast("t0", Seq("x").toDF("k"), Seq("y").toDF("k"))
+    assert(kM0 == 0L && out0 == 0L && exp0 == 0.0)
+    assert(topK0.isEmpty && topAb0.isEmpty && ppm0.isEmpty)
   }
 
   test("quantile norm: hand mapping and the rank-preservation closure") {
@@ -262,6 +268,15 @@ class StatOpsSpec extends SparkSpecBase {
     val r2 = StatOps.anisotropy(orth).collect()
       .map(x => x.getAs[Int]("scope_label") -> x).toMap
     assert(r2(1).getAs[Double]("mean_pairwise_cos") == 0.0)
+    // a label whose vectors are ALL empty arrays: posexplode yields
+    // no per-dimension rows for it, but the census still emits the
+    // row (zero mean, counted vectors) instead of throwing
+    val empt = Seq((2, Seq.empty[Double]), (2, Seq.empty[Double]))
+      .toDF("label", "v")
+    val r3e = StatOps.anisotropy(empt).collect()
+      .map(x => x.getAs[Int]("scope_label") -> x).toMap
+    assert(r3e(2).getAs[Double]("mean_pairwise_cos") == 0.0)
+    assert(r3e(2).getAs[Long]("n_vecs") == 2L)
     // identity == brute: fixed vectors, brute mean over ordered pairs
     // of the SAME integer-fixed normalized components
     val vecs = Seq(Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0),
