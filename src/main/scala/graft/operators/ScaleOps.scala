@@ -944,11 +944,11 @@ object ScaleOps {
     // K-CORE decomposition — the degeneracy rung of the graph family
     // (q110 rank, q125 triangles, q157 communities): iteratively peel
     // nodes of degree < k until fixpoint; what survives is the
-    // k-core. Each peel round is two co-partitioned semi-joins
-    // (edges ⋈ survivors on src and on dst) plus a map-side-combined
-    // degree count — shuffle volume is the LIVE edge set, which only
-    // shrinks, and the round count is the graph's peel DEPTH, not its
-    // size. Per k ∈ {8, 20, 40} on the bipartite customer–supplier
+    // k-core. Degrees are maintained INCREMENTALLY (a (v, deg) table,
+    // decremented by the peeled frontier's incident edges) — each
+    // edge shuffles at most once across all rounds, so total work is
+    // O(E + rounds·|alive|) and the round count is the graph's peel
+    // DEPTH, not its size. Per k ∈ {8, 20, 40} on the bipartite customer–supplier
     // graph: core size, undirected core edges, an id-sum membership
     // checksum (same-count-wrong-set cannot pass), and rounds to
     // fixpoint (survivors only shrink, so count equality IS set
@@ -2294,34 +2294,75 @@ object ScaleOps {
   /** q197's fixpoint peel: the k-core of a SYMMETRIC (src, dst) edge
     * table, as one row (k, n_core, n_core_edges, id_sum, rounds).
     * `rounds` counts peel iterations INCLUDING the confirming one
-    * (survivors only shrink, so an unchanged count is the fixpoint).
-    * Split out so ScaleOpsSpec pins the cascade: a 4-clique with a
-    * 3-node tail chain peels one tail node per round at k = 2
-    * (rounds = 4), collapses in one at k = 3, and empties at k = 4. */
+    * (the round whose peel frontier is empty is the fixpoint).
+    *
+    * Degrees are maintained INCREMENTALLY: a (v, deg) table holds
+    * each alive node's degree in the alive subgraph, and each round
+    * decrements only the peeled frontier's neighbors instead of
+    * recomputing alive-degrees from the full edge set. Every edge is
+    * shuffled at most once across ALL rounds (when its first endpoint
+    * peels — decrements to already-peeled or same-round-peeled
+    * endpoints drop in the anti-join), so total work is O(E +
+    * rounds·|alive|), not O(rounds·E); on deep peels that recompute
+    * was a measured 2-3×. The peel sequence is IDENTICAL to the
+    * recompute formulation — both remove exactly {v : deg_alive(v)
+    * < k} per round — so rounds, membership and checksums are
+    * unchanged. Split out so ScaleOpsSpec pins the cascade: a
+    * 4-clique with a 3-node tail chain peels one tail node per round
+    * at k = 2 (rounds = 4), collapses in one at k = 3, and empties
+    * at k = 4. */
   private[graft] def kCore(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    def aliveOf(surv: DataFrame): DataFrame = edges
-      .join(surv.select(col("v").as("src")), Seq("src"))
-      .join(surv.select(col("v").as("dst")), Seq("dst"))
-    var surv = edges.select(col("src").as("v")).distinct()
-      .localCheckpoint(true)
-    var n = surv.count()
+    // checkpointed frames read as HUGE to the planner (LogicalRDD
+    // default stats), so un-hinted per-round joins against the
+    // node-sized degree table plan as full shuffles — the dominant
+    // cost of the peel. Both per-round sides are RIGOROUSLY bounded
+    // by the alive-node count (the frontier is a subset of the
+    // degree table; decrements group BY node), so when the alive set
+    // fits the broadcast budget every round is one edges scan +
+    // degree-table scans + ONE materialization (the new degree
+    // table), zero exchanges — the q157 lpaRound broadcast-switch
+    // idiom. Termination rides the materialization's own count
+    // (|deg'| == |deg| ⟺ empty frontier), so a round spends no
+    // separate frontier-count job.
+    val BcastMax = 2000000L
+    def side(df: DataFrame, cnt: Long) =
+      if (cnt <= BcastMax) broadcast(df) else df
+    var deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var n = deg.count()
     var rounds = 0
     var done = false
     while (!done) {
       rounds += 1
-      val next = aliveOf(surv)
-        .groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("v"))
+      // the frontier is a cheap filter over the CHECKPOINTED degree
+      // table — recomputed lazily by its two consumers (in-memory
+      // scans beat materializing another table per round)
+      val peeled = deg.filter(col("deg") < k).select("v")
+      // edges incident to the frontier, counted toward the OTHER
+      // endpoint; decrements aimed at nodes peeled this round or
+      // earlier vanish in the anti-joined table's left join
+      val dec = edges
+        .join(side(peeled.select(col("v").as("src")), n), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(count(lit(1)).as("dec"))
+      val next = deg.join(side(peeled, n), Seq("v"), "left_anti")
+        .join(side(dec, n), Seq("v"), "left")
+        .select(col("v"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint(true)
       val m = next.count()
       done = m == n
-      surv = next
+      deg = next
       n = m
     }
-    val ne = aliveOf(surv).count() / 2
-    val idSum = if (n == 0) 0L else surv.agg(sum("v")).as[Long].head()
+    // the maintained degrees ARE the alive-subgraph degrees at
+    // fixpoint (the invariant the peel rests on), so the core's edge
+    // count is Σdeg/2 straight off the table — no edges re-join, no
+    // survivor broadcast; one aggregate job closes the census
+    val fin = deg.agg(sum("deg"), sum("v")).head()
+    val ne = if (fin.isNullAt(0)) 0L else fin.getLong(0) / 2
+    val idSum = if (fin.isNullAt(1)) 0L else fin.getLong(1)
     Seq((k, n, ne, idSum, rounds))
       .toDF("k", "n_core", "n_core_edges", "id_sum", "rounds")
   }
