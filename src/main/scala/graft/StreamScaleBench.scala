@@ -160,12 +160,18 @@ object StreamScaleBench {
       sesSec: Double, sesOk: Boolean,
       dedupSec: Double, dedupOk: Boolean,
       winSec: Double, winOk: Boolean,
+      parts: Int = 8,
       first: Option[Point] = None) {
+    private def rps(sec: Double): Double =
+      if (sec <= 0) 0.0 else math.rint(n / sec)
     def json: String =
-      s"""{"n":$n,"gen_sec":${r3(genSec)},""" +
+      s"""{"n":$n,"parts":$parts,"gen_sec":${r3(genSec)},""" +
         s""""session_sec":${r3(sesSec)},"sessions_ok":$sesOk,""" +
+        s""""session_rows_per_sec":${rps(sesSec)},""" +
         s""""dedup_sec":${r3(dedupSec)},"dedup_ok":$dedupOk,""" +
-        s""""window_sec":${r3(winSec)},"windows_ok":$winOk""" +
+        s""""dedup_rows_per_sec":${rps(dedupSec)},""" +
+        s""""window_sec":${r3(winSec)},"windows_ok":$winOk,""" +
+        s""""window_rows_per_sec":${rps(winSec)}""" +
         first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
     def allOk: Boolean = sesOk && dedupOk && winOk
   }
@@ -177,7 +183,7 @@ object StreamScaleBench {
     val m = Point(a.n, math.min(a.genSec, b.genSec),
       math.min(a.sesSec, b.sesSec), a.sesOk && b.sesOk,
       math.min(a.dedupSec, b.dedupSec), a.dedupOk && b.dedupOk,
-      math.min(a.winSec, b.winSec), a.winOk && b.winOk)
+      math.min(a.winSec, b.winSec), a.winOk && b.winOk, a.parts)
     val noisy = Seq((a.sesSec, m.sesSec), (a.dedupSec, m.dedupSec),
       (a.winSec, m.winSec))
       .exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
@@ -189,6 +195,8 @@ object StreamScaleBench {
       s"""{"points":[${points.map(_.json).mkString(",")}]}"""
     def summary: Option[String] = points.lastOption.map { p =>
       s"""{"n_max":${p.n},"session_sec":${r3(p.sesSec)},""" +
+        s""""session_rows_per_sec":${
+          if (p.sesSec <= 0) 0.0 else math.rint(p.n / p.sesSec)},""" +
         s""""all_ok":${p.allOk}}"""
     }
   }
@@ -197,11 +205,18 @@ object StreamScaleBench {
     import spark.implicits._
     require(n >= 200 && n % 200 == 0, s"n=$n must be a multiple of 200")
     val users = n / 100
+    // micro-batch count scales WITH n (rows per file held ~constant
+    // at ≤31.25k), so wall time tracks per-batch state work at a
+    // fixed arrival granularity and rows/sec is comparable across
+    // points — a FIXED file count made every corpus 9 micro-batches
+    // and the wall time a flat trigger-overhead constant (r8: 10.85 s
+    // at 200k vs 10.64 s at 1M — not evidence of anything)
+    val parts = math.max(8, (n / 31250L).toInt)
 
     // -- sessionization --------------------------------------------
     val sesDir = fresh(s"ses_${n}_$attempt")
     val (sesSchema, genSec1) = timeIt {
-      val src = writeSrc(sessionEvents(spark, n), sesDir, 8)
+      val src = writeSrc(sessionEvents(spark, n), sesDir, parts)
       addSentinel(spark, src, spark.range(1).selectExpr(
         "-1L AS event_id",
         s"timestamp_millis($BaseMs + 360000000) AS ts", // +100 h
@@ -228,7 +243,7 @@ object StreamScaleBench {
     // -- watermarked exact dedup -----------------------------------
     val dupDir = fresh(s"dup_${n}_$attempt")
     val (dupSchema, genSec2) = timeIt {
-      val src = writeSrc(dupDocs(spark, n), dupDir, 8)
+      val src = writeSrc(dupDocs(spark, n), dupDir, parts)
       spark.read.parquet(src).schema
     }
     val (dedupOk, dedupSec) = timeIt {
@@ -242,7 +257,7 @@ object StreamScaleBench {
     // -- watermarked tumbling windows ------------------------------
     val winDir = fresh(s"win_${n}_$attempt")
     val (winSchema, genSec3) = timeIt {
-      val src = writeSrc(secondEvents(spark, n), winDir, 8)
+      val src = writeSrc(secondEvents(spark, n), winDir, parts)
       addSentinel(spark, src, spark.range(1).selectExpr(
         "-1L AS event_id",
         s"timestamp_millis($BaseMs + (${n} + 7200) * 1000) AS ts",
@@ -264,7 +279,7 @@ object StreamScaleBench {
     }
 
     Point(n, genSec1 + genSec2 + genSec3,
-      sesSec, sesOk, dedupSec, dedupOk, winSec, winOk)
+      sesSec, sesOk, dedupSec, dedupOk, winSec, winOk, parts)
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result =
