@@ -190,11 +190,25 @@ object VectorScaleBench {
       s"""{"index":"$index","param":"$param",""" +
         s""""scan_sec":${r3(scan)},"recall_at_10":${r3(recall)}}"""
   }
+  /** One BUILD-side operating point: what a 100 TB index build
+    * actually tunes (lists for IVF, m/efConstruction for HNSW) —
+    * build cost next to the recall a FIXED reference search effort
+    * buys on that build. */
+  final case class HardBuild(index: String, build: String,
+      buildSec: Double, refSearch: String, scan: Double,
+      recall: Double) {
+    def json: String =
+      s"""{"index":"$index","build":"$build",""" +
+        s""""build_sec":${r3(buildSec)},"ref_search":"$refSearch",""" +
+        s""""scan_sec":${r3(scan)},"recall_at_10":${r3(recall)}}"""
+  }
   final case class HardPoint(n: Long, bruteSec: Double,
-      settings: Seq[HardSetting]) {
+      settings: Seq[HardSetting],
+      builds: Seq[HardBuild] = Seq.empty) {
     def json: String =
       s"""{"corpus":"uniform","n":$n,"brute_sec":${r3(bruteSec)},""" +
-        s""""settings":[${settings.map(_.json).mkString(",")}]}"""
+        s""""settings":[${settings.map(_.json).mkString(",")}],""" +
+        s""""builds":[${builds.map(_.json).mkString(",")}]}"""
   }
   final case class Result(points: Seq[Point],
       hard: Option[HardPoint] = None) {
@@ -329,19 +343,56 @@ object VectorScaleBench {
     val trainFrac = math.min(1.0, 24576.0 / n)
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val out = Seq.newBuilder[HardSetting]
+    val builds = Seq.newBuilder[HardBuild]
 
+    // search-side sweep: probe extends until IVF either reaches
+    // recall 0.9 on uniform data or visibly saturates near the brute
+    // scan (probe=256 of ~√n lists reads over half the corpus — if
+    // recall is still short THERE, the negative result is pinned:
+    // IVF routing buys nothing on structureless data, see BASELINE.md)
     locally {
-      val model = IvfFlat.build(df, Seq("vec_id"), "embedding", lists,
-        probeLists = 16, DistanceMetric.L2, iterations = 5,
-        sampleFraction = trainFrac)
-      model.buckets.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      model.buckets.count()
-      Seq(8, 32).foreach { p =>
+      val (model, b) = timeIt {
+        val m = IvfFlat.build(df, Seq("vec_id"), "embedding", lists,
+          probeLists = 16, DistanceMetric.L2, iterations = 5,
+          sampleFraction = trainFrac)
+        m.buckets.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.buckets.count()
+        m
+      }
+      Seq(8, 32, 128, 256).foreach { p =>
         val (got, s) =
           bestOf2(model.copy(probeLists = p).knnJoinHeap(qDf, "q_id", "qv", K))
-        out += HardSetting("ivfflat", s"probe=$p", s, recallVs(truth, got))
+        val r = recallVs(truth, got)
+        out += HardSetting("ivfflat", s"probe=$p", s, r)
+        if (p == 128)
+          builds += HardBuild("ivfflat", s"lists=$lists", b,
+            s"probe=$p", s, r)
       }
+      model.buckets.unpersist()
+    }
+
+    // build-side sweep: a COARSER routing grid (lists/4) probed at
+    // the same scanned FRACTION (probe/4) — same candidate volume,
+    // different partition geometry; pins whether uniform-data recall
+    // is a routing-resolution problem (it isn't: the fraction, not
+    // the grid, decides recall when lists carry no structure)
+    locally {
+      val coarse = math.max(32, lists / 4)
+      val (model, b) = timeIt {
+        val m = IvfFlat.build(df, Seq("vec_id"), "embedding", coarse,
+          probeLists = 16, DistanceMetric.L2, iterations = 5,
+          sampleFraction = trainFrac)
+        m.buckets.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.buckets.count()
+        m
+      }
+      val p = math.max(2, 128 / 4)
+      val (got, s) =
+        bestOf2(model.copy(probeLists = p).knnJoinHeap(qDf, "q_id", "qv", K))
+      builds += HardBuild("ivfflat", s"lists=$coarse", b,
+        s"probe=$p", s, recallVs(truth, got))
       model.buckets.unpersist()
     }
 
@@ -349,28 +400,41 @@ object VectorScaleBench {
       val model = IvfPq.build(df, "vec_id", "embedding", lists, m = 16,
         k = 256, ivfIterations = 5, pqIterations = 5,
         sampleFraction = math.min(1.0, 16384.0 / n))
-      Seq(8, 32).foreach { p =>
+      Seq(8, 32, 128, 256).foreach { p =>
+        // at probe 256 the rerank shortlist caps recall before probing
+        // does — widen it with the probed fraction
+        val sl = if (p >= 256) 96 else 48
         val (got, s) = bestOf2(model.knnJoin(qDf, "q_id", "qv",
-          df, "vec_id", "embedding", K, probeLists = p, shortlist = 48))
+          df, "vec_id", "embedding", K, probeLists = p, shortlist = sl))
         out += HardSetting("ivfpq", s"probe=$p", s, recallVs(truth, got))
       }
       model.unpersist()
     }
 
-    locally {
-      val idx = Hnsw.buildPartitioned(df, "vec_id", "embedding", m = 8,
-        efConstruction = 48, efSearch = 48, numPartitions = parts)
-      idx.size
+    // HNSW: the graph index is the family that CAN buy recall on
+    // uniform data — denser graphs (m, efConstruction) trade build
+    // time for recall at fixed search effort
+    Seq((8, 48), (16, 96)).foreach { case (m, efc) =>
+      val (idx, b) = timeIt {
+        val i = Hnsw.buildPartitioned(df, "vec_id", "embedding", m = m,
+          efConstruction = efc, efSearch = 48, numPartitions = parts)
+        i.size
+        i
+      }
       Seq(48, 192).foreach { ef =>
         val (got, s) = bestOf2(idx.knnJoin(qDf, "q_id", "qv", K, ef = ef))
-        out += HardSetting("hnsw_partitioned", s"ef=$ef", s,
-          recallVs(truth, got))
+        val r = recallVs(truth, got)
+        if (m == 8)
+          out += HardSetting("hnsw_partitioned", s"ef=$ef", s, r)
+        if (ef == 192)
+          builds += HardBuild("hnsw_partitioned", s"m=$m,efC=$efc", b,
+            s"ef=$ef", s, r)
       }
       idx.unpersist()
     }
 
     qDf.unpersist(); df.unpersist()
-    HardPoint(n, bruteSec, out.result())
+    HardPoint(n, bruteSec, out.result(), builds.result())
   }
 
   def run(spark: SparkSession, sizes: Seq[Long],
