@@ -479,22 +479,37 @@ object MultimodalOps {
     * dropped as the oracle recomputes. The IDAT stream is split into
     * ≤ 96-byte chunks to exercise multi-IDAT concatenation, and every
     * chunk carries its spec CRC-32 over type + data. */
-  private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] =
+    encodePngCh(bytes, 1)
+
+  /** Truecolor variant: color type 2, bpp = 3 — payload byte i is
+    * raster channel byte i (pixel i/3, channel i%3), h = len/12 full
+    * rows. The filter sweep is the SAME r % 5 cycle, now exercising
+    * the spec's multi-byte-pixel rule: the `left` neighbor of a byte
+    * is the corresponding byte of the previous PIXEL (offset bpp,
+    * not 1 — PNG spec §9, "bpp is defined as the number of bytes per
+    * complete pixel"). */
+  private[graft] def encodePngRgb(bytes: Array[Byte]): Array[Byte] =
+    encodePngCh(bytes, 3)
+
+  private def encodePngCh(bytes: Array[Byte], ch: Int): Array[Byte] = {
     val w = 4
-    val h = bytes.length / w
-    val raw = new Array[Byte](h * (w + 1))
+    val rowB = w * ch
+    val h = bytes.length / rowB
+    val raw = new Array[Byte](h * (rowB + 1))
     var r = 0
     while (r < h) {
       val f = r % 5
-      raw(r * (w + 1)) = f.toByte
+      raw(r * (rowB + 1)) = f.toByte
       var x = 0
-      while (x < w) {
-        val orig = bytes(r * w + x) & 0xff
-        val a = if (x > 0) bytes(r * w + x - 1) & 0xff else 0
-        val b = if (r > 0) bytes((r - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && r > 0) bytes((r - 1) * w + x - 1) & 0xff
+      while (x < rowB) {
+        val orig = bytes(r * rowB + x) & 0xff
+        val a = if (x >= ch) bytes(r * rowB + x - ch) & 0xff else 0
+        val b = if (r > 0) bytes((r - 1) * rowB + x) & 0xff else 0
+        val c = if (x >= ch && r > 0)
+          bytes((r - 1) * rowB + x - ch) & 0xff
           else 0
-        raw(r * (w + 1) + 1 + x) =
+        raw(r * (rowB + 1) + 1 + x) =
           ((orig - pngPredict(f, a, b, c)) & 0xff).toByte
         x += 1
       }
@@ -526,8 +541,9 @@ object MultimodalOps {
       crc.update(data, from, len)
       be32(crc.getValue.toInt)
     }
+    // bit depth 8; color type 0 (gray) at ch=1, 2 (truecolor) at ch=3
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+      .put(8.toByte).put((if (ch == 3) 2 else 0).toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
       .array()
     chunk("IHDR", ihdr, 0, 13)
@@ -554,6 +570,62 @@ object MultimodalOps {
     * a value mismatch against the payload-derived oracle. */
   private[graft] def decodePng(docId: Long, bytes: Array[Byte])
       : PngDecoded = {
+    val (w, h, ch, px) = decodePngRaster(docId, bytes)
+    if (ch != 1)
+      throw new IllegalArgumentException(
+        s"png decode [$docId]: color type != gray")
+    var sum = 0L
+    var psum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    PngDecoded(docId, w, h, px.length.toLong,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  final case class PngRgbDecoded(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+      top_left_r: Int, pos_sum: Long)
+
+  /** Truecolor features off the same verified raster walk: per-channel
+    * means (each channel holds exactly w·h bytes), top-left RED byte,
+    * and the position-weighted checksum over the interleaved raster —
+    * a decoder that swaps channels or mis-offsets the bpp-aware
+    * filters moves a per-channel mean, not just the total. */
+  private[graft] def decodePngRgb(docId: Long, bytes: Array[Byte])
+      : PngRgbDecoded = {
+    val (w, h, ch, px) = decodePngRaster(docId, bytes)
+    if (ch != 3)
+      throw new IllegalArgumentException(
+        s"png decode [$docId]: color type != truecolor")
+    val sums = new Array[Long](3)
+    var psum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sums(i % 3) += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    val np = w.toLong * h
+    PngRgbDecoded(docId, w, h, np,
+      if (np == 0) 0.0 else sums(0).toDouble / np,
+      if (np == 0) 0.0 else sums(1).toDouble / np,
+      if (np == 0) 0.0 else sums(2).toDouble / np,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  /** The verified chunk walk + inflate + inverse filter shared by the
+    * gray and truecolor decoders; returns (width, height, channels,
+    * unfiltered raster). Channels come from the IHDR color type
+    * (0 → 1, 2 → 3); all filters operate bytewise at the bpp offset. */
+  private def decodePngRaster(docId: Long, bytes: Array[Byte])
+      : (Int, Int, Int, Array[Byte]) = {
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(s"png decode [$docId]: $why")
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a,
@@ -567,6 +639,7 @@ object MultimodalOps {
     var p = 8
     var w = -1
     var h = -1
+    var ch = -1
     var seenIhdr = false
     var seenIend = false
     var idatDone = false
@@ -589,7 +662,11 @@ object MultimodalOps {
           h = be32(p + 12)
           if (w < 0 || h < 0) fail(s"bad dims ${w}x$h")
           if ((bytes(p + 16) & 0xff) != 8) fail("bit depth != 8")
-          if ((bytes(p + 17) & 0xff) != 0) fail("color type != gray")
+          ch = (bytes(p + 17) & 0xff) match {
+            case 0 => 1
+            case 2 => 3
+            case t => fail(s"unsupported color type $t")
+          }
           if ((bytes(p + 18) & 0xff) != 0) fail("bad compression")
           if ((bytes(p + 19) & 0xff) != 0) fail("bad filter method")
           if ((bytes(p + 20) & 0xff) != 0) fail("interlace unsupported")
@@ -609,7 +686,8 @@ object MultimodalOps {
     }
     if (p != bytes.length) fail("trailing bytes after IEND")
     if (idat.size() == 0) fail("missing IDAT")
-    val raw = new Array[Byte](h * (w + 1))
+    val rowB = w * ch
+    val raw = new Array[Byte](h * (rowB + 1))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -631,36 +709,26 @@ object MultimodalOps {
     } finally inf.end()
     if (got != raw.length)
       fail(s"decompressed $got, raster needs ${raw.length}")
-    val px = new Array[Byte](w * h)
+    val px = new Array[Byte](rowB * h)
     var r = 0
     while (r < h) {
-      val f = raw(r * (w + 1)) & 0xff
+      val f = raw(r * (rowB + 1)) & 0xff
       var x = 0
-      while (x < w) {
-        val v = raw(r * (w + 1) + 1 + x) & 0xff
-        val a = if (x > 0) px(r * w + x - 1) & 0xff else 0
-        val b = if (r > 0) px((r - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff
+      while (x < rowB) {
+        val v = raw(r * (rowB + 1) + 1 + x) & 0xff
+        val a = if (x >= ch) px(r * rowB + x - ch) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * rowB + x) & 0xff else 0
+        val c = if (x >= ch && r > 0)
+          px((r - 1) * rowB + x - ch) & 0xff
           else 0
         val pred = pngPredict(f, a, b, c)
         if (pred < 0) fail(s"unknown filter type $f")
-        px(r * w + x) = ((v + pred) & 0xff).toByte
+        px(r * rowB + x) = ((v + pred) & 0xff).toByte
         x += 1
       }
       r += 1
     }
-    var sum = 0L
-    var psum = 0L
-    var i = 0
-    while (i < px.length) {
-      val v = px(i) & 0xff
-      sum += v
-      psum += (i + 1).toLong * v
-      i += 1
-    }
-    PngDecoded(docId, w, h, px.length.toLong,
-      if (px.length == 0) 0.0 else sum.toDouble / px.length,
-      if (px.length == 0) 0 else px(0) & 0xff, psum)
+    (w, h, ch, px)
   }
 
   /** q196's pipeline: the PNG twin of [[decodeImagesGif]] — same typed
@@ -672,6 +740,20 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodePng(id, encodePng(b)) })
+      .toDF()
+  }
+
+  /** q241's pipeline: truecolor PNG (color type 2) — the same typed
+    * mapPartitions shape as [[decodeImagesPng]], now with 3-byte
+    * pixels so the inverse filters must honor the spec's bpp offset
+    * and the features split per channel. */
+  def decodeImagesPngRgb(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodePngRgb(id, encodePngRgb(b)) })
       .toDF()
   }
 
@@ -1156,6 +1238,20 @@ object MultimodalOps {
           col("n_pixels"), round(col("mean_gray"), 6).as("mean_gray"),
           col("top_left_gray"), col("pos_sum"))),
 
+    // REAL truecolor PNG decode (color type 2) — the gray pipeline's
+    // filters again, now over 3-byte pixels: the inverse predictors
+    // must use the spec's bpp offset (left neighbor = same byte of
+    // the previous PIXEL), and the oracle recomputes PER-CHANNEL
+    // means from the byte stride — a decoder that treats the raster
+    // as flat bytes passes gray but shifts every RGB channel mean.
+    "q241_png_rgb_decode" -> ((s, d) =>
+      decodeImagesPngRgb(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("top_left_r"), col("pos_sum"))),
+
     // REAL G.711 μ-law decode — the third audio format, and the first
     // COMPANDED one: payload bytes are the μ-law codes, the decoder
     // expands each through the published curve (complement, biased
@@ -1352,6 +1448,33 @@ object MultimodalOps {
         |    AS top_left_gray,
         |  CASE WHEN h = 0 THEN 0 ELSE CAST(
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+    // the truecolor fixture: payload byte i is raster channel byte i
+    // (pixel i/3, channel i%3) at width 4, so h = len/12 and channel
+    // c's mean strides the text bytes at offset c+1, step 3 — each
+    // channel holds exactly 4h bytes
+    "q241_png_rgb_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 12 AS h,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 12*h + 1, 3)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_r,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(2, 12*h + 1, 3)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_g,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(3, 12*h + 1, 3)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_b,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_r,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 12*h + 1)])
         |    AS BIGINT) END AS pos_sum
         |FROM f""".stripMargin,
     // the μ-law fixture stores payload byte i verbatim as code i; the

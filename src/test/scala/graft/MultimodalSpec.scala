@@ -375,6 +375,59 @@ class MultimodalSpec extends SparkSpecBase {
     check(Array.tabulate(1024)(i => (i % 251).toByte), "ramp")
   }
 
+  test("q241 truecolor PNG: bpp-offset filters, exact per-channel means") {
+    import operators.MultimodalOps.{decodePng, decodePngRgb, encodePng,
+      encodePngRgb}
+    def check(payload: Array[Byte], tag: String): Unit = {
+      val d = decodePngRgb(1L, encodePngRgb(payload))
+      val n = (payload.length / 12) * 12
+      val np = n / 3
+      val s = new Array[Long](3); var ps = 0L
+      var i = 0
+      while (i < n) {
+        val v = payload(i) & 0xff; s(i % 3) += v
+        ps += (i + 1).toLong * v
+        i += 1
+      }
+      assert(d.width == 4 && d.height == n / 12 && d.n_pixels == np, tag)
+      assert(d.pos_sum == ps, s"$tag: position-weighted checksum")
+      if (np > 0) {
+        assert(d.mean_r == s(0).toDouble / np, tag)
+        assert(d.mean_g == s(1).toDouble / np, tag)
+        assert(d.mean_b == s(2).toDouble / np, tag)
+        assert(d.top_left_r == (payload(0) & 0xff), tag)
+      }
+    }
+    // sizes 0..600 cover heights 0..50 (every filter, partial rows);
+    // the filters now predict at the 3-byte bpp offset, so a decoder
+    // using offset 1 breaks Sub/Average/Paeth rows immediately
+    var seed = 192837465L
+    def lcgBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = (seed >>> 33).toByte; i += 1
+      }
+      a
+    }
+    (0 to 600).foreach(n => check(lcgBytes(n), s"lcg-$n"))
+    Seq(6000, 24000, 60000).foreach(n => check(lcgBytes(n), s"big-$n"))
+    (0 to 200).foreach(n => check(Array.fill(n)('m'.toByte), s"flat-$n"))
+    check(Array.tabulate(1200)(i => (i % 251).toByte), "ramp")
+    // a channel-striped raster separates the means exactly — a
+    // flat-byte (offset-1) decoder would mix them
+    val striped = Array.tabulate(120)(i => (i % 3 match {
+      case 0 => 10; case 1 => 20; case _ => 30
+    }).toByte)
+    val ds = decodePngRgb(2L, encodePngRgb(striped))
+    assert(ds.mean_r == 10.0 && ds.mean_g == 20.0 && ds.mean_b == 30.0)
+    // cross-type: the gray decoder refuses truecolor and vice versa
+    val pay = lcgBytes(120)
+    intercept[IllegalArgumentException] { decodePng(9L, encodePngRgb(pay)) }
+    intercept[IllegalArgumentException] { decodePngRgb(9L, encodePng(pay)) }
+  }
+
   test("q196 PNG decoder rejects malformed containers") {
     import operators.MultimodalOps.{decodePng, encodeBmp, encodeGif,
       encodePng}
