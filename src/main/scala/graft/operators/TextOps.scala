@@ -1041,6 +1041,19 @@ object TextOps {
             .as("mean_chunk_tokens"))
     }),
 
+    // PERPLEXITY FILTER — the canonical pretraining quality filter
+    // (CCNet / GPT-3 style): score every document by its mean bigram
+    // negative log-probability under the corpus's OWN interpolated-KN
+    // LM (q227's exact rational), so unusual bigram structure reads
+    // as a high score. In-corpus scoring means every scored bigram is
+    // in the inventory — no OOV path; per-bigram ln is rounded to 8
+    // and DECIMAL-summed per doc (the q86 log-prob discipline). Scale:
+    // the inventory builds in one corpus scan + keyed agg; doc-bigram
+    // rows equi-join it on (t1,t2) and the vocab-sized context/
+    // continuation tables on t1/t2 — no window, no self-join.
+    "q242_perplexity_filter" -> ((s, d) =>
+      knDocPerplexity(Tables.load(s, d, "documents"))),
+
     // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multi-source sampling
     // schedule (the alpha = 0.3 smoothing exponent of XLM-R / GPT-3
     // style mixtures): w_s ∝ n_s^alpha flattens the source-size
@@ -1142,6 +1155,43 @@ object TextOps {
         round(col("c12").cast("double") / col("c1"), 6).as("p_mle"),
         round(num.cast("double") / den.cast("double"), 6).as("p_kn"))
       .orderBy(col("c12").desc, col("t1").asc, col("t2").asc)
+  }
+
+  /** q242's per-document fluency score: mean −ln p_KN over the doc's
+    * bigram occurrences, p_KN the same exact rational as
+    * [[knBigramProb]] (D = 3/4; num/den never leave integers until
+    * ONE double division feeds the rounded ln). The doc-bigram frame
+    * is localCheckpointed once and feeds both the inventory aggs and
+    * the scoring join — the q184/q227 shared-subtree lesson. TextSpec
+    * pins the closed forms: a single-bigram-type corpus scores 0
+    * everywhere (p = 1 exactly), identical docs score identically,
+    * and the doc holding the corpus's dominant bigram scores strictly
+    * below one holding a rare bigram. */
+  private[graft] def knDocPerplexity(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val dbg = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .localCheckpoint(true) // feeds the inventory AND the scoring join
+    val c2 = dbg.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val nTypes = c2.count()
+    val ctx = c2.groupBy("t1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nl"))
+    val cont = c2.groupBy("t2").agg(count(lit(1)).as("cr"))
+    val num = (greatest(col("c12") * 4 - 3, lit(0L)) * lit(nTypes) +
+      lit(3L) * col("nl") * col("cr")).cast("double")
+    val den = (col("c1") * 4 * lit(nTypes)).cast("double")
+    dbg.join(c2, Seq("t1", "t2")).join(ctx, "t1").join(cont, "t2")
+      .select(col("doc_id"),
+        round(-log(num / den), 8).cast("decimal(28,8)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_nll"))
   }
 
   /** q235's chunk table over a (doc_id, text) frame: one row per
@@ -1965,6 +2015,40 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round((greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
         |    ::DOUBLE / (4 * c1 * n_types), 6) AS p_kn
         |FROM top JOIN ctx USING (t1) JOIN cont USING (t2), t""".stripMargin,
+
+    // q242: the same KN rational per bigram OCCURRENCE, the same
+    // rounded-ln DECIMAL fold per doc, one double division at the end
+    "q242_perplexity_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_slice(l, 1, len(l) - 1)) AS t1,
+        |    unnest(list_slice(l, 2, len(l))) AS t2
+        |  FROM l
+        |), c2 AS (
+        |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2),
+        |ctx AS (
+        |  SELECT t1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS nl
+        |  FROM c2 GROUP BY 1
+        |), cont AS (
+        |  SELECT t2, CAST(count(*) AS BIGINT) AS cr FROM c2 GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id, CAST(round(-ln(
+        |      (greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
+        |        ::DOUBLE / (4 * c1 * n_types)), 8)
+        |    AS DECIMAL(28,8)) AS nll
+        |  FROM bg JOIN c2 USING (t1, t2) JOIN ctx USING (t1)
+        |    JOIN cont USING (t2), t
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+        |FROM sc GROUP BY 1""".stripMargin,
 
     // q235: identical boundary rule (char-code sum mod 8), identical
     // exclusive prefix-sum chunk assignment, identical md5 over the

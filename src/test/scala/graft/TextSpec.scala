@@ -408,6 +408,34 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("q242 perplexity filter: exact KN closed forms per document") {
+    import spark.implicits._
+    def r6d(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r8d(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // single bigram type across the corpus: T=1, nl=cr=1 ->
+    // p = (4c-3+3)/4c = 1 EXACTLY -> nll 0 for every doc
+    val mono = Seq((1L, "a a a a"), (2L, "a a")).toDF("doc_id", "text")
+    val r1 = TextOps.knDocPerplexity(mono).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_nll"))))
+      .toMap
+    assert(r1(1L) == ((3L, 0.0)) && r1(2L) == ((1L, 0.0)))
+    // dominant bigram scores BELOW the rare one: 3x "a b" + 1x "c d"
+    // p(ab) = (max(12-3,0)*2 + 3)/(4*3*2) = 21/24
+    // p(cd) = (max(4-3,0)*2 + 3)/(4*1*2) = 5/8
+    val mix = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val r2 = TextOps.knDocPerplexity(mix).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_nll"))
+      .toMap
+    assert(r2(1L) == r2(2L) && r2(2L) == r2(3L), "identical docs tie")
+    assert(r2(1L) == r6d(r8d(-math.log(21.0 / 24.0))))
+    assert(r2(4L) == r6d(r8d(-math.log(5.0 / 8.0))))
+    assert(r2(1L) < r2(4L), "formulaic doc must score more fluent")
+  }
+
   test("q230 mixture weights: uniform stays uniform, small sources " +
       "get boosted above their raw share") {
     import spark.implicits._
