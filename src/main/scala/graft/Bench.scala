@@ -56,7 +56,11 @@ object Bench {
     // the streaming LSH gate (persistent bucket store grows with the
     // corpus), and the CDC chunk window + fp aggs
     "q225_ngram_novelty", "q231_band_join", "q234_stream_lsh_gate",
-    "q235_cdc_chunks")
+    "q235_cdc_chunks",
+    // round-9: the per-doc KN scoring join — doc-bigram volume joins
+    // the type inventory; the curve should read ~linear in corpus
+    // bigrams
+    "q242_perplexity_filter")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead
@@ -75,7 +79,13 @@ object Bench {
     // round-8 final artifact's top exponent (0.84 — near-linear, as a
     // full shingle-inventory pass should be): the third point pins
     // that it's volume, not a hidden quadratic
-    "q225_ngram_novelty")
+    "q225_ngram_novelty",
+    // round-9: the rest of r8's top-exponent table — q73's 0.77 was a
+    // starved reading (the guard's cap dropped its re-measure; fixed
+    // above), the others are honest readings whose curve should be
+    // pinned across two decades like q225's
+    "q73_decontaminate", "q201_butterflies", "q231_band_join",
+    "q235_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,7 +175,12 @@ object Bench {
     // only ever inflates a time, never deflates it — and record both
     // values so the artifact is auditable.
     //   flagged when: small-point slower than its 10x-rows big twin;
-    //   big point >4x its small twin; or >3x the run median (and >3s).
+    //   big point >4x its small twin; or >3x the run median (and >1s).
+    // EVERY flagged query is re-measured — no cap: the r8 artifact
+    // shipped q73 at 2.3x its prior reading (flagged by this guard's
+    // own rule, dropped by a top-10 cap), and a re-measure costs only
+    // two executions of a query the flag already singled out. The 1s
+    // floor (was 3s) guards the 1-3s band where most queries live.
     val qByName = selected.toMap
     def remeasurePass(first: Seq[(String, Double)], twins: Map[String, Double],
         dir: String, bigSide: Boolean): (Seq[(String, Double)], Seq[String]) = {
@@ -174,8 +189,8 @@ object Bench {
         val twin = twins.get(n)
         val vsTwin =
           if (bigSide) twin.exists(t > 4 * _) else twin.exists(t > _)
-        vsTwin || (t > 3 * med && t > 3.0)
-      }.sortBy(-_._2).take(10).map(_._1).toSet
+        vsTwin || (t > 3 * med && t > 1.0)
+      }.map(_._1).toSet
       val redone = first.map { case (n, t) =>
         if (flagged(n)) n -> math.min(t, bestOf2(n, qByName(n), dir).getOrElse(t))
         else n -> t
