@@ -492,6 +492,11 @@ object MultimodalOps {
   private[graft] def encodePngRgb(bytes: Array[Byte]): Array[Byte] =
     encodePngCh(bytes, 3)
 
+  /** RGBA variant: color type 6, bpp = 4 — the widest pixel the spec's
+    * byte-offset filter rule covers; h = len/16 full rows. */
+  private[graft] def encodePngRgba(bytes: Array[Byte]): Array[Byte] =
+    encodePngCh(bytes, 4)
+
   private def encodePngCh(bytes: Array[Byte], ch: Int): Array[Byte] = {
     val w = 4
     val rowB = w * ch
@@ -541,9 +546,11 @@ object MultimodalOps {
       crc.update(data, from, len)
       be32(crc.getValue.toInt)
     }
-    // bit depth 8; color type 0 (gray) at ch=1, 2 (truecolor) at ch=3
+    // bit depth 8; color type 0 (gray) at ch=1, 2 (truecolor) at
+    // ch=3, 6 (truecolor + alpha) at ch=4
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put((if (ch == 3) 2 else 0).toByte)
+      .put(8.toByte)
+      .put((if (ch == 4) 6 else if (ch == 3) 2 else 0).toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
       .array()
     chunk("IHDR", ihdr, 0, 13)
@@ -620,10 +627,39 @@ object MultimodalOps {
       if (px.length == 0) 0 else px(0) & 0xff, psum)
   }
 
+  final case class PngRgbaDecoded(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+      mean_a: Double, top_left_r: Int, pos_sum: Long)
+
+  /** RGBA features — the 4-byte-pixel twin of [[decodePngRgb]]; the
+    * alpha plane gets its own mean (a padding/stride bug that reads
+    * alpha into color shifts two means at once). */
+  private[graft] def decodePngRgba(docId: Long, bytes: Array[Byte])
+      : PngRgbaDecoded = {
+    val (w, h, ch, px) = decodePngRaster(docId, bytes)
+    if (ch != 4)
+      throw new IllegalArgumentException(
+        s"png decode [$docId]: color type != truecolor+alpha")
+    val sums = new Array[Long](4)
+    var psum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sums(i % 4) += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    val np = w.toLong * h
+    def m(c: Int) = if (np == 0) 0.0 else sums(c).toDouble / np
+    PngRgbaDecoded(docId, w, h, np, m(0), m(1), m(2), m(3),
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
   /** The verified chunk walk + inflate + inverse filter shared by the
-    * gray and truecolor decoders; returns (width, height, channels,
-    * unfiltered raster). Channels come from the IHDR color type
-    * (0 → 1, 2 → 3); all filters operate bytewise at the bpp offset. */
+    * gray, truecolor and RGBA decoders; returns (width, height,
+    * channels, unfiltered raster). Channels come from the IHDR color
+    * type (0 → 1, 2 → 3, 6 → 4); all filters operate bytewise at the
+    * bpp offset. */
   private def decodePngRaster(docId: Long, bytes: Array[Byte])
       : (Int, Int, Int, Array[Byte]) = {
     def fail(why: String): Nothing =
@@ -665,6 +701,7 @@ object MultimodalOps {
           ch = (bytes(p + 17) & 0xff) match {
             case 0 => 1
             case 2 => 3
+            case 6 => 4
             case t => fail(s"unsupported color type $t")
           }
           if ((bytes(p + 18) & 0xff) != 0) fail("bad compression")
@@ -754,6 +791,18 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodePngRgb(id, encodePngRgb(b)) })
+      .toDF()
+  }
+
+  /** q243's pipeline: RGBA (color type 6) — 4-byte pixels, the widest
+    * bpp the filter rule covers, alpha audited as its own plane. */
+  def decodeImagesPngRgba(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodePngRgba(id, encodePngRgba(b)) })
       .toDF()
   }
 
@@ -1252,6 +1301,20 @@ object MultimodalOps {
           round(col("mean_b"), 6).as("mean_b"),
           col("top_left_r"), col("pos_sum"))),
 
+    // REAL RGBA PNG decode (color type 6) — the widest pixel (bpp 4)
+    // the spec's byte-offset filter rule covers, with the alpha plane
+    // audited as its own mean: a stride bug that reads alpha into a
+    // color channel moves two means at once, and the bpp-offset
+    // filters differ from BOTH the gray (1) and RGB (3) paths.
+    "q243_png_rgba_decode" -> ((s, d) =>
+      decodeImagesPngRgba(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          col("top_left_r"), col("pos_sum"))),
+
     // REAL G.711 μ-law decode — the third audio format, and the first
     // COMPANDED one: payload bytes are the μ-law codes, the decoder
     // expands each through the published curve (complement, biased
@@ -1475,6 +1538,35 @@ object MultimodalOps {
         |    AS top_left_r,
         |  CASE WHEN h = 0 THEN 0 ELSE CAST(
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 12*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+    // the RGBA fixture: payload byte i is raster channel byte i
+    // (pixel i/4, channel i%4) at width 4, so h = len/16 and channel
+    // c's mean strides the text bytes at offset c+1, step 4
+    "q243_png_rgba_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 16 AS h,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 16*h + 1, 4)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_r,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(2, 16*h + 1, 4)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_g,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(3, 16*h + 1, 4)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_b,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(4, 16*h + 1, 4)])
+        |      ::DOUBLE / (4 * h) END, 6) AS mean_a,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_r,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 16*h + 1)])
         |    AS BIGINT) END AS pos_sum
         |FROM f""".stripMargin,
     // the μ-law fixture stores payload byte i verbatim as code i; the

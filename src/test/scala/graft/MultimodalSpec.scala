@@ -428,6 +428,59 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodePngRgb(9L, encodePng(pay)) }
   }
 
+  test("q243 RGBA PNG: bpp-4 filters, alpha audited as its own plane") {
+    import operators.MultimodalOps.{decodePngRgb, decodePngRgba,
+      encodePngRgb, encodePngRgba}
+    def check(payload: Array[Byte], tag: String): Unit = {
+      val d = decodePngRgba(1L, encodePngRgba(payload))
+      val n = (payload.length / 16) * 16
+      val np = n / 4
+      val s = new Array[Long](4); var ps = 0L
+      var i = 0
+      while (i < n) {
+        val v = payload(i) & 0xff; s(i % 4) += v
+        ps += (i + 1).toLong * v
+        i += 1
+      }
+      assert(d.width == 4 && d.height == n / 16 && d.n_pixels == np, tag)
+      assert(d.pos_sum == ps, s"$tag: position-weighted checksum")
+      if (np > 0) {
+        assert(d.mean_r == s(0).toDouble / np, tag)
+        assert(d.mean_g == s(1).toDouble / np, tag)
+        assert(d.mean_b == s(2).toDouble / np, tag)
+        assert(d.mean_a == s(3).toDouble / np, tag)
+        assert(d.top_left_r == (payload(0) & 0xff), tag)
+      }
+    }
+    var seed = 564738291L
+    def lcgBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = (seed >>> 33).toByte; i += 1
+      }
+      a
+    }
+    (0 to 600).foreach(n => check(lcgBytes(n), s"lcg-$n"))
+    Seq(8000, 32000).foreach(n => check(lcgBytes(n), s"big-$n"))
+    (0 to 160).foreach(n => check(Array.fill(n)('q'.toByte), s"flat-$n"))
+    // channel stripes separate all four means exactly — an offset-3
+    // (RGB) or offset-1 (flat) filter reader mixes them
+    val striped = Array.tabulate(160)(i => (40 + 10 * (i % 4)).toByte)
+    val ds = decodePngRgba(2L, encodePngRgba(striped))
+    assert(ds.mean_r == 40.0 && ds.mean_g == 50.0 &&
+      ds.mean_b == 60.0 && ds.mean_a == 70.0)
+    // RGB and RGBA decoders refuse each other's color type
+    val pay = lcgBytes(240)
+    intercept[IllegalArgumentException] {
+      decodePngRgb(9L, encodePngRgba(pay))
+    }
+    intercept[IllegalArgumentException] {
+      decodePngRgba(9L, encodePngRgb(pay))
+    }
+  }
+
   test("q196 PNG decoder rejects malformed containers") {
     import operators.MultimodalOps.{decodePng, encodeBmp, encodeGif,
       encodePng}
