@@ -59,8 +59,9 @@ object Bench {
     "q235_cdc_chunks",
     // round-9: the per-doc KN scoring join — doc-bigram volume joins
     // the type inventory; the curve should read ~linear in corpus
-    // bigrams
-    "q242_perplexity_filter")
+    // bigrams — and the JL projection, whose n·d·k explode is the
+    // shape to watch
+    "q242_perplexity_filter", "q244_jl_projection")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

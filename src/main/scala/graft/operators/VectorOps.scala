@@ -165,6 +165,22 @@ object VectorOps {
         min(col("err") <= col("amax") / 254.0 + 1e-12).as("bound_ok"))
     }),
 
+    // JOHNSON–LINDENSTRAUSS sign projection + distance-preservation
+    // audit — the dimensionality-reduction step ahead of a 100 TB ANN
+    // build (project 64 → 16 dims, then index the short vectors):
+    // y_j = Σ_i x_i·s(i,j) with a deterministic ±1 sign grid, E‖y‖²
+    // = k‖x‖², so the audited ratio ‖Δy‖²/(k‖Δx‖²) concentrates near
+    // 1 with spread ~√(2/k). Everything is order-free exact: per-term
+    // products round to 9dp and DECIMAL-sum through a keyed agg (the
+    // projection is posexplode × a broadcast 16-row j grid — never a
+    // per-row fold whose float order an engine could change), squared
+    // diffs round to 8dp and DECIMAL-sum per adjacent (v, v+1) pair.
+    // One summary row: pair census + mean/min/max ratio + the
+    // fraction inside [0.5, 2].
+    "q244_jl_projection" -> ((s, d) => jlAudit(
+      Tables.load(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), k = 16)),
+
     // HYBRID SEARCH capstone: BM25 keyword retrieval fused with vector
     // similarity by reciprocal-rank fusion (RRF, k=60) — the RAG
     // retrieval shape. Scale discipline: each modality first generates
@@ -908,6 +924,54 @@ object VectorOps {
     (res, probed.size, radii.size)
   }
 
+  /** q244's JL audit over a (vec_id, v: array<double>) frame: sign
+    * s(i,j) = ±1 from ((i·1103515245 + j·12345) mod 97) mod 2 — pure
+    * integer, identical in both engines; y via posexplode × the
+    * broadcast k-row grid and ONE keyed DECIMAL agg (order-free);
+    * adjacent (v, v+1) pairs audited by ‖Δy‖²/(k·‖Δx‖²). Split out so
+    * VectorDistanceSpec pins the closed forms (zero/identical vectors
+    * degenerate, a hand-signed 1-dim case, scale invariance of the
+    * ratio). */
+  private[graft] def jlAudit(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dims = e.select(col("vec_id"), posexplode(col("v"))
+      .as(Seq("i", "x"))).localCheckpoint(true)
+    val grid = broadcast(s.range(k).select(col("id").as("j")))
+    val sign = when(((col("i").cast("long") * 1103515245L
+      + col("j") * 12345L) % 97 % 2) === 0, lit(1.0)).otherwise(lit(-1.0))
+    val proj = dims.crossJoin(grid)
+      .select(col("vec_id"), col("j"),
+        round(col("x") * sign, 9).cast("decimal(28,9)").as("t"))
+      .groupBy("vec_id", "j")
+      .agg(sum("t").cast("double").as("y"))
+    def pairSq(t: DataFrame, key: String, v: String): DataFrame = t
+      .select(col("vec_id").as("id"), col(key).as("kk"),
+        col(v).as("a"))
+      .join(t.select((col("vec_id") - 1).as("id"), col(key).as("kk"),
+        col(v).as("b")), Seq("id", "kk"))
+      .select(col("id"),
+        round((col("a") - col("b")) * (col("a") - col("b")), 8)
+          .cast("decimal(28,8)").as("d2"))
+      .groupBy("id").agg(sum("d2").cast("double").as("sq"))
+    val o2 = pairSq(dims, "i", "x").withColumnRenamed("sq", "o2")
+    val p2 = pairSq(proj, "j", "y").withColumnRenamed("sq", "p2")
+    val sc = o2.join(p2, "id")
+      .withColumn("ratio", when(col("o2") > 0,
+        round(col("p2") / (lit(k.toDouble) * col("o2")), 6)))
+    sc.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("ratio").isNull, 1L).otherwise(0L))
+        .as("n_degenerate"),
+      when(count(col("ratio")) > 0,
+        round(sum(col("ratio").cast("decimal(28,6)")).cast("double")
+          / count(col("ratio")), 6)).as("mean_ratio"),
+      min("ratio").as("min_ratio"), max("ratio").as("max_ratio"),
+      when(count(col("ratio")) > 0,
+        round(sum(when(col("ratio").between(0.5, 2.0), 1L)
+          .otherwise(0L)).cast("double") / count(col("ratio")), 6))
+        .as("frac_in_band"))
+  }
+
   private val bruteOracle =
     """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
       |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS dist
@@ -917,6 +981,56 @@ object VectorOps {
       |LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q244: identical integer sign grid, identical rounded-term
+    // DECIMAL sums through GROUP BYs (never a float list fold whose
+    // order an engine could change), identical pair algebra
+    "q244_jl_projection" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), dims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS i, v[i] AS x
+        |  FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+        |), proj AS MATERIALIZED (
+        |  SELECT vec_id, j,
+        |    CAST(sum(CAST(round(x * (CASE WHEN
+        |        (i * 1103515245 + j * 12345) % 97 % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END), 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS y
+        |  FROM dims, unnest(range(0, 16)) AS w(j)
+        |  GROUP BY 1, 2
+        |), po AS (
+        |  SELECT a.vec_id AS id,
+        |    CAST(sum(CAST(round((a.x - b.x) * (a.x - b.x), 8)
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS o2
+        |  FROM dims a JOIN dims b
+        |    ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |  GROUP BY 1
+        |), pp AS (
+        |  SELECT a.vec_id AS id,
+        |    CAST(sum(CAST(round((a.y - b.y) * (a.y - b.y), 8)
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS p2
+        |  FROM proj a JOIN proj b
+        |    ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |  GROUP BY 1
+        |), sc AS (
+        |  SELECT id, CASE WHEN o2 > 0
+        |    THEN round(p2 / (16 * o2), 6) END AS ratio
+        |  FROM po JOIN pp USING (id)
+        |)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_degenerate,
+        |  CASE WHEN count(ratio) > 0 THEN
+        |    round(CAST(sum(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(ratio), 6) END AS mean_ratio,
+        |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+        |  CASE WHEN count(ratio) > 0 THEN
+        |    round(sum(CASE WHEN ratio BETWEEN 0.5 AND 2.0
+        |      THEN 1 ELSE 0 END)::DOUBLE / count(ratio), 6) END
+        |    AS frac_in_band
+        |FROM sc""".stripMargin,
     "q102_kmeans_clusters" ->
       """SELECT CAST(0 AS BIGINT) AS mismatches, true AS all_nearest,
         |  count(*) AS n_vectors, 8 AS k

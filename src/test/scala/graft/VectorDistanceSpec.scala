@@ -238,6 +238,36 @@ class VectorDistanceSpec extends SparkSpecBase {
     assert(r(2).getAs[Double]("avg_mse") == r8(r8(err * err / 2.0)))
     assert(r(2).getAs[Double]("max_abs_err") == r8(math.abs(err)))
   }
+
+  test("q244 JL audit: exact closed forms on hand pairs") {
+    import spark.implicits._
+    def audit(rows: (Long, Seq[Double])*) =
+      graft.operators.VectorOps.jlAudit(
+        rows.toDF("vec_id", "v"), k = 16).head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // identical adjacent vectors: zero original distance (and, by
+    // linearity, zero projected distance) -> degenerate, never a NaN
+    val dg = audit((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0)))
+    assert(dg.getAs[Long]("n_pairs") == 1L)
+    assert(dg.getAs[Long]("n_degenerate") == 1L)
+    assert(dg.isNullAt(dg.fieldIndex("mean_ratio")))
+    // 1-dim: y = x * the sign vector, so ||dy||^2 = k*||dx||^2 and
+    // the ratio is EXACTLY 1 at any scale
+    val one = audit((0L, Seq(3.0)), (1L, Seq(0.0)))
+    assert(one.getAs[Long]("n_pairs") == 1L)
+    assert(one.getAs[Double]("mean_ratio") == 1.0)
+    assert(one.getAs[Double]("frac_in_band") == 1.0)
+    // 2-dim hand case: dy_j = s(0,j) + s(1,j) in {-2, 0, 2}, so
+    // p2 = 4 * |{j : signs agree}| and ratio = p2 / (16 * 2) — the
+    // signs recomputed here with the SAME integer grid
+    def s(i: Long, j: Long): Double =
+      if ((i * 1103515245L + j * 12345L) % 97 % 2 == 0) 1.0 else -1.0
+    val agree = (0L until 16L).count(j => s(0, j) == s(1, j))
+    val two = audit((0L, Seq(1.0, 1.0)), (1L, Seq(0.0, 0.0)))
+    assert(two.getAs[Double]("mean_ratio") == r6(4.0 * agree / 32.0))
+    assert(agree > 0 && agree < 16, s"degenerate sign grid: $agree")
+  }
 }
 
 object VectorFunctionsRegistrar {
