@@ -77,6 +77,39 @@ object StreamGateOps {
   private def sameRows(a: DataFrame, b: DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
+  /** Write the far-future flush sentinel into `srcDir` once: the zz_
+    * path prefix sorts it into the LAST micro-batch (the file source
+    * orders unread files by path), its ts is encoded to match the raw
+    * source schema (nanos Long or TIMESTAMP_NTZ — the r5 flip), and
+    * its watermark advance closes every real row's state so
+    * append-mode output flushes before an AvailableNow stream ends —
+    * the q122/q162 discipline, shared with q245. */
+  private def ensureFlushSentinel(s: SparkSession, dir: String,
+      srcDir: String, raw: DataFrame, evBatch: DataFrame,
+      offsetHours: Int, eventType: String): Unit = {
+    import s.implicits._
+    val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
+    if (!sentinel.exists()) {
+      val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
+      val flushMicros =
+        (maxTs.getTime + offsetHours * 3600 * 1000L) * 1000L
+      val one = Seq((-1L, flushMicros, -1L, eventType, 0.0, ""))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts",
+          if (raw.schema("ts").dataType == LongType)
+            col("ts_us") * 1000L // us -> ns
+          else timestamp_micros(col("ts_us")))
+        .drop("ts_us")
+        .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
+      val tmp = dir + "/sentinel_build"
+      one.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, sentinel.toPath)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Streaming exact dedup gate: stream the documents table through
     // dedupByFingerprint (watermarked dropDuplicatesWithinWatermark —
@@ -215,6 +248,55 @@ object StreamGateOps {
         .withColumn("stream_eq_batch", lit(eq))
     }),
 
+    // STREAM-STREAM LEFT OUTER interval join gate: the outer twin of
+    // q119 — every view emits, matched views per purchase inside
+    // [v_ts, v_ts + 30 min], UNMATCHED views with NULL p_ts. Outer
+    // rows only release when the global watermark passes a view's
+    // whole match window (state expiry IS the emission trigger), so
+    // the source carries the zz_ flush sentinel fed through BOTH
+    // sides' event_type filters — without it the unmatched set is
+    // silently empty and the gate reads as a plain inner join. The
+    // batch twin is the same interval join as a plain LEFT JOIN
+    // (watermarks are no-ops on batch frames); equivalence compared
+    // row-for-row including the NULLs.
+    "q245_stream_outer_join_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("ssouter", d)
+      val evBatch = Tables.load(s, d, "events")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      ensureFlushSentinel(s, dir, srcDir, raw, evBatch,
+        offsetHours = 3, eventType = "zz_flush")
+      def side(tpe: String) = Tables.fixEventTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .filter(col("event_type").isin(tpe, "zz_flush"))
+      val q = StreamOps.viewPurchaseJoinOuter(
+          side("view"), side("purchase"))
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the sentinel's own view row never expires (its window ends
+      // past the final watermark) and would be dropped here anyway
+      val out = s.read.parquet(dir + "/out").filter(col("user_id") >= 0)
+      val batch = StreamOps.viewPurchaseJoinOuter(
+        evBatch.filter(col("event_type") === "view"),
+        evBatch.filter(col("event_type") === "purchase"))
+      def shape(df: DataFrame) = df.schema.fields
+        .map(f => (f.name, f.dataType)).toSeq
+      val eq = shape(out) == shape(batch) && sameRows(out, batch)
+      out.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+          .as("unmatched_views"),
+        count(col("p_ts")).as("pairs"),
+        countDistinct(col("user_id")).as("users"),
+        countDistinct(when(col("p_ts").isNull, col("user_id")))
+          .as("users_with_unmatched"))
+        .withColumn("stream_eq_batch", lit(eq))
+    }),
+
     // STATEFUL sessionization gate: the flatMapGroupsWithState
     // session operator driven as a real stream. The event-time-timeout
     // states need the watermark to pass last+gap before the final
@@ -238,28 +320,8 @@ object StreamGateOps {
       // must be the LAST micro-batch for any data file name — a bare
       // "sentinel.parquet" would sort before e.g. "zevents.parquet"
       // and flush nothing (ADVICE r4)
-      val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
-      if (!sentinel.exists()) {
-        val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
-        val flushMicros =
-          (maxTs.getTime + 3 * 3600 * 1000L) * 1000L // ms -> us, +3h
-        // build ts to MATCH the raw source schema: nanos Long when the
-        // driver shipped raw nanos, a real timestamp (micros) when it
-        // shipped TIMESTAMP_NTZ — a blind BIGINT->NTZ cast throws
-        val one = Seq((-1L, flushMicros, -1L, "flush", 0.0, ""))
-          .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
-          .withColumn("ts",
-            if (raw.schema("ts").dataType == LongType)
-              col("ts_us") * 1000L // us -> ns
-            else timestamp_micros(col("ts_us")))
-          .drop("ts_us")
-          .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
-        val tmp = dir + "/sentinel_build"
-        one.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, sentinel.toPath)
-      }
+      ensureFlushSentinel(s, dir, srcDir, raw, evBatch,
+        offsetHours = 3, eventType = "flush")
       val src = Tables.fixEventTs(s.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir))
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -311,25 +373,8 @@ object StreamGateOps {
       val evBatch = Tables.load(s, d, "events") // nanos conf + batch twin
       val srcDir = asSourceDir(s"$d/events.parquet", dir)
       val raw = s.read.parquet(s"$d/events.parquet")
-      val sentinel = new java.io.File(srcDir, "zz_sentinel.parquet")
-      if (!sentinel.exists()) {
-        val maxTs = evBatch.agg(max("ts")).head().getTimestamp(0)
-        val flushMicros = (maxTs.getTime + 24 * 3600 * 1000L) * 1000L
-        val one = Seq((-1L, flushMicros, -1L, "zz_flush", 0.0, ""))
-          .toDF("event_id", "ts_us", "user_id", "event_type", "value",
-            "props")
-          .withColumn("ts",
-            if (raw.schema("ts").dataType == LongType)
-              col("ts_us") * 1000L // us -> ns
-            else timestamp_micros(col("ts_us")))
-          .drop("ts_us")
-          .select(raw.schema.map(f => col(f.name).cast(f.dataType)): _*)
-        val tmp = dir + "/sentinel_build"
-        one.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, sentinel.toPath)
-      }
+      ensureFlushSentinel(s, dir, srcDir, raw, evBatch,
+        offsetHours = 24, eventType = "zz_flush")
       val hop = (df: DataFrame) => df
         .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -607,6 +652,27 @@ object StreamGateOps {
         |    THEN e.user_id END) AS matched_users,
         |  true AS stream_eq_batch
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // the same interval join as a LEFT JOIN — unmatched views kept
+    // with NULL p_ts; census over the whole outer result
+    "q245_stream_outer_join_gate" ->
+      """WITH v AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT v.user_id, v.ts AS v_ts, p.ts AS p_ts
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS unmatched_views,
+        |  count(p_ts)::BIGINT AS pairs,
+        |  count(DISTINCT user_id)::BIGINT AS users,
+        |  count(DISTINCT CASE WHEN p_ts IS NULL THEN user_id END)
+        |    ::BIGINT AS users_with_unmatched,
+        |  true AS stream_eq_batch
+        |FROM j""".stripMargin,
     // q87's aggregate over the STREAM's sink + the equivalence flag
     "q119_stream_join_gate" ->
       """SELECT v.user_id, count(*) AS pairs,

@@ -132,6 +132,30 @@ object StreamOps {
       .select(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT OUTER twin of [[viewPurchaseJoin]]: every view emits —
+    * matched views once per purchase in [v_ts, v_ts + 30 min],
+    * unmatched views with a NULL p_ts, which Structured Streaming
+    * only releases once the global watermark passes the view's whole
+    * match window (state expiry is the emission trigger — the gate
+    * feeds a far-future sentinel through BOTH sides so every real
+    * view's window closes before the stream ends). Same bounded
+    * per-key state as the inner join; on a batch frame the
+    * watermarks are no-ops and this is a plain interval left join
+    * (the equivalence twin). */
+  def viewPurchaseJoinOuter(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, col("user_id") === col("p_uid")
+        && col("p_ts") >= col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   // --- sessionization via typed state -----------------------------------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

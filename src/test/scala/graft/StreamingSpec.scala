@@ -337,6 +337,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views flush " +
+      "at the watermark and match the batch twin (q245 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one matching purchase for user 2's first view; every other view
+    // must still emit — with a NULL p_ts — once the watermark passes
+    // its whole match window
+    val purchases: Seq[Event] = Seq(Event(10, ts(20), 2, "purchase", 9.0))
+    val views = sample.filter(_.event_type == "view")
+    val want = StreamOps.viewPurchaseJoinOuter(
+        views.toDF(), purchases.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(want.exists(_.last == null), "batch twin must have outer rows")
+    val (vMem, pMem) = (MemoryStream[Event], MemoryStream[Event])
+    val q = StreamOps.viewPurchaseJoinOuter(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("vp_outer")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      // outer rows release only when the watermark passes the view's
+      // window: feed a far-future flush through BOTH sides (the q245
+      // gate's sentinel), twice — the watermark computed from batch k
+      // evicts in batch k+1
+      Seq(100000, 100001).foreach { t =>
+        vMem.addData(Event(-1, ts(t), -1, "flush", 0.0))
+        pMem.addData(Event(-1, ts(t), -1, "flush", 0.0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("vp_outer").collect().map(_.toSeq)
+        .filter(_.head.asInstanceOf[Long] >= 0).toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.exists(_.last == null), "an unmatched view must emit")
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: restart resumes exactly-once (no dup, no loss)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
