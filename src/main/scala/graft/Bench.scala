@@ -59,9 +59,11 @@ object Bench {
     "q235_cdc_chunks",
     // round-9: the per-doc KN scoring join — doc-bigram volume joins
     // the type inventory; the curve should read ~linear in corpus
-    // bigrams — and the JL projection, whose n·d·k explode is the
-    // shape to watch
-    "q242_perplexity_filter", "q244_jl_projection")
+    // bigrams — the JL projection, whose n·d·k explode is the shape
+    // to watch, the outer-join gate (outer state holds EVERY
+    // unmatched view until expiry) and the 7-way cover explode
+    "q242_perplexity_filter", "q244_jl_projection",
+    "q245_stream_outer_join_gate", "q247_rolling_distinct")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

@@ -1892,7 +1892,32 @@ object ScaleOps {
         .select(col("doc_id"), length(col("text")).cast("long").as("v")),
         shardSize = 1000L,
         preds = Seq((0L, 199L), (200L, 299L), (300L, 399L),
-          (310L, 329L), (400L, 100000L))))
+          (310L, 329L), (400L, 100000L)))),
+
+    // ROLLING 7-DAY EXACT DISTINCT USERS — the sliding-window COUNT
+    // DISTINCT no sketch gets exact and no window frame computes
+    // without a per-day rescan: each event covers the 7 window-end
+    // days it contributes to, so ONE constant 7-way explode + keyed
+    // agg yields every day's exact trailing-week census — one
+    // shuffle on the day key, no self-join, no global window, output
+    // bounded by the date domain. Cover days clipped to the observed
+    // range so every emitted window is fully defined.
+    "q247_rolling_distinct" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .localCheckpoint(true) // feeds the bounds AND the explode
+      val b = e.agg(min("day"), max("day")).head()
+      val (lo, hi) = (b.getDate(0), b.getDate(1))
+      e.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"),
+          date_add(col("day"), col("i")).as("win_end"))
+        .filter(col("win_end") >= lit(lo) && col("win_end") <= lit(hi))
+        .groupBy("win_end")
+        .agg(countDistinct(col("user_id")).as("users_7d"),
+          count(lit(1)).as("events_7d"))
+        .orderBy("win_end")
+    })
   )
 
   /** q236's forecast over a (doc_id, v) frame: per (layout,
@@ -3415,6 +3440,22 @@ ORDER BY rk"""
         |  n_match, round(n_match::DOUBLE / n, 6) AS selectivity
         |FROM f JOIN sel USING (lo, hi), tot
         |ORDER BY layout, lo""".stripMargin,
+
+    // q247: the same 7-way cover explode, the same observed-range
+    // clip — exact trailing-week distincts per day
+    "q247_rolling_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |x AS (
+        |  SELECT user_id, day + i::INT AS win_end
+        |  FROM e, unnest(range(0, 7)) AS u(i)
+        |)
+        |SELECT win_end,
+        |  count(DISTINCT user_id)::BIGINT AS users_7d,
+        |  count(*)::BIGINT AS events_7d
+        |FROM x, b WHERE win_end BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q231: the oracle joins on the raw inequality — DuckDB at sf0.01
     // affords the per-customer quadratic the Spark side blocks away

@@ -605,7 +605,27 @@ object StatOps {
     // rank window partitions by source.
     "q221_quantile_norm" -> ((s, d) =>
       quantileNormalize(Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))))
+        .select(col("doc_id"), col("source"), col("n_chars")))),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    // A-ES, VLDB 2006): sample 20 documents with probability
+    // proportional to n_chars in ONE distributed pass — per doc a
+    // uniform u from its 48-bit md5 key, score ln(u)/w (the log of
+    // the classic u^(1/w): monotone-equivalent and underflow-free),
+    // TakeOrdered top-20 by (score desc, doc_id). The ln rounds to
+    // 9dp BEFORE ranking so both engines order the same list (the
+    // q237 ln discipline); heavier docs need exponentially less luck
+    // — the size-biased pick a token-budget sampler actually wants,
+    // with no global shuffle and no per-partition reservoir state.
+    "q246_weighted_sample" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("double")
+        + lit(1.0)) / lit(281474976710657.0)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars"), 9).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id").asc).limit(20)
+    })
   )
 
   /** q221's exact nearest-rank quantile normalization over a
@@ -1648,6 +1668,15 @@ LEFT JOIN (SELECT DISTINCT CAST($cb AS BIGINT) AS b FROM $tb) db
         |SELECT doc_id, source, n_chars,
         |  CAST(src_rank AS BIGINT) AS src_rank,
         |  CAST(global_pos AS BIGINT) AS global_pos, normalized
-        |FROM pos JOIN pv USING (global_pos)""".stripMargin
+        |FROM pos JOIN pv USING (global_pos)""".stripMargin,
+
+    // q246: the same 48-bit md5 uniform, the same rounded ln score,
+    // the same (score desc, doc_id) top-20
+    "q246_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln((('0x' || md5('ws:' || doc_id)[1:12])::BIGINT + 1)
+        |    / 281474976710657.0) / n_chars, 9) AS skey
+        |FROM documents
+        |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin
   )
 }
