@@ -221,17 +221,36 @@ object MultimodalOps {
     * is payload-derivable while the bytes on the wire are genuinely
     * compressed. Width fixed at 4; tail bytes that don't fill a row
     * are dropped (len/4 full rows), as the oracle recomputes. */
-  private[graft] def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def encodeGif(bytes: Array[Byte]): Array[Byte] =
+    encodeGifTbl(bytes, localTable = false)
+
+  /** LOCAL-color-table variant: the screen descriptor carries NO
+    * global table (GCT flag clear) and the image descriptor carries
+    * the same 256-entry grayscale ramp as its local table (LCT flag +
+    * size 7) — the per-image palette placement the GIF spec allows
+    * and most decoders ignore until it bites. */
+  private[graft] def encodeGifLct(bytes: Array[Byte]): Array[Byte] =
+    encodeGifTbl(bytes, localTable = true)
+
+  private def encodeGifTbl(bytes: Array[Byte],
+      localTable: Boolean): Array[Byte] = {
     val w = 4
     val h = bytes.length / w
     val px = java.util.Arrays.copyOf(bytes, w * h)
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def grayRamp(): Unit = {
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    }
     out.write("GIF87a".getBytes("US-ASCII"))
-    u16(w); u16(h); out.write(0xF7); out.write(0); out.write(0)
-    var i = 0
-    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-    out.write(0x2C); u16(0); u16(0); u16(w); u16(h); out.write(0)
+    u16(w); u16(h)
+    out.write(if (localTable) 0x07 else 0xF7) // GCT flag + size bits
+    out.write(0); out.write(0)
+    if (!localTable) grayRamp()
+    out.write(0x2C); u16(0); u16(0); u16(w); u16(h)
+    out.write(if (localTable) 0x87 else 0) // LCT flag + size bits
+    if (localTable) grayRamp()
     out.write(8) // LZW minimum code size
     // --- LZW compress (GIF variant) ---
     val Clear = 256
@@ -318,10 +337,27 @@ object MultimodalOps {
     def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
     val sw = u16(); val sh = u16()
     val packed = u8(); u8(); u8() // background, aspect
-    if ((packed & 0x80) == 0) fail("missing global color table")
-    val gctSize = 2 << (packed & 7)
-    if (p + 3 * gctSize > bytes.length) fail("color table truncated")
-    p += 3 * gctSize
+    // whichever table the file carries (global in the screen
+    // descriptor OR local in the image descriptor) must be the
+    // 256-entry grayscale identity ramp — the property that makes
+    // pixel index i ≡ payload byte i; the CONTENT is verified, not
+    // assumed, so a decoder skipping the palette can't pass by luck
+    def readGrayRamp(which: String): Unit = {
+      if (p + 768 > bytes.length) fail(s"$which color table truncated")
+      var i = 0
+      while (i < 256) {
+        val (r, g, b) =
+          (bytes(p) & 0xff, bytes(p + 1) & 0xff, bytes(p + 2) & 0xff)
+        if (r != i || g != i || b != i)
+          fail(s"$which table entry $i not gray identity ($r,$g,$b)")
+        p += 3; i += 1
+      }
+    }
+    val hasGct = (packed & 0x80) != 0
+    if (hasGct) {
+      if ((2 << (packed & 7)) != 256) fail("expected 256-entry table")
+      readGrayRamp("global")
+    }
     if (p >= bytes.length) fail("missing image descriptor")
     if (u8() != 0x2C) fail("expected image descriptor")
     u16(); u16() // left, top
@@ -329,7 +365,13 @@ object MultimodalOps {
     if (iw != sw || ih != sh) fail("sub-screen images unsupported")
     val ipacked = u8()
     if ((ipacked & 0x40) != 0) fail("interlace unsupported")
-    if ((ipacked & 0x80) != 0) fail("local color table unsupported")
+    val hasLct = (ipacked & 0x80) != 0
+    if (hasLct && hasGct) fail("both color tables present")
+    if (!hasLct && !hasGct) fail("no color table present")
+    if (hasLct) {
+      if ((2 << (ipacked & 7)) != 256) fail("expected 256-entry table")
+      readGrayRamp("local")
+    }
     val minCode = u8()
     if (minCode != 8) fail(s"unexpected min code size $minCode")
     // --- collect sub-blocks ---
@@ -437,6 +479,20 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodeGif(id, encodeGif(b)) })
+      .toDF()
+  }
+
+  /** q248's pipeline: the LOCAL-color-table GIF variant — same LZW
+    * round-trip, palette carried per-image in the descriptor instead
+    * of globally, and the decoder verifies the ramp CONTENT either
+    * way. */
+  def decodeImagesGifLct(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodeGif(id, encodeGifLct(b)) })
       .toDF()
   }
 
@@ -1301,6 +1357,18 @@ object MultimodalOps {
           round(col("mean_b"), 6).as("mean_b"),
           col("top_left_r"), col("pos_sum"))),
 
+    // REAL GIF decode with a LOCAL color table — the other legal
+    // palette placement (per-image, in the descriptor): the fixture
+    // carries NO global table, so a decoder that only knows the
+    // global path fails loudly, and the 256-entry gray ramp is
+    // verified entry-by-entry in BOTH variants (a palette-skipping
+    // decoder can't pass by luck). Same LZW round-trip as q192.
+    "q248_gif_lct_decode" -> ((s, d) =>
+      decodeImagesGifLct(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_index"), 6).as("mean_index"),
+          col("top_left_index"), col("pos_sum"))),
+
     // REAL RGBA PNG decode (color type 6) — the widest pixel (bpp 4)
     // the spec's byte-offset filter rule covers, with the alpha plane
     // audited as its own mean: a stride bug that reads alpha into a
@@ -1478,6 +1546,24 @@ object MultimodalOps {
     // top-left and the position-weighted checksum all recomputed from
     // the same bytes the engine LZW-round-trips
     "q192_gif_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 4*h + 1)])::DOUBLE
+        |      / (4 * h) END, 6) AS mean_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+    // q248: identical payload-derived statistics — the palette moved,
+    // the pixel indexes didn't
+    "q248_gif_lct_decode" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
         |  FROM documents

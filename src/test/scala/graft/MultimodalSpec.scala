@@ -337,6 +337,49 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q248 GIF local color table: LZW round-trip; palette content " +
+      "verified in both placements") {
+    import operators.MultimodalOps.{decodeGif, encodeGif, encodeGifLct}
+    def check(payload: Array[Byte], tag: String): Unit = {
+      val d = decodeGif(1L, encodeGifLct(payload))
+      val n = (payload.length / 4) * 4
+      var s = 0L; var ps = 0L; var i = 0
+      while (i < n) {
+        val v = payload(i) & 0xff; s += v; ps += (i + 1).toLong * v
+        i += 1
+      }
+      assert(d.width == 4 && d.n_pixels == n, tag)
+      assert(d.pos_sum == ps, s"$tag: checksum")
+      if (n > 0) {
+        assert(d.mean_index == s.toDouble / n, tag)
+        assert(d.top_left_index == (payload(0) & 0xff), tag)
+      }
+    }
+    var seed = 111222333L
+    def lcgBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        a(i) = (seed >>> 33).toByte; i += 1
+      }
+      a
+    }
+    (0 to 400).foreach(n => check(lcgBytes(n), s"lcg-$n"))
+    Seq(5000, 20000).foreach(n => check(lcgBytes(n), s"big-$n"))
+    // palette CONTENT is verified, not skipped: corrupt one LOCAL
+    // table entry (LCT starts at 6+7+10 = 23) -> loud failure
+    val okL = encodeGifLct(lcgBytes(64))
+    val badL = okL.clone()
+    badL(23 + 150) = (badL(23 + 150) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { decodeGif(2L, badL) }
+    // ...and the same guard now covers the GLOBAL table (GCT at 13)
+    val okG = encodeGif(lcgBytes(64))
+    val badG = okG.clone()
+    badG(13 + 150) = (badG(13 + 150) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { decodeGif(3L, badG) }
+  }
+
   test("q196 PNG: round-trip sweep crosses zlib + all five filters") {
     import operators.MultimodalOps.{decodePng, encodePng}
     def check(payload: Array[Byte], tag: String): Unit = {
