@@ -2324,12 +2324,15 @@ object ScaleOps {
     * Degrees are maintained INCREMENTALLY: a (v, deg) table holds
     * each alive node's degree in the alive subgraph, and each round
     * decrements only the peeled frontier's neighbors instead of
-    * recomputing alive-degrees from the full edge set. Every edge is
-    * shuffled at most once across ALL rounds (when its first endpoint
-    * peels — decrements to already-peeled or same-round-peeled
-    * endpoints drop in the anti-join), so total work is O(E +
-    * rounds·|alive|), not O(rounds·E); on deep peels that recompute
-    * was a measured 2-3×. The peel sequence is IDENTICAL to the
+    * recomputing alive-degrees from the full edge set. Every edge
+    * CONTRIBUTES a decrement at most once across ALL rounds (when its
+    * first endpoint peels — decrements to already-peeled or
+    * same-round-peeled endpoints drop in the anti-join), so total
+    * decrement volume is O(E), not O(rounds·E); on deep peels that
+    * recompute was a measured 2-3×. (The per-round frontier probe of
+    * the edge table is a broadcast-side scan below the budget; above
+    * it, a bucketed edge layout would keep the fallback join
+    * co-located.) The peel sequence is IDENTICAL to the
     * recompute formulation — both remove exactly {v : deg_alive(v)
     * < k} per round — so rounds, membership and checksums are
     * unchanged. Split out so ScaleOpsSpec pins the cascade: a
