@@ -1054,6 +1054,18 @@ object TextOps {
     "q242_perplexity_filter" -> ((s, d) =>
       knDocPerplexity(Tables.load(s, d, "documents"))),
 
+    // SKIP-GRAM PAIR GENERATION — the word2vec/fastText training-data
+    // prep shape: every (center, context) token pair within a ±2
+    // window, generated WITHOUT a per-doc cross join — one side
+    // replicates to its 4 window offsets and the pair join is a plain
+    // (doc_id, pos) EQUI-join, so the output is exactly 4 rows per
+    // token minus boundary losses (linear, hash-partitionable). The
+    // published frame is the top-20 pair types (count desc, pair asc)
+    // next to the global pair/type census.
+    "q249_skipgram_pairs" -> ((s, d) =>
+      skipgramPairs(Tables.load(s, d, "documents"), window = 2,
+        topK = 20)),
+
     // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multi-source sampling
     // schedule (the alpha = 0.3 smoothing exponent of XLM-R / GPT-3
     // style mixtures): w_s ∝ n_s^alpha flattens the source-size
@@ -1192,6 +1204,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_nll"))
+  }
+
+  /** q249's pair generator over a (doc_id, text) frame: every
+    * (center, context) token pair with 0 < |Δpos| ≤ window. The
+    * center side replicates to its 2·window offsets (a constant-size
+    * explode) and pairs resolve by (doc_id, pos) equi-join — never a
+    * per-doc position cross join. Split out so TextSpec pins the
+    * closed forms: "a b c" at window 2 yields exactly the 6 ordered
+    * pairs, and a doc shorter than 2 tokens yields none. */
+  private[graft] def skipgramPairs(docs: DataFrame, window: Int,
+      topK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = tokens(col("text"))
+    val pos = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .localCheckpoint(true) // feeds both join sides once
+    val offsets = (-window to window).filter(_ != 0)
+    val probes = pos.select(col("doc_id"), col("t").as("center"),
+      explode(array(offsets.map(o => col("pos") + lit(o)): _*))
+        .as("ppos"))
+    val g = probes.join(pos.select(col("doc_id"),
+        col("pos").as("ppos"), col("t").as("context")),
+        Seq("doc_id", "ppos"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(true) // feeds the census AND the top-k
+    val tot = g.agg(sum("n_occ"), count(lit(1))).head()
+    val (nPairs, nTypes) = (tot.getLong(0), tot.getLong(1))
+    g.orderBy(col("n_occ").desc, col("center").asc, col("context").asc)
+      .limit(topK)
+      .select(col("center"), col("context"), col("n_occ"),
+        lit(nPairs).as("n_pairs_total"), lit(nTypes).as("n_pair_types"))
   }
 
   /** q235's chunk table over a (doc_id, text) frame: one row per
@@ -2015,6 +2059,34 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round((greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
         |    ::DOUBLE / (4 * c1 * n_types), 6) AS p_kn
         |FROM top JOIN ctx USING (t1) JOIN cont USING (t2), t""".stripMargin,
+
+    // q249: the oracle affords the in-doc range join the Spark side
+    // replaces with the constant offset replication
+    "q249_skipgram_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        |), p AS (
+        |  SELECT doc_id, i AS pos, l[i] AS t
+        |  FROM tk, unnest(range(1, len(l) + 1)) AS u(i)
+        |), g AS (
+        |  SELECT a.t AS center, b.t AS context,
+        |    CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+        |    AND b.pos <> a.pos
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n_occ) AS BIGINT) AS n_pairs_total,
+        |    count(*)::BIGINT AS n_pair_types
+        |  FROM g
+        |), top AS (
+        |  SELECT * FROM g ORDER BY n_occ DESC, center, context LIMIT 20
+        |)
+        |SELECT center, context, n_occ, n_pairs_total, n_pair_types
+        |FROM top, tot""".stripMargin,
 
     // q242: the same KN rational per bigram OCCURRENCE, the same
     // rounded-ln DECIMAL fold per doc, one double division at the end

@@ -408,6 +408,27 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("q249 skip-gram pairs: exact window pairs on crafted docs") {
+    import spark.implicits._
+    // "a b c" at window 2: all 6 ordered pairs, each once
+    val r = TextOps.skipgramPairs(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), window = 2, topK = 20)
+      .collect()
+    val got = r.map(x => (x.getString(0), x.getString(1),
+      x.getAs[Long]("n_occ"))).toSet
+    assert(got == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "a", 1L), ("c", "b", 1L)))
+    assert(r.head.getAs[Long]("n_pairs_total") == 6L)
+    assert(r.head.getAs[Long]("n_pair_types") == 6L)
+    // a 1-token doc contributes nothing; a repeated bigram accumulates
+    val r2 = TextOps.skipgramPairs(
+      Seq((1L, "x"), (2L, "p q"), (3L, "p q")).toDF("doc_id", "text"),
+      window = 2, topK = 20).collect()
+    val m2 = r2.map(x => (x.getString(0), x.getString(1))
+      -> x.getAs[Long]("n_occ")).toMap
+    assert(m2 == Map(("p", "q") -> 2L, ("q", "p") -> 2L))
+  }
+
   test("q242 perplexity filter: exact KN closed forms per document") {
     import spark.implicits._
     def r6d(v: Double) = BigDecimal(v)
