@@ -1054,6 +1054,19 @@ object TextOps {
     "q242_perplexity_filter" -> ((s, d) =>
       knDocPerplexity(Tables.load(s, d, "documents"))),
 
+    // SOURCE-VS-GLOBAL UNIGRAM KL — the corpus-mixing drift
+    // diagnostic: KL(p_source ‖ p_global) per source over the token
+    // unigram distributions, the number that says which source's
+    // language is furthest from the blend it feeds. Exact algebra:
+    // per (source, token) the ratio p_s/p_g is the integer ratio
+    // c_st·N / (n_s·c_t), its ln rounds to 8dp and rides a DECIMAL
+    // weighted sum (weight c_st, integer); ONE double division by n_s
+    // at the end. One corpus scan; the (source, token) table feeds
+    // both marginals and the scoring join (vocab-sized, never
+    // row-scale).
+    "q250_source_kl" -> ((s, d) =>
+      sourceUnigramKl(Tables.load(s, d, "documents"))),
+
     // SKIP-GRAM PAIR GENERATION — the word2vec/fastText training-data
     // prep shape: every (center, context) token pair within a ±2
     // window, generated WITHOUT a per-doc cross join — one side
@@ -1204,6 +1217,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_nll"))
+  }
+
+  /** q250's divergence table over a (source, text) frame:
+    * KL(p_s ‖ p_g) = (1/n_s)·Σ_t c_st·ln(c_st·N / (n_s·c_t)) — every
+    * factor an exact integer, ln rounded to 8dp, c_st-weighted terms
+    * summed as DECIMAL(38,8), one final double division. Split out so
+    * TextSpec pins the closed forms: identical per-source
+    * distributions give exactly 0, and two single-token disjoint
+    * sources give exactly round(ln 2) each. */
+  private[graft] def sourceUnigramKl(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // feeds both marginals AND the scoring
+    val ns = st.groupBy("source")
+      .agg(sum("c_st").as("n_s"), count(lit(1)).as("n_types"))
+    val gt = st.groupBy("t").agg(sum("c_st").as("c_t"))
+    val tot = gt.agg(sum("c_t")).head().getLong(0)
+    val term = round(log((col("c_st") * lit(tot)).cast("double")
+      / (col("n_s") * col("c_t")).cast("double")), 8)
+    st.join(gt, "t").join(broadcast(ns), "source")
+      .select(col("source"), col("n_s"), col("n_types"),
+        (col("c_st").cast("decimal(18,0)")
+          * term.cast("decimal(20,8)")).as("w"))
+      .groupBy("source", "n_s", "n_types")
+      .agg(sum("w").as("sw"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("n_types"),
+        round(col("sw").cast("double") / col("n_s"), 6)
+          .as("kl_vs_global"))
+      .orderBy("source")
   }
 
   /** q249's pair generator over a (doc_id, text) frame: every
@@ -2059,6 +2105,35 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round((greatest(4 * c12 - 3, 0) * n_types + 3 * nl * cr)
         |    ::DOUBLE / (4 * c1 * n_types), 6) AS p_kn
         |FROM top JOIN ctx USING (t1) JOIN cont USING (t2), t""".stripMargin,
+
+    // q250: identical integer ratio, identical 8dp ln, identical
+    // c_st-weighted DECIMAL fold, one division per source
+    "q250_source_kl" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM tk GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+        |    count(*)::BIGINT AS n_types
+        |  FROM st GROUP BY 1
+        |), gt AS (
+        |  SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gt),
+        |w AS (
+        |  SELECT source, n_s, n_types,
+        |    CAST(c_st AS DECIMAL(18,0))
+        |      * CAST(round(ln((c_st * n)::DOUBLE / (n_s * c_t)), 8)
+        |        AS DECIMAL(20,8)) AS w
+        |  FROM st JOIN gt USING (t) JOIN ns USING (source), tot
+        |)
+        |SELECT source, n_s AS n_tokens, n_types,
+        |  round(CAST(sum(w) AS DOUBLE) / n_s, 6) AS kl_vs_global
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY source""".stripMargin,
 
     // q249: the oracle affords the in-doc range join the Spark side
     // replaces with the constant offset replication

@@ -408,6 +408,27 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("q250 source KL: identical sources score 0, disjoint ln 2") {
+    import spark.implicits._
+    def kl(rows: (String, String)*) =
+      TextOps.sourceUnigramKl(rows.toDF("source", "text")).collect()
+        .map(r => r.getAs[String]("source")
+          -> r.getAs[Double]("kl_vs_global")).toMap
+    // identical per-source distributions: p_s == p_g, every ln is
+    // ln(1) = 0 EXACTLY
+    val same = kl(("A", "a b"), ("B", "a b"))
+    assert(same == Map("A" -> 0.0, "B" -> 0.0))
+    // disjoint single-token sources of equal mass: each term is
+    // ln(c·N/(n_s·c_t)) = ln(2·4/(2·2)) = ln 2; KL = (2·ln2)/2
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r8(v: Double) = BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dis = kl(("A", "a a"), ("B", "b b"))
+    assert(dis("A") == r6(r8(math.log(2.0))))
+    assert(dis("B") == r6(r8(math.log(2.0))))
+  }
+
   test("q249 skip-gram pairs: exact window pairs on crafted docs") {
     import spark.implicits._
     // "a b c" at window 2: all 6 ordered pairs, each once
