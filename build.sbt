@@ -33,7 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g, not 16g: the r10 isolated substring-dedup diagnosis (SubDiag,
+  // 1M docs) read 70.8s at 16g with MemoryStore spill warnings, 33.8s
+  // at 32g with none, 44.6s at 48g (GC overhead past the sweet spot) —
+  // the 16g default was the super-linear term in the 1M scale points
+  // on this 128GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // One Bench/Verify JVM runs ~250 codegen-heavy query executions;
   // the JDK default 240MB JIT code cache fills on generated classes,
   // after which the compiler shuts off and later queries measure

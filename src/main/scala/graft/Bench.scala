@@ -99,6 +99,22 @@ object Bench {
     // SPARK_GRAFT_BENCH_FILTER=q47,q65
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
+    // ---- cross-round drift baseline (r9 verdict item 2) --------------
+    // The PRIOR round's detail artifact is still on disk at this point
+    // (it's overwritten only at emit time): read its per-query map and
+    // harness headline metrics as drift baselines. r9 shipped the
+    // substring-dedup 1M point at 3.1x its r8 value with untouched code
+    // because nothing compared a reading to its own predecessor.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val priorText: String =
+      try {
+        val src = scala.io.Source.fromFile(priorPath)
+        try src.mkString finally src.close()
+      } catch { case _: Throwable => "" }
+    val priorQueries: Map[String, Double] = DriftBaseline.queriesOf(priorText)
+    val priorHeadline: Map[String, Double] = DriftBaseline.headlineOf(priorText)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -200,8 +216,27 @@ object Bench {
       }
       (redone, flagged.toSeq.sorted)
     }
-    val (results2, mainFlagged) =
+    val (results2a, mainFlagged) =
       remeasurePass(results, scaleSmall.toMap, sfDir, bigSide = true)
+
+    // ---- cross-round drift guard (r9 verdict item 2) ------------------
+    // any reading >1.5x its prior-round value (and >1s, and +0.5s
+    // absolute — sub-second jitter is not drift) gets ONE extra
+    // re-measure; the artifact records prior/first/final so a jump
+    // that stands is auditable and a starved one is corrected.
+    val driftFlagged: Set[String] = results2a.collect {
+      case (n, t) if DriftBaseline.drifted(priorQueries.get(n), t) => n
+    }.toSet
+    val results2 = results2a.map { case (n, t) =>
+      if (driftFlagged(n))
+        n -> math.min(t, bestOf2(n, qByName(n), sfDir).getOrElse(t))
+      else n -> t
+    }
+    val driftEntries: Seq[(String, (Double, Double, Double))] =
+      results2.collect { case (n, t) if driftFlagged(n) =>
+        n -> ((priorQueries(n), results2a.toMap.apply(n), t))
+      }
+
     val (scaleSmall2, scaleFlagged) =
       remeasurePass(scaleSmall, results2.toMap, scaleDir, bigSide = false)
 
@@ -384,7 +419,38 @@ object Bench {
     // timed above — a recall regression is visible across rounds
     // without the oracle
     val recallJson = jsonMap(GateMetrics.snapshot)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"stream_scale":$streamScaleJson,"noise_guard":$noiseJson,"sf":"$sfDir"}"""
+    // flat harness headline metrics: THIS round's biggest-point values,
+    // emitted so the next round's drift guard compares against a flat
+    // map instead of regexing nested point blocks
+    val headlineNow: Seq[(String, Double)] =
+      tsResult.toSeq.flatMap(r =>
+        r.points.lastOption.map("lsh_sec" -> _.lshSec).toSeq ++
+          r.sub.lastOption.map("sub_sec" -> _.subSec).toSeq) ++
+        gsResult.toSeq.flatMap(_.points.lastOption.toSeq.flatMap(p =>
+          Seq("tri_sec" -> p.triSec, "pr_sec" -> p.prSec,
+            "kcore_sec" -> p.kcSec, "mst_sec" -> p.mstSec))) ++
+        ssResult.toSeq.flatMap(
+          _.points.lastOption.map("session_sec" -> _.sesSec)) ++
+        vsResult.toSeq.flatMap(
+          _.points.lastOption.map("brute_sec" -> _.bruteSec))
+    // harness readings >1.5x their prior-round twin are flagged in the
+    // artifact; their re-measure mechanism is the in-harness ScaleGuard
+    // (an extra full harness pass here would double bench wall time)
+    val harnessDrift = headlineNow.collect {
+      case (k, v) if DriftBaseline.drifted(priorHeadline.get(k), v) =>
+        (k, priorHeadline(k), v)
+    }
+    val harnessDriftJson = harnessDrift.map { case (k, p, v) =>
+      s""""$k":{"prior":$p,"now":$v}"""
+    }.mkString("{", ",", "}")
+    val driftGuardJson =
+      s"""{"prior_path":"$priorPath",""" +
+        s""""n_prior_queries":${priorQueries.size},""" +
+        s""""flagged":${driftEntries.map { case (n, (p, f, fin)) =>
+          s""""$n":{"prior":$p,"first":$f,"final":$fin}"""
+        }.mkString("{", ",", "}")},""" +
+        s""""harness_flagged":$harnessDriftJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"stream_scale":$streamScaleJson,"noise_guard":$noiseJson,"headline_metrics":${jsonMap(headlineNow)},"drift_guard":$driftGuardJson,"sf":"$sfDir"}"""
 
     // ---- emit ----------------------------------------------------------
     // The driver captures only the last ~2000 chars of stdout and parses
@@ -434,9 +500,15 @@ object Bench {
       .map(s => s""","text_scale":$s""").getOrElse("")
     val ssCompact = ssResult.flatMap(_.summary)
       .map(s => s""","stream_scale":$s""").getOrElse("")
+    // cross-round drift in the compact line: flagged-counts only (the
+    // per-entry prior/first/final table lives in the detail file)
+    val driftCompact =
+      s""","drift":{"queries_flagged":${driftEntries.size},""" +
+        s""""harness_flagged":${harnessDrift.size},""" +
+        s""""prior_found":${priorQueries.nonEmpty}}"""
     def line(names: Seq[String]): String = {
       val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact$ssCompact,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact$ssCompact$driftCompact,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // bounded: after headNames.size+1 steps the seq is empty — without
     // take(), dropRight on empty yields empty forever and a too-long

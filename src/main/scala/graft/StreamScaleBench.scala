@@ -282,7 +282,13 @@ object StreamScaleBench {
       sesSec, sesOk, dedupSec, dedupOk, winSec, winOk, parts)
   }
 
-  def run(spark: SparkSession, sizes: Seq[Long]): Result =
-    Result(sizes.map(n =>
-      merged(runPoint(spark, n, 1), runPoint(spark, n, 2))))
+  def run(spark: SparkSession, sizes: Seq[Long]): Result = {
+    val pts = sizes.map(n =>
+      merged(runPoint(spark, n, 1), runPoint(spark, n, 2)))
+    // implied-exponent guard on the biggest point (ScaleGuard): one
+    // extra attempt when the point's total reads super-linear vs its
+    // smaller twin beyond what sustained contention could explain
+    Result(ScaleGuard(pts)(_.n, p => p.sesSec + p.dedupSec + p.winSec)(
+      n => runPoint(spark, n, 3), merged))
+  }
 }

@@ -349,9 +349,31 @@ object TextScaleBench {
       subFirst = t1)
   }
 
+  /** ScaleGuard merge for LSH points: per-metric minima, recall
+    * ANDed conservatively (min), and the flagged first reading kept
+    * in `lshFirst` so the json's `lsh_first_sec` audit survives.
+    * Candidate/pair counts are deterministic across runs — `a`'s kept. */
+  private[graft] def mergedPoint(a: Point, b: Point): Point =
+    Point(a.n, math.min(a.genSec, b.genSec), math.min(a.lshSec, b.lshSec),
+      a.candidates, a.pairs, a.planted, math.min(a.recall, b.recall),
+      lshFirst = math.max(a.lshFirst, a.lshSec))
+
+  /** Same contract for substring points (`sub_first_sec` audit). */
+  private[graft] def mergedSub(a: SubPoint, b: SubPoint): SubPoint =
+    SubPoint(a.n, math.min(a.subSec, b.subSec), a.pairs, a.planted,
+      math.min(a.recall, b.recall), math.min(a.spanExact, b.spanExact),
+      subFirst = math.max(a.subFirst, a.subSec))
+
   def run(spark: SparkSession, sizes: Seq[Long],
-      sweepN: Option[Long] = None): Result =
-    Result(sizes.map(runPoint(spark, _)),
-      sizes.map(runSubstringPoint(spark, _)),
-      sweepN.map(runSweep(spark, _)))
+      sweepN: Option[Long] = None): Result = {
+    // implied-exponent guard on each family's biggest point — r9's
+    // substring 1M (184.8s vs a 4.0s 100k twin: implied exponent 1.66
+    // for designed-linear work) is exactly the reading this re-measures
+    val pts = ScaleGuard(sizes.map(runPoint(spark, _)))(_.n, _.lshSec)(
+      runPoint(spark, _), mergedPoint)
+    val subs = ScaleGuard(
+      sizes.map(runSubstringPoint(spark, _)))(_.n, _.subSec)(
+      runSubstringPoint(spark, _), mergedSub)
+    Result(pts, subs, sweepN.map(runSweep(spark, _)))
+  }
 }

@@ -421,7 +421,10 @@ object VectorScaleBench {
         i.size
         i
       }
-      Seq(48, 192).foreach { ef =>
+      // only (m==8, any ef) and (any m, ef==192) rows are recorded —
+      // skip ef values whose result nothing keeps (two full kNN joins
+      // of wasted wall-clock otherwise)
+      Seq(48, 192).filter(ef => m == 8 || ef == 192).foreach { ef =>
         val (got, s) = bestOf2(idx.knnJoin(qDf, "q_id", "qv", K, ef = ef))
         val r = recallVs(truth, got)
         if (m == 8)
@@ -438,8 +441,15 @@ object VectorScaleBench {
   }
 
   def run(spark: SparkSession, sizes: Seq[Long],
-      hardN: Option[Long] = None): Result =
-    Result(
-      sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n))),
+      hardN: Option[Long] = None): Result = {
+    val pts = sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n)))
+    // implied-exponent guard on the biggest point: brute + every
+    // index build/scan — this is where r9's 61.9s starved brute-KNN
+    // first run showed up, and where HNSW build variance (27.4 vs
+    // 34.1s across rounds at identical recall) gets its re-measure
+    Result(ScaleGuard(pts)(_.n, p => p.bruteSec +
+      p.idx.map { case (_, i) => i.build + i.scan }.sum)(
+      n => runPoint(spark, n), merged),
       hardN.map(runHard(spark, _)))
+  }
 }

@@ -1218,6 +1218,606 @@ object MultimodalOps {
     terms.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
+  // ------------------------------------------------------------------
+  // Baseline JPEG (ITU T.81): the highest-frequency real-corpus image
+  // format. Encode is the fixture; decode is the product — a real
+  // sequential-DCT baseline decoder: marker walk (SOI/APPn/DQT/SOF0/
+  // DHT/SOS/EOI), canonical Huffman table build, entropy decode with
+  // byte unstuffing, DC difference coding, AC run-length + ZRL + EOB,
+  // zigzag -> natural order, dequantization, separable 2-D IDCT,
+  // level shift + clamp, YCbCr -> RGB.
+  //
+  // JPEG is LOSSY, and the oracle discipline here is exact values —
+  // so the FIXTURE is engineered to sit on the codec's exact points
+  // (the lossy-format twin of the q192 LZW / q196 zlib trick):
+  // payload byte pair (b1, b2) becomes one 8x8 luma block holding
+  // only DC = v-128 (v = 8 + b1 % 240) and the (4,4) AC coefficient
+  // d = b2 % 8, both at quantizer step 8. (4,4) is the one basis
+  // function whose 2-D sample values are RATIONAL (cos((2x+1)pi/4) *
+  // cos((2y+1)pi/4) = +-1/2), so the decoded block is EXACTLY
+  // v + d*s(x)*s(y) with s = (+,-,-,+,+,-,-,+) — integer pixels, no
+  // clamping (v in [8,247], d in [0,7]), recoverable from the raw
+  // bytes in closed form by any engine. Chroma blocks are neutral
+  // (DC 0 -> Cb = Cr = 128 exactly), so YCbCr->RGB must run and must
+  // yield R = G = B = Y exactly; a decoder that misreads the chroma
+  // path moves two channel means at once. The entropy stream still
+  // exercises the real machinery: DC categories up to 8 bits, the
+  // 38-zero run to zigzag position 39 needs two ZRL codes, and every
+  // block ends in EOB. Reference: the reference engine ingests
+  // payloads as opaque typed columns the same way
+  // (test/sql/vector.01-insert-scan.slt fixtures); the decode tier is
+  // this repo's training-data-pipeline scale extension.
+  // ------------------------------------------------------------------
+
+  /** Natural-order index for each zigzag position (T.81 figure A.6). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table (T.81 Annex C): one BITS/HUFFVAL pair
+    * builds both the encoder's symbol->(code,len) map and the
+    * decoder's minCode/maxCode/valPtr arrays. */
+  private final class JpegHuff(val bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    private val codeOf = new Array[Int](256)
+    private val lenOf = new Array[Int](256)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        var i = 0
+        while (i < bits(len - 1)) {
+          codeOf(vals(k)) = code
+          lenOf(vals(k)) = len
+          code += 1; k += 1; i += 1
+        }
+        maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
+        code <<= 1
+        len += 1
+      }
+    }
+    def code(sym: Int): (Int, Int) = {
+      require(lenOf(sym) > 0, s"symbol $sym not in table")
+      (codeOf(sym), lenOf(sym))
+    }
+  }
+
+  // the standard tables of T.81 Annex K (K.3.1/K.3.2) — carried in
+  // DHT by the fixture and rebuilt canonically by the decoder
+  private val DcLum = new JpegHuff(
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val DcChrom = new JpegHuff(
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val AcLum = new JpegHuff(
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+  private val AcChrom = new JpegHuff(
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  /** MSB-first bit accumulator with the spec's 0xFF byte stuffing;
+    * final partial byte padded with 1-bits (T.81 F.1.2.3). */
+  private final class JpegBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      while (n != 0) put(1, 1)
+      out.toByteArray
+    }
+  }
+
+  private def jpegCategory(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** JPEG fixture encoder: a real baseline JFIF-style stream (SOI,
+    * DQT all-8s, SOF0 8x(8*nb) 3-component 4:4:4, the four Annex K
+    * DHTs, SOS, entropy-coded MCUs, EOI). Payload byte pair
+    * (b[2i], b[2i+1]) -> MCU i: luma DC v-128 with v = 8 + b1 % 240,
+    * luma AC(4,4) = b2 % 8, neutral chroma. Trailing odd byte dropped
+    * (len/2 full pairs, the WAV `len // 2` convention). */
+  private[graft] def encodeJpeg(bytes: Array[Byte]): Array[Byte] = {
+    val nb = bytes.length / 2
+    require(nb >= 1, "encodeJpeg needs at least one byte pair")
+    require(nb <= 8191, s"fixture strip height 8*$nb exceeds u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: table 0, all entries 8
+    u16(2 + 1 + 64)
+    u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xc0) // SOF0: 8-bit, height 8*nb, width 8, 3 comps 4:4:4
+    u16(8 + 3 * 3)
+    u8(8); u16(8 * nb); u16(8); u8(3)
+    Seq(1, 2, 3).foreach { id => u8(id); u8(0x11); u8(0) }
+    def dht(tcTh: Int, t: JpegHuff): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + t.vals.length)
+      u8(tcTh)
+      t.bits.foreach(u8)
+      t.vals.foreach(u8)
+    }
+    dht(0x00, DcLum); dht(0x10, AcLum)
+    dht(0x01, DcChrom); dht(0x11, AcChrom)
+    marker(0xda) // SOS
+    u16(6 + 2 * 3)
+    u8(3)
+    u8(1); u8(0x00) // Y: DC0/AC0
+    u8(2); u8(0x11) // Cb: DC1/AC1
+    u8(3); u8(0x11) // Cr: DC1/AC1
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl
+    val bw = new JpegBitWriter
+    def putVal(t: JpegHuff, sym: Int): Unit = {
+      val (c, l) = t.code(sym)
+      bw.put(c, l)
+    }
+    def putBits(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+    var predY = 0
+    var i = 0
+    while (i < nb) {
+      val v = 8 + ((bytes(2 * i) & 0xff) % 240)
+      val d = (bytes(2 * i + 1) & 0xff) % 8
+      // Y block: DC diff, then the 38-zero run to zigzag pos 39
+      val diff = (v - 128) - predY
+      predY = v - 128
+      val s = jpegCategory(diff)
+      putVal(DcLum, s); putBits(diff, s)
+      if (d > 0) {
+        putVal(AcLum, 0xf0) // ZRL x2: 32 of the 38 zeros
+        putVal(AcLum, 0xf0)
+        val ds = jpegCategory(d)
+        putVal(AcLum, (6 << 4) | ds) // run 6 + the coefficient
+        putBits(d, ds)
+      }
+      putVal(AcLum, 0x00) // EOB
+      // neutral chroma: DC diff 0 (category 0), EOB
+      putVal(DcChrom, 0); putVal(AcChrom, 0x00)
+      putVal(DcChrom, 0); putVal(AcChrom, 0x00)
+      i += 1
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy-segment bit reader: MSB-first, unstuffs 0xFF 0x00, fails
+    * loudly on any true marker inside the coded data. */
+  private final class JpegBitReader(bytes: Array[Byte], var p: Int,
+      fail: String => Nothing) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= bytes.length) fail("entropy stream truncated")
+        val b = bytes(p) & 0xff
+        p += 1
+        if (b == 0xff) {
+          if (p >= bytes.length) fail("entropy stream truncated at ff")
+          val m = bytes(p) & 0xff
+          if (m == 0x00) p += 1
+          else fail(f"marker ff$m%02x inside entropy data")
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(t: JpegHuff): Int = {
+      var len = 1
+      var code = bit()
+      while (len <= 16 && code > t.maxCode(len)) {
+        code = (code << 1) | bit()
+        len += 1
+      }
+      if (len > 16) fail("invalid huffman code")
+      t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+  }
+
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // IDCT basis: cos((2x+1)*u*pi/16), scaled by C(u)/2 per 1-D pass
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Separable 2-D IDCT (T.81 A.3.3) + level shift + clamp. `coef` is
+    * natural order (row v, col u); returns 64 pixels row-major. */
+  private def jpegIdct(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var col = 0
+    while (col < 8) { // 1-D over the vertical frequency v
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val f = coef(v * 8 + col)
+          if (f != 0) s += IdctCos(y)(v) * f
+          v += 1
+        }
+        tmp(y * 8 + col) = s
+        y += 1
+      }
+      col += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) { // 1-D over the horizontal frequency u
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          s += IdctCos(x)(u) * tmp(y * 8 + u)
+          u += 1
+        }
+        val px = Math.round(s).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL baseline JPEG decode per the published T.81 spec: marker
+    * walk, DQT/DHT/SOF0/SOS parse, canonical Huffman rebuild, entropy
+    * decode (DC diff + AC run-length/ZRL/EOB, byte unstuffing),
+    * zigzag, dequantize, IDCT, level shift, YCbCr->RGB. Supports
+    * 8-bit sequential baseline, 1 or 3 components, 4:4:4 only;
+    * everything else fails loudly. Returns (w, h, rgb row-major,
+    * 3 bytes per pixel). */
+  private[graft] def decodeJpegRaster(docId: Long, bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"jpeg decode [$docId]: $why")
+    val failF: String => Nothing = fail
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) fail("missing SOI")
+    var p = 2
+    def u8(): Int = {
+      if (p >= bytes.length) fail("truncated")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[JpegHuff](4)
+    val acT = new Array[JpegHuff](4)
+    var w = -1
+    var h = -1
+    var nComp = 0
+    // per component: (id, qtable, dcTable, acTable)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    val compId = new Array[Int](3)
+    var planes: Array[Array[Int]] = null
+    var scanDone = false
+    var done = false
+    while (!done) {
+      var m = u8()
+      if (m != 0xff) fail(f"expected marker, got $m%02x")
+      m = u8()
+      while (m == 0xff) m = u8() // optional fill bytes
+      m match {
+        case 0xd9 => // EOI
+          if (!scanDone) fail("EOI before scan")
+          done = true
+        case 0xdb => // DQT
+          val segLen = u16(); val end = p + segLen - 2
+          while (p < end) {
+            val pqTq = u8()
+            if ((pqTq >> 4) != 0) fail("16-bit quant table unsupported")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = u8(); i += 1 }
+            qt(pqTq & 0x0f) = t
+          }
+          if (p != end) fail("DQT length mismatch")
+        case 0xc4 => // DHT
+          val segLen = u16(); val end = p + segLen - 2
+          while (p < end) {
+            val tcTh = u8()
+            val bits = Array.fill(16)(u8())
+            val nv = bits.sum
+            if (p + nv > end) fail("DHT truncated")
+            val vals = Array.fill(nv)(u8())
+            val t = new JpegHuff(bits, vals)
+            if ((tcTh >> 4) == 0) dcT(tcTh & 0x0f) = t
+            else acT(tcTh & 0x0f) = t
+          }
+          if (p != end) fail("DHT length mismatch")
+        case 0xc0 => // SOF0: baseline sequential
+          val segLen = u16(); val end = p + segLen - 2
+          if (u8() != 8) fail("precision != 8")
+          h = u16(); w = u16()
+          nComp = u8()
+          if (nComp != 1 && nComp != 3) fail(s"$nComp components")
+          if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8()
+            if (u8() != 0x11) fail("subsampling unsupported (4:4:4 only)")
+            compQ(c) = u8()
+            c += 1
+          }
+          if (p != end) fail("SOF0 length mismatch")
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          fail(f"non-baseline SOF ff$m%02x unsupported")
+        case 0xdd => fail("restart intervals unsupported")
+        case 0xda => // SOS + entropy-coded data
+          if (w < 0) fail("SOS before SOF0")
+          if (scanDone) fail("second scan unsupported")
+          val segLen = u16(); val end = p + segLen - 2
+          val ns = u8()
+          if (ns != nComp) fail("partial scan unsupported")
+          var c = 0
+          while (c < ns) {
+            val id = u8()
+            val k = compId.indexOf(id)
+            if (k < 0 || k >= nComp) fail(s"scan component $id unknown")
+            val tt = u8()
+            compDc(k) = tt >> 4
+            compAc(k) = tt & 0x0f
+            c += 1
+          }
+          if (u8() != 0) fail("spectral start != 0")
+          if (u8() != 63) fail("spectral end != 63")
+          if (u8() != 0) fail("successive approximation unsupported")
+          if (p != end) fail("SOS length mismatch")
+          val bw = (w + 7) / 8
+          val bh = (h + 7) / 8
+          planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+          val br = new JpegBitReader(bytes, p, failF)
+          val pred = new Array[Int](nComp)
+          val coef = new Array[Int](64)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              var c = 0
+              while (c < nComp) {
+                val q = qt(compQ(c))
+                if (q == null) fail(s"quant table ${compQ(c)} undefined")
+                val dc = dcT(compDc(c))
+                val ac = acT(compAc(c))
+                if (dc == null || ac == null) fail("huffman table undefined")
+                java.util.Arrays.fill(coef, 0)
+                val s = br.decode(dc)
+                if (s > 11) fail(s"DC category $s")
+                pred(c) += jpegExtend(br.receive(s), s)
+                coef(0) = pred(c) * q(0)
+                var k = 1
+                var eob = false
+                while (!eob && k <= 63) {
+                  val rs = br.decode(ac)
+                  val r = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) fail("AC run past block end")
+                    val nat = ZigZag(k)
+                    coef(nat) = jpegExtend(br.receive(sz), sz) * q(nat)
+                    k += 1
+                  }
+                }
+                val px = jpegIdct(coef)
+                val plane = planes(c)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
+                      px(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                c += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          p = br.p
+          scanDone = true
+        case a if a >= 0xe0 && a <= 0xef => p += u16() - 2 // APPn
+        case 0xfe => p += u16() - 2 // COM
+        case other => fail(f"unsupported marker ff$other%02x")
+      }
+    }
+    if (p != bytes.length) fail("trailing bytes after EOI")
+    if (!scanDone) fail("no scan")
+    val bw8 = ((w + 7) / 8) * 8
+    val rgb = new Array[Byte](w * h * 3)
+    def clamp(v: Double): Int = {
+      val r = Math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val at = y * bw8 + x
+        val o = (y * w + x) * 3
+        if (nComp == 1) {
+          val g = planes(0)(at)
+          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+        } else {
+          val yv = planes(0)(at)
+          val cb = planes(1)(at) - 128
+          val cr = planes(2)(at) - 128
+          rgb(o) = clamp(yv + 1.402 * cr).toByte
+          rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          rgb(o + 2) = clamp(yv + 1.772 * cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  final case class JpegDecoded(doc_id: Long, width: Int, height: Int,
+      n_blocks: Long, n_pixels: Long, mean_r: Double, mean_g: Double,
+      mean_b: Double, mean_amp: Double, top_left_r: Int,
+      dc_checksum: Long)
+
+  /** Features over the decoded RGB raster: per-channel means, the
+    * mean per-8x8-block amplitude ((max R - min R) / 2 — the AC term
+    * the fixture plants), the top-left red byte, and a positional
+    * checksum of per-block mean luma (exact integers by fixture
+    * construction). Blocks in row-major tile order. */
+  private[graft] def decodeJpeg(docId: Long, bytes: Array[Byte])
+      : JpegDecoded = {
+    val (w, h, rgb) = decodeJpegRaster(docId, bytes)
+    if (w % 8 != 0 || h % 8 != 0)
+      throw new IllegalArgumentException(
+        s"jpeg decode [$docId]: dims ${w}x$h not block-aligned")
+    val nbx = w / 8
+    val nby = h / 8
+    val nb = nbx.toLong * nby
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var ampSum = 0L
+    var dcSum = 0L
+    var bi = 0
+    while (bi < nb) {
+      val bx = (bi % nbx).toInt
+      val by = (bi / nbx).toInt
+      var mx = Int.MinValue
+      var mn = Int.MaxValue
+      var blockR = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val o = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+          val r = rgb(o) & 0xff
+          sr += r; sg += rgb(o + 1) & 0xff; sb += rgb(o + 2) & 0xff
+          blockR += r
+          if (r > mx) mx = r
+          if (r < mn) mn = r
+          xx += 1
+        }
+        yy += 1
+      }
+      ampSum += (mx - mn)
+      dcSum += (bi + 1) * (blockR / 64)
+      bi += 1
+    }
+    val np = w.toLong * h
+    JpegDecoded(docId, w, h, nb, np,
+      sr.toDouble / np, sg.toDouble / np, sb.toDouble / np,
+      ampSum.toDouble / 2.0 / nb, rgb(0) & 0xff, dcSum)
+  }
+
+  /** q251's pipeline: the JPEG tier of the image decode family — same
+    * typed mapPartitions shape as [[decodeImagesPng]]; payloads
+    * shorter than one byte pair yield the zero row (the oracle's
+    * nb = 0 CASE). */
+  def decodeImagesJpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        if (b.length < 2)
+          JpegDecoded(id, 0, 0, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0, 0L)
+        else decodeJpeg(id, encodeJpeg(b))
+      })
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     // Near-duplicate IMAGE detection by perceptual hash — multimodal
     // dedup, the capability the text MinHash family can't give you.
@@ -1394,7 +1994,26 @@ object MultimodalOps {
       decodeAudioMulaw(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("n_samples"), col("duration_us"), col("peak"),
-          round(col("rms"), 6).as("rms")))
+          round(col("rms"), 6).as("rms"))),
+
+    // REAL baseline JPEG decode (T.81 sequential DCT) — the highest-
+    // frequency real-corpus image format: full marker walk, Annex K
+    // Huffman tables rebuilt canonically, DC diff + AC run-length
+    // entropy decode (two ZRLs per planted coefficient), dequant,
+    // separable IDCT, YCbCr->RGB on neutral chroma. The fixture sits
+    // on the codec's exact points (flat DC + the rational (4,4)
+    // basis), so the oracle recomputes every feature from the raw
+    // bytes in closed form — a decoder that misses the AC term zeroes
+    // mean_amp, one that botches chroma moves mean_r and mean_b.
+    "q251_jpeg_decode" -> ((s, d) =>
+      decodeImagesJpeg(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_blocks"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          col("top_left_r"), col("dc_checksum")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1680,6 +2299,41 @@ object MultimodalOps {
         |  CASE WHEN ns = 0 THEN 0.0 ELSE
         |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
         |      / ns), 6) END AS rms
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // the JPEG fixture: byte pair (2i-1, 2i) -> block i with flat DC
+    // v_i = 8 + b1 % 240 and amplitude d_i = b2 % 8 — decoded pixels
+    // are exactly v_i +- d_i (the (4,4) basis is rational), chroma is
+    // neutral so R = G = B; every feature is closed-form integer
+    // algebra on the raw bytes (list_sum over BIGINTs — order-safe)
+    "q251_jpeg_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT // 2 AS nb,
+        |    text
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, nb,
+        |    [8 + ascii(text[2*i-1:2*i-1]) % 240
+        |      for i in range(1, nb + 1)] AS v,
+        |    [ascii(text[2*i:2*i]) % 8 for i in range(1, nb + 1)] AS d
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN nb = 0 THEN 0 ELSE 8 END AS width,
+        |  (8 * nb)::INT AS height,
+        |  nb AS n_blocks, (64 * nb)::BIGINT AS n_pixels,
+        |  round(CASE WHEN nb = 0 THEN 0.0 ELSE
+        |    list_sum(v)::DOUBLE / nb END, 6) AS mean_r,
+        |  round(CASE WHEN nb = 0 THEN 0.0 ELSE
+        |    list_sum(v)::DOUBLE / nb END, 6) AS mean_g,
+        |  round(CASE WHEN nb = 0 THEN 0.0 ELSE
+        |    list_sum(v)::DOUBLE / nb END, 6) AS mean_b,
+        |  round(CASE WHEN nb = 0 THEN 0.0 ELSE
+        |    list_sum(d)::DOUBLE / nb END, 6) AS mean_amp,
+        |  CASE WHEN nb = 0 THEN 0 ELSE v[1] + d[1] END AS top_left_r,
+        |  CASE WHEN nb = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * v[i] for i in range(1, nb + 1)]) AS BIGINT)
+        |    END AS dc_checksum
+        |FROM b""".stripMargin
   )
 }

@@ -752,8 +752,14 @@ object StatOps {
     top match {
       case Some(r) =>
         val topAb = BigInt(r.getDecimal(1).toBigInteger)
+        val share = topAb * 1000000 / out
+        // loud overflow, mirroring the oracle: DuckDB's HUGEINT→BIGINT
+        // cast raises; an unguarded .toLong here would wrap silently
+        // and diverge at extreme key skew instead of failing
+        require(out.isValidLong && topAb.isValidLong && share.isValidLong,
+          s"joinForecast($name): forecast exceeds BIGINT (out=$out)")
         (name, nL, nR, kL, kR, kM, out.toLong, Some(r.getString(0)),
-          Some(topAb.toLong), Some((topAb * 1000000 / out).toLong),
+          Some(topAb.toLong), Some(share.toLong),
           r6(out.toDouble / math.max(nL, nR)))
       case None =>
         (name, nL, nR, kL, kR, 0L, 0L, None, None, None, 0.0)

@@ -1241,7 +1241,12 @@ object TextOps {
       / (col("n_s") * col("c_t")).cast("double")), 8)
     st.join(gt, "t").join(broadcast(ns), "source")
       .select(col("source"), col("n_s"), col("n_types"),
-        (col("c_st").cast("decimal(18,0)")
+        // decimal(17,0)·decimal(20,8) → decimal(38,8): exact and
+        // identical to the oracle's DuckDB product type. At (18,0)
+        // Spark needs precision 39, caps at 38 and drops to scale 7,
+        // half-up rounding every weighted term. c_st is bounded by
+        // the corpus token count, far below 1e17.
+        (col("c_st").cast("decimal(17,0)")
           * term.cast("decimal(20,8)")).as("w"))
       .groupBy("source", "n_s", "n_types")
       .agg(sum("w").as("sw"))
@@ -2125,7 +2130,7 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |), tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gt),
         |w AS (
         |  SELECT source, n_s, n_types,
-        |    CAST(c_st AS DECIMAL(18,0))
+        |    CAST(c_st AS DECIMAL(17,0))
         |      * CAST(round(ln((c_st * n)::DOUBLE / (n_s * c_t)), 8)
         |        AS DECIMAL(20,8)) AS w
         |  FROM st JOIN gt USING (t) JOIN ns USING (source), tot

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the cross-round drift guard's parsing and flag logic (r9
+  * verdict items 2 and 3) against the REAL artifact shapes: a pre-r10
+  * nested detail json (no flat headline map) and the r10+ flat one. */
+class DriftGuardSpec extends AnyFunSuite {
+
+  private val preR10 =
+    """{"metric":"total","value":178.8,"unit":"sec",""" +
+      """"queries":{"q110_pagerank":5.406,"q125_triangle_count":5.703},""" +
+      """"text_scale":{"points":[""" +
+      """{"n":100000,"gen_sec":0.2,"lsh_sec":3.725,"candidate_pairs":1000},""" +
+      """{"n":1000000,"gen_sec":0.4,"lsh_sec":12.774,"candidate_pairs":10000}],""" +
+      """"substring":[{"n":100000,"sub_sec":4.0,"pairs_found":1000},""" +
+      """{"n":1000000,"sub_sec":184.827,"pairs_found":10000}]},""" +
+      """"graph_scale":{"points":[{"n":1000000,"edges":2000000,""" +
+      """"gen_sec":1.0,"tri_sec":3.854,"triangles_ok":true,"cc_sec":9.0,""" +
+      """"pr_sec":9.787,"kcore_sec":9.4,"mst_sec":21.9,"mst_ok":true,""" +
+      """"first_run":{"n":1000000,"tri_sec":11.2,"pr_sec":30.0}}]},""" +
+      """"stream_scale":{"points":[{"n":1000000,"parts":8,"gen_sec":2.0,""" +
+      """"session_sec":30.147,"sessions_ok":true}]},""" +
+      """"vector_scale":{"points":[{"n":1000000,"gen_sec":1.0,""" +
+      """"brute_sec":4.733,"indexes":{"hnsw":{"build_sec":34.1}}}]},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+
+  test("queriesOf extracts the flat per-query map") {
+    val q = DriftBaseline.queriesOf(preR10)
+    assert(q == Map("q110_pagerank" -> 5.406, "q125_triangle_count" -> 5.703))
+  }
+
+  test("headlineOf falls back to n-anchored extraction on pre-r10 shape") {
+    val h = DriftBaseline.headlineOf(preR10)
+    assert(h("sub_sec") == 184.827)
+    assert(h("lsh_sec") == 12.774)
+    assert(h("tri_sec") == 3.854) // the point value, NOT first_run's 11.2
+    assert(h("pr_sec") == 9.787)
+    assert(h("kcore_sec") == 9.4)
+    assert(h("mst_sec") == 21.9)
+    assert(h("session_sec") == 30.147)
+    assert(h("brute_sec") == 4.733)
+  }
+
+  test("headlineOf prefers the flat headline_metrics map when present") {
+    val flat = preR10.dropRight(1) +
+      ""","headline_metrics":{"sub_sec":60.4,"lsh_sec":12.1}}"""
+    val h = DriftBaseline.headlineOf(flat)
+    assert(h == Map("sub_sec" -> 60.4, "lsh_sec" -> 12.1))
+  }
+
+  test("queriesOf/headlineOf are empty on a missing artifact") {
+    assert(DriftBaseline.queriesOf("") == Map.empty[String, Double])
+    assert(DriftBaseline.headlineOf("") == Map.empty[String, Double])
+  }
+
+  test("drifted: the r9 substring regression flags; jitter does not") {
+    // 60.4 -> 184.8 with untouched code: the reading that motivated this
+    assert(DriftBaseline.drifted(Some(60.4), 184.8))
+    assert(!DriftBaseline.drifted(Some(60.4), 80.0)) // < 1.5x
+    assert(!DriftBaseline.drifted(Some(0.3), 0.9)) // sub-second
+    assert(!DriftBaseline.drifted(Some(0.9), 1.39)) // +0.49s absolute
+    assert(!DriftBaseline.drifted(None, 100.0)) // no baseline
+    assert(!DriftBaseline.drifted(Some(0.0), 5.0)) // degenerate prior
+  }
+
+  test("ScaleGuard.flagged: implied exponent beyond 4*sqrt(rows ratio)") {
+    // r9's substring point: 4.0s @ 100k -> 184.8s @ 1M (46x > 12.6x)
+    assert(ScaleGuard.flagged(1000000L, 184.8, 100000L, 4.0))
+    // the r8 reading of the same point: 60.4s (15.1x > 12.6x) — also
+    // caught, which is the desired sensitivity for designed-linear work
+    assert(ScaleGuard.flagged(1000000L, 60.4, 100000L, 4.0))
+    // linear scaling passes: 4.0s -> 40s for 10x rows
+    assert(!ScaleGuard.flagged(1000000L, 40.0, 100000L, 4.0))
+    // sub-second big points never flag (jitter)
+    assert(!ScaleGuard.flagged(1000000L, 0.9, 100000L, 0.01))
+    // degenerate twins never flag
+    assert(!ScaleGuard.flagged(1000000L, 50.0, 0L, 0.0))
+    assert(!ScaleGuard.flagged(100000L, 50.0, 100000L, 1.0))
+  }
+
+  test("ScaleGuard re-measures only the flagged last point") {
+    var redone = 0
+    val pts = Seq((100000L, 4.0), (1000000L, 184.8))
+    val out = ScaleGuard(pts)(_._1, _._2)(
+      n => { redone += 1; (n, 61.0) },
+      (a, b) => (a._1, math.min(a._2, b._2)))
+    assert(redone == 1)
+    assert(out == Seq((100000L, 4.0), (1000000L, 61.0)))
+    // an unflagged sequence is returned untouched, no re-run
+    val ok = Seq((100000L, 4.0), (1000000L, 40.0))
+    val out2 = ScaleGuard(ok)(_._1, _._2)(
+      n => { redone += 1; (n, 0.0) }, (a, _) => a)
+    assert(redone == 1 && out2 == ok)
+  }
+}

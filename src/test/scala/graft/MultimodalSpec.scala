@@ -553,6 +553,68 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodePng(8L, encodeBmp(payload)) }
   }
 
+  test("q251 JPEG: closed-form block, exact pixel pattern, full-byte sweep") {
+    import operators.MultimodalOps.{decodeJpeg, decodeJpegRaster, encodeJpeg}
+    // "ab": one block, v = 8 + 97 = 105, d = 98 % 8 = 2
+    val one = decodeJpeg(1L, encodeJpeg("ab".getBytes("US-ASCII")))
+    assert(one.width == 8 && one.height == 8 && one.n_blocks == 1
+      && one.n_pixels == 64)
+    assert(one.mean_r == 105.0 && one.mean_g == 105.0 && one.mean_b == 105.0)
+    assert(one.mean_amp == 2.0 && one.top_left_r == 107
+      && one.dc_checksum == 105L)
+    // pixel-exact: the (4,4) basis puts v + d*s(x)*s(y) with
+    // s = (+,-,-,+,+,-,-,+) — the whole decoded raster, all channels
+    val (w, h, rgb) = decodeJpegRaster(2L, encodeJpeg("ab".getBytes))
+    assert(w == 8 && h == 8)
+    val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      assert((rgb((y * 8 + x) * 3 + c) & 0xff) == 105 + 2 * s(x) * s(y),
+        s"pixel ($x,$y) channel $c")
+    // all 256 byte values in both roles: v spans [8,247] (the % 240
+    // fold), d spans [0,7] incl. the EOB-only d=0 path, DC diffs swing
+    // negative through category 8 — features must equal closed form
+    val all = Array.tabulate(256)(_.toByte)
+    val dec = decodeJpeg(3L, encodeJpeg(all))
+    val vs = Array.tabulate(128)(i => 8 + ((all(2 * i) & 0xff) % 240))
+    val ds = Array.tabulate(128)(i => (all(2 * i + 1) & 0xff) % 8)
+    assert(dec.n_blocks == 128 && dec.height == 1024)
+    assert(dec.mean_r == vs.sum.toDouble / 128)
+    assert(dec.mean_g == dec.mean_r && dec.mean_b == dec.mean_r)
+    assert(dec.mean_amp == ds.sum.toDouble / 128)
+    assert(dec.top_left_r == vs(0) + ds(0))
+    assert(dec.dc_checksum ==
+      vs.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum)
+  }
+
+  test("q251 JPEG decoder rejects malformed and non-baseline streams") {
+    import operators.MultimodalOps.{decodeJpeg, encodeJpeg, encodePng}
+    val payload = "the quick brown jpeg fox".getBytes("US-ASCII")
+    val ok = encodeJpeg(payload)
+    assert(decodeJpeg(1L, ok).n_blocks == 12)
+    intercept[IllegalArgumentException] { // missing SOI
+      decodeJpeg(2L, ok.drop(2))
+    }
+    intercept[IllegalArgumentException] { // truncated entropy stream
+      decodeJpeg(3L, java.util.Arrays.copyOf(ok, ok.length - 12))
+    }
+    intercept[IllegalArgumentException] { // trailing bytes after EOI
+      decodeJpeg(4L, ok :+ 0.toByte)
+    }
+    // progressive SOF (ffc2) must be refused, not half-decoded
+    val prog = ok.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff
+      && i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { decodeJpeg(5L, prog) }
+    assert(e.getMessage.contains("non-baseline"))
+    // a true marker spliced into the entropy data fails loudly
+    val spliced = ok.dropRight(2) ++
+      Array(0xff.toByte, 0xd7.toByte) ++ ok.takeRight(2)
+    intercept[IllegalArgumentException] { decodeJpeg(6L, spliced) }
+    // cross-format: refuses the other containers
+    intercept[IllegalArgumentException] { decodeJpeg(7L, encodePng(payload)) }
+  }
+
   test("q168 phash: brightness-invariant gradients; planted pairs collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
