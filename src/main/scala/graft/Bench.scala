@@ -257,6 +257,35 @@ object Bench {
     val firstMain = results.toMap
     val firstSmall = scaleSmall.toMap
 
+    // ---- mid point for knee diagnosis (r9 verdict item 6) ------------
+    // q225's 3-pt curve reads tiny->small 0.08 but small->big 0.74 —
+    // two decades can't say whether the knee is fixed overhead finally
+    // amortized or a growing term. A half-decade point between small
+    // and big pins which segment the growth lives in: the documents
+    // table of the BIG sf subsampled deterministically to ~3.16x the
+    // small row count (doc_id % 10 < 3), written once to a scratch dir
+    // and measured with the same hermetic bestOf2.
+    val MidFamilies = Seq("q225_ngram_novelty") // documents-only queries
+    val midPoint: Seq[(String, Double, Long)] =
+      if (scaleDir == sfDir) Seq.empty
+      else try {
+        val midDir = "target/bench_mid"
+        val src = Tables.load(spark, sfDir, "documents")
+        val midDocs = src.filter(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(10L)) < 3)
+        midDocs.write.mode("overwrite")
+          .parquet(s"$midDir/documents.parquet")
+        val n = spark.read.parquet(s"$midDir/documents.parquet").count()
+        selected.filter(q => MidFamilies.contains(q._1)).flatMap {
+          case (name, fn) =>
+            bestOf2(name, fn, midDir).map(t => (name, t, n))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mid point FAILED: ${e.getMessage}")
+        Seq.empty
+      }
+
     // ---- ANN at promised scale ----------------------------------------
     // BASELINE.md commits to in-harness vector benchmarks at 10k-1M
     // rows with recall@k vs brute force; the sf tables top out at 2k
@@ -400,11 +429,32 @@ object Bench {
       if (scale3.isEmpty) "null"
       else s"""{"tiny_sf":"$scale3Dir","tiny":${jsonMap(scale3)},""" +
         s""""log10_ratio_small_over_tiny":${jsonMap(exponents3)}}"""
+    // mid-point segment exponents: time ratio per decade of docs on
+    // each side of the mid point (rows ratios from actual doc counts)
+    val midJson =
+      if (midPoint.isEmpty) "null"
+      else {
+        val nSmallDocs = Tables.load(spark, scaleDir, "documents").count()
+        val nBigDocs = Tables.load(spark, sfDir, "documents").count()
+        val entries = midPoint.map { case (k, t, n) =>
+          val sm = scaleSmall2.toMap.get(k)
+          val bg = results2.toMap.get(k)
+          val expS = sm.collect { case s if s > 0 && t > 0 && n > nSmallDocs =>
+            math.log10(t / s) / math.log10(n.toDouble / nSmallDocs) }
+          val expB = bg.collect { case b if b > 0 && t > 0 && nBigDocs > n =>
+            math.log10(b / t) / math.log10(nBigDocs.toDouble / n) }
+          s""""$k":{"n_docs":$n,"sec":$t""" +
+            expS.map(e => s""","exp_small_to_mid":${math.rint(e * 100) / 100}""").getOrElse("") +
+            expB.map(e => s""","exp_mid_to_big":${math.rint(e * 100) / 100}""").getOrElse("") + "}"
+        }
+        entries.mkString("{", ",", "}")
+      }
     val scaleJson =
       if (scaleSmall2.isEmpty && scaleFailures.isEmpty) "null"
       else s"""{"small_sf":"$scaleDir","small":${jsonMap(scaleSmall2)},""" +
         s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
         s""""third_point":$scale3Json,""" +
+        s""""mid_point":$midJson,""" +
         s""""failures":${jsonArr(scaleFailures)}}"""
     val noiseJson =
       if (mainFlagged.isEmpty && scaleFlagged.isEmpty) "null"

@@ -297,6 +297,55 @@ object StreamGateOps {
         .withColumn("stream_eq_batch", lit(eq))
     }),
 
+    // STREAM-STREAM FULL OUTER interval join gate: the remaining join
+    // mode Structured Streaming supports, and the gnarliest expiry
+    // semantics — UNMATCHED ROWS EMIT FROM BOTH SIDES, each at its own
+    // watermark-driven state expiry (an unmatched purchase holds until
+    // the watermark clears the views that could still arrive 30 min
+    // BEFORE it; an unmatched view until the purchases 30 min AFTER
+    // it). The zz_flush sentinel rides BOTH side filters so both
+    // watermarks advance past every real row's window; the sentinel
+    // pair matches itself (same user -1, same ts) and is filtered on
+    // coalesced user_id. Batch twin: the same function on batch
+    // frames (watermarks are no-ops) — row-for-row, NULLs included.
+    "q252_stream_full_join_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("ssfull", d)
+      val evBatch = Tables.load(s, d, "events")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      ensureFlushSentinel(s, dir, srcDir, raw, evBatch,
+        offsetHours = 3, eventType = "zz_flush")
+      def side(tpe: String) = Tables.fixEventTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .filter(col("event_type").isin(tpe, "zz_flush"))
+      val q = StreamOps.viewPurchaseJoinFull(
+          side("view"), side("purchase"))
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(dir + "/out")
+        .filter(coalesce(col("v_uid"), col("p_uid")) >= 0)
+      val batch = StreamOps.viewPurchaseJoinFull(
+        evBatch.filter(col("event_type") === "view"),
+        evBatch.filter(col("event_type") === "purchase"))
+      def shape(df: DataFrame) = df.schema.fields
+        .map(f => (f.name, f.dataType)).toSeq
+      val eq = shape(out) == shape(batch) && sameRows(out, batch)
+      out.agg(count(lit(1)).as("n_rows"),
+        count(when(col("v_ts").isNotNull && col("p_ts").isNotNull, 1))
+          .as("pairs"),
+        sum(when(col("v_ts").isNotNull && col("p_ts").isNull, 1L)
+          .otherwise(0L)).as("unmatched_views"),
+        sum(when(col("v_ts").isNull, 1L).otherwise(0L))
+          .as("unmatched_purchases"),
+        countDistinct(coalesce(col("v_uid"), col("p_uid"))).as("users"))
+        .withColumn("stream_eq_batch", lit(eq))
+    }),
+
     // STATEFUL sessionization gate: the flatMapGroupsWithState
     // session operator driven as a real stream. The event-time-timeout
     // states need the watermark to pass last+gap before the final
@@ -673,6 +722,29 @@ object StreamGateOps {
         |    ::BIGINT AS users_with_unmatched,
         |  true AS stream_eq_batch
         |FROM j""".stripMargin,
+    // the FULL JOIN census: both sides' unmatched counts + the flag
+    "q252_stream_full_join_gate" ->
+      """WITH v AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT v.user_id AS v_uid, v.ts AS v_ts,
+        |    p.user_id AS p_uid, p.ts AS p_ts
+        |  FROM v FULL JOIN p ON v.user_id = p.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  count(CASE WHEN v_ts IS NOT NULL AND p_ts IS NOT NULL
+        |    THEN 1 END)::BIGINT AS pairs,
+        |  CAST(sum(CASE WHEN v_ts IS NOT NULL AND p_ts IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unmatched_views,
+        |  CAST(sum(CASE WHEN v_ts IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS unmatched_purchases,
+        |  count(DISTINCT coalesce(v_uid, p_uid))::BIGINT AS users,
+        |  true AS stream_eq_batch
+        |FROM j""".stripMargin,
+
     // q87's aggregate over the STREAM's sink + the equivalence flag
     "q119_stream_join_gate" ->
       """SELECT v.user_id, count(*) AS pairs,

@@ -156,6 +156,27 @@ object StreamOps {
       .select(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** FULL OUTER interval join — the gnarliest stream-stream join mode
+    * Structured Streaming supports: BOTH sides' unmatched rows emit,
+    * each only when the global watermark passes its whole match
+    * window (a view can match purchases up to 30 min later; a
+    * purchase can match views up to 30 min earlier), so state expiry
+    * drives emission on both sides at once. Keys kept separately
+    * (v_uid/p_uid) because either side may be NULL. */
+  def viewPurchaseJoinFull(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_uid"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, col("v_uid") === col("p_uid")
+        && col("p_ts") >= col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(col("v_uid"), col("v_ts"), col("p_uid"), col("p_ts"))
+  }
+
   // --- sessionization via typed state -----------------------------------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
