@@ -63,7 +63,15 @@ object Bench {
     // to watch, the outer-join gate (outer state holds EVERY
     // unmatched view until expiry) and the 7-way cover explode
     "q242_perplexity_filter", "q244_jl_projection",
-    "q245_stream_outer_join_gate", "q247_rolling_distinct")
+    "q245_stream_outer_join_gate", "q247_rolling_distinct",
+    // round-10: the new pair-join shapes — edit-distance verify volume
+    // tracks the gram-blocked candidate set (Σ df² under the cap), the
+    // Hamming join tracks block-bucket occupancy, the full-outer gate
+    // holds BOTH sides' unmatched state, and the JPEG decode is the
+    // heaviest per-row decode kernel in the multimodal tier
+    "q254_edit_distance_dedup", "q259_phash_hamming",
+    "q252_stream_full_join_gate", "q251_jpeg_decode",
+    "q253_repetition_filter")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

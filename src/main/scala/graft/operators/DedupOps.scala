@@ -491,6 +491,18 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
+    // EDIT-DISTANCE dedup — the character-level verify the token-set
+    // passes (q45/q46) can't do: Jaccard is blind to within-token
+    // edits and token order, Levenshtein is the ground-truth string
+    // metric. All-pairs Levenshtein is O(n²·len²) and unshippable, so
+    // candidates come from the q184 gram-block: pairs sharing a
+    // non-boilerplate 4-gram (df <= 50), then ONE levenshtein call per
+    // candidate inside the join. Both engines run the identical
+    // candidate rule + the identical published metric (unit-cost
+    // ins/del/sub), so the pair set matches exactly.
+    "q254_edit_distance_dedup" -> ((s, d) =>
+      editDistanceDedup(Tables.load(s, d, "documents"), maxDist = 30)),
+
     // EXACT-SUBSTRING span dedup — the SPAN-level variant of document
     // dedup (the "exact substring" pass of Lee et al. 2022, which
     // removes repeated spans rather than whole near-dup docs; document-
@@ -1061,6 +1073,44 @@ object DedupOps {
     * [a_start+diag, +span_len) in doc b (q185 turns these into
     * per-doc interval unions; positions are engine-local 0/1-based
     * but every emitted quantity is shift-invariant). */
+  /** q254's verified pair table over a (doc_id, text) frame:
+    * candidates = pairs sharing at least one 4-gram whose DOCUMENT
+    * frequency is <= 50 (boilerplate grams pair everything with
+    * everything and carry no signal), verdict = one Levenshtein call
+    * per candidate, kept when <= maxDist. The gram inventory is
+    * per-doc DISTINCT, so candidate volume is bounded by Σ df² over
+    * kept grams — never |docs|². Split out so DedupSpec pins the
+    * metric (a one-token substitution scores the token's edit cost,
+    * a reorder scores both) and the blocking guarantee on planted
+    * pairs. */
+  private[graft] def editDistanceDedup(docs: DataFrame, maxDist: Int)
+      : DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val parts = (0 until 4).map(i =>
+      slice(toks, lit(i + 1), size(toks) - 3))
+    val zipped = parts.reduceLeft((a, b) =>
+      zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    // localCheckpoint: the inventory feeds the df cap AND both join
+    // sides (the q184 lesson — lazy, Spark re-derives it per consumer)
+    val g4 = docs.filter(size(toks) >= 4)
+      .select(col("doc_id"), explode(array_distinct(zipped)).as("g"))
+      .localCheckpoint(true)
+    val kept = g4.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("g")
+    val gk = g4.join(kept, "g")
+    val cand = bucketPairs(gk, Seq("g")).distinct()
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")),
+        "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
+
   private[graft] def substringSpans(docs: DataFrame, cap: Int)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1146,6 +1196,32 @@ object DedupOps {
         |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
+    // q254: identical candidate rule (per-doc-distinct 4-grams,
+    // document frequency <= 50) + the same published unit-cost metric
+    "q254_edit_distance_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+        |), kept AS (
+        |  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |  WHERE df <= 50
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a JOIN g b USING (g) JOIN kept USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, edit_dist FROM (
+        |  SELECT a_id, b_id,
+        |    levenshtein(ta.text, tb.text)::INT AS edit_dist
+        |  FROM cand
+        |  JOIN documents ta ON ta.doc_id = cand.a_id
+        |  JOIN documents tb ON tb.doc_id = cand.b_id
+        |) WHERE edit_dist <= 30
+        |ORDER BY a_id, b_id""".stripMargin,
     // positions are 1-based here and 0-based in Spark, but diagonals
     // (bp-ap) and island keys (ap - row_number) are shift-invariant
     // and no position reaches the output — only span lengths do

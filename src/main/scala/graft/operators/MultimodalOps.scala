@@ -912,6 +912,24 @@ object MultimodalOps {
     if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
+  /** G.711 A-law expansion (the classic CCITT/Sun `alaw2linear`):
+    * toggle the even bits (the spec's 0x55 mask), rebuild the
+    * segment/mantissa magnitude — segment 0 is linear (+8 bias),
+    * segments 1–7 shift a 0x108-biased mantissa — and apply the sign
+    * bit (set = positive, the opposite polarity convention from
+    * μ-law). Pure integer, range ±32256, so peak/RMS stay exact and
+    * any engine reproduces it with shifts and adds. */
+  private[graft] def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    val t0 = (a & 0x0f) << 4
+    val t = ((a & 0x70) >> 4) match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** REAL WAV chunk walker — pure-JVM RIFF parse per the published
     * WAVE format: RIFF header, then (id, size LE) chunks with
     * odd-size pad bytes, `fmt ` validated (integer PCM with 8 or 16
@@ -954,9 +972,11 @@ object MultimodalOps {
           fmt = bb.getShort().toInt; ch = bb.getShort().toInt
           rate = bb.getInt(); bb.getInt(); bb.getShort()
           bits = bb.getShort().toInt
-          if (fmt != 1 && fmt != 7) fail(s"not PCM/μ-law: format $fmt")
+          if (fmt != 1 && fmt != 7 && fmt != 6)
+            fail(s"not PCM/μ-law/A-law: format $fmt")
           if (ch < 1 || ch > 2) fail(s"unsupported channel count $ch")
-          if (fmt == 7 && bits != 8) fail(s"μ-law must be 8-bit: $bits")
+          if ((fmt == 7 || fmt == 6) && bits != 8)
+            fail(s"G.711 must be 8-bit: $bits")
           if (bits != 8 && bits != 16) fail(s"unsupported bit depth $bits")
           if (rate <= 0) fail(s"bad rate $rate")
           haveFmt = true
@@ -973,6 +993,7 @@ object MultimodalOps {
             while (c < ch) {
               val v =
                 if (fmt == 7) ulaw2linear(bb.get() & 0xff)
+                else if (fmt == 6) alaw2linear(bb.get() & 0xff)
                 else if (bits == 16) bb.getShort().toInt
                 else (bb.get() & 0xff) - 128 // PCM8 is unsigned
               val a = math.abs(v)
@@ -1093,6 +1114,51 @@ object MultimodalOps {
     Audio(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
       r.peak(0),
       if (n == 0) 0.0 else math.sqrt(r.sumSq(0).toDouble / n))
+  }
+
+  /** A-law fixture encoder: the μ-law fixture's twin with format tag
+    * 6 (WAVE_FORMAT_ALAW) — payload bytes ARE the A-law codes. */
+  private[graft] def encodeWavAlaw(bytes: Array[Byte]): Array[Byte] = {
+    val ns = bytes.length
+    val out = java.nio.ByteBuffer.allocate(44 + ns)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + ns)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(6).putShort(1) // A-law, mono
+      .putInt(8000).putInt(8000) // rate, byte rate
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(ns)
+      .put(bytes, 0, ns)
+    out.array()
+  }
+
+  /** q256's A-law decode — strict on format tag 6; a μ-law or PCM
+    * payload throws rather than expanding through the wrong curve
+    * (the two G.711 curves differ on EVERY code). */
+  private[graft] def decodeWavAlaw(docId: Long, bytes: Array[Byte])
+      : Audio = {
+    val r = walkWav(docId, bytes)
+    if (r.fmt != 6) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not A-law: format ${r.fmt}")
+    if (r.ch != 1) throw new IllegalArgumentException(
+      s"wav decode [$docId]: not mono: ${r.ch} channels")
+    val n = r.frames
+    Audio(docId, bytes.length, r.rate, n, n * 1000000L / r.rate,
+      r.peak(0),
+      if (n == 0) 0.0 else math.sqrt(r.sumSq(0).toDouble / n))
+  }
+
+  /** Binary A-law ingest + partition-wise decode — q256's pipeline. */
+  def decodeAudioAlaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavAlaw(id, encodeWavAlaw(bytes)) }
+      }.toDF()
   }
 
   /** Binary μ-law ingest + partition-wise decode — q199's pipeline,
@@ -1801,6 +1867,44 @@ object MultimodalOps {
       ampSum.toDouble / 2.0 / nb, rgb(0) & 0xff, dcSum)
   }
 
+  /** q259's Hamming-ball pair table over a (doc_id, text) frame:
+    * multi-index pigeonhole retrieval on the 24-bit phash — the
+    * binary-code serving shape. The code splits into `blocks` (4)
+    * disjoint 6-bit blocks; a pair within Hamming distance
+    * `maxHamming` (<= blocks − 1) agrees exactly on at least one
+    * block (pigeonhole), so candidates are an equi-join on
+    * (block_id, block_value) — bucket-bounded, never all-pairs — and
+    * the XOR-popcount verify rides INSIDE the join condition. Split
+    * out so MultimodalSpec pins the guarantee (pairs at distance
+    * exactly maxHamming are found; pairs one bit past it are not)
+    * against a brute-force twin on crafted codes. */
+  private[graft] def phashHammingPairs(docs: DataFrame, maxHamming: Int)
+      : DataFrame = {
+    require(maxHamming <= 3, "pigeonhole over 4 blocks covers <= 3 bits")
+    val hashed = docs
+      .filter(length(col("text")) >= 12)
+      .withColumn("h", expr("CAST(FLOOR(length(text) / 12.0) AS INT)"))
+      .withColumn("phash", expr(phashSql("text", "h")))
+      .select(col("doc_id"), col("phash"))
+    phashHammingPairsFromCodes(hashed, maxHamming)
+  }
+
+  /** The blocking + verify over a precomputed (doc_id, phash) frame —
+    * the piece the spec brute-forces against. */
+  private[graft] def phashHammingPairsFromCodes(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val blocks = hashed.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(lit): _*)).as("blk"))
+      .withColumn("bv", expr("shiftright(phash, 6 * blk) % 64"))
+    DedupOps.bucketPairs(blocks, Seq("blk", "bv"),
+        pairCond = expr(s"bit_count(x.phash ^ y.phash) <= $maxHamming"),
+        outCols = Seq(col("x.doc_id").as("a_id"),
+          col("y.doc_id").as("b_id"),
+          expr("bit_count(x.phash ^ y.phash)").as("hamming")))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** q251's pipeline: the JPEG tier of the image decode family — same
     * typed mapPartitions shape as [[decodeImagesPng]]; payloads
     * shorter than one byte pair yield the zero row (the oracle's
@@ -1992,6 +2096,34 @@ object MultimodalOps {
     // is a value mismatch in peak/rms, not a silent drift.
     "q199_mulaw_decode" -> ((s, d) =>
       decodeAudioMulaw(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_samples"), col("duration_us"), col("peak"),
+          round(col("rms"), 6).as("rms"))),
+
+    // HAMMING-BALL phash retrieval — q168 finds EXACT phash collisions;
+    // real near-dup images differ by a few gradient bits. The serving
+    // pattern for binary codes (multi-index pigeonhole hashing): split
+    // the 24-bit phash into 4 disjoint 6-bit blocks — any pair within
+    // Hamming distance 3 agrees EXACTLY on at least one block (4
+    // blocks, at most 3 differing bits), so candidates are a blocked
+    // equi-join on (block_id, block_value), never an all-pairs scan,
+    // and the verify is one XOR popcount inside the join condition.
+    // Candidate volume tracks block-bucket occupancy (the LSH-style
+    // bound), recall is 1.0 by pigeonhole, and the oracle brute-forces
+    // the same ball at test scale to prove it.
+    "q259_phash_hamming" -> ((s, d) =>
+      phashHammingPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
+
+    // REAL G.711 A-law decode — the OTHER companding curve (format
+    // tag 6, the E1/European telephony standard the μ-law q199 tier
+    // lacks): codes expand through the published 0x55-toggle +
+    // segment/mantissa rebuild, with the A-law-specific corners —
+    // linear segment 0, the inverted sign convention (bit set =
+    // positive), range ±32256. The oracle replays the same integer
+    // algebra in SQL; decoding through the μ-law curve (or as PCM8)
+    // moves EVERY sample value and fails peak/rms loudly.
+    "q256_alaw_decode" -> ((s, d) =>
+      decodeAudioAlaw(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
           col("n_samples"), col("duration_us"), col("peak"),
           round(col("rms"), 6).as("rms"))),
@@ -2300,6 +2432,55 @@ object MultimodalOps {
         |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
         |      / ns), 6) END AS rms
         |FROM v""".stripMargin,
+
+    // the A-law fixture stores payload byte i verbatim as code i; the
+    // oracle expands codes with the same G.711 integer algebra
+    // (a = xor(c, 85); seg = (a//16) % 8; t0 = (a%16)*16;
+    //  t = seg 0 -> t0+8, seg 1 -> t0+264, else (t0+264)<<(seg-1);
+    //  sign bit SET means positive — the inverse of μ-law)
+    "q256_alaw_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS ns, text
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(
+        |      [xor(ascii(text[i+1:i+1]), 85) for i in range(0, ns)],
+        |      a -> CASE WHEN a >= 128 THEN 1 ELSE -1 END * (
+        |        CASE (a // 16) % 8
+        |          WHEN 0 THEN (a % 16) * 16 + 8
+        |          WHEN 1 THEN (a % 16) * 16 + 264
+        |          ELSE ((a % 16) * 16 + 264)
+        |            * (1 << ((a // 16) % 8 - 1))
+        |        END)) AS smp
+        |  FROM s
+        |)
+        |SELECT doc_id, (44 + ns)::INT AS n_bytes,
+        |  8000 AS sample_rate, ns AS n_samples,
+        |  ns * 1000000 // 8000 AS duration_us,
+        |  CASE WHEN ns = 0 THEN 0 ELSE
+        |    list_max(list_transform(smp, x -> abs(x)))::INT END AS peak,
+        |  CASE WHEN ns = 0 THEN 0.0 ELSE
+        |    round(sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE
+        |      / ns), 6) END AS rms
+        |FROM v""".stripMargin,
+
+    // q259: the oracle brute-forces the Hamming ball over the same
+    // generated phash SQL — equality of the two sets IS the pigeonhole
+    // guarantee (<= 3 differing bits cannot dodge all 4 blocks)
+    "q259_phash_hamming" -> {
+      s"""WITH p AS (
+        |  SELECT doc_id, ${phashSql("text", "h")} AS phash
+        |  FROM (SELECT doc_id, text,
+        |          CAST(FLOOR(length(text) / 12.0) AS INT) AS h
+        |        FROM documents WHERE length(text) >= 12)
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.phash, b.phash))::INT AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // the JPEG fixture: byte pair (2i-1, 2i) -> block i with flat DC
     // v_i = 8 + b1 % 240 and amplitude d_i = b2 % 8 — decoded pixels

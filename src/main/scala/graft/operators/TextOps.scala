@@ -1089,7 +1089,19 @@ object TextOps {
     // and summed as DECIMAL over the |sources|-sized table (q177
     // idiom); shares divide once at the end.
     "q230_mixture_weights" -> ((s, d) =>
-      mixtureWeights(Tables.load(s, d, "documents")))
+      mixtureWeights(Tables.load(s, d, "documents"))),
+
+    // REPETITION QUALITY FILTERS (the Gopher/MassiveText shape, Rae
+    // et al. 2021 table A1): a doc whose mass concentrates in one
+    // repeated n-gram is boilerplate, not language. Token analogues
+    // of the published character-fraction rules: top-2-gram coverage
+    // (occurrences of the most frequent bigram x 2 / tokens) and the
+    // duplicate-3-gram fraction (occurrences belonging to trigram
+    // types seen more than once). Two keyed aggs per n — (doc, gram)
+    // then doc — never a window, never per-pair work; integer counts
+    // with two rounded divisions per doc.
+    "q253_repetition_filter" -> ((s, d) =>
+      repetitionFilter(Tables.load(s, d, "documents")))
   )
 
   /** q225's novelty curve over a (doc_id, text) frame: per
@@ -1217,6 +1229,48 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_nll"))
+  }
+
+  /** q253's per-doc repetition table over a (doc_id, text) frame:
+    * top2_cov = 2 * (max bigram occurrence count) / n_tokens,
+    * dup3_frac = (trigram occurrences in types with count > 1) /
+    * (total trigram occurrences); keep = top2_cov <= 0.2 AND
+    * dup3_frac <= 0.3 (the Gopher-style cut). Docs shorter than 3
+    * tokens are kept with zero fractions (nothing to repeat). Split
+    * out so TextSpec pins the closed forms: "a b a b a b" is pure
+    * repetition (top2_cov = 1.0, dup3_frac = 1.0) and an all-distinct
+    * doc scores 2/n and 0. */
+  private[graft] def repetitionFilter(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def grams(n: Int): DataFrame = {
+      val parts = (0 until n).map(i =>
+        slice(toks, lit(i + 1), size(toks) - (n - 1)))
+      val zipped = parts.reduceLeft((a, b) =>
+        zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+      docs.filter(size(toks) >= n)
+        .select(col("doc_id"), explode(zipped).as("g"))
+    }
+    val base = docs.select(col("doc_id"), size(toks).as("n_tokens"))
+    val g2 = grams(2).groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top2_count"))
+    val g3 = grams(3).groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3_occ"),
+        sum("c").as("tri_occ"))
+    val top2Cov = round(lit(2) * col("top2_count").cast("double")
+      / col("n_tokens"), 6)
+    val dup3Frac = round(col("dup3_occ").cast("double")
+      / col("tri_occ"), 6)
+    base.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        coalesce(top2Cov, lit(0.0)).as("top2_cov"),
+        coalesce(col("dup3_occ"), lit(0L)).as("dup3_occ"),
+        coalesce(dup3Frac, lit(0.0)).as("dup3_frac"))
+      .withColumn("keep",
+        col("top2_cov") <= 0.2 && col("dup3_frac") <= 0.3)
   }
 
   /** q250's divergence table over a (source, text) frame:
@@ -2139,6 +2193,44 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round(CAST(sum(w) AS DOUBLE) / n_s, 6) AS kl_vs_global
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY source""".stripMargin,
+
+    // q253: the oracle rebuilds both gram inventories from the token
+    // list per doc; every fraction is integer/integer rounded once
+    "q253_repetition_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, max(c) AS top2_count FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] AS g,
+        |      CAST(count(*) AS BIGINT) AS c
+        |    FROM tk, unnest(range(1, len(t))) AS u(i)
+        |    WHERE len(t) >= 2 GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS dup3_occ,
+        |    CAST(sum(c) AS BIGINT) AS tri_occ
+        |  FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g,
+        |      CAST(count(*) AS BIGINT) AS c
+        |    FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |    WHERE len(t) >= 3 GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT tk.doc_id, len(t)::INT AS n_tokens,
+        |  coalesce(top2_count, 0) AS top2_count,
+        |  coalesce(round(2 * top2_count::DOUBLE / len(t), 6), 0.0)
+        |    AS top2_cov,
+        |  coalesce(dup3_occ, 0) AS dup3_occ,
+        |  coalesce(round(dup3_occ::DOUBLE / tri_occ, 6), 0.0)
+        |    AS dup3_frac,
+        |  coalesce(round(2 * top2_count::DOUBLE / len(t), 6), 0.0) <= 0.2
+        |    AND coalesce(round(dup3_occ::DOUBLE / tri_occ, 6), 0.0) <= 0.3
+        |    AS keep
+        |FROM tk LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        |""".stripMargin,
 
     // q249: the oracle affords the in-doc range join the Spark side
     // replaces with the constant offset replication

@@ -310,6 +310,45 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("q254 edit-distance dedup: metric pins and blocking behavior") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("gamma", "gamba")), // 1-char substitution
+      (2L, base.replace("beta gamma", "gamma beta")), // token reorder
+      (3L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.editDistanceDedup(docs, maxDist = 30).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("edit_dist")).toMap
+    // (0,1): one substituted character
+    assert(got((0L, 1L)) == 1)
+    // (0,2): swapping adjacent tokens costs edits on both words;
+    // levenshtein("beta gamma", "gamma beta") = 8 embedded in context
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) > 1
+      && got((0L, 2L)) <= 10)
+    // (1,2) still share 4-grams via the unchanged tail -> candidate,
+    // and within threshold
+    assert(got.contains((1L, 2L)))
+    // doc 3 shares no 4-gram with anything: never a candidate
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q254 edit-distance dedup: threshold excludes far pairs that " +
+      "share a gram") {
+    import spark.implicits._
+    // shared 4-gram head, then >30 edits of divergence
+    val head = "one two three four"
+    val docs = Seq(
+      (0L, head + " aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (1L, head + " bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb")
+    ).toDF("doc_id", "text")
+    // candidates (shared head) but 40 substitutions > 30: filtered
+    assert(DedupOps.editDistanceDedup(docs, maxDist = 30).count() == 0)
+    assert(DedupOps.editDistanceDedup(docs, maxDist = 40).count() == 1)
+  }
+
   test("q240 dedup yield: consistent with the cluster labels and bounded") {
     val r = DedupOps.queries("q240_dedup_yield")(spark, sfDir).head()
     val n = r.getAs[Long]("n_docs")

@@ -615,6 +615,76 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodeJpeg(7L, encodePng(payload)) }
   }
 
+  test("q256 A-law: G.711 curve anchors, symmetry, segment structure") {
+    import operators.MultimodalOps.{alaw2linear, ulaw2linear}
+    // published anchors: code 0x55 (a = 0) is the smallest negative
+    // (-8); its sign twin 0xD5 is +8; 0x2A (a = 0x7F) is the deepest
+    // negative segment's max magnitude -32256; 0xAA its positive twin
+    assert(alaw2linear(0x55) == -8)
+    assert(alaw2linear(0xd5) == 8)
+    assert(alaw2linear(0x2a) == -32256)
+    assert(alaw2linear(0xaa) == 32256)
+    // sign symmetry: toggling bit 7 of the CODE negates the value
+    for (c <- 0 until 128)
+      assert(alaw2linear(c) == -alaw2linear(c | 0x80), s"code $c")
+    // segments are monotone within sign: positive codes sorted by
+    // (seg, mantissa) give strictly increasing magnitudes
+    val pos = (0 until 128).map(c => alaw2linear(c | 0x80))
+    assert(pos.forall(_ > 0) && pos.min == 8 && pos.max == 32256)
+    // the two G.711 curves must differ (a decoder swapping them is
+    // wrong on ~every code, not subtly off)
+    val same = (0 until 256).count(c => alaw2linear(c) == ulaw2linear(c))
+    assert(same < 16, s"A-law and mu-law agree on $same codes")
+  }
+
+  test("q256 A-law decoder: round-trips the fixture; strict format tag") {
+    import operators.MultimodalOps.{decodeWavAlaw, decodeWavMulaw,
+      encodeWavAlaw, encodeWavMulaw, alaw2linear}
+    val codes = Array.tabulate(256)(_.toByte)
+    val d = decodeWavAlaw(5L, encodeWavAlaw(codes))
+    assert(d.n_samples == 256 && d.sample_rate == 8000)
+    assert(d.duration_us == 256L * 1000000L / 8000L)
+    val vals = (0 until 256).map(alaw2linear)
+    assert(d.peak == vals.map(math.abs).max)
+    val wantRms = math.sqrt(vals.map(v => v.toLong * v).sum.toDouble / 256)
+    assert(math.abs(d.rms - wantRms) < 1e-9)
+    // strict tags: each G.711 decoder refuses the other's container
+    intercept[IllegalArgumentException] {
+      decodeWavAlaw(6L, encodeWavMulaw(codes))
+    }
+    intercept[IllegalArgumentException] {
+      decodeWavMulaw(7L, encodeWavAlaw(codes))
+    }
+  }
+
+  test("q259 pigeonhole Hamming ball == brute force on crafted codes") {
+    import spark.implicits._
+    import operators.MultimodalOps.phashHammingPairsFromCodes
+    // codes crafted around the guarantee edge: distance exactly 3
+    // (found), distance 4 spread over all 4 blocks (must NOT appear),
+    // distance 4 inside one block (also out: verify says 4 > 3)
+    val codes = Seq(
+      0L -> 0x000000L,
+      1L -> 0x000007L, // 3 bits in block 0 -> dist 3 from doc 0
+      2L -> 0x041041L, // 1 bit in each of blocks 0,1,2,3... (bits 0,6,12,18)
+      3L -> 0x00000FL // 4 bits in block 0 -> dist 4 from doc 0
+    ).map { case (id, c) => (id, c) }.toDF("doc_id", "phash")
+    val got = phashHammingPairsFromCodes(codes, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(got((0L, 1L)) == 3) // exactly at the bound
+    assert(!got.contains((0L, 2L))) // dist 4, one bit per block
+    assert(!got.contains((0L, 3L))) // dist 4 within one block
+    assert(got((1L, 3L)) == 1) // 0x07 vs 0x0F differ in one bit
+    // brute-force twin over all pairs agrees exactly
+    val rows = codes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ca) <- rows; (b, cb) <- rows if a < b
+      h = java.lang.Long.bitCount(ca ^ cb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got == brute)
+  }
+
   test("q168 phash: brightness-invariant gradients; planted pairs collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

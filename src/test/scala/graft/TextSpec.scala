@@ -563,4 +563,41 @@ class TextSpec extends SparkSpecBase {
     val top = TextOps.knContinuation(docs, k = 1).collect()
     assert(top.head.getAs[String]("w") == "the")
   }
+
+  test("q253 repetition filter: closed forms, short-doc degenerate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"), // pure repetition: both fractions 1.0
+      (1L, "a b c d e f"), // all distinct: top2 = 2/6, dup3 = 0
+      (2L, "x"), // too short for any gram: kept, zero everything
+      (3L, "a b c a b c a b x") // mixed: top2 'a b' x3 -> 6/9
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionFilter(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Long]("top2_count"),
+          x.getAs[Double]("top2_cov"), x.getAs[Double]("dup3_frac"),
+          x.getAs[Boolean]("keep"))).toMap
+    assert(r(0L) == ((6, 3L, 1.0, 1.0, false)))
+    assert(r(1L) == ((6, 1L, math.rint(2e6 / 6) / 1e6, 0.0, false)))
+    // doc 1: top2_cov = 2/6 = 0.333333 > 0.2 -> filtered even though
+    // nothing repeats; that's the Gopher rule being length-sensitive
+    // on tiny docs, exactly as published (short docs score high)
+    assert(r(2L) == ((1, 0L, 0.0, 0.0, true)))
+    // doc 3: bigrams: "a b"x3, "b c"x2, "c a"x2, "b x" -> top2 3;
+    // trigrams: "a b c"x2, "b c a"x1? no — positions: a b c a b c a b x
+    // -> "a b c"x2, "b c a"x2, "c a b"x2, "a b x"x1: dup3 = 6/7
+    assert(r(3L) == ((9, 3L, math.rint(6e6 / 9) / 1e6,
+      math.rint(6e6 / 7) / 1e6, false)))
+  }
+
+  test("q253 repetition filter: a clean long doc is kept") {
+    import spark.implicits._
+    // 20 distinct tokens: top2_cov = 2/20 = 0.1 <= 0.2, dup3 = 0
+    val clean = (0 until 20).map(i => s"w$i").mkString(" ")
+    val r = TextOps.repetitionFilter(Seq((0L, clean)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Double]("top2_cov") == 0.1)
+    assert(r.getAs[Double]("dup3_frac") == 0.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
 }
