@@ -71,7 +71,9 @@ object Bench {
     // heaviest per-row decode kernel in the multimodal tier
     "q254_edit_distance_dedup", "q259_phash_hamming",
     "q252_stream_full_join_gate", "q251_jpeg_decode",
-    "q253_repetition_filter")
+    "q253_repetition_filter",
+    // the (v, seed)-keyed fixpoint: state K x nodes per round
+    "q257_landmark_bfs", "q255_png_adam7_decode")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

@@ -538,6 +538,14 @@ object MultimodalOps {
   private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] =
     encodePngCh(bytes, 1)
 
+  /** Adam7-interlaced grayscale variant — same final raster (pixel i
+    * = payload byte i at width 4), stored as the spec's seven
+    * sub-image passes, each filtered pass-locally. A decoder that
+    * defilters across pass boundaries or scatters pixels to the wrong
+    * (x0 + i*dx, y0 + j*dy) grid breaks the value oracle. */
+  private[graft] def encodePngAdam7(bytes: Array[Byte]): Array[Byte] =
+    encodePngCh(bytes, 1, interlaced = true)
+
   /** Truecolor variant: color type 2, bpp = 3 — payload byte i is
     * raster channel byte i (pixel i/3, channel i%3), h = len/12 full
     * rows. The filter sweep is the SAME r % 5 cycle, now exercising
@@ -553,22 +561,23 @@ object MultimodalOps {
   private[graft] def encodePngRgba(bytes: Array[Byte]): Array[Byte] =
     encodePngCh(bytes, 4)
 
-  private def encodePngCh(bytes: Array[Byte], ch: Int): Array[Byte] = {
-    val w = 4
-    val rowB = w * ch
-    val h = bytes.length / rowB
-    val raw = new Array[Byte](h * (rowB + 1))
+  /** Filter one (sub-)image: rows x rowB bytes -> rows x (1 + rowB)
+    * raw scanlines, row r filtered with type (r + fBase) % 5 against
+    * pass-local neighbors — the encode twin of [[pngDefilter]]. */
+  private def pngFilter(img: Array[Byte], rows: Int, rowB: Int,
+      ch: Int, fBase: Int): Array[Byte] = {
+    val raw = new Array[Byte](rows * (rowB + 1))
     var r = 0
-    while (r < h) {
-      val f = r % 5
+    while (r < rows) {
+      val f = (r + fBase) % 5
       raw(r * (rowB + 1)) = f.toByte
       var x = 0
       while (x < rowB) {
-        val orig = bytes(r * rowB + x) & 0xff
-        val a = if (x >= ch) bytes(r * rowB + x - ch) & 0xff else 0
-        val b = if (r > 0) bytes((r - 1) * rowB + x) & 0xff else 0
+        val orig = img(r * rowB + x) & 0xff
+        val a = if (x >= ch) img(r * rowB + x - ch) & 0xff else 0
+        val b = if (r > 0) img((r - 1) * rowB + x) & 0xff else 0
         val c = if (x >= ch && r > 0)
-          bytes((r - 1) * rowB + x - ch) & 0xff
+          img((r - 1) * rowB + x - ch) & 0xff
           else 0
         raw(r * (rowB + 1) + 1 + x) =
           ((orig - pngPredict(f, a, b, c)) & 0xff).toByte
@@ -576,6 +585,45 @@ object MultimodalOps {
       }
       r += 1
     }
+    raw
+  }
+
+  private def encodePngCh(bytes: Array[Byte], ch: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    val w = 4
+    val rowB = w * ch
+    val h = bytes.length / rowB
+    val raw: Array[Byte] =
+      if (!interlaced) pngFilter(bytes, h, rowB, ch, fBase = 0)
+      else {
+        // Adam7: extract each pass sub-image from the final raster,
+        // filter it pass-locally (fBase cycles across passes so the
+        // sweep still crosses all five filter types), concatenate
+        val outBuf = new java.io.ByteArrayOutputStream()
+        Adam7.zipWithIndex.foreach { case ((x0, y0, dx, dy), pi) =>
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](ph * pw * ch)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                var k = 0
+                while (k < ch) {
+                  sub(j * pw * ch + i * ch + k) =
+                    bytes((y0 + j * dy) * rowB + (x0 + i * dx) * ch + k)
+                  k += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+            outBuf.write(pngFilter(sub, ph, pw * ch, ch, fBase = pi))
+          }
+        }
+        outBuf.toByteArray
+      }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw)
     defl.finish()
@@ -607,7 +655,8 @@ object MultimodalOps {
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte)
       .put((if (ch == 4) 6 else if (ch == 3) 2 else 0).toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .put(0.toByte).put(0.toByte) // deflate, adaptive
+      .put((if (interlaced) 1 else 0).toByte)
       .array()
     chunk("IHDR", ihdr, 0, 13)
     var off = 0
@@ -732,6 +781,7 @@ object MultimodalOps {
     var w = -1
     var h = -1
     var ch = -1
+    var interlace = 0
     var seenIhdr = false
     var seenIend = false
     var idatDone = false
@@ -762,7 +812,9 @@ object MultimodalOps {
           }
           if ((bytes(p + 18) & 0xff) != 0) fail("bad compression")
           if ((bytes(p + 19) & 0xff) != 0) fail("bad filter method")
-          if ((bytes(p + 20) & 0xff) != 0) fail("interlace unsupported")
+          interlace = bytes(p + 20) & 0xff
+          if (interlace != 0 && interlace != 1)
+            fail(s"interlace method $interlace unsupported")
           seenIhdr = true
         case "IDAT" =>
           if (!seenIhdr) fail("IDAT before IHDR")
@@ -780,7 +832,21 @@ object MultimodalOps {
     if (p != bytes.length) fail("trailing bytes after IEND")
     if (idat.size() == 0) fail("missing IDAT")
     val rowB = w * ch
-    val raw = new Array[Byte](h * (rowB + 1))
+    // Adam7 (spec 2.6/8.2): seven sub-image passes; a pass with zero
+    // columns or rows contributes NO scanlines at all
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Adam7
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (pw, ph)
+    }
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (pw * ch + 1)
+    }.sum
+    if (rawLen > Int.MaxValue) fail("raster too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -803,12 +869,49 @@ object MultimodalOps {
     if (got != raw.length)
       fail(s"decompressed $got, raster needs ${raw.length}")
     val px = new Array[Byte](rowB * h)
+    var off = 0
+    passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+      if (pw > 0 && ph > 0) {
+        // filters apply WITHIN the pass sub-image (spec: "each pass
+        // is treated as an independent image for filtering purposes")
+        val sub = pngDefilter(raw, off, ph, pw * ch, ch, fail)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var k = 0
+            while (k < ch) {
+              px((y0 + j * dy) * rowB + (x0 + i * dx) * ch + k) =
+                sub(j * pw * ch + i * ch + k)
+              k += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        off += ph * (pw * ch + 1)
+      }
+    }
+    (w, h, ch, px)
+  }
+
+  /** The seven Adam7 passes as (x0, y0, dx, dy) — PNG spec table 8.2. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Undo per-scanline filtering over one (sub-)image region of the
+    * raw stream: rows scanlines of rowB bytes each, led by a filter
+    * byte; neighbors are pass-local per the spec. */
+  private def pngDefilter(raw: Array[Byte], off: Int, rows: Int,
+      rowB: Int, ch: Int, fail: String => Nothing): Array[Byte] = {
+    val px = new Array[Byte](rows * rowB)
     var r = 0
-    while (r < h) {
-      val f = raw(r * (rowB + 1)) & 0xff
+    while (r < rows) {
+      val f = raw(off + r * (rowB + 1)) & 0xff
       var x = 0
       while (x < rowB) {
-        val v = raw(r * (rowB + 1) + 1 + x) & 0xff
+        val v = raw(off + r * (rowB + 1) + 1 + x) & 0xff
         val a = if (x >= ch) px(r * rowB + x - ch) & 0xff else 0
         val b = if (r > 0) px((r - 1) * rowB + x) & 0xff else 0
         val c = if (x >= ch && r > 0)
@@ -821,7 +924,7 @@ object MultimodalOps {
       }
       r += 1
     }
-    (w, h, ch, px)
+    px
   }
 
   /** q196's pipeline: the PNG twin of [[decodeImagesGif]] — same typed
@@ -1867,6 +1970,20 @@ object MultimodalOps {
       ampSum.toDouble / 2.0 / nb, rgb(0) & 0xff, dcSum)
   }
 
+  /** q255's pipeline: Adam7-interlaced PNG — identical features to
+    * q196 (the final raster IS the payload either way); what changes
+    * is the whole reconstruction path: 7 sub-image passes, pass-local
+    * filtering, and the pigeon-grid scatter. */
+  def decodeImagesPngAdam7(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodePng(id, encodePngAdam7(b)) })
+      .toDF()
+  }
+
   /** q259's Hamming-ball pair table over a (doc_id, text) frame:
     * multi-index pigeonhole retrieval on the 24-bit phash — the
     * binary-code serving shape. The code splits into `blocks` (4)
@@ -2114,6 +2231,20 @@ object MultimodalOps {
     "q259_phash_hamming" -> ((s, d) =>
       phashHammingPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
 
+    // ADAM7-INTERLACED PNG — the spec's other pixel layout (the
+    // progressive-rendering one real crawl corpora contain): seven
+    // sub-image passes, each filtered AS ITS OWN IMAGE (pass-local
+    // neighbors), scattered to the (x0 + i·dx, y0 + j·dy) grid of
+    // table 8.2. Empty passes (width 4 leaves pass 2 with zero
+    // columns) contribute no scanlines — the corner a
+    // ceil-arithmetic bug hits first. Same oracle as q196: the final
+    // raster is payload-identical, so every feature is closed-form.
+    "q255_png_adam7_decode" -> ((s, d) =>
+      decodeImagesPngAdam7(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_gray"), 6).as("mean_gray"),
+          col("top_left_gray"), col("pos_sum"))),
+
     // REAL G.711 A-law decode — the OTHER companding curve (format
     // tag 6, the E1/European telephony standard the μ-law q199 tier
     // lacks): codes expand through the published 0x55-toggle +
@@ -2350,6 +2481,25 @@ object MultimodalOps {
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
         |    AS BIGINT) END AS pos_sum
         |FROM f""".stripMargin,
+    // q255: the interlaced stream reconstructs the SAME raster, so
+    // the oracle is q196's byte algebra verbatim
+    "q255_png_adam7_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 4*h + 1)])::DOUBLE
+        |      / (4 * h) END, 6) AS mean_gray,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_gray,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+
     // the truecolor fixture: payload byte i is raster channel byte i
     // (pixel i/3, channel i%3) at width 4, so h = len/12 and channel
     // c's mean strides the text bytes at offset c+1, step 3 — each

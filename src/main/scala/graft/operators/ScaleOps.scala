@@ -1071,6 +1071,53 @@ object ScaleOps {
         .withColumn("converged", lit(changed == 0L))
     }),
 
+    // LANDMARK (multi-source) BFS — the distance-oracle embedding
+    // (the Das Sarma et al. sketch shape): unweighted BFS from 4
+    // landmark nodes runs as ONE fixpoint loop keyed on (node, seed),
+    // so K landmarks cost K× state, not K× passes over the edges.
+    // Published per landmark: reach, distance mass, eccentricity-
+    // within-horizon, and the size of its nearest-landmark cell
+    // (min (dist, seed) per node — the landmark-clustering
+    // assignment). Same bipartite order graph, horizon 6 like q203,
+    // convergence = no distance improved on the last round.
+    "q257_landmark_bfs" -> ((s, d) => {
+      val we = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = we.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(we.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("v")).distinct()
+        .localCheckpoint(true)
+      val seeds = nodes.filter(col("v") % 2 === 0)
+        .orderBy("v").limit(4)
+        .select(col("v"), col("v").as("seed"), lit(0L).as("dist"))
+      val (d5, d6) = landmarkBfsRounds(edges, seeds, rounds = 6)
+      val changed = d6.join(d5.withColumnRenamed("dist", "prev"),
+          Seq("v", "seed"), "left")
+        .filter(col("prev").isNull || col("dist") < col("prev")).count()
+      // nearest-landmark cell: min (dist, seed) per node, packed as
+      // one integer so both engines break ties identically
+      val cells = d6.groupBy("v")
+        .agg(min(col("dist") * 1000000L + col("seed")).as("key"))
+        .groupBy((col("key") % 1000000L).as("seed"))
+        .agg(count(lit(1)).as("n_assigned"))
+      d6.groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"),
+          max("dist").as("ecc6"))
+        .join(cells, Seq("seed"), "left")
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          col("ecc6"), coalesce(col("n_assigned"), lit(0L))
+            .as("n_assigned"))
+        .withColumn("converged", lit(changed == 0L))
+        .orderBy("seed")
+    }),
+
     // PERMUTATION TEST — the significance gate for pipeline A/B
     // audits ("is src0's doc length different from src1's beyond
     // chance?"), with every arbitrary choice made deterministic and
@@ -2527,6 +2574,28 @@ object ScaleOps {
     (prev, dist)
   }
 
+  /** q257's multi-source BFS frontier loop — ssspRounds keyed on
+    * (v, seed): K landmarks share one fixpoint (state K× nodes, one
+    * edge join per round — never one BFS pass per landmark). Split
+    * out so ScaleOpsSpec pins distances on a crafted path graph and
+    * the K-landmark independence (each seed's column equals its own
+    * single-source run). */
+  private[graft] def landmarkBfsRounds(edges: DataFrame,
+      seeds: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    var prev: DataFrame = null
+    var dist = seeds.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      prev = dist
+      dist = edges.join(dist.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), col("seed"),
+          (col("dist") + 1L).as("dist"))
+        .unionByName(dist)
+        .groupBy("v", "seed").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    (prev, dist)
+  }
+
   /** λ=1 Poisson inverse-CDF thresholds (cumulative, 10 dp — fixed
     * literals shared verbatim with the DuckDB oracle via
     * [[poissonCaseSql]]). */
@@ -3506,6 +3575,51 @@ SELECT CAST(count(*) AS BIGINT) AS n_reached,
    WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
 FROM d6"""
     },
+    // q257: the same unrolled-relaxation pattern as q203, keyed
+    // (v, seed); the nearest-landmark cell packs (dist, seed) into
+    // one integer so ties break identically in both engines
+    "q257_landmark_bfs" -> {
+      val rounds = (1 to 6).map { r =>
+        s""",
+d$r AS MATERIALIZED (
+  SELECT v, seed, min(dist) AS dist FROM (
+    SELECT e.dst AS v, d.seed AS seed, d.dist + 1 AS dist
+    FROM e JOIN d${r - 1} d ON e.src = d.v
+    UNION ALL SELECT v, seed, dist FROM d${r - 1}) GROUP BY 1, 2
+)"""
+      }.mkString
+      s"""WITH we AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS a,
+    CAST(l_suppkey AS BIGINT) * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM we
+  UNION ALL SELECT b, a FROM we
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+d0 AS MATERIALIZED (
+  SELECT v, v AS seed, CAST(0 AS BIGINT) AS dist
+  FROM (SELECT v FROM nodes WHERE v % 2 = 0 ORDER BY v LIMIT 4)
+)$rounds,
+cells AS (
+  SELECT (key % 1000000) AS seed,
+    CAST(count(*) AS BIGINT) AS n_assigned
+  FROM (SELECT v, min(dist * 1000000 + seed) AS key
+        FROM d6 GROUP BY 1)
+  GROUP BY 1
+),
+conv AS (
+  SELECT (SELECT count(*) FROM d6 x
+          LEFT JOIN d5 y ON x.v = y.v AND x.seed = y.seed
+          WHERE y.dist IS NULL OR x.dist < y.dist) = 0 AS converged
+)
+SELECT d6.seed, CAST(count(*) AS BIGINT) AS n_reached,
+  CAST(sum(dist) AS BIGINT) AS sum_dist, max(dist) AS ecc6,
+  coalesce(any_value(cells.n_assigned), 0) AS n_assigned,
+  any_value(conv.converged) AS converged
+FROM d6 LEFT JOIN cells ON d6.seed = cells.seed, conv
+GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // same md5-uniform Poisson draws (thresholds shared via
     // poissonCaseSql), integer replicate sums, nearest-rank CI
     "q206_bootstrap_ci" -> {

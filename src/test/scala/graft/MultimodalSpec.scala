@@ -553,6 +553,49 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodePng(8L, encodeBmp(payload)) }
   }
 
+  test("q255 Adam7 PNG: interlaced round-trip across pass-edge heights") {
+    import operators.MultimodalOps.{decodePng, encodePng, encodePngAdam7}
+    // heights chosen to hit the pass-geometry corners at width 4:
+    // h=1 (only passes with y0=0 and dy covering row 0 non-empty),
+    // h=2 (pass 7 gets its first row), h=5 (pass 3 opens), h=8 (full
+    // 8x8 tile), h=13 (ragged ceil division in every pass)
+    for (h <- Seq(1, 2, 3, 5, 8, 13)) {
+      val payload = Array.tabulate(4 * h)(i => ((i * 37 + h) % 251).toByte)
+      val seq = decodePng(h.toLong, encodePng(payload))
+      val adam = decodePng(h.toLong, encodePngAdam7(payload))
+      // the interlaced stream must reconstruct the IDENTICAL raster:
+      // every feature equal to the sequential path's
+      assert(adam == seq, s"h=$h")
+      assert(adam.height == h && adam.pos_sum ==
+        payload.zipWithIndex.map { case (b, i) =>
+          (i + 1).toLong * (b & 0xff) }.sum, s"h=$h")
+    }
+  }
+
+  test("q255 Adam7 PNG: malformed interlace fails loudly") {
+    import operators.MultimodalOps.{decodePng, encodePng, encodePngAdam7}
+    val payload = "adam seven interlace pass".getBytes("US-ASCII")
+    val ok = encodePngAdam7(payload)
+    assert(decodePng(1L, ok).n_pixels == 24)
+    // interlace method 2 does not exist: patch the IHDR byte and fix
+    // its chunk CRC so ONLY the method check can reject it
+    val bad = ok.clone()
+    bad(8 + 8 + 12) = 2.toByte // sig + len/type + 13th IHDR data byte
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, 8 + 4, 4 + 13)
+    val cv = crc.getValue.toInt
+    bad(8 + 8 + 13) = (cv >>> 24).toByte
+    bad(8 + 8 + 14) = (cv >>> 16).toByte
+    bad(8 + 8 + 15) = (cv >>> 8).toByte
+    bad(8 + 8 + 16) = cv.toByte
+    val e = intercept[IllegalArgumentException] { decodePng(2L, bad) }
+    assert(e.getMessage.contains("interlace"))
+    // a truncated interlaced zlib stream still fails the geometry
+    intercept[IllegalArgumentException] {
+      decodePng(3L, java.util.Arrays.copyOf(ok, ok.length - 16))
+    }
+  }
+
   test("q251 JPEG: closed-form block, exact pixel pattern, full-byte sweep") {
     import operators.MultimodalOps.{decodeJpeg, decodeJpegRaster, encodeJpeg}
     // "ab": one block, v = 8 + 97 = 105, d = 98 % 8 = 2

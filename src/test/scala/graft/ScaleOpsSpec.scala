@@ -983,6 +983,38 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty, "fixture must produce at least one band pair")
   }
 
+  test("q257 landmark BFS: exact distances on a path graph; " +
+      "multi-source equals per-seed single-source") {
+    import spark.implicits._
+    // path 0-1-2-...-9 (undirected)
+    val we = (0L until 9L).map(i => (i, i + 1))
+    val edges = (we ++ we.map(_.swap)).toDF("src", "dst")
+    def seedDf(vs: Seq[Long]) =
+      vs.map(v => (v, v, 0L)).toDF("v", "seed", "dist")
+    val (_, multi) = ScaleOps.landmarkBfsRounds(edges,
+      seedDf(Seq(0L, 9L)), rounds = 9)
+    val got = multi.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap
+    // closed form: dist(v, 0) = v, dist(v, 9) = 9 - v
+    for (v <- 0L to 9L) {
+      assert(got((v, 0L)) == v, s"seed 0, node $v")
+      assert(got((v, 9L)) == 9 - v, s"seed 9, node $v")
+    }
+    // the shared fixpoint must equal each seed's own single-source run
+    for (s0 <- Seq(0L, 9L)) {
+      val (_, single) = ScaleOps.landmarkBfsRounds(edges,
+        seedDf(Seq(s0)), rounds = 9)
+      val sm = single.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .toMap
+      assert(sm == got.collect { case ((v, s), d) if s == s0 => v -> d })
+    }
+    // horizon cuts reach: 3 rounds from seed 0 reaches nodes 0..3 only
+    val (_, cut) = ScaleOps.landmarkBfsRounds(edges,
+      seedDf(Seq(0L)), rounds = 3)
+    assert(cut.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
   /** Driver-side reference Feistel — same rounds in plain Scala. */
   private def feistelRef(id: Long): Long = {
     val ks = Seq(40503L, 11665L, 30841L, 22621L)
