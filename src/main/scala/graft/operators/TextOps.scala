@@ -1091,6 +1091,21 @@ object TextOps {
     "q230_mixture_weights" -> ((s, d) =>
       mixtureWeights(Tables.load(s, d, "documents"))),
 
+    // DICTIONARY-PHRASE SCAN (Aho–Corasick) — the blocklist filter
+    // shape: match a 30-phrase dictionary (the corpus's top-20
+    // bigrams + top-10 trigrams, a deterministic stand-in for a
+    // spam/boilerplate blocklist) against every document in ONE
+    // automaton pass over the token stream — goto/failure links over
+    // the token alphabet, so cost is O(tokens + matches) per doc
+    // regardless of dictionary size, where the naive path re-scans
+    // the doc once per pattern. The automaton is driver-built from
+    // the 30-row dict and BROADCAST; docs never shuffle. The oracle
+    // brute-forces every (position, pattern) pair — equality proves
+    // the failure links lose nothing (overlaps and shared-prefix
+    // phrases included).
+    "q258_dict_phrase_scan" -> ((s, d) =>
+      dictPhraseScan(Tables.load(s, d, "documents"))),
+
     // REPETITION QUALITY FILTERS (the Gopher/MassiveText shape, Rae
     // et al. 2021 table A1): a doc whose mass concentrates in one
     // repeated n-gram is boilerplate, not language. Token analogues
@@ -1229,6 +1244,107 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_nll"))
+  }
+
+  /** Token-level Aho–Corasick automaton: classic goto/failure/output
+    * construction (Aho & Corasick 1975) over the token alphabet.
+    * Serializable so the driver-built automaton broadcasts into the
+    * scan tasks. Split out so TextSpec pins the matcher against a
+    * brute-force twin on overlap- and shared-prefix-heavy fixtures. */
+  private[graft] final class TokenAhoCorasick(
+      patterns: Seq[Array[String]]) extends Serializable {
+    private val goto_ =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[String, Int])
+    private val out = scala.collection.mutable.ArrayBuffer(
+      List.empty[(Int, Int)]) // (patternId, length) ending at state
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var st = 0
+      p.foreach { tok =>
+        st = goto_(st).get(tok) match {
+          case Some(n) => n
+          case None =>
+            goto_ += scala.collection.mutable.HashMap.empty[String, Int]
+            out += Nil
+            val n = goto_.size - 1
+            goto_(st)(tok) = n
+            n
+        }
+      }
+      out(st) = (id, p.length) :: out(st)
+    }
+    private val fail = new Array[Int](goto_.size)
+    locally { // BFS failure links; outputs union along the chain
+      val q = scala.collection.mutable.Queue.empty[Int]
+      goto_(0).valuesIterator.foreach { s => fail(s) = 0; q.enqueue(s) }
+      while (q.nonEmpty) {
+        val r = q.dequeue()
+        goto_(r).foreach { case (tok, s) =>
+          q.enqueue(s)
+          var f = fail(r)
+          while (f != 0 && !goto_(f).contains(tok)) f = fail(f)
+          fail(s) = if (goto_(f).contains(tok) && goto_(f)(tok) != s)
+            goto_(f)(tok) else 0
+          out(s) = out(s) ++ out(fail(s))
+        }
+      }
+    }
+    /** All matches in `toks`: (patternId, 1-based start, length). */
+    def matches(toks: Array[String]): Seq[(Int, Int, Int)] = {
+      val hits =
+        scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+      var st = 0
+      var i = 0
+      while (i < toks.length) {
+        val tok = toks(i)
+        while (st != 0 && !goto_(st).contains(tok)) st = fail(st)
+        st = goto_(st).getOrElse(tok, 0)
+        out(st).foreach { case (id, len) =>
+          hits += ((id, i - len + 2, len))
+        }
+        i += 1
+      }
+      hits.toList
+    }
+  }
+
+  /** q258's per-doc match table: dictionary = top-20 bigrams +
+    * top-10 trigrams by corpus occurrence count (ties broken
+    * lexicographically — both engines identical), matched by ONE
+    * broadcast Aho–Corasick pass per doc. Overlapping and nested
+    * occurrences all count, exactly as the oracle's brute
+    * (position x pattern) scan does. */
+  private[graft] def dictPhraseScan(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = tokens(col("text"))
+    def topGrams(n: Int, k: Int): Seq[String] = {
+      val parts = (0 until n).map(i =>
+        slice(toks, lit(i + 1), size(toks) - (n - 1)))
+      val zipped = parts.reduceLeft((a, b) =>
+        zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+      docs.filter(size(toks) >= n)
+        .select(explode(zipped).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(k)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val dict = topGrams(2, 20) ++ topGrams(3, 10)
+    val ac = new TokenAhoCorasick(dict.map(_.split(" ")))
+    val bc = s.sparkContext.broadcast(ac)
+    docs.select(col("doc_id"), toks.as("t"))
+      .as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val a = bc.value
+        it.map { case (id, t) =>
+          val m = a.matches(t)
+          (id, m.size.toLong, m.map(_._1).distinct.size.toLong,
+            if (m.isEmpty) 0 else m.map(_._3).max,
+            if (m.isEmpty) 0 else m.map(_._2).min)
+        }
+      }
+      .toDF("doc_id", "n_matches", "n_patterns", "longest", "first_pos")
+      .orderBy("doc_id")
   }
 
   /** q253's per-doc repetition table over a (doc_id, text) frame:
@@ -2193,6 +2309,45 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
         |  round(CAST(sum(w) AS DOUBLE) / n_s, 6) AS kl_vs_global
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY source""".stripMargin,
+
+    // q258: the oracle derives the same 30-phrase dict (count desc,
+    // phrase asc) and brute-forces every (position, pattern) pair —
+    // the one-pass automaton must lose nothing vs the rescan
+    "q258_dict_phrase_scan" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), a2 AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS g, count(*) AS c
+        |  FROM tk, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2 GROUP BY 1
+        |), d2 AS (SELECT g FROM a2 ORDER BY c DESC, g ASC LIMIT 20),
+        |a3 AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g,
+        |    count(*) AS c
+        |  FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3 GROUP BY 1
+        |), d3 AS (SELECT g FROM a3 ORDER BY c DESC, g ASC LIMIT 10),
+        |g2 AS (
+        |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] AS g
+        |  FROM tk, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+        |), g3 AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3
+        |), hits AS (
+        |  SELECT doc_id, pos, g, 2 AS plen FROM g2 JOIN d2 USING (g)
+        |  UNION ALL
+        |  SELECT doc_id, pos, g, 3 AS plen FROM g3 JOIN d3 USING (g)
+        |)
+        |SELECT tk.doc_id,
+        |  CAST(count(hits.g) AS BIGINT) AS n_matches,
+        |  CAST(count(DISTINCT hits.g) AS BIGINT) AS n_patterns,
+        |  coalesce(max(plen), 0)::INT AS longest,
+        |  coalesce(min(pos), 0)::INT AS first_pos
+        |FROM tk LEFT JOIN hits USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q253: the oracle rebuilds both gram inventories from the token
     // list per doc; every fraction is integer/integer rounded once

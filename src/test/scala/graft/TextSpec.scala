@@ -590,6 +590,32 @@ class TextSpec extends SparkSpecBase {
       math.rint(6e6 / 7) / 1e6, false)))
   }
 
+  test("q258 Aho-Corasick: overlaps, shared prefixes, brute equality") {
+    val dict = Seq("a b", "b a", "a b c", "c c c").map(_.split(" "))
+    val ac = new TextOps.TokenAhoCorasick(dict)
+    // hand case: overlapping + nested matches all count
+    val m = ac.matches("a b a b c a".split(" "))
+    assert(m.toSet == Set((0, 1, 2), (1, 2, 2), (0, 3, 2), (2, 3, 3)))
+    // shared-prefix completion at the END of input (the failure-link
+    // corner: "a b c" must fire even though "a b" already did)
+    assert(ac.matches("x a b c".split(" ")).toSet ==
+      Set((0, 2, 2), (2, 2, 3)))
+    // self-overlapping pattern: "c c c" in "c c c c" fires twice
+    assert(ac.matches("c c c c".split(" "))
+      .count(_._1 == 3) == 2)
+    // brute-force equality on a pseudo-random token stream
+    val alpha = Array("a", "b", "c", "x")
+    val toks = Array.tabulate(200)(i => alpha((i * 7 + i * i * 3) % 4))
+    val brute = for {
+      (p, id) <- dict.zipWithIndex
+      s <- 0 to toks.length - p.length
+      if toks.slice(s, s + p.length).sameElements(p)
+    } yield (id, s + 1, p.length)
+    assert(ac.matches(toks).sorted == brute.sorted.toSeq)
+    // empty input, no matches
+    assert(ac.matches(Array.empty[String]).isEmpty)
+  }
+
   test("q253 repetition filter: a clean long doc is kept") {
     import spark.implicits._
     // 20 distinct tokens: top2_cov = 2/20 = 0.1 <= 0.2, dup3 = 0
