@@ -73,7 +73,9 @@ object Bench {
     "q252_stream_full_join_gate", "q251_jpeg_decode",
     "q253_repetition_filter",
     // the (v, seed)-keyed fixpoint: state K x nodes per round
-    "q257_landmark_bfs", "q255_png_adam7_decode")
+    "q257_landmark_bfs", "q255_png_adam7_decode",
+    // shard assembly is a bounded groupByKey; decode per-shard work
+    "q260_tar_shard_decode")
 
   /** The top-exponent families get a THIRD scale point (sf0.001): two
     * points can't distinguish a true exponent from a fixed-overhead

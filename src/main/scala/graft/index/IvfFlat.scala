@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{DistanceMetric, NearestCentroid}
 
@@ -65,6 +65,17 @@ final case class IvfFlatModel(
       .select(buckets.columns.map(col): _*)
     copy(buckets = buckets.unionAll(assigned))
   }
+
+  /** Delete maintenance — the OTHER half of index lifecycle (the
+    * reference leaves even insert maintenance as a TODO,
+    * src/execution/insert_executor.cpp:45): drop matching rows from
+    * their buckets; centroids stay put, so surviving rows keep their
+    * assignment and probe recall is unaffected. Eager filter over the
+    * bucketed layout (a log-structured store would tombstone and
+    * compact — same visible semantics, which is what the oracle
+    * pins). */
+  def delete(pred: Column): IvfFlatModel =
+    copy(buckets = buckets.filter(!pred))
 
   /** Persist bucketed layout: partitioned by bucket id so scan-time
     * probe filters become partition pruning at any scale. Centroids +

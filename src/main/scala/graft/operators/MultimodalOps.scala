@@ -1984,6 +1984,144 @@ object MultimodalOps {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // POSIX ustar tar shards — the WebDataset layout: large multimodal
+  // training corpora ship as tar shards of ~N samples each, read
+  // sequentially per shard. Encode (shard assembly) is the fixture;
+  // decode is the product: a real ustar parser — 512-byte headers,
+  // NUL-terminated octal size fields, the checksum computed with the
+  // checksum field itself read as spaces, "ustar" magic, content
+  // padded to block boundaries, two zero blocks as the terminator.
+  // ------------------------------------------------------------------
+
+  /** Shard assembler: members (sorted by id) as `doc<id>.txt` regular
+    * files in one POSIX ustar stream. */
+  private[graft] def encodeTarShard(members: Seq[(Long, Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.sortBy(_._1).foreach { case (id, data) =>
+      val hdr = new Array[Byte](512)
+      def put(s: String, off: Int): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, hdr, off, b.length)
+      }
+      put(s"doc$id.txt", 0) // name[100]
+      put("0000644", 100) // mode[8], NUL-terminated octal
+      put("0000000", 108) // uid[8]
+      put("0000000", 116) // gid[8]
+      put(f"${data.length}%011o", 124) // size[12]
+      put("00000000000", 136) // mtime[12]
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum spaces
+      hdr(156) = '0' // typeflag: regular file
+      put("ustar", 257) // magic[6] = "ustar\0"
+      put("00", 263) // version[2]
+      val sum = hdr.map(_ & 0xff).sum
+      put(f"$sum%06o", 148) // chksum = 6 octal digits, NUL, space
+      hdr(154) = 0
+      hdr(155) = ' '
+      out.write(hdr)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
+    out.toByteArray
+  }
+
+  /** REAL ustar decode: per member (doc_id parsed from the name,
+    * content bytes, unsigned byte sum). Fails loudly on a bad
+    * checksum, missing magic, non-octal size, truncation, an
+    * unexpected member name, or trailing garbage. */
+  private[graft] def decodeTarShard(shardId: Long, bytes: Array[Byte])
+      : Seq[(Long, Int, Long)] = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"tar decode [$shardId]: $why")
+    if (bytes.length % 512 != 0) fail("not block-aligned")
+    val outRows = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long)]
+    var p = 0
+    var done = false
+    while (!done) {
+      if (p + 512 > bytes.length) fail("missing end-of-archive blocks")
+      if ((p until p + 512).forall(bytes(_) == 0)) {
+        // terminator: a second zero block, then only zero padding
+        if (p + 1024 > bytes.length ||
+            (p + 512 until p + 1024).exists(bytes(_) != 0))
+          fail("single zero block is not a terminator")
+        if ((p + 1024 until bytes.length).exists(bytes(_) != 0))
+          fail("trailing bytes after end-of-archive")
+        done = true
+      } else {
+        def cstr(off: Int, len: Int): String = {
+          var e = off
+          while (e < off + len && bytes(p + e) != 0) e += 1
+          new String(bytes, p + off, e - off, "US-ASCII")
+        }
+        def octal(off: Int, len: Int): Long = {
+          val s = cstr(off, len).trim
+          if (s.isEmpty || !s.forall(c => c >= '0' && c <= '7'))
+            fail(s"bad octal field at $off: '$s'")
+          java.lang.Long.parseLong(s, 8)
+        }
+        if (cstr(257, 6) != "ustar") fail("missing ustar magic")
+        // checksum: header bytes summed with the chksum field as spaces
+        var sum = 0
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+            else bytes(p + i) & 0xff)
+          i += 1
+        }
+        if (octal(148, 8) != sum) fail("header checksum mismatch")
+        val tf = bytes(p + 156)
+        if (tf != '0'.toByte && tf != 0) fail(s"unsupported typeflag $tf")
+        val name = cstr(0, 100)
+        val m = "^doc(\\d+)\\.txt$".r.findFirstMatchIn(name)
+          .getOrElse(fail(s"unexpected member name '$name'"))
+        val size = octal(124, 12)
+        if (size > Int.MaxValue) fail("member too large")
+        val blocks = ((size + 511) / 512).toInt
+        if (p + 512 + blocks * 512 > bytes.length)
+          fail(s"member '$name' truncated")
+        var bs = 0L
+        var j = 0
+        while (j < size) {
+          bs += bytes(p + 512 + j) & 0xff
+          j += 1
+        }
+        outRows += ((m.group(1).toLong, size.toInt, bs))
+        p += 512 + blocks * 512
+      }
+    }
+    outRows.toList
+  }
+
+  /** q260's pipeline: WebDataset-style shard assembly + ustar decode.
+    * Docs group into shards of 32 (doc_id div 32 — contiguous ranges,
+    * the WebDataset convention), each shard becomes ONE tar stream,
+    * and the decoder walks it back to per-member rows plus shard
+    * integrity columns (member count, exact shard byte size). The
+    * Spark shape is the real one: shard assembly is a bounded
+    * groupByKey (≤ 32 small members per group), decode is per-shard
+    * sequential — shards are the parallelism unit, exactly as a
+    * WebDataset reader scales. */
+  def decodeTarShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 32").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq
+        val tar = encodeTarShard(members)
+        decodeTarShard(shard, tar).map { case (id, nb, bs) =>
+          (shard, id, nb, bs, members.size, tar.length.toLong)
+        }
+      }
+      .toDF("shard_id", "doc_id", "member_bytes", "byte_sum",
+        "n_members", "shard_bytes")
+      .orderBy("doc_id")
+  }
+
   /** q259's Hamming-ball pair table over a (doc_id, text) frame:
     * multi-index pigeonhole retrieval on the 24-bit phash — the
     * binary-code serving shape. The code splits into `blocks` (4)
@@ -2230,6 +2368,17 @@ object MultimodalOps {
     // the same ball at test scale to prove it.
     "q259_phash_hamming" -> ((s, d) =>
       phashHammingPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
+
+    // WEBDATASET TAR SHARDS — how large multimodal training corpora
+    // actually ship: N samples per POSIX ustar shard, read
+    // sequentially per shard (shards ARE the parallelism unit). The
+    // assembler is the fixture; the decoder is a real ustar parser
+    // (octal fields, spaces-for-checksum rule, magic, block padding,
+    // two-zero-block terminator) with per-member byte sums and exact
+    // shard-size integrity columns the oracle recomputes from the
+    // padding arithmetic: 512 + 512*ceil(len/512) per member + 1024.
+    "q260_tar_shard_decode" -> ((s, d) =>
+      decodeTarShards(Tables.load(s, d, "documents"))),
 
     // ADAM7-INTERLACED PNG — the spec's other pixel layout (the
     // progressive-rendering one real crawl corpora contain): seven
@@ -2481,6 +2630,26 @@ object MultimodalOps {
         |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
         |    AS BIGINT) END AS pos_sum
         |FROM f""".stripMargin,
+    // q260: members recompute from the text bytes; shard size is pure
+    // padding arithmetic
+    "q260_tar_shard_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id // 32 AS shard_id,
+        |    octet_length(encode(text))::INT AS member_bytes,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |), s AS (
+        |  SELECT shard_id, count(*)::INT AS n_members,
+        |    CAST(sum(512 + 512 * ((member_bytes + 511) // 512)) + 1024
+        |      AS BIGINT) AS shard_bytes
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT shard_id, doc_id, member_bytes,
+        |  coalesce(byte_sum, 0) AS byte_sum, n_members, shard_bytes
+        |FROM f JOIN s USING (shard_id) ORDER BY doc_id""".stripMargin,
+
     // q255: the interlaced stream reconstructs the SAME raster, so
     // the oracle is q196's byte algebra verbatim
     "q255_png_adam7_decode" ->

@@ -312,6 +312,19 @@ object VectorOps {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // Delete-after-index — the lifecycle twin of q34: build on the
+    // full table, DELETE every vec_id % 7 == 0 (including vec 0, the
+    // query vector itself — a broken delete leaves it at distance 0,
+    // the loudest possible failure), KNN must see only survivors.
+    // probe=lists keeps it exact so the filtered brute oracle applies.
+    "q261_ivfflat_delete" -> ((s, d) => {
+      val model = IvfFlat.build(emb(s, d), Seq("vec_id"), "embedding",
+          lists = 8, probeLists = 8)
+        .delete(col("vec_id") % 7 === 0)
+      model.scan(queryVec(s, d), 10, tieBreak = Some("vec_id"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // Insert-after-index (vector.04/05.slt semantics): build on a prefix,
     // insert the rest, KNN must see the new rows. probe=lists keeps it
     // exact so the full-table oracle applies.
@@ -1147,6 +1160,15 @@ object VectorOps {
         |LIMIT 10""".stripMargin,
     "q33_ivfflat_exact" -> bruteOracle,
     "q34_ivfflat_insert" -> bruteOracle,
+    // q261: brute force over the SURVIVORS (the query vector vec_id=0
+    // is itself deleted — dist 0 must be gone)
+    "q261_ivfflat_delete" ->
+      """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS dist
+        |FROM embeddings WHERE vec_id % 7 <> 0
+        |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+        |LIMIT 10""".stripMargin,
     // recall gates: the oracle recomputes the exact-side count; the
     // recall_ok flag is the in-engine assertion the driver now sees
     "q35_ivfflat_probe" ->

@@ -401,6 +401,31 @@ class IndexSpec extends SparkSpecBase {
     }
   }
 
+  test("q261 ivfflat delete: survivors only, composes with insert, " +
+      "empty buckets handled") {
+    val model = IvfFlat.build(emb, Seq("vec_id"), "v",
+      lists = 8, probeLists = 8)
+    // deleting the brute top-1 must promote the runner-up
+    val top2 = bruteIds(2)
+    val afterDel = model.delete(col("vec_id") === top2.head)
+      .scan(query, 1, tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0)
+    assert(afterDel == top2(1))
+    // delete-then-insert round-trips to the original top-k
+    val row = emb.filter(col("vec_id") === top2.head)
+    val back = model.delete(col("vec_id") === top2.head)
+    val reinserted = back.insert(row) // insert assigns its own bucket
+      .scan(query, 5, tieBreak = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(reinserted == bruteIds(5))
+    // deleting EVERYTHING leaves empty buckets and an empty scan, not
+    // a crash (the non-empty-bucket cache must recompute on the copy)
+    assert(model.delete(lit(true)).scan(query, 3).count() == 0)
+    // the original model is untouched (copies, not mutation)
+    assert(model.scan(query, 1, tieBreak = Some("vec_id"))
+      .select("vec_id").head().getLong(0) == top2.head)
+  }
+
   test("index selection honors vector_index_method (vector.03 semantics)") {
     VectorIndexes.drop("t_ivf"); VectorIndexes.drop("t_hnsw")
     VectorIndexes.createIvfFlat("t_ivf", "emb_t", emb, "vec_id", "v", 8, 8)

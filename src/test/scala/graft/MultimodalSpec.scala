@@ -553,6 +553,58 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { decodePng(8L, encodeBmp(payload)) }
   }
 
+  test("q260 ustar: round-trip with padding edges; strict parser") {
+    import operators.MultimodalOps.{decodeTarShard, encodeTarShard}
+    val members = Seq(
+      7L -> "hello tar".getBytes("US-ASCII"),
+      8L -> Array.empty[Byte], // zero-size member: no content blocks
+      9L -> Array.tabulate(512)(_.toByte), // exactly one block: no pad
+      10L -> Array.tabulate(513)(_.toByte)) // one byte into block two
+    val tar = encodeTarShard(members)
+    assert(tar.length % 512 == 0)
+    // exact layout arithmetic: 4 headers + 0 + 1 + 1 + 2 content
+    // blocks + 2 terminator blocks
+    assert(tar.length == 512 * (4 + 0 + 1 + 1 + 2 + 2))
+    val got = decodeTarShard(1L, tar)
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((7L, 9), (8L, 0), (9L, 512), (10L, 513)))
+    assert(got.map(_._3) == members.sortBy(_._1)
+      .map(_._2.map(_ & 0xff).map(_.toLong).sum))
+    // corruption: one flipped content... header byte breaks the checksum
+    val bad = tar.clone(); bad(1) = 'X'.toByte
+    intercept[IllegalArgumentException] { decodeTarShard(2L, bad) }
+    // magic wiped
+    val nomagic = tar.clone()
+    nomagic(257) = 'X'.toByte
+    intercept[IllegalArgumentException] { decodeTarShard(3L, nomagic) }
+    // truncated mid-member
+    intercept[IllegalArgumentException] {
+      decodeTarShard(4L, java.util.Arrays.copyOf(tar, tar.length - 1536))
+    }
+    // a single zero block is not a terminator
+    intercept[IllegalArgumentException] {
+      decodeTarShard(5L, java.util.Arrays.copyOf(tar, tar.length - 512))
+    }
+    // trailing garbage after the terminator
+    intercept[IllegalArgumentException] {
+      decodeTarShard(6L, tar ++ Array.fill(512)(1.toByte))
+    }
+    // foreign member names are refused, not silently skipped
+    val foreign = encodeTarShard(Seq(1L -> "x".getBytes))
+    val renamed = foreign.clone()
+    renamed(0) = 'z'.toByte // doc1.txt -> zoc1.txt, fix checksum
+    var sum = 0
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else renamed(i) & 0xff)
+    val oct = f"$sum%06o".getBytes("US-ASCII")
+    System.arraycopy(oct, 0, renamed, 148, 6)
+    renamed(154) = 0; renamed(155) = ' '.toByte
+    val e = intercept[IllegalArgumentException] {
+      decodeTarShard(7L, renamed)
+    }
+    assert(e.getMessage.contains("unexpected member name"))
+  }
+
   test("q255 Adam7 PNG: interlaced round-trip across pass-edge heights") {
     import operators.MultimodalOps.{decodePng, encodePng, encodePngAdam7}
     // heights chosen to hit the pass-geometry corners at width 4:
