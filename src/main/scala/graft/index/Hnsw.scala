@@ -100,6 +100,33 @@ final class HnswIndex(
   def maxId: Long = if (ids.isEmpty) -1L else _maxId
   private var _maxId: Long = -1L
 
+  /** Tombstoned (soft-deleted) slots. Search still ROUTES THROUGH
+    * them — physically unlinking vertices would tear holes in the
+    * small-world graph and silently cost recall on untouched ids —
+    * but a tombstone can never be RETURNED. This is the production
+    * HNSW delete (soft delete + filtered search, compaction
+    * deferred to a rebuild); [[scanFull]] widens its beam by the
+    * tombstone count so a probe-all scan stays EXACT over the
+    * survivors. */
+  private val deleted = new java.util.BitSet()
+  private var nDeleted = 0
+
+  /** Tombstone every slot whose external id equals `id`; returns
+    * whether anything was newly deleted. */
+  def delete(id: Long): Boolean = {
+    var i = 0
+    var hit = false
+    while (i < ids.length) {
+      if (ids(i) == id && !deleted.get(i)) {
+        deleted.set(i); nDeleted += 1; hit = true
+      }
+      i += 1
+    }
+    hit
+  }
+
+  def deletedCount: Int = nDeleted
+
   /** Greedy best-first search in one layer (reference SearchLayer,
     * hnsw_index.cpp:86-130): candidates min-heap, results max-heap
     * bounded by ef. Returns up to ef vertices, distance-ascending.
@@ -265,7 +292,10 @@ final class HnswIndex(
         while (l > 0) { eps = searchLayer(l, query, efUse, eps); l -= 1 }
         eps
       }
-    searchLayer(0, query, math.max(k, efUse), eps0)
+    // beam widened by the tombstone count: with ef >= n (probe-all)
+    // every survivor is ranked, so filter-then-take(k) is exact
+    searchLayer(0, query, math.max(k + nDeleted, efUse), eps0)
+      .iterator.filterNot(v => deleted.get(v))
       .take(k).toSeq
       .map(v => (ids(v), vectors(v), dist(query, vectors(v))))
   }

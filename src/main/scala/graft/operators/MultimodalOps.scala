@@ -208,6 +208,181 @@ object MultimodalOps {
       .toDF()
   }
 
+  final case class TiffDecoded(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_strips: Int, n_pixels: Long, mean_gray: Double,
+      top_left_gray: Int, pos_sum: Long)
+
+  /** TIFF fixture encoder — baseline TIFF 6.0, little-endian ("II"),
+    * 8-bit grayscale, UNCOMPRESSED, and — the detail that makes TIFF
+    * TIFF — the raster split into MULTIPLE STRIPS (RowsPerStrip 2)
+    * whose StripOffsets/StripByteCounts arrays live OUTSIDE the IFD
+    * whenever count×size exceeds the 4-byte inline field, per the
+    * spec's value-or-offset rule. Width fixed at 5, h = len/5 full
+    * rows (tail bytes dropped); image row i takes payload bytes
+    * [5i, 5i+5). The 9 IFD entries are written in ascending tag
+    * order, which the decoder ENFORCES (the spec requires it; real
+    * readers rely on it for binary search). h ≤ 2 keeps both arrays
+    * inline — so the fixture population exercises BOTH placements. */
+  private[graft] def encodeTiff(bytes: Array[Byte]): Array[Byte] = {
+    val w = 5
+    val h = bytes.length / w
+    val ns = math.max(1, (h + 1) / 2) // stored strip entries (≥ 1)
+    val external = ns > 1             // LONG arrays: 4·ns > 4 bytes
+    val rasterOff = 8
+    val arraysOff = rasterOff + w * h
+    val ifdOff = arraysOff + (if (external) 8 * ns else 0)
+    val out = java.nio.ByteBuffer.allocate(ifdOff + 2 + 9 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    out.put(bytes, 0, w * h)
+    // strip k covers rows [2k, min(2k+2, h)) — contiguous in the file
+    val offs = Array.tabulate(ns)(k => rasterOff + 2 * k * w)
+    val cnts = Array.tabulate(ns)(k =>
+      math.max(0, (math.min(2 * k + 2, h) - 2 * k) * w))
+    if (external) { offs.foreach(out.putInt); cnts.foreach(out.putInt) }
+    out.putShort(9)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) { out.putShort(v.toShort); out.putShort(0) }
+      else out.putInt(v)
+    }
+    entry(256, 3, 1, w)  // ImageWidth, SHORT
+    entry(257, 4, 1, h)  // ImageLength, LONG
+    entry(258, 3, 1, 8)  // BitsPerSample
+    entry(259, 3, 1, 1)  // Compression = none
+    entry(262, 3, 1, 1)  // Photometric = BlackIsZero
+    entry(273, 4, ns, if (external) arraysOff else offs(0))
+    entry(277, 3, 1, 1)  // SamplesPerPixel
+    entry(278, 3, 1, 2)  // RowsPerStrip
+    entry(279, 4, ns, if (external) arraysOff + 4 * ns else cnts(0))
+    out.putInt(0) // next-IFD terminator
+    out.array()
+  }
+
+  /** REAL TIFF decode — pure-JVM parser for baseline TIFF 6.0
+    * (uncompressed, 8-bit gray, strip-organized) per the published
+    * spec: byte-order mark ("II" little / "MM" big — both handled),
+    * magic 42, IFD walk with the ascending-tag-order invariant
+    * enforced, SHORT/LONG field decoding through the value-or-offset
+    * rule (count×size ≤ 4 → inline, else file offset — THE classic
+    * TIFF reader bug), then the strip walk in declared order with
+    * per-strip bounds checks. Features: geometry, strip count, raster
+    * mean, top-left pixel, and the 1-based position-weighted checksum
+    * that a decoder walking strips out of order (or re-reading one)
+    * cannot reproduce. Malformed payloads throw. */
+  private[graft] def decodeTiff(docId: Long, bytes: Array[Byte])
+      : TiffDecoded = {
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"tiff decode [$docId]: $why")
+    if (bytes.length < 8) fail(s"truncated header: ${bytes.length} B")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.order((bytes(0).toChar, bytes(1).toChar) match {
+      case ('I', 'I') => java.nio.ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => java.nio.ByteOrder.BIG_ENDIAN
+      case _          => fail("bad byte-order mark")
+    })
+    if (bb.getShort(2) != 42) fail("bad magic (not 42)")
+    val ifdOff = bb.getInt(4)
+    if (ifdOff < 8 || ifdOff + 2 > bytes.length)
+      fail(s"bad IFD offset $ifdOff")
+    val n = bb.getShort(ifdOff) & 0xffff
+    if (ifdOff + 2 + 12 * n + 4 > bytes.length) fail("IFD truncated")
+    var tags = Map.empty[Int, (Int, Int, Int)] // tag → (type, count, pos)
+    var prev = -1
+    var i = 0
+    while (i < n) {
+      val e = ifdOff + 2 + 12 * i
+      val tag = bb.getShort(e) & 0xffff
+      if (tag <= prev) fail(s"IFD tags not ascending at $tag")
+      prev = tag
+      tags += tag ->
+        ((bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), e + 8))
+      i += 1
+    }
+    def value(typ: Int, pos: Int): Long = typ match {
+      case 3 => (bb.getShort(pos) & 0xffff).toLong
+      case 4 => bb.getInt(pos).toLong & 0xffffffffL
+      case t => fail(s"unsupported field type $t")
+    }
+    def scalar(tag: Int): Long = tags.get(tag) match {
+      case Some((typ, cnt, pos)) =>
+        if (cnt != 1) fail(s"tag $tag: expected count 1, got $cnt")
+        value(typ, pos)
+      case None => fail(s"missing tag $tag")
+    }
+    def scalarOr(tag: Int, dflt: Long): Long =
+      if (tags.contains(tag)) scalar(tag) else dflt
+    def array(tag: Int): Array[Long] = tags.get(tag) match {
+      case Some((typ, cnt, pos)) =>
+        val sz = typ match {
+          case 3 => 2
+          case 4 => 4
+          case t => fail(s"unsupported field type $t")
+        }
+        val base =
+          if (cnt.toLong * sz <= 4) pos
+          else { // the value-or-offset rule: field holds a file offset
+            val off = bb.getInt(pos)
+            if (off < 8 || off.toLong + cnt.toLong * sz > bytes.length)
+              fail(s"tag $tag: array out of bounds")
+            off
+          }
+        Array.tabulate(cnt)(k => value(typ, base + k * sz))
+      case None => fail(s"missing tag $tag")
+    }
+    val width = scalar(256).toInt
+    val height = scalar(257).toInt
+    if (width <= 0 || height < 0) fail(s"bad dims ${width}x$height")
+    if (scalar(259) != 1) fail("compressed TIFF unsupported")
+    if (scalar(258) != 8) fail("only 8-bit samples supported")
+    if (scalarOr(277, 1) != 1) fail("only 1 sample/pixel supported")
+    if (scalar(262) > 1) fail("unsupported photometric interpretation")
+    val offs = array(273)
+    val cnts = array(279)
+    if (offs.length != cnts.length)
+      fail(s"strip offsets(${offs.length}) != counts(${cnts.length})")
+    val nPix = width.toLong * height
+    var sum = 0L
+    var posSum = 0L
+    var idx = 1L
+    var topLeft = 0
+    var strips = 0
+    var k = 0
+    while (k < offs.length) {
+      val off = offs(k).toInt
+      val cnt = cnts(k).toInt
+      if (cnt > 0) {
+        if (off < 8 || off.toLong + cnt > bytes.length)
+          fail(s"strip $k out of bounds: [$off, ${off + cnt})")
+        if (strips == 0) topLeft = bytes(off) & 0xff
+        var p = off
+        val end = off + cnt
+        while (p < end) {
+          val v = bytes(p) & 0xff
+          sum += v; posSum += idx * v; idx += 1; p += 1
+        }
+        strips += 1
+      }
+      k += 1
+    }
+    if (idx - 1 != nPix)
+      fail(s"strip bytes ${idx - 1} != declared pixels $nPix")
+    TiffDecoded(docId, bytes.length, width, height, strips, nPix,
+      if (nPix == 0) 0.0 else sum.toDouble / nPix, topLeft, posSum)
+  }
+
+  /** q262's pipeline: the TIFF twin of [[decodeImagesBmp]] — same
+    * typed mapPartitions shape, strip-organized container. */
+  def decodeImagesTiff(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodeTiff(id, encodeTiff(b)) })
+      .toDF()
+  }
+
   final case class GifDecoded(doc_id: Long, width: Int, height: Int,
       n_pixels: Long, mean_index: Double, top_left_index: Int,
       pos_sum: Long)
@@ -1718,10 +1893,12 @@ object MultimodalOps {
   /** REAL baseline JPEG decode per the published T.81 spec: marker
     * walk, DQT/DHT/SOF0/SOS parse, canonical Huffman rebuild, entropy
     * decode (DC diff + AC run-length/ZRL/EOB, byte unstuffing),
-    * zigzag, dequantize, IDCT, level shift, YCbCr->RGB. Supports
-    * 8-bit sequential baseline, 1 or 3 components, 4:4:4 only;
-    * everything else fails loudly. Returns (w, h, rgb row-major,
-    * 3 bytes per pixel). */
+    * zigzag, dequantize, IDCT, level shift, MCU-interleaved block
+    * placement (T.81 A.2.3), nearest-neighbor chroma upsample,
+    * YCbCr->RGB. Supports 8-bit sequential baseline, 1 or 3
+    * components, sampling all-1×1 (4:4:4 / gray) or 2×2,1×1,1×1
+    * (4:2:0); everything else fails loudly. Returns (w, h, rgb
+    * row-major, 3 bytes per pixel). */
   private[graft] def decodeJpegRaster(docId: Long, bytes: Array[Byte])
       : (Int, Int, Array[Byte]) = {
     def fail(why: String): Nothing =
@@ -1741,12 +1918,19 @@ object MultimodalOps {
     var w = -1
     var h = -1
     var nComp = 0
-    // per component: (id, qtable, dcTable, acTable)
+    // per component: (id, qtable, dcTable, acTable, sampling h×v)
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
     val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     var planes: Array[Array[Int]] = null
+    var sampH: Array[Int] = null
+    var sampV: Array[Int] = null
+    var sampHmax = 1
+    var sampVmax = 1
+    var sampMcX = 0
     var scanDone = false
     var done = false
     while (!done) {
@@ -1792,10 +1976,21 @@ object MultimodalOps {
           var c = 0
           while (c < nComp) {
             compId(c) = u8()
-            if (u8() != 0x11) fail("subsampling unsupported (4:4:4 only)")
+            val hv = u8()
+            compH(c) = hv >> 4
+            compV(c) = hv & 0x0f
             compQ(c) = u8()
             c += 1
           }
+          // supported layouts: all-1×1 (4:4:4 / grayscale) or the
+          // 2×2,1×1,1×1 three-component 4:2:0 every camera emits
+          val all11 = (0 until nComp).forall(c =>
+            compH(c) == 1 && compV(c) == 1)
+          val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 &&
+            compH(2) == 1 && compV(2) == 1
+          if (!all11 && !is420)
+            fail("subsampling unsupported (4:4:4 or 4:2:0 only)")
           if (p != end) fail("SOF0 length mismatch")
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
@@ -1821,16 +2016,29 @@ object MultimodalOps {
           if (u8() != 63) fail("spectral end != 63")
           if (u8() != 0) fail("successive approximation unsupported")
           if (p != end) fail("SOS length mismatch")
-          val bw = (w + 7) / 8
-          val bh = (h + 7) / 8
-          planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+          // MCU geometry: hmax×vmax 8-px blocks per MCU; each
+          // component c contributes compH(c)×compV(c) blocks per MCU
+          // into its OWN plane at its own resolution (T.81 A.2.3) —
+          // with all factors 1 this is exactly the per-tile
+          // interleave of the 4:4:4 path
+          var hmax = 1; var vmax = 1
+          var ci = 0
+          while (ci < nComp) {
+            if (compH(ci) > hmax) hmax = compH(ci)
+            if (compV(ci) > vmax) vmax = compV(ci)
+            ci += 1
+          }
+          val mcX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcY = (h + 8 * vmax - 1) / (8 * vmax)
+          planes = Array.tabulate(nComp)(c =>
+            new Array[Int](mcX * 8 * compH(c) * mcY * 8 * compV(c)))
           val br = new JpegBitReader(bytes, p, failF)
           val pred = new Array[Int](nComp)
           val coef = new Array[Int](64)
-          var by = 0
-          while (by < bh) {
-            var bx = 0
-            while (bx < bw) {
+          var my = 0
+          while (my < mcY) {
+            var mx = 0
+            while (mx < mcX) {
               var c = 0
               while (c < nComp) {
                 val q = qt(compQ(c))
@@ -1838,46 +2046,61 @@ object MultimodalOps {
                 val dc = dcT(compDc(c))
                 val ac = acT(compAc(c))
                 if (dc == null || ac == null) fail("huffman table undefined")
-                java.util.Arrays.fill(coef, 0)
-                val s = br.decode(dc)
-                if (s > 11) fail(s"DC category $s")
-                pred(c) += jpegExtend(br.receive(s), s)
-                coef(0) = pred(c) * q(0)
-                var k = 1
-                var eob = false
-                while (!eob && k <= 63) {
-                  val rs = br.decode(ac)
-                  val r = rs >> 4
-                  val sz = rs & 0x0f
-                  if (sz == 0) {
-                    if (r == 15) k += 16 // ZRL
-                    else eob = true
-                  } else {
-                    k += r
-                    if (k > 63) fail("AC run past block end")
-                    val nat = ZigZag(k)
-                    coef(nat) = jpegExtend(br.receive(sz), sz) * q(nat)
-                    k += 1
+                val pw = mcX * 8 * compH(c)
+                var bv = 0
+                while (bv < compV(c)) {
+                  var bu = 0
+                  while (bu < compH(c)) {
+                    java.util.Arrays.fill(coef, 0)
+                    val s = br.decode(dc)
+                    if (s > 11) fail(s"DC category $s")
+                    pred(c) += jpegExtend(br.receive(s), s)
+                    coef(0) = pred(c) * q(0)
+                    var k = 1
+                    var eob = false
+                    while (!eob && k <= 63) {
+                      val rs = br.decode(ac)
+                      val r = rs >> 4
+                      val sz = rs & 0x0f
+                      if (sz == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else eob = true
+                      } else {
+                        k += r
+                        if (k > 63) fail("AC run past block end")
+                        val nat = ZigZag(k)
+                        coef(nat) = jpegExtend(br.receive(sz), sz) * q(nat)
+                        k += 1
+                      }
+                    }
+                    val px = jpegIdct(coef)
+                    val plane = planes(c)
+                    val oy = (my * compV(c) + bv) * 8
+                    val ox = (mx * compH(c) + bu) * 8
+                    var yy = 0
+                    while (yy < 8) {
+                      var xx = 0
+                      while (xx < 8) {
+                        plane((oy + yy) * pw + ox + xx) =
+                          px(yy * 8 + xx)
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    bu += 1
                   }
-                }
-                val px = jpegIdct(coef)
-                val plane = planes(c)
-                var yy = 0
-                while (yy < 8) {
-                  var xx = 0
-                  while (xx < 8) {
-                    plane((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
-                      px(yy * 8 + xx)
-                    xx += 1
-                  }
-                  yy += 1
+                  bv += 1
                 }
                 c += 1
               }
-              bx += 1
+              mx += 1
             }
-            by += 1
+            my += 1
           }
+          // stash geometry for the raster assembly below
+          sampH = java.util.Arrays.copyOf(compH, nComp)
+          sampV = java.util.Arrays.copyOf(compV, nComp)
+          sampHmax = hmax; sampVmax = vmax; sampMcX = mcX
           p = br.p
           scanDone = true
         case a if a >= 0xe0 && a <= 0xef => p += u16() - 2 // APPn
@@ -1887,25 +2110,30 @@ object MultimodalOps {
     }
     if (p != bytes.length) fail("trailing bytes after EOI")
     if (!scanDone) fail("no scan")
-    val bw8 = ((w + 7) / 8) * 8
     val rgb = new Array[Byte](w * h * 3)
     def clamp(v: Double): Int = {
       val r = Math.round(v).toInt
       if (r < 0) 0 else if (r > 255) 255 else r
     }
+    // per-component nearest-neighbor sample at the component's own
+    // resolution — the T.81 A.2 upsample; with all factors 1 this is
+    // the identity addressing of the 4:4:4 path
+    def sample(c: Int, y: Int, x: Int): Int = {
+      val pw = sampMcX * 8 * sampH(c)
+      planes(c)((y * sampV(c) / sampVmax) * pw + x * sampH(c) / sampHmax)
+    }
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val at = y * bw8 + x
         val o = (y * w + x) * 3
         if (nComp == 1) {
-          val g = planes(0)(at)
+          val g = sample(0, y, x)
           rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
         } else {
-          val yv = planes(0)(at)
-          val cb = planes(1)(at) - 128
-          val cr = planes(2)(at) - 128
+          val yv = sample(0, y, x)
+          val cb = sample(1, y, x) - 128
+          val cr = sample(2, y, x) - 128
           rgb(o) = clamp(yv + 1.402 * cr).toByte
           rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
           rgb(o + 2) = clamp(yv + 1.772 * cb).toByte
@@ -1968,6 +2196,145 @@ object MultimodalOps {
     JpegDecoded(docId, w, h, nb, np,
       sr.toDouble / np, sg.toDouble / np, sb.toDouble / np,
       ampSum.toDouble / 2.0 / nb, rgb(0) & 0xff, dcSum)
+  }
+
+  /** 4:2:0 JPEG fixture encoder — the chroma-subsampled layout
+    * virtually every camera and web JPEG uses: SOF0 sampling 2×2 for
+    * Y and 1×1 for Cb/Cr, so each 16×16 MCU interleaves FOUR luma
+    * blocks (TL,TR,BL,BR) and one block per chroma plane. Payload
+    * byte 5-tuple (b0..b3, b4) -> MCU i: quadrant lumas
+    * 36 + b_q % 184 (flat DC-only blocks), Cb = 108 + b4 % 41 (flat,
+    * ±20 around neutral — ranges chosen so YCbCr→RGB never clamps),
+    * Cr neutral. Frame is one MCU wide (16 × 16·nm); trailing bytes
+    * short of a 5-tuple are dropped. */
+  private[graft] def encodeJpeg420(bytes: Array[Byte]): Array[Byte] = {
+    val nm = bytes.length / 5
+    require(nm >= 1, "encodeJpeg420 needs at least one 5-tuple")
+    require(nm <= 4095, s"fixture strip height 16*$nm exceeds u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT: table 0, all entries 8
+    u16(2 + 1 + 64)
+    u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xc0) // SOF0: 8-bit, 16·nm × 16, Y 2×2 + chroma 1×1
+    u16(8 + 3 * 3)
+    u8(8); u16(16 * nm); u16(16); u8(3)
+    u8(1); u8(0x22); u8(0) // Y
+    u8(2); u8(0x11); u8(0) // Cb
+    u8(3); u8(0x11); u8(0) // Cr
+    def dht(tcTh: Int, t: JpegHuff): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + t.vals.length)
+      u8(tcTh)
+      t.bits.foreach(u8)
+      t.vals.foreach(u8)
+    }
+    dht(0x00, DcLum); dht(0x10, AcLum)
+    dht(0x01, DcChrom); dht(0x11, AcChrom)
+    marker(0xda) // SOS
+    u16(6 + 2 * 3)
+    u8(3)
+    u8(1); u8(0x00)
+    u8(2); u8(0x11)
+    u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    val bw = new JpegBitWriter
+    def putVal(t: JpegHuff, sym: Int): Unit = {
+      val (c, l) = t.code(sym)
+      bw.put(c, l)
+    }
+    def putBits(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+    def dcOnly(dct: JpegHuff, act: JpegHuff, diff: Int): Unit = {
+      val s = jpegCategory(diff)
+      putVal(dct, s); putBits(diff, s)
+      putVal(act, 0x00) // EOB — flat block
+    }
+    var predY = 0
+    var predCb = 0
+    var i = 0
+    while (i < nm) {
+      var q = 0
+      while (q < 4) { // TL, TR, BL, BR — T.81 block raster order
+        val v = 36 + ((bytes(5 * i + q) & 0xff) % 184)
+        dcOnly(DcLum, AcLum, (v - 128) - predY)
+        predY = v - 128
+        q += 1
+      }
+      val cb = 108 + ((bytes(5 * i + 4) & 0xff) % 41)
+      dcOnly(DcChrom, AcChrom, (cb - 128) - predCb)
+      predCb = cb - 128
+      dcOnly(DcChrom, AcChrom, 0) // Cr stays neutral
+      i += 1
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  final case class Jpeg420Decoded(doc_id: Long, width: Int,
+      height: Int, n_mcus: Long, n_pixels: Long, mean_y_tl: Double,
+      mean_y_tr: Double, mean_y_bl: Double, mean_y_br: Double,
+      db_mean: Double, dg_mean: Double, top_left_r: Int)
+
+  /** Features over the decoded 4:2:0 RGB raster, all end-to-end
+    * through the general MCU decode + upsample: per-quadrant luma
+    * means (Cr is neutral so R == Y exactly — a decoder that swaps
+    * the four luma blocks inside the MCU moves a quadrant mean), and
+    * the raster means of B−R and G−R, which for integer Y equal
+    * round(1.772·cbOff) / round(−0.344136·cbOff) per pixel — the
+    * chroma path and the upsample alignment in one number each
+    * (TextSpec-style domain sweep proves no ±0.5 rounding boundary
+    * exists, so the oracle's round() agrees engine-for-engine). */
+  private[graft] def decodeJpeg420(docId: Long, bytes: Array[Byte])
+      : Jpeg420Decoded = {
+    val (w, h, rgb) = decodeJpegRaster(docId, bytes)
+    if (w != 16 || h % 16 != 0)
+      throw new IllegalArgumentException(
+        s"jpeg420 decode [$docId]: dims ${w}x$h not MCU-aligned")
+    val nm = (h / 16).toLong
+    val qs = new Array[Long](4)
+    var dbSum = 0L
+    var dgSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val r = rgb(o) & 0xff
+        qs(((y % 16) / 8) * 2 + x / 8) += r
+        dgSum += (rgb(o + 1) & 0xff) - r
+        dbSum += (rgb(o + 2) & 0xff) - r
+        x += 1
+      }
+      y += 1
+    }
+    val np = w.toLong * h
+    val qpix = 64L * nm // pixels per quadrant position
+    Jpeg420Decoded(docId, w, h, nm, np,
+      qs(0).toDouble / qpix, qs(1).toDouble / qpix,
+      qs(2).toDouble / qpix, qs(3).toDouble / qpix,
+      dbSum.toDouble / np, dgSum.toDouble / np, rgb(0) & 0xff)
+  }
+
+  /** q267's pipeline: same typed mapPartitions shape as q251; short
+    * payloads yield the zero row. */
+  def decodeImagesJpeg420(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        if (b.length < 5)
+          Jpeg420Decoded(id, 0, 0, 0L, 0L, 0.0, 0.0, 0.0, 0.0,
+            0.0, 0.0, 0)
+        else decodeJpeg420(id, encodeJpeg420(b))
+      })
+      .toDF()
   }
 
   /** q255's pipeline: Adam7-interlaced PNG — identical features to
@@ -2092,6 +2459,428 @@ object MultimodalOps {
       }
     }
     outRows.toList
+  }
+
+  private[graft] final case class WarcResponse(docId: Long,
+      targetUri: String, status: Int, recordBytes: Long,
+      bodyBytes: Long, bodyChecksum: Long)
+
+  /** WARC/1.0 fixture encoder (ISO 28500, the web-crawl container
+    * every CommonCrawl-scale corpus arrives in): one `warcinfo`
+    * record, then one `response` record per member whose block is a
+    * real HTTP/1.1 message (status line + Content-Length header +
+    * blank line + body = the member's text bytes). Every record is
+    * `WARC/1.0 CRLF headers CRLF CRLF block CRLF CRLF` with an exact
+    * Content-Length — the oracle recomputes each record's byte size
+    * closed-form from the doc id and body length. */
+  private[graft] def encodeWarcInfoRecord(shard: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val info = "software: graft\r\n" // 17 bytes
+    w("WARC/1.0\r\n")
+    w("WARC-Type: warcinfo\r\n")
+    w(s"WARC-Record-ID: <urn:graft:shard-$shard>\r\n")
+    w("Content-Type: application/warc-fields\r\n")
+    w(s"Content-Length: ${info.length}\r\n\r\n")
+    w(info); w("\r\n\r\n")
+    out.toByteArray
+  }
+
+  private[graft] def encodeWarcResponseRecord(id: Long,
+      body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}" +
+      "\r\n\r\n"
+    val cl = http.length + body.length
+    w("WARC/1.0\r\n")
+    w("WARC-Type: response\r\n")
+    w(s"WARC-Target-URI: https://example.com/doc/$id\r\n")
+    w(s"WARC-Record-ID: <urn:graft:doc-$id>\r\n")
+    w("Content-Type: application/http; msgtype=response\r\n")
+    w(s"Content-Length: $cl\r\n\r\n")
+    w(http); out.write(body); w("\r\n\r\n")
+    out.toByteArray
+  }
+
+  private[graft] def encodeWarcShard(shard: Long,
+      members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(encodeWarcInfoRecord(shard))
+    members.foreach { case (id, body) =>
+      out.write(encodeWarcResponseRecord(id, body))
+    }
+    out.toByteArray
+  }
+
+  /** REAL WARC/1.0 record walk — strict parser per ISO 28500: version
+    * line, CRLF-terminated `Name: value` headers (bare LF is a
+    * format violation and THROWS), block skipped by the declared
+    * Content-Length, the mandatory CRLF CRLF record trailer verified
+    * byte-for-byte. `response` blocks parse one level deeper as
+    * HTTP/1.1 (status line, headers, blank line, body), the HTTP
+    * Content-Length cross-checked against the actual body extent —
+    * a walker that is even one CRLF off mis-frames every subsequent
+    * record and fails loudly instead of shearing bodies silently.
+    * Returns (total record count, per-response rows). */
+  private[graft] def decodeWarcShard(shard: Long, bytes: Array[Byte])
+      : (Int, Seq[WarcResponse]) = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"warc decode [shard $shard]: $why")
+    var pos = 0
+    def readLine(end: Int): String = {
+      val start = pos
+      while (pos + 1 < end &&
+          !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) {
+        if (bytes(pos) == '\n') fail(s"bare LF at $pos")
+        pos += 1
+      }
+      if (pos + 1 >= end) fail("truncated line")
+      val s = new String(bytes, start, pos - start, "US-ASCII")
+      pos += 2
+      s
+    }
+    def readHeaders(end: Int): Map[String, String] = {
+      var hs = Map.empty[String, String]
+      var line = readLine(end)
+      while (line.nonEmpty) {
+        val i = line.indexOf(": ")
+        if (i <= 0) fail(s"malformed header '$line'")
+        hs += line.substring(0, i) -> line.substring(i + 2)
+        line = readLine(end)
+      }
+      hs
+    }
+    val out = Seq.newBuilder[WarcResponse]
+    var n = 0
+    while (pos < bytes.length) {
+      val recStart = pos
+      if (readLine(bytes.length) != "WARC/1.0")
+        fail(s"bad version line at $recStart")
+      val hs = readHeaders(bytes.length)
+      val cl = hs.getOrElse("Content-Length",
+        fail("missing Content-Length")).toLong
+      val typ = hs.getOrElse("WARC-Type", fail("missing WARC-Type"))
+      if (pos + cl + 4 > bytes.length) fail(s"block truncated at $pos")
+      val blockEnd = pos + cl.toInt
+      if (typ == "response") {
+        val rid = hs.getOrElse("WARC-Record-ID",
+          fail("missing record id"))
+        if (!rid.startsWith("<urn:graft:doc-") || !rid.endsWith(">"))
+          fail(s"unexpected record id '$rid'")
+        val docId = rid.substring(15, rid.length - 1).toLong
+        val uri = hs.getOrElse("WARC-Target-URI",
+          fail("missing target URI"))
+        val statusLine = readLine(blockEnd)
+        val parts = statusLine.split(' ')
+        if (parts.length < 3 || !parts(0).startsWith("HTTP/1."))
+          fail(s"bad HTTP status line '$statusLine'")
+        val status = parts(1).toInt
+        val httpHs = readHeaders(blockEnd)
+        val bodyBytes = blockEnd - pos
+        val declared = httpHs.getOrElse("Content-Length",
+          fail("missing HTTP Content-Length")).toLong
+        if (declared != bodyBytes)
+          fail(s"HTTP body $bodyBytes != declared $declared")
+        var sum = 0L
+        var i = pos
+        while (i < blockEnd) {
+          sum += (i - pos + 1).toLong * (bytes(i) & 0xff); i += 1
+        }
+        out += WarcResponse(docId, uri, status, cl, bodyBytes, sum)
+      }
+      pos = blockEnd
+      if (pos + 4 > bytes.length ||
+          !(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+            bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n'))
+        fail(s"missing record trailer at $pos")
+      pos += 4
+      n += 1
+    }
+    (n, out.result())
+  }
+
+  /** One RFC 1952 gzip member: fixed 10-byte header (CM 8, FLG 0,
+    * OS 255), raw-deflate body, CRC32 + ISIZE trailer. Real deflate
+    * via java.util.zip — the wire bytes are genuinely compressed. */
+  private[graft] def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    def u32le(x: Long): Unit = {
+      out.write((x & 0xff).toInt); out.write(((x >> 8) & 0xff).toInt)
+      out.write(((x >> 16) & 0xff).toInt)
+      out.write(((x >> 24) & 0xff).toInt)
+    }
+    u32le(crc.getValue); u32le(data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** REAL multi-member gzip walk per RFC 1952 — the mechanism that
+    * makes .warc.gz randomly accessible (each record its own member,
+    * so a reader can start at any member boundary): per member, the
+    * header is validated (magic, CM 8, FLG 0), the raw-deflate body
+    * inflated to exactly its end (Inflater#getRemaining pins the
+    * boundary), and the CRC32 + ISIZE trailer verified against the
+    * inflated bytes — a walker that mis-finds a boundary or corrupts
+    * a byte fails the member's CRC loudly instead of shearing every
+    * member after it. */
+  /** Parse ONE gzip member starting at `at`; returns (inflated data,
+    * end offset). Throws on any malformation — header, deflate
+    * stream, CRC32, or ISIZE. */
+  private[graft] def parseGzipMember(shard: Long, bytes: Array[Byte],
+      at: Int): (Array[Byte], Int) = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"warc.gz decode [shard $shard]: $why")
+    if (at + 10 > bytes.length) fail(s"truncated gzip header at $at")
+    if ((bytes(at) & 0xff) != 0x1f || (bytes(at + 1) & 0xff) != 0x8b)
+      fail(s"bad gzip magic at $at")
+    if (bytes(at + 2) != 8) fail("unsupported compression method")
+    val flg = bytes(at + 3) & 0xff
+    if (flg != 0) fail(s"gzip FLG $flg unsupported")
+    var pos = at + 10
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(bytes, pos, bytes.length - pos)
+    val bo = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"deflate error in member at $at: ${e.getMessage}")
+          }
+        if (n > 0) bo.write(buf, 0, n)
+        else if (!inf.finished() && inf.needsInput())
+          fail(s"deflate stream truncated in member at $at")
+      }
+      pos += (bytes.length - pos) - inf.getRemaining
+    } finally inf.end()
+    val data = bo.toByteArray
+    if (pos + 8 > bytes.length) fail("gzip trailer truncated")
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    if (u32le(pos) != crc.getValue)
+      fail(s"CRC mismatch in member at $at")
+    if (u32le(pos + 4) != (data.length.toLong & 0xffffffffL))
+      fail(s"ISIZE mismatch in member at $at")
+    (data, pos + 8)
+  }
+
+  private[graft] def gunzipMembers(shard: Long, bytes: Array[Byte])
+      : Seq[Array[Byte]] = {
+    var pos = 0
+    val out = Seq.newBuilder[Array[Byte]]
+    while (pos < bytes.length) {
+      val (data, end) = parseGzipMember(shard, bytes, pos)
+      out += data
+      pos = end
+    }
+    out.result()
+  }
+
+  /** PERMISSIVE-mode member walk — the quarantine semantics a
+    * production crawl reader needs next to the fail-loud one: a
+    * member that fails ANY check is counted quarantined (never
+    * partially emitted), and the walk resyncs by scanning for the
+    * next gzip magic (1F 8B 08 00) — possible precisely BECAUSE
+    * .warc.gz gives every record its own member; one bad record
+    * costs one record, not the shard. Returns (good members,
+    * quarantined count). */
+  private[graft] def gunzipMembersPermissive(shard: Long,
+      bytes: Array[Byte]): (Seq[Array[Byte]], Int) = {
+    var pos = 0
+    var quarantined = 0
+    val good = Seq.newBuilder[Array[Byte]]
+    def magicAt(q: Int): Boolean =
+      q + 4 <= bytes.length && (bytes(q) & 0xff) == 0x1f &&
+        (bytes(q + 1) & 0xff) == 0x8b && bytes(q + 2) == 8 &&
+        bytes(q + 3) == 0
+    while (pos < bytes.length) {
+      val parsed =
+        try Some(parseGzipMember(shard, bytes, pos))
+        catch { case _: IllegalArgumentException => None }
+      parsed match {
+        case Some((data, end)) =>
+          good += data
+          pos = end
+        case None =>
+          quarantined += 1
+          var q = pos + 1
+          while (q < bytes.length && !magicAt(q)) q += 1
+          pos = if (q < bytes.length) q else bytes.length
+      }
+    }
+    (good.result(), quarantined)
+  }
+
+  /** q268's pipeline: gzipped WARC — q263's container with each
+    * record wrapped as its OWN gzip member (the CommonCrawl .warc.gz
+    * random-access convention). Decode walks member boundaries with
+    * per-member CRC verification, re-frames the inflated stream as
+    * WARC, and cross-checks one-record-per-member. */
+  def decodeWarcGzShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
+        val gz = new java.io.ByteArrayOutputStream()
+        gz.write(gzipMember(encodeWarcInfoRecord(shard)))
+        members.foreach { case (id, b) =>
+          gz.write(gzipMember(encodeWarcResponseRecord(id, b)))
+        }
+        val plains = gunzipMembers(shard, gz.toByteArray)
+        val whole = plains.reduce(_ ++ _)
+        val (nRec, resp) = decodeWarcShard(shard, whole)
+        if (plains.size != nRec)
+          throw new IllegalArgumentException(s"warc.gz [shard $shard]:" +
+            s" ${plains.size} members != $nRec records")
+        resp.map(r => (shard, r.docId, r.status, r.recordBytes,
+          r.bodyBytes, r.bodyChecksum, plains.size.toLong,
+          whole.length.toLong))
+      }
+      .toDF("shard_id", "doc_id", "http_status", "record_bytes",
+        "body_bytes", "body_checksum", "n_members", "plain_bytes")
+      .orderBy("doc_id")
+  }
+
+  /** q269's pipeline: permissive .warc.gz ingest — q268's shards
+    * with a deterministic fraction of members CORRUPTED (one deflate
+    * byte flipped in every doc_id % 7 == 3 response — the bit-rot /
+    * truncated-upload case), read in quarantine mode: bad members
+    * count, good members still parse as strict WARC, and the shard
+    * report carries exactly the good-record mass the plant predicts.
+    * The 100 TB point: one flipped byte costs ONE record, not the
+    * file — and the reader says so instead of silently shearing. */
+  def decodeWarcGzPermissive(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(gzipMember(encodeWarcInfoRecord(shard)))
+        members.foreach { case (id, b) =>
+          val m = gzipMember(encodeWarcResponseRecord(id, b))
+          if (id % 7 == 3) m(14) = (m(14) ^ 0x55).toByte
+          out.write(m)
+        }
+        val (good, quarantined) =
+          gunzipMembersPermissive(shard, out.toByteArray)
+        var nGood = 0L
+        var bodySum = 0L
+        var ckSum = 0L
+        good.foreach { g =>
+          val (n, resp) = decodeWarcShard(shard, g)
+          nGood += n
+          resp.foreach { r =>
+            bodySum += r.bodyBytes; ckSum += r.bodyChecksum
+          }
+        }
+        (shard, nGood, quarantined.toLong, bodySum, ckSum)
+      }
+      .toDF("shard_id", "n_good", "n_quarantined", "sum_body_bytes",
+        "sum_body_checksum")
+      .orderBy("shard_id")
+  }
+
+  /** q272's pipeline: the lake-codec interop matrix — the SAME
+    * payload round-tripped through all three block codecs a Spark
+    * lake actually uses (zstd, lz4, snappy — each via the exact
+    * library the parquet/ORC writers link), with features computed
+    * from the DECOMPRESSED bytes so the data genuinely flows through
+    * each codec. The payload is the doc text repeated 4×, so every
+    * LZ-family codec provably finds whole-text matches and the
+    * compressed-smaller flag is deterministic; a codec that corrupts
+    * one byte fails the sameElements gate loudly. */
+  def codecMatrix(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val orig = new Array[Byte](text.length * 4)
+        var k = 0
+        while (k < 4) {
+          System.arraycopy(text, 0, orig, k * text.length, text.length)
+          k += 1
+        }
+        def row(codec: String, compressed: Array[Byte],
+            decompressed: Array[Byte]): (Long, String, Long, Long,
+            Boolean) = {
+          if (!java.util.Arrays.equals(decompressed, orig))
+            throw new IllegalArgumentException(
+              s"$codec round-trip corrupted doc $id")
+          var sum = 0L
+          var i = 0
+          while (i < decompressed.length) {
+            sum += (i + 1).toLong * (decompressed(i) & 0xff); i += 1
+          }
+          (id, codec, orig.length.toLong, sum,
+            compressed.length < orig.length)
+        }
+        val z = com.github.luben.zstd.Zstd.compress(orig, 3)
+        val l4c = net.jpountz.lz4.LZ4Factory.fastestInstance()
+        val l = l4c.fastCompressor().compress(orig)
+        val s = org.xerial.snappy.Snappy.compress(orig)
+        Iterator(
+          row("zstd",
+            z, com.github.luben.zstd.Zstd.decompress(z, orig.length)),
+          row("lz4",
+            l, l4c.fastDecompressor().decompress(l, orig.length)),
+          row("snappy", s, org.xerial.snappy.Snappy.uncompress(s)))
+      })
+      .toDF("doc_id", "codec", "orig_bytes", "checksum",
+        "roundtrip_smaller")
+      .orderBy("doc_id", "codec")
+  }
+
+  /** q263's pipeline: WARC shard assembly + record walk — the crawl
+    * container next to q260's tar. Docs group into WARC files of 16
+    * responses (doc_id div 16) behind one warcinfo record; decode is
+    * per-file sequential, files are the parallelism unit — exactly
+    * how a CommonCrawl reader scales (one task per .warc.gz). */
+  def decodeWarcShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
+        val warc = encodeWarcShard(shard, members)
+        val (nRec, recs) = decodeWarcShard(shard, warc)
+        recs.map(r => (shard, r.docId, r.targetUri, r.status,
+          r.recordBytes, r.bodyBytes, r.bodyChecksum, nRec.toLong,
+          warc.length.toLong))
+      }
+      .toDF("shard_id", "doc_id", "target_uri", "http_status",
+        "record_bytes", "body_bytes", "body_checksum", "n_records",
+        "file_bytes")
+      .orderBy("doc_id")
   }
 
   /** q260's pipeline: WebDataset-style shard assembly + ustar decode.
@@ -2380,6 +3169,43 @@ object MultimodalOps {
     "q260_tar_shard_decode" -> ((s, d) =>
       decodeTarShards(Tables.load(s, d, "documents"))),
 
+    // WARC/1.0 record walk — the OTHER crawl container (the one
+    // CommonCrawl actually ships): 16-response files behind a
+    // warcinfo record, strict CRLF framing, HTTP/1.1 blocks parsed
+    // one level deeper with the body extent cross-checked against
+    // the declared Content-Length. The byte-exact file_bytes and the
+    // position-weighted body checksum fail any walker that is one
+    // CRLF off — the failure mode that silently shears every record
+    // after the first in a naive splitter.
+    "q263_warc_decode" -> ((s, d) =>
+      decodeWarcShards(Tables.load(s, d, "documents"))),
+
+    // Gzipped WARC — q263 with every record its own RFC 1952 gzip
+    // member (CommonCrawl's random-access layout): REAL deflate on
+    // the wire, member boundaries found by inflating to exactly each
+    // stream's end, per-member CRC32/ISIZE verified, then the same
+    // strict WARC re-framing. One shard = one task — the reader
+    // shape that scales to a crawl dump.
+    "q268_warc_gz_decode" -> ((s, d) =>
+      decodeWarcGzShards(Tables.load(s, d, "documents"))),
+
+    // Permissive .warc.gz ingest — quarantine semantics: members
+    // with a planted flipped deflate byte (doc_id % 7 == 3) are
+    // counted and skipped via gzip-magic resync; every surviving
+    // member still parses as strict WARC. The report is the
+    // good/quarantined census the plant predicts exactly.
+    "q269_warc_gz_permissive" -> ((s, d) =>
+      decodeWarcGzPermissive(Tables.load(s, d, "documents"))),
+
+    // Lake-codec interop matrix — zstd / lz4 / snappy round-trips of
+    // a 4×-repeated payload through the exact libraries Spark's own
+    // writers link; features come from the decompressed bytes, the
+    // sameElements gate fails corruption loudly, and the repetition
+    // makes the compressed-smaller bit deterministic for every
+    // LZ-family codec.
+    "q272_codec_matrix" -> ((s, d) =>
+      codecMatrix(Tables.load(s, d, "documents"))),
+
     // ADAM7-INTERLACED PNG — the spec's other pixel layout (the
     // progressive-rendering one real crawl corpora contain): seven
     // sub-image passes, each filtered AS ITS OWN IMAGE (pass-local
@@ -2425,7 +3251,41 @@ object MultimodalOps {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"),
           round(col("mean_amp"), 6).as("mean_amp"),
-          col("top_left_r"), col("dc_checksum")))
+          col("top_left_r"), col("dc_checksum"))),
+
+    // REAL baseline TIFF decode — the scanned-document / print-
+    // pipeline container the tier lacks: IFD entry walk (ascending
+    // tag order ENFORCED), SHORT/LONG fields through the spec's
+    // value-or-offset rule (strip arrays go out-of-line the moment
+    // count×4 > 4 — the fixture population exercises both
+    // placements), multi-strip raster (RowsPerStrip 2) re-assembled
+    // in declared order. The 1-based position checksum fails any
+    // decoder that walks strips out of order; the byte-exact n_bytes
+    // fails one that sizes the IFD or the external arrays wrong.
+    "q262_tiff_decode" -> ((s, d) =>
+      decodeImagesTiff(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_strips"), col("n_pixels"),
+          round(col("mean_gray"), 6).as("mean_gray"),
+          col("top_left_gray"), col("pos_sum"))),
+
+    // REAL 4:2:0 JPEG decode — the chroma-subsampled MCU layout
+    // (Y 2×2 + Cb/Cr 1×1) that virtually every real-corpus JPEG
+    // uses, on top of q251's 4:4:4 machinery: four interleaved luma
+    // blocks per MCU (quadrant means fail any block-order mistake)
+    // and a per-MCU planted Cb whose raster-level B−R / G−R means
+    // fail a wrong chroma upsample or YCbCr mix.
+    "q267_jpeg420_decode" -> ((s, d) =>
+      decodeImagesJpeg420(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_mcus"), col("n_pixels"),
+          round(col("mean_y_tl"), 6).as("mean_y_tl"),
+          round(col("mean_y_tr"), 6).as("mean_y_tr"),
+          round(col("mean_y_bl"), 6).as("mean_y_bl"),
+          round(col("mean_y_br"), 6).as("mean_y_br"),
+          round(col("db_mean"), 6).as("db_mean"),
+          round(col("dg_mean"), 6).as("dg_mean"),
+          col("top_left_r")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2614,6 +3474,72 @@ object MultimodalOps {
     // => pixel i = payload byte i; geometry, mean, top-left and the
     // position-weighted checksum recomputed from the same bytes the
     // engine zlib-round-trips and unfilters
+    // q267: MCU i's four quadrant lumas are 36 + b%184 of payload
+    // bytes 5i..5i+3 (R == Y since Cr is neutral), and its flat Cb
+    // offset is b%41 − 20 of byte 5i+4, so B−R and G−R are
+    // round(±factor·cbOff) per pixel — closed form per MCU; the
+    // domain sweep in MultimodalSpec proves no ±0.5 boundary exists,
+    // so DuckDB's half-away round and the JVM's half-up agree
+    "q267_jpeg420_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 5 AS nm,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN nm = 0 THEN 0 ELSE 16 END AS width,
+        |  (16 * nm)::INT AS height,
+        |  nm::BIGINT AS n_mcus, (256 * nm)::BIGINT AS n_pixels,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([36 + ascii(text[5*i+1:5*i+1]) % 184
+        |      for i in range(0, nm)])::DOUBLE / nm END, 6) AS mean_y_tl,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([36 + ascii(text[5*i+2:5*i+2]) % 184
+        |      for i in range(0, nm)])::DOUBLE / nm END, 6) AS mean_y_tr,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([36 + ascii(text[5*i+3:5*i+3]) % 184
+        |      for i in range(0, nm)])::DOUBLE / nm END, 6) AS mean_y_bl,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([36 + ascii(text[5*i+4:5*i+4]) % 184
+        |      for i in range(0, nm)])::DOUBLE / nm END, 6) AS mean_y_br,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([round(1.772 * (ascii(text[5*i+5:5*i+5]) % 41 - 20))
+        |      for i in range(0, nm)])::DOUBLE / nm END, 6) AS db_mean,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE
+        |    list_sum([round(-0.344136 * (ascii(text[5*i+5:5*i+5]) % 41
+        |      - 20)) for i in range(0, nm)])::DOUBLE / nm END, 6)
+        |    AS dg_mean,
+        |  CASE WHEN nm = 0 THEN 0
+        |    ELSE 36 + ascii(text[1:1]) % 184 END AS top_left_r
+        |FROM f""".stripMargin,
+
+    // the TIFF fixture: width 5, h = len/5 full rows, ns = ceil(h/2)
+    // strips of 2 rows; file size is closed-form (8 header + 5h
+    // raster + 114 IFD + the external offset/count arrays only when
+    // ns > 1); mean/top-left/pos_sum recompute from the same payload
+    // bytes the engine round-trips through the strip walk
+    "q262_tiff_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 5 AS h,
+        |    text
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, h, (h + 1) // 2 AS ns, text FROM f
+        |)
+        |SELECT doc_id,
+        |  (122 + 5 * h +
+        |    CASE WHEN ns > 1 THEN 8 * ns ELSE 0 END)::INT AS n_bytes,
+        |  5 AS width, h AS height, ns AS n_strips,
+        |  (5 * h)::BIGINT AS n_pixels,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 5*h + 1)])::DOUBLE
+        |      / (5 * h) END, 6) AS mean_gray,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_gray,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 5*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM g""".stripMargin,
     "q196_png_decode" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h, text
@@ -2649,6 +3575,121 @@ object MultimodalOps {
         |SELECT shard_id, doc_id, member_bytes,
         |  coalesce(byte_sum, 0) AS byte_sum, n_members, shard_bytes
         |FROM f JOIN s USING (shard_id) ORDER BY doc_id""".stripMargin,
+
+    // q272: the 4×-repeat makes the checksum a closed form of the
+    // single-copy sums — Σ_{k=0..3} Σ_j (kn+j)·b_j = 4·Σ j·b_j +
+    // 6n·Σ b_j — and guarantees the smaller-bit for any LZ codec
+    "q272_codec_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n, text
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, 4 * n AS orig_bytes,
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      4 * CAST(list_sum([i * ascii(text[i:i])
+        |        for i in range(1, CAST(n AS INT) + 1)]) AS BIGINT)
+        |      + 6 * n * CAST(list_sum([ascii(text[i:i])
+        |        for i in range(1, CAST(n AS INT) + 1)]) AS BIGINT)
+        |    END AS checksum,
+        |    n
+        |  FROM d
+        |)
+        |SELECT f.doc_id, c.codec, f.orig_bytes, f.checksum,
+        |  f.n > 24 AS roundtrip_smaller
+        |FROM f CROSS JOIN (
+        |  SELECT unnest(['zstd', 'lz4', 'snappy']) AS codec) c
+        |ORDER BY f.doc_id, c.codec""".stripMargin,
+
+    // q269: the plant corrupts exactly the doc_id % 7 == 3 members,
+    // so the quarantine census is pure id arithmetic and the good
+    // mass is q263's body arithmetic restricted to surviving docs
+    "q269_warc_gz_permissive" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS shard_id,
+        |    octet_length(encode(text))::BIGINT AS n, text,
+        |    (doc_id % 7 = 3) AS corrupt
+        |  FROM documents
+        |)
+        |SELECT shard_id,
+        |  (1 + sum(CASE WHEN corrupt THEN 0 ELSE 1 END))::BIGINT
+        |    AS n_good,
+        |  sum(CASE WHEN corrupt THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_quarantined,
+        |  sum(CASE WHEN corrupt THEN 0 ELSE n END)::BIGINT
+        |    AS sum_body_bytes,
+        |  sum(CASE WHEN corrupt THEN 0 ELSE
+        |    CASE WHEN n = 0 THEN 0 ELSE CAST(list_sum(
+        |      [i * ascii(text[i:i])
+        |       for i in range(1, CAST(n AS INT) + 1)]) AS BIGINT) END
+        |  END)::BIGINT AS sum_body_checksum
+        |FROM d GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
+
+    // q268: compression is transparent to the features — the member
+    // walk reproduces exactly q263's plaintext stream, so the oracle
+    // is q263's record arithmetic (n_members = records; plain_bytes
+    // = the uncompressed file size)
+    "q268_warc_gz_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS shard_id,
+        |    octet_length(encode(text))::BIGINT AS n, text
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, shard_id, n, text,
+        |    37 + length(CAST(n AS VARCHAR)) + n AS cl,
+        |    length(CAST(doc_id AS VARCHAR)) AS di
+        |  FROM d
+        |), g AS (
+        |  SELECT shard_id, (count(*) + 1)::BIGINT AS n_members,
+        |    (149 + length(CAST(shard_id AS VARCHAR)) +
+        |     sum(182 + 2 * di + length(CAST(cl AS VARCHAR)) + cl)
+        |    )::BIGINT AS plain_bytes
+        |  FROM r GROUP BY shard_id
+        |)
+        |SELECT r.shard_id, r.doc_id, 200 AS http_status,
+        |  r.cl::BIGINT AS record_bytes, r.n AS body_bytes,
+        |  CASE WHEN r.n = 0 THEN 0 ELSE CAST(list_sum(
+        |    [i * ascii(r.text[i:i])
+        |     for i in range(1, CAST(r.n AS INT) + 1)])
+        |    AS BIGINT) END AS body_checksum,
+        |  g.n_members, g.plain_bytes
+        |FROM r JOIN g USING (shard_id)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // q263: every WARC record size is closed-form in (doc_id, body
+    // length) — 182 + 2·digits(id) + digits(cl) + cl per response,
+    // 149 + digits(shard) for the warcinfo — so the file size is a
+    // group sum; the body checksum recomputes from the same text
+    // bytes the engine frames through HTTP inside WARC
+    "q263_warc_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 16 AS shard_id,
+        |    octet_length(encode(text))::BIGINT AS n, text
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, shard_id, n, text,
+        |    37 + length(CAST(n AS VARCHAR)) + n AS cl,
+        |    length(CAST(doc_id AS VARCHAR)) AS di
+        |  FROM d
+        |), g AS (
+        |  SELECT shard_id, (count(*) + 1)::BIGINT AS n_records,
+        |    (149 + length(CAST(shard_id AS VARCHAR)) +
+        |     sum(182 + 2 * di + length(CAST(cl AS VARCHAR)) + cl)
+        |    )::BIGINT AS file_bytes
+        |  FROM r GROUP BY shard_id
+        |)
+        |SELECT r.shard_id, r.doc_id,
+        |  'https://example.com/doc/' || CAST(r.doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  200 AS http_status,
+        |  r.cl::BIGINT AS record_bytes, r.n AS body_bytes,
+        |  CASE WHEN r.n = 0 THEN 0 ELSE CAST(list_sum(
+        |    [i * ascii(r.text[i:i])
+        |     for i in range(1, CAST(r.n AS INT) + 1)])
+        |    AS BIGINT) END AS body_checksum,
+        |  g.n_records, g.file_bytes
+        |FROM r JOIN g USING (shard_id)
+        |ORDER BY r.doc_id""".stripMargin,
 
     // q255: the interlaced stream reconstructs the SAME raster, so
     // the oracle is q196's byte algebra verbatim

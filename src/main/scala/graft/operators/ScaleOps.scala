@@ -601,6 +601,44 @@ object ScaleOps {
           "json"))
     }),
 
+    // ORC interop — the THIRD lake format next to q113's CSV/JSON,
+    // and the first columnar one: the events table (INCLUDING the
+    // timestamp column CSV/JSON round-trip as strings) written once
+    // as ORC through Spark's native writer, re-read with an explicit
+    // schema, and value-checked against the parquet original via the
+    // engine-independent md5 identity checksum, an epoch-micros
+    // timestamp checksum, the exact-decimal value sum, and the props
+    // byte count. Proves the ORC reader/writer preserve rows AND
+    // instants byte-exactly — the gate a mixed parquet/ORC lake needs
+    // before trusting cross-format unions.
+    "q266_orc_roundtrip" -> ((s, d) => {
+      val base = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val root = s"${scratch(d)}/orc_roundtrip"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def committed = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/orc/_SUCCESS"))
+      ScratchGuard.ensure(s, root, base)(committed) {
+        base.write.mode(SaveMode.Overwrite).orc(s"$root/orc")
+      }
+      val back = s.read.schema(base.schema).orc(s"$root/orc")
+      val nn = (c: org.apache.spark.sql.Column) =>
+        coalesce(c.cast("string"), lit("\u0001"))
+      val fp = conv(substring(md5(concat_ws("|", nn(col("event_id")),
+        nn(col("user_id")), nn(col("event_type")))), 1, 15), 16, 10)
+        .cast("long") % 1000000007L
+      back.agg(count(lit(1)).as("rows"),
+        sum(fp).as("id_checksum"),
+        sum(unix_micros(col("ts")) % 1000000007L).as("ts_checksum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("value_sum"),
+        sum(coalesce(length(col("props")), lit(0)).cast("long"))
+          .as("props_bytes"))
+        .withColumn("fmt", lit("orc"))
+    }),
+
     // Ordered-event funnel (view -> click -> purchase, strictly
     // increasing event time): the conversion analysis every product
     // pipeline runs. Stage N's earliest qualifying time comes from a
@@ -1941,6 +1979,55 @@ object ScaleOps {
         preds = Seq((0L, 199L), (200L, 299L), (300L, 399L),
           (310L, 329L), (400L, 100000L)))),
 
+    // CONSISTENT-HASH ring sharding (Karger et al. 1997) with 16
+    // virtual nodes per physical node, plus the ELASTIC-RESHARD
+    // audit: assignments under a 20-node ring vs the 21-node ring
+    // that contains it (adding a node only ADDS ring points — the
+    // property that bounds movement). The lookup is one codegen'd
+    // filter over a 336-entry broadcast array literal per row — no
+    // shuffle, no join; both engines position keys by the identical
+    // md5 fingerprint, so the oracle replays the ring exactly. The
+    // moved_in column is the decision number: adding node 21 moves
+    // ~1/21 of keys, all INTO the new node — rehash-mod-n would move
+    // 20/21 of them.
+    "q271_consistent_hash" -> ((s, d) => {
+      def md5Long(str: String): Long = {
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          dig.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+      }
+      def ringOf(nodes: Int): Seq[(Long, Int)] =
+        (for { n <- 0 until nodes; v <- 0 until 16 }
+          yield (md5Long(s"node-$n-v$v"), n)).sortBy(_._1)
+      def assign(ring: Seq[(Long, Int)], h: Column): Column = {
+        val arr = array(ring.map { case (p, n) =>
+          struct(lit(p).as("p"), lit(n).as("n")) }: _*)
+        coalesce(
+          try_element_at(filter(arr, x => x.getField("p") >= h), lit(1))
+            .getField("n"),
+          lit(ring.head._2)) // wraparound: smallest ring position
+      }
+      val h = conv(substring(md5(concat(lit("doc-"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val asg = Tables.load(s, d, "documents").select(col("doc_id"))
+        .withColumn("a", assign(ringOf(20), h))
+        .withColumn("b", assign(ringOf(21), h))
+      val aN = asg.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("n_a"))
+      val bN = asg.groupBy(col("b").as("node"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(when(col("a") =!= col("b"), 1L).otherwise(0L))
+            .as("moved_in"))
+      s.range(21).select(col("id").cast("int").as("node"))
+        .join(aN, Seq("node"), "left")
+        .join(bN, Seq("node"), "left")
+        .select(col("node"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+        .orderBy("node")
+    }),
+
     // ROLLING 7-DAY EXACT DISTINCT USERS — the sliding-window COUNT
     // DISTINCT no sketch gets exact and no window frame computes
     // without a per-day rescan: each event covers the 7 window-end
@@ -3009,6 +3096,20 @@ object ScaleOps {
         |SELECT rows, id_checksum, value_sum, props_bytes, 'csv' AS fmt FROM s
         |UNION ALL
         |SELECT rows, id_checksum, value_sum, props_bytes, 'json' AS fmt FROM s""".stripMargin,
+    // q266: DuckDB has no ORC reader, so the oracle summarizes the
+    // parquet ORIGINAL — any row/instant the ORC round-trip loses or
+    // shifts diverges a checksum
+    "q266_orc_roundtrip" ->
+      """SELECT count(*) AS rows,
+        |  sum(('0x' || md5(COALESCE(event_id::VARCHAR, chr(1)) || '|'
+        |    || COALESCE(user_id::VARCHAR, chr(1)) || '|'
+        |    || COALESCE(event_type, chr(1)))[1:15])::BIGINT
+        |    % 1000000007)::BIGINT AS id_checksum,
+        |  sum(epoch_us(ts) % 1000000007)::BIGINT AS ts_checksum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  sum(COALESCE(length(props), 0))::BIGINT AS props_bytes,
+        |  'orc' AS fmt
+        |FROM events""".stripMargin,
     "q111_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
@@ -3474,6 +3575,42 @@ ORDER BY rk"""
     // q236: identical arrival shards, identical span algebra for the
     // sorted layout (value v covers sorted shards (cum−c)//S ..
     // (cum−1)//S), identical skip condition — integers everywhere
+    // q271: the oracle rebuilds both rings from the same md5
+    // positions (ring A = ring B's n<20 subset) and replays the
+    // clockwise-successor rule with argmin-over-(p >= h)
+    "q271_consistent_hash" ->
+      """WITH ring AS (
+        |  SELECT n::INT AS n,
+        |    ('0x' || md5('node-' || n || '-v' || v)[1:15])::BIGINT AS p
+        |  FROM range(0, 21) t(n) CROSS JOIN range(0, 16) u(v)
+        |), docs AS (
+        |  SELECT doc_id,
+        |    ('0x' || md5('doc-' || doc_id)[1:15])::BIGINT AS h
+        |  FROM documents
+        |), asg AS (
+        |  SELECT doc_id,
+        |    coalesce(
+        |      (SELECT min_by(r.n, r.p) FROM ring r
+        |       WHERE r.n < 20 AND r.p >= d.h),
+        |      (SELECT min_by(r.n, r.p) FROM ring r WHERE r.n < 20))
+        |      AS a,
+        |    coalesce(
+        |      (SELECT min_by(r.n, r.p) FROM ring r WHERE r.p >= d.h),
+        |      (SELECT min_by(r.n, r.p) FROM ring r)) AS b
+        |  FROM docs d
+        |), an AS (
+        |  SELECT a AS node, count(*)::BIGINT AS n_a FROM asg GROUP BY a
+        |), bn AS (
+        |  SELECT b AS node, count(*)::BIGINT AS n_b,
+        |    sum(CASE WHEN a <> b THEN 1 ELSE 0 END)::BIGINT AS moved_in
+        |  FROM asg GROUP BY b
+        |)
+        |SELECT t.n::INT AS node, coalesce(an.n_a, 0) AS n_a,
+        |  coalesce(bn.n_b, 0) AS n_b,
+        |  coalesce(bn.moved_in, 0) AS moved_in
+        |FROM range(0, 21) t(n)
+        |LEFT JOIN an ON an.node = t.n LEFT JOIN bn ON bn.node = t.n
+        |ORDER BY node""".stripMargin,
     "q236_zonemap_forecast" ->
       """WITH r AS (
         |  SELECT doc_id, length(text)::BIGINT AS v FROM documents

@@ -124,6 +124,161 @@ object TextOps {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** The boilerplate template q264 plants on every lang='en' doc —
+    * 8 lowercase tokens, so exactly four 5-gram shingles live fully
+    * inside it. */
+  private[graft] val BoilerplateTemplate =
+    "this template footer is shared across english documents"
+
+  /** Per-partition Misra–Gries summary (k counters) over an item
+    * iterator — the classic deterministic heavy-hitter sketch (Misra
+    * & Gries 1982), mergeable by counter addition (Agarwal et al.
+    * 2013): at most k counters are live at any moment, and an item
+    * with partition count c exits with counter ≥ c − N_p/(k+1).
+    * Summed across partitions the undercount stays ≤ N/(k+1), so any
+    * item with GLOBAL count > N/(k+1) has positive merged weight —
+    * i.e. it appears in at least one partition's summary. That
+    * union-of-keys superset is the guarantee q264's exact verify
+    * pass rides on. */
+  private[graft] def misraGries(items: Iterator[String], k: Int)
+      : Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    items.foreach { x =>
+      m.get(x) match {
+        case Some(c)            => m.update(x, c + 1)
+        case None if m.size < k => m.update(x, 1L)
+        case None =>
+          m.mapValuesInPlace((_, v) => v - 1)
+          m.filterInPlace((_, v) => v > 0)
+      }
+    }
+    m.iterator
+  }
+
+  /** q264's pipeline: corpus boilerplate detection — the C4/CCNet
+    * "template fragment shared across thousands of pages" hunt — as
+    * a two-pass heavy hitter. Pass 1 scans the 5-gram shingle stream
+    * once, building a [[misraGries]] summary per partition (k = 256
+    * counters — fixed state no matter the corpus size); the unioned
+    * candidate keys are ≤ partitions·k rows and provably contain
+    * every shingle above N/257 of the stream. Pass 2 exact-counts
+    * ONLY the broadcast candidates and keeps those above the report
+    * threshold 1/200 (> 1/257, so the sketch's superset guarantee
+    * covers it) — exact output from sketch-sized intermediates; the
+    * corpus itself never shuffles on the shingle key. The synthetic
+    * corpus has no natural boilerplate, so a template is PLANTED on
+    * every lang='en' doc (the q168 planting pattern); boundary
+    * shingles (template tail × each doc's first words) land ~30×
+    * under threshold and prove the cut bites. */
+  def boilerplateHeavyHitters(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val planted = docs.select(when(col("lang") === "en",
+        concat(lit(BoilerplateTemplate + " "), col("text")))
+      .otherwise(col("text")).as("text"))
+    val grams = planted
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 4), i -> " +
+          "concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))"))
+        .as("g"))
+    val candidates = grams.as[String]
+      .mapPartitions(it => misraGries(it, 256))
+      .toDF("g", "c")
+      .select("g").distinct()
+    val n = grams.count()
+    grams.join(broadcast(candidates), "g")
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 > lit(n))
+      .select(col("g").as("shingle"), col("cnt"),
+        lit(n).as("n_shingles"))
+      .orderBy("shingle")
+  }
+
+  private[graft] final case class Utf8Census(doc_id: Long,
+      n_bytes: Long, n_codepoints: Long, n_ascii: Long, n_2byte: Long,
+      n_3byte: Long, n_4byte: Long, n_invalid: Long)
+
+  /** q265's fixture: the corpus text is pure ASCII, so multi-byte and
+    * malformed UTF-8 is PLANTED at deterministic 1-based source
+    * offsets — after byte i insert a valid 2-byte é (i % 40 == 0), a
+    * valid 3-byte € (i % 90 == 0), the always-invalid overlong lead
+    * 0xC0 (i % 130 == 0), and a stray continuation 0x80
+    * (i % 170 == 0) — all four closed-form countable as n div k. */
+  private[graft] def plantUtf8(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length + 16)
+    var i = 0
+    while (i < src.length) {
+      out.write(src(i))
+      val p = i + 1
+      if (p % 40 == 0) { out.write(0xC3); out.write(0xA9) }
+      if (p % 90 == 0) { out.write(0xE2); out.write(0x82); out.write(0xAC) }
+      if (p % 130 == 0) out.write(0xC0)
+      if (p % 170 == 0) out.write(0x80)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL UTF-8 validation walk per RFC 3629 — the first thing a
+    * 100 TB ingest does to every crawled byte stream: sequence
+    * classification with ALL the table-3.7 corners enforced (C0/C1
+    * overlong leads invalid, E0 requires A0..BF second, ED excludes
+    * the surrogate range, F0 requires 90.. second, F4 caps at ..8F —
+    * U+10FFFF, F5..FF invalid, truncation at EOF invalid). Error
+    * policy: consume ONE byte per invalid event and resume (each
+    * event is one replacement char in a repair pass), so planted
+    * single-byte corruptions count exactly once. Never throws — the
+    * census IS the product; strict per-sequence behavior is pinned by
+    * TextSpec on crafted streams (surrogates, overlongs, truncated
+    * tails). */
+  private[graft] def utf8Census(docId: Long, bytes: Array[Byte])
+      : Utf8Census = {
+    var i = 0
+    var cp = 0L; var a = 0L; var b2 = 0L; var b3 = 0L; var b4 = 0L
+    var bad = 0L
+    def cont(j: Int) = j < bytes.length && (bytes(j) & 0xC0) == 0x80
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) { a += 1; cp += 1; i += 1 }
+      else if (b >= 0xC2 && b <= 0xDF) {
+        if (cont(i + 1)) { b2 += 1; cp += 1; i += 2 }
+        else { bad += 1; i += 1 }
+      } else if (b >= 0xE0 && b <= 0xEF) {
+        val lo = if (b == 0xE0) 0xA0 else 0x80
+        val hi = if (b == 0xED) 0x9F else 0xBF
+        val ok = i + 2 < bytes.length && {
+          val c1 = bytes(i + 1) & 0xff
+          c1 >= lo && c1 <= hi && cont(i + 2)
+        }
+        if (ok) { b3 += 1; cp += 1; i += 3 } else { bad += 1; i += 1 }
+      } else if (b >= 0xF0 && b <= 0xF4) {
+        val lo = if (b == 0xF0) 0x90 else 0x80
+        val hi = if (b == 0xF4) 0x8F else 0xBF
+        val ok = i + 3 < bytes.length && {
+          val c1 = bytes(i + 1) & 0xff
+          c1 >= lo && c1 <= hi && cont(i + 2) && cont(i + 3)
+        }
+        if (ok) { b4 += 1; cp += 1; i += 4 } else { bad += 1; i += 1 }
+      } else { bad += 1; i += 1 } // 0x80..C1 stray/overlong, F5..FF
+    }
+    Utf8Census(docId, bytes.length, cp, a, b2, b3, b4, bad)
+  }
+
+  /** q265's pipeline: per-doc UTF-8 validity census — same typed
+    * mapPartitions shape as the multimodal decoders; narrow, no
+    * shuffle, scales with partitions. */
+  def utf8CensusTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        utf8Census(id, plantUtf8(b)) })
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     // BPE pair statistics — the first step of byte-pair-encoding
     // tokenizer TRAINING: corpus-wide counts of adjacent symbol pairs
@@ -1116,7 +1271,21 @@ object TextOps {
     // then doc — never a window, never per-pair work; integer counts
     // with two rounded divisions per doc.
     "q253_repetition_filter" -> ((s, d) =>
-      repetitionFilter(Tables.load(s, d, "documents")))
+      repetitionFilter(Tables.load(s, d, "documents"))),
+
+    // Corpus boilerplate heavy hitters — Misra–Gries sketch pass +
+    // broadcast exact-verify pass over the 5-gram shingle stream;
+    // the planted en-doc template's four interior shingles are the
+    // only fragments above 1/200 of the stream.
+    "q264_boilerplate_hh" -> ((s, d) =>
+      boilerplateHeavyHitters(Tables.load(s, d, "documents"))),
+
+    // UTF-8 validity census — RFC 3629 sequence walk over planted
+    // multi-byte + malformed streams; every count is closed-form in
+    // the source length, so a validator that misclassifies ANY of
+    // the table-3.7 corners moves a column.
+    "q265_utf8_census" -> ((s, d) =>
+      utf8CensusTable(Tables.load(s, d, "documents")))
   )
 
   /** q225's novelty curve over a (doc_id, text) frame: per
@@ -2351,6 +2520,47 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
 
     // q253: the oracle rebuilds both gram inventories from the token
     // list per doc; every fraction is integer/integer rounded once
+    // q265: the plant inserts after 1-based source offset i — a
+    // 2-byte é at i%40=0, 3-byte € at i%90=0, overlong lead C0 at
+    // i%130=0, stray continuation 80 at i%170=0 — so every census
+    // column is n-div-k arithmetic on the source byte length
+    "q265_utf8_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  n + 2*(n//40) + 3*(n//90) + (n//130) + (n//170) AS n_bytes,
+        |  n + (n//40) + (n//90) AS n_codepoints,
+        |  n AS n_ascii,
+        |  n//40 AS n_2byte, n//90 AS n_3byte, 0::BIGINT AS n_4byte,
+        |  (n//130) + (n//170) AS n_invalid
+        |FROM d""".stripMargin,
+    // q264: the oracle replays the plant (same concat-then-trim
+    // order as the Spark side, so tokenization is identical), builds
+    // the full 5-gram stream, and filters by the exact integer
+    // threshold cnt·200 > N — the sketch is an implementation detail
+    // the verify pass erases
+    "q264_boilerplate_hh" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN lang = 'en'
+        |    THEN lower(trim(
+        |      'this template footer is shared across english documents '
+        |      || text))
+        |    ELSE lower(trim(text)) END AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT string_split_regex(t, '\s+') AS toks FROM p
+        |), g AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |      toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |    for i in range(1, len(toks) - 3)]) AS g
+        |  FROM tk WHERE len(toks) >= 5
+        |), n AS (SELECT count(*)::BIGINT AS n FROM g),
+        |c AS (SELECT g, count(*)::BIGINT AS cnt FROM g GROUP BY g)
+        |SELECT c.g AS shingle, c.cnt, n.n AS n_shingles
+        |FROM c, n WHERE c.cnt * 200 > n.n
+        |ORDER BY shingle""".stripMargin,
     "q253_repetition_filter" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -325,6 +325,25 @@ object VectorOps {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // HNSW delete — the lifecycle piece q261 gives IVF, on the graph
+    // index: tombstones (search routes THROUGH deleted vertices —
+    // unlinking them would tear the small-world graph — but never
+    // returns one), beam widened by the tombstone count. Probe-all
+    // ef makes the survivor top-10 EXACT, so the q261 filtered brute
+    // oracle applies verbatim; the deleted set again includes the
+    // query vector itself (vec 0 at distance 0 — the loudest leak).
+    "q270_hnsw_delete" -> ((s, d) => {
+      import s.implicits._
+      val all = emb(s, d)
+      val idx = Hnsw.build(all, "vec_id", "embedding",
+        m = 8, efConstruction = 64, efSearch = 1 << 24)
+      all.filter(col("vec_id") % 7 === 0).select("vec_id")
+        .collect().foreach(r => idx.delete(r.getLong(0)))
+      idx.scan(queryVec(s, d).toArray, 10)
+        .toDF("vec_id", "dist")
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
     // Insert-after-index (vector.04/05.slt semantics): build on a prefix,
     // insert the rest, KNN must see the new rows. probe=lists keeps it
     // exact so the full-table oracle applies.
@@ -1160,6 +1179,16 @@ object VectorOps {
         |LIMIT 10""".stripMargin,
     "q33_ivfflat_exact" -> bruteOracle,
     "q34_ivfflat_insert" -> bruteOracle,
+    // q270: identical survivor set to q261 — probe-all ef makes the
+    // tombstoned HNSW exact, so the same filtered brute oracle gates
+    // the graph index's delete path
+    "q270_hnsw_delete" ->
+      """SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS dist
+        |FROM embeddings WHERE vec_id % 7 <> 0
+        |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), vec_id
+        |LIMIT 10""".stripMargin,
     // q261: brute force over the SURVIVORS (the query vector vec_id=0
     // is itself deleted — dist 0 must be gone)
     "q261_ivfflat_delete" ->

@@ -183,6 +183,25 @@ class IndexSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("hnsw tombstone delete: exact survivors probe-all, none leak") {
+    val idx = Hnsw.build(emb, "vec_id", "v", m = 8,
+      efConstruction = 64, efSearch = 1 << 24)
+    // delete the whole true top-3 — the scan must return the NEXT
+    // ranked survivors, not resurrect a tombstone
+    val top = bruteIds(13)
+    top.take(3).foreach(id => assert(idx.delete(id)))
+    assert(idx.deletedCount == 3)
+    assert(!idx.delete(top.head), "double delete must report false")
+    assert(idx.deletedCount == 3)
+    val got = idx.scan(query.toArray, 10).map(_._1)
+    assert(got == top.drop(3), s"survivor top-10 wrong: $got")
+    // moderate-ef scan still returns k results and no tombstones
+    val approx = idx.scan(query.toArray, 10, ef = 60).map(_._1)
+    assert(approx.size == 10)
+    assert(approx.toSet.intersect(top.take(3).toSet).isEmpty,
+      "a tombstone leaked into a filtered search")
+  }
+
   test("hnsw distances ascend and match true L2") {
     val idx = Hnsw.build(emb, "vec_id", "v", m = 8, efConstruction = 64,
       efSearch = 40)

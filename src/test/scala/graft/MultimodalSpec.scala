@@ -800,4 +800,239 @@ class MultimodalSpec extends SparkSpecBase {
       assert(g.getAs[Long]("min_doc") < g.getAs[Long]("max_doc"))
     }
   }
+
+  test("q267 4:2:0 JPEG: quadrant order, chroma path, exact features") {
+    // two MCUs, distinct quadrant lumas, distinct planted chroma
+    val payload = Array[Int](10, 60, 110, 160, 5, 200, 20, 70, 120, 40)
+      .map(_.toByte)
+    val jpg = MultimodalOps.encodeJpeg420(payload)
+    val d = MultimodalOps.decodeJpeg420(40L, jpg)
+    assert(d.width == 16 && d.height == 32 && d.n_mcus == 2)
+    // quadrant means: MCU0 lumas 46/96/146/196, MCU1 52/56/106/156
+    assert(d.mean_y_tl == 49.0 && d.mean_y_tr == 76.0)
+    assert(d.mean_y_bl == 126.0 && d.mean_y_br == 176.0)
+    // cb offsets −15 and +20: B−R = round(1.772·off) → (−27+35)/2,
+    // G−R = round(−0.344136·off) → (5−7)/2
+    assert(d.db_mean == 4.0, s"db=${d.db_mean}")
+    assert(d.dg_mean == -1.0, s"dg=${d.dg_mean}")
+    assert(d.top_left_r == 46)
+    // 4:2:2 (Y sampling 2×1) is NOT supported: patch the SOF0
+    // sampling byte and the decode must fail, not mis-frame
+    val bad = jpg.clone()
+    assert((bad(82) & 0xff) == 0x22, "SOF0 layout shifted")
+    bad(82) = 0x21.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeJpeg420(41L, bad)
+    }
+  }
+
+  test("q267 rounding domain: no ±0.5 boundary in either chroma term") {
+    // the oracle rounds with DuckDB (half away from zero), the JVM
+    // with floor(x+0.5); they differ only AT a .5 boundary — prove
+    // the fixture's whole cb domain stays > 1e-6 away from one
+    (-20 to 20).foreach { k =>
+      Seq(1.772 * k, -0.344136 * k).foreach { v =>
+        val fr = math.abs(v - math.floor(v) - 0.5)
+        assert(fr > 1e-6, s"k=$k v=$v sits on a rounding boundary")
+      }
+    }
+  }
+
+  test("q263 WARC: round-trip framing, byte-exact sizes, malformed FAIL") {
+    val members = Seq(
+      (7L, "hello world".getBytes("US-ASCII")),
+      (12L, Array.empty[Byte]),
+      (305L, Array.tabulate(300)(i => ((i % 90) + 33).toByte)))
+    val warc = MultimodalOps.encodeWarcShard(2L, members)
+    val (n, recs) = MultimodalOps.decodeWarcShard(2L, warc)
+    assert(n == 4) // warcinfo + 3 responses
+    assert(recs.map(_.docId) == Seq(7L, 12L, 305L))
+    val r7 = recs.head
+    assert(r7.targetUri == "https://example.com/doc/7")
+    assert(r7.status == 200 && r7.bodyBytes == 11)
+    assert(r7.recordBytes == 50) // 37 + digits(11) + 11
+    val want = "hello world".getBytes("US-ASCII").zipWithIndex
+      .map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum
+    assert(r7.bodyChecksum == want)
+    // zero-body response: cl = 37 + 1 + 0, checksum 0
+    assert(recs(1).recordBytes == 38 && recs(1).bodyChecksum == 0L)
+    // file size closed form: (149 + digits(shard)) warcinfo +
+    // per response 182 + 2·digits(id) + digits(cl) + cl
+    def rec(id: Long, nb: Int) = {
+      val cl = 37 + nb.toString.length + nb
+      182 + 2 * id.toString.length + cl.toString.length + cl
+    }
+    assert(warc.length == 150 + rec(7, 11) + rec(12, 0) + rec(305, 300))
+    // corrupted record trailer: FAIL, never shear
+    val bad = warc.clone()
+    bad(bad.length - 1) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWarcShard(2L, bad)
+    }
+    // bare LF where the version line's CR belongs
+    val lf = warc.clone()
+    lf(8) = '\n'.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWarcShard(2L, lf)
+    }
+    // HTTP Content-Length disagreeing with the body extent (same
+    // byte length, so WARC framing stays intact — only the HTTP
+    // cross-check can catch it)
+    val s = new String(warc, "US-ASCII")
+    val at = s.indexOf("Content-Length: 11\r\n\r\nhello")
+    assert(at > 0)
+    val mm = warc.clone()
+    mm(at + 16) = '2'.toByte // 11 -> 21
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWarcShard(2L, mm)
+    }
+  }
+
+  test("q268 gzip members: boundaries, CRC verify, corrupted FAIL") {
+    val a = "first record payload".getBytes("US-ASCII")
+    val b = Array.tabulate(500)(i => ((i * 7) % 251).toByte)
+    val file = MultimodalOps.gzipMember(a) ++ MultimodalOps.gzipMember(b)
+    val back = MultimodalOps.gunzipMembers(1L, file)
+    assert(back.size == 2)
+    assert(java.util.Arrays.equals(back(0), a))
+    assert(java.util.Arrays.equals(back(1), b))
+    // deflate genuinely compressed the repetitive second member
+    assert(file.length < a.length + b.length + 36,
+      "wire bytes are not compressed")
+    // flip one compressed byte mid-member-2: CRC (or the deflate
+    // stream itself) must fail loudly
+    val m1len = MultimodalOps.gzipMember(a).length
+    val bad = file.clone()
+    bad(m1len + 15) = (bad(m1len + 15) ^ 0x40).toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.gunzipMembers(2L, bad)
+    }
+    // corrupt an ISIZE trailer byte
+    val bad2 = file.clone()
+    bad2(bad2.length - 1) = (bad2(bad2.length - 1) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.gunzipMembers(3L, bad2)
+    }
+    // nonzero FLG (FNAME etc.) is out of profile
+    val bad3 = file.clone()
+    bad3(3) = 0x08.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.gunzipMembers(4L, bad3)
+    }
+  }
+
+  test("q269 permissive gzip: quarantine + resync, good members live") {
+    val recs = Seq(
+      MultimodalOps.encodeWarcResponseRecord(1L,
+        "alpha".getBytes("US-ASCII")),
+      MultimodalOps.encodeWarcResponseRecord(2L,
+        "bravo team".getBytes("US-ASCII")),
+      MultimodalOps.encodeWarcResponseRecord(3L,
+        "charlie".getBytes("US-ASCII")))
+    val ms = recs.map(MultimodalOps.gzipMember)
+    // flip one deflate byte in the MIDDLE member
+    val bad = ms(1).clone(); bad(14) = (bad(14) ^ 0x55).toByte
+    val file = ms(0) ++ bad ++ ms(2)
+    val (good, q) = MultimodalOps.gunzipMembersPermissive(9L, file)
+    assert(q == 1 && good.size == 2,
+      s"quarantined=$q good=${good.size}")
+    assert(java.util.Arrays.equals(good(0), recs(0)))
+    assert(java.util.Arrays.equals(good(1), recs(2)))
+    // a clean file quarantines nothing
+    val (g2, q2) = MultimodalOps.gunzipMembersPermissive(9L,
+      ms.flatten.toArray)
+    assert(q2 == 0 && g2.size == 3)
+  }
+
+  test("q272 codec matrix: zstd/lz4/snappy round-trip, exact features") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog once more"
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val rows = operators.MultimodalOps.codecMatrix(docs).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("lz4", "snappy", "zstd"))
+    val t = text.getBytes("US-ASCII")
+    val n = t.length
+    val c1 = t.zipWithIndex.map { case (b, i) => (i + 1L) * (b & 0xff) }
+      .sum
+    val c0 = t.map(b => (b & 0xff).toLong).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("orig_bytes") == 4L * n)
+      // 4-copy closed form: 4·Σ j·b_j + 6n·Σ b_j
+      assert(r.getAs[Long]("checksum") == 4L * c1 + 6L * n * c0)
+      assert(r.getAs[Boolean]("roundtrip_smaller"),
+        s"${r.getString(1)} did not compress a 4x-repeated payload")
+    }
+  }
+
+  test("q262 TIFF: multi-strip external arrays; strip order pinned") {
+    // 5 rows of 5 px → 3 strips (2+2+1 rows), arrays OUT-OF-LINE
+    val payload = Array.tabulate(25)(i => (i + 3).toByte)
+    val tiff = MultimodalOps.encodeTiff(payload)
+    // 8 header + 25 raster + 2×(3×4) external arrays + 114 IFD
+    assert(tiff.length == 8 + 25 + 24 + 114)
+    val d = MultimodalOps.decodeTiff(20L, tiff)
+    assert(d.width == 5 && d.height == 5 && d.n_strips == 3)
+    assert(d.n_bytes == tiff.length && d.n_pixels == 25)
+    val want = payload.map(_ & 0xff).sum.toDouble / 25
+    assert(math.abs(d.mean_gray - want) < 1e-12)
+    assert(d.top_left_gray == 3)
+    // 1-based position checksum — fails a strip walk out of order
+    val pos = payload.zipWithIndex
+      .map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum
+    assert(d.pos_sum == pos)
+    // swapping the two external strip OFFSETS (at bytes 33..40)
+    // walks strips out of order: geometry still checks out but the
+    // position checksum must move
+    val swapped = tiff.clone()
+    val bb = java.nio.ByteBuffer.wrap(swapped)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val o0 = bb.getInt(33); val o1 = bb.getInt(37)
+    bb.putInt(33, o1); bb.putInt(37, o0)
+    assert(MultimodalOps.decodeTiff(21L, swapped).pos_sum != pos)
+  }
+
+  test("q262 TIFF: inline arrays at h<=2; zero rows; malformed FAIL") {
+    // 2 rows → 1 strip: offsets/counts fit INLINE in the IFD field
+    val inl = MultimodalOps.encodeTiff(Array.tabulate(10)(_.toByte))
+    assert(inl.length == 8 + 10 + 114) // no external arrays
+    val di = MultimodalOps.decodeTiff(22L, inl)
+    assert(di.height == 2 && di.n_strips == 1 && di.pos_sum ==
+      (0 until 10).map(i => (i + 1).toLong * i).sum)
+    // < 1 row → zero pixels, zero counted strips
+    val z = MultimodalOps.decodeTiff(23L,
+      MultimodalOps.encodeTiff(Array[Byte](1, 2)))
+    assert(z.height == 0 && z.n_strips == 0 && z.mean_gray == 0.0)
+    val good = MultimodalOps.encodeTiff(Array.tabulate(25)(_.toByte))
+    // bad byte-order mark
+    intercept[IllegalArgumentException] {
+      val bad = good.clone(); bad(0) = 'X'.toByte
+      MultimodalOps.decodeTiff(24L, bad)
+    }
+    // compression ≠ 1 (entry 3 value field: IFD+2+3·12+8, u16 LE)
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      val b = java.nio.ByteBuffer.wrap(bad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4)
+      b.putShort(ifd + 2 + 3 * 12 + 8, 5) // LZW
+      MultimodalOps.decodeTiff(25L, bad)
+    }
+    // strip out of bounds (first external offset pushed past EOF)
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      val b = java.nio.ByteBuffer.wrap(bad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(33, bad.length)
+      MultimodalOps.decodeTiff(26L, bad)
+    }
+    // IFD tag order violated (swap the first two entry TAGS)
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      val b = java.nio.ByteBuffer.wrap(bad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4)
+      b.putShort(ifd + 2, 257); b.putShort(ifd + 2 + 12, 256)
+      MultimodalOps.decodeTiff(27L, bad)
+    }
+  }
 }

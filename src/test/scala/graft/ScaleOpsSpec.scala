@@ -1015,6 +1015,31 @@ class ScaleOpsSpec extends SparkSpecBase {
       Seq(0L, 1L, 2L, 3L))
   }
 
+  test("q271 consistent hash: movement flows ONLY into the new node") {
+    val rows = ScaleOps.queries("q271_consistent_hash")(spark, sfDir)
+      .collect()
+    assert(rows.length == 21)
+    val total = rows.map(_.getAs[Long]("n_a")).sum
+    assert(total == rows.map(_.getAs[Long]("n_b")).sum)
+    assert(total > 0)
+    rows.foreach { r =>
+      val node = r.getAs[Int]("node")
+      if (node < 20) {
+        // adding a node only ADDS ring points, so no key moves
+        // BETWEEN old nodes — n_b can only shrink, never gain
+        assert(r.getAs[Long]("moved_in") == 0L,
+          s"node $node gained keys on scale-out")
+        assert(r.getAs[Long]("n_b") <= r.getAs[Long]("n_a"))
+      } else {
+        assert(r.getAs[Long]("n_a") == 0L)
+        assert(r.getAs[Long]("moved_in") == r.getAs[Long]("n_b"))
+      }
+    }
+    // the whole point: movement ~ 1/21, nowhere near rehash's 20/21
+    val moved = rows.map(_.getAs[Long]("moved_in")).sum.toDouble / total
+    assert(moved < 0.25, s"moved fraction $moved — ring is broken")
+  }
+
   /** Driver-side reference Feistel — same rounds in plain Scala. */
   private def feistelRef(id: Long): Long = {
     val ks = Seq(40503L, 11665L, 30841L, 22621L)

@@ -626,4 +626,63 @@ class TextSpec extends SparkSpecBase {
     assert(r.getAs[Double]("dup3_frac") == 0.0)
     assert(r.getAs[Boolean]("keep"))
   }
+
+  test("q265 UTF-8 census: RFC 3629 corners on crafted streams") {
+    def c(bytes: Int*) =
+      TextOps.utf8Census(0L, bytes.map(_.toByte).toArray)
+    // valid 4-byte U+1F600 — one supplementary codepoint
+    val ok4 = c(0xF0, 0x9F, 0x98, 0x80)
+    assert(ok4.n_4byte == 1 && ok4.n_invalid == 0 &&
+      ok4.n_codepoints == 1)
+    // U+10FFFF (F4 8F BF BF): the LAST valid codepoint
+    val last = c(0xF4, 0x8F, 0xBF, 0xBF)
+    assert(last.n_4byte == 1 && last.n_invalid == 0)
+    // surrogate ED A0 80: three invalid events (one-byte advance)
+    assert(c(0xED, 0xA0, 0x80).n_invalid == 3)
+    // overlong 2-byte C0 AF
+    assert(c(0xC0, 0xAF).n_invalid == 2)
+    // overlong 3-byte E0 80 80 (E0 requires A0..BF second)
+    assert(c(0xE0, 0x80, 0x80).n_invalid == 3)
+    // truncated € at EOF
+    assert(c(0xE2, 0x82).n_invalid == 2)
+    // beyond U+10FFFF (F4 90 80 80)
+    assert(c(0xF4, 0x90, 0x80, 0x80).n_invalid == 4)
+    // the plant: 80 ASCII bytes → two é at offsets 40/80, nothing else
+    val pc = TextOps.utf8Census(1L,
+      TextOps.plantUtf8(Array.fill(80)('x'.toByte)))
+    assert(pc.n_ascii == 80 && pc.n_2byte == 2 && pc.n_invalid == 0)
+    assert(pc.n_bytes == 84 && pc.n_codepoints == 82)
+  }
+
+  test("q264 Misra-Gries: k-bounded state, heavy item survives") {
+    // 60 'hot' among 200 distinct cold items, k = 10: N = 260, the
+    // guarantee keeps any item with count > N/(k+1) ≈ 23.6 — 'hot'
+    // must exit with counter ≥ 60 − 23.6 > 0 no matter the order.
+    // Interleave so decrements genuinely fire.
+    val stream = (0 until 200).flatMap { i =>
+      Seq(s"cold$i") ++ (if (i % 10 < 3) Seq("hot", "hot") else Nil)
+    }
+    val out = TextOps.misraGries(stream.iterator, 10).toMap
+    assert(out.size <= 10, s"state exceeded k: ${out.size}")
+    assert(out.contains("hot"), "heavy item evicted — guarantee broken")
+    // counter is an UNDERcount, never an overcount
+    assert(out("hot") <= 120)
+    val exact = stream.groupBy(identity).view.mapValues(_.size)
+    out.foreach { case (w, c) => assert(c <= exact(w)) }
+  }
+
+  test("q264 boilerplate HH: exactly the template's interior shingles") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nEn = docs.filter(col("lang") === "en").count()
+    val rows = TextOps.boilerplateHeavyHitters(docs).collect()
+    // 8-token template → exactly four 5-gram interior shingles; all
+    // boundary shingles (template tail × first text words) sit far
+    // below the 1/200 threshold
+    assert(rows.length == 4, s"got ${rows.map(_.getString(0)).toSeq}")
+    val tmpl = TextOps.BoilerplateTemplate.split(" ")
+    val want = (0 to 3).map(i => tmpl.slice(i, i + 5).mkString(" ")).toSet
+    assert(rows.map(_.getString(0)).toSet == want)
+    rows.foreach(r => assert(r.getAs[Long]("cnt") == nEn,
+      s"template shingle count != en-doc count $nEn"))
+  }
 }
