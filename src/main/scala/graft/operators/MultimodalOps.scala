@@ -427,7 +427,17 @@ object MultimodalOps {
     out.write(if (localTable) 0x87 else 0) // LCT flag + size bits
     if (localTable) grayRamp()
     out.write(8) // LZW minimum code size
-    // --- LZW compress (GIF variant) ---
+    writeGifLzwBlocks(out, px)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW compress of one raster + 255-byte sub-blocking
+    * (shared by the single-image fixtures and q274's animation
+    * frames). Variable code width 9→12 LSB-first, CLEAR/EOI,
+    * dictionary reset at 4096. */
+  private def writeGifLzwBlocks(out: java.io.ByteArrayOutputStream,
+      px: Array[Byte]): Unit = {
     val Clear = 256
     val Eoi = 257
     val lzw = new java.io.ByteArrayOutputStream()
@@ -486,8 +496,6 @@ object MultimodalOps {
       out.write(n); out.write(z, off, n); off += n
     }
     out.write(0) // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
   }
 
   /** REAL GIF87a decode — pure-JVM parser with a full GIF-LZW
@@ -558,8 +566,28 @@ object MultimodalOps {
       bl = if (p < bytes.length) u8() else fail("unterminated blocks")
     }
     if (p >= bytes.length || u8() != 0x3B) fail("missing trailer")
-    // --- LZW decompress ---
-    val data = z.toByteArray
+    val px = gifLzwDecompress(z.toByteArray, fail)
+    if (px.length != iw * ih)
+      fail(s"decoded ${px.length} pixels, raster needs ${iw * ih}")
+    var sum = 0L
+    var psum = 0L // position-weighted: catches shifts/permutations
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    GifDecoded(docId, iw, ih, px.length.toLong,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  /** GIF-variant LZW decompressor (shared by [[decodeGif]] and
+    * q274's frame loop): variable code width, CLEAR resets, EOI, the
+    * KwKwK code == free case, 12-bit cap. */
+  private def gifLzwDecompress(data: Array[Byte],
+      fail: String => Nothing): Array[Byte] = {
     val Clear = 256
     val Eoi = 257
     var codeSize = 9
@@ -628,21 +656,177 @@ object MultimodalOps {
         }
       }
     }
-    val px = pixels.toByteArray
-    if (px.length != iw * ih)
-      fail(s"decoded ${px.length} pixels, raster needs ${iw * ih}")
-    var sum = 0L
-    var psum = 0L // position-weighted: catches shifts/permutations
-    var i = 0
-    while (i < px.length) {
-      val v = px(i) & 0xff
-      sum += v
-      psum += (i + 1).toLong * v
-      i += 1
+    pixels.toByteArray
+  }
+
+  final case class GifAnimDecoded(doc_id: Long, n_frames: Int,
+      loop_count: Int, total_delay_cs: Long, n_pixels: Long,
+      mean_index: Double, first_frame_mean: Double,
+      last_frame_mean: Double, pos_sum: Long)
+
+  /** Animated GIF89a fixture encoder — the MULTI-IMAGE grammar the
+    * 87a fixtures never exercise: screen 4×2 with the 256-gray GCT,
+    * the NETSCAPE2.0 looping application extension (loop count =
+    * doc_id % 5), then one frame per 8-byte payload slice, each
+    * behind a Graphic Control Extension whose delay is
+    * 1 + firstByte % 100 centiseconds. Tail bytes short of a frame
+    * are dropped. */
+  private[graft] def encodeGifAnim(docId: Long, bytes: Array[Byte])
+      : Array[Byte] = {
+    val w = 4
+    val fh = 2
+    val nf = bytes.length / (w * fh)
+    require(nf >= 1, "encodeGifAnim needs at least one 8-byte frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
     }
-    GifDecoded(docId, iw, ih, px.length.toLong,
-      if (px.length == 0) 0.0 else sum.toDouble / px.length,
-      if (px.length == 0) 0 else px(0) & 0xff, psum)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(fh)
+    out.write(0xF7); out.write(0); out.write(0)
+    (0 until 256).foreach { i =>
+      out.write(i); out.write(i); out.write(i)
+    }
+    out.write(0x21); out.write(0xFF); out.write(11) // app extension
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16((docId % 5).toInt); out.write(0)
+    var f = 0
+    while (f < nf) {
+      val px = java.util.Arrays.copyOfRange(bytes, f * 8, f * 8 + 8)
+      out.write(0x21); out.write(0xF9); out.write(4) // GCE
+      out.write(0)                  // no disposal, no transparency
+      u16(1 + (px(0) & 0xff) % 100) // delay, centiseconds
+      out.write(0); out.write(0)    // transparent idx, terminator
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(fh); out.write(0)
+      out.write(8)
+      writeGifLzwBlocks(out, px)
+      f += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** REAL animated-GIF decode (GIF89a block grammar): signature,
+    * screen descriptor + verified gray GCT, then the block loop —
+    * Graphic Control Extensions (delay captured, must precede every
+    * frame), the NETSCAPE2.0 looping extension (sub-block id 1,
+    * u16 loop count), image descriptors each LZW-decoded with the
+    * shared decompressor. Unknown extensions, frames without a GCE,
+    * size mismatches, or a missing trailer all throw. Features span
+    * ALL frames: global mean/position checksum plus first/last-frame
+    * means (an decoder that drops or reorders frames moves one). */
+  private[graft] def decodeGifAnim(docId: Long, bytes: Array[Byte])
+      : GifAnimDecoded = {
+    def fail(why: String) =
+      throw new IllegalArgumentException(s"gif89a decode [$docId]: $why")
+    if (bytes.length < 13) fail(s"truncated header: ${bytes.length} B")
+    if (new String(bytes, 0, 6, "US-ASCII") != "GIF89a")
+      fail("bad signature")
+    var p = 6
+    def u8(): Int = {
+      if (p >= bytes.length) fail("truncated")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val sw = u16(); val sh = u16()
+    val packed = u8(); u8(); u8()
+    if ((packed & 0x80) == 0) fail("expected a global color table")
+    if ((2 << (packed & 7)) != 256) fail("expected 256-entry table")
+    if (p + 768 > bytes.length) fail("global color table truncated")
+    var ci = 0
+    while (ci < 256) {
+      if ((bytes(p) & 0xff) != ci || (bytes(p + 1) & 0xff) != ci ||
+          (bytes(p + 2) & 0xff) != ci)
+        fail(s"global table entry $ci not gray identity")
+      p += 3; ci += 1
+    }
+    var loop = -1
+    var pendingDelay = -1
+    var totalDelay = 0L
+    var nFrames = 0
+    var sum = 0L
+    var posSum = 0L
+    var firstMean = 0.0
+    var lastMean = 0.0
+    var globalPos = 0L
+    var done = false
+    while (!done) {
+      u8() match {
+        case 0x3B => done = true
+        case 0x21 => u8() match {
+          case 0xF9 =>
+            if (u8() != 4) fail("bad GCE block size")
+            u8() // packed: disposal/transparency bits
+            pendingDelay = u16()
+            u8() // transparent index
+            if (u8() != 0) fail("unterminated GCE")
+          case 0xFF =>
+            if (u8() != 11) fail("bad application block size")
+            if (p + 11 > bytes.length) fail("app identifier truncated")
+            val app = new String(bytes, p, 11, "US-ASCII")
+            p += 11
+            if (app != "NETSCAPE2.0")
+              fail(s"application extension '$app' unsupported")
+            if (u8() != 3 || u8() != 1) fail("bad loop sub-block")
+            loop = u16()
+            if (u8() != 0) fail("unterminated app extension")
+          case other => fail(f"extension ff$other%02x unsupported")
+        }
+        case 0x2C =>
+          u16(); u16()
+          val iw = u16(); val ih = u16()
+          if (iw != sw || ih != sh) fail("sub-screen frames unsupported")
+          if (u8() != 0) fail("frame packed fields unsupported")
+          if (u8() != 8) fail("unexpected min code size")
+          val z = new java.io.ByteArrayOutputStream()
+          var bl = u8()
+          while (bl != 0) {
+            if (p + bl > bytes.length) fail("sub-block truncated")
+            z.write(bytes, p, bl); p += bl
+            bl = u8()
+          }
+          val px = gifLzwDecompress(z.toByteArray, fail)
+          if (px.length != iw * ih)
+            fail(s"frame ${nFrames}: ${px.length} px != ${iw * ih}")
+          if (pendingDelay < 0) fail(s"frame $nFrames without a GCE")
+          totalDelay += pendingDelay
+          pendingDelay = -1
+          var fsum = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i) & 0xff
+            fsum += v
+            globalPos += 1
+            posSum += globalPos * v
+            i += 1
+          }
+          sum += fsum
+          val fm = fsum.toDouble / px.length
+          if (nFrames == 0) firstMean = fm
+          lastMean = fm
+          nFrames += 1
+        case other => fail(f"unexpected block $other%02x")
+      }
+    }
+    if (p != bytes.length) fail("trailing bytes after trailer")
+    if (nFrames == 0) fail("no frames before trailer")
+    if (loop < 0) fail("missing NETSCAPE loop extension")
+    GifAnimDecoded(docId, nFrames, loop, totalDelay, globalPos,
+      sum.toDouble / globalPos, firstMean, lastMean, posSum)
+  }
+
+  /** q274's pipeline: same typed mapPartitions shape; payloads short
+    * of one frame are filtered (none exist in the corpus — the
+    * filter mirrors the oracle's WHERE). */
+  def decodeGifAnimations(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodeGifAnim(id, encodeGifAnim(id, b)) })
+      .toDF()
   }
 
   /** q192's pipeline: the GIF twin of [[decodeImages]]/[[decodeImagesBmp]]
@@ -2806,6 +2990,167 @@ object MultimodalOps {
       .orderBy("shard_id")
   }
 
+  final case class ExifDecoded(doc_id: Long, orientation: Int,
+      datetime: String, exposure_num: Long, exposure_den: Long,
+      pixel_x: Long, n_ifd0_tags: Int, n_exif_tags: Int)
+
+  /** EXIF fixture encoder — a JPEG container whose APP1 segment
+    * carries a real Exif block (the "Exif\0\0" signature followed by
+    * a complete little-endian TIFF structure): IFD0 with Orientation
+    * (SHORT), DateTime (ASCII ×20 — out-of-line, types beyond the
+    * q262 subset), and the 0x8769 Exif-sub-IFD pointer; the sub-IFD
+    * carries ExposureTime (RATIONAL — two u32 at an offset, the
+    * value-or-offset rule again) and PixelXDimension (LONG). Values
+    * derive from (doc_id, payload length) so every extracted field
+    * is closed-form. A dummy quant table and EOI bracket the segment
+    * so the walker exercises marker skipping. */
+  private[graft] def encodeExif(docId: Long, n: Int): Array[Byte] = {
+    val mm = (docId % 60).toInt
+    val ss = (docId * 7 % 60).toInt
+    val dt = f"2026:08:15 12:$mm%02d:$ss%02d" + "\u0000" // 20 bytes
+    require(dt.length == 20)
+    // TIFF block layout (offsets relative to the TIFF header):
+    //   0: II*\0 + IFD0 offset (8)
+    //   8: IFD0: count(2) + 3*12 + next(4) = 42 → ends at 50
+    //  50: ExifIFD: count(2) + 2*12 + next(4) = 30 → ends at 80
+    //  80: DateTime ASCII (20)
+    // 100: ExposureTime RATIONAL (8)
+    val tiff = java.nio.ByteBuffer.allocate(108)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) { tiff.putShort(v.toShort); tiff.putShort(0) }
+      else tiff.putInt(v)
+    }
+    tiff.putShort(3) // IFD0
+    entry(0x0112, 3, 1, 1 + (docId % 8).toInt) // Orientation
+    entry(0x0132, 2, 20, 80)                   // DateTime → offset
+    entry(0x8769, 4, 1, 50)                    // Exif sub-IFD pointer
+    tiff.putInt(0)
+    tiff.putShort(2) // Exif sub-IFD
+    entry(0x829a, 5, 1, 100)                   // ExposureTime RATIONAL
+    entry(0xa002, 4, 1, n)                     // PixelXDimension
+    tiff.putInt(0)
+    tiff.put(dt.getBytes("US-ASCII"))
+    tiff.putInt(1).putInt(1 + n % 1000)        // 1/(1+n%1000) s
+    val exif = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array()
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    m(0xd8)                                     // SOI
+    m(0xe1)                                     // APP1
+    out.write((exif.length + 2) >> 8); out.write((exif.length + 2) & 0xff)
+    out.write(exif)
+    m(0xdb)                                     // a DQT to skip over
+    out.write(0); out.write(67); out.write(0)
+    (0 until 64).foreach(_ => out.write(8))
+    m(0xd9)                                     // EOI
+    out.toByteArray
+  }
+
+  /** REAL EXIF extraction — the metadata walk a multimodal pipeline
+    * runs on every camera image before any pixel work: JPEG marker
+    * walk to the APP1 segment, "Exif\0\0" signature check, then a
+    * full TIFF parse INSIDE the segment (its own byte order, its own
+    * offsets — all relative to the TIFF header, the classic EXIF
+    * off-by-segment bug), ASCII and RATIONAL field types through the
+    * value-or-offset rule, and the 0x8769 sub-IFD pointer hop.
+    * Malformed segments throw. */
+  private[graft] def decodeExif(docId: Long, bytes: Array[Byte])
+      : ExifDecoded = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"exif decode [$docId]: $why")
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) fail("missing SOI")
+    var p = 2
+    var app1 = -1
+    var app1Len = 0
+    while (app1 < 0) {
+      if (p + 4 > bytes.length) fail("no APP1 segment before EOF")
+      if ((bytes(p) & 0xff) != 0xff) fail(f"expected marker at $p")
+      val mk = bytes(p + 1) & 0xff
+      if (mk == 0xd9) fail("no APP1 segment before EOI")
+      val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (mk == 0xe1) { app1 = p + 4; app1Len = len - 2 }
+      else p += 2 + len
+    }
+    if (app1 + app1Len > bytes.length) fail("APP1 overruns file")
+    if (app1Len < 14 ||
+        new String(bytes, app1, 6, "US-ASCII") != "Exif\u0000\u0000")
+      fail("APP1 is not an Exif segment")
+    val t0 = app1 + 6 // TIFF header — ALL offsets are relative here
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.order((bytes(t0).toChar, bytes(t0 + 1).toChar) match {
+      case ('I', 'I') => java.nio.ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => java.nio.ByteOrder.BIG_ENDIAN
+      case _          => fail("bad TIFF byte-order mark in Exif")
+    })
+    if (bb.getShort(t0 + 2) != 42) fail("bad TIFF magic in Exif")
+    def readIfd(off: Int): Map[Int, (Int, Int, Int)] = {
+      val at = t0 + off
+      if (at + 2 > app1 + app1Len) fail(s"IFD at $off overruns APP1")
+      val n = bb.getShort(at) & 0xffff
+      if (at + 2 + 12 * n + 4 > app1 + app1Len)
+        fail(s"IFD at $off truncated")
+      var tags = Map.empty[Int, (Int, Int, Int)]
+      var prev = -1
+      var i = 0
+      while (i < n) {
+        val e = at + 2 + 12 * i
+        val tag = bb.getShort(e) & 0xffff
+        if (tag <= prev) fail(s"IFD tags not ascending at $tag")
+        prev = tag
+        tags += tag ->
+          ((bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), e + 8))
+        i += 1
+      }
+      tags
+    }
+    def long(tags: Map[Int, (Int, Int, Int)], tag: Int): Long =
+      tags.get(tag) match {
+        case Some((3, 1, pos)) => (bb.getShort(pos) & 0xffff).toLong
+        case Some((4, 1, pos)) => bb.getInt(pos).toLong & 0xffffffffL
+        case Some((t, c, _))   => fail(s"tag $tag: bad type/count $t/$c")
+        case None              => fail(s"missing tag $tag")
+      }
+    def ascii(tags: Map[Int, (Int, Int, Int)], tag: Int): String =
+      tags.get(tag) match {
+        case Some((2, cnt, pos)) =>
+          val base = if (cnt <= 4) pos else t0 + bb.getInt(pos)
+          if (base + cnt > app1 + app1Len) fail(s"tag $tag overruns")
+          val s = new String(bytes, base, cnt, "US-ASCII")
+          if (!s.endsWith("\u0000")) fail(s"tag $tag: unterminated ASCII")
+          s.dropRight(1)
+        case _ => fail(s"tag $tag: not ASCII")
+      }
+    def rational(tags: Map[Int, (Int, Int, Int)], tag: Int)
+        : (Long, Long) = tags.get(tag) match {
+      case Some((5, 1, pos)) => // always out-of-line: 8 > 4 bytes
+        val base = t0 + bb.getInt(pos)
+        if (base + 8 > app1 + app1Len) fail(s"tag $tag overruns")
+        (bb.getInt(base).toLong & 0xffffffffL,
+          bb.getInt(base + 4).toLong & 0xffffffffL)
+      case _ => fail(s"tag $tag: not RATIONAL")
+    }
+    val ifd0 = readIfd(bb.getInt(t0 + 4))
+    val exifIfd = readIfd(long(ifd0, 0x8769).toInt)
+    val (en, ed) = rational(exifIfd, 0x829a)
+    ExifDecoded(docId, long(ifd0, 0x0112).toInt, ascii(ifd0, 0x0132),
+      en, ed, long(exifIfd, 0xa002), ifd0.size, exifIfd.size)
+  }
+
+  /** q273's pipeline: EXIF extraction — metadata-only walk, no pixel
+    * decode; same typed mapPartitions shape. */
+  def extractExif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodeExif(id, encodeExif(id, n)) })
+      .toDF()
+  }
+
   /** q272's pipeline: the lake-codec interop matrix — the SAME
     * payload round-tripped through all three block codecs a Spark
     * lake actually uses (zstd, lz4, snappy — each via the exact
@@ -3206,6 +3551,29 @@ object MultimodalOps {
     "q272_codec_matrix" -> ((s, d) =>
       codecMatrix(Tables.load(s, d, "documents"))),
 
+    // EXIF metadata extraction — the walk every camera-image
+    // pipeline runs before pixel work: APP1 → "Exif\0\0" → a full
+    // TIFF parse INSIDE the segment (segment-relative offsets — the
+    // classic EXIF bug), ASCII and RATIONAL types through the
+    // value-or-offset rule, and the 0x8769 sub-IFD hop. Every field
+    // derives from (doc_id, text length), so the oracle is pure
+    // arithmetic + string formatting.
+    "q273_exif_extract" -> ((s, d) =>
+      extractExif(Tables.load(s, d, "documents"))),
+
+    // Animated GIF89a — the multi-image block grammar (GCE delays,
+    // NETSCAPE looping, one LZW stream per frame) on top of the 87a
+    // single-image fixtures; per-frame and whole-animation features
+    // fail a decoder that drops, reorders, or mis-times a frame.
+    "q274_gif_anim_decode" -> ((s, d) =>
+      decodeGifAnimations(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_frames"), col("loop_count"),
+          col("total_delay_cs"), col("n_pixels"),
+          round(col("mean_index"), 6).as("mean_index"),
+          round(col("first_frame_mean"), 6).as("first_frame_mean"),
+          round(col("last_frame_mean"), 6).as("last_frame_mean"),
+          col("pos_sum"))),
+
     // ADAM7-INTERLACED PNG — the spec's other pixel layout (the
     // progressive-rendering one real crawl corpora contain): seven
     // sub-image passes, each filtered AS ITS OWN IMAGE (pass-local
@@ -3575,6 +3943,47 @@ object MultimodalOps {
         |SELECT shard_id, doc_id, member_bytes,
         |  coalesce(byte_sum, 0) AS byte_sum, n_members, shard_bytes
         |FROM f JOIN s USING (shard_id) ORDER BY doc_id""".stripMargin,
+
+    // q274: frame f carries payload bytes [8f, 8f+8); its GCE delay
+    // is 1 + byte(8f) % 100; loop = id % 5 — every animation feature
+    // is byte arithmetic over the same slices the frames LZW-carry
+    "q274_gif_anim_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 8 AS nf,
+        |    text
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 8
+        |)
+        |SELECT doc_id, nf AS n_frames, (doc_id % 5)::INT AS loop_count,
+        |  CAST(list_sum([1 + ascii(text[8*i+1:8*i+1]) % 100
+        |    for i in range(0, nf)]) AS BIGINT) AS total_delay_cs,
+        |  (8 * nf)::BIGINT AS n_pixels,
+        |  round(list_sum([ascii(text[i:i])
+        |    for i in range(1, 8*nf + 1)])::DOUBLE / (8 * nf), 6)
+        |    AS mean_index,
+        |  round(list_sum([ascii(text[i:i])
+        |    for i in range(1, 9)])::DOUBLE / 8, 6) AS first_frame_mean,
+        |  round(list_sum([ascii(text[i:i])
+        |    for i in range(8*nf - 7, 8*nf + 1)])::DOUBLE / 8, 6)
+        |    AS last_frame_mean,
+        |  CAST(list_sum([i * ascii(text[i:i])
+        |    for i in range(1, 8*nf + 1)]) AS BIGINT) AS pos_sum
+        |FROM f""".stripMargin,
+
+    // q273: orientation = 1 + id%8; datetime seconds = id·7 % 60;
+    // exposure = 1/(1 + len%1000); pixel_x = len — all id/length
+    // arithmetic, the tag counts are the fixture's constants
+    "q273_exif_extract" ->
+      """SELECT doc_id,
+        |  (1 + doc_id % 8)::INT AS orientation,
+        |  '2026:08:15 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+        |    AS datetime,
+        |  1::BIGINT AS exposure_num,
+        |  (1 + length(text) % 1000)::BIGINT AS exposure_den,
+        |  length(text)::BIGINT AS pixel_x,
+        |  3 AS n_ifd0_tags, 2 AS n_exif_tags
+        |FROM documents""".stripMargin,
 
     // q272: the 4×-repeat makes the checksum a closed form of the
     // single-copy sums — Σ_{k=0..3} Σ_j (kn+j)·b_j = 4·Σ j·b_j +

@@ -944,6 +944,86 @@ class MultimodalSpec extends SparkSpecBase {
     assert(q2 == 0 && g2.size == 3)
   }
 
+  test("q274 animated GIF: frames, delays, loop count; malformed FAIL") {
+    // 3 frames of 8 bytes; distinct first bytes drive the delays
+    val payload = (Array[Int](10, 1, 2, 3, 4, 5, 6, 7,
+      250, 9, 9, 9, 9, 9, 9, 9, 99, 0, 0, 0, 0, 0, 0, 200)
+      ).map(_.toByte)
+    val gif = MultimodalOps.encodeGifAnim(12L, payload)
+    val d = MultimodalOps.decodeGifAnim(12L, gif)
+    assert(d.n_frames == 3 && d.loop_count == (12 % 5))
+    // delays: 1+10%100=11, 1+250%100=51, 1+99%100=100
+    assert(d.total_delay_cs == 11L + 51L + 100L)
+    assert(d.n_pixels == 24)
+    assert(d.first_frame_mean == (10 + 1 + 2 + 3 + 4 + 5 + 6 + 7) / 8.0)
+    assert(d.last_frame_mean == (99 + 200) / 8.0)
+    val want = payload.zipWithIndex
+      .map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum
+    assert(d.pos_sum == want)
+    // a frame whose GCE was dropped must fail (splice the second
+    // frame's 8-byte GCE block out: 0x21 0xF9 04 .. 00)
+    val s = gif.map(_ & 0xff)
+    var at = -1
+    var seen = 0
+    var i = 0
+    while (at < 0 && i < s.length - 1) {
+      if (s(i) == 0x21 && s(i + 1) == 0xF9) {
+        seen += 1; if (seen == 2) at = i
+      }
+      i += 1
+    }
+    assert(at > 0)
+    val spliced = gif.take(at) ++ gif.drop(at + 8)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeGifAnim(13L, spliced)
+    }
+    // unknown application extension is rejected, not skipped blind
+    val alien = gif.clone()
+    val appAt = new String(gif, "ISO-8859-1").indexOf("NETSCAPE2.0")
+    alien(appAt) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeGifAnim(14L, alien)
+    }
+  }
+
+  test("q273 EXIF: segment-relative TIFF parse, sub-IFD hop, strict") {
+    val jpg = MultimodalOps.encodeExif(125L, 307)
+    val d = MultimodalOps.decodeExif(125L, jpg)
+    assert(d.orientation == (1 + 125 % 8))
+    assert(d.datetime == "2026:08:15 12:05:35") // 125%60=5, 875%60=35
+    assert(d.exposure_num == 1L && d.exposure_den == 308L)
+    assert(d.pixel_x == 307L)
+    assert(d.n_ifd0_tags == 3 && d.n_exif_tags == 2)
+    // a JPEG with no APP1 (SOI + DQT + EOI) must fail, not default
+    val noApp1 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      out.write(0xff); out.write(0xdb); out.write(0); out.write(67)
+      out.write(0); (0 until 64).foreach(_ => out.write(8))
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeExif(1L, noApp1)
+    }
+    // wrong signature (XMP lives in APP1 too — must be rejected)
+    val xmp = jpg.clone()
+    xmp(6) = 'X'.toByte // 'E' of "Exif" at SOI(2)+marker(2)+len(2)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeExif(2L, xmp)
+    }
+    // RATIONAL offset past the segment end
+    val over = jpg.clone()
+    // ExposureTime entry value field: t0 + 50 (ExifIFD) + 2 + 8
+    val t0 = 2 + 2 + 2 + 6
+    java.nio.ByteBuffer.wrap(over)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(t0 + 50 + 2 + 8, 100000)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeExif(3L, over)
+    }
+  }
+
   test("q272 codec matrix: zstd/lz4/snappy round-trip, exact features") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog once more"
