@@ -259,18 +259,23 @@ object TextScaleBench {
   }
   final case class Result(points: Seq[Point],
       sub: Seq[SubPoint] = Seq.empty,
-      sweep: Option[SweepResult] = None) {
+      sweep: Option[SweepResult] = None,
+      hh: Seq[HhPoint] = Seq.empty) {
     def json: String =
       s"""{"bands":16,"rows_per_band":4,"jaccard_thr":$JaccardThr,""" +
         s""""points":[${points.map(_.json).mkString(",")}],""" +
-        s""""substring":[${sub.map(_.json).mkString(",")}]""" +
+        s""""substring":[${sub.map(_.json).mkString(",")}],""" +
+        s""""heavy_hitters":[${hh.map(_.json).mkString(",")}]""" +
         sweep.map(s => s""","sweep":${s.json}""").getOrElse("") + "}"
     def summary: Option[String] = points.lastOption.map { p =>
       val subTail = sub.lastOption.map(sp =>
         s""","sub_sec":${r3(sp.subSec)},"sub_recall":${r3(sp.recall)}""")
         .getOrElse("")
+      val hhTail = hh.lastOption.map(hp =>
+        s""","hh_sec":${r3(hp.hhSec)},"hh_ok":${hp.countOk}""")
+        .getOrElse("")
       s"""{"n_max":${p.n},"lsh_sec":${r3(p.lshSec)},""" +
-        s""""recall_planted":${r3(p.recall)}$subTail}"""
+        s""""recall_planted":${r3(p.recall)}$subTail$hhTail}"""
     }
   }
 
@@ -349,6 +354,57 @@ object TextScaleBench {
       subFirst = t1)
   }
 
+  /** One size point of the q264 boilerplate-heavy-hitter pipeline
+    * (Misra–Gries sketch pass + broadcast exact verify) with its own
+    * plant: every doc_id % 10 == 0 gets the 8-token template
+    * prepended, so the template's four interior 5-gram shingles hold
+    * ≈ 1/560 of the stream — above the 1/800 report threshold and
+    * the k=1024 sketch guarantee (1/1025), while boundary shingles
+    * dilute over the 4096-token vocabulary to ~1/560/4096 each.
+    * Value-checked: exactly 4 shingles found, each at EXACTLY the
+    * planted-doc count. */
+  final case class HhPoint(n: Long, hhSec: Double, found: Long,
+      countOk: Boolean, hhFirst: Double = -1.0) {
+    def json: String = {
+      val audit =
+        if (hhFirst > 1.3 * hhSec && hhFirst - hhSec > 0.5)
+          s""","hh_first_sec":${r3(hhFirst)}""" else ""
+      s"""{"n":$n,"hh_sec":${r3(hhSec)},"hh_found":$found,""" +
+        s""""hh_count_ok":$countOk$audit}"""
+    }
+  }
+
+  def runHhPoint(spark: SparkSession, n: Long): HhPoint = {
+    import graft.operators.TextOps
+    val docs = corpus(spark, n)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(TextOps.BoilerplateTemplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def once(): (Array[(String, Long)], Double) = timeIt {
+      TextOps.heavyShingles(docs, k = 1024, denom = 800)
+        .collect()
+        .map(r => (r.getAs[String]("shingle"), r.getAs[Long]("cnt")))
+    }
+    val (found, t1) = once()
+    val (_, t2) = once()
+    docs.unpersist()
+    val expected = (n + 9) / 10 // ids 0, 10, 20, …
+    val tmpl = TextOps.BoilerplateTemplate.split(" ")
+    val want = (0 to 3).map(i => tmpl.slice(i, i + 5).mkString(" "))
+      .toSet
+    val ok = found.length == 4 &&
+      found.map(_._1).toSet == want &&
+      found.forall(_._2 == expected)
+    HhPoint(n, math.min(t1, t2), found.length, ok, hhFirst = t1)
+  }
+
+  private[graft] def mergedHh(a: HhPoint, b: HhPoint): HhPoint =
+    HhPoint(a.n, math.min(a.hhSec, b.hhSec), a.found,
+      a.countOk && b.countOk, hhFirst = math.max(a.hhFirst, a.hhSec))
+
   /** ScaleGuard merge for LSH points: per-metric minima, recall
     * ANDed conservatively (min), and the flagged first reading kept
     * in `lshFirst` so the json's `lsh_first_sec` audit survives.
@@ -374,6 +430,8 @@ object TextScaleBench {
     val subs = ScaleGuard(
       sizes.map(runSubstringPoint(spark, _)))(_.n, _.subSec)(
       runSubstringPoint(spark, _), mergedSub)
-    Result(pts, subs, sweepN.map(runSweep(spark, _)))
+    val hhs = ScaleGuard(sizes.map(runHhPoint(spark, _)))(_.n, _.hhSec)(
+      runHhPoint(spark, _), mergedHh)
+    Result(pts, subs, sweepN.map(runSweep(spark, _)), hhs)
   }
 }

@@ -170,13 +170,26 @@ object TextOps {
     * every lang='en' doc (the q168 planting pattern); boundary
     * shingles (template tail × each doc's first words) land ~30×
     * under threshold and prove the cut bites. */
-  def boilerplateHeavyHitters(docs: DataFrame): DataFrame = {
+  def boilerplateHeavyHitters(docs: DataFrame): DataFrame =
+    heavyShingles(
+      docs.select(when(col("lang") === "en",
+          concat(lit(BoilerplateTemplate + " "), col("text")))
+        .otherwise(col("text")).as("text")),
+      k = 256, denom = 200)
+
+  /** q264's core with the plant abstracted (TextScaleBench drives it
+    * at 1M docs with its own plant): heavy 5-gram shingles of a text
+    * frame — per-partition [[misraGries]] with `k` counters, then
+    * the broadcast exact-verify pass at report threshold 1/denom.
+    * The sketch guarantee covers the threshold iff denom < k + 1 —
+    * enforced, because a silent violation would drop true heavy
+    * hitters only at scale. */
+  def heavyShingles(docs: DataFrame, k: Int, denom: Int): DataFrame = {
+    require(denom < k + 1,
+      s"report threshold 1/$denom needs k >= $denom counters")
     val spark = docs.sparkSession
     import spark.implicits._
-    val planted = docs.select(when(col("lang") === "en",
-        concat(lit(BoilerplateTemplate + " "), col("text")))
-      .otherwise(col("text")).as("text"))
-    val grams = planted
+    val grams = docs
       .select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 5)
       .select(explode(expr(
@@ -184,13 +197,13 @@ object TextOps {
           "concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))"))
         .as("g"))
     val candidates = grams.as[String]
-      .mapPartitions(it => misraGries(it, 256))
+      .mapPartitions(it => misraGries(it, k))
       .toDF("g", "c")
       .select("g").distinct()
     val n = grams.count()
     grams.join(broadcast(candidates), "g")
       .groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 200 > lit(n))
+      .filter(col("cnt") * denom > lit(n))
       .select(col("g").as("shingle"), col("cnt"),
         lit(n).as("n_shingles"))
       .orderBy("shingle")

@@ -29,6 +29,12 @@ class TextScaleBenchSpec extends SparkSpecBase {
     assert(sp.pairs < 50L * 3, s"span-pair explosion: ${sp.pairs}")
   }
 
+  test("heavy-hitter point: exactly the planted template at exact count") {
+    val hp = TextScaleBench.runHhPoint(spark, 5000L)
+    assert(hp.found == 4, s"found ${hp.found} heavy shingles")
+    assert(hp.countOk, "a template shingle's exact count is off")
+  }
+
   test("expectedMaxSpan mirrors the generator's mutation split") {
     // recompute from the tokens directly for a few planted ids
     for (id <- Seq(1L, 101L, 1001L, 9901L)) {
