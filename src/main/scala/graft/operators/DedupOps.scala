@@ -491,6 +491,37 @@ object DedupOps {
     "q45_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(docShingles(s, d), JaccardThr)),
 
+    // TRAIN/TEST LEAKAGE audit — the q45 near-dup pair set classified
+    // by the q105 split rule: a pair straddling train and test is a
+    // leak (the model "memorizes" a test doc through its twin), and
+    // this census is THE reason dedup must run BEFORE splitting, not
+    // after. Shapes: pairs are dup-rate-sized and join twice against
+    // the doc→split map on plain id equi-joins (at 100 TB the pair
+    // side broadcasts); the cell table is ≤ 6 rows. Both engines
+    // derive the split from the shared md5 fingerprint, so the cells
+    // are exact.
+    "q275_split_leakage" -> ((s, d) => {
+      val pairs = jaccardPairs(docShingles(s, d), JaccardThr)
+        .select("a_id", "b_id")
+      val u = conv(substring(TextOps.fingerprint(col("text")), 1, 8),
+        16, 10).cast("double") / lit(4294967296.0)
+      val splits = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(u < 0.8, "train").when(u < 0.9, "val")
+            .otherwise("test").as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("a_id"),
+          col("split").as("sa")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"),
+          col("split").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // EDIT-DISTANCE dedup — the character-level verify the token-set
     // passes (q45/q46) can't do: Jaccard is blind to within-token
     // edits and token order, Levenshtein is the ground-truth string
@@ -1196,6 +1227,30 @@ object DedupOps {
         |SELECT copies, count(*) AS groups, min(canonical_id) AS first_canonical
         |FROM g GROUP BY copies""".stripMargin,
     "q45_ngram_jaccard" -> pairOracle,
+    // q275: the q45 pair set × the q105 split rule, cells canonicalized
+    // by (least, greatest) so orientation can't split a cell
+    "q275_split_leakage" ->
+      s"""WITH pr AS ($pairOracle),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 0.8 THEN 'train'
+        |         WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || md5(lower(trim(text)))[1:8])::BIGINT
+        |        / 4294967296.0 AS u
+        |    FROM documents)
+        |)
+        |SELECT least(sa.split, sb.split) AS split_lo,
+        |  greatest(sa.split, sb.split) AS split_hi,
+        |  count(*)::BIGINT AS n_pairs,
+        |  least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+        |    AS leaky
+        |FROM pr
+        |JOIN sp sa ON sa.doc_id = pr.a_id
+        |JOIN sp sb ON sb.doc_id = pr.b_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q254: identical candidate rule (per-doc-distinct 4-grams,
     // document frequency <= 50) + the same published unit-cost metric
     "q254_edit_distance_dedup" ->

@@ -360,4 +360,18 @@ class DedupSpec extends SparkSpecBase {
     val pd = r.getAs[Double]("pct_docs_removed")
     assert(pd >= 0.0 && pd < 1.0, r.toString)
   }
+
+  test("q275 split leakage: cells PARTITION the q45 pair set") {
+    val nPairs = operators.DedupOps
+      .queries("q45_ngram_jaccard")(spark, sfDir).count()
+    val cells = operators.DedupOps
+      .queries("q275_split_leakage")(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "leakage cells must tile the near-dup pair set exactly")
+    cells.foreach { c =>
+      assert(c.getAs[Boolean]("leaky") ==
+        (c.getAs[String]("split_lo") != c.getAs[String]("split_hi")))
+    }
+  }
 }
