@@ -947,8 +947,15 @@ object MultimodalOps {
     raw
   }
 
+  /** Paletted variant: color type 3 with a 256-entry gray-identity
+    * PLTE, so index i == gray value i and every q196 feature carries
+    * over while the decoder must honor the palette chunk. */
+  private[graft] def encodePngPal(bytes: Array[Byte]): Array[Byte] =
+    encodePngCh(bytes, 1, palette = true)
+
   private def encodePngCh(bytes: Array[Byte], ch: Int,
-      interlaced: Boolean = false): Array[Byte] = {
+      interlaced: Boolean = false,
+      palette: Boolean = false): Array[Byte] = {
     val w = 4
     val rowB = w * ch
     val h = bytes.length / rowB
@@ -1010,14 +1017,26 @@ object MultimodalOps {
       be32(crc.getValue.toInt)
     }
     // bit depth 8; color type 0 (gray) at ch=1, 2 (truecolor) at
-    // ch=3, 6 (truecolor + alpha) at ch=4
+    // ch=3, 6 (truecolor + alpha) at ch=4, 3 (paletted) on request
+    val colorType =
+      if (palette) 3 else if (ch == 4) 6 else if (ch == 3) 2 else 0
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte)
-      .put((if (ch == 4) 6 else if (ch == 3) 2 else 0).toByte)
+      .put(colorType.toByte)
       .put(0.toByte).put(0.toByte) // deflate, adaptive
       .put((if (interlaced) 1 else 0).toByte)
       .array()
     chunk("IHDR", ihdr, 0, 13)
+    if (palette) {
+      val plte = new Array[Byte](768)
+      var e = 0
+      while (e < 256) {
+        plte(3 * e) = e.toByte; plte(3 * e + 1) = e.toByte
+        plte(3 * e + 2) = e.toByte
+        e += 1
+      }
+      chunk("PLTE", plte, 0, 768)
+    }
     var off = 0
     while (off < z.length) { // multi-IDAT: ≤ 96-byte slices
       val n = math.min(96, z.length - off)
@@ -1041,8 +1060,8 @@ object MultimodalOps {
     * a value mismatch against the payload-derived oracle. */
   private[graft] def decodePng(docId: Long, bytes: Array[Byte])
       : PngDecoded = {
-    val (w, h, ch, px) = decodePngRaster(docId, bytes)
-    if (ch != 1)
+    val (w, h, _, ct, px) = decodePngRaster(docId, bytes)
+    if (ct != 0)
       throw new IllegalArgumentException(
         s"png decode [$docId]: color type != gray")
     var sum = 0L
@@ -1059,6 +1078,44 @@ object MultimodalOps {
       if (px.length == 0) 0 else px(0) & 0xff, psum)
   }
 
+  final case class PngPalDecoded(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, n_palette: Int, mean_index: Double,
+      top_left_index: Int, pos_sum: Long)
+
+  /** Paletted features — q196's byte algebra through the PLTE path:
+    * the raster holds INDEX bytes and the (content-verified) identity
+    * ramp makes index i ≡ payload byte i. */
+  private[graft] def decodePngPal(docId: Long, bytes: Array[Byte])
+      : PngPalDecoded = {
+    val (w, h, _, ct, px) = decodePngRaster(docId, bytes)
+    if (ct != 3)
+      throw new IllegalArgumentException(
+        s"png decode [$docId]: color type != paletted")
+    var sum = 0L
+    var psum = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      psum += (i + 1).toLong * v
+      i += 1
+    }
+    PngPalDecoded(docId, w, h, px.length.toLong, 256,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length,
+      if (px.length == 0) 0 else px(0) & 0xff, psum)
+  }
+
+  /** q277's pipeline: same typed mapPartitions shape. */
+  def decodeImagesPngPal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodePngPal(id, encodePngPal(b)) })
+      .toDF()
+  }
+
   final case class PngRgbDecoded(doc_id: Long, width: Int, height: Int,
       n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
       top_left_r: Int, pos_sum: Long)
@@ -1070,8 +1127,8 @@ object MultimodalOps {
     * filters moves a per-channel mean, not just the total. */
   private[graft] def decodePngRgb(docId: Long, bytes: Array[Byte])
       : PngRgbDecoded = {
-    val (w, h, ch, px) = decodePngRaster(docId, bytes)
-    if (ch != 3)
+    val (w, h, _, ct, px) = decodePngRaster(docId, bytes)
+    if (ct != 2)
       throw new IllegalArgumentException(
         s"png decode [$docId]: color type != truecolor")
     val sums = new Array[Long](3)
@@ -1100,8 +1157,8 @@ object MultimodalOps {
     * alpha into color shifts two means at once). */
   private[graft] def decodePngRgba(docId: Long, bytes: Array[Byte])
       : PngRgbaDecoded = {
-    val (w, h, ch, px) = decodePngRaster(docId, bytes)
-    if (ch != 4)
+    val (w, h, _, ct, px) = decodePngRaster(docId, bytes)
+    if (ct != 6)
       throw new IllegalArgumentException(
         s"png decode [$docId]: color type != truecolor+alpha")
     val sums = new Array[Long](4)
@@ -1125,7 +1182,7 @@ object MultimodalOps {
     * type (0 → 1, 2 → 3, 6 → 4); all filters operate bytewise at the
     * bpp offset. */
   private def decodePngRaster(docId: Long, bytes: Array[Byte])
-      : (Int, Int, Int, Array[Byte]) = {
+      : (Int, Int, Int, Int, Array[Byte]) = {
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(s"png decode [$docId]: $why")
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a,
@@ -1140,7 +1197,9 @@ object MultimodalOps {
     var w = -1
     var h = -1
     var ch = -1
+    var ct = -1
     var interlace = 0
+    var seenPlte = false
     var seenIhdr = false
     var seenIend = false
     var idatDone = false
@@ -1163,9 +1222,11 @@ object MultimodalOps {
           h = be32(p + 12)
           if (w < 0 || h < 0) fail(s"bad dims ${w}x$h")
           if ((bytes(p + 16) & 0xff) != 8) fail("bit depth != 8")
-          ch = (bytes(p + 17) & 0xff) match {
+          ct = bytes(p + 17) & 0xff
+          ch = ct match {
             case 0 => 1
             case 2 => 3
+            case 3 => 1 // paletted: one index byte per pixel
             case 6 => 4
             case t => fail(s"unsupported color type $t")
           }
@@ -1175,8 +1236,26 @@ object MultimodalOps {
           if (interlace != 0 && interlace != 1)
             fail(s"interlace method $interlace unsupported")
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr) fail("PLTE before IHDR")
+          if (ct != 3) fail("PLTE outside the paletted grammar")
+          if (seenPlte) fail("duplicate PLTE")
+          if (idat.size() > 0) fail("PLTE after IDAT")
+          if (len != 768) fail(s"expected 256-entry palette, got $len B")
+          // CONTENT verified, not assumed (the GIF-LCT discipline):
+          // the identity gray ramp is what makes index i == value i
+          var e = 0
+          while (e < 256) {
+            val o = p + 8 + 3 * e
+            if ((bytes(o) & 0xff) != e || (bytes(o + 1) & 0xff) != e ||
+                (bytes(o + 2) & 0xff) != e)
+              fail(s"palette entry $e not gray identity")
+            e += 1
+          }
+          seenPlte = true
         case "IDAT" =>
           if (!seenIhdr) fail("IDAT before IHDR")
+          if (ct == 3 && !seenPlte) fail("paletted image without PLTE")
           if (idatDone) fail("non-consecutive IDAT") // spec: one run
           idat.write(bytes, p + 8, len)
         case "IEND" =>
@@ -1251,7 +1330,7 @@ object MultimodalOps {
         off += ph * (pw * ch + 1)
       }
     }
-    (w, h, ch, px)
+    (w, h, ch, ct, px)
   }
 
   /** The seven Adam7 passes as (x0, y0, dx, dy) — PNG spec table 8.2. */
@@ -3151,6 +3230,121 @@ object MultimodalOps {
       .toDF()
   }
 
+  final case class FlacInfo(doc_id: Long, sample_rate: Int,
+      channels: Int, bits_per_sample: Int, total_samples: Long,
+      duration_us: Long, min_frame_size: Int, max_frame_size: Int,
+      n_blocks: Int, padding_bytes: Long)
+
+  /** FLAC fixture encoder — the metadata head of a .flac file:
+    * "fLaC", a STREAMINFO block (34 bytes, big-endian, with the
+    * spec's byte-MISALIGNED packed group: 20-bit sample rate, 3-bit
+    * channels−1, 5-bit bps−1, 36-bit total samples in one 64-bit
+    * field), then a last-flagged PADDING block. Field values derive
+    * from (doc_id, text length) so extraction is closed-form. */
+  private[graft] def encodeFlac(docId: Long, n: Int): Array[Byte] = {
+    val pad = n % 50
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + pad)
+    out.put("fLaC".getBytes("US-ASCII"))
+    out.put(0x00.toByte) // STREAMINFO, not last
+    def u24(v: Int): Unit = {
+      out.put((v >> 16).toByte).put((v >> 8).toByte).put(v.toByte)
+    }
+    u24(34)
+    out.putShort(4096).putShort(4096)
+    u24(14); u24(14 + n % 100)
+    val total = n.toLong * 100 + docId % 37
+    val packed = (44100L << 44) | ((docId % 2) << 41) |
+      (15L << 36) | total
+    out.putLong(packed)
+    (0 until 16).foreach(_ => out.put(0.toByte)) // audio md5 unknown
+    out.put((0x80 | 0x01).toByte) // PADDING, last-block flag
+    u24(pad)
+    (0 until pad).foreach(_ => out.put(0.toByte))
+    out.array()
+  }
+
+  /** REAL FLAC metadata walk — the "how long is this audio, what
+    * format" probe a corpus runs before any decode: magic, block
+    * headers (last-flag bit + 7-bit type + u24 length), STREAMINFO
+    * REQUIRED FIRST per the spec, its byte-misaligned 20/3/5/36-bit
+    * packed group unpacked by shifts, PADDING verified all-zero,
+    * unknown block types skipped by declared length (the spec's
+    * forward-compatibility rule), type 127 invalid. Trailing bytes
+    * after the last-flagged block (no frames in the fixture) throw. */
+  private[graft] def decodeFlac(docId: Long, bytes: Array[Byte])
+      : FlacInfo = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"flac decode [$docId]: $why")
+    if (bytes.length < 8 ||
+        new String(bytes, 0, 4, "US-ASCII") != "fLaC")
+      fail("bad magic")
+    var p = 4
+    var first = true
+    var last = false
+    var nBlocks = 0
+    var padBytes = 0L
+    var rate = -1
+    var ch = 0
+    var bps = 0
+    var total = 0L
+    var minFrame = 0
+    var maxFrame = 0
+    def u24(at: Int): Int =
+      ((bytes(at) & 0xff) << 16) | ((bytes(at + 1) & 0xff) << 8) |
+        (bytes(at + 2) & 0xff)
+    while (!last) {
+      if (p + 4 > bytes.length) fail("truncated block header")
+      val hdr = bytes(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val blen = u24(p + 1)
+      p += 4
+      if (p + blen > bytes.length) fail(s"block type $typ overruns")
+      if (first && typ != 0) fail("STREAMINFO must be the first block")
+      typ match {
+        case 0 =>
+          if (!first) fail("duplicate STREAMINFO")
+          if (blen != 34) fail(s"STREAMINFO length $blen != 34")
+          minFrame = u24(p + 4)
+          maxFrame = u24(p + 7)
+          val bb = java.nio.ByteBuffer.wrap(bytes, p + 10, 8)
+          val packed = bb.getLong
+          rate = (packed >>> 44).toInt
+          if (rate == 0) fail("sample rate 0 is invalid")
+          ch = ((packed >>> 41) & 7).toInt + 1
+          bps = ((packed >>> 36) & 31).toInt + 1
+          total = packed & ((1L << 36) - 1)
+        case 1 =>
+          var i = p
+          while (i < p + blen) {
+            if (bytes(i) != 0) fail(s"nonzero PADDING byte at $i")
+            i += 1
+          }
+          padBytes += blen
+        case 127 => fail("block type 127 is invalid")
+        case _   => () // unknown types skip by length, per spec
+      }
+      nBlocks += 1
+      first = false
+      p += blen
+    }
+    if (p != bytes.length) fail("trailing bytes after last block")
+    if (rate < 0) fail("no STREAMINFO")
+    FlacInfo(docId, rate, ch, bps, total,
+      total * 1000000L / rate, minFrame, maxFrame, nBlocks, padBytes)
+  }
+
+  /** q276's pipeline: metadata-only walk like q273's EXIF. */
+  def extractFlacInfo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodeFlac(id, encodeFlac(id, n)) })
+      .toDF()
+  }
+
   /** q272's pipeline: the lake-codec interop matrix — the SAME
     * payload round-tripped through all three block codecs a Spark
     * lake actually uses (zstd, lz4, snappy — each via the exact
@@ -3561,6 +3755,25 @@ object MultimodalOps {
     "q273_exif_extract" -> ((s, d) =>
       extractExif(Tables.load(s, d, "documents"))),
 
+    // Paletted PNG (color type 3) — the remaining common PNG pixel
+    // layout: a PLTE chunk whose 256 entries are verified as the
+    // gray identity ramp (the GIF-LCT discipline), raster bytes are
+    // palette INDICES, and the chunk grammar enforces PLTE-before-
+    // IDAT and paletted-implies-PLTE both ways.
+    "q277_png_pal_decode" -> ((s, d) =>
+      decodeImagesPngPal(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("n_palette"),
+          round(col("mean_index"), 6).as("mean_index"),
+          col("top_left_index"), col("pos_sum"))),
+
+    // FLAC STREAMINFO extraction — the audio twin of q273's EXIF
+    // walk: metadata block grammar with the spec's byte-misaligned
+    // 20/3/5/36-bit packed group, STREAMINFO-first enforced, PADDING
+    // verified zero, unknown blocks skipped by length.
+    "q276_flac_streaminfo" -> ((s, d) =>
+      extractFlacInfo(Tables.load(s, d, "documents"))),
+
     // Animated GIF89a — the multi-image block grammar (GCE delays,
     // NETSCAPE looping, one LZW stream per frame) on top of the 87a
     // single-image fixtures; per-frame and whole-animation features
@@ -3969,6 +4182,41 @@ object MultimodalOps {
         |  CAST(list_sum([i * ascii(text[i:i])
         |    for i in range(1, 8*nf + 1)]) AS BIGINT) AS pos_sum
         |FROM f""".stripMargin,
+
+    // q277: identity palette ⇒ index i == payload byte i — q196's
+    // byte algebra at width 4 plus the constant palette size
+    "q277_png_pal_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT // 4 AS h,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 4 AS width, h AS height,
+        |  (4 * h)::BIGINT AS n_pixels, 256 AS n_palette,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 4*h + 1)])::DOUBLE
+        |      / (4 * h) END, 6) AS mean_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_index,
+        |  CASE WHEN h = 0 THEN 0 ELSE CAST(
+        |    list_sum([i * ascii(text[i:i]) for i in range(1, 4*h + 1)])
+        |    AS BIGINT) END AS pos_sum
+        |FROM f""".stripMargin,
+
+    // q276: every STREAMINFO field is (doc_id, length) arithmetic —
+    // total = 100·len + id%37 at 44100 Hz, channels = 1 + id%2,
+    // padding = len%50; duration is integer micros
+    "q276_flac_streaminfo" ->
+      """SELECT doc_id, 44100 AS sample_rate,
+        |  (1 + doc_id % 2)::INT AS channels, 16 AS bits_per_sample,
+        |  (length(text) * 100 + doc_id % 37)::BIGINT AS total_samples,
+        |  ((length(text) * 100 + doc_id % 37) * 1000000 // 44100
+        |    )::BIGINT AS duration_us,
+        |  14 AS min_frame_size,
+        |  (14 + length(text) % 100)::INT AS max_frame_size,
+        |  2 AS n_blocks,
+        |  (length(text) % 50)::BIGINT AS padding_bytes
+        |FROM documents""".stripMargin,
 
     // q273: orientation = 1 + id%8; datetime seconds = id·7 % 60;
     // exposure = 1/(1 + len%1000); pixel_x = len — all id/length

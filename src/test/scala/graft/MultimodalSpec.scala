@@ -986,6 +986,71 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q277 paletted PNG: PLTE verified, grammar enforced both ways") {
+    val payload = Array.tabulate(24)(i => (i * 9).toByte)
+    val png = MultimodalOps.encodePngPal(payload)
+    val d = MultimodalOps.decodePngPal(30L, png)
+    assert(d.width == 4 && d.height == 6 && d.n_palette == 256)
+    val want = payload.map(_ & 0xff).sum.toDouble / 24
+    assert(math.abs(d.mean_index - want) < 1e-12)
+    assert(d.top_left_index == 0)
+    assert(d.pos_sum == payload.zipWithIndex
+      .map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum)
+    // a gray (type 0) stream through the paletted wrapper fails
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePngPal(31L, MultimodalOps.encodePng(payload))
+    }
+    // corrupt ONE palette entry: content check must catch it (fix
+    // the chunk CRC so only the ramp check can object)
+    val bad = png.clone()
+    val plteAt = 8 + 25 // after IHDR chunk (12 + 13)
+    assert(new String(bad, plteAt + 4, 4, "US-ASCII") == "PLTE")
+    bad(plteAt + 8 + 30) = 99.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, plteAt + 4, 4 + 768)
+    val cv = crc.getValue.toInt
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    bb.putInt(plteAt + 8 + 768, cv)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePngPal(32L, bad)
+    }
+  }
+
+  test("q276 FLAC STREAMINFO: misaligned bit group, block walk, strict") {
+    val flac = MultimodalOps.encodeFlac(77L, 123)
+    val d = MultimodalOps.decodeFlac(77L, flac)
+    assert(d.sample_rate == 44100 && d.channels == 2) // 77 % 2 = 1
+    assert(d.bits_per_sample == 16)
+    assert(d.total_samples == 123L * 100 + 77 % 37)
+    assert(d.duration_us == d.total_samples * 1000000L / 44100)
+    assert(d.min_frame_size == 14 && d.max_frame_size == 14 + 23)
+    assert(d.n_blocks == 2 && d.padding_bytes == 123 % 50)
+    // PADDING must be zero — a nonzero byte is corruption
+    val bad = flac.clone()
+    bad(bad.length - 1) = 1.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeFlac(1L, bad)
+    }
+    // STREAMINFO-first is a spec MUST: flip block 0's type to 2
+    val oo = flac.clone()
+    oo(4) = 0x02.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeFlac(2L, oo)
+    }
+    // type 127 is reserved-invalid (make it the FIRST block to hit
+    // the invalid-type check... it trips STREAMINFO-first; patch the
+    // PADDING block instead: offset 4+4+34)
+    val inv = flac.clone()
+    inv(42) = (0x80 | 0x7f).toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeFlac(3L, inv)
+    }
+    // truncated: drop the final padding byte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeFlac(4L, flac.dropRight(1))
+    }
+  }
+
   test("q273 EXIF: segment-relative TIFF parse, sub-IFD hop, strict") {
     val jpg = MultimodalOps.encodeExif(125L, 307)
     val d = MultimodalOps.decodeExif(125L, jpg)
