@@ -3345,6 +3345,125 @@ object MultimodalOps {
       .toDF()
   }
 
+  final case class Mp4Meta(doc_id: Long, n_boxes: Int, brand: String,
+      timescale: Long, duration_units: Long, duration_ms: Long,
+      next_track_id: Long, free_bytes: Long)
+
+  /** MP4 / ISO-BMFF fixture encoder (ISO 14496-12, the container
+    * every video corpus ships in): `ftyp` (brand "isom"), a `free`
+    * box with n % 64 padding bytes carried through the spec's
+    * 64-BIT EXTENDED SIZE form (size field 1 + u64 largesize — the
+    * branch naive walkers skip), and a `moov` whose nested `mvhd`
+    * (version 0) carries timescale 1000 and duration 40·n units +
+    * doc_id % 40 ms. All big-endian. */
+  private[graft] def encodeMp4(docId: Long, n: Int): Array[Byte] = {
+    val pad = n % 64
+    val dur = 40L * n + docId % 40
+    val mvhd = java.nio.ByteBuffer.allocate(8 + 100)
+    mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    mvhd.putInt(0)          // version 0, flags 0
+    mvhd.putInt(0).putInt(0) // creation, modification
+    mvhd.putInt(1000)       // timescale
+    mvhd.putInt(dur.toInt)  // duration (fits: ≤ ~22k)
+    mvhd.putInt(0x00010000) // rate 1.0
+    mvhd.putShort(0x0100.toShort).putShort(0) // volume, reserved
+    mvhd.putInt(0).putInt(0)
+    // identity matrix (9 × u32)
+    mvhd.putInt(0x00010000).putInt(0).putInt(0)
+    mvhd.putInt(0).putInt(0x00010000).putInt(0)
+    mvhd.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => mvhd.putInt(0)) // pre_defined
+    mvhd.putInt((2 + docId % 5).toInt)       // next_track_ID
+    val out = java.nio.ByteBuffer.allocate(
+      16 + (16 + pad) + (8 + 108))
+    out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    out.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    out.putInt(1).put("free".getBytes("US-ASCII")) // extended size
+    out.putLong(16L + pad)
+    (0 until pad).foreach(_ => out.put(0.toByte))
+    out.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    out.put(mvhd.array())
+    out.array()
+  }
+
+  /** REAL ISO-BMFF box walk — the "what is this video" probe: u32
+    * size + fourcc headers, size==1 → the u64 largesize form,
+    * size==0 (to-end-of-file) rejected as out of the fixture's
+    * grammar, containers (`moov`) recursed INTO rather than skipped,
+    * `mvhd` version/flags parsed and its timescale/duration/
+    * next-track-id extracted, unknown leaf boxes skipped by size.
+    * Overruns, truncations, and a missing mvhd all throw. */
+  private[graft] def decodeMp4(docId: Long, bytes: Array[Byte])
+      : Mp4Meta = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"mp4 decode [$docId]: $why")
+    def be32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def be64(at: Int): Long = (be32(at) << 32) | be32(at + 4)
+    var nBoxes = 0
+    var brand = ""
+    var timescale = -1L
+    var dur = -1L
+    var nextTrack = -1L
+    var freeBytes = 0L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) fail(s"truncated box header at $p")
+        val size32 = be32(p)
+        val typ = new String(bytes, p + 4, 4, "US-ASCII")
+        var hdr = 8
+        val size =
+          if (size32 == 1L) { // 64-bit extended size
+            if (p + 16 > to) fail(s"truncated largesize at $p")
+            hdr = 16
+            be64(p + 8)
+          } else if (size32 == 0L) {
+            fail("size-0 (to-EOF) boxes out of the fixture grammar")
+          } else size32
+        if (size < hdr || p + size > to)
+          fail(s"box $typ overruns: size $size at $p")
+        nBoxes += 1
+        typ match {
+          case "ftyp" =>
+            if (size < hdr + 8) fail("ftyp too short")
+            brand = new String(bytes, p + hdr, 4, "US-ASCII")
+          case "free" =>
+            freeBytes += size - hdr
+          case "moov" =>
+            walk(p + hdr, p + size.toInt, depth + 1)
+          case "mvhd" =>
+            if (depth == 0) fail("mvhd outside moov")
+            val v = bytes(p + hdr) & 0xff
+            if (v != 0) fail(s"mvhd version $v unsupported")
+            timescale = be32(p + hdr + 12)
+            dur = be32(p + hdr + 16)
+            nextTrack = be32(p + hdr + 96)
+          case _ => () // unknown leaf: skip by size
+        }
+        p += size.toInt
+      }
+      if (p != to) fail(s"box run overshoots: $p != $to")
+    }
+    walk(0, bytes.length, 0)
+    if (brand.isEmpty) fail("missing ftyp")
+    if (timescale <= 0) fail("missing mvhd")
+    Mp4Meta(docId, nBoxes, brand, timescale, dur,
+      dur * 1000L / timescale, nextTrack, freeBytes)
+  }
+
+  /** q278's pipeline: metadata-only walk like q273/q276. */
+  def extractMp4Meta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodeMp4(id, encodeMp4(id, n)) })
+      .toDF()
+  }
+
   /** q272's pipeline: the lake-codec interop matrix — the SAME
     * payload round-tripped through all three block codecs a Spark
     * lake actually uses (zstd, lz4, snappy — each via the exact
@@ -3767,6 +3886,14 @@ object MultimodalOps {
           round(col("mean_index"), 6).as("mean_index"),
           col("top_left_index"), col("pos_sum"))),
 
+    // MP4 / ISO-BMFF metadata walk — the VIDEO container probe next
+    // to tar/WARC (files) and EXIF/FLAC (image/audio metadata): box
+    // headers incl. the 64-bit largesize form, container recursion
+    // into moov, mvhd timescale/duration extraction. Completes the
+    // container story across all three modalities.
+    "q278_mp4_meta" -> ((s, d) =>
+      extractMp4Meta(Tables.load(s, d, "documents"))),
+
     // FLAC STREAMINFO extraction — the audio twin of q273's EXIF
     // walk: metadata block grammar with the spec's byte-misaligned
     // 20/3/5/36-bit packed group, STREAMINFO-first enforced, PADDING
@@ -4182,6 +4309,18 @@ object MultimodalOps {
         |  CAST(list_sum([i * ascii(text[i:i])
         |    for i in range(1, 8*nf + 1)]) AS BIGINT) AS pos_sum
         |FROM f""".stripMargin,
+
+    // q278: mvhd fields are (doc_id, length) arithmetic at timescale
+    // 1000; the free box carries len%64 bytes through the largesize
+    // form; the box census is the fixture's constant 4
+    "q278_mp4_meta" ->
+      """SELECT doc_id, 4 AS n_boxes, 'isom' AS brand,
+        |  1000::BIGINT AS timescale,
+        |  (40 * length(text) + doc_id % 40)::BIGINT AS duration_units,
+        |  (40 * length(text) + doc_id % 40)::BIGINT AS duration_ms,
+        |  (2 + doc_id % 5)::BIGINT AS next_track_id,
+        |  (length(text) % 64)::BIGINT AS free_bytes
+        |FROM documents""".stripMargin,
 
     // q277: identity palette ⇒ index i == payload byte i — q196's
     // byte algebra at width 4 plus the constant palette size

@@ -292,6 +292,108 @@ object TextOps {
       .toDF()
   }
 
+  final case class SrtParsed(doc_id: Long, n_cues: Int,
+      total_speech_ms: Long, span_ms: Long, text_chars: Long)
+
+  /** SRT fixture encoder — the subtitle format aligned-text corpora
+    * arrive in: cue blocks of `index CRLF HH:MM:SS,mmm -->
+    * HH:MM:SS,mmm CRLF text CRLF CRLF`, five tokens per cue, cue i
+    * starting at 2500·i ms with a per-doc duration 2000 + id % 500 —
+    * adjacent cues never overlap by construction (2500 > 2499). */
+  private[graft] def encodeSrt(docId: Long, toks: Array[String])
+      : String = {
+    val nc = toks.length / 5
+    val dur = 2000 + docId % 500
+    def ts(ms: Long): String = {
+      val h = ms / 3600000
+      val m = ms / 60000 % 60
+      val s = ms / 1000 % 60
+      val f = ms % 1000
+      f"$h%02d:$m%02d:$s%02d,$f%03d"
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nc) {
+      val st = 2500L * i
+      sb.append(i + 1).append("\r\n")
+      sb.append(ts(st)).append(" --> ").append(ts(st + dur))
+        .append("\r\n")
+      sb.append(toks.slice(5 * i, 5 * i + 5).mkString(" "))
+        .append("\r\n\r\n")
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val SrtTimes =
+    """^(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})$""".r
+
+  /** REAL SRT parse — strict cue-block walk: 1-based consecutive cue
+    * indices, the exact `HH:MM:SS,mmm --> HH:MM:SS,mmm` timestamp
+    * grammar, end > start, cues ordered and non-overlapping, exactly
+    * one nonempty text line, blank-line separators. Any deviation
+    * throws — a subtitle corpus with sheared timing silently poisons
+    * every alignment downstream. Returns (cues, Σ(end−start),
+    * lastEnd − firstStart, Σ text chars). */
+  private[graft] def parseSrt(docId: Long, srt: String)
+      : (Int, Long, Long, Long) = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"srt parse [$docId]: $why")
+    val lines = srt.split("\r\n", -1)
+    var li = 0
+    var cue = 0
+    var speech = 0L
+    var chars = 0L
+    var firstStart = -1L
+    var prevEnd = -1L
+    while (li < lines.length - 1) {
+      if (li + 4 > lines.length) fail(s"truncated cue block at $li")
+      if (lines(li) != (cue + 1).toString)
+        fail(s"cue index '${lines(li)}' != ${cue + 1}")
+      val (st, en) = lines(li + 1) match {
+        case SrtTimes(h1, m1, s1, f1, h2, m2, s2, f2) =>
+          def ms(h: String, m: String, s: String, f: String): Long =
+            h.toLong * 3600000 + m.toLong * 60000 + s.toLong * 1000 +
+              f.toLong
+          (ms(h1, m1, s1, f1), ms(h2, m2, s2, f2))
+        case other => fail(s"bad timestamp line '$other'")
+      }
+      if (en <= st) fail(s"cue ${cue + 1}: end $en <= start $st")
+      if (st < prevEnd) fail(s"cue ${cue + 1} overlaps its predecessor")
+      val text = lines(li + 2)
+      if (text.isEmpty) fail(s"cue ${cue + 1}: empty text")
+      if (lines(li + 3).nonEmpty)
+        fail(s"cue ${cue + 1}: missing blank separator")
+      if (firstStart < 0) firstStart = st
+      prevEnd = en
+      speech += en - st
+      chars += text.length
+      cue += 1
+      li += 4
+    }
+    if (cue == 0) fail("no cues")
+    (cue, speech, prevEnd - firstStart, chars)
+  }
+
+  /** q279's pipeline: tokenize → synthesize the cue file → strict
+    * parse back; narrow per-row work. */
+  def parseSubtitles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < 5) Iterator.empty
+        else {
+          val (nc, speech, span, chars) =
+            parseSrt(id, encodeSrt(id, toks))
+          Iterator(SrtParsed(id, nc, speech, span, chars))
+        }
+      })
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     // BPE pair statistics — the first step of byte-pair-encoding
     // tokenizer TRAINING: corpus-wide counts of adjacent symbol pairs
@@ -1298,7 +1400,15 @@ object TextOps {
     // the source length, so a validator that misclassifies ANY of
     // the table-3.7 corners moves a column.
     "q265_utf8_census" -> ((s, d) =>
-      utf8CensusTable(Tables.load(s, d, "documents")))
+      utf8CensusTable(Tables.load(s, d, "documents"))),
+
+    // SRT subtitle round-trip — the aligned-text format speech
+    // corpora ship in: strict cue-block grammar (consecutive
+    // indices, exact timestamp syntax, ordering/overlap/blank-line
+    // rules), with speech-time and span features closed-form in
+    // (doc_id, token count).
+    "q279_srt_subtitles" -> ((s, d) =>
+      parseSubtitles(Tables.load(s, d, "documents")))
   )
 
   /** q225's novelty curve over a (doc_id, text) frame: per
@@ -2533,6 +2643,25 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
 
     // q253: the oracle rebuilds both gram inventories from the token
     // list per doc; every fraction is integer/integer rounded once
+    // q279: nc = tokens div 5 cues; per-cue duration 2000 + id%500;
+    // starts at 2500·i — speech/span/chars are all token arithmetic
+    "q279_srt_subtitles" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(toks) // 5 AS nc, toks
+        |  FROM tk WHERE len(toks) >= 5
+        |)
+        |SELECT doc_id, nc::INT AS n_cues,
+        |  (nc * (2000 + doc_id % 500))::BIGINT AS total_speech_ms,
+        |  (2500 * (nc - 1) + 2000 + doc_id % 500)::BIGINT AS span_ms,
+        |  (CAST(list_sum([length(toks[j])
+        |     for j in range(1, 5*nc + 1)]) AS BIGINT) + 4 * nc)
+        |    AS text_chars
+        |FROM f""".stripMargin,
+
     // q265: the plant inserts after 1-based source offset i — a
     // 2-byte é at i%40=0, 3-byte € at i%90=0, overlong lead C0 at
     // i%130=0, stray continuation 80 at i%170=0 — so every census

@@ -986,6 +986,40 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q278 MP4 boxes: largesize path, moov recursion, strict walk") {
+    val mp4 = MultimodalOps.encodeMp4(23L, 200)
+    val d = MultimodalOps.decodeMp4(23L, mp4)
+    assert(d.n_boxes == 4 && d.brand == "isom")
+    assert(d.timescale == 1000L)
+    assert(d.duration_units == 40L * 200 + 23 % 40)
+    assert(d.duration_ms == d.duration_units) // timescale 1000
+    assert(d.next_track_id == 2 + 23 % 5)
+    assert(d.free_bytes == 200 % 64) // carried via u64 largesize
+    // size-0 (to-EOF) boxes are out of grammar: zero the ftyp size
+    val z = mp4.clone()
+    java.nio.ByteBuffer.wrap(z).putInt(0, 0)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMp4(1L, z)
+    }
+    // a box size overrunning the file
+    val o = mp4.clone()
+    java.nio.ByteBuffer.wrap(o).putInt(0, 100000)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMp4(2L, o)
+    }
+    // mvhd version 1 (64-bit times) is out of the fixture's grammar
+    val v1 = mp4.clone()
+    val at = new String(v1, "ISO-8859-1").indexOf("mvhd")
+    v1(at + 4) = 1.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMp4(3L, v1)
+    }
+    // truncated: drop the last byte of mvhd
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMp4(4L, mp4.dropRight(1))
+    }
+  }
+
   test("q277 paletted PNG: PLTE verified, grammar enforced both ways") {
     val payload = Array.tabulate(24)(i => (i * 9).toByte)
     val png = MultimodalOps.encodePngPal(payload)

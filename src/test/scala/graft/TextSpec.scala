@@ -627,6 +627,33 @@ class TextSpec extends SparkSpecBase {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("q279 SRT: strict grammar round-trip; malformed cues FAIL") {
+    val toks = "alpha beta gamma delta eps zeta eta theta iota kappa"
+      .split(" ")
+    val srt = TextOps.encodeSrt(7L, toks) // 2 cues, duration 2007 ms
+    val (nc, speech, span, chars) = TextOps.parseSrt(7L, srt)
+    assert(nc == 2 && speech == 2 * 2007L && span == 2500L + 2007L)
+    assert(chars == toks.map(_.length).sum + 4 * 2)
+    // overlapping cue: cue 2 restarts before cue 1 ends
+    intercept[IllegalArgumentException] {
+      TextOps.parseSrt(1L, srt.replace("00:00:02,500", "00:00:01,000"))
+    }
+    // decimal-dot timestamps (the WebVTT syntax) are NOT SRT
+    intercept[IllegalArgumentException] {
+      TextOps.parseSrt(2L, srt.replaceFirst(",", "."))
+    }
+    // non-consecutive cue index
+    intercept[IllegalArgumentException] {
+      TextOps.parseSrt(3L, srt.replaceFirst("1\r\n00", "9\r\n00"))
+    }
+    // end before start
+    intercept[IllegalArgumentException] {
+      TextOps.parseSrt(4L, srt.replace(
+        "00:00:00,000 --> 00:00:02,007",
+        "00:00:02,007 --> 00:00:00,000"))
+    }
+  }
+
   test("q265 UTF-8 census: RFC 3629 corners on crafted streams") {
     def c(bytes: Int*) =
       TextOps.utf8Census(0L, bytes.map(_.toByte).toArray)
