@@ -1130,15 +1130,25 @@ object DedupOps {
       .filter(col("df") <= 50).select("g")
     val gk = g4.join(kept, "g")
     val cand = bucketPairs(gk, Seq("g")).distinct()
-    val t = docs.select(col("doc_id"), col("text"))
+    val t = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
     cand
-      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")),
-        "a_id")
-      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")),
-        "b_id")
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta"),
+        col("len").as("la")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb"),
+        col("len").as("lb")), "b_id")
+      // two result-preserving prunes on the O(len²) kernel:
+      // (1) edit distance ≥ |len(a) − len(b)|, so a length gap past
+      //     the threshold disqualifies BEFORE any DP runs — on the
+      //     small-vocab corpus this cuts candidates ~10× (spurious
+      //     4-gram collisions pair docs of arbitrary length);
+      // (2) the banded DP (threshold arg): O(maxDist·len) per
+      //     surviving pair instead of O(len²), −1 past the band —
+      //     exact for every pair the filter keeps.
+      .filter(abs(col("la") - col("lb")) <= maxDist)
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("ta"), col("tb")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .orderBy("a_id", "b_id")
   }
 
