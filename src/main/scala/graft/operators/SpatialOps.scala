@@ -108,6 +108,71 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_within"), min(d2).as("min_d2"))
   }
 
+  /** q280's zone vertices: one simple STAR-SHAPED octagon per nation
+    * — vertices at the eight fixed angular directions E, NE, N, NW,
+    * W, SW, S, SE (strictly increasing angle) around an md5-placed
+    * center, each at its own md5 radius in [500, 3500). Monotone
+    * angles make the polygon SIMPLE by construction at any radii,
+    * and the CCW direction order makes the shoelace sum positive —
+    * engine-independent integer facts the spec pins. */
+  private[graft] val ZoneDirs: Seq[(Int, Long, Long)] = Seq(
+    (0, 1L, 0L), (1, 1L, 1L), (2, 0L, 1L), (3, -1L, 1L),
+    (4, -1L, 0L), (5, -1L, -1L), (6, 0L, -1L), (7, 1L, -1L))
+
+  private def zoneVertices(nations: DataFrame): DataFrame = {
+    val spark = nations.sparkSession
+    import spark.implicits._
+    val dirs = broadcast(ZoneDirs.toDF("k", "dx", "dy"))
+    val r = conv(substring(md5(concat(lit("zr:"), col("n"), lit(":"),
+      col("k"))), 1, 8), 16, 10).cast("long") % 3000L + 500L
+    nations.crossJoin(dirs)
+      .select(col("n"), col("k"),
+        (coord("zx:", col("n")) + col("dx") * r).as("x"),
+        (coord("zy:", col("n")) + col("dy") * r).as("y"))
+  }
+
+  /** q280's full pipeline over a nations frame + a points frame:
+    * exact shoelace geometry per zone (signed 2·area, centroid
+    * numerators — division deferred so everything stays BIGINT) and
+    * the point-in-OWN-zone census (each customer ray-cast against
+    * its nation's polygon — the keyed variant of q208's broadcast
+    * rule). Zone edge tables are |nations|·8 rows and broadcast; the
+    * point side sees one narrow 8× join, no shuffle beyond the final
+    * per-nation agg. */
+  private[graft] def zoneCensus(nations: DataFrame, pts: DataFrame)
+      : DataFrame = {
+    val verts = zoneVertices(nations)
+    val nxt = verts.select(col("n"), ((col("k") + 7) % 8).as("k"),
+      col("x").as("x2"), col("y").as("y2"))
+    val edges = verts.join(nxt, Seq("n", "k"))
+      .select(col("n"), col("x").as("x1"), col("y").as("y1"),
+        col("x2"), col("y2"))
+    val cross = col("x1") * col("y2") - col("x2") * col("y1")
+    val geom = edges.groupBy("n").agg(
+      count(lit(1)).cast("int").as("n_vertices"),
+      sum(cross).as("area2"),
+      sum((col("x1") + col("x2")) * cross).as("cx_num"),
+      sum((col("y1") + col("y2")) * cross).as("cy_num"))
+    val pe = pts.join(broadcast(edges), Seq("n"))
+    val cr = (col("x") - col("x1")) * (col("y2") - col("y1")) -
+      (col("x2") - col("x1")) * (col("y") - col("y1"))
+    val crossing =
+      ((col("y1") > col("y")) =!= (col("y2") > col("y"))) &&
+        (((col("y2") > col("y1")) && cr < 0L) ||
+          ((col("y2") < col("y1")) && cr > 0L))
+    val census = pe.groupBy("n", "pid")
+      .agg((sum(when(crossing, 1L).otherwise(0L)) % 2L === 1L)
+        .as("inside"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+    geom.join(census, Seq("n"))
+      .select(col("n").as("nationkey"), col("n_vertices"),
+        col("area2"), col("cx_num"), col("cy_num"),
+        col("n_points"), col("n_inside"))
+      .orderBy("nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRID-BLOCKED RADIUS JOIN — the spatial join shape (PostGIS
@@ -149,6 +214,22 @@ object SpatialOps {
         .agg(count(lit(1)).as("n_points"),
           sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
         .orderBy("c_nationkey")
+    }),
+
+    // PER-NATION zone geometry + membership census: one simple
+    // star-shaped octagon per nation (md5 center + per-vertex md5
+    // radii), exact shoelace 2·area and centroid NUMERATORS (BIGINT
+    // — the division is the reader's), and each customer ray-cast
+    // against ITS OWN nation's polygon. The per-group-polygon shape
+    // q208's single fixed hexagon doesn't exercise.
+    "q280_zone_census" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val nations = cust.select(col("c_nationkey").as("n")).distinct()
+      val pts = cust.select(col("c_nationkey").as("n"),
+        col("c_custkey").as("pid"),
+        coord("px:", col("c_custkey")).as("x"),
+        coord("py:", col("c_custkey")).as("y"))
+      zoneCensus(nations, pts)
     })
   )
 
@@ -178,6 +259,58 @@ SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_within,
 FROM pts, fac
 WHERE (x - fx) * (x - fx) + (y - fy) * (y - fy) <= $R2
 GROUP BY s_suppkey""",
+
+    // q280: same md5 geometry, same crossing rule, polygons rebuilt
+    // from the direction table + per-vertex radii; everything BIGINT
+    "q280_zone_census" ->
+      s"""WITH dirs(k, dx, dy) AS (VALUES
+  (0,1,0),(1,1,1),(2,0,1),(3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1)),
+nat AS (SELECT DISTINCT c_nationkey AS n FROM customer),
+v AS (
+  SELECT n, k,
+    ${coordSql("zx:", "n")} + dx *
+      (('0x' || md5('zr:' || n || ':' || k)[1:8])::BIGINT % 3000 + 500)
+      AS x,
+    ${coordSql("zy:", "n")} + dy *
+      (('0x' || md5('zr:' || n || ':' || k)[1:8])::BIGINT % 3000 + 500)
+      AS y
+  FROM nat CROSS JOIN dirs
+),
+e AS (
+  SELECT a.n, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON b.n = a.n AND b.k = (a.k + 1) % 8
+),
+geom AS (
+  SELECT n, count(*)::INT AS n_vertices,
+    sum(x1*y2 - x2*y1)::BIGINT AS area2,
+    sum((x1 + x2) * (x1*y2 - x2*y1))::BIGINT AS cx_num,
+    sum((y1 + y2) * (x1*y2 - x2*y1))::BIGINT AS cy_num
+  FROM e GROUP BY n
+),
+pts AS (
+  SELECT c_nationkey AS n, c_custkey AS pid,
+    ${coordSql("px:", "c_custkey")} AS x,
+    ${coordSql("py:", "c_custkey")} AS y
+  FROM customer
+),
+flags AS (
+  SELECT p.n, p.pid,
+    sum(CASE WHEN ((y1 > y) != (y2 > y)) AND
+        (((y2 > y1) AND (x - x1)*(y2 - y1) - (x2 - x1)*(y - y1) < 0)
+         OR ((y2 < y1) AND (x - x1)*(y2 - y1) - (x2 - x1)*(y - y1) > 0))
+      THEN 1 ELSE 0 END) % 2 = 1 AS inside
+  FROM pts p JOIN e ON e.n = p.n
+  GROUP BY p.n, p.pid
+),
+census AS (
+  SELECT n, count(*)::BIGINT AS n_points,
+    sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS n_inside
+  FROM flags GROUP BY n
+)
+SELECT g.n AS nationkey, g.n_vertices, g.area2, g.cx_num, g.cy_num,
+  c.n_points, c.n_inside
+FROM geom g JOIN census c ON c.n = g.n
+ORDER BY nationkey""",
 
     // same half-open crossing rule and integer cross product
     "q208_point_in_polygon" ->

@@ -90,4 +90,46 @@ class SpatialOpsSpec extends SparkSpecBase {
     assert(blocked == naive)
     assert(blocked == Set((1L, 2L, 2L), (2L, 1L, 5L)))
   }
+
+  test("q280 zones: Scala-rebuilt shoelace exact; census tiles points") {
+    def md5_8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val side = 10000L
+    def verts(n: Long): Seq[(Long, Long)] = {
+      val cx = md5_8(s"zx:$n") % side
+      val cy = md5_8(s"zy:$n") % side
+      operators.SpatialOps.ZoneDirs.map { case (k, dx, dy) =>
+        val r = md5_8(s"zr:$n:$k") % 3000 + 500
+        (cx + dx * r, cy + dy * r)
+      }
+    }
+    val rows = operators.SpatialOps
+      .queries("q280_zone_census")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var totalPts = 0L
+    rows.foreach { r =>
+      val n = r.get(0).asInstanceOf[Number].longValue
+      val v = verts(n)
+      val cls = v.tail :+ v.head
+      val shoe = v.zip(cls)
+        .map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum
+      assert(shoe > 0, s"nation $n: CCW orientation broken")
+      assert(r.getAs[Long]("area2") == shoe, s"nation $n area")
+      val cxn = v.zip(cls).map { case ((x1, y1), (x2, y2)) =>
+        (x1 + x2) * (x1 * y2 - x2 * y1) }.sum
+      assert(r.getAs[Long]("cx_num") == cxn, s"nation $n centroid")
+      assert(r.getAs[Int]("n_vertices") == 8)
+      assert(r.getAs[Long]("n_inside") <= r.getAs[Long]("n_points"))
+      totalPts += r.getAs[Long]("n_points")
+    }
+    // every customer is censused against exactly its own zone
+    val nCust = Tables.load(spark, sfDir, "customer").count()
+    assert(totalPts == nCust, s"$totalPts != $nCust")
+    // somewhere across nations, zones actually capture points
+    assert(rows.map(_.getAs[Long]("n_inside")).sum > 0)
+  }
 }
