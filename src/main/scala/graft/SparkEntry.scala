@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.MultimodalOps.queries ++ operators.LeaderboardOps.queries ++
       operators.ScaleOps.queries ++ operators.StreamGateOps.queries ++
-      operators.SpatialOps.queries ++ operators.StatOps.queries
+      operators.SpatialOps.queries ++ operators.StatOps.queries ++
+      operators.WebOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.TextOps.oracles ++ operators.DedupOps.oracles ++
       operators.MultimodalOps.oracles ++ operators.LeaderboardOps.oracles ++
       operators.ScaleOps.oracles ++ operators.StreamGateOps.oracles ++
-      operators.SpatialOps.oracles ++ operators.StatOps.oracles
+      operators.SpatialOps.oracles ++ operators.StatOps.oracles ++
+      operators.WebOps.oracles
 }

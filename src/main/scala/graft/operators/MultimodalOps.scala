@@ -3624,7 +3624,326 @@ object MultimodalOps {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // q284 — TFRecord shards (the TensorFlow training-data container)
+  // ------------------------------------------------------------------
+
+  /** TFRecord's masked CRC32C: rotate right 15, add the magic — the
+    * exact transform tf.io uses so a CRC of a CRC never looks valid. */
+  private def maskedCrc32c(b: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, 0, b.length)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  private def putIntLE(out: java.io.ByteArrayOutputStream, v: Int)
+      : Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def putLongLE(out: java.io.ByteArrayOutputStream, v: Long)
+      : Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** TFRecord shard encoder: per record `len(8 LE) + maskedCRC32C(len)
+    * (4 LE) + payload + maskedCRC32C(payload) (4 LE)` — the on-disk
+    * grammar of TFRecordWriter. Payload is `"<doc_id>\n<text>"` (the
+    * id travels in-band, as a real example proto would carry it). */
+  private[graft] def encodeTfRecordShard(
+      members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.sortBy(_._1).foreach { case (id, text) =>
+      val idb = s"$id\n".getBytes("US-ASCII")
+      val payload = new Array[Byte](idb.length + text.length)
+      System.arraycopy(idb, 0, payload, 0, idb.length)
+      System.arraycopy(text, 0, payload, idb.length, text.length)
+      val lenB = new java.io.ByteArrayOutputStream()
+      putLongLE(lenB, payload.length.toLong)
+      val lb = lenB.toByteArray
+      out.write(lb)
+      putIntLE(out, maskedCrc32c(lb))
+      out.write(payload)
+      putIntLE(out, maskedCrc32c(payload))
+    }
+    out.toByteArray
+  }
+
+  final case class TfRecordRow(shard_id: Long, doc_id: Long,
+      record_bytes: Int, payload_bytes: Int, text_bytes: Int,
+      byte_sum: Long)
+
+  /** REAL TFRecord walk: read the length word, verify its masked
+    * CRC32C, bound-check, read the payload, verify ITS masked CRC32C
+    * — both checks fail loud (a reader that skips them propagates
+    * silent corruption into training). Returns per-record rows. */
+  private[graft] def decodeTfRecordShard(shardId: Long,
+      bytes: Array[Byte]): Seq[TfRecordRow] = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"tfrecord shard $shardId: $why")
+    def readIntLE(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) |
+        ((bytes(off + 3) & 0xff) << 24)
+    var pos = 0
+    val rows = Seq.newBuilder[TfRecordRow]
+    while (pos < bytes.length) {
+      if (pos + 12 > bytes.length) fail(s"truncated header at $pos")
+      var len = 0L
+      var i = 0
+      while (i < 8) {
+        len |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1
+      }
+      val lenB = java.util.Arrays.copyOfRange(bytes, pos, pos + 8)
+      if (readIntLE(pos + 8) != maskedCrc32c(lenB))
+        fail(s"length CRC mismatch at $pos")
+      if (len < 0 || pos + 12 + len + 4 > bytes.length)
+        fail(s"record overruns shard at $pos (len=$len)")
+      val pStart = pos + 12
+      val payload = java.util.Arrays.copyOfRange(
+        bytes, pStart, pStart + len.toInt)
+      if (readIntLE(pStart + len.toInt) != maskedCrc32c(payload))
+        fail(s"payload CRC mismatch at $pos")
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl <= 0) fail(s"payload missing id line at $pos")
+      val id = new String(payload, 0, nl, "US-ASCII").toLong
+      var sum = 0L
+      var j = nl + 1
+      while (j < payload.length) { sum += payload(j) & 0xff; j += 1 }
+      rows += TfRecordRow(shardId, id, 16 + payload.length,
+        payload.length, payload.length - nl - 1, sum)
+      pos = pStart + len.toInt + 4
+    }
+    rows.result()
+  }
+
+  /** q284's pipeline: WebDataset-convention sharding (doc_id div 32,
+    * contiguous ranges), ONE TFRecord stream per shard, decode back
+    * to per-record rows plus shard integrity columns. Shards are the
+    * parallelism unit — exactly how tf.data readers scale. */
+  def decodeTfRecordShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 32").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq
+        val stream = encodeTfRecordShard(members)
+        val rows = decodeTfRecordShard(shard, stream)
+        val n = rows.length
+        rows.map(r => (r.shard_id, r.doc_id, r.record_bytes,
+          r.payload_bytes, r.text_bytes, r.byte_sum, n,
+          stream.length.toLong))
+      }
+      .toDF("shard_id", "doc_id", "record_bytes", "payload_bytes",
+        "text_bytes", "byte_sum", "n_records", "file_bytes")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // q285 — ZIP archive walk (local headers + central directory + EOCD)
+  // ------------------------------------------------------------------
+
+  private def putShortLE(out: java.io.ByteArrayOutputStream, v: Int)
+      : Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+
+  /** ZIP shard encoder — APPNOTE's three-layer layout for real: local
+    * file headers + data, the central directory, the end-of-central-
+    * directory record. Even doc_ids are STORED, odd ones raw-DEFLATED
+    * (both with true CRC32/size fields). Payload is the text repeated
+    * 4× so `deflate_smaller` is deterministic (q272's trick). */
+  private[graft] def encodeZipShard(members: Seq[(Long, Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.ByteArrayOutputStream()
+    var n = 0
+    members.sortBy(_._1).foreach { case (id, text) =>
+      val data = new Array[Byte](text.length * 4)
+      var k = 0
+      while (k < 4) {
+        System.arraycopy(text, 0, data, k * text.length, text.length)
+        k += 1
+      }
+      val name = s"doc$id.txt".getBytes("US-ASCII")
+      val crc = { val c = new java.util.zip.CRC32
+        c.update(data); c.getValue.toInt }
+      val method = if (id % 2 == 0) 0 else 8
+      val packed = if (method == 0) data else {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(data); d.finish()
+        val buf = new Array[Byte](data.length + 64)
+        val m = d.deflate(buf)
+        if (!d.finished)
+          throw new IllegalStateException(s"deflate overflow doc $id")
+        d.end()
+        java.util.Arrays.copyOf(buf, m)
+      }
+      val off = out.size()
+      putIntLE(out, 0x04034b50) // LFH signature
+      putShortLE(out, 20); putShortLE(out, 0) // version, flags
+      putShortLE(out, method)
+      putShortLE(out, 0); putShortLE(out, 0x21) // dos time, date
+      putIntLE(out, crc)
+      putIntLE(out, packed.length); putIntLE(out, data.length)
+      putShortLE(out, name.length); putShortLE(out, 0)
+      out.write(name); out.write(packed)
+      putIntLE(cd, 0x02014b50) // CD signature
+      putShortLE(cd, 20); putShortLE(cd, 20) // made by, needed
+      putShortLE(cd, 0); putShortLE(cd, method)
+      putShortLE(cd, 0); putShortLE(cd, 0x21)
+      putIntLE(cd, crc)
+      putIntLE(cd, packed.length); putIntLE(cd, data.length)
+      putShortLE(cd, name.length)
+      putShortLE(cd, 0); putShortLE(cd, 0) // extra, comment len
+      putShortLE(cd, 0); putShortLE(cd, 0) // disk, internal attrs
+      putIntLE(cd, 0) // external attrs
+      putIntLE(cd, off)
+      cd.write(name)
+      n += 1
+    }
+    val cdOff = out.size()
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    putIntLE(out, 0x06054b50) // EOCD signature
+    putShortLE(out, 0); putShortLE(out, 0) // disk numbers
+    putShortLE(out, n); putShortLE(out, n)
+    putIntLE(out, cdBytes.length); putIntLE(out, cdOff)
+    putShortLE(out, 0) // comment length
+    out.toByteArray
+  }
+
+  final case class ZipEntryRow(shard_id: Long, doc_id: Long,
+      entry_name: String, method: String, usize: Int, byte_sum: Long,
+      deflate_smaller: Boolean)
+
+  /** REAL ZIP walk, the reader's direction: find the EOCD from the
+    * end (signature scan with the comment-length consistency check),
+    * jump to the central directory, and for every CD entry verify the
+    * local header AGREES (name/method/crc/sizes — the classic zip-
+    * bomb/confusion surface), inflate or copy, then verify CRC32 and
+    * the uncompressed size. Every divergence fails loud. */
+  private[graft] def decodeZipShard(shardId: Long, bytes: Array[Byte])
+      : Seq[ZipEntryRow] = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"zip shard $shardId: $why")
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Int =
+      u16(off) | (u16(off + 2) << 16)
+    // EOCD: scan back for the signature; comment length must match
+    // the bytes that remain after it (strictness real readers need)
+    var e = bytes.length - 22
+    while (e >= 0 && u32(e) != 0x06054b50) e -= 1
+    if (e < 0) fail("no EOCD record")
+    if (e + 22 + u16(e + 20) != bytes.length)
+      fail("EOCD comment length inconsistent")
+    val nEntries = u16(e + 10)
+    if (u16(e + 8) != nEntries) fail("disk/total entry counts differ")
+    val cdSize = u32(e + 12)
+    var pos = u32(e + 16)
+    if (pos + cdSize != e) fail("central directory extent mismatch")
+    val rows = Seq.newBuilder[ZipEntryRow]
+    var i = 0
+    while (i < nEntries) {
+      if (u32(pos) != 0x02014b50) fail(s"bad CD signature at $pos")
+      val method = u16(pos + 10)
+      val crc = u32(pos + 16)
+      val csize = u32(pos + 20)
+      val usize = u32(pos + 24)
+      val nameLen = u16(pos + 28)
+      val extraLen = u16(pos + 30)
+      val cmtLen = u16(pos + 32)
+      val lfh = u32(pos + 42)
+      val name = new String(bytes, pos + 46, nameLen, "US-ASCII")
+      // local header must agree with the CD on every load-bearing field
+      if (u32(lfh) != 0x04034b50) fail(s"bad LFH signature for $name")
+      if (u16(lfh + 8) != method) fail(s"method mismatch for $name")
+      if (u32(lfh + 14) != crc) fail(s"crc mismatch CD vs LFH for $name")
+      if (u32(lfh + 18) != csize || u32(lfh + 22) != usize)
+        fail(s"size mismatch CD vs LFH for $name")
+      val lNameLen = u16(lfh + 26)
+      val lExtraLen = u16(lfh + 28)
+      if (new String(bytes, lfh + 30, lNameLen, "US-ASCII") != name)
+        fail(s"name mismatch CD vs LFH for $name")
+      val dStart = lfh + 30 + lNameLen + lExtraLen
+      val packed = java.util.Arrays.copyOfRange(
+        bytes, dStart, dStart + csize)
+      val data = method match {
+        case 0 =>
+          if (csize != usize) fail(s"stored size mismatch for $name")
+          packed
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(packed)
+          val buf = new Array[Byte](usize)
+          val m = inf.inflate(buf)
+          if (m != usize || !inf.finished)
+            fail(s"inflate size mismatch for $name")
+          inf.end()
+          buf
+        case other => fail(s"unsupported method $other for $name")
+      }
+      val c = new java.util.zip.CRC32
+      c.update(data)
+      if (c.getValue.toInt != crc) fail(s"CRC32 mismatch for $name")
+      if (!name.startsWith("doc") || !name.endsWith(".txt"))
+        fail(s"unexpected entry name $name")
+      val id = name.substring(3, name.length - 4).toLong
+      var sum = 0L
+      var j = 0
+      while (j < data.length) { sum += data(j) & 0xff; j += 1 }
+      rows += ZipEntryRow(shardId, id, name,
+        if (method == 0) "stored" else "deflate", usize, sum,
+        method == 8 && csize < usize)
+      pos += 46 + nameLen + extraLen + cmtLen
+      i += 1
+    }
+    rows.result()
+  }
+
+  /** q285's pipeline: 16-doc ZIP shards, decode via the central
+    * directory with LFH cross-checks; shards are the parallelism
+    * unit (one task per archive — how an unzip fleet scales). */
+  def decodeZipShards(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val members = it.map(t => (t._2, t._3)).toSeq
+        val rows = decodeZipShard(shard, encodeZipShard(members))
+        val n = rows.length
+        rows.map(r => (r.shard_id, r.doc_id, r.entry_name, r.method,
+          r.usize, r.byte_sum, r.deflate_smaller, n))
+      }
+      .toDF("shard_id", "doc_id", "entry_name", "method", "usize",
+        "byte_sum", "deflate_smaller", "n_entries")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    // TFRecord shards — the TensorFlow training-data container:
+    // length-word + masked-CRC32C framing (both CRCs verified on
+    // read), in-band record ids, WebDataset-convention 32-doc
+    // shards. The third container next to tar (q260) / WARC (q263).
+    "q284_tfrecord_shards" -> ((s, d) =>
+      decodeTfRecordShards(Tables.load(s, d, "documents"))),
+
+    // ZIP archive walk — the dump format half of all public corpora
+    // arrive in: EOCD scan, central-directory walk, LFH cross-check,
+    // stored + raw-deflate entries, CRC32 verification. 16-doc
+    // shards, one task per archive.
+    "q285_zip_members" -> ((s, d) =>
+      decodeZipShards(Tables.load(s, d, "documents"))),
+
     // Near-duplicate IMAGE detection by perceptual hash — multimodal
     // dedup, the capability the text MinHash family can't give you.
     // The corpus has no natural duplicate images, so payloads are
@@ -3997,6 +4316,49 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q284: payload is "<id>\n<text>", so every size column is digit
+    // arithmetic in doc_id plus the text byte length; byte_sum covers
+    // the TEXT part only (the bytes that flow through both CRCs)
+    "q284_tfrecord_shards" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id // 32 AS shard_id,
+        |    octet_length(encode(text))::INT AS tb,
+        |    length(doc_id::VARCHAR)::INT AS db,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |), s AS (
+        |  SELECT shard_id, count(*)::INT AS n_records,
+        |    CAST(sum(16 + db + 1 + tb) AS BIGINT) AS file_bytes
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT shard_id, doc_id, (16 + db + 1 + tb)::INT AS record_bytes,
+        |  (db + 1 + tb)::INT AS payload_bytes, tb AS text_bytes,
+        |  coalesce(byte_sum, 0) AS byte_sum, n_records, file_bytes
+        |FROM f JOIN s USING (shard_id) ORDER BY doc_id""".stripMargin,
+
+    // q285: the 4×-repeated payload makes usize/byte_sum pure text
+    // arithmetic and deflate_smaller deterministic (q272's trick);
+    // method alternates on doc_id parity
+    "q285_zip_members" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id // 16 AS shard_id,
+        |    4 * octet_length(encode(text)) AS usize,
+        |    4 * CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |), s AS (
+        |  SELECT shard_id, count(*)::INT AS n_entries FROM f GROUP BY 1
+        |)
+        |SELECT shard_id, doc_id, 'doc' || doc_id || '.txt' AS entry_name,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflate' END
+        |    AS method,
+        |  usize::INT AS usize, coalesce(byte_sum, 0) AS byte_sum,
+        |  doc_id % 2 = 1 AS deflate_smaller, n_entries
+        |FROM f JOIN s USING (shard_id) ORDER BY doc_id""".stripMargin,
+
     "q168_phash_dedup" ->
       s"""WITH pay AS (
          |  SELECT a.doc_id AS doc_id, b.text AS text,

@@ -159,6 +159,47 @@ object ScaleOps {
     ranks
   }
 
+  /** q286's personalized PageRank: [[pageRankFixedPoint]]'s exact
+    * BIGINT fixed-point recurrence with the uniform restart vector
+    * replaced by a SEED-concentrated one — r(v) = (1−d)·s(v) +
+    * d·Σ r(u)/deg(u), s(v) = 1/|S| on the seed set, 0 elsewhere.
+    * The crawl-frontier/"related entities" primitive: mass stays in
+    * the seeds' neighborhoods instead of spreading globally. Same
+    * scale shape as PR (per round: one broadcast-or-co-partitioned
+    * join + one map-side-combined agg), seeds ride a broadcast left
+    * join; all arithmetic integral (floor division everywhere, both
+    * engines). */
+  private[graft] def pprFixedPoint(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "ppr: empty seed set")
+    val seedShare = 10000000000L / nSeeds // 1.0 split across seeds
+    val restart = 15L * seedShare / 100
+    val seedFlag = broadcast(
+      seeds.select(col("node").as("s_node"), lit(1).as("is_seed")))
+    var ranks = deg.select(col("src").as("node"))
+      .join(seedFlag, col("node") === col("s_node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(seedShare))
+          .otherwise(lit(0L)).as("r_fp"))
+    val edgesCached = edgesDeg.cache()
+    for (_ <- 1 to rounds) {
+      ranks = edgesCached.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r_fp div deg")).as("acc"))
+        .join(seedFlag, col("dst") === col("s_node"), "left")
+        .select(col("dst").as("node"),
+          (when(col("is_seed").isNotNull, lit(restart)).otherwise(lit(0L))
+            + expr("85 * (acc div 100) + (85 * (acc % 100)) div 100"))
+            .as("r_fp"))
+        .localCheckpoint() // eager: truncate lineage per round
+    }
+    edgesCached.unpersist()
+    ranks
+  }
+
   val queries: Map[String, Q] = Map(
     // k-anonymity audit — the privacy release gate run before a
     // dataset ships: group by the quasi-identifier tuple (nation,
@@ -540,6 +581,38 @@ object ScaleOps {
         when(col("node") % 2 === 0, "c").otherwise("s"),
         expr("node div 2"))
       ranks.select(name.as("node"), col("r_fp"),
+          (col("r_fp").cast("double") / 1e10).as("rank"))
+        .orderBy(col("r_fp").desc, col("node").asc).limit(20)
+    }),
+
+    // Personalized PageRank (5 iterations, damping 0.85, restart on
+    // the custkey % 100 == 0 seed customers) over the same bipartite
+    // graph as q110 — the crawl-frontier-prioritization / related-
+    // entity primitive: rank mass concentrates in the seeds'
+    // neighborhoods instead of global centrality. Identical exact
+    // fixed-point discipline; the seed share 1e10 div |S| and the
+    // restart (15·share) div 100 floor identically in both engines.
+    "q286_ppr" -> ((s, d) => {
+      val ol = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = ol.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.load(s, d, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select((col("o_custkey").cast("long") * 2).as("node"))
+        .distinct()
+      val ranks = pprFixedPoint(edges, seeds, rounds = 5)
+      val name = concat(
+        when(col("node") % 2 === 0, "c").otherwise("s"),
+        expr("node div 2"))
+      ranks.select(name.as("node"),
+          (col("node") % 200 === 0).as("is_seed"), col("r_fp"),
           (col("r_fp").cast("double") / 1e10).as("rank"))
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
@@ -3080,6 +3153,76 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+
+    // q286: q110's recurrence with a seed-concentrated restart; the
+    // seed share and restart term are the same floor divisions the
+    // Spark side computes (1e10 div |S|, (15·share) div 100).
+    // MATERIALIZED: e/deg/sd are referenced by every unrolled round.
+    "q286_ppr" ->
+      """WITH eo AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM eo
+        |  UNION ALL SELECT b, a FROM eo
+        |), deg AS MATERIALIZED (
+        |  SELECT src, count(*) AS deg FROM e GROUP BY src
+        |), sd AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+        |  WHERE o_custkey % 100 = 0
+        |), cfg AS MATERIALIZED (
+        |  SELECT (10000000000 // count(*))::BIGINT AS share,
+        |    ((15 * (10000000000 // count(*))) // 100)::BIGINT AS rst
+        |  FROM sd
+        |), r0 AS (
+        |  SELECT d.src AS node,
+        |    (CASE WHEN sd.node IS NOT NULL THEN (SELECT share FROM cfg)
+        |      ELSE 0 END)::BIGINT AS r_fp
+        |  FROM deg d LEFT JOIN sd ON d.src = sd.node
+        |), i1 AS (
+        |  SELECT e.dst AS node,
+        |    (CASE WHEN max(sd.node) IS NOT NULL THEN (SELECT rst FROM cfg)
+        |       ELSE 0 END
+        |     + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  LEFT JOIN sd ON e.dst = sd.node
+        |  GROUP BY e.dst
+        |), i2 AS (
+        |  SELECT e.dst AS node,
+        |    (CASE WHEN max(sd.node) IS NOT NULL THEN (SELECT rst FROM cfg)
+        |       ELSE 0 END
+        |     + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  LEFT JOIN sd ON e.dst = sd.node
+        |  GROUP BY e.dst
+        |), i3 AS (
+        |  SELECT e.dst AS node,
+        |    (CASE WHEN max(sd.node) IS NOT NULL THEN (SELECT rst FROM cfg)
+        |       ELSE 0 END
+        |     + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  LEFT JOIN sd ON e.dst = sd.node
+        |  GROUP BY e.dst
+        |), i4 AS (
+        |  SELECT e.dst AS node,
+        |    (CASE WHEN max(sd.node) IS NOT NULL THEN (SELECT rst FROM cfg)
+        |       ELSE 0 END
+        |     + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i3 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  LEFT JOIN sd ON e.dst = sd.node
+        |  GROUP BY e.dst
+        |), i5 AS (
+        |  SELECT e.dst AS node,
+        |    (CASE WHEN max(sd.node) IS NOT NULL THEN (SELECT rst FROM cfg)
+        |       ELSE 0 END
+        |     + (85 * sum(r.r_fp // d.deg)) // 100)::BIGINT AS r_fp
+        |  FROM e JOIN i4 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  LEFT JOIN sd ON e.dst = sd.node
+        |  GROUP BY e.dst
+        |)
+        |SELECT node, node IN (SELECT node FROM sd) AS is_seed, r_fp,
+        |  r_fp::DOUBLE / 1e10 AS rank
+        |FROM i5 ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
     "q113_source_roundtrip" ->
       """WITH s AS (
         |  SELECT count(*) AS rows,

@@ -1214,4 +1214,59 @@ class MultimodalSpec extends SparkSpecBase {
       MultimodalOps.decodeTiff(27L, bad)
     }
   }
+
+  test("q284 tfrecord: framing round-trip; both CRCs load-bearing") {
+    import operators.MultimodalOps.{decodeTfRecordShard,
+      encodeTfRecordShard}
+    val members = Seq(
+      5L -> "hello tfrecord".getBytes("US-ASCII"),
+      6L -> "x".getBytes("US-ASCII"))
+    val s = encodeTfRecordShard(members)
+    // layout: 16 framing + len("5\n")+14, then 16 + len("6\n")+1
+    assert(s.length == (16 + 2 + 14) + (16 + 2 + 1))
+    val got = decodeTfRecordShard(1L, s)
+    assert(got.map(r => (r.doc_id, r.text_bytes)) ==
+      Seq((5L, 14), (6L, 1)))
+    assert(got.head.byte_sum ==
+      "hello tfrecord".getBytes.map(_ & 0xff).map(_.toLong).sum)
+    // flip a payload byte -> payload CRC fails
+    val badP = s.clone(); badP(12 + 3) = (badP(15) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { decodeTfRecordShard(2L, badP) }
+    // flip a length byte -> length CRC fails (before any overrun read)
+    val badL = s.clone(); badL(0) = (badL(0) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { decodeTfRecordShard(3L, badL) }
+    // truncate mid-record
+    intercept[IllegalArgumentException] {
+      decodeTfRecordShard(4L, java.util.Arrays.copyOf(s, s.length - 2))
+    }
+  }
+
+  test("q285 zip: EOCD/CD/LFH walk; every cross-check load-bearing") {
+    import operators.MultimodalOps.{decodeZipShard, encodeZipShard}
+    val members = Seq(
+      2L -> "stored entry payload".getBytes("US-ASCII"), // even: stored
+      3L -> "deflate entry payload".getBytes("US-ASCII")) // odd: deflate
+    val z = encodeZipShard(members)
+    val got = decodeZipShard(1L, z)
+    assert(got.map(r => (r.doc_id, r.method)) ==
+      Seq((2L, "stored"), (3L, "deflate")))
+    assert(got.forall(r => r.usize == (if (r.doc_id == 2L) 80 else 84)))
+    assert(got.find(_.doc_id == 3L).get.deflate_smaller)
+    assert(!got.find(_.doc_id == 2L).get.deflate_smaller)
+    // flip a stored data byte -> CRC32 fails
+    val badData = z.clone()
+    badData(30 + 8) = (badData(30 + 8) ^ 0x40).toByte // inside doc2 data
+    intercept[IllegalArgumentException] { decodeZipShard(2L, badData) }
+    // tamper the LFH method field -> CD/LFH mismatch
+    val badM = z.clone(); badM(8) = 8.toByte
+    intercept[IllegalArgumentException] { decodeZipShard(3L, badM) }
+    // truncate the EOCD
+    intercept[IllegalArgumentException] {
+      decodeZipShard(4L, java.util.Arrays.copyOf(z, z.length - 4))
+    }
+    // trailing garbage breaks the EOCD comment-length consistency
+    intercept[IllegalArgumentException] {
+      decodeZipShard(5L, z ++ Array.fill(3)(0x7f.toByte))
+    }
+  }
 }

@@ -140,6 +140,25 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(coPart == bcast) // fixed-point BIGINTs: exact, not approx
   }
 
+  test("q286 PPR: exact fixed-point recurrence on a 3-node path") {
+    import spark.implicits._
+    // undirected path a(1)–b(2)–c(3), seed {a}: share 1e10, restart
+    // (15·1e10) div 100 = 1.5e9; two rounds traced by hand
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = ScaleOps.pprFixedPoint(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1500000000L, 2L -> 8500000000L, 3L -> 0L))
+    val r2 = ScaleOps.pprFixedPoint(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // a: 1.5e9 + 85%·(8.5e9 div 2); b: 85%·1.5e9; c: 85%·(8.5e9 div 2)
+    assert(r2 == Map(1L -> 5112500000L, 2L -> 1275000000L,
+      3L -> 3612500000L))
+    // personalization: mass stays near the seed (a > c at any depth)
+    assert(r2(1L) > r2(3L))
+  }
+
   test("q125 degree-oriented triangle count == naive id-order count") {
     val row = ScaleOps.queries("q125_triangle_count")(spark, sfDir).head()
     // independent recount, the textbook a<b<c way (fine at sf0.001)
