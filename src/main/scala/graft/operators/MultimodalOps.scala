@@ -3746,6 +3746,271 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------------
+  // q290 — MP3: ID3v2.3 tag + MPEG-1 Layer III frame-header walk
+  // ------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrate table, the slice this fixture cycles
+    * through (indexes 9–13). */
+  private val Mp3Kbps = Array(128, 160, 192, 224, 256)
+
+  private def syncsafe(v: Int): Array[Byte] = Array(
+    ((v >>> 21) & 0x7f).toByte, ((v >>> 14) & 0x7f).toByte,
+    ((v >>> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+
+  /** MP3 fixture: an ID3v2.3 tag (syncsafe size — THE classic parser
+    * bug — one TIT2 text frame) followed by one MPEG-1 Layer III
+    * frame per token: 0xFFFB sync, bitrate index cycling 9–13 at
+    * 44.1 kHz, alternating padding bit, deterministic filler. */
+  private[graft] def encodeMp3(docId: Long, nFrames: Int)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val title = s"doc $docId".getBytes("US-ASCII")
+    // ID3v2.3: header(10) + one TIT2 frame (10 + 1 + title)
+    val bodyLen = 10 + 1 + title.length
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0) // version 2.3.0, flags 0
+    out.write(syncsafe(bodyLen))
+    out.write("TIT2".getBytes("US-ASCII"))
+    val fs = 1 + title.length // v2.3 frame size: plain uint32 BE
+    out.write((fs >>> 24) & 0xff); out.write((fs >>> 16) & 0xff)
+    out.write((fs >>> 8) & 0xff); out.write(fs & 0xff)
+    out.write(0); out.write(0) // frame flags
+    out.write(0) // text encoding: ISO-8859-1
+    out.write(title)
+    // bulk frame writes: BAOS.write(int) is synchronized per byte —
+    // per-frame array writes keep the encoder out of the profile
+    val frame = new Array[Byte](144000 * 256 / 44100 + 1)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+    var f = 0
+    while (f < nFrames) {
+      val kbps = Mp3Kbps(((docId + f) % 5).toInt)
+      val pad = ((docId + f) % 2).toInt
+      val flen = 144000 * kbps / 44100 + pad
+      frame(2) = ((9 + (docId + f) % 5).toInt << 4 | pad << 1).toByte
+      frame(3) = 0
+      java.util.Arrays.fill(frame, 4, flen,
+        ((docId + f) % 251).toByte)
+      out.write(frame, 0, flen)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  final case class Mp3Parsed(doc_id: Long, title: String,
+      n_frames: Long, id3_bytes: Int, audio_bytes: Long,
+      total_samples: Long, duration_ms: Long, bitrate_kbps_sum: Long,
+      payload_sum: Long)
+
+  /** REAL MP3 walk: ID3v2 header with SYNCSAFE size decode, TIT2
+    * frame parse (v2.3 plain-uint32 frame size — mixing the two size
+    * grammars up is the classic tag-parser bug), then the MPEG frame
+    * loop: sync/version/layer checks, bitrate/samplerate table
+    * lookup, padding-aware frame length, strict truncation checks.
+    * Any free bitrate, reserved index, lost sync or short frame
+    * fails loud. */
+  private[graft] def decodeMp3(docId: Long, bytes: Array[Byte])
+      : Mp3Parsed = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"mp3 decode [$docId]: $why")
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') fail("missing ID3v2 tag")
+    if (bytes(3) != 3) fail(s"unsupported ID3v2.${bytes(3)}")
+    if (((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) != 0)
+      fail("non-syncsafe tag size byte")
+    val tagBody = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val id3End = 10 + tagBody
+    if (id3End > bytes.length) fail("tag overruns file")
+    if (new String(bytes, 10, 4, "US-ASCII") != "TIT2")
+      fail("expected TIT2 frame")
+    val fSize = ((bytes(14) & 0xff) << 24) | ((bytes(15) & 0xff) << 16) |
+      ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+    if (10 + 10 + fSize != id3End) fail("TIT2 size inconsistent")
+    if (bytes(20) != 0) fail("unexpected text encoding")
+    val title = new String(bytes, 21, fSize - 1, "ISO-8859-1")
+    var pos = id3End
+    var frames = 0L; var kbpsSum = 0L; var paySum = 0L
+    while (pos < bytes.length) {
+      if (pos + 4 > bytes.length) fail(s"truncated header at $pos")
+      if ((bytes(pos) & 0xff) != 0xff || (bytes(pos + 1) & 0xff) != 0xfb)
+        fail(s"lost sync at $pos")
+      val brIdx = (bytes(pos + 2) & 0xff) >>> 4
+      if (brIdx == 0 || brIdx == 15) fail(s"free/bad bitrate at $pos")
+      if (brIdx < 9 || brIdx > 13)
+        fail(s"bitrate index $brIdx outside fixture table")
+      val srIdx = (bytes(pos + 2) >>> 2) & 0x3
+      if (srIdx != 0) fail(s"unexpected samplerate index $srIdx")
+      val pad = (bytes(pos + 2) >>> 1) & 0x1
+      val kbps = Mp3Kbps(brIdx - 9)
+      val flen = 144000 * kbps / 44100 + pad
+      if (pos + flen > bytes.length) fail(s"frame overruns file at $pos")
+      var i = pos + 4
+      while (i < pos + flen) { paySum += bytes(i) & 0xff; i += 1 }
+      frames += 1; kbpsSum += kbps
+      pos += flen
+    }
+    if (frames == 0) fail("no audio frames")
+    Mp3Parsed(docId, title, frames, id3End,
+      (bytes.length - id3End).toLong, 1152L * frames,
+      1152L * frames * 1000 / 44100, kbpsSum, paySum)
+  }
+
+  /** q290's pipeline: one MP3 per doc (a frame per token), strict
+    * walk back; narrow per-row work. */
+  def decodeMp3Files(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val n = text.trim.toLowerCase.split("\\s+").length
+        decodeMp3(id, encodeMp3(id, n))
+      })
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // q291 — protobuf wire-format walk (the tf.Example serialization)
+  // ------------------------------------------------------------------
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long)
+      : Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Proto-style record, the wire shape a tf.Example actually is:
+    * field 1 varint = doc_id, field 2 length-delimited = text bytes,
+    * field 3 packed varints = per-token lengths, field 4 fixed64 =
+    * text byte-sum, field 5 fixed32 = token count — all four wire
+    * types on one message. Token lengths must fit one varint byte
+    * (enforced; the corpus maxes far below 128). */
+  private[graft] def encodeProto(docId: Long, text: Array[Byte],
+      tokLens: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x08); writeVarint(out, docId)
+    out.write(0x12); writeVarint(out, text.length.toLong)
+    out.write(text, 0, text.length)
+    tokLens.foreach(l => require(l > 0 && l < 128,
+      s"token length $l outside 1-byte varint range"))
+    out.write(0x1a); writeVarint(out, tokLens.length.toLong)
+    tokLens.foreach(l => out.write(l))
+    var sum = 0L
+    text.foreach(b => sum += b & 0xff)
+    out.write(0x21)
+    var i = 0
+    while (i < 8) { out.write(((sum >>> (8 * i)) & 0xff).toInt); i += 1 }
+    out.write(0x2d)
+    val n = tokLens.length
+    out.write(n & 0xff); out.write((n >>> 8) & 0xff)
+    out.write((n >>> 16) & 0xff); out.write((n >>> 24) & 0xff)
+    out.toByteArray
+  }
+
+  final case class ProtoParsed(doc_id: Long, n_fields: Int,
+      msg_bytes: Int, text_bytes: Int, n_tokens: Int,
+      packed_sum: Long, checksum: Long)
+
+  /** REAL generic proto walk: read tag varints, dispatch on wire
+    * type (0 varint / 1 fixed64 / 2 length-delimited / 5 fixed32),
+    * unpack the packed field, then CROSS-CHECK: the carried doc_id
+    * must equal the shard's, the fixed64 checksum must equal the
+    * byte-sum recomputed from the length-delimited payload, the
+    * fixed32 count must equal the packed entry count. A walker that
+    * mis-reads any varint boundary or wire type fails loud. */
+  private[graft] def decodeProto(docId: Long, bytes: Array[Byte])
+      : ProtoParsed = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"proto decode [$docId]: $why")
+    var pos = 0
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var more = true
+      while (more) {
+        if (pos >= bytes.length) fail("truncated varint")
+        if (shift > 63) fail("varint overflow")
+        val b = bytes(pos) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7; pos += 1
+        more = (b & 0x80) != 0
+      }
+      v
+    }
+    var fields = 0
+    var fDocId = -1L; var text: Array[Byte] = null
+    var packed: Array[Byte] = null; var fixed64 = 0L; var fixed32 = -1L
+    while (pos < bytes.length) {
+      val tag = readVarint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      fields += 1
+      (field, wire) match {
+        case (1, 0) => fDocId = readVarint()
+        case (2, 2) =>
+          val len = readVarint().toInt
+          if (pos + len > bytes.length) fail("field 2 overruns")
+          text = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+          pos += len
+        case (3, 2) =>
+          val len = readVarint().toInt
+          if (pos + len > bytes.length) fail("field 3 overruns")
+          packed = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+          pos += len
+        case (4, 1) =>
+          if (pos + 8 > bytes.length) fail("field 4 overruns")
+          var i = 0
+          fixed64 = 0L
+          while (i < 8) {
+            fixed64 |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1
+          }
+          pos += 8
+        case (5, 5) =>
+          if (pos + 4 > bytes.length) fail("field 5 overruns")
+          fixed32 = (bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
+            ((bytes(pos + 2) & 0xffL) << 16) |
+            ((bytes(pos + 3) & 0xffL) << 24)
+          pos += 4
+        case (f, w) => fail(s"unexpected field $f wire $w")
+      }
+    }
+    if (fDocId != docId) fail(s"carried id $fDocId != $docId")
+    if (text == null || packed == null || fixed32 < 0)
+      fail("missing required field")
+    // unpack field 3 (every entry one varint byte by construction)
+    var pSum = 0L
+    packed.foreach { b =>
+      if ((b & 0x80) != 0) fail("multi-byte packed entry unexpected")
+      pSum += b & 0xffL
+    }
+    var tSum = 0L
+    text.foreach(b => tSum += b & 0xff)
+    if (tSum != fixed64) fail(s"checksum $fixed64 != recomputed $tSum")
+    if (fixed32 != packed.length)
+      fail(s"count ${fixed32} != packed entries ${packed.length}")
+    ProtoParsed(docId, fields, bytes.length, text.length,
+      fixed32.toInt, pSum, fixed64)
+  }
+
+  /** q291's pipeline: encode + strict-walk one proto record per doc;
+    * narrow per-row work (the tf.data deserialize shape). */
+  def decodeProtoRecords(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val norm = text.trim.toLowerCase
+        val toks = norm.split("\\s+")
+        decodeProto(id, encodeProto(id, norm.getBytes("US-ASCII"),
+          toks.map(_.length)))
+      })
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
   // q285 — ZIP archive walk (local headers + central directory + EOCD)
   // ------------------------------------------------------------------
 
@@ -3943,6 +4208,22 @@ object MultimodalOps {
     // shards, one task per archive.
     "q285_zip_members" -> ((s, d) =>
       decodeZipShards(Tables.load(s, d, "documents"))),
+
+    // MP3 metadata + frame walk — the dominant real-corpus audio
+    // container: ID3v2.3 syncsafe tag grammar, TIT2 text frame, then
+    // the MPEG-1 Layer III frame loop (bitrate table, padding-aware
+    // lengths, strict sync). Completes the audio tier next to
+    // WAV/μ-law/A-law/FLAC.
+    "q290_mp3_meta" -> ((s, d) =>
+      decodeMp3Files(Tables.load(s, d, "documents"))),
+
+    // Protobuf wire-format walk — the serialization layer under
+    // tf.Example/TFRecord: a generic tag/wire-type TLV walk across
+    // all four wire types with carried-id, checksum and count
+    // cross-checks. Completes the training-record story: q284 frames
+    // records, q291 decodes what's inside them.
+    "q291_proto_records" -> ((s, d) =>
+      decodeProtoRecords(Tables.load(s, d, "documents"))),
 
     // Near-duplicate IMAGE detection by perceptual hash — multimodal
     // dedup, the capability the text MinHash family can't give you.
@@ -4316,6 +4597,65 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q290: every frame feature is arithmetic in (doc_id + frame
+    // index) — bitrate cycles the 9–13 table slice, padding
+    // alternates, filler is the (id+f) mod 251 byte — and the ID3
+    // size is digit arithmetic in doc_id
+    "q290_mp3_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n,
+        |    length(doc_id::VARCHAR)::INT AS dg
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'doc ' || doc_id AS title, n AS n_frames,
+        |  (10 + 10 + 1 + 4 + dg)::INT AS id3_bytes,
+        |  CAST(list_sum([(144000 * (CASE (doc_id + fi) % 5
+        |      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+        |      WHEN 3 THEN 224 ELSE 256 END)) // 44100
+        |      + (doc_id + fi) % 2
+        |    for fi in range(0, n::INT)]) AS BIGINT) AS audio_bytes,
+        |  1152 * n AS total_samples,
+        |  (1152 * n * 1000) // 44100 AS duration_ms,
+        |  CAST(list_sum([CASE (doc_id + fi) % 5
+        |      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+        |      WHEN 3 THEN 224 ELSE 256 END
+        |    for fi in range(0, n::INT)]) AS BIGINT)
+        |    AS bitrate_kbps_sum,
+        |  CAST(list_sum([((144000 * (CASE (doc_id + fi) % 5
+        |      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+        |      WHEN 3 THEN 224 ELSE 256 END)) // 44100
+        |      + (doc_id + fi) % 2 - 4) * ((doc_id + fi) % 251)
+        |    for fi in range(0, n::INT)]) AS BIGINT) AS payload_sum
+        |FROM f""".stripMargin,
+
+    // q291: header bytes are varint-width arithmetic (1 byte per
+    // 7-bit group — the CASE ladders), payload features are the
+    // usual token/byte sums over lower(trim(text))
+    "q291_proto_records" ->
+      """WITH f AS (
+        |  SELECT doc_id, lower(trim(text)) AS s,
+        |    octet_length(encode(lower(trim(text))))::INT AS tb,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, 5 AS n_fields,
+        |  (17 + tb + len(t)
+        |   + CASE WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
+        |       WHEN doc_id < 2097152 THEN 3
+        |       WHEN doc_id < 268435456 THEN 4 ELSE 5 END
+        |   + CASE WHEN tb < 128 THEN 1 WHEN tb < 16384 THEN 2
+        |       ELSE 3 END
+        |   + CASE WHEN len(t) < 128 THEN 1 WHEN len(t) < 16384 THEN 2
+        |       ELSE 3 END)::INT AS msg_bytes,
+        |  tb AS text_bytes, len(t)::INT AS n_tokens,
+        |  CAST(list_sum([length(x) for x in t]) AS BIGINT)
+        |    AS packed_sum,
+        |  CAST(list_sum([ascii(s[i:i]) for i in range(1, tb + 1)])
+        |    AS BIGINT) AS checksum
+        |FROM f""".stripMargin,
+
     // q284: payload is "<id>\n<text>", so every size column is digit
     // arithmetic in doc_id plus the text byte length; byte_sum covers
     // the TEXT part only (the bytes that flow through both CRCs)

@@ -617,6 +617,29 @@ object ScaleOps {
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
+    // SKEW-MITIGATED JOIN as a gated op: the fact side's synthetic
+    // hot key absorbs ~70% of all orders (the celebrity-key shape
+    // that melts one reducer at 100 TB); SkewOps.saltedInnerJoin
+    // splits it across 8 salt buckets by replicating the SMALL dim
+    // side 8×, then the agg is a plain keyed sum. Result-set
+    // equality with the unsalted join is the oracle (and SkewSpec's
+    // plan assertion pins the mechanism) — salting must never change
+    // answers, only the shuffle distribution.
+    "q292_salted_join" -> ((s, d) => {
+      val facts = Tables.load(s, d, "orders").select(
+        when(col("o_orderkey") % 10 < 7, 0L)
+          .otherwise(col("o_orderkey") % 25).cast("long").as("k"),
+        col("o_totalprice"))
+      val dim = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      SkewOps.saltedInnerJoin(facts, dim, "k", buckets = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total_price"))
+        .orderBy("n_name")
+    }),
+
     // Source-format interop gate: the events table written once as
     // CSV (headers, quoting — props carries embedded JSON with commas
     // and quotes) and as JSON lines, re-read through explicit schemas,
@@ -3153,6 +3176,19 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+
+    // q292: the oracle is the UNSALTED join — salting must be
+    // invisible in the result set
+    "q292_salted_join" ->
+      """SELECT n_name, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |    ELSE o_orderkey % 25 END AS k, o_totalprice
+        |  FROM orders
+        |) f JOIN nation ON f.k = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // q286: q110's recurrence with a seed-concentrated restart; the
     // seed share and restart term are the same floor divisions the

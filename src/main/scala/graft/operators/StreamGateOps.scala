@@ -346,6 +346,51 @@ object StreamGateOps {
         .withColumn("stream_eq_batch", lit(eq))
     }),
 
+    // STREAMING AS-OF JOIN gate: the join mode Structured Streaming
+    // LACKS natively, built with flatMapGroupsWithState (the brief's
+    // custom-state path): every purchase pairs with the latest view
+    // at or before its event time, per user. Both sides buffer in
+    // typed state; the watermark drives emission (a trade may flush
+    // only once no older view can arrive) and prunes the view buffer
+    // to ONE old candidate per user. The zz_flush sentinel advances
+    // the final watermark past every real trade. Batch twin:
+    // one partitioned window with last(ignoreNulls) — row-for-row,
+    // NULLs, ids and lag included.
+    "q289_stream_asof_gate" -> ((s, d) => {
+      import s.implicits._
+      val dir = gateDir("ssasof", d)
+      val evBatch = Tables.load(s, d, "events")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val srcDir = asSourceDir(s"$d/events.parquet", dir)
+      ensureFlushSentinel(s, dir, srcDir, raw, evBatch,
+        offsetHours = 3, eventType = "zz_flush")
+      val src = Tables.fixEventTs(s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .filter(col("event_type").isin("view", "purchase", "zz_flush"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event]
+      val q = StreamOps.asofJoin(src)
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(dir + "/out").filter(col("user_id") >= 0)
+      val batch = StreamOps.asofJoinBatch(evBatch)
+      def shape(df: DataFrame) = df.schema.fields
+        .map(f => (f.name, f.dataType)).toSeq
+      val eq = shape(out) == shape(batch) && sameRows(out, batch)
+      out.agg(count(lit(1)).as("n_trades"),
+        count(col("v_eid")).as("matched"),
+        sum(when(col("v_eid").isNull, 1L).otherwise(0L))
+          .as("unmatched"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("value_sum"),
+        sum(col("lag_us")).as("lag_us_sum"),
+        countDistinct(col("user_id")).as("users"))
+        .withColumn("stream_eq_batch", lit(eq))
+    }),
+
     // STATEFUL sessionization gate: the flatMapGroupsWithState
     // session operator driven as a real stream. The event-time-timeout
     // states need the watermark to pass last+gap before the final
@@ -742,6 +787,37 @@ object StreamGateOps {
         |  CAST(sum(CASE WHEN v_ts IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS unmatched_purchases,
         |  count(DISTINCT coalesce(v_uid, p_uid))::BIGINT AS users,
+        |  true AS stream_eq_batch
+        |FROM j""".stripMargin,
+
+    // the AS-OF census: per trade, the latest view ≤ its ts (max_by
+    // with the same (ts, event_id) tie-break), then counts + exact
+    // sums + the flag
+    "q289_stream_asof_gate" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'view'
+        |), t AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT t.user_id, t.event_id AS t_eid, t.ts AS t_ts, t.value,
+        |    max_by(v.event_id,
+        |      epoch_us(v.ts)::HUGEINT * 1048576 + v.event_id) AS v_eid,
+        |    max(v.ts) AS v_ts
+        |  FROM t LEFT JOIN v
+        |    ON t.user_id = v.user_id AND v.ts <= t.ts
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT count(*)::BIGINT AS n_trades,
+        |  count(v_eid)::BIGINT AS matched,
+        |  CAST(sum(CASE WHEN v_eid IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS unmatched,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS value_sum,
+        |  CAST(sum(epoch_us(t_ts) - epoch_us(v_ts)) AS BIGINT)
+        |    AS lag_us_sum,
+        |  count(DISTINCT user_id)::BIGINT AS users,
         |  true AS stream_eq_batch
         |FROM j""".stripMargin,
 

@@ -177,6 +177,128 @@ object StreamOps {
       .select(col("v_uid"), col("v_ts"), col("p_uid"), col("p_ts"))
   }
 
+  // --- streaming AS-OF join via typed state -----------------------------
+
+  final case class AsofState(views: List[(Long, Long)],
+      trades: List[(Long, Long, Double)])
+  final case class AsofPair(user_id: Long, t_eid: Long, t_ts: Timestamp,
+      value: Double, v_eid: Option[Long], v_ts: Option[Timestamp],
+      lag_us: Option[Long])
+
+  /** Event-time at MICROsecond precision — Timestamp.getTime is
+    * millis and would shear the sub-ms part the events table
+    * actually carries (the q289 gate diffs row-for-row on exact
+    * timestamps, so the state machine must not round). */
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** STREAMING AS-OF JOIN — the join mode Structured Streaming does
+    * NOT support natively (inner/left/full interval joins do exist;
+    * as-of does not): every purchase ("trade") pairs with the LATEST
+    * view ("quote") at or before its event time, per user. Built the
+    * way the brief's custom-state bullet prescribes:
+    * flatMapGroupsWithState with event-time timeout.
+    *
+    * Correctness discipline: a trade at t may only emit once the
+    * watermark passes t — until then an older view could still
+    * arrive and change "latest ≤ t". So both sides BUFFER in state;
+    * on every invocation the trades with ts ≤ watermark flush
+    * against the (then-complete) view set. State stays bounded: of
+    * the views at or before the watermark only the LATEST can ever
+    * match a future trade, so exactly one old view survives pruning
+    * per user (+ any views still inside the watermark window).
+    * "Latest" ties deterministically by (ts, event_id) — the same
+    * (ts, is_trade, event_id) order the batch twin's window uses.
+    *
+    * Scale shape: per-user state is O(in-flight window), emission is
+    * watermark-driven, nothing touches the driver — the standard
+    * stateful-operator contract at 100 TB/day. */
+  def asofJoin(events: Dataset[Event]): Dataset[AsofPair] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var views = st.views
+          var trades = st.trades
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.event_type == "view")
+              views = (tsMicros(e.ts), e.event_id) :: views
+            else if (e.event_type == "purchase")
+              trades = (tsMicros(e.ts), e.event_id, e.value) :: trades
+            // any other type (the flush sentinel) only advances the
+            // watermark
+          }
+          // buffers hold MICROS; the watermark API is millis — flush
+          // at us ≤ wm·1000 (floor-conservative: anything missed
+          // flushes at the next advance, and the final sentinel
+          // watermark clears everything real)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = trades.partition(_._1 <= wmUs)
+          val sortedViews = views.sorted // ascending (ts_us, event_id)
+          val out = ready.sortBy(t => (t._1, t._2)).map {
+            case (tus, teid, v) =>
+              sortedViews.takeWhile(_._1 <= tus).lastOption match {
+                case Some((vus, veid)) => AsofPair(userId, teid,
+                  microsTs(tus), v, Some(veid),
+                  Some(microsTs(vus)), Some(tus - vus))
+                case None => AsofPair(userId, teid, microsTs(tus),
+                  v, None, None, None)
+              }
+          }
+          // prune: one latest-≤-wm view survives (the as-of candidate
+          // for every future trade), plus the still-mutable tail
+          val (oldV, newV) = sortedViews.partition(_._1 <= wmUs)
+          val kept = oldV.lastOption.toList ::: newV
+          if (pending.isEmpty && kept.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsofState(kept, pending))
+            // wake exactly when the earliest pending trade can flush
+            // (ceil back to millis); with none pending, a GC horizon
+            // reclaims the lone view
+            val wmMs = state.getCurrentWatermarkMs()
+            val next =
+              if (pending.nonEmpty) pending.map(_._1).min / 1000L + 1
+              else wmMs + 24L * 3600 * 1000
+            state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[asofJoin]] — one partitioned window over the
+    * tagged union, latest view carried forward with last(ignoreNulls):
+    * no per-pair join blowup, the robust batch as-of shape. Identical
+    * tie-break: (ts, is_trade, event_id). */
+  def asofJoinBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("is_trade"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        (col("event_type") === "purchase").cast("int").as("is_trade"))
+      .withColumn("v", last(when(col("is_trade") === 0,
+          struct(col("event_id").as("e"), col("ts").as("t"))),
+        ignoreNulls = true).over(w))
+      .filter(col("is_trade") === 1)
+      .select(col("user_id"), col("event_id").as("t_eid"),
+        col("ts").as("t_ts"), col("value"),
+        col("v.e").as("v_eid"), col("v.t").as("v_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("v.t"))).as("lag_us"))
+  }
+
   // --- sessionization via typed state -----------------------------------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -1241,6 +1241,64 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q290 mp3: syncsafe tag + frame walk; corruption fails loud") {
+    import operators.MultimodalOps.{decodeMp3, encodeMp3}
+    val good = encodeMp3(42L, 7)
+    val p = decodeMp3(42L, good)
+    assert(p.title == "doc 42" && p.n_frames == 7L)
+    assert(p.id3_bytes == 10 + 10 + 1 + "doc 42".length)
+    assert(p.total_samples == 1152L * 7)
+    assert(p.duration_ms == 1152L * 7 * 1000 / 44100)
+    // kbps cycle from (42+f)%5: f=0 -> idx2=192 ...
+    assert(p.bitrate_kbps_sum == (0 until 7)
+      .map(f => Array(128, 160, 192, 224, 256)(((42 + f) % 5).toInt))
+      .sum)
+    // a non-syncsafe size byte (high bit set) is refused
+    val badSize = good.clone(); badSize(9) = 0x80.toByte
+    intercept[IllegalArgumentException] { decodeMp3(1L, badSize) }
+    // lost sync mid-stream
+    val badSync = good.clone()
+    badSync(p.id3_bytes) = 0x00.toByte
+    intercept[IllegalArgumentException] { decodeMp3(2L, badSync) }
+    // truncated final frame
+    intercept[IllegalArgumentException] {
+      decodeMp3(3L, java.util.Arrays.copyOf(good, good.length - 3))
+    }
+    // free-format bitrate index (0) is refused
+    val badBr = good.clone()
+    badBr(p.id3_bytes + 2) = (badBr(p.id3_bytes + 2) & 0x0f).toByte
+    intercept[IllegalArgumentException] { decodeMp3(4L, badBr) }
+  }
+
+  test("q291 proto: wire walk cross-checks are load-bearing") {
+    import operators.MultimodalOps.{decodeProto, encodeProto}
+    val text = "hello proto world".getBytes("US-ASCII")
+    val lens = Array(5, 5, 5)
+    val good = encodeProto(9L, text, lens)
+    val p = decodeProto(9L, good)
+    assert(p.n_fields == 5 && p.text_bytes == 17 && p.n_tokens == 3)
+    assert(p.packed_sum == 15L)
+    assert(p.checksum == text.map(_ & 0xff).map(_.toLong).sum)
+    assert(p.msg_bytes == good.length)
+    // carried id mismatch
+    intercept[IllegalArgumentException] { decodeProto(8L, good) }
+    // flip a text byte -> fixed64 checksum cross-check fails
+    val badT = good.clone(); badT(4) = (badT(4) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { decodeProto(9L, badT) }
+    // truncate inside the fixed32 tail
+    intercept[IllegalArgumentException] {
+      decodeProto(9L, java.util.Arrays.copyOf(good, good.length - 2))
+    }
+    // unknown field/wire combination
+    val badW = good.clone(); badW(0) = 0x10.toByte // field 2, wire 0
+    intercept[IllegalArgumentException] { decodeProto(9L, badW) }
+    // token too long for the 1-byte packed grammar is refused at
+    // encode time (fail loud beats silent multi-byte varints)
+    intercept[IllegalArgumentException] {
+      encodeProto(9L, text, Array(200))
+    }
+  }
+
   test("q285 zip: EOCD/CD/LFH walk; every cross-check load-bearing") {
     import operators.MultimodalOps.{decodeZipShard, encodeZipShard}
     val members = Seq(

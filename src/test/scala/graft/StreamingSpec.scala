@@ -506,4 +506,76 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Boolean]("stream_eq_batch"), r.toString)
     assert(r.getAs[Long]("missed") == 0L && r.getAs[Long]("extra") == 0L)
   }
+
+  test("q289 streaming as-of: late view across batches still wins; " +
+      "watermark gates emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.asofJoin(mem.toDS())
+      .writeStream.format("memory").queryName("asof_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: a view and a trade for user 1, a view-less trade
+      // for user 2
+      mem.addData(
+        Event(0, ts(10), 1, "view", 0.0),
+        Event(1, ts(20), 1, "purchase", 5.0),
+        Event(2, ts(15), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      // batch 2: an OLDER view for user 1 (t5 — must NOT displace
+      // the t10 match for the t20 trade) + a newer view and trade
+      mem.addData(
+        Event(3, ts(5), 1, "view", 0.0),
+        Event(4, ts(25), 1, "view", 0.0),
+        Event(5, ts(30), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // watermark is still below every trade: nothing may emit yet —
+      // a state machine that answered from "latest view so far"
+      // instead of buffering would already have emitted (1, e1, e0)
+      assert(spark.table("asof_t").count() == 0)
+      // sentinel advances the watermark past everything
+      mem.addData(Event(6, ts(600), -1, "zz_flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_t")
+        .select("user_id", "t_eid", "v_eid", "lag_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, 1L, 0L, 10L * 60 * 1000000), // t20 -> view t10 (NOT t5)
+        (1L, 5L, 4L, 5L * 60 * 1000000), // t30 -> view t25
+        (2L, 2L, -1L, -1L))) // no view for user 2
+      // batch twin agrees row-for-row on the same (non-sentinel) data
+      val events = Seq(
+        Event(0, ts(10), 1, "view", 0.0),
+        Event(1, ts(20), 1, "purchase", 5.0),
+        Event(2, ts(15), 2, "purchase", 7.0),
+        Event(3, ts(5), 1, "view", 0.0),
+        Event(4, ts(25), 1, "view", 0.0),
+        Event(5, ts(30), 1, "purchase", 9.0)).toDF()
+      val batch = StreamOps.asofJoinBatch(events)
+        .select("user_id", "t_eid", "v_eid", "lag_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("q289 as-of tie-break: view at the trade's exact ts matches; " +
+      "equal-ts views pick the higher event_id") {
+    import spark.implicits._
+    val events = Seq(
+      Event(10, ts(20), 1, "view", 0.0),
+      Event(11, ts(20), 1, "view", 0.0), // same ts, higher id wins
+      Event(12, ts(20), 1, "purchase", 1.0), // inclusive <=
+      Event(13, ts(19), 2, "view", 0.0),
+      Event(14, ts(21), 2, "view", 0.0), // after the trade: excluded
+      Event(15, ts(20), 2, "purchase", 2.0)).toDF()
+    val got = StreamOps.asofJoinBatch(events)
+      .select("t_eid", "v_eid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((12L, 11L), (15L, 13L)))
+  }
 }
