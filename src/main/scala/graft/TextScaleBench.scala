@@ -257,15 +257,72 @@ object TextScaleBench {
         s""""max_span_exact":${r3(spanExact)}$audit}"""
     }
   }
+  final case class WebPoint(n: Long, htmlSec: Double, docs: Long,
+      badRows: Long, htmlFirst: Double = -1.0) {
+    def ok: Boolean = badRows == 0
+    def json: String = {
+      val audit =
+        if (htmlFirst > 1.3 * htmlSec && htmlFirst - htmlSec > 0.5)
+          s""","html_first_sec":${r3(htmlFirst)}""" else ""
+      s"""{"n":$n,"html_sec":${r3(htmlSec)},"docs":$docs,""" +
+        s""""html_ok":$ok$audit}"""
+    }
+  }
+
+  /** q281's HTML-extraction pipeline over the generated corpus —
+    * the web tier's scale point: synthesize one full page per doc,
+    * strict-parse it back, and verify EVERY closed form (element /
+    * comment / entity / self-closing / text-token counts) in-engine
+    * on every row. All narrow per-row work; wall time must track n
+    * linearly. */
+  def runWebPoint(spark: SparkSession, n: Long): WebPoint = {
+    import spark.implicits._
+    import graft.operators.WebOps
+    val docs = corpus(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def once(): ((Long, Long), Double) = timeIt {
+      val r = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          val p = WebOps.parseHtml(id, WebOps.encodeHtml(id, toks))
+          val m = toks.length.toLong
+          val bad =
+            (if (p.n_elements == 7 + m + m / 17 + m / 13) 0 else 1) +
+              (if (p.n_comments == m / 11) 0 else 1) +
+              (if (p.n_entities == m / 7) 0 else 1) +
+              (if (p.n_selfclosing == m / 13) 0 else 1) +
+              (if (p.n_text_tokens == 2 + m + m / 7) 0 else 1)
+          (1L, bad.toLong)
+        })
+        .toDF("one", "bad")
+        .agg(sum("one"), sum("bad")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val ((d1, b1), t1) = once()
+    val ((d2, b2), t2) = once()
+    docs.unpersist()
+    WebPoint(n, math.min(t1, t2),
+      if (t1 <= t2) d1 else d2, math.max(b1, b2), htmlFirst = t1)
+  }
+
+  private[graft] def mergedWeb(a: WebPoint, b: WebPoint): WebPoint =
+    WebPoint(a.n, math.min(a.htmlSec, b.htmlSec), a.docs,
+      math.max(a.badRows, b.badRows),
+      htmlFirst = math.max(a.htmlFirst, a.htmlSec))
+
   final case class Result(points: Seq[Point],
       sub: Seq[SubPoint] = Seq.empty,
       sweep: Option[SweepResult] = None,
-      hh: Seq[HhPoint] = Seq.empty) {
+      hh: Seq[HhPoint] = Seq.empty,
+      web: Seq[WebPoint] = Seq.empty) {
     def json: String =
       s"""{"bands":16,"rows_per_band":4,"jaccard_thr":$JaccardThr,""" +
         s""""points":[${points.map(_.json).mkString(",")}],""" +
         s""""substring":[${sub.map(_.json).mkString(",")}],""" +
-        s""""heavy_hitters":[${hh.map(_.json).mkString(",")}]""" +
+        s""""heavy_hitters":[${hh.map(_.json).mkString(",")}],""" +
+        s""""html":[${web.map(_.json).mkString(",")}]""" +
         sweep.map(s => s""","sweep":${s.json}""").getOrElse("") + "}"
     def summary: Option[String] = points.lastOption.map { p =>
       val subTail = sub.lastOption.map(sp =>
@@ -432,6 +489,8 @@ object TextScaleBench {
       runSubstringPoint(spark, _), mergedSub)
     val hhs = ScaleGuard(sizes.map(runHhPoint(spark, _)))(_.n, _.hhSec)(
       runHhPoint(spark, _), mergedHh)
-    Result(pts, subs, sweepN.map(runSweep(spark, _)), hhs)
+    val webs = ScaleGuard(sizes.map(runWebPoint(spark, _)))(
+      _.n, _.htmlSec)(runWebPoint(spark, _), mergedWeb)
+    Result(pts, subs, sweepN.map(runSweep(spark, _)), hhs, webs)
   }
 }

@@ -235,7 +235,50 @@ object StatOps {
         (col("n_missing") === 0L).as("holds"))
   }
 
+  /** q294's EWMA (α = 1/2) over the trailing-50-day daily count
+    * series, EXACT: s₁ = c₁, sᵢ = (cᵢ + sᵢ₋₁)/2 has the closed form
+    * sᵢ·2^(i−1) = c₁ + Σ_{j=2..i} cⱼ·2^(j−2), so one cumulative
+    * DECIMAL sum of power-of-two-weighted counts replaces the
+    * sequential recurrence — no driver loop, no float drift, and
+    * the single-partition window is bounded by the CALENDAR (≤ 50
+    * rows), never by data volume. The 50-day cap is principled:
+    * older days carry EWMA weight < 2⁻⁵⁰ AND keep 2^(j−2) inside
+    * DECIMAL(38). Forecast for day i is sᵢ₋₁; the abs error column
+    * is the one-step-ahead backtest every capacity planner reads. */
+  private[graft] def ewmaForecast(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val horizon = daily.agg(max("day").as("mx"))
+    val recent = daily.join(broadcast(horizon),
+        col("day") > date_sub(col("mx"), 50))
+      .drop("mx")
+    val w = Window.partitionBy(lit(1)).orderBy("day")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    recent
+      .withColumn("rn", row_number().over(w))
+      .withColumn("wt", when(col("rn") <= 2, lit(1).cast("decimal(20,0)"))
+        .otherwise(expr("CAST(power(2, rn - 2) AS DECIMAL(20,0))")))
+      .withColumn("t",
+        sum(col("cnt").cast("decimal(12,0)") * col("wt")).over(cum))
+      .withColumn("ewma_fp",
+        when(col("rn") === 1, col("cnt") * 1000000L)
+          .otherwise(expr(
+            "(t * 1000000) div CAST(power(2, rn - 1) AS DECIMAL(20,0))")))
+      .withColumn("forecast_fp", lag("ewma_fp", 1).over(w))
+      .withColumn("abs_err_fp",
+        abs(col("cnt") * 1000000L - col("forecast_fp")))
+      .select("day", "cnt", "ewma_fp", "forecast_fp", "abs_err_fp")
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EWMA daily-volume forecast with one-step-ahead backtest —
+    // exact 2^j fixed-point algebra, calendar-bounded window; the
+    // smoothing every ingestion-capacity dashboard runs.
+    "q294_ewma_forecast" -> ((s, d) =>
+      ewmaForecast(Tables.load(s, d, "events"))),
+
 
     // GINI COEFFICIENT — the concentration audit (how skewed is
     // revenue across orders?) on exact integer cents. The textbook
@@ -1047,6 +1090,38 @@ object StatOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // q294: identical closed form — HUGEINT power-of-two weights,
+    // one cumulative sum, floor division back to 1e6 fixed point
+    "q294_ewma_forecast" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT day, cnt FROM d
+        |  WHERE day > (SELECT max(day) FROM d) - 50
+        |), rw AS (
+        |  SELECT day, cnt, row_number() OVER (ORDER BY day) AS rn
+        |  FROM r
+        |), s AS (
+        |  SELECT day, cnt, rn,
+        |    sum(cnt::HUGEINT * CASE WHEN rn <= 2 THEN 1::HUGEINT
+        |        ELSE power(2, rn - 2)::HUGEINT END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+        |  FROM rw
+        |), e AS (
+        |  SELECT day, cnt,
+        |    CASE WHEN rn = 1 THEN cnt * 1000000
+        |      ELSE ((t * 1000000) // power(2, rn - 1)::HUGEINT)::BIGINT
+        |      END AS ewma_fp
+        |  FROM s
+        |)
+        |SELECT day, cnt, ewma_fp,
+        |  lag(ewma_fp) OVER (ORDER BY day) AS forecast_fp,
+        |  abs(cnt * 1000000
+        |    - lag(ewma_fp) OVER (ORDER BY day)) AS abs_err_fp
+        |FROM e ORDER BY day""".stripMargin,
+
 
     // same grouped closed form; the exclusive cumulative count runs
     // over DISTINCT v — a total order, so the window is deterministic

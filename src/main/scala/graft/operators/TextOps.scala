@@ -1408,8 +1408,94 @@ object TextOps {
     // rules), with speech-time and span features closed-form in
     // (doc_id, token count).
     "q279_srt_subtitles" -> ((s, d) =>
-      parseSubtitles(Tables.load(s, d, "documents")))
+      parseSubtitles(Tables.load(s, d, "documents"))),
+
+    // Unigram-LM (SentencePiece-style) tokenizer — the OTHER
+    // tokenizer family next to BPE: corpus-derived piece inventory,
+    // exact fixed-point −ln p costs, per-distinct-word Viterbi with
+    // a deterministic fewest-pieces tie-break. Top-50 words by
+    // corpus frequency.
+    "q293_unigram_segment" -> ((s, d) =>
+      unigramSegment(Tables.load(s, d, "documents"), topK = 50))
   )
+
+  /** q293's unigram-LM tokenizer — the SentencePiece-style
+    * segmentation next to BPE (q143/q155): Viterbi-segment each
+    * word under a unigram piece inventory, minimizing Σ −ln p(piece)
+    * (ties to fewest pieces). The inventory is corpus-derived and
+    * fully deterministic: every character, plus every character
+    * bigram/trigram whose token-stream occurrence count clears
+    * W div 50 (W = total word occurrences); p(piece) =
+    * cnt / Σ_vocab cnt. Costs ride the repo's exact-ln discipline:
+    * round(ln(total/cnt)·1e8) as BIGINT — integral after rounding,
+    * so both engines land the identical fixed-point table.
+    *
+    * Scale shape: ONE corpus scan builds word frequencies; gram
+    * counting is a keyed agg over (piece) — the token stream never
+    * re-scans; the inventory is bounded by construction
+    * (≤ alphabet + 50·3 multigrams clear the threshold) and ships
+    * as a broadcast cost map; Viterbi runs per DISTINCT word (the
+    * dedup that makes tokenizer application cheap at 100 TB —
+    * Zipf means distinct words ≪ token occurrences). */
+  private[graft] def unigramSegment(docs: DataFrame, topK: Int)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // feeds grams ×3, the DP, and the join
+    val w = wf.agg(sum("freq")).head.getLong(0)
+    val thr = math.max(2L, w / 50)
+    def grams(len: Int) = wf.filter(length(col("w")) >= len)
+      .select(col("freq"), explode(expr(
+        s"transform(sequence(1, length(w) - ${len - 1}), " +
+          s"i -> substring(w, i, $len))")).as("p"))
+      .groupBy("p").agg(sum("freq").as("cnt"))
+    val vocab = grams(1)
+      .unionAll(grams(2).filter(col("cnt") >= thr))
+      .unionAll(grams(3).filter(col("cnt") >= thr))
+      .localCheckpoint(true)
+    val total = vocab.agg(sum("cnt")).head.getLong(0)
+    val costs: Map[String, Long] = vocab.collect().map { r =>
+      r.getString(0) ->
+        math.round(math.log(total.toDouble / r.getLong(1)) * 1e8)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    wf.select(col("w"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (word, freq) =>
+          val n = word.length
+          val inf = Long.MaxValue / 4
+          val cost = Array.fill(n + 1)(inf)
+          val pieces = Array.fill(n + 1)(Int.MaxValue)
+          cost(0) = 0; pieces(0) = 0
+          var j = 1
+          while (j <= n) {
+            var l = 1
+            while (l <= 3 && l <= j) {
+              if (cost(j - l) < inf) cs.get(word.substring(j - l, j))
+                .foreach { c =>
+                  val nc = cost(j - l) + c
+                  val np = pieces(j - l) + 1
+                  if (nc < cost(j) ||
+                      (nc == cost(j) && np < pieces(j))) {
+                    cost(j) = nc; pieces(j) = np
+                  }
+                }
+              l += 1
+            }
+            j += 1
+          }
+          // every character is in the inventory, so every word
+          // segments; anything else is a real defect
+          require(cost(n) < inf, s"unsegmentable word '$word'")
+          (word, freq, n, pieces(n), cost(n))
+        }
+      }
+      .toDF("word", "freq", "n_chars", "n_pieces", "cost_fp")
+      .orderBy(col("freq").desc, col("word").asc).limit(topK)
+  }
 
   /** q225's novelty curve over a (doc_id, text) frame: per
     * arrival-order decile, the fraction of distinct word 5-gram
@@ -2645,6 +2731,72 @@ FROM cw JOIN enc USING (w) GROUP BY source"""),
     // list per doc; every fraction is integer/integer rounded once
     // q279: nc = tokens div 5 cues; per-cue duration 2000 + id%500;
     // starts at 2500·i — speech/span/chars are all token arithmetic
+    // q293: the oracle rebuilds the IDENTICAL inventory (chars +
+    // thresholded bi/trigrams, token-stream-weighted counts, same
+    // 1e8 fixed-point ln rounding) and replaces the DP with brute
+    // path enumeration in a recursive CTE — min cost, then fewest
+    // pieces, must coincide with Viterbi's optimum
+    "q293_unigram_segment" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS w
+        |  FROM documents
+        |), wf AS MATERIALIZED (
+        |  SELECT w, count(*)::BIGINT AS freq FROM tk GROUP BY w
+        |), tot AS (SELECT sum(freq)::BIGINT AS wtot FROM wf),
+        |g1 AS (
+        |  SELECT p, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest([substr(w, i, 1)
+        |      for i in range(1, length(w) + 1)]) AS p FROM wf
+        |  ) GROUP BY p
+        |), g2 AS (
+        |  SELECT p, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest([substr(w, i, 2)
+        |      for i in range(1, length(w))]) AS p FROM wf
+        |    WHERE length(w) >= 2
+        |  ) GROUP BY p
+        |), g3 AS (
+        |  SELECT p, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest([substr(w, i, 3)
+        |      for i in range(1, length(w) - 1)]) AS p FROM wf
+        |    WHERE length(w) >= 3
+        |  ) GROUP BY p
+        |), vocab AS MATERIALIZED (
+        |  SELECT p, cnt FROM g1
+        |  UNION ALL
+        |  SELECT p, cnt FROM g2
+        |  WHERE cnt >= (SELECT greatest(2, wtot // 50) FROM tot)
+        |  UNION ALL
+        |  SELECT p, cnt FROM g3
+        |  WHERE cnt >= (SELECT greatest(2, wtot // 50) FROM tot)
+        |), vt AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+        |vc AS MATERIALIZED (
+        |  SELECT p, length(p)::INT AS pl,
+        |    CAST(round(ln((SELECT total FROM vt)::DOUBLE / cnt)
+        |      * 100000000) AS BIGINT) AS c
+        |  FROM vocab
+        |), words AS MATERIALIZED (SELECT DISTINCT w FROM wf),
+        |dp AS (
+        |  SELECT w, 0::INT AS pos, 0::BIGINT AS cost, 0::INT AS pieces
+        |  FROM words
+        |  UNION
+        |  SELECT d.w, d.pos + v.pl, d.cost + v.c, d.pieces + 1
+        |  FROM dp d JOIN vc v ON v.p = substr(d.w, d.pos + 1, v.pl)
+        |  WHERE d.pos + v.pl <= length(d.w)
+        |), best AS (
+        |  SELECT w, min(cost) AS mc FROM dp
+        |  WHERE pos = length(w) GROUP BY w
+        |), res AS (
+        |  SELECT d.w, b.mc AS cost_fp, min(d.pieces)::INT AS n_pieces
+        |  FROM dp d JOIN best b ON d.w = b.w
+        |  WHERE d.pos = length(d.w) AND d.cost = b.mc
+        |  GROUP BY d.w, b.mc
+        |)
+        |SELECT wf.w AS word, wf.freq, length(wf.w)::INT AS n_chars,
+        |  res.n_pieces, res.cost_fp
+        |FROM wf JOIN res ON wf.w = res.w
+        |ORDER BY freq DESC, word ASC LIMIT 50""".stripMargin,
+
     "q279_srt_subtitles" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -390,4 +390,39 @@ class StatOpsSpec extends SparkSpecBase {
       a, "x").head()
     assert(ok.getAs[Boolean]("holds"))
   }
+
+  test("q294 EWMA: closed form == exact sequential recurrence") {
+    import java.sql.Timestamp
+    // counts 1,2,4,3,9 across five days — s_i picks up binary
+    // fractions (1.5, 2.75, …) that any float drift or premature
+    // floor would move at the 1e6 fixed point
+    val counts = Seq(1, 2, 4, 3, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(k => (d.toLong * 100 + k,
+        Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")))
+    }
+    val ev = rows.toDF("event_id", "ts")
+    val got = StatOps.ewmaForecast(ev).collect()
+    assert(got.length == 5)
+    // exact rational recurrence with BigDecimal (halving is exact
+    // in base 10 too), floored to 1e6 fixed point only at the end:
+    // s_1 = c_1; s_i = (c_i + s_{i-1}) / 2
+    var st = BigDecimal(counts.head)
+    val ewmas = counts.zipWithIndex.map { case (c, i) =>
+      if (i > 0) st = (BigDecimal(c) + st) / 2
+      (st * 1000000).setScale(0, BigDecimal.RoundingMode.FLOOR)
+        .toLongExact
+    }
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("cnt") == counts(i).toLong)
+      assert(r.getAs[Long]("ewma_fp") == ewmas(i),
+        s"day $i: ${r.getAs[Long]("ewma_fp")} != ${ewmas(i)}")
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("forecast_fp")))
+      else {
+        assert(r.getAs[Long]("forecast_fp") == ewmas(i - 1))
+        assert(r.getAs[Long]("abs_err_fp") ==
+          math.abs(counts(i) * 1000000L - ewmas(i - 1)))
+      }
+    }
+  }
 }

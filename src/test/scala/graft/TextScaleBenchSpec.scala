@@ -35,6 +35,12 @@ class TextScaleBenchSpec extends SparkSpecBase {
     assert(hp.countOk, "a template shingle's exact count is off")
   }
 
+  test("web point: every closed form holds on every generated doc") {
+    val wp = TextScaleBench.runWebPoint(spark, 5000L)
+    assert(wp.docs == 5000L)
+    assert(wp.ok, s"${wp.badRows} docs violated an HTML closed form")
+  }
+
   test("expectedMaxSpan mirrors the generator's mutation split") {
     // recompute from the tokens directly for a few planted ids
     for (id <- Seq(1L, 101L, 1001L, 9901L)) {

@@ -712,4 +712,28 @@ class TextSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getAs[Long]("cnt") == nEn,
       s"template shingle count != en-doc count $nEn"))
   }
+
+  test("q293 unigram Viterbi: frequent bigram piece beats chars; " +
+      "rare pair falls back to characters") {
+    import spark.implicits._
+    // 60×"ab" + 5×"abab" + 1×"cd": W=66, thr=max(2, 66/50)=2, so
+    // "ab" (70), "ba"/"aba"/"bab" (5) clear it but "cd" (1) does not
+    val text = (Seq.fill(60)("ab") ++ Seq.fill(5)("abab") :+ "cd")
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextOps.unigramSegment(docs, topK = 50).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Int]("n_pieces"), r.getAs[Long]("cost_fp"))).toMap
+    // "ab" is one piece; "abab" is exactly ab+ab (cost additivity
+    // pins the DP — not aba+b, not four chars)
+    assert(rows("ab")._1 == 1)
+    assert(rows("abab")._1 == 2)
+    assert(rows("abab")._2 == 2 * rows("ab")._2)
+    // "cd" has no multigram piece: two character pieces
+    assert(rows("cd")._1 == 2)
+    // frequency ordering: "ab" (60) outranks "abab" (5)
+    val order = TextOps.unigramSegment(docs, topK = 50).collect()
+      .map(_.getAs[String]("word")).toSeq
+    assert(order == Seq("ab", "abab", "cd"))
+  }
 }

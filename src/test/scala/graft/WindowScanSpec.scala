@@ -30,7 +30,10 @@ class WindowScanSpec extends SparkSpecBase {
       "ranks the TakeOrdered top-10 chunk fingerprints",
     "q236_zonemap_forecast" ->
       ("cumulative over the value-DOMAIN table (groupBy v), row count " +
-        "bounded by distinct doc lengths, never the corpus"))
+        "bounded by distinct doc lengths, never the corpus"),
+    "q294_ewma_forecast" ->
+      ("cumulative over the CALENDAR-bounded daily table — trailing " +
+        "50 days by construction, never the event volume"))
 
   private def unpartitioned(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {
