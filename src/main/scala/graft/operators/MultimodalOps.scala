@@ -3870,6 +3870,184 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------------
+  // q295 — Ogg page walk (capture, lacing, continuation, Ogg-CRC32)
+  // ------------------------------------------------------------------
+
+  /** Ogg's CRC32: polynomial 0x04C11DB7, init 0, NO reflection, NO
+    * final xor — deliberately not the zlib CRC, and the reason every
+    * generic-CRC library mis-validates Ogg pages. Table-driven. */
+  private lazy val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private def oggCrc(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** Ogg fixture: ONE packet (the doc text) laced into 255-byte
+    * segments (a multiple-of-255 packet ends with the spec's 0-size
+    * final segment), at most 2 segments per page so real texts span
+    * pages — exercising the continuation flag (0x01), BOS (0x02),
+    * EOS (0x04), page sequence numbers, and the page CRC (computed
+    * with its own field zeroed). */
+  private[graft] def encodeOgg(docId: Long, payload: Array[Byte])
+      : Array[Byte] = {
+    val l = payload.length
+    val segs = l / 255 + 1 // final short (possibly 0-size) segment
+    val lace = Array.tabulate(segs)(i =>
+      if (i < segs - 1) 255 else l % 255)
+    val pages = (segs + 1) / 2
+    val out = new java.io.ByteArrayOutputStream()
+    var seg = 0
+    var off = 0
+    var page = 0
+    while (page < pages) {
+      val n = math.min(2, segs - seg)
+      val payLen = (0 until n).map(k => lace(seg + k)).sum
+      val hdr = new Array[Byte](27 + n)
+      hdr(0) = 'O'; hdr(1) = 'g'; hdr(2) = 'g'; hdr(3) = 'S'
+      hdr(4) = 0 // version
+      hdr(5) = (((if (page > 0) 1 else 0)) | // continuation
+        (if (page == 0) 2 else 0) | // BOS
+        (if (page == pages - 1) 4 else 0)).toByte // EOS
+      val granule = (off + payLen).toLong
+      var i = 0
+      while (i < 8) {
+        hdr(6 + i) = ((granule >>> (8 * i)) & 0xff).toByte; i += 1
+      }
+      i = 0
+      while (i < 4) { // serial = doc_id (LE 32)
+        hdr(14 + i) = ((docId >>> (8 * i)) & 0xff).toByte; i += 1
+      }
+      i = 0
+      while (i < 4) { // page sequence
+        hdr(18 + i) = ((page >>> (8 * i)) & 0xff).toByte; i += 1
+      }
+      // hdr(22..25) = CRC, zero during computation
+      hdr(26) = n.toByte
+      i = 0
+      while (i < n) { hdr(27 + i) = lace(seg + i).toByte; i += 1 }
+      val pageBytes = new Array[Byte](hdr.length + payLen)
+      System.arraycopy(hdr, 0, pageBytes, 0, hdr.length)
+      System.arraycopy(payload, off, pageBytes, hdr.length, payLen)
+      val crc = oggCrc(pageBytes, 0, pageBytes.length)
+      i = 0
+      while (i < 4) {
+        pageBytes(22 + i) = ((crc >>> (8 * i)) & 0xff).toByte; i += 1
+      }
+      out.write(pageBytes)
+      seg += n
+      off += payLen
+      page += 1
+    }
+    out.toByteArray
+  }
+
+  final case class OggParsed(doc_id: Long, n_pages: Long,
+      n_segments: Long, file_bytes: Long, payload_bytes: Long,
+      byte_sum: Long)
+
+  /** REAL Ogg walk: capture-pattern sync, version 0, the Ogg CRC
+    * recomputed with the field zeroed (fail loud), strict flag
+    * discipline (BOS only first, EOS only last, continuation on
+    * every non-first page of the spanning packet), sequential page
+    * numbers, constant serial, lacing-table reassembly. */
+  private[graft] def decodeOgg(docId: Long, bytes: Array[Byte])
+      : OggParsed = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"ogg decode [$docId]: $why")
+    var pos = 0
+    var page = 0
+    var segs = 0L
+    var payload = 0L
+    var sum = 0L
+    var sawEos = false
+    while (pos < bytes.length) {
+      if (sawEos) fail("data after EOS page")
+      if (pos + 27 > bytes.length) fail(s"truncated header at $pos")
+      if (bytes(pos) != 'O' || bytes(pos + 1) != 'g' ||
+          bytes(pos + 2) != 'g' || bytes(pos + 3) != 'S')
+        fail(s"lost capture at $pos")
+      if (bytes(pos + 4) != 0) fail("bad version")
+      val flags = bytes(pos + 5) & 0xff
+      if (page == 0 && (flags & 2) == 0) fail("first page not BOS")
+      if (page > 0 && (flags & 2) != 0) fail("BOS on non-first page")
+      if (page > 0 && (flags & 1) == 0)
+        fail("continuation flag missing mid-packet")
+      var serial = 0L
+      var i = 0
+      while (i < 4) {
+        serial |= (bytes(pos + 14 + i) & 0xffL) << (8 * i); i += 1
+      }
+      if (serial != (docId & 0xffffffffL)) fail("serial mismatch")
+      var seq = 0L
+      i = 0
+      while (i < 4) {
+        seq |= (bytes(pos + 18 + i) & 0xffL) << (8 * i); i += 1
+      }
+      if (seq != page) fail(s"page sequence $seq != $page")
+      val n = bytes(pos + 26) & 0xff
+      if (pos + 27 + n > bytes.length) fail("truncated lacing table")
+      var payLen = 0
+      i = 0
+      while (i < n) { payLen += bytes(pos + 27 + i) & 0xff; i += 1 }
+      val end = pos + 27 + n + payLen
+      if (end > bytes.length) fail("page payload overruns file")
+      // CRC: recompute with the stored field zeroed
+      var stored = 0
+      i = 0
+      while (i < 4) {
+        stored |= (bytes(pos + 22 + i) & 0xff) << (8 * i); i += 1
+      }
+      val copy = java.util.Arrays.copyOfRange(bytes, pos, end)
+      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+      if (oggCrc(copy, 0, copy.length) != stored)
+        fail(s"CRC mismatch on page $page")
+      i = pos + 27 + n
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      segs += n
+      payload += payLen
+      if ((flags & 4) != 0) sawEos = true
+      pos = end
+      page += 1
+    }
+    if (!sawEos) fail("stream missing EOS")
+    OggParsed(docId, page.toLong, segs, bytes.length.toLong, payload,
+      sum)
+  }
+
+  /** q295's pipeline: one Ogg stream per doc, strict page walk
+    * back; narrow per-row work. */
+  def decodeOggStreams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        decodeOgg(id, encodeOgg(id, b))
+      })
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
   // q291 — protobuf wire-format walk (the tf.Example serialization)
   // ------------------------------------------------------------------
 
@@ -4224,6 +4402,14 @@ object MultimodalOps {
     // records, q291 decodes what's inside them.
     "q291_proto_records" -> ((s, d) =>
       decodeProtoRecords(Tables.load(s, d, "documents"))),
+
+    // Ogg page walk — the streaming-audio container (Vorbis/Opus
+    // corpora): capture sync, 255-byte lacing with the 0-size final
+    // segment rule, continuation/BOS/EOS flag discipline, page
+    // sequence numbers, and the NON-zlib Ogg CRC32 recomputed per
+    // page with the field zeroed.
+    "q295_ogg_pages" -> ((s, d) =>
+      decodeOggStreams(Tables.load(s, d, "documents"))),
 
     // Near-duplicate IMAGE detection by perceptual hash — multimodal
     // dedup, the capability the text MinHash family can't give you.
@@ -4628,6 +4814,23 @@ object MultimodalOps {
         |      WHEN 3 THEN 224 ELSE 256 END)) // 44100
         |      + (doc_id + fi) % 2 - 4) * ((doc_id + fi) % 251)
         |    for fi in range(0, n::INT)]) AS BIGINT) AS payload_sum
+        |FROM f""".stripMargin,
+
+    // q295: lacing arithmetic — L bytes lace into L//255 + 1
+    // segments (incl. the 0-size tail when 255 | L), 2 segments per
+    // page, header overhead 27 + nsegs per page
+    "q295_ogg_pages" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS l,
+        |    octet_length(encode(text)) // 255 + 1 AS segs,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |)
+        |SELECT doc_id, (segs + 1) // 2 AS n_pages, segs AS n_segments,
+        |  27 * ((segs + 1) // 2) + segs + l AS file_bytes,
+        |  l AS payload_bytes, coalesce(byte_sum, 0) AS byte_sum
         |FROM f""".stripMargin,
 
     // q291: header bytes are varint-width arithmetic (1 byte per

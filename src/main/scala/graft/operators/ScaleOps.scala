@@ -617,6 +617,50 @@ object ScaleOps {
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
+    // PARQUET FOOTER-STATS AUDIT — the lakehouse pruning contract
+    // made driver-visible: write the documents table as ONE parquet
+    // row group, then read the FOOTER back through parquet-mr (the
+    // metadata path a scan planner actually uses — no data pages
+    // touched) and emit each numeric column's row count, null count
+    // and min/max statistics. The oracle recomputes the same values
+    // from the DATA — footer stats that don't match the data are
+    // exactly the corruption that silently breaks min/max pruning
+    // at 100 TB. Bounded driver work: one footer, two columns.
+    "q297_footer_stats" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${scratch(d)}/footer_audit"
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      ScratchGuard.ensure(s, dir, base)(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
+        base.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          part, s.sparkContext.hadoopConfiguration))
+      val rows = try {
+        val blocks = reader.getFooter.getBlocks
+        require(blocks.size == 1,
+          s"expected one row group, got ${blocks.size}")
+        val block = blocks.get(0)
+        import scala.jdk.CollectionConverters._
+        block.getColumns.asScala.toSeq.map { c =>
+          val st = c.getStatistics
+          (c.getPath.toDotString, blocks.size, block.getRowCount,
+            st.getNumNulls,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        }
+      } finally reader.close()
+      rows.toDF("column_name", "row_groups", "n_rows", "null_count",
+          "stat_min", "stat_max")
+        .orderBy("column_name")
+    }),
+
     // SKEW-MITIGATED JOIN as a gated op: the fact side's synthetic
     // hot key absorbs ~70% of all orders (the celebrity-key shape
     // that melts one reducer at 100 TB); SkewOps.saltedInnerJoin
@@ -3176,6 +3220,20 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+
+    // q297: the DATA recomputes what the FOOTER claims — a stats/
+    // data divergence is a silent pruning corruption
+    "q297_footer_stats" ->
+      """SELECT 'doc_id' AS column_name, 1 AS row_groups,
+        |  count(*)::BIGINT AS n_rows, 0::BIGINT AS null_count,
+        |  min(doc_id)::BIGINT AS stat_min,
+        |  max(doc_id)::BIGINT AS stat_max
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', 1, count(*)::BIGINT, 0::BIGINT,
+        |  min(n_chars)::BIGINT, max(n_chars)::BIGINT
+        |FROM documents
+        |ORDER BY column_name""".stripMargin,
 
     // q292: the oracle is the UNSALTED join — salting must be
     // invisible in the result set

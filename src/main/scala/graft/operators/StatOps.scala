@@ -279,6 +279,43 @@ object StatOps {
     "q294_ewma_forecast" -> ((s, d) =>
       ewmaForecast(Tables.load(s, d, "events"))),
 
+    // McNEMAR'S TEST — the paired-classifier significance check a
+    // pipeline runs before swapping quality filter A for B: both
+    // filters judged against the reference label on the SAME docs,
+    // so only the DISCORDANT counts b (A right, B wrong) and c
+    // (A wrong, B right) matter. Exact integer contingency cells;
+    // the continuity-corrected statistic (|b−c|−1)²/(b+c) is one
+    // final rounded division. One scan, one tiny agg.
+    "q296_mcnemar" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val toks = size(split(lower(trim(col("text"))), "\\s+"))
+      val cells = docs.select(
+        (col("lang") === "en").as("y"),
+        (toks >= 40).as("a"),
+        (col("n_chars") >= 200).as("b"))
+        .select(
+          (col("a") === col("y")).as("a_ok"),
+          (col("b") === col("y")).as("b_ok"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("b_disc"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("c_disc"),
+          sum(when(col("a_ok"), 1L).otherwise(0L)).as("a_correct"),
+          sum(when(col("b_ok"), 1L).otherwise(0L)).as("b_correct"))
+      cells.select(col("n"), col("a_correct"), col("b_correct"),
+        col("b_disc"), col("c_disc"),
+        round(col("a_correct").cast("double") / col("n"), 6)
+          .as("acc_a"),
+        round(col("b_correct").cast("double") / col("n"), 6)
+          .as("acc_b"),
+        when(col("b_disc") + col("c_disc") === 0, lit(null))
+          .otherwise(round(
+            pow(abs(col("b_disc") - col("c_disc")) - 1, 2)
+              / (col("b_disc") + col("c_disc")), 6))
+          .cast("double").as("chi2"))
+    }),
+
 
     // GINI COEFFICIENT — the concentration audit (how skewed is
     // revenue across orders?) on exact integer cents. The textbook
@@ -1121,6 +1158,37 @@ object StatOps {
         |  abs(cnt * 1000000
         |    - lag(ewma_fp) OVER (ORDER BY day)) AS abs_err_fp
         |FROM e ORDER BY day""".stripMargin,
+
+    // q296: the same two rules, the same discordant cells, the same
+    // continuity-corrected statistic
+    "q296_mcnemar" ->
+      """WITH j AS (
+        |  SELECT (lang = 'en') AS y,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) >= 40
+        |      AS a,
+        |    n_chars >= 200 AS b
+        |  FROM documents
+        |), k AS (
+        |  SELECT (a = y) AS a_ok, (b = y) AS b_ok FROM j
+        |), c AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_disc,
+        |    CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_disc,
+        |    CAST(sum(CASE WHEN a_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_correct,
+        |    CAST(sum(CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b_correct
+        |  FROM k
+        |)
+        |SELECT n, a_correct, b_correct, b_disc, c_disc,
+        |  round(a_correct::DOUBLE / n, 6) AS acc_a,
+        |  round(b_correct::DOUBLE / n, 6) AS acc_b,
+        |  CASE WHEN b_disc + c_disc = 0 THEN NULL
+        |    ELSE round(power(abs(b_disc - c_disc) - 1, 2)::DOUBLE
+        |      / (b_disc + c_disc), 6) END AS chi2
+        |FROM c""".stripMargin,
 
 
     // same grouped closed form; the exclusive cumulative count runs

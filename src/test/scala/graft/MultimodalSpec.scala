@@ -1299,6 +1299,33 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q295 ogg: lacing edges + flag discipline + the non-zlib CRC") {
+    import operators.MultimodalOps.{decodeOgg, encodeOgg}
+    // 510 bytes = exactly 2×255 → THREE segments (0-size tail rule),
+    // 2 pages; 100 bytes → 1 segment, 1 page
+    val payload510 = Array.tabulate(510)(i => (i % 97).toByte)
+    val p2 = decodeOgg(7L, encodeOgg(7L, payload510))
+    assert(p2.n_segments == 3 && p2.n_pages == 2)
+    assert(p2.payload_bytes == 510)
+    assert(p2.file_bytes == 27 * 2 + 3 + 510)
+    val p1 = decodeOgg(8L, encodeOgg(8L, Array.fill(100)(1.toByte)))
+    assert(p1.n_segments == 1 && p1.n_pages == 1)
+    // flip a payload byte -> page CRC fails
+    val good = encodeOgg(9L, payload510)
+    val bad = good.clone(); bad(40) = (bad(40) ^ 0x10).toByte
+    intercept[IllegalArgumentException] { decodeOgg(9L, bad) }
+    // wrong serial (stream mixup) is refused
+    intercept[IllegalArgumentException] { decodeOgg(10L, good) }
+    // drop the final page entirely (first page has a valid CRC but
+    // no EOS): the walk must notice the stream never terminated
+    var second = 4
+    while (!(good(second) == 'O' && good(second + 1) == 'g' &&
+      good(second + 2) == 'g' && good(second + 3) == 'S')) second += 1
+    intercept[IllegalArgumentException] {
+      decodeOgg(9L, java.util.Arrays.copyOf(good, second))
+    }
+  }
+
   test("q285 zip: EOCD/CD/LFH walk; every cross-check load-bearing") {
     import operators.MultimodalOps.{decodeZipShard, encodeZipShard}
     val members = Seq(
