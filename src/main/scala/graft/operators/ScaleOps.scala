@@ -617,6 +617,38 @@ object ScaleOps {
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
+    // MULTI-TOUCH ATTRIBUTION — the credit-assignment twin of the
+    // q87/q111 funnel: every purchase splits exactly 1e6 fixed-point
+    // credit across the views that preceded it within 30 minutes
+    // (linear attribution), integer division with the REMAINDER
+    // pinned to the last touch — so credit conserves exactly
+    // (Σ per purchase ≡ 1e6, no float leakage) and every engine
+    // agrees to the unit. Shape: one interval join + one window
+    // PARTITIONED BY PURCHASE (bounded by that purchase's touch
+    // count, never global).
+    "q298_multitouch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("v_eid"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+          col("event_id").as("p_eid"))
+      val w = Window.partitionBy("p_eid")
+      val wOrd = w.orderBy(col("v_ts").desc, col("v_eid").desc)
+      v.join(p, col("user_id") === col("p_uid")
+          && col("v_ts") <= col("p_ts")
+          && col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("touch_rank", row_number().over(wOrd))
+        .select(col("user_id"), col("p_eid"), col("v_eid"), col("k"),
+          when(col("touch_rank") === 1,
+            lit(1000000L) - (col("k") - 1) * expr("1000000 div k"))
+            .otherwise(expr("1000000 div k")).as("credit_fp"))
+        .orderBy("p_eid", "v_eid")
+    }),
+
     // PARQUET FOOTER-STATS AUDIT — the lakehouse pruning contract
     // made driver-visible: write the documents table as ONE parquet
     // row group, then read the FOOTER back through parquet-mr (the
@@ -3220,6 +3252,30 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+
+    // q298: same interval join, same per-purchase counts, same
+    // floor-division + last-touch-remainder rule
+    "q298_multitouch" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS v_ts, event_id AS v_eid FROM events
+        |  WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id AS p_uid, ts AS p_ts, event_id AS p_eid
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT v.user_id, p.p_eid, v.v_eid, v.v_ts,
+        |    count(*) OVER (PARTITION BY p.p_eid) AS k,
+        |    row_number() OVER (PARTITION BY p.p_eid
+        |      ORDER BY v.v_ts DESC, v.v_eid DESC) AS touch_rank
+        |  FROM v JOIN p ON v.user_id = p.p_uid
+        |    AND v.v_ts <= p.p_ts
+        |    AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |)
+        |SELECT user_id, p_eid, v_eid, k,
+        |  CASE WHEN touch_rank = 1
+        |    THEN 1000000 - (k - 1) * (1000000 // k)
+        |    ELSE 1000000 // k END AS credit_fp
+        |FROM j ORDER BY p_eid, v_eid""".stripMargin,
 
     // q297: the DATA recomputes what the FOOTER claims — a stats/
     // data divergence is a silent pruning corruption

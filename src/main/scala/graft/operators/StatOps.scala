@@ -272,12 +272,49 @@ object StatOps {
       .orderBy("day")
   }
 
+  /** q299's core over a (d: long) diff frame: zero diffs dropped,
+    * |d| average-ranked through [[rankTable]]'s doubled-integer
+    * table, W⁺/W⁻ exact, one final rounded normal approximation.
+    * The doubled sums must tile n(n+1) exactly — a rank bug fails
+    * loudly, not approximately. */
+  private[graft] def wilcoxonSignedRank(diffs: DataFrame): DataFrame = {
+    val s = diffs.sparkSession
+    import s.implicits._
+    val base = diffs.filter(col("d") =!= 0)
+      .select(col("d"), abs(col("d")).as("v"))
+      .localCheckpoint(true)
+    val m = base.join(rankTable(base.select("v")), "v")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2p"),
+        sum(when(col("d") < 0, col("r2")).otherwise(0L)).as("w2m"))
+      .head()
+    val (n, w2p, w2m) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    require(w2p + w2m == n * (n + 1),
+      "doubled rank sums must cover n(n+1) exactly")
+    val mu = n.toDouble * (n + 1) / 4.0
+    val sigma = math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24.0)
+    val z = math.rint((w2p / 2.0 - mu) / sigma * 1e6) / 1e6
+    Seq((n, w2p, w2m, z)).toDF("n", "w2_plus", "w2_minus", "z")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EWMA daily-volume forecast with one-step-ahead backtest —
     // exact 2^j fixed-point algebra, calendar-bounded window; the
     // smoothing every ingestion-capacity dashboard runs.
     "q294_ewma_forecast" -> ((s, d) =>
       ewmaForecast(Tables.load(s, d, "events"))),
+
+    // WILCOXON SIGNED-RANK — the paired-score significance test for
+    // "did estimator B shift relative to A on the same docs":
+    // whitespace token count vs the chars-div-5 length proxy, zero
+    // diffs dropped per the standard procedure, |d| ranked through
+    // the SAME doubled-average-rank integer table Spearman rides
+    // (DistributedPrefix — no global window), W⁺/W⁻ kept as exact
+    // doubled BIGINTs, one final rounded normal approximation.
+    "q299_wilcoxon" -> ((s, d) =>
+      wilcoxonSignedRank(Tables.load(s, d, "documents")
+        .select((size(split(lower(trim(col("text"))), "\\s+"))
+          .cast("long") - expr("n_chars div 5")).as("d")))),
 
     // McNEMAR'S TEST — the paired-classifier significance check a
     // pipeline runs before swapping quality filter A for B: both
@@ -1158,6 +1195,34 @@ object StatOps {
         |  abs(cnt * 1000000
         |    - lag(ewma_fp) OVER (ORDER BY day)) AS abs_err_fp
         |FROM e ORDER BY day""".stripMargin,
+
+    // q299: identical doubled-rank algebra in window SQL, identical
+    // final normal approximation
+    "q299_wilcoxon" ->
+      """WITH dd AS (
+        |  SELECT len(string_split_regex(lower(trim(text)), '\s+'))
+        |    ::BIGINT - n_chars // 5 AS d
+        |  FROM documents
+        |), nz AS (SELECT d, abs(d) AS v FROM dd WHERE d <> 0),
+        |g AS (SELECT v, count(*)::BIGINT AS c FROM nz GROUP BY v),
+        |r AS (
+        |  SELECT v, 2 * (sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |    + c + 1 AS r2
+        |  FROM g
+        |), j AS (SELECT nz.d, r.r2 FROM nz JOIN r USING (v)),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2p,
+        |    CAST(sum(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2m
+        |  FROM j
+        |)
+        |SELECT n, w2p AS w2_plus, w2m AS w2_minus,
+        |  round((w2p / 2.0 - n * (n + 1) / 4.0)
+        |    / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 6) AS z
+        |FROM agg""".stripMargin,
 
     // q296: the same two rules, the same discordant cells, the same
     // continuity-corrected statistic

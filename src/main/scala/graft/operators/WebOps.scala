@@ -736,7 +736,58 @@ object WebOps {
       .toDF()
   }
 
+  // ----------------------------------------------------------------
+  // q300 — the web-pipeline YIELD capstone
+  // ----------------------------------------------------------------
+
+  /** The end-to-end funnel every crawl-to-corpus pipeline reports:
+    * ingest → HTML extraction (the REAL q281 parser runs on every
+    * page) → length-band quality filter → exact dedup (q44's
+    * fingerprint rule, min-doc_id canonical) → GPT-style packing
+    * (docs concatenated then split at the context boundary, so
+    * sequences = ceil(Σ tokens / ctx)). One row per stage with doc
+    * and token counts — the "where did my data go" dashboard.
+    * Shape: one parse pass (narrow), one fingerprint groupBy; every
+    * stage count is an aggregate, nothing re-scans the corpus. */
+  def pipelineYield(docs: DataFrame, ctx: Long = 2048L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val norm = text.trim.toLowerCase
+        val toks = norm.split("\\s+")
+        val p = parseHtml(id, encodeHtml(id, toks))
+        (id, norm, toks.length.toLong, p.n_text_tokens)
+      })
+      .toDF("doc_id", "norm", "n", "extracted")
+      .localCheckpoint(true) // feeds every stage once
+    val s12 = parsed.agg(count(lit(1)).as("docs"), sum("n").as("toks"),
+      sum("extracted").as("etoks")).head()
+    val kept = parsed.filter(col("n") >= 30 && col("n") <= 120)
+      .localCheckpoint(true)
+    val s3 = kept.agg(count(lit(1)), sum("n")).head()
+    val surv = kept
+      .groupBy(md5(col("norm").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), first("n").as("n"))
+    val s4 = surv.agg(count(lit(1)), sum("n")).head()
+    val (sDocs, sToks) = (s4.getLong(0), s4.getLong(1))
+    Seq(
+      ("1_ingest", s12.getLong(0), s12.getLong(1)),
+      ("2_extract", s12.getLong(0), s12.getLong(2)),
+      ("3_quality", s3.getLong(0), s3.getLong(1)),
+      ("4_dedup", sDocs, sToks),
+      ("5_pack", (sToks + ctx - 1) / ctx, sToks))
+      .toDF("stage", "docs", "tokens")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Pipeline YIELD capstone — the crawl-to-corpus funnel: real
+    // HTML extraction, length-band quality filter, exact dedup,
+    // context-window packing; one row per stage.
+    "q300_pipeline_yield" -> ((s, d) =>
+      pipelineYield(Tables.load(s, d, "documents"))),
+
     // HTML text extraction — the FIRST pass of every web-corpus
     // pipeline: strip tags/script/style/comments, decode entities,
     // keep the text. The fixture page plants the classic traps (a
@@ -776,6 +827,36 @@ object WebOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q300: the extraction stage's token count is q281's closed form
+    // (2 + n + n//7); quality/dedup/pack replay as plain SQL
+    "q300_pipeline_yield" ->
+      """WITH f AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n
+        |  FROM documents
+        |), k AS (SELECT * FROM f WHERE n BETWEEN 30 AND 120),
+        |sv AS (
+        |  SELECT norm, min(doc_id) AS doc_id, min(n) AS n
+        |  FROM k GROUP BY norm
+        |), s4 AS (
+        |  SELECT count(*)::BIGINT AS docs,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS toks
+        |  FROM sv
+        |)
+        |SELECT '1_ingest' AS stage, count(*)::BIGINT AS docs,
+        |  CAST(sum(n) AS BIGINT) AS tokens FROM f
+        |UNION ALL
+        |SELECT '2_extract', count(*)::BIGINT,
+        |  CAST(sum(2 + n + n // 7) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT '3_quality', count(*)::BIGINT,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) FROM k
+        |UNION ALL
+        |SELECT '4_dedup', docs, toks FROM s4
+        |UNION ALL
+        |SELECT '5_pack', (toks + 2047) // 2048, toks FROM s4""".stripMargin,
+
     // q281: element/comment/entity/token counts are floor arithmetic
     // in n; the extracted text is the title tokens + the token
     // stream with the (i/7 mod 5)-cycled entity characters spliced

@@ -391,6 +391,20 @@ class StatOpsSpec extends SparkSpecBase {
     assert(ok.getAs[Boolean]("holds"))
   }
 
+  test("q299 Wilcoxon: hand-ranked fixture with ties; zeros dropped") {
+    // diffs: +1, -2, +2, +3, 0 → nonzero n=4; |d| ranks: 1→1,
+    // 2,2→avg 2.5 (doubled 5), 3→4; W+ = 1 + 2.5 + 4 = 7.5
+    // (doubled 15), W- = 2.5 (doubled 5); 15 + 5 = 4·5 ✓
+    val r = StatOps.wilcoxonSignedRank(
+      Seq(1L, -2L, 2L, 3L, 0L).toDF("d")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("w2_plus") == 15L)
+    assert(r.getAs[Long]("w2_minus") == 5L)
+    // z = (7.5 - 5) / sqrt(4·5·9/24) = 2.5/sqrt(7.5)
+    val want = math.rint(2.5 / math.sqrt(7.5) * 1e6) / 1e6
+    assert(r.getAs[Double]("z") == want)
+  }
+
   test("q294 EWMA: closed form == exact sequential recurrence") {
     import java.sql.Timestamp
     // counts 1,2,4,3,9 across five days — s_i picks up binary
