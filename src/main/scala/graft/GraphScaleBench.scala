@@ -143,6 +143,7 @@ object GraphScaleBench {
       kcSec: Double = 0.0, kcOk: Boolean = true,
       lpdSec: Double = 0.0, lpdOk: Boolean = true,
       mstSec: Double = 0.0, mstOk: Boolean = true,
+      pprSec: Double = 0.0, pprOk: Boolean = true,
       first: Option[Point] = None) {
     def json: String =
       s"""{"n":$n,"edges":$edges,"gen_sec":${r3(genSec)},""" +
@@ -152,10 +153,11 @@ object GraphScaleBench {
         s""""lpa_sec":${r3(lpaSec)},"labels_local":$lpaOk,""" +
         s""""kcore_sec":${r3(kcSec)},"kcore_ok":$kcOk,""" +
         s""""linkpred_sec":${r3(lpdSec)},"linkpred_ok":$lpdOk,""" +
-        s""""mst_sec":${r3(mstSec)},"mst_ok":$mstOk""" +
+        s""""mst_sec":${r3(mstSec)},"mst_ok":$mstOk,""" +
+        s""""ppr_sec":${r3(pprSec)},"ppr_ok":$pprOk""" +
         first.map(f => s""","first_run":${f.json}""").getOrElse("") + "}"
     def allOk: Boolean =
-      triOk && ccOk && prOk && lpaOk && kcOk && lpdOk && mstOk
+      triOk && ccOk && prOk && lpaOk && kcOk && lpdOk && mstOk && pprOk
   }
 
   /** Noise guard — the same treatment per-query timings get: each
@@ -176,12 +178,13 @@ object GraphScaleBench {
       math.min(a.lpaSec, b.lpaSec), a.lpaOk && b.lpaOk,
       math.min(a.kcSec, b.kcSec), a.kcOk && b.kcOk,
       math.min(a.lpdSec, b.lpdSec), a.lpdOk && b.lpdOk,
-      math.min(a.mstSec, b.mstSec), a.mstOk && b.mstOk)
+      math.min(a.mstSec, b.mstSec), a.mstOk && b.mstOk,
+      math.min(a.pprSec, b.pprSec), a.pprOk && b.pprOk)
     val noisy = Seq(
       (a.triSec, m.triSec), (a.ccSec, m.ccSec),
       (a.prSec, m.prSec), (a.lpaSec, m.lpaSec),
       (a.kcSec, m.kcSec), (a.lpdSec, m.lpdSec),
-      (a.mstSec, m.mstSec))
+      (a.mstSec, m.mstSec), (a.pprSec, m.pprSec))
       .exists { case (f, mn) => f > 1.3 * mn && f - mn > 0.5 }
     if (noisy) m.copy(first = Some(a)) else m
   }
@@ -308,8 +311,54 @@ object GraphScaleBench {
         c5.getAs[Int]("rounds") == 3
     }
     ctSym.unpersist()
+    // Personalized PageRank on the hub graph (disjoint 1000-node
+    // stars), seeds = the hub of every 100th cluster, co-partitioned
+    // path (the 1M-rank table is past sensible broadcast). EXACT
+    // planted truth from disconnectedness + symmetry: restart mass
+    // can NEVER reach an unseeded cluster (nonzero ranks == 1000 per
+    // seed, zero elsewhere), every spoke of a seeded star holds the
+    // IDENTICAL rank, and the hub outranks its spokes.
+    val hubSym = {
+      val h = hubEdges(spark, n)
+      val sym = h.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(h.select(col("v").as("src"), col("u").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      sym
+    }
+    // every 100th cluster's hub seeds; small spec runs shrink the
+    // stride so at least one seed exists
+    val seedStride = math.min(ClusterSize * 100L, n)
+    val seeds = spark.range(n).filter(col("id") % seedStride === 0)
+      .select(col("id").as("node"))
+    val (pprOk, pprSec) = timeIt {
+      val r = ScaleOps.pprFixedPoint(hubSym, seeds, rounds = 5,
+        forceCoPartition = Some(true))
+      val st = r.select(
+          col("node"),
+          (col("node") % seedStride < ClusterSize).as("seeded"),
+          (col("node") % ClusterSize === 0).as("hub"),
+          col("r_fp"))
+        .groupBy("seeded")
+        .agg(count(lit(1)).as("nodes"),
+          sum(when(col("r_fp") > 0, 1L).otherwise(0L)).as("nonzero"),
+          countDistinct(when(!col("hub"), col("r_fp"))).as("spoke_vals"),
+          min(when(col("hub"), col("r_fp"))).as("hub_min"),
+          max(when(!col("hub"), col("r_fp"))).as("spoke_max"))
+        .collect().map(x => x.getAs[Boolean]("seeded") -> x).toMap
+      val nSeeds = (n + seedStride - 1) / seedStride
+      val sOk = st.get(true).exists { x =>
+        x.getAs[Long]("nonzero") == nSeeds * ClusterSize &&
+          x.getAs[Long]("spoke_vals") == 1L &&
+          x.getAs[Long]("hub_min") > x.getAs[Long]("spoke_max")
+      }
+      val uOk = st.get(false).forall(_.getAs[Long]("nonzero") == 0L)
+      sOk && uOk
+    }
+    hubSym.unpersist()
     Point(n, nEdges, genSec, triSec, triOk, ccSec, ccOk, prSec, prOk,
-      lpaSec, lpaOk, kcSec, kcOk, lpdSec, lpdOk, mstSec, mstOk)
+      lpaSec, lpaOk, kcSec, kcOk, lpdSec, lpdOk, mstSec, mstOk,
+      pprSec, pprOk)
   }
 
   def run(spark: SparkSession, sizes: Seq[Long]): Result = {
@@ -318,7 +367,7 @@ object GraphScaleBench {
     // sustained contention spanning both best-of-2 runs re-measures
     // once more; a genuine cliff reproduces and stands (ScaleGuard)
     Result(ScaleGuard(pts)(_.n, p => p.triSec + p.ccSec + p.prSec +
-      p.lpaSec + p.kcSec + p.lpdSec + p.mstSec)(
+      p.lpaSec + p.kcSec + p.lpdSec + p.mstSec + p.pprSec)(
       n => runPoint(spark, n), merged))
   }
 }

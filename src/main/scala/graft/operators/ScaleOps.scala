@@ -170,7 +170,8 @@ object ScaleOps {
     * join; all arithmetic integral (floor division everywhere, both
     * engines). */
   private[graft] def pprFixedPoint(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      forceCoPartition: Option[Boolean] = None): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
     val nSeeds = seeds.count()
@@ -179,14 +180,24 @@ object ScaleOps {
     val restart = 15L * seedShare / 100
     val seedFlag = broadcast(
       seeds.select(col("node").as("s_node"), lit(1).as("is_seed")))
+    // the same runtime shape switch as pageRankFixedPoint: past
+    // comfortable broadcast, co-partition edges once and let every
+    // round's rank join ride the cached partitioning
+    val BroadcastNodeLimit = 10000000L
+    val coPart =
+      forceCoPartition.getOrElse(deg.count() > BroadcastNodeLimit)
     var ranks = deg.select(col("src").as("node"))
       .join(seedFlag, col("node") === col("s_node"), "left")
       .select(col("node"),
         when(col("is_seed").isNotNull, lit(seedShare))
           .otherwise(lit(0L)).as("r_fp"))
-    val edgesCached = edgesDeg.cache()
+    val edgesCached =
+      (if (coPart) edgesDeg.repartition(col("src")) else edgesDeg).cache()
     for (_ <- 1 to rounds) {
-      ranks = edgesCached.join(broadcast(ranks), col("src") === col("node"))
+      val joined =
+        if (coPart) edgesCached.join(ranks, col("src") === col("node"))
+        else edgesCached.join(broadcast(ranks), col("src") === col("node"))
+      ranks = joined
         .groupBy(col("dst"))
         .agg(sum(expr("r_fp div deg")).as("acc"))
         .join(seedFlag, col("dst") === col("s_node"), "left")

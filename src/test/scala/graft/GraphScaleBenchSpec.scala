@@ -56,7 +56,7 @@ class GraphScaleBenchSpec extends SparkSpecBase {
     assert(q.first.isEmpty && q.allOk)
   }
 
-  test("3k-node point: all seven planted checks hold") {
+  test("3k-node point: all eight planted checks hold") {
     val p = GraphScaleBench.runPoint(spark, 3000L)
     assert(p.edges == 6000L)
     assert(p.triOk, "triangle count must equal n exactly")
@@ -67,5 +67,7 @@ class GraphScaleBenchSpec extends SparkSpecBase {
     assert(p.lpdOk, "link-prediction planted candidate census failed")
     assert(p.mstOk,
       "MSF planted ring-tree (count/weight/checksum/flags) failed")
+    assert(p.pprOk,
+      "PPR disconnected-cluster containment / symmetry failed")
   }
 }
