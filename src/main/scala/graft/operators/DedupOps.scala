@@ -475,7 +475,68 @@ object DedupOps {
         expr("bit_count(x.sim ^ y.sim)").as("hamming")))
   }
 
+  /** q303's record linkage over a customer frame: a deterministic
+    * DIRTY COPY (every 7th row absent; rows with key%10<3 get their
+    * name's last two digits swapped; every 5th row's balance drifts
+    * one cent), blocked candidate generation, and integer
+    * Fellegi–Sunter-style agreement scoring.
+    *
+    * The design teaches the two load-bearing linkage lessons at
+    * once: (1) the BLOCKING KEY (nation, name[1..17]) is chosen so
+    * the planted perturbation can never escape its block — the
+    * digit swap lives entirely in the suffix — so candidate recall
+    * is 1.0 BY CONSTRUCTION and the measured misses are purely the
+    * classifier's; (2) the weights make false positives impossible
+    * (a cross pair's best score, balance collision included, is
+    * +2−3 < threshold) while a swapped name alone drops a true pair
+    * below threshold — the exact false-negative set is closed-form
+    * and the oracle replays it. Shape: one equi-join on the block
+    * key (block size bounded by the 100-key prefix group), never
+    * |A|·|B|. */
+  private[graft] def recordLinkage(customer: DataFrame): DataFrame = {
+    val a = customer.select(col("c_custkey").as("k"),
+      col("c_name").as("name"), col("c_nationkey").as("nat"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val b = a.filter(col("k") % 7 =!= 0)
+      .select(col("k").as("bk"),
+        when(col("k") % 10 < 3, concat(substring(col("name"), 1, 16),
+          substring(col("name"), 18, 1), substring(col("name"), 17, 1)))
+          .otherwise(col("name")).as("bname"),
+        col("nat").as("bnat"),
+        when(col("k") % 5 === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("bcents"))
+    val cand = a.join(b,
+      col("nat") === col("bnat") &&
+        substring(col("name"), 1, 17) === substring(col("bname"), 1, 17))
+    val scored = cand.select(col("k"), col("bk"),
+      (when(col("name") === col("bname"), 3).otherwise(-1) +
+        when(col("cents") === col("bcents"), 2).otherwise(-1))
+        .as("score"))
+    scored.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("k") === col("bk"), 1L).otherwise(0L))
+        .as("true_pairs"),
+      sum(when(col("score") >= 2, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(col("score") >= 2 && col("k") === col("bk"), 1L)
+        .otherwise(0L)).as("matched_true"))
+      .select(col("n_candidates"), col("true_pairs"), col("n_matched"),
+        col("matched_true"),
+        (col("true_pairs") - col("matched_true")).as("false_negatives"),
+        round(col("matched_true").cast("double") / col("n_matched"), 6)
+          .as("precision"),
+        round(col("matched_true").cast("double") / col("true_pairs"), 6)
+          .as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // RECORD LINKAGE — entity resolution between a table and its
+    // deterministically-dirtied copy: perturbation-surviving
+    // blocking, integer agreement weights, closed-form false
+    // negatives; the matching family BEYOND near-dup text.
+    "q303_record_linkage" -> ((s, d) =>
+      recordLinkage(Tables.load(s, d, "customer"))),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint,
     // canonical = min doc_id (one shuffle; at scale this is THE dedup
     // primitive).
@@ -1228,6 +1289,44 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // q303: the dirty copy, the block join and the weights replay
+    // verbatim; cents ride round(bal·100) exactly like the Spark side
+    "q303_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |), b AS (
+        |  SELECT k AS bk,
+        |    CASE WHEN k % 10 < 3
+        |      THEN name[1:16] || name[18:18] || name[17:17]
+        |      ELSE name END AS bname,
+        |    nat AS bnat,
+        |    CASE WHEN k % 5 = 0 THEN cents + 1 ELSE cents END AS bcents
+        |  FROM a WHERE k % 7 <> 0
+        |), cand AS (
+        |  SELECT a.k, b.bk,
+        |    (CASE WHEN a.name = b.bname THEN 3 ELSE -1 END
+        |     + CASE WHEN a.cents = b.bcents THEN 2 ELSE -1 END)
+        |      AS score
+        |  FROM a JOIN b ON a.nat = b.bnat
+        |    AND a.name[1:17] = b.bname[1:17]
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_candidates,
+        |    CAST(sum(CASE WHEN k = bk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS true_pairs,
+        |    CAST(sum(CASE WHEN score >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matched,
+        |    CAST(sum(CASE WHEN score >= 2 AND k = bk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matched_true
+        |  FROM cand
+        |)
+        |SELECT n_candidates, true_pairs, n_matched, matched_true,
+        |  true_pairs - matched_true AS false_negatives,
+        |  round(matched_true::DOUBLE / n_matched, 6) AS precision,
+        |  round(matched_true::DOUBLE / true_pairs, 6) AS recall
+        |FROM agg""".stripMargin,
+
     "q44_dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id,

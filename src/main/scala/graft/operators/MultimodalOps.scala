@@ -3870,6 +3870,114 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------------
+  // q302 — ICO favicon walk (ICONDIR + headerless DIB, doubled height)
+  // ------------------------------------------------------------------
+
+  /** ICO fixture: ICONDIR + one entry + a HEADERLESS DIB whose
+    * BITMAPINFOHEADER height is DOUBLED (XOR raster + the 1-bit AND
+    * mask share it — THE ico quirk every naive BMP reuse gets
+    * wrong). 3-px-wide 24-bit rows from the payload (bottom-up,
+    * 4-byte strides), height capped at 32 so the entry's height
+    * BYTE stays honest, all-zero AND mask rows padded to 32 bits. */
+  private[graft] def encodeIco(bytes: Array[Byte]): Array[Byte] = {
+    val h = math.min(bytes.length / 9, 32)
+    val xor = h * 12
+    val and = h * 4
+    val out = java.nio.ByteBuffer.allocate(22 + 40 + xor + and)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putShort(0).putShort(1).putShort(1) // reserved, type=icon, count
+    out.put(3.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+    out.putShort(1).putShort(24) // planes, bpp
+    out.putInt(40 + xor + and).putInt(22) // bytes in resource, offset
+    out.putInt(40).putInt(3).putInt(2 * h) // DOUBLED height
+    out.putShort(1).putShort(24).putInt(0).putInt(xor + and)
+    out.putInt(0).putInt(0).putInt(0).putInt(0)
+    var stored = h - 1 // bottom-up
+    while (stored >= 0) {
+      out.put(bytes, 9 * stored, 9).put(0.toByte).put(0.toByte)
+        .put(0.toByte)
+      stored -= 1
+    }
+    out.put(new Array[Byte](and))
+    out.array()
+  }
+
+  final case class IcoDecoded(doc_id: Long, n_icons: Int, width: Int,
+      height: Int, bpp: Int, ico_bytes: Int, mean_pixel: Double,
+      top_left_blue: Int)
+
+  /** REAL ICO walk: ICONDIR grammar (reserved 0, type 1), entry
+    * fields cross-checked against the DIB (width, bpp, resource
+    * extent), the DOUBLED-height rule enforced (a reader that feeds
+    * the DIB to a plain BMP parser sees a 2h-tall image and shears
+    * every mask), bottom-up XOR raster with pad bytes excluded from
+    * the mean, and the AND mask verified all-transparent. */
+  private[graft] def decodeIco(docId: Long, bytes: Array[Byte])
+      : IcoDecoded = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"ico decode [$docId]: $why")
+    if (bytes.length < 22) fail("truncated ICONDIR")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.getShort(0) != 0) fail("reserved != 0")
+    if (bb.getShort(2) != 1) fail("type != icon")
+    val count = bb.getShort(4).toInt
+    if (count != 1) fail(s"expected 1 icon, got $count")
+    val w = bytes(6) & 0xff
+    val h = bytes(7) & 0xff
+    if ((bytes(8) & 0xff) != 0) fail("palette icon unexpected")
+    val bpp = bb.getShort(12).toInt
+    val res = bb.getInt(14)
+    val off = bb.getInt(18)
+    if (off + res > bytes.length || off < 22)
+      fail("resource extent out of bounds")
+    if (off + res != bytes.length) fail("trailing bytes after icon")
+    if (bb.getInt(off) != 40) fail("not a BITMAPINFOHEADER")
+    if (bb.getInt(off + 4) != w) fail("DIB width != entry width")
+    // THE quirk: the DIB height covers XOR + AND and must be 2h
+    if (bb.getInt(off + 8) != 2 * h)
+      fail(s"DIB height ${bb.getInt(off + 8)} != doubled $h")
+    if (bb.getShort(off + 12) != 1) fail("planes != 1")
+    if (bb.getShort(off + 14) != bpp) fail("DIB bpp != entry bpp")
+    if (bpp != 24) fail(s"unsupported bpp $bpp")
+    if (bb.getInt(off + 16) != 0) fail("compressed icon unsupported")
+    val xorStride = (w * 3 + 3) & ~3
+    val andStride = ((w + 31) / 32) * 4
+    if (off + 40 + h * (xorStride + andStride) != bytes.length)
+      fail("raster + mask extent mismatch")
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      var i = off + 40 + r * xorStride
+      val end = i + w * 3
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      r += 1
+    }
+    val andStart = off + 40 + h * xorStride
+    var j = andStart
+    while (j < bytes.length) {
+      if (bytes(j) != 0) fail(s"AND mask not transparent at $j")
+      j += 1
+    }
+    val topLeftBlue =
+      if (h == 0) 0
+      else bytes(off + 40 + (h - 1) * xorStride) & 0xff
+    IcoDecoded(docId, count, w, h, bpp, bytes.length,
+      if (h == 0) 0.0 else sum.toDouble / (h * w * 3), topLeftBlue)
+  }
+
+  /** q302's pipeline: the favicon tier — same typed mapPartitions
+    * shape as the other image decoders. */
+  def decodeIcons(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => decodeIco(id, encodeIco(b)) })
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
   // q295 — Ogg page walk (capture, lacing, continuation, Ogg-CRC32)
   // ------------------------------------------------------------------
 
@@ -4411,6 +4519,16 @@ object MultimodalOps {
     "q295_ogg_pages" -> ((s, d) =>
       decodeOggStreams(Tables.load(s, d, "documents"))),
 
+    // ICO favicon walk — the container every web crawl hits on day
+    // one: ICONDIR grammar, entry↔DIB cross-checks, the DOUBLED
+    // height quirk enforced, XOR raster + all-transparent AND mask.
+    "q302_ico_decode" -> ((s, d) =>
+      decodeIcons(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_icons"), col("width"),
+          col("height"), col("bpp"), col("ico_bytes"),
+          round(col("mean_pixel"), 6).as("mean_pixel"),
+          col("top_left_blue"))),
+
     // Near-duplicate IMAGE detection by perceptual hash — multimodal
     // dedup, the capability the text MinHash family can't give you.
     // The corpus has no natural duplicate images, so payloads are
@@ -4814,6 +4932,23 @@ object MultimodalOps {
         |      WHEN 3 THEN 224 ELSE 256 END)) // 44100
         |      + (doc_id + fi) % 2 - 4) * ((doc_id + fi) % 251)
         |    for fi in range(0, n::INT)]) AS BIGINT) AS payload_sum
+        |FROM f""".stripMargin,
+
+    // q302: q183's byte algebra at a 32-row cap plus the constant
+    // ICO overhead (22 dir + 40 DIB + 12h XOR + 4h AND)
+    "q302_ico_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    least(octet_length(encode(text))::INT // 9, 32) AS h, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, 1 AS n_icons, 3 AS width, h AS height,
+        |  24 AS bpp, (62 + 16 * h)::INT AS ico_bytes,
+        |  round(CASE WHEN h = 0 THEN 0.0 ELSE
+        |    list_sum([ascii(text[i:i]) for i in range(1, 9*h + 1)])
+        |      ::DOUBLE / (9 * h) END, 6) AS mean_pixel,
+        |  CASE WHEN h = 0 THEN 0 ELSE ascii(text[1:1]) END
+        |    AS top_left_blue
         |FROM f""".stripMargin,
 
     // q295: lacing arithmetic — L bytes lace into L//255 + 1

@@ -628,6 +628,41 @@ object ScaleOps {
         .orderBy(col("r_fp").desc, col("node").asc).limit(20)
     }),
 
+    // PURGED TIME SPLIT — the temporal train/test protocol
+    // (de Prado's purged CV, the split rule that keeps time-series
+    // evaluation honest): the last 7 days are TEST, the 2 days
+    // before them are the EMBARGO (dropped — rows whose label
+    // horizon would straddle the boundary), everything earlier is
+    // TRAIN. One pass, day arithmetic on the calendar-bounded
+    // domain; per-split censuses plus the train∩test user overlap
+    // (expected and reported, NOT leakage — the leakage channel in
+    // time series is temporal adjacency, which the embargo removes).
+    "q301_purged_split" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val mx = broadcast(ev.agg(max("day").as("mx")))
+      val tagged = ev.crossJoin(mx).select(col("day"), col("user_id"),
+        when(col("day") >= date_sub(col("mx"), 6), "3_test")
+          .when(col("day") >= date_sub(col("mx"), 8), "2_embargo")
+          .otherwise("1_train").as("split"))
+      val census = tagged.groupBy("split")
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("day")).as("days"),
+          min("day").as("min_day"), max("day").as("max_day"),
+          countDistinct(col("user_id")).as("users"))
+      val overlap = tagged.filter(col("split") === "1_train")
+        .select("user_id").distinct()
+        .join(tagged.filter(col("split") === "3_test")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("rows"))
+        .select(lit("4_user_overlap").as("split"), col("rows"),
+          lit(0L).as("days"),
+          lit("1970-01-01").cast("date").as("min_day"),
+          lit("1970-01-01").cast("date").as("max_day"),
+          col("rows").as("users"))
+      census.unionByName(overlap).orderBy("split")
+    }),
+
     // MULTI-TOUCH ATTRIBUTION — the credit-assignment twin of the
     // q87/q111 funnel: every purchase splits exactly 1e6 fixed-point
     // credit across the views that preceded it within 30 minutes
@@ -3263,6 +3298,34 @@ object ScaleOps {
         |)
         |SELECT node, r_fp, r_fp::DOUBLE / 1e10 AS rank FROM i5
         |ORDER BY r_fp DESC, node ASC LIMIT 20""".stripMargin,
+
+    // q301: same day arithmetic, same split labels, same censuses
+    "q301_purged_split" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |), t AS (
+        |  SELECT day, user_id,
+        |    CASE WHEN day >= (SELECT max(day) FROM e) - 6
+        |        THEN '3_test'
+        |      WHEN day >= (SELECT max(day) FROM e) - 8
+        |        THEN '2_embargo'
+        |      ELSE '1_train' END AS split
+        |  FROM e
+        |)
+        |SELECT split, count(*)::BIGINT AS rows,
+        |  count(DISTINCT day)::BIGINT AS days,
+        |  min(day) AS min_day, max(day) AS max_day,
+        |  count(DISTINCT user_id)::BIGINT AS users
+        |FROM t GROUP BY split
+        |UNION ALL
+        |SELECT '4_user_overlap', count(*)::BIGINT, 0::BIGINT,
+        |  DATE '1970-01-01', DATE '1970-01-01', count(*)::BIGINT
+        |FROM (
+        |  SELECT DISTINCT user_id FROM t WHERE split = '1_train'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM t WHERE split = '3_test'
+        |)
+        |ORDER BY split""".stripMargin,
 
     // q298: same interval join, same per-purchase counts, same
     // floor-division + last-touch-remainder rule

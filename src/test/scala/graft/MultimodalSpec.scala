@@ -1299,6 +1299,40 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q302 ico: doubled-height quirk + AND-mask transparency " +
+      "are load-bearing") {
+    import operators.MultimodalOps.{decodeIco, encodeIco}
+    val payload = Array.tabulate(9 * 5 + 4)(i => (i % 83).toByte)
+    val good = encodeIco(payload)
+    val p = decodeIco(1L, good)
+    assert(p.n_icons == 1 && p.width == 3 && p.height == 5 &&
+      p.bpp == 24)
+    assert(p.ico_bytes == 62 + 16 * 5 && p.ico_bytes == good.length)
+    assert(p.mean_pixel ==
+      payload.take(45).map(_ & 0xff).sum.toDouble / 45)
+    assert(p.top_left_blue == (payload(0) & 0xff))
+    // tall payloads cap at the 32-row height-byte bound
+    assert(decodeIco(2L, encodeIco(new Array[Byte](9 * 50))).height
+      == 32)
+    // un-double the DIB height: a plain-BMP reuse must be refused
+    val flat = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(flat)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22 + 8, 5)
+    intercept[IllegalArgumentException] { decodeIco(3L, flat) }
+    // dirty AND mask (a stray opaque bit)
+    val dirty = good.clone(); dirty(dirty.length - 2) = 0x80.toByte
+    intercept[IllegalArgumentException] { decodeIco(4L, dirty) }
+    // trailing bytes after the declared resource
+    intercept[IllegalArgumentException] {
+      decodeIco(5L, good ++ Array[Byte](1))
+    }
+    // truncated raster
+    intercept[IllegalArgumentException] {
+      decodeIco(6L, java.util.Arrays.copyOf(good, good.length - 3))
+    }
+  }
+
   test("q295 ogg: lacing edges + flag discipline + the non-zlib CRC") {
     import operators.MultimodalOps.{decodeOgg, encodeOgg}
     // 510 bytes = exactly 2×255 → THREE segments (0-size tail rule),
