@@ -3870,6 +3870,67 @@ object MultimodalOps {
   }
 
   // ------------------------------------------------------------------
+  // q304 — format sniffing (magic dispatch + verify-to-identify)
+  // ------------------------------------------------------------------
+
+  /** q304's pipeline: a MIXED binary column (six container formats
+    * cycling by doc_id) pushed through a REAL sniffer — the
+    * ingest-dispatch every heterogeneous 100 TB dump needs. Magic
+    * bytes identify BMP/Ogg/ZIP/MP3; ICO has NO magic and is
+    * identified by its ICONDIR shape (reserved 0, type 1 — the rule
+    * real sniffers use); TFRecord has neither magic nor shape and
+    * falls through to VERIFY-TO-IDENTIFY: attempt the length-word
+    * masked-CRC32C check, the only honest way to spot one. Each hit
+    * then runs the format's REAL decoder (fail loud), emitting one
+    * cross-checkable feature per format. */
+  def sniffFormats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, text) =>
+        val container = (id % 6) match {
+          case 0 => encodeBmp(text)
+          case 1 => encodeOgg(id, text)
+          case 2 => encodeTfRecordShard(Seq((id, text)))
+          case 3 => encodeZipShard(Seq((id, text)))
+          case 4 => encodeMp3(id,
+            new String(text, "US-ASCII").trim.split("\\s+").length)
+          case _ => encodeIco(text)
+        }
+        val (fmt, feature) = sniffAndDecode(id, container)
+        (id, fmt, feature)
+      })
+      .toDF("doc_id", "fmt", "feature")
+  }
+
+  /** The dispatcher: magic → shape → CRC probe, then the REAL
+    * decoder of whatever was identified. */
+  private[graft] def sniffAndDecode(id: Long, b: Array[Byte])
+      : (String, Long) = {
+    def u16(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (b.length >= 4 && b(0) == 'B' && b(1) == 'M')
+      ("bmp", decodeBmp(id, b).top_left_blue.toLong)
+    else if (b.length >= 4 && b(0) == 'O' && b(1) == 'g' &&
+        b(2) == 'g' && b(3) == 'S')
+      ("ogg", decodeOgg(id, b).byte_sum)
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
+        b(2) == 3 && b(3) == 4)
+      ("zip", decodeZipShard(id / 16, b).head.byte_sum)
+    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      ("mp3", decodeMp3(id, b).n_frames)
+    else if (b.length >= 6 && u16(0) == 0 && u16(2) == 1)
+      ("ico", decodeIco(id, b).top_left_blue.toLong)
+    else {
+      // verify-to-identify: a TFRecord stream proves itself by its
+      // masked length CRC — random bytes fail with p ≈ 2⁻³²
+      val rows = decodeTfRecordShard(id / 32, b)
+      ("tfrecord", rows.head.byte_sum)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // q302 — ICO favicon walk (ICONDIR + headerless DIB, doubled height)
   // ------------------------------------------------------------------
 
@@ -4511,6 +4572,13 @@ object MultimodalOps {
     "q291_proto_records" -> ((s, d) =>
       decodeProtoRecords(Tables.load(s, d, "documents"))),
 
+    // Format sniffing — the ingest dispatcher for a MIXED binary
+    // column: magic bytes (BMP/Ogg/ZIP/MP3), shape identification
+    // (ICO's magic-less ICONDIR), and CRC verify-to-identify
+    // (TFRecord), each hit validated by the format's real decoder.
+    "q304_format_sniff" -> ((s, d) =>
+      sniffFormats(Tables.load(s, d, "documents"))),
+
     // Ogg page walk — the streaming-audio container (Vorbis/Opus
     // corpora): capture sync, 255-byte lacing with the 0-size final
     // segment rule, continuation/BOS/EOS flag discipline, page
@@ -4932,6 +5000,29 @@ object MultimodalOps {
         |      WHEN 3 THEN 224 ELSE 256 END)) // 44100
         |      + (doc_id + fi) % 2 - 4) * ((doc_id + fi) % 251)
         |    for fi in range(0, n::INT)]) AS BIGINT) AS payload_sum
+        |FROM f""".stripMargin,
+
+    // q304: fmt is the doc_id cycle; each format's feature is its
+    // own established byte algebra (BMP/ICO first byte, Ogg/TFRecord
+    // raw sums, ZIP's 4×-repeat, MP3's token-count frames)
+    "q304_format_sniff" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS sm,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n,
+        |    ascii(text[1:1])::BIGINT AS b0
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ogg'
+        |    WHEN 2 THEN 'tfrecord' WHEN 3 THEN 'zip'
+        |    WHEN 4 THEN 'mp3' ELSE 'ico' END AS fmt,
+        |  CASE doc_id % 6 WHEN 0 THEN b0 WHEN 1 THEN sm
+        |    WHEN 2 THEN sm WHEN 3 THEN 4 * sm WHEN 4 THEN n
+        |    ELSE b0 END AS feature
         |FROM f""".stripMargin,
 
     // q302: q183's byte algebra at a 32-row cap plus the constant

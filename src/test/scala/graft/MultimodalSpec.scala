@@ -1299,6 +1299,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q304 sniffer: all six identified blind; junk fails loud") {
+    import operators.MultimodalOps._
+    val t = "some text payload for sniffing ok".getBytes("US-ASCII")
+    assert(sniffAndDecode(0L, encodeBmp(t))._1 == "bmp")
+    assert(sniffAndDecode(1L, encodeOgg(1L, t))._1 == "ogg")
+    assert(sniffAndDecode(2L,
+      encodeTfRecordShard(Seq((2L, t))))._1 == "tfrecord")
+    assert(sniffAndDecode(3L, encodeZipShard(Seq((3L, t))))._1 == "zip")
+    assert(sniffAndDecode(4L, encodeMp3(4L, 5))._1 == "mp3")
+    assert(sniffAndDecode(5L, encodeIco(t))._1 == "ico")
+    // junk matches no magic, no ICONDIR shape, and cannot fake the
+    // TFRecord length CRC — the fallback refuses it loudly
+    intercept[IllegalArgumentException] {
+      sniffAndDecode(9L, Array.tabulate(64)(i => (i * 7 + 13).toByte))
+    }
+  }
+
   test("q302 ico: doubled-height quirk + AND-mask transparency " +
       "are load-bearing") {
     import operators.MultimodalOps.{decodeIco, encodeIco}
