@@ -737,6 +737,112 @@ object WebOps {
   }
 
   // ----------------------------------------------------------------
+  // q305 — base64 data: URI round-trip (RFC 2397 + strict RFC 4648)
+  // ----------------------------------------------------------------
+
+  private val B64 =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+  /** data: URI fixture — the inline-resource form crawled HTML embeds
+    * by the million: `data:text/plain;base64,` + the doc bytes. */
+  private[graft] def encodeDataUri(payload: Array[Byte]): String = {
+    val sb = new StringBuilder("data:text/plain;base64,")
+    var i = 0
+    while (i + 2 < payload.length) {
+      val v = ((payload(i) & 0xff) << 16) | ((payload(i + 1) & 0xff) << 8) |
+        (payload(i + 2) & 0xff)
+      sb.append(B64(v >>> 18)).append(B64((v >>> 12) & 63))
+        .append(B64((v >>> 6) & 63)).append(B64(v & 63))
+      i += 3
+    }
+    (payload.length - i) match {
+      case 1 =>
+        val v = (payload(i) & 0xff) << 16
+        sb.append(B64(v >>> 18)).append(B64((v >>> 12) & 63))
+          .append("==")
+      case 2 =>
+        val v = ((payload(i) & 0xff) << 16) | ((payload(i + 1) & 0xff) << 8)
+        sb.append(B64(v >>> 18)).append(B64((v >>> 12) & 63))
+          .append(B64((v >>> 6) & 63)).append('=')
+      case _ => ()
+    }
+    sb.toString
+  }
+
+  final case class DataUriParsed(doc_id: Long, media_type: String,
+      b64_chars: Int, pad_chars: Int, decoded_bytes: Int,
+      byte_sum: Long)
+
+  /** REAL strict base64 + RFC 2397 walk: the `data:` scheme, a
+    * mediatype, the `;base64,` marker, then RFC 4648 §3.5 CANONICAL
+    * decoding — alphabet enforced, length ≡ 0 mod 4, padding only in
+    * the final quantum, and the trailing-bit check most decoders
+    * skip (`QQ==` decodes to 'A' but `QR==` carries nonzero spill
+    * bits and MUST be rejected — the non-canonical-form smuggling
+    * channel). */
+  private[graft] def parseDataUri(docId: Long, uri: String)
+      : DataUriParsed = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"data-uri parse [$docId]: $why")
+    if (!uri.startsWith("data:")) fail("missing data: scheme")
+    val comma = uri.indexOf(',')
+    if (comma < 0) fail("missing comma")
+    val meta = uri.substring(5, comma)
+    if (!meta.endsWith(";base64")) fail("not base64-encoded")
+    val mediaType = meta.substring(0, meta.length - 7)
+    if (mediaType.isEmpty || !mediaType.contains("/"))
+      fail(s"bad mediatype '$mediaType'")
+    val b64 = uri.substring(comma + 1)
+    if (b64.length % 4 != 0) fail("base64 length not a multiple of 4")
+    var pads = 0
+    var i = 0
+    var sum = 0L
+    var decoded = 0
+    var acc = 0
+    var bits = 0
+    while (i < b64.length) {
+      val c = b64(i)
+      if (c == '=') {
+        if (i < b64.length - 2) fail(s"padding before final quantum")
+        pads += 1
+      } else {
+        if (pads > 0) fail("data after padding")
+        val v = B64.indexOf(c)
+        if (v < 0) fail(s"invalid base64 char '$c'")
+        acc = (acc << 6) | v
+        bits += 6
+        if (bits >= 8) {
+          bits -= 8
+          val b = (acc >>> bits) & 0xff
+          sum += b
+          decoded += 1
+        }
+      }
+      i += 1
+    }
+    if (pads > 2) fail("more than two padding chars")
+    // canonical-form check: bits left in the accumulator must be zero
+    if (bits > 0 && (acc & ((1 << bits) - 1)) != 0)
+      fail("non-canonical trailing bits")
+    if ((pads == 1 && bits != 2) || (pads == 2 && bits != 4) ||
+        (pads == 0 && bits != 0))
+      fail("padding inconsistent with payload length")
+    DataUriParsed(docId, mediaType, b64.length, pads, decoded, sum)
+  }
+
+  /** q305's pipeline: encode + strict-parse one data: URI per doc. */
+  def dataUriRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        parseDataUri(id, encodeDataUri(b))
+      })
+      .toDF()
+  }
+
+  // ----------------------------------------------------------------
   // q300 — the web-pipeline YIELD capstone
   // ----------------------------------------------------------------
 
@@ -817,6 +923,14 @@ object WebOps {
     // per-field equality enforced.
     "q287_csv_strict" -> ((s, d) =>
       csvRoundTrip(Tables.load(s, d, "documents"))),
+
+    // base64 data: URI round-trip — the inline-resource form crawled
+    // HTML embeds everywhere: RFC 2397 grammar + strict CANONICAL
+    // RFC 4648 decoding (alphabet, mod-4 length, final-quantum-only
+    // padding, and the trailing-bit check that rejects smuggled
+    // non-canonical forms).
+    "q305_data_uri" -> ((s, d) =>
+      dataUriRoundTrip(Tables.load(s, d, "documents"))),
 
     // Sitemap XML parse — the crawl SEED format: strict
     // sitemaps.org grammar (prolog, namespace, typed lastmod/
@@ -934,6 +1048,22 @@ object WebOps {
         |FROM (SELECT o_orderkey AS k, o_orderkey // 5 AS g FROM orders)
         |GROUP BY g
         |ORDER BY canonical_url""".stripMargin,
+
+    // q305: pure length arithmetic — 4·ceil(L/3) base64 chars,
+    // (3 − L mod 3) mod 3 pads — plus the raw byte sum
+    "q305_data_uri" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT AS l,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'text/plain' AS media_type,
+        |  (4 * ((l + 2) // 3))::INT AS b64_chars,
+        |  ((3 - l % 3) % 3)::INT AS pad_chars,
+        |  l AS decoded_bytes, coalesce(byte_sum, 0) AS byte_sum
+        |FROM f""".stripMargin,
 
     // q287: every quoting trigger lives on a disjoint residue class
     // (%4 comma, %6-not-%4 quote, %9-not-%4-not-%6 CRLF), so all

@@ -187,6 +187,37 @@ class WebOpsSpec extends SparkSpecBase {
     }
   }
 
+  // -------------------------------------------------- q305 data uri
+
+  test("data-uri: padding classes round-trip; strictness bites") {
+    for (len <- Seq(3, 4, 5, 6, 1)) {
+      val payload = Array.tabulate(len)(i => (i * 37 + 5).toByte)
+      val p = WebOps.parseDataUri(1L, WebOps.encodeDataUri(payload))
+      assert(p.decoded_bytes == len)
+      assert(p.b64_chars == 4 * ((len + 2) / 3))
+      assert(p.pad_chars == (3 - len % 3) % 3)
+      assert(p.byte_sum == payload.map(_ & 0xff).map(_.toLong).sum)
+    }
+    // the canonical-form channel: QQ== is 'A', QR== smuggles bits
+    assert(WebOps.parseDataUri(2L,
+      "data:text/plain;base64,QQ==").byte_sum == 'A'.toLong)
+    intercept[IllegalArgumentException] {
+      WebOps.parseDataUri(3L, "data:text/plain;base64,QR==")
+    }
+    intercept[IllegalArgumentException] { // invalid alphabet char
+      WebOps.parseDataUri(4L, "data:text/plain;base64,QUJ*")
+    }
+    intercept[IllegalArgumentException] { // length not mod 4
+      WebOps.parseDataUri(5L, "data:text/plain;base64,QUJ")
+    }
+    intercept[IllegalArgumentException] { // padding before the end
+      WebOps.parseDataUri(6L, "data:text/plain;base64,Q=JD")
+    }
+    intercept[IllegalArgumentException] { // not base64-marked
+      WebOps.parseDataUri(7L, "data:text/plain,hello")
+    }
+  }
+
   // -------------------------------------------- end-to-end plumbing
 
   test("web queries run end-to-end at sf0.001 with rows > 0") {
