@@ -843,6 +843,108 @@ object WebOps {
   }
 
   // ----------------------------------------------------------------
+  // q306 — HTTP/1.1 chunked transfer-encoding (RFC 9112 §7.1)
+  // ----------------------------------------------------------------
+
+  /** Chunked-body fixture: the doc bytes framed as 100-byte chunks —
+    * lowercase-hex size line CRLF data CRLF per chunk, the
+    * terminating zero chunk, and a trailer field (the part naive
+    * dechunkers drop or mis-append to the body). */
+  private[graft] def encodeChunked(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    var i = 0
+    while (i < payload.length) {
+      val n = math.min(100, payload.length - i)
+      w(Integer.toHexString(n)); w("\r\n")
+      out.write(payload, i, n); w("\r\n")
+      i += n
+    }
+    w("0\r\n")
+    w("x-chunk-count: " + ((payload.length + 99) / 100) + "\r\n")
+    w("\r\n")
+    out.toByteArray
+  }
+
+  final case class ChunkedParsed(doc_id: Long, n_chunks: Int,
+      body_bytes: Int, framed_bytes: Int, trailer_count: Int,
+      byte_sum: Long)
+
+  /** REAL strict dechunker: hex size lines (lowercase, bounded),
+    * exact CRLF discipline after every size line AND every data
+    * block (the off-by-two that shears all later chunks), the
+    * terminating zero chunk, trailer fields parsed — and the
+    * carried x-chunk-count trailer CROSS-CHECKED against the walk. */
+  private[graft] def parseChunked(docId: Long, bytes: Array[Byte])
+      : ChunkedParsed = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"chunked parse [$docId]: $why")
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < bytes.length &&
+        !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
+      if (pos + 1 >= bytes.length) fail(s"unterminated line at $start")
+      val s = new String(bytes, start, pos - start, "US-ASCII")
+      pos += 2
+      s
+    }
+    var chunks = 0
+    var body = 0
+    var sum = 0L
+    var done = false
+    while (!done) {
+      val sz = line()
+      if (sz.isEmpty || sz.length > 8 ||
+          !sz.forall(c => (c >= '0' && c <= '9') ||
+            (c >= 'a' && c <= 'f')))
+        fail(s"bad chunk-size line '$sz'")
+      val n = Integer.parseInt(sz, 16)
+      if (n == 0) done = true
+      else {
+        if (pos + n + 2 > bytes.length) fail("chunk overruns stream")
+        var i = pos
+        while (i < pos + n) { sum += bytes(i) & 0xff; i += 1 }
+        pos += n
+        if (bytes(pos) != '\r' || bytes(pos + 1) != '\n')
+          fail(s"missing CRLF after chunk $chunks data")
+        pos += 2
+        chunks += 1
+        body += n
+      }
+    }
+    var trailers = 0
+    var carried = -1
+    var blank = false
+    while (!blank) {
+      val t = line()
+      if (t.isEmpty) blank = true
+      else {
+        trailers += 1
+        val kv = t.split(": ", 2)
+        if (kv.length != 2) fail(s"malformed trailer '$t'")
+        if (kv(0) == "x-chunk-count") carried = kv(1).toInt
+      }
+    }
+    if (pos != bytes.length) fail("bytes after the trailer section")
+    if (carried != chunks)
+      fail(s"trailer chunk count $carried != walked $chunks")
+    ChunkedParsed(docId, chunks, body, bytes.length, trailers, sum)
+  }
+
+  /** q306's pipeline: frame + strictly dechunk each doc. */
+  def chunkedRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        parseChunked(id, encodeChunked(b))
+      })
+      .toDF()
+  }
+
+  // ----------------------------------------------------------------
   // q300 — the web-pipeline YIELD capstone
   // ----------------------------------------------------------------
 
@@ -923,6 +1025,13 @@ object WebOps {
     // per-field equality enforced.
     "q287_csv_strict" -> ((s, d) =>
       csvRoundTrip(Tables.load(s, d, "documents"))),
+
+    // HTTP/1.1 chunked transfer decoding — the wire framing half of
+    // all crawled responses arrive under: strict hex size lines,
+    // CRLF discipline, zero-chunk termination, trailer fields with
+    // the carried chunk count cross-checked.
+    "q306_http_chunked" -> ((s, d) =>
+      chunkedRoundTrip(Tables.load(s, d, "documents"))),
 
     // base64 data: URI round-trip — the inline-resource form crawled
     // HTML embeds everywhere: RFC 2397 grammar + strict CANONICAL
@@ -1048,6 +1157,30 @@ object WebOps {
         |FROM (SELECT o_orderkey AS k, o_orderkey // 5 AS g FROM orders)
         |GROUP BY g
         |ORDER BY canonical_url""".stripMargin,
+
+    // q306: framing arithmetic — 106 bytes per full 100-byte chunk,
+    // hex-width CASE for the partial tail, constant zero-chunk +
+    // trailer overhead with the chunk-count digits
+    "q306_http_chunked" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text))::INT AS l,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS byte_sum
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, l, byte_sum, (l + 99) // 100 AS ck,
+        |    l // 100 AS fullc, l % 100 AS m
+        |  FROM f
+        |)
+        |SELECT doc_id, ck AS n_chunks, l AS body_bytes,
+        |  (106 * fullc
+        |   + CASE WHEN m = 0 THEN 0
+        |     ELSE (CASE WHEN m < 16 THEN 1 ELSE 2 END) + 4 + m END
+        |   + 3 + 15 + length(ck::VARCHAR) + 2 + 2)::INT
+        |    AS framed_bytes,
+        |  1 AS trailer_count, coalesce(byte_sum, 0) AS byte_sum
+        |FROM g""".stripMargin,
 
     // q305: pure length arithmetic — 4·ceil(L/3) base64 chars,
     // (3 − L mod 3) mod 3 pads — plus the raw byte sum

@@ -187,6 +187,40 @@ class WebOpsSpec extends SparkSpecBase {
     }
   }
 
+  // ---------------------------------------------- q306 http chunked
+
+  test("http chunked: framing round-trip; shear classes fail loud") {
+    val payload = Array.tabulate(250)(i => ((i % 91) + 32).toByte)
+    val good = WebOps.encodeChunked(payload)
+    val p = WebOps.parseChunked(1L, good)
+    assert(p.n_chunks == 3 && p.body_bytes == 250)
+    assert(p.framed_bytes == good.length && p.trailer_count == 1)
+    assert(p.byte_sum == payload.map(_ & 0xff).map(_.toLong).sum)
+    // shear the CRLF after the first chunk's data — every later
+    // chunk would misparse; the walk stops loudly instead
+    val sheared = good.clone()
+    sheared("64\r\n".length + 100) = ' '.toByte
+    intercept[IllegalArgumentException] {
+      WebOps.parseChunked(2L, sheared)
+    }
+    // a non-hex size character
+    val badHex = good.clone(); badHex(0) = 'G'.toByte
+    intercept[IllegalArgumentException] {
+      WebOps.parseChunked(3L, badHex)
+    }
+    // tamper the carried trailer count -> cross-check trips
+    val badTrailer = new String(good, "US-ASCII")
+      .replace("x-chunk-count: 3", "x-chunk-count: 2")
+      .getBytes("US-ASCII")
+    intercept[IllegalArgumentException] {
+      WebOps.parseChunked(4L, badTrailer)
+    }
+    // trailing junk after the trailer section
+    intercept[IllegalArgumentException] {
+      WebOps.parseChunked(5L, good ++ "zz".getBytes("US-ASCII"))
+    }
+  }
+
   // -------------------------------------------------- q305 data uri
 
   test("data-uri: padding classes round-trip; strictness bites") {
