@@ -482,17 +482,20 @@ object DedupOps {
     * Fellegi–Sunter-style agreement scoring.
     *
     * The design teaches the two load-bearing linkage lessons at
-    * once: (1) the BLOCKING KEY (nation, name[1..17]) is chosen so
+    * once: (1) the BLOCKING KEY (nation, name[1..16]) is chosen so
     * the planted perturbation can never escape its block — the
-    * digit swap lives entirely in the suffix — so candidate recall
-    * is 1.0 BY CONSTRUCTION and the measured misses are purely the
-    * classifier's; (2) the weights make false positives impossible
-    * (a cross pair's best score, balance collision included, is
-    * +2−3 < threshold) while a swapped name alone drops a true pair
-    * below threshold — the exact false-negative set is closed-form
-    * and the oracle replays it. Shape: one equi-join on the block
-    * key (block size bounded by the 100-key prefix group), never
-    * |A|·|B|. */
+    * digit swap lives entirely in chars 17..18, strictly outside the
+    * 16-char prefix — so candidate recall is 1.0 BY CONSTRUCTION and
+    * the measured misses are purely the classifier's; (2) the
+    * classifier's errors are closed-form: a swapped name (-1) with
+    * intact cents (+2) scores 1 < 2, so the FALSE-NEGATIVE set is
+    * exactly the swapped keys whose last two digits differ, and the
+    * residual FALSE POSITIVES are the coincidence set where a
+    * swapped bname collides with a same-block sibling's real name
+    * (name +3, cents −1 → 2 ≥ threshold) — the classical
+    * blocking-recall vs classifier-precision trade, measured, not
+    * hidden. Shape: one equi-join on the block key (block size
+    * bounded by the shared 7-digit prefix group), never |A|·|B|. */
   private[graft] def recordLinkage(customer: DataFrame): DataFrame = {
     val a = customer.select(col("c_custkey").as("k"),
       col("c_name").as("name"), col("c_nationkey").as("nat"),
@@ -508,7 +511,7 @@ object DedupOps {
           .otherwise(col("cents")).as("bcents"))
     val cand = a.join(b,
       col("nat") === col("bnat") &&
-        substring(col("name"), 1, 17) === substring(col("bname"), 1, 17))
+        substring(col("name"), 1, 16) === substring(col("bname"), 1, 16))
     val scored = cand.select(col("k"), col("bk"),
       (when(col("name") === col("bname"), 3).otherwise(-1) +
         when(col("cents") === col("bcents"), 2).otherwise(-1))
@@ -1310,7 +1313,7 @@ object DedupOps {
         |     + CASE WHEN a.cents = b.bcents THEN 2 ELSE -1 END)
         |      AS score
         |  FROM a JOIN b ON a.nat = b.bnat
-        |    AND a.name[1:17] = b.bname[1:17]
+        |    AND a.name[1:16] = b.bname[1:16]
         |), agg AS (
         |  SELECT count(*)::BIGINT AS n_candidates,
         |    CAST(sum(CASE WHEN k = bk THEN 1 ELSE 0 END) AS BIGINT)

@@ -5004,7 +5004,12 @@ object MultimodalOps {
 
     // q304: fmt is the doc_id cycle; each format's feature is its
     // own established byte algebra (BMP/ICO first byte, Ogg/TFRecord
-    // raw sums, ZIP's 4×-repeat, MP3's token-count frames)
+    // raw sums, ZIP's 4×-repeat, MP3's token-count frames). The ICO
+    // branch carries the same h=0 guard as q302's oracle: decodeIco
+    // returns top_left_blue=0 when the payload is under 9 bytes.
+    // Corpus preconditions (hold on every generated sf, min doc 44
+    // bytes): no empty text (q291's encodeProto requires ≥1 byte)
+    // and no single token ≥128 chars (1-byte protobuf varint len).
     "q304_format_sniff" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -5013,7 +5018,8 @@ object MultimodalOps {
         |      AS BIGINT) AS sm,
         |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
         |      AS n,
-        |    ascii(text[1:1])::BIGINT AS b0
+        |    ascii(text[1:1])::BIGINT AS b0,
+        |    octet_length(encode(text))::BIGINT AS bl
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -5022,7 +5028,7 @@ object MultimodalOps {
         |    WHEN 4 THEN 'mp3' ELSE 'ico' END AS fmt,
         |  CASE doc_id % 6 WHEN 0 THEN b0 WHEN 1 THEN sm
         |    WHEN 2 THEN sm WHEN 3 THEN 4 * sm WHEN 4 THEN n
-        |    ELSE b0 END AS feature
+        |    ELSE CASE WHEN bl < 9 THEN 0 ELSE b0 END END AS feature
         |FROM f""".stripMargin,
 
     // q302: q183's byte algebra at a 32-row cap plus the constant

@@ -791,8 +791,9 @@ object StreamGateOps {
         |FROM j""".stripMargin,
 
     // the AS-OF census: per trade, the latest view ≤ its ts (max_by
-    // with the same (ts, event_id) tie-break), then counts + exact
-    // sums + the flag
+    // with the same (ts, event_id) tie-break packed into a HUGEINT:
+    // the 2^63 multiplier leaves the full nonnegative BIGINT range
+    // for event_id, so the ordering can't collide at any table size)
     "q289_stream_asof_gate" ->
       """WITH v AS (
         |  SELECT user_id, ts, event_id FROM events
@@ -803,7 +804,8 @@ object StreamGateOps {
         |), j AS (
         |  SELECT t.user_id, t.event_id AS t_eid, t.ts AS t_ts, t.value,
         |    max_by(v.event_id,
-        |      epoch_us(v.ts)::HUGEINT * 1048576 + v.event_id) AS v_eid,
+        |      epoch_us(v.ts)::HUGEINT * 9223372036854775808::HUGEINT
+        |        + v.event_id) AS v_eid,
         |    max(v.ts) AS v_ts
         |  FROM t LEFT JOIN v
         |    ON t.user_id = v.user_id AND v.ts <= t.ts

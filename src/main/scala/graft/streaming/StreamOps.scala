@@ -208,9 +208,11 @@ object StreamOps {
     * Correctness discipline: a trade at t may only emit once the
     * watermark passes t — until then an older view could still
     * arrive and change "latest ≤ t". So both sides BUFFER in state;
-    * on every invocation the trades with ts ≤ watermark flush
-    * against the (then-complete) view set. State stays bounded: of
-    * the views at or before the watermark only the LATEST can ever
+    * on every invocation the trades with ts STRICTLY below the
+    * watermark flush against the (then-complete) view set — strict,
+    * because Spark only drops inputs strictly older than the
+    * watermark, so an equal-ts view can still arrive. State stays
+    * bounded: of the views strictly below the watermark only the LATEST can ever
     * match a future trade, so exactly one old view survives pruning
     * per user (+ any views still inside the watermark window).
     * "Latest" ties deterministically by (ts, event_id) — the same
@@ -240,11 +242,14 @@ object StreamOps {
             // watermark
           }
           // buffers hold MICROS; the watermark API is millis — flush
-          // at us ≤ wm·1000 (floor-conservative: anything missed
-          // flushes at the next advance, and the final sentinel
-          // watermark clears everything real)
+          // only trades STRICTLY below wm·1000: Spark drops late rows
+          // strictly older than the watermark, so a view with ts
+          // exactly equal to the watermark can still arrive and must
+          // be able to pair with an equal-ts trade (the batch twin
+          // counts v_ts <= t_ts). Anything missed flushes at the next
+          // advance; the final sentinel watermark clears everything.
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = trades.partition(_._1 <= wmUs)
+          val (ready, pending) = trades.partition(_._1 < wmUs)
           val sortedViews = views.sorted // ascending (ts_us, event_id)
           val out = ready.sortBy(t => (t._1, t._2)).map {
             case (tus, teid, v) =>
@@ -256,9 +261,10 @@ object StreamOps {
                   v, None, None, None)
               }
           }
-          // prune: one latest-≤-wm view survives (the as-of candidate
-          // for every future trade), plus the still-mutable tail
-          val (oldV, newV) = sortedViews.partition(_._1 <= wmUs)
+          // prune: one latest-strictly-below-wm view survives (the
+          // as-of candidate for every future trade — all pending
+          // trades have ts >= wm), plus the still-mutable tail
+          val (oldV, newV) = sortedViews.partition(_._1 < wmUs)
           val kept = oldV.lastOption.toList ::: newV
           if (pending.isEmpty && kept.isEmpty) {
             if (state.exists) state.remove()
