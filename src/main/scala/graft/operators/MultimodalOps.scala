@@ -3920,6 +3920,20 @@ object MultimodalOps {
       ("zip", decodeZipShard(id / 16, b).head.byte_sum)
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
       ("mp3", decodeMp3(id, b).n_frames)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+        b(10) == 'B' && b(11) == 'P') {
+      // RIFF alone is ambiguous (WAV shares it); the form type at
+      // offset 8 disambiguates — the rule every image sniffer uses
+      val m = decodeWebp(id, b)
+      ("webp", m.width.toLong * 100000L + m.height)
+    }
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+        b(6) == 'y' && b(7) == 'p' && b(8) == 'a' && b(9) == 'v' &&
+        b(10) == 'i' && b(11) == 'f')
+      // ISO-BMFF has no offset-0 magic; the ftyp box's major brand
+      // is the identification rule (ISO 14496-12 §4.3)
+      ("avif", decodeAvif(id, b).byte_sum)
     else if (b.length >= 6 && u16(0) == 0 && u16(2) == 1)
       ("ico", decodeIco(id, b).top_left_blue.toLong)
     else {
@@ -3928,6 +3942,192 @@ object MultimodalOps {
       val rows = decodeTfRecordShard(id / 32, b)
       ("tfrecord", rows.head.byte_sum)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // q307 — WebP + AVIF sniffing (the modern image-crawl tier)
+  // ------------------------------------------------------------------
+
+  final case class WebpMeta(doc_id: Long, width: Int, height: Int,
+      n_chunks: Int, data_bytes: Long, byte_sum: Long)
+
+  /** WebP fixture (RIFF container + VP8L lossless chunk): "RIFF" +
+    * u32le payload size + "WEBP" form type, then one "VP8L" chunk
+    * whose body starts with the REAL VP8L header — signature byte
+    * 0x2F and the LSB-first-packed 14-bit width−1 / 14-bit height−1
+    * / alpha / 3-bit version fields (VP8L bitstream spec §3) —
+    * followed by the doc's bytes as opaque entropy data. Odd chunk
+    * sizes take RIFF's pad byte (the WAV/WebP quirk naive walkers
+    * drop). */
+  private[graft] def encodeWebp(w: Int, h: Int, data: Array[Byte])
+      : Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,
+      s"VP8L dims out of the 14-bit range: ${w}x$h")
+    val body = 5 + data.length // VP8L header + opaque data
+    val pad = body & 1
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + body + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + body + pad)
+    out.put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8L".getBytes("US-ASCII")).putInt(body)
+    // 0x2F, then 32 bits LSB-first: w-1 (14) | h-1 (14) | alpha (1)
+    // | version (3) — a little-endian u32 write IS LSB-first order
+    out.put(0x2f.toByte).putInt((w - 1) | ((h - 1) << 14))
+    out.put(data)
+    if (pad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** REAL WebP walk: RIFF magic, the container size cross-checked
+    * against the file extent, WEBP form type, fourcc+u32le chunk walk
+    * with the odd-size pad rule, exactly one VP8L chunk required, its
+    * 0x2F signature and version-0 field enforced, dimensions unpacked
+    * from the LSB-first header, opaque data byte-summed. Truncations,
+    * size mismatches, and unknown signatures all throw. */
+  private[graft] def decodeWebp(docId: Long, bytes: Array[Byte])
+      : WebpMeta = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"webp decode [$docId]: $why")
+    def le32(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    def fourcc(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    if (bytes.length < 20) fail("truncated RIFF header")
+    if (fourcc(0) != "RIFF") fail("missing RIFF magic")
+    if (le32(4) != bytes.length - 8)
+      fail(s"RIFF size ${le32(4)} != payload ${bytes.length - 8}")
+    if (fourcc(8) != "WEBP") fail(s"form type ${fourcc(8)} != WEBP")
+    var p = 12
+    var nChunks = 0
+    var width = -1
+    var height = -1
+    var dataBytes = -1L
+    var byteSum = -1L
+    while (p < bytes.length) {
+      if (p + 8 > bytes.length) fail(s"truncated chunk header at $p")
+      val cc = fourcc(p)
+      val size = le32(p + 4)
+      val pad = size & 1 // RIFF: odd chunk bodies take a pad byte
+      if (p + 8 + size + pad > bytes.length)
+        fail(s"chunk $cc overruns: size $size at $p")
+      nChunks += 1
+      if (cc == "VP8L") {
+        if (width >= 0) fail("duplicate VP8L chunk")
+        if (size < 5) fail("VP8L body too short")
+        if ((bytes(p + 8) & 0xff) != 0x2f)
+          fail(f"VP8L signature 0x${bytes(p + 8) & 0xff}%02x != 0x2f")
+        val packed = le32(p + 9)
+        width = (packed & 0x3fff).toInt + 1
+        height = ((packed >> 14) & 0x3fff).toInt + 1
+        val version = ((packed >> 29) & 0x7).toInt
+        if (version != 0) fail(s"VP8L version $version unsupported")
+        dataBytes = size - 5
+        byteSum = (0L until dataBytes).map(i =>
+          (bytes(p + 13 + i.toInt) & 0xff).toLong).sum
+      }
+      p += 8 + size.toInt + pad.toInt
+    }
+    if (p != bytes.length) fail(s"chunk run overshoots: $p")
+    if (width < 0) fail("missing VP8L chunk")
+    WebpMeta(docId, width, height, nChunks, dataBytes, byteSum)
+  }
+
+  final case class AvifMeta(doc_id: Long, n_boxes: Int, brand: String,
+      mdat_bytes: Long, byte_sum: Long, free_bytes: Long)
+
+  /** AVIF fixture (ISO-BMFF like q278's MP4, brand "avif"): `ftyp`
+    * (major brand avif, compatible mif1), a `free` box with
+    * docId % 32 padding bytes, and an `mdat` carrying the doc's
+    * bytes. All big-endian u32 sizes. */
+  private[graft] def encodeAvif(docId: Long, data: Array[Byte])
+      : Array[Byte] = {
+    val pad = (docId % 32).toInt
+    val out = java.nio.ByteBuffer.allocate(
+      20 + (8 + pad) + (8 + data.length))
+    out.putInt(20).put("ftyp".getBytes("US-ASCII"))
+    out.put("avif".getBytes("US-ASCII")).putInt(0)
+    out.put("mif1".getBytes("US-ASCII"))
+    out.putInt(8 + pad).put("free".getBytes("US-ASCII"))
+    (0 until pad).foreach(_ => out.put(0.toByte))
+    out.putInt(8 + data.length).put("mdat".getBytes("US-ASCII"))
+    out.put(data)
+    out.array()
+  }
+
+  /** REAL ISO-BMFF walk for the AVIF probe: u32 size + fourcc boxes,
+    * the FIRST box must be `ftyp` with major brand avif (the rule
+    * sniffers key on), `free` padding accounted, `mdat` byte-summed,
+    * overruns/truncations/size-0 boxes rejected — same discipline as
+    * q278's MP4 walk, independent so each format's grammar stays
+    * fail-loud on its own terms. */
+  private[graft] def decodeAvif(docId: Long, bytes: Array[Byte])
+      : AvifMeta = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"avif decode [$docId]: $why")
+    def be32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    if (bytes.length < 16) fail("truncated ftyp")
+    var p = 0
+    var nBoxes = 0
+    var brand = ""
+    var mdatBytes = -1L
+    var byteSum = -1L
+    var freeBytes = 0L
+    while (p < bytes.length) {
+      if (p + 8 > bytes.length) fail(s"truncated box header at $p")
+      val size = be32(p)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (size < 8 || p + size > bytes.length)
+        fail(s"box $typ overruns: size $size at $p")
+      if (nBoxes == 0 && typ != "ftyp") fail(s"first box $typ != ftyp")
+      nBoxes += 1
+      typ match {
+        case "ftyp" =>
+          if (size < 16) fail("ftyp too short")
+          brand = new String(bytes, p + 8, 4, "US-ASCII")
+          if (brand != "avif") fail(s"major brand $brand != avif")
+        case "free" => freeBytes += size - 8
+        case "mdat" =>
+          if (mdatBytes >= 0) fail("duplicate mdat")
+          mdatBytes = size - 8
+          byteSum = (0L until mdatBytes).map(i =>
+            (bytes(p + 8 + i.toInt) & 0xff).toLong).sum
+        case _ => () // unknown leaf: skip by size
+      }
+      p += size.toInt
+    }
+    if (p != bytes.length) fail(s"box run overshoots: $p")
+    if (mdatBytes < 0) fail("missing mdat")
+    AvifMeta(docId, nBoxes, brand, mdatBytes, byteSum, freeBytes)
+  }
+
+  /** q307's pipeline: the modern image-crawl half of the q304
+    * dispatcher — WebP (doc_id even) and AVIF (odd) payloads pushed
+    * through the SAME sniffer, which identifies them by RIFF/WEBP
+    * magic and the ISO-BMFF ftyp-brand rule and then runs each
+    * format's real walk. WebP dims derive from the doc (width
+    * 1+bytes%1000, height 1+tokens%500) so the decoded feature is
+    * closed-form; AVIF's feature is the mdat byte sum. Same narrow
+    * per-row shape as every decode tier: embarrassingly parallel,
+    * zero shuffles before the report. */
+  def sniffModernImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, text) =>
+        val container =
+          if (id % 2 == 0) {
+            val w = 1 + (text.length % 1000)
+            val h = 1 + (new String(text, "US-ASCII").trim
+              .split("\\s+").length % 500)
+            encodeWebp(w, h, text)
+          } else encodeAvif(id, text)
+        val (fmt, feature) = sniffAndDecode(id, container)
+        (id, fmt, feature)
+      })
+      .toDF("doc_id", "fmt", "feature")
   }
 
   // ------------------------------------------------------------------
@@ -4579,6 +4779,12 @@ object MultimodalOps {
     "q304_format_sniff" -> ((s, d) =>
       sniffFormats(Tables.load(s, d, "documents"))),
 
+    // Modern image-crawl sniffing — WebP (RIFF/WEBP form type + the
+    // VP8L 14-bit-dims header) and AVIF (ISO-BMFF ftyp-brand rule +
+    // box walk) through the same q304 dispatcher.
+    "q307_webp_avif_sniff" -> ((s, d) =>
+      sniffModernImages(Tables.load(s, d, "documents"))),
+
     // Ogg page walk — the streaming-audio container (Vorbis/Opus
     // corpora): capture sync, 255-byte lacing with the 0-size final
     // segment rule, continuation/BOS/EOS flag discipline, page
@@ -5029,6 +5235,26 @@ object MultimodalOps {
         |  CASE doc_id % 6 WHEN 0 THEN b0 WHEN 1 THEN sm
         |    WHEN 2 THEN sm WHEN 3 THEN 4 * sm WHEN 4 THEN n
         |    ELSE CASE WHEN bl < 9 THEN 0 ELSE b0 END END AS feature
+        |FROM f""".stripMargin,
+
+    // q307: webp feature = the VP8L-decoded dims re-derived from the
+    // doc (width 1+bytes%1000, height 1+tokens%500, packed
+    // w*100000+h); avif feature = the mdat byte sum
+    "q307_webp_avif_sniff" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ascii(text[i:i])
+        |      for i in range(1, octet_length(encode(text)) + 1)])
+        |      AS BIGINT) AS sm,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+        |    octet_length(encode(text))::BIGINT AS bl
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'avif' END AS fmt,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN (1 + bl % 1000) * 100000 + 1 + n % 500
+        |    ELSE sm END AS feature
         |FROM f""".stripMargin,
 
     // q302: q183's byte algebra at a 32-row cap plus the constant

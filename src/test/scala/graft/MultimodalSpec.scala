@@ -1316,6 +1316,79 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q307 webp: VP8L dims round-trip exactly; RIFF grammar is " +
+      "load-bearing") {
+    import operators.MultimodalOps.{decodeWebp, encodeWebp,
+      sniffAndDecode}
+    val data = "vp8l opaque entropy payload".getBytes("US-ASCII")
+    val good = encodeWebp(641, 333, data)
+    val m = decodeWebp(7L, good)
+    assert(m.width == 641 && m.height == 333)
+    assert(m.data_bytes == data.length)
+    assert(m.byte_sum == data.map(_ & 0xff).map(_.toLong).sum)
+    // the sniffer routes on RIFF + WEBP form type and packs the dims
+    assert(sniffAndDecode(7L, good) == ("webp", 641L * 100000L + 333L))
+    // 14-bit boundary dims survive the packed header
+    val edge = decodeWebp(8L, encodeWebp(16384, 1, data))
+    assert(edge.width == 16384 && edge.height == 1)
+    // odd VP8L body (5 + even data makes body odd): pad byte honored
+    val odd = encodeWebp(3, 2, data.take(4))
+    assert(odd.length % 2 == 0 && decodeWebp(9L, odd).width == 3)
+    // grammar violations fail loud: bad signature, wrong RIFF size,
+    // non-WEBP form type (a WAV must NOT reach the VP8L path)
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(20) = 0x2e; decodeWebp(7L, b)
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(4) = (b(4) + 1).toByte; decodeWebp(7L, b)
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(8) = 'W'; b(9) = 'A'; b(10) = 'V'
+      b(11) = 'E'; decodeWebp(7L, b)
+    }
+    intercept[IllegalArgumentException] { encodeWebp(16385, 1, data) }
+  }
+
+  test("q307 avif: ftyp-brand rule + box walk; mdat byte sum exact") {
+    import operators.MultimodalOps.{decodeAvif, encodeAvif,
+      sniffAndDecode}
+    val data = "av1 still image payload bytes".getBytes("US-ASCII")
+    val good = encodeAvif(37L, data) // 37 % 32 = 5 free-pad bytes
+    val m = decodeAvif(37L, good)
+    assert(m.brand == "avif" && m.n_boxes == 3 && m.free_bytes == 5)
+    assert(m.mdat_bytes == data.length)
+    assert(m.byte_sum == data.map(_ & 0xff).map(_.toLong).sum)
+    assert(sniffAndDecode(37L, good) == ("avif", m.byte_sum))
+    // first-box-must-be-ftyp and brand rules are enforced
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(8) = 'i'; b(9) = 's'; b(10) = 'o'
+      b(11) = 'm'; decodeAvif(37L, b)
+    }
+    // a truncated tail (box overrun) fails loud
+    intercept[IllegalArgumentException] {
+      decodeAvif(37L, good.dropRight(3))
+    }
+  }
+
+  test("q307 pipeline matches the closed form on real docs") {
+    import operators.MultimodalOps.sniffModernImages
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+    val got = sniffModernImages(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = r.getAs[String]("text")
+      val bytes = text.getBytes("UTF-8")
+      if (id % 2 == 0) {
+        val w = 1 + (bytes.length % 1000)
+        val h = 1 + (text.trim.split("\\s+").length % 500)
+        (id, "webp", w.toLong * 100000L + h)
+      } else
+        (id, "avif", bytes.map(_ & 0xff).map(_.toLong).sum)
+    }
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+  }
+
   test("q302 ico: doubled-height quirk + AND-mask transparency " +
       "are load-bearing") {
     import operators.MultimodalOps.{decodeIco, encodeIco}
