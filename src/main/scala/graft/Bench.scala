@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
   /** Queries re-measured at a SECOND scale point (default sf0.01, i.e.
@@ -102,7 +103,40 @@ object Bench {
     "q73_decontaminate", "q201_butterflies", "q231_band_join",
     "q235_cdc_chunks")
 
+  /** The CORE of the sf0.01 scale pass: measured BEFORE the harness
+    * sections so the exponent story survives a contended host (the
+    * full 68-family pass costs ~90s there and was starving the
+    * harnesses of their window). All ScaleFamilies3 members (they
+    * feed the third point and the mid point) plus one representative
+    * of each remaining shape class. The rest of ScaleFamilies runs
+    * AFTER the harnesses, budget permitting. */
+  private val ScaleCore: Seq[String] = (ScaleFamilies3 ++ Seq(
+    "q30_knn_l2", "q39_hnsw_partitioned", "q110_pagerank",
+    "q168_phash_dedup", "q244_jl_projection",
+    "q254_edit_distance_dedup", "q259_phash_hamming")).distinct
+
+  /** Mutable emission snapshot, shared between the main thread (writes
+    * at section checkpoints) and the watchdog thread (reads at the
+    * hard stop). Fields hold immutable values; @volatile for
+    * visibility. r10 verdict item 2: nothing was flushed as sections
+    * completed, so the driver's timeout (rc=124) left NO artifact. */
+  private final class EmitState {
+    @volatile var results: Seq[(String, Double)] = Nil
+    @volatile var mainFailures: Seq[String] = Nil
+    @volatile var scaleJson: String = "null"
+    @volatile var exponents: Seq[(String, Double)] = Nil
+    @volatile var noiseJson: String = "null"
+    @volatile var driftJson: String = "null"
+    @volatile var vectorJson: String = "null"
+    @volatile var textJson: String = "null"
+    @volatile var graphJson: String = "null"
+    @volatile var streamJson: String = "null"
+    @volatile var headline: Seq[(String, Double)] = Nil
+    @volatile var complete: Boolean = false
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleDir =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
@@ -112,10 +146,34 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
+    // ---- wall-clock deadline (r10 verdict item 1) ---------------------
+    // BENCH_r10 was rc=124/parsed=null: the suite's quiet-host floor
+    // (~19 min) outgrew the driver's window and nothing inside the
+    // bench could notice. The deadline bounds the bench's OWN wall:
+    // every section is budget-gated (skip-and-record), and a watchdog
+    // guarantees the compact JSON line + detail file exist even if a
+    // block overruns its estimate. Default 900s keeps worst-case
+    // total wall (deadline + 45s grace + ~40s sbt/JVM startup) under
+    // ~16.5 min: r9's shape — best-of-2 everywhere, doubled harness
+    // points, a true wall plausibly ≥15 min — cleared the driver's
+    // window, while r10's ~19+ min did not, so the window is
+    // somewhere above ~16 min and 900s leaves real margin. On a
+    // quiet host the whole suite (harness 1M points included) fits;
+    // on a contended one the gates shed the text tails first.
+    val deadlineSec: Double =
+      sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC") match {
+        case Some("") | Some("0") | Some("off") => Double.MaxValue
+        case Some(v) => v.trim.toDouble
+        case None => 900.0
+      }
+    val graceSec = sys.env.get("SPARK_GRAFT_BENCH_GRACE_SEC")
+      .map(_.trim.toDouble).getOrElse(45.0)
+    val budget = new BenchBudget(t0, deadlineSec)
+
     // ---- cross-round drift baseline (r9 verdict item 2) --------------
     // The PRIOR round's detail artifact is still on disk at this point
-    // (it's overwritten only at emit time): read its per-query map and
-    // harness headline metrics as drift baselines. r9 shipped the
+    // (it's overwritten only at checkpoint time): read its per-query map
+    // and harness headline metrics as drift baselines. r9 shipped the
     // substring-dedup 1M point at 3.1x its r8 value with untouched code
     // because nothing compared a reading to its own predecessor.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL",
@@ -138,6 +196,138 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- emission machinery -------------------------------------------
+    val st = new EmitState
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    def jsonMap(kv: Seq[(String, Double)]) = kv
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonArr(xs: Seq[String]) =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    def budgetJson: String = {
+      val dl = if (deadlineSec == Double.MaxValue) "null"
+        else deadlineSec.toString
+      s"""{"deadline_sec":$dl,"elapsed_sec":${r3(budget.elapsedSec)},""" +
+        s""""complete":${st.complete}}"""
+    }
+    /** Full detail JSON from the CURRENT state — sections not yet run
+      * are null, so a kill at any point leaves parseable JSON with
+      * whatever completed. */
+    def detailJson(): String = {
+      val total = st.results.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${jsonMap(st.results)},""" +
+        s""""recall":${jsonMap(GateMetrics.snapshot)},""" +
+        s""""failures":${jsonArr(st.mainFailures)},""" +
+        s""""scale":${st.scaleJson},""" +
+        s""""vector_scale":${st.vectorJson},""" +
+        s""""text_scale":${st.textJson},""" +
+        s""""graph_scale":${st.graphJson},""" +
+        s""""stream_scale":${st.streamJson},""" +
+        s""""noise_guard":${st.noiseJson},""" +
+        s""""headline_metrics":${jsonMap(st.headline)},""" +
+        s""""drift_guard":${st.driftJson},""" +
+        s""""skipped":${jsonArr(budget.skipped)},""" +
+        s""""budget":$budgetJson,"sf":"$sfDir"}"""
+    }
+    /** Compact stdout line from the CURRENT state. The driver captures
+      * only the last ~2000 chars of stdout and parses the JSON line out
+      * of that tail; a 6KB line gets its head truncated (every
+      * BENCH_r{1..4}.json showed parsed:null). So the FULL artifact
+      * goes to the detail file and stdout's one line is built to a
+      * strict char budget (scale-family queries first, then
+      * slowest-five). */
+    def compactLine(detailOk: Boolean): String = {
+      val results = st.results
+      val big = results.toMap
+      val total = results.map(_._2).sum
+      val failsCompact = s"""{"n":${st.mainFailures.size},""" +
+        s""""first":${jsonArr(st.mainFailures.take(5))}}"""
+      val expMax = st.exponents.sortBy(-_._2).headOption
+      val expJson = expMax.map { case (k, v) =>
+        s""","worst_scale_exponent":{"query":"$k","log10_ratio_for_10x_rows":${r3(v)}}"""
+      }.getOrElse("")
+      val slowest = results.sortBy(-_._2).take(5).map(_._1)
+      val headNames = (ScaleFamilies.filter(big.contains) ++ slowest).distinct
+      val hlCompact =
+        if (st.headline.isEmpty) ""
+        else s""","headline":${jsonMap(st.headline.map {
+          case (k, v) => k -> r3(v) })}"""
+      val skippedCompact =
+        s""","skipped_n":${budget.skipped.size}"""
+      val detailJsonRef = if (detailOk) s""""$detailPath"""" else "null"
+      def line(names: Seq[String]): String = {
+        val qs = jsonMap(names.map(n => n -> r3(big(n))))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failures":$failsCompact$expJson$hlCompact$skippedCompact,"budget":$budgetJson,"detail":$detailJsonRef,"sf":"$sfDir"}"""
+      }
+      // bounded: after headNames.size+1 steps the seq is empty
+      Iterator.iterate(headNames)(_.dropRight(1))
+        .take(headNames.size + 1)
+        .map(line).find(_.length <= 1700).getOrElse(line(Seq.empty))
+    }
+    val lastLine = new java.util.concurrent.atomic.AtomicReference[String](
+      s"""{"metric":"total","value":0,"unit":"sec","n_queries":0,"queries":{},"failures":{"n":0,"first":[]},"note":"pre_main","sf":"$sfDir"}""")
+    /** Atomic detail write (tmp+rename: a watchdog halt mid-write must
+      * not leave truncated JSON) + refresh the stdout line snapshot. */
+    def checkpoint(): Unit = {
+      val ok =
+        try {
+          val tmp = new java.io.File(detailPath + ".tmp")
+          val w = new java.io.PrintWriter(tmp)
+          try w.println(detailJson()) finally w.close()
+          val dst = new java.io.File(detailPath)
+          dst.delete()
+          tmp.renameTo(dst)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+          false
+        }
+      lastLine.set(compactLine(ok))
+    }
+    // exactly-once stdout emission, shared by the normal path and the
+    // watchdog
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitStdout(): Unit =
+      if (printed.compareAndSet(false, true)) {
+        println(lastLine.get)
+        Console.out.flush()
+      }
+    // ---- watchdog (guaranteed emission) -------------------------------
+    // Soft deadline: cancel running Spark jobs so an overrunning block
+    // fails fast and the main thread falls through its (gated) sections
+    // to the final emit. Hard stop (deadline+grace): print the latest
+    // checkpointed line and halt — the detail file is already on disk.
+    // halt(0), not exit: no shutdown-hook raciness, and rc must be 0
+    // for the driver to record the parsed line.
+    if (deadlineSec != Double.MaxValue) {
+      val w = new Thread(() => {
+        try {
+          var softFired = false
+          while (!printed.get) {
+            val el = budget.elapsedSec
+            if (el >= deadlineSec + graceSec) {
+              emitStdout()
+              Runtime.getRuntime.halt(0)
+            } else if (el >= deadlineSec) {
+              if (!softFired)
+                System.err.println("[bench] deadline reached — cancelling jobs")
+              softFired = true
+              try spark.sparkContext.cancelAllJobs()
+              catch { case _: Throwable => () }
+              Thread.sleep(5000)
+            } else {
+              Thread.sleep(math.max(50L,
+                math.min((deadlineSec - el) * 1000, 5000).toLong))
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, "bench-deadline-watchdog")
+      w.setDaemon(true)
+      w.start()
+    }
+
     // JVM/codegen/scan warmup so timings reflect steady state (the
     // reference's timing harness reruns queries for the same reason,
     // tools/sqllogictest/sqllogictest.cpp:135-157)
@@ -156,22 +346,66 @@ object Bench {
         SparkEntry.queries.get(g).foreach(fn => fn(spark, sfDir).count())
       }
     } catch { case _: Throwable => () }
+    checkpoint()
+
+    // Streaming-gate pre-warm: each stream gate's FIRST execution per
+    // (JVM, dir) runs the REAL micro-batched stream to its
+    // exactly-once file sink (46s for q234's 8-trigger LSH store at
+    // sf0.1); every later execution is the committed-replay + gate
+    // aggregation — which is what the prior rounds' best-of-2 minima
+    // measured, so that's what the timed pass must measure for
+    // cross-round comparability. The setups are independent
+    // (per-gate checkpoint dirs) and their cost is mostly micro-batch
+    // scheduling latency, so they run CONCURRENTLY here: ~110s of
+    // serial cold wall overlaps to ~30-45s. Budget-gated; a skipped
+    // pre-warm just means those gates time their cold run (the noise
+    // guard then flags + re-measures them as before).
+    val streamGates = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains("_stream_"))
+      .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
+    def prewarmGates(dir: String, estSec: Double): Unit =
+      if (streamGates.nonEmpty &&
+          budget.fits(s"stream_prewarm_$dir", estSec)) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(streamGates.size, 6))
+        val futs = streamGates.map { case (n, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try { fn(spark, dir).count(); () }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] prewarm $n: ${e.getMessage}")
+              }
+          })
+        }
+        futs.foreach(f => try f.get() catch { case _: Throwable => () })
+        pool.shutdown()
+      }
+    prewarmGates(sfDir, 70.0)
+    checkpoint()
+
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     // Hermetic per-query measurement: fixed (sorted) order, caches
     // cleared before each query so no query pays for (or benefits
-    // from) another's cached state, and best-of-2 so a first-run
-    // janino codegen compile doesn't masquerade as query cost.
+    // from) another's cached state. SINGLE run per query (r10 verdict
+    // item 3: universal best-of-2 pushed the main pass alone to
+    // ~475s); the noise/drift guards below re-measure (best-of-2)
+    // exactly the readings that look starved — the warmup block
+    // absorbs cold codegen for the shared paths.
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
     def run(name: String, fn: QFn, dir: String): Option[Double] = {
-      val t0 = System.nanoTime()
+      val t0q = System.nanoTime()
       try {
         fn(spark, dir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some((System.nanoTime() - t0q) / 1e9)
       } catch { case e: Throwable =>
         failures += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None // a fast failure must never masquerade as the query time
       }
+    }
+    def run1(name: String, fn: QFn, dir: String): Option[Double] = {
+      spark.catalog.clearCache()
+      run(name, fn, dir)
     }
     def bestOf2(name: String, fn: QFn, dir: String): Option[Double] = {
       spark.catalog.clearCache()
@@ -182,20 +416,51 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
-    val results = selected.flatMap { case (name, fn) =>
-      bestOf2(name, fn, sfDir).map(name -> _)
+    // main pass, checkpointed every 25 queries so a hard kill at ANY
+    // point leaves a parseable artifact with the completed prefix
+    val resultsBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var mainTruncated = false
+    selected.foreach { case (name, fn) =>
+      if (!mainTruncated && budget.remainingSec < 20.0) {
+        mainTruncated = true
+        budget.skip(s"main_pass_from_$name")
+      }
+      if (!mainTruncated) {
+        run1(name, fn, sfDir).foreach(t => resultsBuf += name -> t)
+        if (resultsBuf.size % 25 == 0) {
+          st.results = resultsBuf.toSeq
+          checkpoint()
+        }
+      }
     }
+    val results = resultsBuf.toSeq
+    st.results = results
+    val mainFailures = failures.distinct.toSeq
+    st.mainFailures = mainFailures
+    checkpoint()
     // Scale curve: the same measurement at the small point for the
     // index/dedup families (skipped when the main run already is the
-    // small point). Small-point failures are attributed separately —
-    // a missing scale dir must not flag a fully-passing main run.
-    val mainFailures = failures.distinct.toSeq
-    val scaleSmall =
+    // small point). SINGLE run each (r10 verdict item 6: the exponent
+    // math needs one number; the guards catch starvation). Split in
+    // two: the CORE families now (they feed the exponent story, the
+    // third point, and the mid point), the rest AFTER the harness
+    // sections — a contended host then degrades to core-exponents +
+    // harness points instead of full-exponents + nothing.
+    def scalePass(fams: Seq[String], tag: String): Seq[(String, Double)] = {
+      var truncated = false
       if (scaleDir == sfDir) Seq.empty
-      else selected.filter(q => ScaleFamilies.contains(q._1)).flatMap {
-        case (name, fn) => bestOf2(name, fn, scaleDir).map(name -> _)
+      else selected.filter(q => fams.contains(q._1)).flatMap {
+        case (name, fn) =>
+          if (!truncated && budget.remainingSec < 25.0) {
+            truncated = true
+            budget.skip(s"${tag}_from_$name")
+          }
+          if (truncated) None
+          else run1(name, fn, scaleDir).map(name -> _)
       }
-    val scaleFailures = failures.distinct.diff(mainFailures).toSeq
+    }
+    val scaleSmallCore = scalePass(ScaleCore, "scale_core")
 
     // ---- host-noise guard -------------------------------------------
     // This box has documented intermittent hypervisor CPU starvation:
@@ -207,14 +472,20 @@ object Bench {
     // values so the artifact is auditable.
     //   flagged when: small-point slower than its 10x-rows big twin;
     //   big point >4x its small twin; or >3x the run median (and >1s).
-    // EVERY flagged query is re-measured — no cap: the r8 artifact
-    // shipped q73 at 2.3x its prior reading (flagged by this guard's
-    // own rule, dropped by a top-10 cap), and a re-measure costs only
-    // two executions of a query the flag already singled out. The 1s
-    // floor (was 3s) guards the 1-3s band where most queries live.
+    // EVERY flagged query is re-measured, each re-measure budget-gated
+    // (a starved reading that can't afford its re-run ships as-is and
+    // is visible in noise_guard.*_first) — re-measures run in
+    // DESCENDING-time order so a tight budget fixes the biggest
+    // distortions first, and each PASS has a wall cap: on a
+    // systemically contended host the median rule flags dozens of
+    // readings, and run after run showed an uncapped pass eating the
+    // entire harness window to shave modest inflations.
     val qByName = selected.toMap
     def remeasurePass(first: Seq[(String, Double)], twins: Map[String, Double],
-        dir: String, bigSide: Boolean): (Seq[(String, Double)], Seq[String]) = {
+        dir: String, bigSide: Boolean, capSec: Double)
+        : (Seq[(String, Double)], Seq[String]) = {
+      val passEnd = budget.elapsedSec +
+        math.min(capSec, 0.25 * budget.remainingSec)
       val med = first.map(_._2).sorted.lift(first.size / 2).getOrElse(0.0)
       val flagged = first.filter { case (n, t) =>
         val twin = twins.get(n)
@@ -222,64 +493,212 @@ object Bench {
           if (bigSide) twin.exists(t > 4 * _) else twin.exists(t > _)
         vsTwin || (t > 3 * med && t > 1.0)
       }.map(_._1).toSet
+      val updates = first.filter(p => flagged(p._1)).sortBy(-_._2)
+        .flatMap { case (n, t) =>
+          if (budget.elapsedSec < passEnd &&
+              budget.fits(s"noise_remeasure_$n", 2 * t + 1))
+            bestOf2(n, qByName(n), dir).map(v => n -> math.min(t, v))
+          else None
+        }.toMap
       val redone = first.map { case (n, t) =>
-        if (flagged(n)) n -> math.min(t, bestOf2(n, qByName(n), dir).getOrElse(t))
-        else n -> t
+        n -> updates.getOrElse(n, t)
       }
       (redone, flagged.toSeq.sorted)
     }
     val (results2a, mainFlagged) =
-      remeasurePass(results, scaleSmall.toMap, sfDir, bigSide = true)
+      remeasurePass(results, scaleSmallCore.toMap, sfDir,
+        bigSide = true, capSec = 90.0)
 
     // ---- cross-round drift guard (r9 verdict item 2) ------------------
     // any reading >1.5x its prior-round value (and >1s, and +0.5s
     // absolute — sub-second jitter is not drift) gets ONE extra
-    // re-measure; the artifact records prior/first/final so a jump
-    // that stands is auditable and a starved one is corrected.
+    // re-measure (budget-gated); the artifact records prior/first/final
+    // so a jump that stands is auditable and a starved one is corrected.
     val driftFlagged: Set[String] = results2a.collect {
       case (n, t) if DriftBaseline.drifted(priorQueries.get(n), t) => n
     }.toSet
+    // worst drift ratio first (same budget-ordering rationale and
+    // pass-wall cap as the noise pass)
+    val driftPassEnd = budget.elapsedSec +
+      math.min(60.0, 0.2 * budget.remainingSec)
+    val driftUpdates = results2a.filter(p => driftFlagged(p._1))
+      .sortBy { case (n, t) => -t / priorQueries(n) }
+      .flatMap { case (n, t) =>
+        if (budget.elapsedSec < driftPassEnd &&
+            budget.fits(s"drift_remeasure_$n", 2 * t + 1))
+          bestOf2(n, qByName(n), sfDir).map(v => n -> math.min(t, v))
+        else None
+      }.toMap
     val results2 = results2a.map { case (n, t) =>
-      if (driftFlagged(n))
-        n -> math.min(t, bestOf2(n, qByName(n), sfDir).getOrElse(t))
-      else n -> t
+      n -> driftUpdates.getOrElse(n, t)
     }
     val driftEntries: Seq[(String, (Double, Double, Double))] =
       results2.collect { case (n, t) if driftFlagged(n) =>
         n -> ((priorQueries(n), results2a.toMap.apply(n), t))
       }
+    st.results = results2
+    val (scaleCore2, coreFlagged) =
+      remeasurePass(scaleSmallCore, results2.toMap, scaleDir,
+        bigSide = false, capSec = 40.0)
 
-    val (scaleSmall2, scaleFlagged) =
-      remeasurePass(scaleSmall, results2.toMap, scaleDir, bigSide = false)
+    // first readings keyed per pass: a query measured at BOTH scale
+    // points would otherwise collide and report the wrong original
+    val firstMain = results.toMap
 
+    // ---- scale-block JSON (checkpoint before the harnesses) ----------
+    // third-point/mid-point JSON starts null and is filled by the
+    // POST-harness refinement pass (moved in r11: ~32s of exponent
+    // refinement must not starve the harness sections of the window)
+    val big = results2.toMap
+    var scale3Json = "null"
+    var midJson = "null"
+    /** Scale + noise blocks from the (possibly partial) small set —
+      * called after the core pass now and again after the post-harness
+      * rest pass, so the artifact carries whatever completed. */
+    def refreshScaleState(small2: Seq[(String, Double)],
+        smallFlagged: Seq[String],
+        firstSmall: Map[String, Double]): Unit = {
+      val exponents = small2.collect {
+        case (k, small) if small > 0 && big.contains(k) =>
+          k -> math.log10(big(k) / small)
+      }
+      st.exponents = exponents
+      val scaleFailures = failures.distinct.diff(mainFailures).toSeq
+      st.scaleJson =
+        if (small2.isEmpty && scaleFailures.isEmpty) "null"
+        else s"""{"small_sf":"$scaleDir","small":${jsonMap(small2)},""" +
+          s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
+          s""""third_point":$scale3Json,""" +
+          s""""mid_point":$midJson,""" +
+          s""""failures":${jsonArr(scaleFailures)}}"""
+      st.noiseJson =
+        if (mainFlagged.isEmpty && smallFlagged.isEmpty) "null"
+        else s"""{"main_first":${
+            jsonMap(mainFlagged.map(n => n -> firstMain(n)))},""" +
+          s""""small_first":${
+            jsonMap(smallFlagged.map(n => n -> firstSmall(n)))}}"""
+    }
+    refreshScaleState(scaleCore2, coreFlagged, scaleSmallCore.toMap)
+    st.driftJson =
+      s"""{"prior_path":"$priorPath",""" +
+        s""""n_prior_queries":${priorQueries.size},""" +
+        s""""flagged":${driftEntries.map { case (n, (p, f, fin)) =>
+          s""""$n":{"prior":$p,"first":$f,"final":$fin}"""
+        }.mkString("{", ",", "}")},""" +
+        s""""harness_flagged":{}}"""
+    checkpoint()
+
+    // ---- scale harnesses ----------------------------------------------
+    // BASELINE.md commits to in-harness benchmarks at 10k-1M rows with
+    // planted/exact ground truth; the sf tables top out far below
+    // that, so these run on deterministic generated corpora. Every
+    // point is budget-gated (BenchBudget.gatedPoints: the small twin
+    // predicts the big point, a skip is recorded). Order encodes
+    // priority under a tight window: vector and graph carry the ANN +
+    // graph scale story, stream's 1M is the rows/s headline, and the
+    // text tails (substring 47-534s observed, hh ~51s) go LAST — they
+    // are the historical timeout hazards and their quiet-host
+    // readings live in SURVEY §8.5.
+    val hardN: Option[Long] =
+      sys.env.get("SPARK_GRAFT_VECTOR_HARD") match {
+        case Some("") | Some("0") | Some("off") => None
+        case Some(v) => Some(v.trim.toLong)
+        case None => Some(200000L)
+      }
+    // A harness that THROWS stays loud in the artifact (vs null =
+    // disabled by env): "CANCELLED_DEADLINE" when the watchdog's
+    // job-cancel interrupted an in-flight block at the soft deadline,
+    // "FAILED" for a genuine crash.
+    def harnessSection[R](envKey: String, defaults: Seq[Long],
+        runIt: Seq[Long] => R, json: R => String): (Option[R], String) =
+      sys.env.get(envKey) match {
+        case Some("") | Some("0") | Some("off") => (None, "null")
+        case ov =>
+          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(defaults)
+          try {
+            spark.catalog.clearCache()
+            val r = runIt(sizes)
+            (Some(r), json(r))
+          } catch { case e: Throwable =>
+            val why =
+              if (budget.remainingSec <= 0) "CANCELLED_DEADLINE"
+              else "FAILED"
+            System.err.println(s"[bench] $envKey $why: ${e.getMessage}")
+            (None, "\"" + why + "\"")
+          }
+      }
+    val (vsResult, vsJson) = harnessSection("SPARK_GRAFT_VECTOR_SCALE",
+      Seq(10000L, 100000L, 1000000L),
+      sz => VectorScaleBench.run(spark, sz, hardN, budget),
+      (_: VectorScaleBench.Result).json)
+    st.vectorJson = vsJson
+    checkpoint()
+
+    val (gsResult, gsJson) = harnessSection("SPARK_GRAFT_GRAPH_SCALE",
+      Seq(100000L, 1000000L),
+      sz => GraphScaleBench.run(spark, sz, budget),
+      (_: GraphScaleBench.Result).json)
+    st.graphJson = gsJson
+    checkpoint()
+
+    val (ssResult, ssJson) = harnessSection("SPARK_GRAFT_STREAM_SCALE",
+      Seq(200000L, 1000000L),
+      sz => StreamScaleBench.run(spark, sz, budget),
+      (_: StreamScaleBench.Result).json)
+    st.streamJson = ssJson
+    checkpoint()
+
+    // SPARK_GRAFT_TEXT_SWEEP: the hard-corpus banding sweep's size
+    // ("off"/"0"/"" disables; unset = 200k) — same pattern as the
+    // vector hard corpus
+    val sweepN = sys.env.get("SPARK_GRAFT_TEXT_SWEEP") match {
+      case Some("") | Some("0") | Some("off") => None
+      case Some(v) => Some(v.trim.toLong)
+      case None => Some(200000L)
+    }
+    val (tsResult, tsJson) = harnessSection("SPARK_GRAFT_TEXT_SCALE",
+      Seq(100000L, 1000000L),
+      sz => TextScaleBench.run(spark, sz, sweepN, budget),
+      (_: TextScaleBench.Result).json)
+    st.textJson = tsJson
+    checkpoint()
+
+    // ---- exponent refinement (post-harness) ---------------------------
     // third (tiny) scale point for the top-exponent families — same
     // hermetic measurement, noise-guarded against the small twin
     val scale3Dir =
       sys.env.getOrElse("SPARK_GRAFT_SCALE3_DIR", "/root/testdata/sf0.001")
     val scale3First =
-      if (scale3Dir == sfDir || scale3Dir == scaleDir) Seq.empty
+      if (scale3Dir == sfDir || scale3Dir == scaleDir ||
+          !budget.fits("scale3_pass", 20.0)) Seq.empty
       else selected.filter(q => ScaleFamilies3.contains(q._1)).flatMap {
-        case (name, fn) => bestOf2(name, fn, scale3Dir).map(name -> _)
+        case (name, fn) => run1(name, fn, scale3Dir).map(name -> _)
       }
     val (scale3, _) =
-      remeasurePass(scale3First, scaleSmall2.toMap, scale3Dir,
-        bigSide = false)
-    // first readings keyed per pass: a query measured at BOTH scale
-    // points would otherwise collide and report the wrong original
-    val firstMain = results.toMap
-    val firstSmall = scaleSmall.toMap
+      remeasurePass(scale3First, scaleCore2.toMap, scale3Dir,
+        bigSide = false, capSec = 20.0)
+    val smallMap = scaleCore2.toMap
+    val exponents3 = scale3.collect {
+      case (k, tiny) if tiny > 0 && smallMap.contains(k) =>
+        k -> math.log10(smallMap(k) / tiny)
+    }
+    scale3Json =
+      if (scale3.isEmpty) "null"
+      else s"""{"tiny_sf":"$scale3Dir","tiny":${jsonMap(scale3)},""" +
+        s""""log10_ratio_small_over_tiny":${jsonMap(exponents3)}}"""
 
-    // ---- mid point for knee diagnosis (r9 verdict item 6) ------------
-    // q225's 3-pt curve reads tiny->small 0.08 but small->big 0.74 —
-    // two decades can't say whether the knee is fixed overhead finally
-    // amortized or a growing term. A half-decade point between small
-    // and big pins which segment the growth lives in: the documents
-    // table of the BIG sf subsampled deterministically to ~3.16x the
-    // small row count (doc_id % 10 < 3), written once to a scratch dir
-    // and measured with the same hermetic bestOf2.
+    // mid point for knee diagnosis (r9 verdict item 6): q225's 3-pt
+    // curve reads tiny->small 0.08 but small->big 0.74 — two decades
+    // can't say whether the knee is fixed overhead finally amortized
+    // or a growing term. A half-decade point between small and big
+    // pins which segment the growth lives in: the documents table of
+    // the BIG sf subsampled deterministically to ~3.16x the small row
+    // count (doc_id % 10 < 3), written once to a scratch dir and
+    // measured hermetically (single run; guards cover starvation).
     val MidFamilies = Seq("q225_ngram_novelty") // documents-only queries
     val midPoint: Seq[(String, Double, Long)] =
-      if (scaleDir == sfDir) Seq.empty
+      if (scaleDir == sfDir || !budget.fits("mid_point", 12.0)) Seq.empty
       else try {
         val midDir = "target/bench_mid"
         val src = Tables.load(spark, sfDir, "documents")
@@ -291,199 +710,60 @@ object Bench {
         val n = spark.read.parquet(s"$midDir/documents.parquet").count()
         selected.filter(q => MidFamilies.contains(q._1)).flatMap {
           case (name, fn) =>
-            bestOf2(name, fn, midDir).map(t => (name, t, n))
+            run1(name, fn, midDir).map(t => (name, t, n))
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mid point FAILED: ${e.getMessage}")
         Seq.empty
       }
-
-    // ---- ANN at promised scale ----------------------------------------
-    // BASELINE.md commits to in-harness vector benchmarks at 10k-1M
-    // rows with recall@k vs brute force; the sf tables top out at 2k
-    // vectors, so this runs on the deterministic generated corpus
-    // (VectorScaleBench). After the main+scale passes so its caches
-    // can't pollute their timings. SPARK_GRAFT_VECTOR_SCALE: comma
-    // sizes, "off" (or "0"/"") disables, unset = 100k + 1M.
-    // SPARK_GRAFT_VECTOR_HARD: size of the uniform (non-clustered)
-    // recall-vs-effort sweep, "off"/"0"/"" disables, unset = 200k.
-    // The clustered points pin throughput; this pins the probe/ef ↔
-    // recall tradeoff the easy corpus hides (recall there is ~1.0 at
-    // almost every setting).
-    val hardN: Option[Long] =
-      sys.env.get("SPARK_GRAFT_VECTOR_HARD") match {
-        case Some("") | Some("0") | Some("off") => None
-        case Some(v) => Some(v.trim.toLong)
-        case None => Some(200000L)
-      }
-    val vsResult: Option[VectorScaleBench.Result] =
-      sys.env.get("SPARK_GRAFT_VECTOR_SCALE") match {
-        case Some("") | Some("0") | Some("off") => None
-        case ov =>
-          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(Seq(10000L, 100000L, 1000000L))
-          try {
-            spark.catalog.clearCache()
-            Some(VectorScaleBench.run(spark, sizes, hardN))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] vector_scale FAILED: ${e.getMessage}")
-            None
-          }
-      }
-    // "FAILED" (vs null = disabled) keeps a crashed vector bench loud
-    // in the artifact instead of silently absent
-    val vectorScaleJson = vsResult.map(_.json).getOrElse(
-      if (sys.env.get("SPARK_GRAFT_VECTOR_SCALE")
-          .exists(v => v == "" || v == "0" || v == "off")) "null"
-      else "\"FAILED\"")
-
-    // ---- near-dup dedup at scale -------------------------------------
-    // Same contract as vector_scale, for the MinHash-LSH family: the
-    // q46 pipeline on a generated 100k + 1M-doc corpus with planted
-    // near-duplicates — wall time, blocking ratio, and planted-pair
-    // recall. SPARK_GRAFT_TEXT_SCALE: comma sizes, "off"/"0"/"" to
-    // disable, unset = 100k + 1M.
-    val tsResult: Option[TextScaleBench.Result] =
-      sys.env.get("SPARK_GRAFT_TEXT_SCALE") match {
-        case Some("") | Some("0") | Some("off") => None
-        case ov =>
-          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(Seq(100000L, 1000000L))
-          // SPARK_GRAFT_TEXT_SWEEP: the hard-corpus banding sweep's
-          // size ("off"/"0"/"" disables; unset = 200k) — same pattern
-          // as the vector hard corpus
-          val sweepN = sys.env.get("SPARK_GRAFT_TEXT_SWEEP") match {
-            case Some("") | Some("0") | Some("off") => None
-            case Some(v) => Some(v.trim.toLong)
-            case None => Some(200000L)
-          }
-          try {
-            spark.catalog.clearCache()
-            Some(TextScaleBench.run(spark, sizes, sweepN))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] text_scale FAILED: ${e.getMessage}")
-            None
-          }
-      }
-    val textScaleJson = tsResult.map(_.json).getOrElse(
-      if (sys.env.get("SPARK_GRAFT_TEXT_SCALE")
-          .exists(v => v == "" || v == "0" || v == "off")) "null"
-      else "\"FAILED\"")
-
-    // ---- graph ops at scale ------------------------------------------
-    // Same contract for the graph family: triangles / components /
-    // PageRank / LPA on generated 100k + 1M-node graphs with PLANTED
-    // ground truth (ring+chord clusters: exactly one triangle per
-    // node, uniform PageRank; hub clusters: exact component count).
-    // SPARK_GRAFT_GRAPH_SCALE: comma sizes, "off"/"0"/"" disables,
-    // unset = 100k + 1M.
-    val gsResult: Option[GraphScaleBench.Result] =
-      sys.env.get("SPARK_GRAFT_GRAPH_SCALE") match {
-        case Some("") | Some("0") | Some("off") => None
-        case ov =>
-          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(Seq(100000L, 1000000L))
-          try {
-            spark.catalog.clearCache()
-            Some(GraphScaleBench.run(spark, sizes))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] graph_scale FAILED: ${e.getMessage}")
-            None
-          }
-      }
-    val graphScaleJson = gsResult.map(_.json).getOrElse(
-      if (sys.env.get("SPARK_GRAFT_GRAPH_SCALE")
-          .exists(v => v == "" || v == "0" || v == "off")) "null"
-      else "\"FAILED\"")
-
-    // ---- stateful streaming at scale ---------------------------------
-    // Same contract for the streaming family: sessionization /
-    // watermarked dedup / tumbling windows as REAL micro-batched
-    // streaming queries over generated corpora with planted ground
-    // truth (closed-form session census, exact survivor count, exact
-    // window mass). SPARK_GRAFT_STREAM_SCALE: comma sizes, "off"/"0"/
-    // "" disables, unset = 200k + 1M events.
-    val ssResult: Option[StreamScaleBench.Result] =
-      sys.env.get("SPARK_GRAFT_STREAM_SCALE") match {
-        case Some("") | Some("0") | Some("off") => None
-        case ov =>
-          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(Seq(200000L, 1000000L))
-          try {
-            spark.catalog.clearCache()
-            Some(StreamScaleBench.run(spark, sizes))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] stream_scale FAILED: ${e.getMessage}")
-            None
-          }
-      }
-    val streamScaleJson = ssResult.map(_.json).getOrElse(
-      if (sys.env.get("SPARK_GRAFT_STREAM_SCALE")
-          .exists(v => v == "" || v == "0" || v == "off")) "null"
-      else "\"FAILED\"")
-
-    def jsonMap(kv: Seq[(String, Double)]) = kv
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val big = results2.toMap
-    val exponents = scaleSmall2.collect {
-      case (k, small) if small > 0 && big.contains(k) =>
-        k -> math.log10(big(k) / small)
-    }
-    def jsonArr(xs: Seq[String]) =
-      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // 3-point curves: the tiny->small ratio next to the small->big one
-    val smallMap = scaleSmall2.toMap
-    val exponents3 = scale3.collect {
-      case (k, tiny) if tiny > 0 && smallMap.contains(k) =>
-        k -> math.log10(smallMap(k) / tiny)
-    }
-    val scale3Json =
-      if (scale3.isEmpty) "null"
-      else s"""{"tiny_sf":"$scale3Dir","tiny":${jsonMap(scale3)},""" +
-        s""""log10_ratio_small_over_tiny":${jsonMap(exponents3)}}"""
+    // doc counts for the mid-point exponents, read NOW (not at emit:
+    // the watchdog cancels Spark jobs after the soft deadline, and the
+    // emit path must stay Spark-free)
+    val (nSmallDocs, nBigDocs) =
+      if (midPoint.isEmpty) (0L, 0L)
+      else (Tables.load(spark, scaleDir, "documents").count(),
+        Tables.load(spark, sfDir, "documents").count())
     // mid-point segment exponents: time ratio per decade of docs on
     // each side of the mid point (rows ratios from actual doc counts)
-    val midJson =
+    midJson =
       if (midPoint.isEmpty) "null"
       else {
-        val nSmallDocs = Tables.load(spark, scaleDir, "documents").count()
-        val nBigDocs = Tables.load(spark, sfDir, "documents").count()
         val entries = midPoint.map { case (k, t, n) =>
-          val sm = scaleSmall2.toMap.get(k)
+          val sm = smallMap.get(k)
           val bg = results2.toMap.get(k)
           val expS = sm.collect { case s if s > 0 && t > 0 && n > nSmallDocs =>
             math.log10(t / s) / math.log10(n.toDouble / nSmallDocs) }
           val expB = bg.collect { case b if b > 0 && t > 0 && nBigDocs > n =>
             math.log10(b / t) / math.log10(nBigDocs.toDouble / n) }
           s""""$k":{"n_docs":$n,"sec":$t""" +
-            expS.map(e => s""","exp_small_to_mid":${math.rint(e * 100) / 100}""").getOrElse("") +
-            expB.map(e => s""","exp_mid_to_big":${math.rint(e * 100) / 100}""").getOrElse("") + "}"
+            expS.map(e => s""","exp_small_to_mid":${r3(e)}""").getOrElse("") +
+            expB.map(e => s""","exp_mid_to_big":${r3(e)}""").getOrElse("") + "}"
         }
         entries.mkString("{", ",", "}")
       }
-    val scaleJson =
-      if (scaleSmall2.isEmpty && scaleFailures.isEmpty) "null"
-      else s"""{"small_sf":"$scaleDir","small":${jsonMap(scaleSmall2)},""" +
-        s""""log10_ratio_for_10x_rows":${jsonMap(exponents)},""" +
-        s""""third_point":$scale3Json,""" +
-        s""""mid_point":$midJson,""" +
-        s""""failures":${jsonArr(scaleFailures)}}"""
-    val noiseJson =
-      if (mainFlagged.isEmpty && scaleFlagged.isEmpty) "null"
-      else s"""{"main_first":${
-          jsonMap(mainFlagged.map(n => n -> firstMain(n)))},""" +
-        s""""small_first":${
-          jsonMap(scaleFlagged.map(n => n -> firstSmall(n)))}}"""
-    val total = results2.map(_._2).sum
-    val fails = jsonArr(mainFailures)
-    // quality next to wall time: numeric recall of each recall-gated
-    // query, recorded by the gate bodies (GateMetrics) during the runs
-    // timed above — a recall regression is visible across rounds
-    // without the oracle
-    val recallJson = jsonMap(GateMetrics.snapshot)
+
+    // ---- rest of the sf0.01 scale pass (after the harnesses) ---------
+    // the non-core exponent families, budget permitting — the stream
+    // gates among them get their per-dir setup pre-warmed concurrently
+    // first (same rationale as the main-pass prewarm)
+    val restFams = ScaleFamilies.filterNot(ScaleCore.contains)
+    if (scaleDir != sfDir &&
+        restFams.exists(f => selected.exists(_._1 == f)) &&
+        budget.remainingSec > 40.0)
+      prewarmGates(scaleDir, 40.0)
+    val scaleSmallRest = scalePass(restFams, "scale_rest")
+    val (scaleRest2, restFlagged) =
+      remeasurePass(scaleSmallRest, results2.toMap, scaleDir,
+        bigSide = false, capSec = 30.0)
+    refreshScaleState(scaleCore2 ++ scaleRest2,
+      (coreFlagged ++ restFlagged).sorted,
+      (scaleSmallCore ++ scaleSmallRest).toMap)
+
     // flat harness headline metrics: THIS round's biggest-point values,
     // emitted so the next round's drift guard compares against a flat
-    // map instead of regexing nested point blocks
+    // map instead of regexing nested point blocks. A family whose
+    // biggest point was budget-skipped emits nothing (comparing a
+    // prior 1M reading against a 100k one would be meaningless).
     val headlineNow: Seq[(String, Double)] =
       tsResult.toSeq.flatMap(r =>
         r.points.lastOption.map("lsh_sec" -> _.lshSec).toSeq ++
@@ -495,6 +775,7 @@ object Bench {
           _.points.lastOption.map("session_sec" -> _.sesSec)) ++
         vsResult.toSeq.flatMap(
           _.points.lastOption.map("brute_sec" -> _.bruteSec))
+    st.headline = headlineNow
     // harness readings >1.5x their prior-round twin are flagged in the
     // artifact; their re-measure mechanism is the in-harness ScaleGuard
     // (an extra full harness pass here would double bench wall time)
@@ -505,80 +786,19 @@ object Bench {
     val harnessDriftJson = harnessDrift.map { case (k, p, v) =>
       s""""$k":{"prior":$p,"now":$v}"""
     }.mkString("{", ",", "}")
-    val driftGuardJson =
+    st.driftJson =
       s"""{"prior_path":"$priorPath",""" +
         s""""n_prior_queries":${priorQueries.size},""" +
         s""""flagged":${driftEntries.map { case (n, (p, f, fin)) =>
           s""""$n":{"prior":$p,"first":$f,"final":$fin}"""
         }.mkString("{", ",", "}")},""" +
         s""""harness_flagged":$harnessDriftJson}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results2)},"recall":$recallJson,"failures":$fails,"scale":$scaleJson,"vector_scale":$vectorScaleJson,"text_scale":$textScaleJson,"graph_scale":$graphScaleJson,"stream_scale":$streamScaleJson,"noise_guard":$noiseJson,"headline_metrics":${jsonMap(headlineNow)},"drift_guard":$driftGuardJson,"sf":"$sfDir"}"""
-
-    // ---- emit ----------------------------------------------------------
-    // The driver captures only the last ~2000 chars of stdout and parses
-    // the JSON line out of that tail; a 6KB line (135 queries) gets its
-    // head truncated and every BENCH_r{1..4}.json shows parsed:null.
-    // So: the FULL artifact goes to a file the judge can read, and
-    // stdout's one JSON line is a compact headline built to a strict
-    // char budget (scale-family queries first, then slowest-five).
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
-    // delete any stale detail file first, and only advertise the path in
-    // the headline if THIS run's write succeeded — the compact line must
-    // never point at a prior round's numbers
-    val detailOk =
-      try {
-        new java.io.File(detailPath).delete()
-        val w = new java.io.PrintWriter(detailPath)
-        try w.println(fullJson) finally w.close()
-        true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-        false
-      }
-    val detailJson = if (detailOk) s""""$detailPath"""" else "null"
-    def r3(v: Double) = math.rint(v * 1000) / 1000
-    val slowest = results2.sortBy(-_._2).take(5).map(_._1)
-    val headNames = (ScaleFamilies.filter(big.contains) ++ slowest).distinct
-    val expMax = exponents.sortBy(-_._2).headOption
-    val expJson = expMax.map { case (k, v) =>
-      s""","worst_scale_exponent":{"query":"$k","log10_ratio_for_10x_rows":${r3(v)}}"""
-    }.getOrElse("")
-    // failures in the compact line are CAPPED (count + first 5 names;
-    // full list in the detail file) — an unbounded all-fail array alone
-    // would blow the char budget and starve the line of query timings
-    val failsCompact =
-      s"""{"n":${mainFailures.size},"first":${jsonArr(mainFailures.take(5))}}"""
-    // budgeted: drop trailing headline queries until the line fits well
-    // inside the driver's tail window (sbt appends ~80 chars after us)
-    // the headline carries the vector-scale SUMMARY (speedup of the
-    // best index over brute at the largest point + min recall) — the
-    // full per-index table lives in the detail file
-    val vsCompact = vsResult.flatMap(_.summary)
-      .map(s => s""","vector_scale":$s""").getOrElse("")
-    val gsCompact = gsResult.flatMap(_.summary)
-      .map(s => s""","graph_scale":$s""").getOrElse("")
-    val tsCompact = tsResult.flatMap(_.summary)
-      .map(s => s""","text_scale":$s""").getOrElse("")
-    val ssCompact = ssResult.flatMap(_.summary)
-      .map(s => s""","stream_scale":$s""").getOrElse("")
-    // cross-round drift in the compact line: flagged-counts only (the
-    // per-entry prior/first/final table lives in the detail file)
-    val driftCompact =
-      s""","drift":{"queries_flagged":${driftEntries.size},""" +
-        s""""harness_flagged":${harnessDrift.size},""" +
-        s""""prior_found":${priorQueries.nonEmpty}}"""
-    def line(names: Seq[String]): String = {
-      val qs = jsonMap(names.map(n => n -> r3(big(n))))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results2.size},"queries":$qs,"failures":$failsCompact$expJson$vsCompact$tsCompact$gsCompact$ssCompact$driftCompact,"detail":$detailJson,"sf":"$sfDir"}"""
-    }
-    // bounded: after headNames.size+1 steps the seq is empty — without
-    // take(), dropRight on empty yields empty forever and a too-long
-    // line(Seq.empty) would loop find() infinitely
-    val compact = Iterator.iterate(headNames)(_.dropRight(1))
-      .take(headNames.size + 1)
-      .map(line).find(_.length <= 1700).getOrElse(line(Seq.empty))
-    println(compact)
+    // complete = every section reached its natural end (skips by
+    // budget are RECORDED degradation, not incompleteness; failures
+    // are carried in their own field)
+    st.complete = !mainTruncated
+    checkpoint()
+    emitStdout()
     spark.stop()
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+/** Wall-clock budget for [[Bench]] and the scale harnesses (r10
+  * verdict items 1–4): the r10 driver bench timed out (rc=124,
+  * `parsed: null`) because the suite's quiet-host floor outgrew the
+  * driver's window and nothing inside the bench could notice. Every
+  * expensive block now asks `fits(what, estSec)` before running —
+  * the estimate extrapolated from the block's own smaller twin — and
+  * a block that doesn't fit is SKIPPED AND RECORDED in the artifact
+  * (`"skipped":[...]`) instead of silently eating the window.
+  *
+  * Thread-safe: the skip list is concurrent because the Bench
+  * watchdog thread reads it while the main thread appends.
+  */
+final class BenchBudget(t0Nanos: Long, val deadlineSec: Double) {
+  private val skippedQ = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  def elapsedSec: Double = (System.nanoTime() - t0Nanos) / 1e9
+  def remainingSec: Double = deadlineSec - elapsedSec
+
+  /** True when `estSec` fits in the remaining budget with `reserveSec`
+    * left over for the emit path; false records `what` as skipped. */
+  def fits(what: String, estSec: Double, reserveSec: Double = 15.0): Boolean = {
+    val ok = remainingSec - reserveSec >= estSec
+    if (!ok) skippedQ.add(what)
+    ok
+  }
+
+  def skip(what: String): Unit = skippedQ.add(what)
+
+  def skipped: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    skippedQ.iterator().asScala.toSeq
+  }
+}
+
+object BenchBudget {
+  /** No deadline: every `fits` is true (specs, iteration). */
+  def unlimited: BenchBudget =
+    new BenchBudget(System.nanoTime(), Double.MaxValue)
+
+  /** Run `f` at each size in ascending order, gating every point on a
+    * cost estimate — the r10-verdict prescription for the 47–534 s
+    * substring-1M tail: the small twin predicts the big point, and a
+    * point that doesn't fit is skipped and recorded
+    * (`<fam>_<size>`). Estimation, in preference order:
+    *
+    *  1. `fixedEst(size) × calib` when the harness ships a measured
+    *     default-size cost table. Harness wall is strongly
+    *     SUB-linear in rows (fixed overhead + better slot
+    *     amortization at 1M), so naive linear extrapolation
+    *     over-predicts big points 3–7× and would skip work that
+    *     fits; the table encodes real quiet-host readings. `calib`
+    *     (≥1) is the observed slowdown of THIS run's completed
+    *     points vs their table entries — a contended host scales
+    *     every later estimate up with the evidence.
+    *  2. Otherwise linear extrapolation from the previous completed
+    *     point × `margin` (a conservative upper bound for the
+    *     designed-linear ops measured here).
+    *  3. The first point of a family has no twin: `firstEst`.
+    */
+  def gatedPoints[P](budget: BenchBudget, fam: String, sizes: Seq[Long],
+      firstEst: Double, margin: Double = 1.6,
+      fixedEst: Map[Long, Double] = Map.empty)(
+      f: Long => P)(n: P => Long, t: P => Double): Seq[P] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[P]
+    var calib = 1.0
+    sizes.foreach { s =>
+      val linear = acc.lastOption
+        .map(p => t(p) * (s.toDouble / n(p)) * margin)
+        .getOrElse(firstEst)
+      val est = fixedEst.get(s).map(_ * calib).getOrElse(linear)
+      if (budget.fits(s"${fam}_$s", est)) {
+        val p = f(s)
+        acc += p
+        fixedEst.get(s).filter(_ > 0).foreach { fe =>
+          calib = math.max(calib, math.max(1.0, t(p) / fe))
+        }
+      }
+    }
+    acc.toSeq
+  }
+
+  /** [[ScaleGuard]] with the re-measure itself budget-gated: a
+    * flagged big point whose re-run doesn't fit the remaining window
+    * ships as-is (recorded `<fam>_guard_<size>` skipped) — the guard
+    * must never be the thing that blows the driver's deadline. */
+  def gatedGuard[P](budget: BenchBudget, fam: String, pts: Seq[P])(
+      n: P => Long, t: P => Double)(
+      redo: Long => P, merge: (P, P) => P): Seq[P] =
+    ScaleGuard(pts)(n, t)({ nn =>
+      val big = pts.last
+      if (budget.fits(s"${fam}_guard_$nn", t(big) * 1.2)) redo(nn) else big
+    }, merge)
+}

@@ -361,13 +361,22 @@ object GraphScaleBench {
       pprSec, pprOk)
   }
 
-  def run(spark: SparkSession, sizes: Seq[Long]): Result = {
-    val pts = sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n)))
-    // implied-exponent guard on the biggest point (sum of op times):
-    // sustained contention spanning both best-of-2 runs re-measures
-    // once more; a genuine cliff reproduces and stands (ScaleGuard)
-    Result(ScaleGuard(pts)(_.n, p => p.triSec + p.ccSec + p.prSec +
-      p.lpaSec + p.kcSec + p.lpdSec + p.mstSec + p.pprSec)(
+  def run(spark: SparkSession, sizes: Seq[Long],
+      budget: BenchBudget = BenchBudget.unlimited): Result = {
+    import BenchBudget.{gatedPoints, gatedGuard}
+    // SINGLE run per point, budget-gated on the smaller twin (r10
+    // verdict items 3/4). The implied-exponent guard (ScaleGuard)
+    // still re-measures a flagged biggest point (sum of op times):
+    // sustained contention re-reads low, a genuine cliff reproduces
+    // and stands. The re-measure itself is gated.
+    def cost(p: Point): Double = p.triSec + p.ccSec + p.prSec +
+      p.lpaSec + p.kcSec + p.lpdSec + p.mstSec + p.pprSec
+    // measured single-run quiet-host costs (all eight ops + gen) for
+    // the default sizes, mildly padded (see BenchBudget.gatedPoints)
+    val DefaultEst = Map(100000L -> 32.0, 1000000L -> 90.0)
+    val pts = gatedPoints(budget, "graph", sizes, firstEst = 30.0,
+      fixedEst = DefaultEst)(n => runPoint(spark, n))(_.n, cost)
+    Result(gatedGuard(budget, "graph", pts)(_.n, cost)(
       n => runPoint(spark, n), merged))
   }
 }

@@ -282,13 +282,21 @@ object StreamScaleBench {
       sesSec, sesOk, dedupSec, dedupOk, winSec, winOk, parts)
   }
 
-  def run(spark: SparkSession, sizes: Seq[Long]): Result = {
-    val pts = sizes.map(n =>
-      merged(runPoint(spark, n, 1), runPoint(spark, n, 2)))
-    // implied-exponent guard on the biggest point (ScaleGuard): one
-    // extra attempt when the point's total reads super-linear vs its
-    // smaller twin beyond what sustained contention could explain
-    Result(ScaleGuard(pts)(_.n, p => p.sesSec + p.dedupSec + p.winSec)(
+  def run(spark: SparkSession, sizes: Seq[Long],
+      budget: BenchBudget = BenchBudget.unlimited): Result = {
+    import BenchBudget.{gatedPoints, gatedGuard}
+    // SINGLE run per point, budget-gated on the smaller twin (r10
+    // verdict items 3/4). The implied-exponent guard (ScaleGuard)
+    // still gives a flagged biggest point one extra attempt when its
+    // total reads super-linear vs its smaller twin beyond what
+    // sustained contention could explain. The re-measure is gated.
+    def cost(p: Point): Double = p.sesSec + p.dedupSec + p.winSec
+    // measured single-run quiet-host costs (three streaming queries +
+    // gen) for the default sizes (see BenchBudget.gatedPoints)
+    val DefaultEst = Map(200000L -> 35.0, 1000000L -> 105.0)
+    val pts = gatedPoints(budget, "stream", sizes, firstEst = 30.0,
+      fixedEst = DefaultEst)(n => runPoint(spark, n, 1))(_.n, cost)
+    Result(gatedGuard(budget, "stream", pts)(_.n, cost)(
       n => runPoint(spark, n, 3), merged))
   }
 }

@@ -300,17 +300,15 @@ object TextScaleBench {
         .agg(sum("one"), sum("bad")).head()
       (r.getLong(0), r.getLong(1))
     }
-    val ((d1, b1), t1) = once()
-    val ((d2, b2), t2) = once()
+    val ((d1, b1), t1) = once() // single run (see runPoint)
     docs.unpersist()
-    WebPoint(n, math.min(t1, t2),
-      if (t1 <= t2) d1 else d2, math.max(b1, b2), htmlFirst = t1)
+    WebPoint(n, t1, d1, b1, htmlFirst = t1)
   }
 
   private[graft] def mergedWeb(a: WebPoint, b: WebPoint): WebPoint =
     WebPoint(a.n, math.min(a.htmlSec, b.htmlSec), a.docs,
       math.max(a.badRows, b.badRows),
-      htmlFirst = math.max(a.htmlFirst, a.htmlSec))
+      htmlFirst = math.max(a.htmlFirst, b.htmlFirst))
 
   final case class Result(points: Seq[Point],
       sub: Seq[SubPoint] = Seq.empty,
@@ -344,6 +342,9 @@ object TextScaleBench {
       d.count()
       d
     }
+    // SINGLE measured run (r10 verdict item 3: universal best-of-2
+    // outgrew the driver's window) — starved readings are caught by
+    // ScaleGuard/drift-guard re-measures, which are themselves gated
     def once(): (DataFrame, Long, Double) = {
       val ((df, c), t) = timeIt(lshPairs(docs))
       (df, c, t)
@@ -352,14 +353,12 @@ object TextScaleBench {
     val found = p1.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     p1.unpersist()
-    val (p2, _, t2) = once() // best-of-2: steady-state, not first-plan
-    p2.unpersist()
     val planted = (1L until n by 100L).map(id => (id - 1, id)).toSet
     val hit = planted.count { case (a, b) =>
       found.contains((a, b)) || found.contains((b, a))
     }
     docs.unpersist()
-    Point(n, genSec, math.min(t1, t2), cand1, found.size,
+    Point(n, genSec, t1, cand1, found.size,
       planted.size, if (planted.isEmpty) 1.0 else hit.toDouble / planted.size,
       lshFirst = t1)
   }
@@ -396,15 +395,14 @@ object TextScaleBench {
       }
       (rows, t)
     }
-    val (found, t1) = once()
-    val (_, t2) = once()
+    val (found, t1) = once() // single run (see runPoint)
     docs.unpersist()
     val byPair = found.map(r => (r._1, r._2) -> r._3).toMap
     val plantedIds = (1L until n by 100L).filter(_ % 100 == 1)
     val hits = plantedIds.count(id => byPair.contains((id - 1, id)))
     val exact = plantedIds.count(id =>
       byPair.get((id - 1, id)).contains(expectedMaxSpan(id)))
-    SubPoint(n, math.min(t1, t2), found.length,
+    SubPoint(n, t1, found.length,
       plantedIds.size, if (plantedIds.isEmpty) 1.0
         else hits.toDouble / plantedIds.size,
       if (hits == 0) 0.0 else exact.toDouble / hits,
@@ -445,8 +443,7 @@ object TextScaleBench {
         .collect()
         .map(r => (r.getAs[String]("shingle"), r.getAs[Long]("cnt")))
     }
-    val (found, t1) = once()
-    val (_, t2) = once()
+    val (found, t1) = once() // single run (see runPoint)
     docs.unpersist()
     val expected = (n + 9) / 10 // ids 0, 10, 20, …
     val tmpl = TextOps.BoilerplateTemplate.split(" ")
@@ -455,7 +452,7 @@ object TextScaleBench {
     val ok = found.length == 4 &&
       found.map(_._1).toSet == want &&
       found.forall(_._2 == expected)
-    HhPoint(n, math.min(t1, t2), found.length, ok, hhFirst = t1)
+    HhPoint(n, t1, found.length, ok, hhFirst = t1)
   }
 
   private[graft] def mergedHh(a: HhPoint, b: HhPoint): HhPoint =
@@ -478,19 +475,45 @@ object TextScaleBench {
       subFirst = math.max(a.subFirst, a.subSec))
 
   def run(spark: SparkSession, sizes: Seq[Long],
-      sweepN: Option[Long] = None): Result = {
-    // implied-exponent guard on each family's biggest point — r9's
-    // substring 1M (184.8s vs a 4.0s 100k twin: implied exponent 1.66
-    // for designed-linear work) is exactly the reading this re-measures
-    val pts = ScaleGuard(sizes.map(runPoint(spark, _)))(_.n, _.lshSec)(
+      sweepN: Option[Long] = None,
+      budget: BenchBudget = BenchBudget.unlimited): Result = {
+    import BenchBudget.{gatedPoints, gatedGuard}
+    // Every point is budget-gated on its small twin's reading (r10
+    // verdict item 4: the substring 1M tail — 47–534 s observed — and
+    // the 51 s hh 1M point are the suite's biggest timeout hazards;
+    // they run only when the twin-predicted cost fits the remaining
+    // window, and a skip is recorded in the artifact). The substring
+    // margin is wider than the default linear 1.6×: its in-suite
+    // readings ran up to 2.2× the quiet-host isolated value.
+    // The implied-exponent guard (ScaleGuard) still re-measures a
+    // flagged biggest point — itself gated, so a 500 s anomaly can't
+    // blow the driver's deadline chasing its own re-measure.
+    // measured single-run quiet-host default-size costs, padded
+    // (substring's generously: 47–104 s observed at 1M in-suite)
+    val pts = gatedGuard(budget, "text_lsh",
+      gatedPoints(budget, "text_lsh", sizes, firstEst = 15.0,
+        fixedEst = Map(100000L -> 10.0, 1000000L -> 30.0))(
+        runPoint(spark, _))(_.n, _.lshSec))(_.n, _.lshSec)(
       runPoint(spark, _), mergedPoint)
-    val subs = ScaleGuard(
-      sizes.map(runSubstringPoint(spark, _)))(_.n, _.subSec)(
-      runSubstringPoint(spark, _), mergedSub)
-    val hhs = ScaleGuard(sizes.map(runHhPoint(spark, _)))(_.n, _.hhSec)(
-      runHhPoint(spark, _), mergedHh)
-    val webs = ScaleGuard(sizes.map(runWebPoint(spark, _)))(
-      _.n, _.htmlSec)(runWebPoint(spark, _), mergedWeb)
-    Result(pts, subs, sweepN.map(runSweep(spark, _)), hhs, webs)
+    val subs = gatedGuard(budget, "text_sub",
+      gatedPoints(budget, "text_sub", sizes, firstEst = 15.0,
+        margin = 2.5,
+        fixedEst = Map(100000L -> 8.0, 1000000L -> 80.0))(
+        runSubstringPoint(spark, _))(_.n, _.subSec))(
+      _.n, _.subSec)(runSubstringPoint(spark, _), mergedSub)
+    val hhs = gatedGuard(budget, "text_hh",
+      gatedPoints(budget, "text_hh", sizes, firstEst = 15.0,
+        margin = 2.0,
+        fixedEst = Map(100000L -> 8.0, 1000000L -> 65.0))(
+        runHhPoint(spark, _))(_.n, _.hhSec))(
+      _.n, _.hhSec)(runHhPoint(spark, _), mergedHh)
+    val webs = gatedGuard(budget, "text_web",
+      gatedPoints(budget, "text_web", sizes, firstEst = 10.0,
+        fixedEst = Map(100000L -> 4.0, 1000000L -> 9.0))(
+        runWebPoint(spark, _))(_.n, _.htmlSec))(_.n, _.htmlSec)(
+      runWebPoint(spark, _), mergedWeb)
+    val sweep = sweepN.filter(n =>
+      budget.fits(s"text_sweep_$n", 30.0)).map(runSweep(spark, _))
+    Result(pts, subs, sweep, hhs, webs)
   }
 }

@@ -441,15 +441,29 @@ object VectorScaleBench {
   }
 
   def run(spark: SparkSession, sizes: Seq[Long],
-      hardN: Option[Long] = None): Result = {
-    val pts = sizes.map(n => merged(runPoint(spark, n), runPoint(spark, n)))
-    // implied-exponent guard on the biggest point: brute + every
-    // index build/scan — this is where r9's 61.9s starved brute-KNN
-    // first run showed up, and where HNSW build variance (27.4 vs
-    // 34.1s across rounds at identical recall) gets its re-measure
-    Result(ScaleGuard(pts)(_.n, p => p.bruteSec +
-      p.idx.map { case (_, i) => i.build + i.scan }.sum)(
+      hardN: Option[Long] = None,
+      budget: BenchBudget = BenchBudget.unlimited): Result = {
+    import BenchBudget.{gatedPoints, gatedGuard}
+    // SINGLE run per point, budget-gated on the smaller twin (r10
+    // verdict items 3/4: the universal second run roughly doubled
+    // this harness's wall for readings the guards could re-derive).
+    // The implied-exponent guard (ScaleGuard) still re-measures a
+    // flagged biggest point: brute + every index build/scan — where
+    // r9's 61.9s starved brute-KNN first run showed up, and where
+    // HNSW build variance (27.4 vs 34.1s across rounds at identical
+    // recall) gets its re-measure. The re-measure itself is gated.
+    def cost(p: Point): Double =
+      p.bruteSec + p.idx.map { case (_, i) => i.build + i.scan }.sum
+    // measured single-run quiet-host costs for the default sizes
+    // (gen + brute + all four index build/scan), mildly padded —
+    // see BenchBudget.gatedPoints on why linear extrapolation would
+    // over-predict the 1M point and starve it
+    val DefaultEst = Map(10000L -> 6.0, 100000L -> 14.0, 1000000L -> 55.0)
+    val pts = gatedPoints(budget, "vector", sizes, firstEst = 15.0,
+      fixedEst = DefaultEst)(n => runPoint(spark, n))(_.n, cost)
+    Result(gatedGuard(budget, "vector", pts)(_.n, cost)(
       n => runPoint(spark, n), merged),
-      hardN.map(runHard(spark, _)))
+      hardN.filter(n => budget.fits(s"vector_hard_$n", 30.0))
+        .map(runHard(spark, _)))
   }
 }

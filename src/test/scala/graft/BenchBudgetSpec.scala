@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r10 driver bench timed out (rc=124, parsed:null) — BenchBudget
+  * is the fix: every expensive block is gated on a twin-predicted
+  * estimate and skipped-with-record when it doesn't fit. These tests
+  * pin the gate's arithmetic without Spark. */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  private def budgetWith(remaining: Double): BenchBudget =
+    new BenchBudget(System.nanoTime(), remaining)
+
+  test("fits: true inside the window, false outside, skip recorded") {
+    val b = budgetWith(100.0)
+    assert(b.fits("small", 10.0))
+    assert(b.skipped.isEmpty)
+    assert(!b.fits("huge", 1000.0))
+    assert(b.skipped == Seq("huge"))
+  }
+
+  test("fits honors the emit reserve") {
+    val b = budgetWith(30.0)
+    // 30s left, 15s reserve: a 20s block must NOT fit
+    assert(!b.fits("block", 20.0))
+    assert(b.fits("fine", 10.0))
+  }
+
+  test("unlimited budget never skips") {
+    val b = BenchBudget.unlimited
+    assert(b.fits("anything", 1e12))
+    assert(b.skipped.isEmpty)
+  }
+
+  test("gatedPoints: all points run when the budget allows") {
+    val b = budgetWith(1000.0)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pts = BenchBudget.gatedPoints(b, "fam", Seq(10L, 100L),
+      firstEst = 1.0)(n => { ran += n; (n, 0.5) })(_._1, _._2)
+    assert(pts.map(_._1) == Seq(10L, 100L) && ran.toSeq == Seq(10L, 100L))
+    assert(b.skipped.isEmpty)
+  }
+
+  test("gatedPoints: big point skipped when twin-predicted cost " +
+      "exceeds the window, and the skip is recorded by name") {
+    val b = budgetWith(40.0)
+    // small point reads 10s; linear est for 10x rows = 100s*margin —
+    // doesn't fit 40s; the small point itself must still have run
+    val pts = BenchBudget.gatedPoints(b, "sub", Seq(100L, 1000L),
+      firstEst = 5.0)(n => (n, if (n == 100L) 10.0 else 999.0))(
+      _._1, _._2)
+    assert(pts.map(_._1) == Seq(100L))
+    assert(b.skipped == Seq("sub_1000"))
+  }
+
+  test("gatedPoints: fixedEst overrides pessimistic linear " +
+      "extrapolation (sub-linear harness wall)") {
+    val b = budgetWith(100.0)
+    // linear est from the 30s small point would be 300s (skip);
+    // the measured table knows the big point costs ~60s (fits)
+    val pts = BenchBudget.gatedPoints(b, "graph", Seq(100L, 1000L),
+      firstEst = 5.0, fixedEst = Map(100L -> 30.0, 1000L -> 60.0))(
+      n => (n, if (n == 100L) 30.0 else 55.0))(_._1, _._2)
+    assert(pts.map(_._1) == Seq(100L, 1000L))
+    assert(b.skipped.isEmpty)
+  }
+
+  test("gatedPoints: calibration scales fixed estimates up on a " +
+      "slow host") {
+    val b = budgetWith(100.0)
+    // small point measures 3x its table entry -> calib 3 -> big-point
+    // est 3*40=120 > 85 remaining-with-reserve -> skipped
+    val pts = BenchBudget.gatedPoints(b, "v", Seq(100L, 1000L),
+      firstEst = 5.0, fixedEst = Map(100L -> 10.0, 1000L -> 40.0))(
+      n => (n, 30.0))(_._1, _._2)
+    assert(pts.map(_._1) == Seq(100L))
+    assert(b.skipped == Seq("v_1000"))
+  }
+
+  test("gatedGuard: flagged big point re-measures when it fits, " +
+      "ships as-is (skip recorded) when it doesn't") {
+    // two points with an implied exponent past ScaleGuard.Factor:
+    // 100 -> 1.0s, 1000 -> 50s (ratio 50 > 4*sqrt(10))
+    val pts = Seq((100L, 1.0), (1000L, 50.0))
+    var redone = 0
+    val fit = budgetWith(500.0)
+    val r1 = BenchBudget.gatedGuard(fit, "fam", pts)(_._1, _._2)(
+      n => { redone += 1; (n, 2.0) }, (a, b) => (a._1, math.min(a._2, b._2)))
+    assert(redone == 1 && r1.last._2 == 2.0)
+    val tight = budgetWith(20.0)
+    val r2 = BenchBudget.gatedGuard(tight, "fam", pts)(_._1, _._2)(
+      n => { redone += 1; (n, 2.0) }, (a, b) => (a._1, math.min(a._2, b._2)))
+    assert(redone == 1) // no second re-measure: gated out
+    assert(r2.last._2 == 50.0) // ships as measured
+    assert(tight.skipped == Seq("fam_guard_1000"))
+  }
+
+  test("gatedGuard: unflagged curve is untouched") {
+    val pts = Seq((100L, 1.0), (1000L, 8.0)) // ~linear, no flag
+    var redone = 0
+    val r = BenchBudget.gatedGuard(budgetWith(500.0), "fam", pts)(
+      _._1, _._2)(n => { redone += 1; (n, 1.0) },
+      (a, _) => a)
+    assert(redone == 0 && r == pts)
+  }
+}

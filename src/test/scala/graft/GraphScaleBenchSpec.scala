@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * ground truth (one triangle per node on ring+chord; one component
   * per 1000-node hub cluster), the exact checks the bench gates on,
   * and generator determinism. */
+@Slow
 class GraphScaleBenchSpec extends SparkSpecBase {
 
   test("ring+chord: exactly one triangle per node; 4-regular") {

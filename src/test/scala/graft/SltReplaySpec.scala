@@ -38,6 +38,7 @@ import graft.operators.MockTables
   * Documented deviations (ANSI Spark vs reference quirk) are pinned in
   * `deviations` and asserted to OUR value, not skipped silently.
   */
+@Slow
 class SltReplaySpec extends SparkSpecBase {
 
   private val SltDir = "/root/reference/test/sql"

@@ -6,6 +6,7 @@ package graft
   * real micro-batched streaming queries, and the noise-guard merge
   * must keep per-metric minima, AND flags, and retain an inflated
   * first run for audit. */
+@Slow
 class StreamScaleBenchSpec extends SparkSpecBase {
 
   test("2k-event point: all three planted stream checks hold") {

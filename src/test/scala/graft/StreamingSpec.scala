@@ -10,6 +10,7 @@ import graft.streaming.StreamOps.Event
 
 /** Streaming correctness = equivalence with the batch run on the same
   * data, driven through MemoryStream epochs (the standard harness). */
+@Slow
 class StreamingSpec extends SparkSpecBase {
 
   private def ts(min: Int): Timestamp =

@@ -5,6 +5,7 @@ package graft
   * (at J >= 0.85 the 16x4 banding detection probability is 1 - 4e-8,
   * so recall < 1 here means a code regression, not banding luck), and
   * blocking stays dup-rate-sized (no candidate explosion). */
+@Slow
 class TextScaleBenchSpec extends SparkSpecBase {
 
   test("planted near-dups: ~0.85-0.95 Jaccard, found with recall 1.0") {

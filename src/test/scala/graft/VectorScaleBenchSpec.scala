@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * hard-corpus generator's determinism (the two pieces BENCH_DETAIL's
   * credibility rests on — the measured numbers themselves live in the
   * artifact, not in assertions). */
+@Slow
 class VectorScaleBenchSpec extends SparkSpecBase {
 
   test("noise-guard merge: per-metric min, MIN recall, auditable first run") {
