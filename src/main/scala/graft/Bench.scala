@@ -628,9 +628,13 @@ object Bench {
             (None, "\"" + why + "\"")
           }
       }
-    val (vsResult, vsJson) = harnessSection("SPARK_GRAFT_VECTOR_SCALE",
+    // the hard recall-vs-effort sweep is REFINEMENT (like the third/
+    // mid exponent points): it runs after all four harness sections
+    // so its ~25-40s can't cost a contended window the graph/stream
+    // small points
+    val (vsResult0, vsJson) = harnessSection("SPARK_GRAFT_VECTOR_SCALE",
       Seq(10000L, 100000L, 1000000L),
-      sz => VectorScaleBench.run(spark, sz, hardN, budget),
+      sz => VectorScaleBench.run(spark, sz, None, budget),
       (_: VectorScaleBench.Result).json)
     st.vectorJson = vsJson
     checkpoint()
@@ -662,6 +666,24 @@ object Bench {
       sz => TextScaleBench.run(spark, sz, sweepN, budget),
       (_: TextScaleBench.Result).json)
     st.textJson = tsJson
+    checkpoint()
+
+    // ---- vector hard sweep (post-harness refinement) -------------------
+    // the uniform-corpus probe/ef ↔ recall sweep the easy clustered
+    // corpus hides; gated like every refinement block
+    val vsResult: Option[VectorScaleBench.Result] = vsResult0.map { r =>
+      val hard = hardN
+        .filter(n => budget.fits(s"vector_hard_$n", 35.0))
+        .flatMap { n =>
+          try Some(VectorScaleBench.runHard(spark, n))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] vector_hard FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      VectorScaleBench.Result(r.points, hard)
+    }
+    vsResult.foreach(r => st.vectorJson = r.json)
     checkpoint()
 
     // ---- exponent refinement (post-harness) ---------------------------
