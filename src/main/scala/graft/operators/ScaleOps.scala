@@ -1291,9 +1291,12 @@ object ScaleOps {
     // is a seed, edge weight = the minimum shared-order quantity on
     // the customer–supplier edge, and six relaxation rounds (the
     // graph's hop diameter is ~4) converge to exact integer
-    // distances. Each round is one co-partitioned edge⋈frontier join
-    // + a map-side-combined min — the standard distributed SSSP
-    // shape, volume bounded by the live frontier. min-relaxation is
+    // distances. Each round joins edges against ONLY the delta
+    // frontier (rows improved last round) and min-merges into the
+    // settled table ([[ssspRounds]]) — the standard distributed SSSP
+    // shape, edge-shuffle volume bounded by the live frontier, so the
+    // post-convergence rounds (hop diameter ~4 < 6) join an empty
+    // frontier and cost ~nothing. min-relaxation is
     // order-independent, so both engines agree exactly; the output
     // carries a CONVERGED flag (round 6 changed nothing vs round 5)
     // so an undersized round budget is a visible false, not a silent
@@ -1307,10 +1310,15 @@ object ScaleOps {
         .groupBy((col("o_custkey").cast("long") * 2).as("a"),
           (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .agg(min(col("l_quantity").cast("long")).as("w"))
+      // hash-partitioned by src BEFORE the checkpoint: every round's
+      // edge⋈frontier join then reuses this layout (LogicalRDD keeps
+      // the partitioning) instead of re-shuffling the full edge table
+      // per round — at 100x scale that is THE dominant cost
       val edges = wEdges.select(col("a").as("src"), col("b").as("dst"),
           col("w"))
         .unionByName(wEdges.select(col("b").as("src"),
           col("a").as("dst"), col("w")))
+        .repartition(col("src"))
         .localCheckpoint(true)
       val nodes = edges.select(col("src").as("v")).distinct()
         .localCheckpoint(true)
@@ -1345,8 +1353,10 @@ object ScaleOps {
         .select((col("o_custkey").cast("long") * 2).as("a"),
           (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
+      // src-partitioned for per-round join reuse (q203 idiom)
       val edges = we.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(we.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
         .localCheckpoint(true)
       val nodes = edges.select(col("src").as("v")).distinct()
         .localCheckpoint(true)
@@ -2864,17 +2874,52 @@ object ScaleOps {
         "converged")
   }
 
+  /** Frontier-delta Bellman-Ford: each round joins edges only against
+    * the FRONTIER (rows whose distance improved last round) and
+    * min-merges the relaxed candidates into the settled table — never
+    * a full edges⋈dist shuffle per round. Exactness is unchanged vs
+    * full relaxation at the same round count: a node whose distance is
+    * final relaxes its out-edges the round after it last improved, and
+    * relaxing it again with the same value can add nothing, so the
+    * k-round horizon (dist = min over ≤k-edge paths) is identical —
+    * ScaleOpsSpec's chain-graph horizon cases pin this. Once the
+    * frontier drains the remaining rounds are skipped outright, so
+    * the converged-flag rounds after hop-diameter cost nothing. */
   private[graft] def ssspRounds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     var prev: DataFrame = null
     var dist = seeds.localCheckpoint(true)
+    var frontier = dist
+    var drained = false
     for (_ <- 1 to rounds) {
       prev = dist
-      dist = edges.join(dist.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("v").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      if (!drained) {
+        // candidates from the frontier's out-edges only, min-merged
+        // with the settled table in ONE tagged union-agg (no separate
+        // full_outer join stage); `old` = the settled value, null for
+        // a newly reached node
+        val cand = edges
+          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"),
+            (col("dist") + col("w")).as("x"), lit(false).as("settled"))
+        val merged = dist
+          .select(col("v"), col("dist").as("x"), lit(true).as("settled"))
+          .unionByName(cand)
+          .groupBy("v")
+          .agg(min("x").as("dist"),
+            min(when(col("settled"), col("x"))).as("old"))
+          .localCheckpoint(true)
+        dist = merged.select("v", "dist")
+        frontier = merged
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("v", "dist")
+        // cheap limit-1 scan of the checkpointed round output: once
+        // the frontier drains the fixpoint is reached and the
+        // remaining rounds are skipped outright (dist is unchanged
+        // from here on, so the (prev, dist) converged-flag contract
+        // still holds)
+        drained = frontier.isEmpty
+      }
     }
     (prev, dist)
   }
@@ -2889,14 +2934,29 @@ object ScaleOps {
       seeds: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var prev: DataFrame = null
     var dist = seeds.localCheckpoint(true)
+    var frontier = dist
+    var drained = false
     for (_ <- 1 to rounds) {
       prev = dist
-      dist = edges.join(dist.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), col("seed"),
-          (col("dist") + 1L).as("dist"))
-        .unionByName(dist)
-        .groupBy("v", "seed").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      if (!drained) {
+        val cand = edges
+          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), col("seed"),
+            (col("dist") + lit(1L)).as("x"), lit(false).as("settled"))
+        val merged = dist
+          .select(col("v"), col("seed"), col("dist").as("x"),
+            lit(true).as("settled"))
+          .unionByName(cand)
+          .groupBy("v", "seed")
+          .agg(min("x").as("dist"),
+            min(when(col("settled"), col("x"))).as("old"))
+          .localCheckpoint(true)
+        dist = merged.select("v", "seed", "dist")
+        frontier = merged
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("v", "seed", "dist")
+        drained = frontier.isEmpty
+      }
     }
     (prev, dist)
   }

@@ -1006,9 +1006,13 @@ object TextOps {
     // per-token shuffle just to pair neighbors). The model side is
     // vocabulary-sized — bigram counts (one agg), context counts
     // derived by re-aggregating the bigram table (not a second corpus
-    // pass), and |V| — and joins back BROADCAST. ln() is rounded to 8
-    // decimals and summed as DECIMAL so cross-engine totals are exact
-    // (q86 idiom).
+    // pass), and |V|. The model joins back as a plain equi-join: the
+    // bigram TYPE inventory grows ~linearly with corpus tokens (Heaps'
+    // law), so a mandatory broadcast would OOM at scale — AQE
+    // broadcasts it at runtime when it actually measures small (q242's
+    // idiom; contrast q202, whose broadcast side is vocab-sized
+    // marginals). ln() is rounded to 8 decimals and summed as DECIMAL
+    // so cross-engine totals are exact (q86 idiom).
     "q126_bigram_lm" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val toks = tokens(col("text"))
@@ -1028,7 +1032,7 @@ object TextOps {
         round(log((col("c2") + lit(0.5))
           / (col("c1") + lit(0.5) * lit(vocab.toDouble))), 8)
           .cast("decimal(20,8)").as("logp"))
-      big.join(broadcast(lp), Seq("t1", "t2"))
+      big.join(lp, Seq("t1", "t2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("logp")).cast("double") / count(lit(1)), 6)
