@@ -115,6 +115,12 @@ object Bench {
     "q168_phash_dedup", "q244_jl_projection",
     "q254_edit_distance_dedup", "q259_phash_hamming")).distinct
 
+  /** How many of the slowest-by-prior main-pass queries are deferred
+    * until AFTER the harness floor (r11 verdict item 3): a contended
+    * window then starves the expensive tail, not the per-family scale
+    * evidence. */
+  private val TailCount = 20
+
   /** Mutable emission snapshot, shared between the main thread (writes
     * at section checkpoints) and the watchdog thread (reads at the
     * hard stop). Fields hold immutable values; @volatile for
@@ -123,6 +129,7 @@ object Bench {
   private final class EmitState {
     @volatile var results: Seq[(String, Double)] = Nil
     @volatile var mainFailures: Seq[String] = Nil
+    @volatile var capped: Seq[(String, Double)] = Nil
     @volatile var scaleJson: String = "null"
     @volatile var exponents: Seq[(String, Double)] = Nil
     @volatile var noiseJson: String = "null"
@@ -132,6 +139,9 @@ object Bench {
     @volatile var graphJson: String = "null"
     @volatile var streamJson: String = "null"
     @volatile var headline: Seq[(String, Double)] = Nil
+    @volatile var priors: Seq[(String, Double)] = Nil
+    @volatile var headlinePriors: Seq[(String, Double)] = Nil
+    @volatile var contRatio: Double = 1.0
     @volatile var complete: Boolean = false
   }
 
@@ -172,10 +182,15 @@ object Bench {
 
     // ---- cross-round drift baseline (r9 verdict item 2) --------------
     // The PRIOR round's detail artifact is still on disk at this point
-    // (it's overwritten only at checkpoint time): read its per-query map
-    // and harness headline metrics as drift baselines. r9 shipped the
-    // substring-dedup 1M point at 3.1x its r8 value with untouched code
-    // because nothing compared a reading to its own predecessor.
+    // (it's overwritten only at checkpoint time): read its min-merged
+    // `priors` map (r12+; falls back to the run's own `queries` map for
+    // older artifacts) as the drift baselines AND as this run's
+    // per-query cost estimates for scheduling and capping. r9 shipped
+    // the substring-dedup 1M point at 3.1x its r8 value with untouched
+    // code because nothing compared a reading to its own predecessor;
+    // r11's contended window would have shipped q203=172.3s as next
+    // round's baseline because nothing protected the priors from host
+    // weather (see DriftBaseline.mergePriors).
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     val priorText: String =
@@ -199,6 +214,8 @@ object Bench {
 
     // ---- emission machinery -------------------------------------------
     val st = new EmitState
+    st.priors = priorQueries.toSeq.sortBy(_._1) // a mid-run kill ships
+    st.headlinePriors = priorHeadline.toSeq.sortBy(_._1) // old priors
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     def jsonMap(kv: Seq[(String, Double)]) = kv
@@ -221,6 +238,7 @@ object Bench {
         s""""queries":${jsonMap(st.results)},""" +
         s""""recall":${jsonMap(GateMetrics.snapshot)},""" +
         s""""failures":${jsonArr(st.mainFailures)},""" +
+        s""""capped":${jsonMap(st.capped)},""" +
         s""""scale":${st.scaleJson},""" +
         s""""vector_scale":${st.vectorJson},""" +
         s""""text_scale":${st.textJson},""" +
@@ -229,6 +247,10 @@ object Bench {
         s""""noise_guard":${st.noiseJson},""" +
         s""""headline_metrics":${jsonMap(st.headline)},""" +
         s""""drift_guard":${st.driftJson},""" +
+        s""""priors":${jsonMap(st.priors)},""" +
+        s""""headline_priors":${jsonMap(st.headlinePriors)},""" +
+        s""""contention":{"median_vs_prior":${r3(st.contRatio)},""" +
+        s""""contended":${st.contRatio > DriftBaseline.MaxQuietRatio}},""" +
         s""""skipped":${jsonArr(budget.skipped)},""" +
         s""""budget":$budgetJson,"sf":"$sfDir"}"""
     }
@@ -255,12 +277,17 @@ object Bench {
         if (st.headline.isEmpty) ""
         else s""","headline":${jsonMap(st.headline.map {
           case (k, v) => k -> r3(v) })}"""
+      // the run self-declares its weather (r11 verdict item 7): how
+      // many queries hit the per-query cap, and this run's median
+      // reading-vs-prior ratio
+      val weatherCompact =
+        s""","capped":${st.capped.size},"cont_mult":${r3(st.contRatio)}"""
       val skippedCompact =
         s""","skipped_n":${budget.skipped.size}"""
       val detailJsonRef = if (detailOk) s""""$detailPath"""" else "null"
       def line(names: Seq[String]): String = {
         val qs = jsonMap(names.map(n => n -> r3(big(n))))
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failures":$failsCompact$expJson$hlCompact$skippedCompact,"budget":$budgetJson,"detail":$detailJsonRef,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failures":$failsCompact$expJson$hlCompact$weatherCompact$skippedCompact,"budget":$budgetJson,"detail":$detailJsonRef,"sf":"$sfDir"}"""
       }
       // bounded: after headNames.size+1 steps the seq is empty
       Iterator.iterate(headNames)(_.dropRight(1))
@@ -384,13 +411,13 @@ object Bench {
     checkpoint()
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    // Hermetic per-query measurement: fixed (sorted) order, caches
-    // cleared before each query so no query pays for (or benefits
-    // from) another's cached state. SINGLE run per query (r10 verdict
-    // item 3: universal best-of-2 pushed the main pass alone to
-    // ~475s); the noise/drift guards below re-measure (best-of-2)
-    // exactly the readings that look starved — the warmup block
-    // absorbs cold codegen for the shared paths.
+    // Hermetic per-query measurement: caches cleared before each query
+    // so no query pays for (or benefits from) another's cached state.
+    // SINGLE run per query (r10 verdict item 3: universal best-of-2
+    // pushed the main pass alone to ~475s); the noise/drift guards
+    // below re-measure (best-of-2) exactly the readings that look
+    // starved — the warmup block absorbs cold codegen for the shared
+    // paths.
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
     def run(name: String, fn: QFn, dir: String): Option[Double] = {
       val t0q = System.nanoTime()
@@ -416,29 +443,110 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
-    // main pass, checkpointed every 25 queries so a hard kill at ANY
-    // point leaves a parseable artifact with the completed prefix
+
+    // ---- main pass: prior-scheduled, per-query gated AND capped -------
+    // r11 verdict item 1: the r11 window let q203 run 172s (prior
+    // 4.9s), eating 19% of the window and starving 114 queries + every
+    // harness point. Three changes:
+    //  - CHEAPEST-FIRST by prior (the r11 lexicographic cut silently
+    //    dropped the whole q26-q99 block);
+    //  - each query gated on prior x the run's own rolling contention
+    //    multiplier (median measured/prior so far — a contended host
+    //    scales every later estimate up with the evidence);
+    //  - each query runs in its own Spark job group, cancelled at
+    //    ~min(max(8 x prior, 5s), 30s) — an overrun is recorded as
+    //    capped_<name> with the partial wall, never a reading.
+    val priorMedian: Double = {
+      val vs = priorQueries.values.toSeq.sorted
+      vs.lift(vs.size / 2).getOrElse(1.0)
+    }
+    def estOf(name: String): Double = priorQueries.getOrElse(name, priorMedian)
+    val ratioBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def contMult: Double = {
+      val rs = ratioBuf.sorted
+      if (rs.size < 5) 1.0 else math.max(1.0, rs(rs.size / 2))
+    }
+    val cappedBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val resultsBuf =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var mainTruncated = false
-    selected.foreach { case (name, fn) =>
-      if (!mainTruncated && budget.remainingSec < 20.0) {
-        mainTruncated = true
-        budget.skip(s"main_pass_from_$name")
+    var mainSkips = 0
+    val capScheduler =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "bench-query-cap")
+        t.setDaemon(true)
+        t
+      })
+    def runMainQuery(name: String, fn: QFn): Unit = {
+      if (!budget.fits(s"main_$name", estOf(name) * contMult)) {
+        mainSkips += 1
+        return
       }
-      if (!mainTruncated) {
-        run1(name, fn, sfDir).foreach(t => resultsBuf += name -> t)
-        if (resultsBuf.size % 25 == 0) {
-          st.results = resultsBuf.toSeq
-          checkpoint()
+      val prior = priorQueries.get(name)
+      val capSec = prior
+        .map(p => math.min(math.max(8 * p, 5.0), 30.0))
+        .getOrElse(30.0)
+      spark.catalog.clearCache()
+      val group = s"bench-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      // REPEATED cancel from the cap on: a single cancel can land
+      // between a multi-job query's jobs (cancelJobGroup only kills
+      // ACTIVE jobs) — run 1 of this rework watched q66 outlive its
+      // 30s cap to 39.1s exactly that way
+      val cancel = capScheduler.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit =
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => () }
+      }, (capSec * 1000).toLong, 2000L,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      val t0q = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0q) / 1e9
+        if (t > capSec) {
+          // completed, but past the cap (the cancel raced a job
+          // boundary): the reading is starved beyond what the cap
+          // deems usable — record it as capped, never as a time
+          cappedBuf += name -> t
+          st.capped = cappedBuf.toSeq
+          budget.skip(s"capped_$name")
+          System.err.println(f"[bench] $name CAPPED (late) at $t%.1fs " +
+            f"(cap $capSec%.1fs)")
+        } else {
+          resultsBuf += name -> t
+          prior.filter(_ > 0.05).foreach(p => ratioBuf += t / p)
+          st.contRatio = contMult
         }
+      } catch { case e: Throwable =>
+        val el = (System.nanoTime() - t0q) / 1e9
+        if (el >= capSec * 0.9) {
+          cappedBuf += name -> el
+          st.capped = cappedBuf.toSeq
+          budget.skip(s"capped_$name")
+          System.err.println(f"[bench] $name CAPPED at $el%.1fs " +
+            f"(cap $capSec%.1fs, prior ${prior.getOrElse(-1.0)}%.2fs)")
+        } else if (budget.remainingSec <= 0) {
+          budget.skip(s"main_deadline_$name")
+        } else {
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+      } finally {
+        cancel.cancel(false)
+        spark.sparkContext.clearJobGroup()
+      }
+      if (resultsBuf.size % 25 == 0) {
+        st.results = resultsBuf.toSeq
+        checkpoint()
       }
     }
-    val results = resultsBuf.toSeq
-    st.results = results
-    val mainFailures = failures.distinct.toSeq
-    st.mainFailures = mainFailures
+    val ordered = selected.sortBy { case (n, _) => (estOf(n), n) }
+    val (mainHead, mainTail) =
+      ordered.splitAt(math.max(0, ordered.size - TailCount))
+    mainHead.foreach { case (name, fn) => runMainQuery(name, fn) }
+    st.results = resultsBuf.toSeq
     checkpoint()
+
     // Scale curve: the same measurement at the small point for the
     // index/dedup families (skipped when the main run already is the
     // small point). SINGLE run each (r10 verdict item 6: the exponent
@@ -461,6 +569,81 @@ object Bench {
       }
     }
     val scaleSmallCore = scalePass(ScaleCore, "scale_core")
+    checkpoint()
+
+    // ---- reserved harness floor (r11 verdict item 3) -------------------
+    // One SMALL point per scale family, run BEFORE the main pass's
+    // expensive tail and all guard re-measures: a contended window
+    // then ships degraded-but-present per-family scale evidence
+    // instead of none (BENCH_r11 carried zero harness points and an
+    // empty headline because everything after the main pass was
+    // budget-skipped). The full sections later run the REMAINING
+    // sizes, seeded with these floor points so estimates, guards, and
+    // the emitted curve all see the whole family.
+    def parseSizes(envKey: String, defaults: Seq[Long]): Option[Seq[Long]] =
+      sys.env.get(envKey) match {
+        case Some("") | Some("0") | Some("off") => None
+        case ov =>
+          Some(ov.map(_.split(',').map(_.trim.toLong).toSeq)
+            .getOrElse(defaults))
+      }
+    val vectorSizes =
+      parseSizes("SPARK_GRAFT_VECTOR_SCALE", Seq(10000L, 100000L, 1000000L))
+    val graphSizes =
+      parseSizes("SPARK_GRAFT_GRAPH_SCALE", Seq(100000L, 1000000L))
+    val streamSizes =
+      parseSizes("SPARK_GRAFT_STREAM_SCALE", Seq(200000L, 1000000L))
+    val textSizes =
+      parseSizes("SPARK_GRAFT_TEXT_SCALE", Seq(100000L, 1000000L))
+    // A harness call that THROWS stays loud in the artifact (vs null =
+    // disabled by env): "CANCELLED_DEADLINE" when the watchdog's
+    // job-cancel interrupted an in-flight block at the soft deadline,
+    // "FAILED" for a genuine crash.
+    def trySection[R](tag: String)(runIt: => R)(json: R => String)
+        : (Option[R], String) =
+      try {
+        spark.catalog.clearCache()
+        val r = runIt
+        (Some(r), json(r))
+      } catch { case e: Throwable =>
+        val why =
+          if (budget.remainingSec <= 0) "CANCELLED_DEADLINE"
+          else "FAILED"
+        System.err.println(s"[bench] $tag $why: ${e.getMessage}")
+        (None, "\"" + why + "\"")
+      }
+    val (vFloor, vFloorJson) = vectorSizes.map(ss =>
+      trySection("vector_floor")(
+        VectorScaleBench.run(spark, ss.take(1), None, budget))(_.json))
+      .getOrElse((None, "null"))
+    st.vectorJson = vFloorJson
+    checkpoint()
+    val (gFloor, gFloorJson) = graphSizes.map(ss =>
+      trySection("graph_floor")(
+        GraphScaleBench.run(spark, ss.take(1), budget))(_.json))
+      .getOrElse((None, "null"))
+    st.graphJson = gFloorJson
+    checkpoint()
+    val (sFloor, sFloorJson) = streamSizes.map(ss =>
+      trySection("stream_floor")(
+        StreamScaleBench.run(spark, ss.take(1), budget))(_.json))
+      .getOrElse((None, "null"))
+    st.streamJson = sFloorJson
+    checkpoint()
+    val (tFloor, tFloorJson) = textSizes.map(ss =>
+      trySection("text_floor")(
+        TextScaleBench.run(spark, ss.take(1), None, budget))(_.json))
+      .getOrElse((None, "null"))
+    st.textJson = tFloorJson
+    checkpoint()
+
+    // ---- main-pass tail (the slowest-by-prior queries) -----------------
+    mainTail.foreach { case (name, fn) => runMainQuery(name, fn) }
+    val results = resultsBuf.toSeq
+    st.results = results
+    val mainFailures = failures.distinct.toSeq
+    st.mainFailures = mainFailures
+    checkpoint()
 
     // ---- host-noise guard -------------------------------------------
     // This box has documented intermittent hypervisor CPU starvation:
@@ -471,7 +654,11 @@ object Bench {
     // only ever inflates a time, never deflates it — and record both
     // values so the artifact is auditable.
     //   flagged when: small-point slower than its 10x-rows big twin;
-    //   big point >4x its small twin; or >3x the run median (and >1s).
+    //   big point >4x its small twin; or >3x the run median (and >1s)
+    //   AND anomalous vs its own prior — without the prior condition
+    //   the median rule flags the suite's naturally-slow tail (~90 of
+    //   302 readings in run 1 of this rework, all legitimate) every
+    //   run and burns the guard window re-measuring healthy queries.
     // EVERY flagged query is re-measured, each re-measure budget-gated
     // (a starved reading that can't afford its re-run ships as-is and
     // is visible in noise_guard.*_first) — re-measures run in
@@ -481,9 +668,15 @@ object Bench {
     // readings, and run after run showed an uncapped pass eating the
     // entire harness window to shave modest inflations.
     val qByName = selected.toMap
+    /** Returns (guarded readings, flagged names, RE-MEASURED names) —
+      * the third set feeds the priors merge: only a best-of-2-confirmed
+      * raise may lift a baseline (see the priors block below). `priors`
+      * scopes the median rule to prior-anomalous readings; the small
+      * passes pass Map.empty (their readings have no same-dir priors). */
     def remeasurePass(first: Seq[(String, Double)], twins: Map[String, Double],
-        dir: String, bigSide: Boolean, capSec: Double)
-        : (Seq[(String, Double)], Seq[String]) = {
+        dir: String, bigSide: Boolean, capSec: Double,
+        priors: Map[String, Double] = Map.empty)
+        : (Seq[(String, Double)], Seq[String], Set[String]) = {
       val passEnd = budget.elapsedSec +
         math.min(capSec, 0.25 * budget.remainingSec)
       val med = first.map(_._2).sorted.lift(first.size / 2).getOrElse(0.0)
@@ -491,7 +684,8 @@ object Bench {
         val twin = twins.get(n)
         val vsTwin =
           if (bigSide) twin.exists(t > 4 * _) else twin.exists(t > _)
-        vsTwin || (t > 3 * med && t > 1.0)
+        vsTwin || (t > 3 * med && t > 1.0 &&
+          priors.get(n).forall(p => p <= 0 || t > 1.5 * p))
       }.map(_._1).toSet
       val updates = first.filter(p => flagged(p._1)).sortBy(-_._2)
         .flatMap { case (n, t) =>
@@ -503,11 +697,16 @@ object Bench {
       val redone = first.map { case (n, t) =>
         n -> updates.getOrElse(n, t)
       }
-      (redone, flagged.toSeq.sorted)
+      (redone, flagged.toSeq.sorted, updates.keySet)
     }
-    val (results2a, mainFlagged) =
+    // The big-vs-small-twin rule here sees only the CORE small twins
+    // (intentional narrowing vs r10: the rest of the small pass now
+    // runs after the harnesses) — the non-core families get their twin
+    // check in the LATE pass below, once scale_rest lands; until then
+    // only the 3x-median rule covers them.
+    val (results2a, mainFlagged, noiseRemeasured) =
       remeasurePass(results, scaleSmallCore.toMap, sfDir,
-        bigSide = true, capSec = 90.0)
+        bigSide = true, capSec = 90.0, priors = priorQueries)
 
     // ---- cross-round drift guard (r9 verdict item 2) ------------------
     // any reading >1.5x its prior-round value (and >1s, and +0.5s
@@ -537,7 +736,7 @@ object Bench {
         n -> ((priorQueries(n), results2a.toMap.apply(n), t))
       }
     st.results = results2
-    val (scaleCore2, coreFlagged) =
+    val (scaleCore2, coreFlagged, _) =
       remeasurePass(scaleSmallCore, results2.toMap, scaleDir,
         bigSide = false, capSec = 40.0)
 
@@ -549,18 +748,21 @@ object Bench {
     // third-point/mid-point JSON starts null and is filled by the
     // POST-harness refinement pass (moved in r11: ~32s of exponent
     // refinement must not starve the harness sections of the window)
-    val big = results2.toMap
     var scale3Json = "null"
     var midJson = "null"
     /** Scale + noise blocks from the (possibly partial) small set —
       * called after the core pass now and again after the post-harness
-      * rest pass, so the artifact carries whatever completed. */
+      * rest pass, so the artifact carries whatever completed. Reads
+      * the CURRENT big-point readings from st.results (the late twin
+      * pass can still update them). */
     def refreshScaleState(small2: Seq[(String, Double)],
         smallFlagged: Seq[String],
-        firstSmall: Map[String, Double]): Unit = {
+        firstSmall: Map[String, Double],
+        mainFlaggedNow: Seq[String]): Unit = {
+      val bigNow = st.results.toMap
       val exponents = small2.collect {
-        case (k, small) if small > 0 && big.contains(k) =>
-          k -> math.log10(big(k) / small)
+        case (k, small) if small > 0 && bigNow.contains(k) =>
+          k -> math.log10(bigNow(k) / small)
       }
       st.exponents = exponents
       val scaleFailures = failures.distinct.diff(mainFailures).toSeq
@@ -572,13 +774,16 @@ object Bench {
           s""""mid_point":$midJson,""" +
           s""""failures":${jsonArr(scaleFailures)}}"""
       st.noiseJson =
-        if (mainFlagged.isEmpty && smallFlagged.isEmpty) "null"
+        if (mainFlaggedNow.isEmpty && smallFlagged.isEmpty) "null"
         else s"""{"main_first":${
-            jsonMap(mainFlagged.map(n => n -> firstMain(n)))},""" +
+            jsonMap(mainFlaggedNow.flatMap(n =>
+              firstMain.get(n).map(n -> _)))},""" +
           s""""small_first":${
-            jsonMap(smallFlagged.map(n => n -> firstSmall(n)))}}"""
+            jsonMap(smallFlagged.flatMap(n =>
+              firstSmall.get(n).map(n -> _)))}}"""
     }
-    refreshScaleState(scaleCore2, coreFlagged, scaleSmallCore.toMap)
+    refreshScaleState(scaleCore2, coreFlagged, scaleSmallCore.toMap,
+      mainFlagged)
     st.driftJson =
       s"""{"prior_path":"$priorPath",""" +
         s""""n_prior_queries":${priorQueries.size},""" +
@@ -588,7 +793,7 @@ object Bench {
         s""""harness_flagged":{}}"""
     checkpoint()
 
-    // ---- scale harnesses ----------------------------------------------
+    // ---- scale harnesses (remaining sizes, seeded with the floor) ----
     // BASELINE.md commits to in-harness benchmarks at 10k-1M rows with
     // planted/exact ground truth; the sf tables top out far below
     // that, so these run on deterministic generated corpora. Every
@@ -598,59 +803,39 @@ object Bench {
     // graph scale story, stream's 1M is the rows/s headline, and the
     // text tails (substring 47-534s observed, hh ~51s) go LAST — they
     // are the historical timeout hazards and their quiet-host
-    // readings live in SURVEY §8.5.
+    // readings live in SURVEY §8.5. A rest call that fails keeps the
+    // floor JSON in the artifact rather than overwriting it.
     val hardN: Option[Long] =
       sys.env.get("SPARK_GRAFT_VECTOR_HARD") match {
         case Some("") | Some("0") | Some("off") => None
         case Some(v) => Some(v.trim.toLong)
         case None => Some(200000L)
       }
-    // A harness that THROWS stays loud in the artifact (vs null =
-    // disabled by env): "CANCELLED_DEADLINE" when the watchdog's
-    // job-cancel interrupted an in-flight block at the soft deadline,
-    // "FAILED" for a genuine crash.
-    def harnessSection[R](envKey: String, defaults: Seq[Long],
-        runIt: Seq[Long] => R, json: R => String): (Option[R], String) =
-      sys.env.get(envKey) match {
-        case Some("") | Some("0") | Some("off") => (None, "null")
-        case ov =>
-          val sizes = ov.map(_.split(',').map(_.trim.toLong).toSeq)
-            .getOrElse(defaults)
-          try {
-            spark.catalog.clearCache()
-            val r = runIt(sizes)
-            (Some(r), json(r))
-          } catch { case e: Throwable =>
-            val why =
-              if (budget.remainingSec <= 0) "CANCELLED_DEADLINE"
-              else "FAILED"
-            System.err.println(s"[bench] $envKey $why: ${e.getMessage}")
-            (None, "\"" + why + "\"")
-          }
-      }
-    // the hard recall-vs-effort sweep is REFINEMENT (like the third/
-    // mid exponent points): it runs after all four harness sections
-    // so its ~25-40s can't cost a contended window the graph/stream
-    // small points
-    val (vsResult0, vsJson) = harnessSection("SPARK_GRAFT_VECTOR_SCALE",
-      Seq(10000L, 100000L, 1000000L),
-      sz => VectorScaleBench.run(spark, sz, None, budget),
-      (_: VectorScaleBench.Result).json)
-    st.vectorJson = vsJson
+    val (vsResult0, vsJson) = vectorSizes.map(ss =>
+      trySection("vector_scale")(
+        VectorScaleBench.run(spark, ss.drop(1), None, budget,
+          seed = vFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
+      .getOrElse((None, "null"))
+    st.vectorJson = if (vsResult0.isDefined || vFloor.isEmpty) vsJson
+      else vFloorJson
     checkpoint()
 
-    val (gsResult, gsJson) = harnessSection("SPARK_GRAFT_GRAPH_SCALE",
-      Seq(100000L, 1000000L),
-      sz => GraphScaleBench.run(spark, sz, budget),
-      (_: GraphScaleBench.Result).json)
-    st.graphJson = gsJson
+    val (gsResult, gsJson) = graphSizes.map(ss =>
+      trySection("graph_scale")(
+        GraphScaleBench.run(spark, ss.drop(1), budget,
+          seed = gFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
+      .getOrElse((None, "null"))
+    st.graphJson = if (gsResult.isDefined || gFloor.isEmpty) gsJson
+      else gFloorJson
     checkpoint()
 
-    val (ssResult, ssJson) = harnessSection("SPARK_GRAFT_STREAM_SCALE",
-      Seq(200000L, 1000000L),
-      sz => StreamScaleBench.run(spark, sz, budget),
-      (_: StreamScaleBench.Result).json)
-    st.streamJson = ssJson
+    val (ssResult, ssJson) = streamSizes.map(ss =>
+      trySection("stream_scale")(
+        StreamScaleBench.run(spark, ss.drop(1), budget,
+          seed = sFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
+      .getOrElse((None, "null"))
+    st.streamJson = if (ssResult.isDefined || sFloor.isEmpty) ssJson
+      else sFloorJson
     checkpoint()
 
     // SPARK_GRAFT_TEXT_SWEEP: the hard-corpus banding sweep's size
@@ -661,28 +846,31 @@ object Bench {
       case Some(v) => Some(v.trim.toLong)
       case None => Some(200000L)
     }
-    val (tsResult, tsJson) = harnessSection("SPARK_GRAFT_TEXT_SCALE",
-      Seq(100000L, 1000000L),
-      sz => TextScaleBench.run(spark, sz, sweepN, budget),
-      (_: TextScaleBench.Result).json)
-    st.textJson = tsJson
+    val (tsResult, tsJson) = textSizes.map(ss =>
+      trySection("text_scale")(
+        TextScaleBench.run(spark, ss.drop(1), sweepN, budget,
+          seed = tFloor))(_.json))
+      .getOrElse((None, "null"))
+    st.textJson = if (tsResult.isDefined || tFloor.isEmpty) tsJson
+      else tFloorJson
     checkpoint()
 
     // ---- vector hard sweep (post-harness refinement) -------------------
     // the uniform-corpus probe/ef ↔ recall sweep the easy clustered
     // corpus hides; gated like every refinement block
-    val vsResult: Option[VectorScaleBench.Result] = vsResult0.map { r =>
-      val hard = hardN
-        .filter(n => budget.fits(s"vector_hard_$n", 35.0))
-        .flatMap { n =>
-          try Some(VectorScaleBench.runHard(spark, n))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] vector_hard FAILED: ${e.getMessage}")
-            None
+    val vsResult: Option[VectorScaleBench.Result] =
+      vsResult0.orElse(vFloor).map { r =>
+        val hard = hardN
+          .filter(n => budget.fits(s"vector_hard_$n", 35.0))
+          .flatMap { n =>
+            try Some(VectorScaleBench.runHard(spark, n))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] vector_hard FAILED: ${e.getMessage}")
+              None
+            }
           }
-        }
-      VectorScaleBench.Result(r.points, hard)
-    }
+        VectorScaleBench.Result(r.points, hard)
+      }
     vsResult.foreach(r => st.vectorJson = r.json)
     checkpoint()
 
@@ -697,7 +885,7 @@ object Bench {
       else selected.filter(q => ScaleFamilies3.contains(q._1)).flatMap {
         case (name, fn) => run1(name, fn, scale3Dir).map(name -> _)
       }
-    val (scale3, _) =
+    val (scale3, _, _) =
       remeasurePass(scale3First, scaleCore2.toMap, scale3Dir,
         bigSide = false, capSec = 20.0)
     val smallMap = scaleCore2.toMap
@@ -750,9 +938,10 @@ object Bench {
     midJson =
       if (midPoint.isEmpty) "null"
       else {
+        val bigNow = st.results.toMap
         val entries = midPoint.map { case (k, t, n) =>
           val sm = smallMap.get(k)
-          val bg = results2.toMap.get(k)
+          val bg = bigNow.get(k)
           val expS = sm.collect { case s if s > 0 && t > 0 && n > nSmallDocs =>
             math.log10(t / s) / math.log10(n.toDouble / nSmallDocs) }
           val expB = bg.collect { case b if b > 0 && t > 0 && nBigDocs > n =>
@@ -774,29 +963,50 @@ object Bench {
         budget.remainingSec > 40.0)
       prewarmGates(scaleDir, 40.0)
     val scaleSmallRest = scalePass(restFams, "scale_rest")
-    val (scaleRest2, restFlagged) =
-      remeasurePass(scaleSmallRest, results2.toMap, scaleDir,
+    val (scaleRest2, restFlagged, _) =
+      remeasurePass(scaleSmallRest, st.results.toMap, scaleDir,
         bigSide = false, capSec = 30.0)
+    // LATE twin pass (r11 ADVICE item 3): now that the non-core small
+    // twins exist, give the main-pass readings outside ScaleCore their
+    // big-vs-4x-small-twin check too (they only had the 3x-median rule
+    // at the early pass) — re-measures budget-gated as always.
+    val (results3, lateFlagged, lateRemeasured) =
+      remeasurePass(st.results, scaleRest2.toMap, sfDir,
+        bigSide = true, capSec = 30.0, priors = priorQueries)
+    st.results = results3
     refreshScaleState(scaleCore2 ++ scaleRest2,
       (coreFlagged ++ restFlagged).sorted,
-      (scaleSmallCore ++ scaleSmallRest).toMap)
+      (scaleSmallCore ++ scaleSmallRest).toMap,
+      (mainFlagged ++ lateFlagged).distinct.sorted)
 
-    // flat harness headline metrics: THIS round's biggest-point values,
-    // emitted so the next round's drift guard compares against a flat
-    // map instead of regexing nested point blocks. A family whose
-    // biggest point was budget-skipped emits nothing (comparing a
-    // prior 1M reading against a 100k one would be meaningless).
+    // flat harness headline metrics, one entry per COMPLETED point,
+    // keyed `<metric>@<n>` (r11 ADVICE item 1: the unkeyed lastOption
+    // emission shipped a 100k reading under the same name as a prior
+    // 1M one whenever the big point was budget-skipped, feeding the
+    // drift guard readings taken at different scales — the n in the
+    // key makes every cross-round comparison same-scale by
+    // construction, and a contended window that only affords the
+    // floor still emits ITS point instead of an empty map).
+    def perPoint[P](res: Option[P])(
+        pts: P => Seq[(Long, Seq[(String, Double)])])
+        : Seq[(String, Double)] =
+      (for {
+        r <- res.toSeq
+        (n, kvs) <- pts(r)
+        (k, v) <- kvs
+      } yield s"$k@$n" -> v)
     val headlineNow: Seq[(String, Double)] =
-      tsResult.toSeq.flatMap(r =>
-        r.points.lastOption.map("lsh_sec" -> _.lshSec).toSeq ++
-          r.sub.lastOption.map("sub_sec" -> _.subSec).toSeq) ++
-        gsResult.toSeq.flatMap(_.points.lastOption.toSeq.flatMap(p =>
-          Seq("tri_sec" -> p.triSec, "pr_sec" -> p.prSec,
-            "kcore_sec" -> p.kcSec, "mst_sec" -> p.mstSec))) ++
-        ssResult.toSeq.flatMap(
-          _.points.lastOption.map("session_sec" -> _.sesSec)) ++
-        vsResult.toSeq.flatMap(
-          _.points.lastOption.map("brute_sec" -> _.bruteSec))
+      perPoint(tsResult.orElse(tFloor))(r =>
+        r.points.map(p => p.n -> Seq("lsh_sec" -> p.lshSec)) ++
+          r.sub.map(sp => sp.n -> Seq("sub_sec" -> sp.subSec))) ++
+        perPoint(gsResult.orElse(gFloor))(r =>
+          r.points.map(p => p.n -> Seq("tri_sec" -> p.triSec,
+            "pr_sec" -> p.prSec, "kcore_sec" -> p.kcSec,
+            "mst_sec" -> p.mstSec))) ++
+        perPoint(ssResult.orElse(sFloor))(r =>
+          r.points.map(p => p.n -> Seq("session_sec" -> p.sesSec))) ++
+        perPoint(vsResult)(r =>
+          r.points.map(p => p.n -> Seq("brute_sec" -> p.bruteSec)))
     st.headline = headlineNow
     // harness readings >1.5x their prior-round twin are flagged in the
     // artifact; their re-measure mechanism is the in-harness ScaleGuard
@@ -815,10 +1025,44 @@ object Bench {
           s""""$n":{"prior":$p,"first":$f,"final":$fin}"""
         }.mkString("{", ",", "}")},""" +
         s""""harness_flagged":$harnessDriftJson}"""
+
+    // ---- next round's baselines (r11 verdict item 2) -------------------
+    // min-merged priors: a contended run can only LOWER a baseline;
+    // skipped/capped queries carry their old prior forward. On top of
+    // the run-level rating, a PER-QUERY protection: a reading that
+    // drifted past 1.5x its prior may only raise the baseline when a
+    // best-of-2 re-measure CONFIRMED it (run 1 of this rework was
+    // quiet by median yet adopted q66's randomly-starved 39.1s — on
+    // this host single readings are never raise-grade evidence). The
+    // contention rating comes from the guarded final readings (the
+    // richest evidence); the harness headline merge reuses it ORed
+    // with the headline map's own rating (few entries, so its own
+    // median may be uninformative).
+    val remeasured = noiseRemeasured ++ driftUpdates.keySet ++
+      lateRemeasured
+    val finalMap = st.results.toMap.map { case (k, v) =>
+      if (DriftBaseline.drifted(priorQueries.get(k), v) && !remeasured(k))
+        k -> math.min(priorQueries(k), v)
+      else k -> v
+    }
+    // weather is rated on the RAW readings (the finalMap filter above
+    // only protects baselines, it must not flatter the rating)
+    val queryRatio =
+      DriftBaseline.contentionRatio(priorQueries, st.results.toMap)
+    st.contRatio = queryRatio
+    val headlineRatio =
+      DriftBaseline.contentionRatio(priorHeadline, headlineNow.toMap)
+    val contended = queryRatio > DriftBaseline.MaxQuietRatio
+    st.priors = DriftBaseline.mergePriors(priorQueries, finalMap,
+      contended).toSeq.sortBy(_._1)
+    st.headlinePriors = DriftBaseline.mergePriors(priorHeadline,
+      headlineNow.toMap,
+      contended || headlineRatio > DriftBaseline.MaxQuietRatio)
+      .toSeq.sortBy(_._1)
     // complete = every section reached its natural end (skips by
     // budget are RECORDED degradation, not incompleteness; failures
-    // are carried in their own field)
-    st.complete = !mainTruncated
+    // and caps are carried in their own fields)
+    st.complete = mainSkips == 0
     checkpoint()
     emitStdout()
     spark.stop()

@@ -58,13 +58,26 @@ object BenchBudget {
     *     point × `margin` (a conservative upper bound for the
     *     designed-linear ops measured here).
     *  3. The first point of a family has no twin: `firstEst`.
+    *
+    * `seed` carries points already measured earlier in the run (the
+    * r11-verdict reserved harness floor runs each family's smallest
+    * point AHEAD of the main-pass tail; the full section later runs
+    * the remaining sizes with the floor as seed) — seed points feed
+    * the estimates and the calibration AND are returned at the head
+    * of the result, so the caller's Result carries the whole curve.
     */
   def gatedPoints[P](budget: BenchBudget, fam: String, sizes: Seq[Long],
       firstEst: Double, margin: Double = 1.6,
-      fixedEst: Map[Long, Double] = Map.empty)(
+      fixedEst: Map[Long, Double] = Map.empty, seed: Seq[P] = Seq.empty)(
       f: Long => P)(n: P => Long, t: P => Double): Seq[P] = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[P]
+    acc ++= seed
     var calib = 1.0
+    acc.foreach { p =>
+      fixedEst.get(n(p)).filter(_ > 0).foreach { fe =>
+        calib = math.max(calib, math.max(1.0, t(p) / fe))
+      }
+    }
     sizes.foreach { s =>
       val linear = acc.lastOption
         .map(p => t(p) * (s.toDouble / n(p)) * margin)

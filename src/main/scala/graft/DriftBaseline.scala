@@ -1,44 +1,100 @@
 package graft
 
 /** Prior-round bench-artifact parsing for the cross-round drift guard
-  * (r9 verdict item 2). The detail artifact is JSON this program
-  * itself emits, so the extraction is two stable shapes: the flat
-  * `"queries":{...}` / `"headline_metrics":{...}` maps, and (for
-  * pre-r10 artifacts that lack the flat headline map) n-anchored
+  * (r9 verdict item 2) plus the min-merged priors store (r11 verdict
+  * item 2). The detail artifact is JSON this program itself emits, so
+  * the extraction is a few stable shapes: the flat `"priors"` /
+  * `"queries"` / `"headline_priors"` / `"headline_metrics"` maps, and
+  * (for pre-r10 artifacts that lack the flat headline map) n-anchored
   * lookups inside the nested harness point blocks. */
 object DriftBaseline {
-  private val numPair = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+  private val numPair = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
 
   private[graft] def flatMapOf(block: String): Map[String, Double] =
     numPair.findAllMatchIn(block).map(m =>
       m.group(1) -> m.group(2).toDouble).toMap
 
-  /** The per-query seconds map from a prior detail artifact. */
+  private def flatField(text: String, key: String)
+      : Option[Map[String, Double]] =
+    ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(text)
+      .map(m => flatMapOf(m.group(1))).filter(_.nonEmpty)
+
+  /** The per-query baseline map from a prior detail artifact: the
+    * min-merged `priors` map when present (r12+ — a contended run's
+    * own inflated `queries` readings must never become baselines, see
+    * [[mergePriors]]), else the run's own readings. */
   def queriesOf(priorText: String): Map[String, Double] =
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(priorText)
-      .map(m => flatMapOf(m.group(1))).getOrElse(Map.empty)
+    flatField(priorText, "priors")
+      .orElse(flatField(priorText, "queries"))
+      .getOrElse(Map.empty)
 
   /** The biggest-point metrics every harness headline rests on. */
   val HeadlineKeys: Seq[String] = Seq("lsh_sec", "sub_sec", "tri_sec",
     "pr_sec", "kcore_sec", "mst_sec", "session_sec", "brute_sec")
 
-  /** Harness headline metrics from a prior detail artifact: the flat
-    * `headline_metrics` map when present (r10+), else the metric's
-    * first occurrence inside an `"n":1000000` point block — every
-    * pre-r10 point json leads with its `n` and keeps these keys
-    * before any nested `first_run` object, so `[^{}]*?` cannot cross
-    * a block boundary. */
+  /** Harness headline baselines: the min-merged `headline_priors` map
+    * when present (r12+), else the flat `headline_metrics` map
+    * (r10/r11), else the metric's first occurrence inside an
+    * `"n":1000000` point block — every pre-r10 point json leads with
+    * its `n` and keeps these keys before any nested `first_run`
+    * object, so `[^{}]*?` cannot cross a block boundary.
+    *
+    * Keys are `<metric>@<n>` as of r12 (one entry per COMPLETED
+    * harness point — a drift comparison is same-scale by
+    * construction); plain pre-r12 keys are normalized to `@1000000`,
+    * the biggest default size their emission paths measured. */
   def headlineOf(priorText: String): Map[String, Double] =
-    """"headline_metrics":\{([^}]*)\}""".r.findFirstMatchIn(priorText)
-      .map(m => flatMapOf(m.group(1)))
+    flatField(priorText, "headline_priors")
+      .orElse(flatField(priorText, "headline_metrics"))
       .getOrElse(HeadlineKeys.flatMap { k =>
         (""""n":1000000,[^{}]*?"""" + k + """":(-?[0-9][0-9.eE+-]*)""").r
           .findFirstMatchIn(priorText).map(m => k -> m.group(1).toDouble)
       }.toMap)
+      .map { case (k, v) =>
+        (if (k.contains('@')) k else s"$k@1000000") -> v
+      }
 
   /** Drift predicate shared by the query and harness passes: >1.5x the
     * prior reading, above 1s, and +0.5s absolute (sub-second jitter is
     * not drift). */
   def drifted(prior: Option[Double], now: Double): Boolean =
     prior.exists(p => p > 0 && now > 1.5 * p && now > 1.0 && now - p > 0.5)
+
+  /** A run whose median reading-vs-prior ratio exceeds this is
+    * CONTENDED: its readings are host weather, not code, and must not
+    * become baselines (r11: the driver's window ran every query at
+    * median 1.9x / p95 9.9x with untouched operator code). */
+  val MaxQuietRatio = 1.3
+
+  /** Median of this run's reading/prior ratios over the comparable
+    * entries (priors above measurement noise); 1.0 when fewer than 3
+    * are comparable — too little evidence to call the host contended. */
+  def contentionRatio(prior: Map[String, Double],
+      now: Map[String, Double]): Double = {
+    val rs = now.toSeq
+      .flatMap { case (k, v) => prior.get(k).filter(_ > 0.05).map(v / _) }
+      .sorted
+    if (rs.size < 3) 1.0 else rs(rs.size / 2)
+  }
+
+  /** Next round's baseline map (r11 verdict item 2). A QUIET run's
+    * final readings become the new baselines (the drift guard already
+    * re-measured anything that looked starved, so a genuine
+    * regression is flagged exactly once and then accepted). A
+    * CONTENDED run can only LOWER a prior, never raise one — r11's
+    * official window would otherwise have shipped q203=172.3s as the
+    * baseline and blinded the guard to every future regression under
+    * 35x. Entries missing from `now` (budget-skipped or capped
+    * queries) carry their old prior forward. */
+  def mergePriors(prior: Map[String, Double], now: Map[String, Double],
+      contended: Boolean): Map[String, Double] =
+    (prior.keySet ++ now.keySet).iterator.map { k =>
+      val merged = (prior.get(k), now.get(k)) match {
+        case (Some(p), Some(n)) => if (contended) math.min(p, n) else n
+        case (Some(p), None) => p
+        case (None, Some(n)) => n
+        case _ => 0.0 // unreachable: k is drawn from the union
+      }
+      k -> merged
+    }.toMap
 }

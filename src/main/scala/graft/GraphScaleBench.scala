@@ -362,7 +362,8 @@ object GraphScaleBench {
   }
 
   def run(spark: SparkSession, sizes: Seq[Long],
-      budget: BenchBudget = BenchBudget.unlimited): Result = {
+      budget: BenchBudget = BenchBudget.unlimited,
+      seed: Seq[Point] = Seq.empty): Result = {
     import BenchBudget.{gatedPoints, gatedGuard}
     // SINGLE run per point, budget-gated on the smaller twin (r10
     // verdict items 3/4). The implied-exponent guard (ScaleGuard)
@@ -375,7 +376,7 @@ object GraphScaleBench {
     // the default sizes, mildly padded (see BenchBudget.gatedPoints)
     val DefaultEst = Map(100000L -> 32.0, 1000000L -> 90.0)
     val pts = gatedPoints(budget, "graph", sizes, firstEst = 30.0,
-      fixedEst = DefaultEst)(n => runPoint(spark, n))(_.n, cost)
+      fixedEst = DefaultEst, seed = seed)(n => runPoint(spark, n))(_.n, cost)
     Result(gatedGuard(budget, "graph", pts)(_.n, cost)(
       n => runPoint(spark, n), merged))
   }

@@ -283,7 +283,8 @@ object StreamScaleBench {
   }
 
   def run(spark: SparkSession, sizes: Seq[Long],
-      budget: BenchBudget = BenchBudget.unlimited): Result = {
+      budget: BenchBudget = BenchBudget.unlimited,
+      seed: Seq[Point] = Seq.empty): Result = {
     import BenchBudget.{gatedPoints, gatedGuard}
     // SINGLE run per point, budget-gated on the smaller twin (r10
     // verdict items 3/4). The implied-exponent guard (ScaleGuard)
@@ -295,7 +296,7 @@ object StreamScaleBench {
     // gen) for the default sizes (see BenchBudget.gatedPoints)
     val DefaultEst = Map(200000L -> 35.0, 1000000L -> 105.0)
     val pts = gatedPoints(budget, "stream", sizes, firstEst = 30.0,
-      fixedEst = DefaultEst)(n => runPoint(spark, n, 1))(_.n, cost)
+      fixedEst = DefaultEst, seed = seed)(n => runPoint(spark, n, 1))(_.n, cost)
     Result(gatedGuard(budget, "stream", pts)(_.n, cost)(
       n => runPoint(spark, n, 3), merged))
   }

@@ -476,7 +476,8 @@ object TextScaleBench {
 
   def run(spark: SparkSession, sizes: Seq[Long],
       sweepN: Option[Long] = None,
-      budget: BenchBudget = BenchBudget.unlimited): Result = {
+      budget: BenchBudget = BenchBudget.unlimited,
+      seed: Option[Result] = None): Result = {
     import BenchBudget.{gatedPoints, gatedGuard}
     // Every point is budget-gated on its small twin's reading (r10
     // verdict item 4: the substring 1M tail — 47–534 s observed — and
@@ -492,24 +493,28 @@ object TextScaleBench {
     // (substring's generously: 47–104 s observed at 1M in-suite)
     val pts = gatedGuard(budget, "text_lsh",
       gatedPoints(budget, "text_lsh", sizes, firstEst = 15.0,
-        fixedEst = Map(100000L -> 10.0, 1000000L -> 30.0))(
+        fixedEst = Map(100000L -> 10.0, 1000000L -> 30.0),
+        seed = seed.map(_.points).getOrElse(Seq.empty))(
         runPoint(spark, _))(_.n, _.lshSec))(_.n, _.lshSec)(
       runPoint(spark, _), mergedPoint)
     val subs = gatedGuard(budget, "text_sub",
       gatedPoints(budget, "text_sub", sizes, firstEst = 15.0,
         margin = 2.5,
-        fixedEst = Map(100000L -> 8.0, 1000000L -> 80.0))(
+        fixedEst = Map(100000L -> 8.0, 1000000L -> 80.0),
+        seed = seed.map(_.sub).getOrElse(Seq.empty))(
         runSubstringPoint(spark, _))(_.n, _.subSec))(
       _.n, _.subSec)(runSubstringPoint(spark, _), mergedSub)
     val hhs = gatedGuard(budget, "text_hh",
       gatedPoints(budget, "text_hh", sizes, firstEst = 15.0,
         margin = 2.0,
-        fixedEst = Map(100000L -> 8.0, 1000000L -> 65.0))(
+        fixedEst = Map(100000L -> 8.0, 1000000L -> 65.0),
+        seed = seed.map(_.hh).getOrElse(Seq.empty))(
         runHhPoint(spark, _))(_.n, _.hhSec))(
       _.n, _.hhSec)(runHhPoint(spark, _), mergedHh)
     val webs = gatedGuard(budget, "text_web",
       gatedPoints(budget, "text_web", sizes, firstEst = 10.0,
-        fixedEst = Map(100000L -> 4.0, 1000000L -> 9.0))(
+        fixedEst = Map(100000L -> 4.0, 1000000L -> 9.0),
+        seed = seed.map(_.web).getOrElse(Seq.empty))(
         runWebPoint(spark, _))(_.n, _.htmlSec))(_.n, _.htmlSec)(
       runWebPoint(spark, _), mergedWeb)
     val sweep = sweepN.filter(n =>

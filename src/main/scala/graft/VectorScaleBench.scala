@@ -442,7 +442,8 @@ object VectorScaleBench {
 
   def run(spark: SparkSession, sizes: Seq[Long],
       hardN: Option[Long] = None,
-      budget: BenchBudget = BenchBudget.unlimited): Result = {
+      budget: BenchBudget = BenchBudget.unlimited,
+      seed: Seq[Point] = Seq.empty): Result = {
     import BenchBudget.{gatedPoints, gatedGuard}
     // SINGLE run per point, budget-gated on the smaller twin (r10
     // verdict items 3/4: the universal second run roughly doubled
@@ -460,7 +461,7 @@ object VectorScaleBench {
     // over-predict the 1M point and starve it
     val DefaultEst = Map(10000L -> 6.0, 100000L -> 14.0, 1000000L -> 55.0)
     val pts = gatedPoints(budget, "vector", sizes, firstEst = 15.0,
-      fixedEst = DefaultEst)(n => runPoint(spark, n))(_.n, cost)
+      fixedEst = DefaultEst, seed = seed)(n => runPoint(spark, n))(_.n, cost)
     Result(gatedGuard(budget, "vector", pts)(_.n, cost)(
       n => runPoint(spark, n), merged),
       hardN.filter(n => budget.fits(s"vector_hard_$n", 30.0))

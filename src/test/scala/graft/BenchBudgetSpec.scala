@@ -95,6 +95,28 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(tight.skipped == Seq("fam_guard_1000"))
   }
 
+  test("gatedPoints: seed points head the result, feed the linear " +
+      "estimate, and calibrate fixed estimates (harness floor split)") {
+    val b = budgetWith(100.0)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // floor already measured the 100-point at 10s; the rest call runs
+    // only the 1000-point, estimating from the seed (10s * 10x * 1.6
+    // = 160s — too big) unless the fixed table allows it
+    val pts = BenchBudget.gatedPoints(b, "fam", Seq(1000L),
+      firstEst = 5.0, fixedEst = Map(100L -> 10.0, 1000L -> 50.0),
+      seed = Seq((100L, 10.0)))(n => { ran += n; (n, 45.0) })(_._1, _._2)
+    assert(pts == Seq((100L, 10.0), (1000L, 45.0)), "seed heads the curve")
+    assert(ran.toSeq == Seq(1000L), "seed sizes are not re-run")
+    // seed calibration: floor read 30s vs table 10.0 -> calib 3 ->
+    // big est 3*50=150 > window -> skip, seed still returned
+    val tight = budgetWith(100.0)
+    val pts2 = BenchBudget.gatedPoints(tight, "fam", Seq(1000L),
+      firstEst = 5.0, fixedEst = Map(100L -> 10.0, 1000L -> 50.0),
+      seed = Seq((100L, 30.0)))(n => (n, 45.0))(_._1, _._2)
+    assert(pts2 == Seq((100L, 30.0)))
+    assert(tight.skipped == Seq("fam_1000"))
+  }
+
   test("gatedGuard: unflagged curve is untouched") {
     val pts = Seq((100L, 1.0), (1000L, 8.0)) // ~linear, no flag
     var redone = 0

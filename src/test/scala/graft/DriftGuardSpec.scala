@@ -30,23 +30,26 @@ class DriftGuardSpec extends AnyFunSuite {
     assert(q == Map("q110_pagerank" -> 5.406, "q125_triangle_count" -> 5.703))
   }
 
-  test("headlineOf falls back to n-anchored extraction on pre-r10 shape") {
+  test("headlineOf falls back to n-anchored extraction on pre-r10 " +
+      "shape, normalizing plain keys to @1000000") {
     val h = DriftBaseline.headlineOf(preR10)
-    assert(h("sub_sec") == 184.827)
-    assert(h("lsh_sec") == 12.774)
-    assert(h("tri_sec") == 3.854) // the point value, NOT first_run's 11.2
-    assert(h("pr_sec") == 9.787)
-    assert(h("kcore_sec") == 9.4)
-    assert(h("mst_sec") == 21.9)
-    assert(h("session_sec") == 30.147)
-    assert(h("brute_sec") == 4.733)
+    assert(h("sub_sec@1000000") == 184.827)
+    assert(h("lsh_sec@1000000") == 12.774)
+    // the point value, NOT first_run's 11.2
+    assert(h("tri_sec@1000000") == 3.854)
+    assert(h("pr_sec@1000000") == 9.787)
+    assert(h("kcore_sec@1000000") == 9.4)
+    assert(h("mst_sec@1000000") == 21.9)
+    assert(h("session_sec@1000000") == 30.147)
+    assert(h("brute_sec@1000000") == 4.733)
   }
 
-  test("headlineOf prefers the flat headline_metrics map when present") {
+  test("headlineOf prefers the flat headline_metrics map when present; " +
+      "r12 @n keys pass through unchanged") {
     val flat = preR10.dropRight(1) +
-      ""","headline_metrics":{"sub_sec":60.4,"lsh_sec":12.1}}"""
+      ""","headline_metrics":{"sub_sec":60.4,"lsh_sec@100000":3.7}}"""
     val h = DriftBaseline.headlineOf(flat)
-    assert(h == Map("sub_sec" -> 60.4, "lsh_sec" -> 12.1))
+    assert(h == Map("sub_sec@1000000" -> 60.4, "lsh_sec@100000" -> 3.7))
   }
 
   test("queriesOf/headlineOf are empty on a missing artifact") {
@@ -62,6 +65,58 @@ class DriftGuardSpec extends AnyFunSuite {
     assert(!DriftBaseline.drifted(Some(0.9), 1.39)) // +0.49s absolute
     assert(!DriftBaseline.drifted(None, 100.0)) // no baseline
     assert(!DriftBaseline.drifted(Some(0.0), 5.0)) // degenerate prior
+  }
+
+  test("queriesOf prefers the min-merged priors map when present") {
+    val withPriors = preR10.dropRight(1) +
+      ""","priors":{"q110_pagerank":4.2,"q203_sssp":4.91}}"""
+    assert(DriftBaseline.queriesOf(withPriors) ==
+      Map("q110_pagerank" -> 4.2, "q203_sssp" -> 4.91))
+    // an empty priors map (first run with the field) falls back to the
+    // run's own readings
+    val emptyPriors = preR10.dropRight(1) + ""","priors":{}}"""
+    assert(DriftBaseline.queriesOf(emptyPriors)
+      .contains("q110_pagerank"))
+    // headline_priors must not shadow-match the "priors" regex
+    val hl = preR10.dropRight(1) +
+      ""","headline_priors":{"sub_sec":60.0}}"""
+    assert(DriftBaseline.queriesOf(hl) ==
+      Map("q110_pagerank" -> 5.406, "q125_triangle_count" -> 5.703))
+    assert(DriftBaseline.headlineOf(hl) ==
+      Map("sub_sec@1000000" -> 60.0))
+  }
+
+  test("contentionRatio: median reading-vs-prior; 1.0 under 3 samples") {
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 0.01)
+    // d's prior is below the 0.05s comparability floor — excluded
+    val now = Map("a" -> 1.9, "b" -> 4.2, "c" -> 4.4, "d" -> 5.0)
+    // ratios: 1.9, 2.1, 1.1 -> median 1.9
+    assert(DriftBaseline.contentionRatio(prior, now) == 1.9)
+    assert(DriftBaseline.contentionRatio(Map("a" -> 1.0),
+      Map("a" -> 50.0)) == 1.0) // too little evidence
+  }
+
+  test("mergePriors: a CONTENDED run can never raise any prior") {
+    // the r11 shape: q203 starved to 172.3s against a 4.91s prior
+    val prior = Map("q203" -> 4.91, "q126" -> 2.6, "q22" -> 0.5,
+      "skipped_q" -> 1.2)
+    val now = Map("q203" -> 172.3, "q126" -> 61.2, "q22" -> 0.4,
+      "new_q" -> 3.0)
+    val merged = DriftBaseline.mergePriors(prior, now, contended = true)
+    assert(merged("q203") == 4.91, "starved reading must not become prior")
+    assert(merged("q126") == 2.6)
+    assert(merged("q22") == 0.4, "min-merge still LOWERS priors")
+    assert(merged("skipped_q") == 1.2, "unmeasured queries carry forward")
+    assert(merged("new_q") == 3.0, "first reading is adopted")
+    assert(merged.forall { case (k, m) =>
+      m <= prior.getOrElse(k, Double.MaxValue) }, "no prior may rise")
+  }
+
+  test("mergePriors: a QUIET run's final readings become the baselines") {
+    val prior = Map("q1" -> 1.0, "gone" -> 2.0)
+    val now = Map("q1" -> 1.2, "q2" -> 0.7)
+    val merged = DriftBaseline.mergePriors(prior, now, contended = false)
+    assert(merged == Map("q1" -> 1.2, "q2" -> 0.7, "gone" -> 2.0))
   }
 
   test("ScaleGuard.flagged: implied exponent beyond 4*sqrt(rows ratio)") {
