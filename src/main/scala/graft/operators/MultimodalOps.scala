@@ -4033,20 +4033,37 @@ object MultimodalOps {
   }
 
   final case class AvifMeta(doc_id: Long, n_boxes: Int, brand: String,
-      mdat_bytes: Long, byte_sum: Long, free_bytes: Long)
+      width: Int, height: Int, mdat_bytes: Long, byte_sum: Long,
+      free_bytes: Long)
 
   /** AVIF fixture (ISO-BMFF like q278's MP4, brand "avif"): `ftyp`
-    * (major brand avif, compatible mif1), a `free` box with
-    * docId % 32 padding bytes, and an `mdat` carrying the doc's
-    * bytes. All big-endian u32 sizes. */
-  private[graft] def encodeAvif(docId: Long, data: Array[Byte])
-      : Array[Byte] = {
+    * (major brand avif, compatible mif1), a `meta` FULLBOX carrying
+    * the HEIF property chain that holds the image dimensions —
+    * `hdlr` (handler 'pict', the still-image rule) and
+    * `iprp` → `ipco` → `ispe` (ImageSpatialExtentsProperty: fullbox +
+    * u32 width + u32 height, ISO 23008-12 §6.5.3) — then a `free`
+    * box with docId % 32 padding bytes and an `mdat` carrying the
+    * doc's bytes. All big-endian u32 sizes. */
+  private[graft] def encodeAvif(docId: Long, w: Int, h: Int,
+      data: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"ispe dims must be positive: ${w}x$h")
     val pad = (docId % 32).toInt
+    // meta(12) { hdlr(33) iprp(8) { ipco(8) { ispe(20) } } }
+    val metaSize = 12 + 33 + 8 + 8 + 20
     val out = java.nio.ByteBuffer.allocate(
-      20 + (8 + pad) + (8 + data.length))
+      20 + metaSize + (8 + pad) + (8 + data.length))
     out.putInt(20).put("ftyp".getBytes("US-ASCII"))
     out.put("avif".getBytes("US-ASCII")).putInt(0)
     out.put("mif1".getBytes("US-ASCII"))
+    out.putInt(metaSize).put("meta".getBytes("US-ASCII")).putInt(0)
+    out.putInt(33).put("hdlr".getBytes("US-ASCII")).putInt(0)
+    out.putInt(0).put("pict".getBytes("US-ASCII"))
+    (0 until 12).foreach(_ => out.put(0.toByte)) // reserved
+    out.put(0.toByte) // empty NUL-terminated name
+    out.putInt(8 + 8 + 20).put("iprp".getBytes("US-ASCII"))
+    out.putInt(8 + 20).put("ipco".getBytes("US-ASCII"))
+    out.putInt(20).put("ispe".getBytes("US-ASCII")).putInt(0)
+    out.putInt(w).putInt(h)
     out.putInt(8 + pad).put("free".getBytes("US-ASCII"))
     (0 until pad).foreach(_ => out.put(0.toByte))
     out.putInt(8 + data.length).put("mdat".getBytes("US-ASCII"))
@@ -4059,7 +4076,12 @@ object MultimodalOps {
     * sniffers key on), `free` padding accounted, `mdat` byte-summed,
     * overruns/truncations/size-0 boxes rejected — same discipline as
     * q278's MP4 walk, independent so each format's grammar stays
-    * fail-loud on its own terms. */
+    * fail-loud on its own terms. The `meta` fullbox is walked for the
+    * HEIF dimension chain: hdlr must declare handler 'pict', and
+    * exactly one iprp→ipco→ispe supplies width/height (fullbox
+    * version 0 enforced at both levels, zero dims rejected) — a
+    * missing chain fails, making the decode dimension-grade, not just
+    * a byte-sum sniff. */
   private[graft] def decodeAvif(docId: Long, bytes: Array[Byte])
       : AvifMeta = {
     def fail(why: String) = throw new IllegalArgumentException(
@@ -4068,6 +4090,52 @@ object MultimodalOps {
       ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
         ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
     if (bytes.length < 16) fail("truncated ftyp")
+    var width = -1
+    var height = -1
+    /** Child-box walk over [from, until) — the same size+fourcc
+      * grammar at every nesting level. */
+    def walkChildren(from: Int, until: Int)(
+        onBox: (String, Int, Int) => Unit): Unit = {
+      var q = from
+      while (q < until) {
+        if (q + 8 > until) fail(s"truncated child box header at $q")
+        val size = be32(q)
+        if (size < 8 || q + size > until)
+          fail(s"child box overruns: size $size at $q")
+        onBox(new String(bytes, q + 4, 4, "US-ASCII"), q, size.toInt)
+        q += size.toInt
+      }
+      if (q != until) fail(s"child box run overshoots: $q")
+    }
+    def parseMeta(p: Int, size: Int): Unit = {
+      if (size < 12) fail("meta too short for a fullbox")
+      if (be32(p + 8) != 0) fail("meta fullbox version/flags != 0")
+      var handler = ""
+      walkChildren(p + 12, p + size) {
+        case ("hdlr", q, sz) =>
+          if (sz < 24) fail("hdlr too short")
+          handler = new String(bytes, q + 16, 4, "US-ASCII")
+        case ("iprp", q, sz) =>
+          walkChildren(q + 8, q + sz) {
+            case ("ipco", q2, sz2) =>
+              walkChildren(q2 + 8, q2 + sz2) {
+                case ("ispe", q3, sz3) =>
+                  if (sz3 != 20) fail(s"ispe size $sz3 != 20")
+                  if (be32(q3 + 8) != 0)
+                    fail("ispe fullbox version/flags != 0")
+                  if (width >= 0) fail("duplicate ispe")
+                  width = be32(q3 + 12).toInt
+                  height = be32(q3 + 16).toInt
+                  if (width < 1 || height < 1)
+                    fail(s"ispe dims ${width}x$height not positive")
+                case _ => () // other item properties: skip
+              }
+            case _ => () // ipma etc.: skip
+          }
+        case _ => () // pitm/iloc/iinf etc.: skip
+      }
+      if (handler != "pict") fail(s"meta handler '$handler' != pict")
+    }
     var p = 0
     var nBoxes = 0
     var brand = ""
@@ -4087,6 +4155,7 @@ object MultimodalOps {
           if (size < 16) fail("ftyp too short")
           brand = new String(bytes, p + 8, 4, "US-ASCII")
           if (brand != "avif") fail(s"major brand $brand != avif")
+        case "meta" => parseMeta(p, size.toInt)
         case "free" => freeBytes += size - 8
         case "mdat" =>
           if (mdatBytes >= 0) fail("duplicate mdat")
@@ -4099,35 +4168,48 @@ object MultimodalOps {
     }
     if (p != bytes.length) fail(s"box run overshoots: $p")
     if (mdatBytes < 0) fail("missing mdat")
-    AvifMeta(docId, nBoxes, brand, mdatBytes, byteSum, freeBytes)
+    if (width < 0) fail("missing meta/ispe dimension chain")
+    AvifMeta(docId, nBoxes, brand, width, height, mdatBytes, byteSum,
+      freeBytes)
   }
 
   /** q307's pipeline: the modern image-crawl half of the q304
     * dispatcher — WebP (doc_id even) and AVIF (odd) payloads pushed
     * through the SAME sniffer, which identifies them by RIFF/WEBP
     * magic and the ISO-BMFF ftyp-brand rule and then runs each
-    * format's real walk. WebP dims derive from the doc (width
-    * 1+bytes%1000, height 1+tokens%500) so the decoded feature is
-    * closed-form; AVIF's feature is the mdat byte sum. Same narrow
-    * per-row shape as every decode tier: embarrassingly parallel,
-    * zero shuffles before the report. */
+    * format's real walk. Dims derive from the doc for BOTH formats
+    * (width 1+bytes%1000, height 1+tokens%500) so the decoded
+    * columns are closed-form: WebP re-derives them from the VP8L
+    * 14-bit packed header, AVIF from the meta→iprp→ipco→ispe HEIF
+    * chain; the feature column is the packed dims (webp) / mdat byte
+    * sum (avif) as before. Same narrow per-row shape as every decode
+    * tier: embarrassingly parallel, zero shuffles before the
+    * report. */
   def sniffModernImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, text) =>
+        val w = 1 + (text.length % 1000)
+        val h = 1 + (new String(text, "US-ASCII").trim
+          .split("\\s+").length % 500)
         val container =
-          if (id % 2 == 0) {
-            val w = 1 + (text.length % 1000)
-            val h = 1 + (new String(text, "US-ASCII").trim
-              .split("\\s+").length % 500)
-            encodeWebp(w, h, text)
-          } else encodeAvif(id, text)
+          if (id % 2 == 0) encodeWebp(w, h, text)
+          else encodeAvif(id, w, h, text)
         val (fmt, feature) = sniffAndDecode(id, container)
-        (id, fmt, feature)
+        // decoded dims, re-read from each format's real header (the
+        // webp feature already packs them; avif carries them in ispe)
+        val (dw, dh) =
+          if (fmt == "webp")
+            ((feature / 100000L).toInt, (feature % 100000L).toInt)
+          else {
+            val a = decodeAvif(id, container)
+            (a.width, a.height)
+          }
+        (id, fmt, feature, dw.toLong, dh.toLong)
       })
-      .toDF("doc_id", "fmt", "feature")
+      .toDF("doc_id", "fmt", "feature", "image_w", "image_h")
   }
 
   // ------------------------------------------------------------------
@@ -5237,9 +5319,10 @@ object MultimodalOps {
         |    ELSE CASE WHEN bl < 9 THEN 0 ELSE b0 END END AS feature
         |FROM f""".stripMargin,
 
-    // q307: webp feature = the VP8L-decoded dims re-derived from the
-    // doc (width 1+bytes%1000, height 1+tokens%500, packed
-    // w*100000+h); avif feature = the mdat byte sum
+    // q307: both formats' decoded dims are closed-form (width
+    // 1+bytes%1000, height 1+tokens%500) — webp re-derives them from
+    // the VP8L packed header, avif from the meta/ispe chain; feature
+    // = packed dims (webp) / mdat byte sum (avif)
     "q307_webp_avif_sniff" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -5254,7 +5337,9 @@ object MultimodalOps {
         |  CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'avif' END AS fmt,
         |  CASE WHEN doc_id % 2 = 0
         |    THEN (1 + bl % 1000) * 100000 + 1 + n % 500
-        |    ELSE sm END AS feature
+        |    ELSE sm END AS feature,
+        |  (1 + bl % 1000)::BIGINT AS image_w,
+        |  (1 + n % 500)::BIGINT AS image_h
         |FROM f""".stripMargin,
 
     // q302: q183's byte algebra at a 32-row cap plus the constant

@@ -1349,13 +1349,16 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { encodeWebp(16385, 1, data) }
   }
 
-  test("q307 avif: ftyp-brand rule + box walk; mdat byte sum exact") {
+  test("q307 avif: ftyp-brand rule + box walk; ispe dims + mdat " +
+      "byte sum exact") {
     import operators.MultimodalOps.{decodeAvif, encodeAvif,
       sniffAndDecode}
     val data = "av1 still image payload bytes".getBytes("US-ASCII")
-    val good = encodeAvif(37L, data) // 37 % 32 = 5 free-pad bytes
+    val good = encodeAvif(37L, 641, 333, data) // 37 % 32 = 5 free pads
     val m = decodeAvif(37L, good)
-    assert(m.brand == "avif" && m.n_boxes == 3 && m.free_bytes == 5)
+    assert(m.brand == "avif" && m.n_boxes == 4 && m.free_bytes == 5)
+    assert(m.width == 641 && m.height == 333,
+      "dims must round-trip through the meta/iprp/ipco/ispe chain")
     assert(m.mdat_bytes == data.length)
     assert(m.byte_sum == data.map(_ & 0xff).map(_.toLong).sum)
     assert(sniffAndDecode(37L, good) == ("avif", m.byte_sum))
@@ -1368,23 +1371,38 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       decodeAvif(37L, good.dropRight(3))
     }
+    // the dimension chain is load-bearing: renaming ispe (no dims),
+    // a non-pict handler, and a nonzero ispe version all fail loud
+    val ispeAt = good.indexOfSlice("ispe".getBytes("US-ASCII"))
+    val hdlrTypeAt =
+      good.indexOfSlice("pict".getBytes("US-ASCII"))
+    assert(ispeAt > 0 && hdlrTypeAt > 0)
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(ispeAt) = 'x'; decodeAvif(37L, b)
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(hdlrTypeAt) = 'v'; decodeAvif(37L, b)
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(ispeAt + 4) = 1; decodeAvif(37L, b)
+    }
+    intercept[IllegalArgumentException] { encodeAvif(37L, 0, 5, data) }
   }
 
   test("q307 pipeline matches the closed form on real docs") {
     import operators.MultimodalOps.sniffModernImages
     val docs = Tables.load(spark, sfDir, "documents").limit(40)
     val got = sniffModernImages(docs)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
     val want = docs.collect().map { r =>
       val id = r.getAs[Long]("doc_id")
       val text = r.getAs[String]("text")
       val bytes = text.getBytes("UTF-8")
-      if (id % 2 == 0) {
-        val w = 1 + (bytes.length % 1000)
-        val h = 1 + (text.trim.split("\\s+").length % 500)
-        (id, "webp", w.toLong * 100000L + h)
-      } else
-        (id, "avif", bytes.map(_ & 0xff).map(_.toLong).sum)
+      val w = 1L + (bytes.length % 1000)
+      val h = 1L + (text.trim.split("\\s+").length % 500)
+      if (id % 2 == 0) (id, "webp", w * 100000L + h, w, h)
+      else (id, "avif", bytes.map(_ & 0xff).map(_.toLong).sum, w, h)
     }
     assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
   }
