@@ -1040,11 +1040,8 @@ object Bench {
     // median may be uninformative).
     val remeasured = noiseRemeasured ++ driftUpdates.keySet ++
       lateRemeasured
-    val finalMap = st.results.toMap.map { case (k, v) =>
-      if (DriftBaseline.drifted(priorQueries.get(k), v) && !remeasured(k))
-        k -> math.min(priorQueries(k), v)
-      else k -> v
-    }
+    val finalMap = DriftBaseline.protectRaises(priorQueries,
+      st.results.toMap, remeasured)
     // weather is rated on the RAW readings (the finalMap filter above
     // only protects baselines, it must not flatter the rating)
     val queryRatio =
@@ -1055,8 +1052,17 @@ object Bench {
     val contended = queryRatio > DriftBaseline.MaxQuietRatio
     st.priors = DriftBaseline.mergePriors(priorQueries, finalMap,
       contended).toSeq.sortBy(_._1)
+    // headline entries get the same per-entry protection as queries,
+    // but stricter: there is NO in-run best-of-2 for a harness point
+    // (the in-harness ScaleGuard only fires on implied exponent), so
+    // a drift-flagged headline reading can never raise its baseline —
+    // the full run after run 3 read mst@1M at 72.2s (prior 25.3,
+    // flagged 2.85x, starvation burst) and the unprotected merge
+    // adopted it
+    val headlineSafe =
+      DriftBaseline.protectRaises(priorHeadline, headlineNow.toMap)
     st.headlinePriors = DriftBaseline.mergePriors(priorHeadline,
-      headlineNow.toMap,
+      headlineSafe,
       contended || headlineRatio > DriftBaseline.MaxQuietRatio)
       .toSeq.sortBy(_._1)
     // complete = every section reached its natural end (skips by

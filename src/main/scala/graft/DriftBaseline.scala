@@ -77,6 +77,22 @@ object DriftBaseline {
     if (rs.size < 3) 1.0 else rs(rs.size / 2)
   }
 
+  /** Per-entry raise protection, applied to `now` BEFORE
+    * [[mergePriors]]: an entry whose reading [[drifted]] past its
+    * prior may only raise the baseline when its key is in `confirmed`
+    * (an in-run best-of-2 re-measure stood by the reading); otherwise
+    * the old prior wins. Run-level contention gating alone misses
+    * this case — a run quiet by median still randomly starves single
+    * readings on this host (q66 39.1s vs 4.2s prior, mst@1M 72.2s vs
+    * 25.3s, both inside not-contended runs). */
+  def protectRaises(prior: Map[String, Double], now: Map[String, Double],
+      confirmed: Set[String] = Set.empty): Map[String, Double] =
+    now.map { case (k, v) =>
+      if (drifted(prior.get(k), v) && !confirmed(k))
+        k -> math.min(prior(k), v)
+      else k -> v
+    }
+
   /** Next round's baseline map (r11 verdict item 2). A QUIET run's
     * final readings become the new baselines (the drift guard already
     * re-measured anything that looked starved, so a genuine

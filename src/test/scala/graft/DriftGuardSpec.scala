@@ -112,6 +112,23 @@ class DriftGuardSpec extends AnyFunSuite {
       m <= prior.getOrElse(k, Double.MaxValue) }, "no prior may rise")
   }
 
+  test("protectRaises: a drifted reading may only raise its baseline " +
+      "when confirmed by a re-measure") {
+    val prior = Map("mst_sec@1000000" -> 25.32, "q66" -> 4.23,
+      "q83" -> 0.26)
+    val now = Map("mst_sec@1000000" -> 72.16, "q66" -> 6.1,
+      "q83" -> 0.29, "fresh" -> 9.0)
+    val p = DriftBaseline.protectRaises(prior, now)
+    assert(p("mst_sec@1000000") == 25.32,
+      "unconfirmed 2.85x jump must not become the baseline")
+    assert(p("q66") == 6.1, "1.44x is below the drift threshold: passes")
+    assert(p("q83") == 0.29 && p("fresh") == 9.0)
+    val c = DriftBaseline.protectRaises(prior, now,
+      confirmed = Set("mst_sec@1000000"))
+    assert(c("mst_sec@1000000") == 72.16,
+      "a best-of-2-confirmed jump is a real regression: adopt it")
+  }
+
   test("mergePriors: a QUIET run's final readings become the baselines") {
     val prior = Map("q1" -> 1.0, "gone" -> 2.0)
     val now = Map("q1" -> 1.2, "q2" -> 0.7)
