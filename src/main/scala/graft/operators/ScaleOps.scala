@@ -2797,10 +2797,20 @@ object ScaleOps {
     val edges = rebased(edges0.select(
       least(col("u"), col("v")).as("ku"),
       greatest(col("u"), col("v")).as("kv"), col("w")))
-    val e2 = rebased(edges.select(col("ku").as("x"), col("kv").as("y"),
+    // e2 is STATIC across all rounds and is only ever joined on x —
+    // hash-partition it by x before its one-time checkpoint (a plain
+    // localCheckpoint, which PRESERVES partitioning info, unlike
+    // rebased) so every round's labeling join and the final leftover
+    // audit reuse the layout instead of re-shuffling 2|E| rows per
+    // round. e2 is never self-joined, so the stat-squaring hazard
+    // rebased() exists for does not apply to it: its lab products
+    // multiply against rebased (default-stat) comp sides only.
+    val e2 = edges.select(col("ku").as("x"), col("kv").as("y"),
         col("w"), col("ku"), col("kv"))
       .unionByName(edges.select(col("kv").as("x"), col("ku").as("y"),
-        col("w"), col("ku"), col("kv"))))
+        col("w"), col("ku"), col("kv")))
+      .repartition(col("x"))
+      .localCheckpoint(true)
     val nodes = rebased(edges.select(col("ku").as("v"))
       .unionByName(edges.select(col("kv").as("v"))).distinct())
     var comp = rebased(nodes.select(col("v"), col("v").as("c")))
@@ -2843,13 +2853,31 @@ object ScaleOps {
         var settled = false
         while (j < jumps && !settled) {
           j += 1
-          p = rebased(p.as("a")
+          // one self-join per jump: keep BOTH the parent (t) and the
+          // grandparent (t2) in the checkpointed output, so the
+          // pre-jump idempotency check (t2 == t everywhere ⟺ this
+          // jump changed nothing ⟺ p was already settled) is a cheap
+          // filter scan of the SAME materialized frame instead of a
+          // second self-join per jump (at ring depth ~1000 the loop
+          // runs ~10 jumps, so that was ~10 extra |C|-row shuffle
+          // joins per round). The check lags one jump behind the old
+          // post-jump one, so the loop may spend one extra no-op
+          // jump on an unchanged p — still j+1 joins total vs 2j.
+          val hop = rebased(p.as("a")
             .join(p.select(col("c").as("t"), col("t").as("t2")), "t")
-            .select(col("c"), col("t2").as("t")))
+            .select(col("c"), col("t"), col("t2")))
+          p = hop.select(col("c"), col("t2").as("t"))
+          settled = hop.filter(col("t2") =!= col("t")).isEmpty
+        }
+        // budget exhausted without the lagged check firing: decide
+        // settledness of the FINAL p explicitly (one join), exactly
+        // the old post-jump semantics — the harness's ring corpus
+        // converges precisely on the last allowed jump, where the
+        // lagged check alone would misreport fully_contracted=false
+        if (!settled)
           settled = p
             .join(p.select(col("c").as("t"), col("t").as("t2")), "t")
             .filter(col("t2") =!= col("t")).isEmpty
-        }
         if (!settled) allContracted = false
         comp = rebased(comp
           .join(p.select(col("c"), col("t").as("nc")), "c")

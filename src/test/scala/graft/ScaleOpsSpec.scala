@@ -906,6 +906,18 @@ class ScaleOpsSpec extends SparkSpecBase {
     val pair = msf(Seq((7L, 8L, 42L)))
     assert(pair.getAs[Long]("n_tree_edges") == 1L)
     assert(pair.getAs[Boolean]("converged"))
+    // EXACT-budget convergence: the 6-node chain's round-1 merge
+    // pointer chain has depth 5, idempotent exactly at jump 3
+    // (2^3 >= 5 > 2^2) — the lagged in-loop check cannot see that,
+    // so the post-loop explicit check must report full contraction
+    // (the 1M ring harness converges on its last allowed jump the
+    // same way)
+    val tight = ScaleOps.boruvkaMsf(
+      (1L to 5L).map(i => (i, i + 1, i)).toDF("u", "v", "w"),
+      rounds = 5, jumps = 3).head()
+    assert(tight.getAs[Boolean]("fully_contracted"),
+      "exact-budget settledness must be decided on the FINAL p")
+    assert(tight.getAs[Long]("n_tree_edges") == 5L)
   }
 
   test("rendezvous census: removal moves exactly the removed shard's docs") {
