@@ -1140,8 +1140,15 @@ object ScaleOps {
         .localCheckpoint(true)
       var labels = edges.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
+      // runtime shape switch (the pageRankFixedPoint idiom): one
+      // bounded scalar job decides whether the node-sized label table
+      // is broadcast-comfortable or the rounds must shuffle-join —
+      // a mandatory broadcast of a table that grows with the graph
+      // is the q126 scale-killer class
+      val bcastLbl = labels.count() <= 10000000L
       for (_ <- 1 to 3)
-        labels = lpaRound(edges, labels).localCheckpoint(true)
+        labels = lpaRound(edges, labels, broadcastLabels = bcastLbl)
+          .localCheckpoint(true)
       labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("lbl").asc).limit(20)
         .select(col("lbl").as("community"), col("n_members"))
@@ -1278,7 +1285,10 @@ object ScaleOps {
         .select(col("o_custkey").cast("long").as("c"),
           col("l_suppkey").cast("long").as("sp"))
         .distinct().localCheckpoint(true)
-      val (a, h) = hitsScores(e, rounds = 3)
+      // score tables are bounded by the edge count; one cheap count
+      // of the checkpointed table picks broadcast vs shuffle rounds
+      val (a, h) = hitsScores(e, rounds = 3,
+        broadcastScores = e.count() <= 10000000L)
       val topA = a.select(lit("auth").as("role"), col("sp").as("id"),
         col("score")).orderBy(col("score").desc, col("id").asc).limit(10)
       val topH = h.select(lit("hub").as("role"), col("c").as("id"),
@@ -3122,15 +3132,22 @@ object ScaleOps {
     * rounds — every score an exact BIGINT alternating-path count.
     * Returns (authority, hub) score tables. Split out so ScaleOpsSpec
     * pins the recurrence on a hand-walked 2×2 graph. */
-  private[graft] def hitsScores(e: DataFrame, rounds: Int)
-      : (DataFrame, DataFrame) = {
+  private[graft] def hitsScores(e: DataFrame, rounds: Int,
+      broadcastScores: Boolean = true): (DataFrame, DataFrame) = {
+    // the score tables are NODE-sized (they grow with the graph), so
+    // the broadcast is a runtime choice like lpaRound's, not a
+    // mandatory hint: callers gate on a bounded count (q200 uses the
+    // checkpointed edge count) and the `false` path shuffle-joins on
+    // the node key — identical exact BIGINT scores either way
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
     var a = e.groupBy("sp").agg(count(lit(1)).as("score"))
-    var h = e.join(broadcast(a), "sp")
+    var h = e.join(bc(a), "sp")
       .groupBy("c").agg(sum("score").as("score"))
     for (_ <- 2 to rounds) {
-      a = e.join(broadcast(h), "c")
+      a = e.join(bc(h), "c")
         .groupBy("sp").agg(sum("score").as("score"))
-      h = e.join(broadcast(a), "sp")
+      h = e.join(bc(a), "sp")
         .groupBy("c").agg(sum("score").as("score"))
     }
     (a, h)

@@ -731,6 +731,14 @@ class ScaleOpsSpec extends SparkSpecBase {
       == Map(10L -> 2L, 20L -> 1L))
     assert(h1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == Map(1L -> 3L, 2L -> 2L))
+    // the shuffle-join path (past-broadcast node counts) is score-
+    // identical — the broadcast is a shape choice, never semantics
+    val (a2, h2) = ScaleOps.hitsScores(e, rounds = 3,
+      broadcastScores = false)
+    assert(a2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == am)
+    assert(h2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == hm)
   }
 
   test("q201 butterflies: K_{a,b} closed forms and a butterfly-free order") {
