@@ -96,11 +96,14 @@ object RelationalOps {
     }),
 
     // HashJoin INNER equi-join (reference hash_join_plan.h:41-75).
-    // customer is the small build side -> broadcast.
+    // customer is the small build side at query scale — but it GROWS
+    // with the corpus, so the broadcast is AQE's runtime call (it
+    // fires at any tested sf), not a mandatory hint that OOMs at
+    // 100x.
     "q08_join_inner" -> ((s, d) => {
       val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 400000)
       val c = Tables.load(s, d, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_name")
     }),
 
@@ -125,14 +128,18 @@ object RelationalOps {
     }),
 
     // Multi-way join + agg (leaderboard-q2 shape,
-    // p3.leaderboard-q2.slt): broadcast the two small dims, shuffle only
-    // the fact table once — the plan that survives 100x scale.
+    // p3.leaderboard-q2.slt). orders is NOT a dim — it grows 1:4 with
+    // lineitem, so a mandatory broadcast of it is the q126
+    // scale-killer class; the 100x plan shuffle-joins l⋈o on
+    // orderkey and lets AQE broadcast whichever side actually
+    // measures small at runtime (customer qualifies at every tested
+    // sf).
     "q11_join3_agg" -> ((s, d) => {
       val c = Tables.load(s, d, "customer")
       val o = Tables.load(s, d, "orders")
       val l = Tables.load(s, d, "lineitem")
-      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(dsum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n"))

@@ -861,20 +861,22 @@ object ScaleOps {
     // increasing event time): the conversion analysis every product
     // pipeline runs. Stage N's earliest qualifying time comes from a
     // groupBy(user) + a join against stage N-1's time — every exchange
-    // is on user_id and the per-stage tables are USER-sized, so at
-    // scale they broadcast (hinted) and the event stream shuffles
-    // once per stage at most. Exact timestamps make the strict-order
-    // comparison cross-engine deterministic.
+    // is on user_id, so the stage join and the stage groupBy SHARE one
+    // event-stream shuffle per stage whether or not the user-sized
+    // stage table broadcasts; that makes the broadcast AQE's runtime
+    // call (user tables GROW with the corpus — a mandatory hint is
+    // the q126 scale-killer class). Exact timestamps make the
+    // strict-order comparison cross-engine deterministic.
     "q111_funnel" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t1"))
       val c = ev.filter(col("event_type") === "click")
-        .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+        .join(v, "user_id").filter(col("ts") > col("t1"))
         .groupBy("user_id").agg(min("ts").as("t2"))
       val p = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id").filter(col("ts") > col("t2"))
+        .join(c, "user_id").filter(col("ts") > col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
       v.agg(count(lit(1)).as("users_viewed"))
         .crossJoin(c.agg(count(lit(1)).as("users_clicked")))
@@ -883,15 +885,17 @@ object ScaleOps {
 
     // Retention cohorts: users grouped by first-seen day, activity
     // counted per day-offset since — the (cohort x offset) retention
-    // matrix. The first-seen table is USER-sized (broadcast back);
-    // the only event-stream exchange is the final distinct-count on
-    // the low-cardinality (cohort, offset) key.
+    // matrix. The first-seen table is USER-sized — it GROWS, so the
+    // join back is a plain equi-join on user_id (co-partitioned with
+    // the groupBy that built it; AQE broadcasts when it measures
+    // small) before the final distinct-count on the low-cardinality
+    // (cohort, offset) key.
     "q112_retention" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), col("ts"))
       val first = ev.groupBy("user_id")
         .agg(to_date(min(col("ts"))).as("cohort_d"))
-      ev.join(broadcast(first), "user_id")
+      ev.join(first, "user_id")
         .groupBy(col("cohort_d").cast("string").as("cohort"),
           datediff(to_date(col("ts")), col("cohort_d")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("users"))
@@ -2463,9 +2467,14 @@ object ScaleOps {
     // nodes + wedge total in ONE pass over the degree table
     val degStats = deg.agg(count(lit(1)),
       sum(col("deg") * (col("deg") - lit(1L)))).head()
+    // the node count just computed gates the degree broadcast (the
+    // pageRankFixedPoint idiom — a vertex table GROWS, so the hint
+    // must be a runtime decision, never mandatory)
+    def bc(df: DataFrame): DataFrame =
+      if (degStats.getLong(0) <= 10000000L) broadcast(df) else df
     val keyed = edges
-      .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
-      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+      .join(bc(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+      .join(bc(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
     // Orient toward the (deg, id)-larger endpoint; carry the target's
     // order key so wedge endpoints can be ordered without a re-join.
     val dir = keyed.select(
@@ -3167,7 +3176,11 @@ object ScaleOps {
       .filter(col("x.dst") < col("y.dst"))
       .select(col("src").as("w"), col("x.dst").as("u"),
         col("y.dst").as("v"))
-    wedges.join(broadcast(deg), "w")
+    // deg is vertex-sized (GROWS): counted broadcast gate, same idiom
+    // as triangleStats/pageRankFixedPoint — the wedge side is already
+    // keyed by w, so the shuffle-join fallback co-partitions cleanly
+    val degBc = if (deg.count() <= 10000000L) broadcast(deg) else deg
+    wedges.join(degBc, "w")
       .withColumn("term",
         round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))
       .groupBy("u", "v")
