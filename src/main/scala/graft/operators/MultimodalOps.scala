@@ -4197,15 +4197,26 @@ object MultimodalOps {
         val container =
           if (id % 2 == 0) encodeWebp(w, h, text)
           else encodeAvif(id, w, h, text)
-        val (fmt, feature) = sniffAndDecode(id, container)
+        // decode ONCE per row (r12 advice: routing avif through the
+        // generic sniffer and then decoding AGAIN for dims doubled the
+        // per-row work on half the corpus). The ftyp major-brand test
+        // below IS the sniffer's avif rule (ISO 14496-12 §4.3);
+        // MultimodalSpec pins that sniffAndDecode agrees with this
+        // branch on the same container.
+        val isAvif = container.length >= 12 && container(4) == 'f' &&
+          container(5) == 't' && container(6) == 'y' &&
+          container(7) == 'p' && container(8) == 'a' &&
+          container(9) == 'v' && container(10) == 'i' &&
+          container(11) == 'f'
         // decoded dims, re-read from each format's real header (the
         // webp feature already packs them; avif carries them in ispe)
-        val (dw, dh) =
-          if (fmt == "webp")
-            ((feature / 100000L).toInt, (feature % 100000L).toInt)
-          else {
+        val (fmt, feature, dw, dh) =
+          if (isAvif) {
             val a = decodeAvif(id, container)
-            (a.width, a.height)
+            ("avif", a.byte_sum, a.width, a.height)
+          } else {
+            val (f, feat) = sniffAndDecode(id, container)
+            (f, feat, (feat / 100000L).toInt, (feat % 100000L).toInt)
           }
         (id, fmt, feature, dw.toLong, dh.toLong)
       })

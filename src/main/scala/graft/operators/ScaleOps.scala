@@ -38,6 +38,28 @@ object ScaleOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Row cutoff for the RUNTIME broadcast gates on node-sized tables
+    * in the iterative loops (PageRank/PPR rank rounds, LPA labels,
+    * HITS scores, the triangle/wedge degree attaches). An explicit
+    * `broadcast()` hint bypasses `autoBroadcastJoinThreshold`, and the
+    * hashed relation it builds costs roughly `rowBytes` of payload
+    * plus ~80B of object/array overhead per row — and is REBUILT every
+    * round of the iterative loops — so a fixed 10M-row cutoff that
+    * never looks at the driver heap is an OOM cliff just under the
+    * threshold (r12 advice). Derived instead from the JVM max heap:
+    * the hinted relation may use at most ~1/16th of it (two copies
+    * briefly coexist across round boundaries, and the driver carries
+    * its own scheduler/UI state besides), clamped to [500k, 10M] —
+    * small test heaps must still broadcast the specs' graphs, and a
+    * giant heap must still co-partition past 10M rows because the
+    * per-round relation REBUILD cost grows with rows regardless of
+    * whether the bytes fit. */
+  private[graft] def broadcastRowLimit(rowBytes: Long): Long = {
+    val relationBudget = Runtime.getRuntime.maxMemory() / 16
+    math.min(10000000L,
+      math.max(500000L, relationBudget / (rowBytes + 80)))
+  }
+
   private def scratch(d: String): String = Tables.scratchDir(d)
 
   /** Columns the q175 profile covers — one list drives both the Spark
@@ -134,8 +156,8 @@ object ScaleOps {
       forceCoPartition: Option[Boolean] = None): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
-    // ~10M nodes * 16B = the edge of comfortable executor broadcast
-    val BroadcastNodeLimit = 10000000L
+    // heap-derived cutoff: (node, rank) rows are 16B of payload
+    val BroadcastNodeLimit = broadcastRowLimit(16)
     // one bounded scalar job (node count) picks the shape — the same
     // runtime-statistics re-plan AQE does for join strategies
     val coPart = forceCoPartition.getOrElse(deg.count() > BroadcastNodeLimit)
@@ -183,7 +205,7 @@ object ScaleOps {
     // the same runtime shape switch as pageRankFixedPoint: past
     // comfortable broadcast, co-partition edges once and let every
     // round's rank join ride the cached partitioning
-    val BroadcastNodeLimit = 10000000L
+    val BroadcastNodeLimit = broadcastRowLimit(16)
     val coPart =
       forceCoPartition.getOrElse(deg.count() > BroadcastNodeLimit)
     var ranks = deg.select(col("src").as("node"))
@@ -1149,7 +1171,7 @@ object ScaleOps {
       // is broadcast-comfortable or the rounds must shuffle-join —
       // a mandatory broadcast of a table that grows with the graph
       // is the q126 scale-killer class
-      val bcastLbl = labels.count() <= 10000000L
+      val bcastLbl = labels.count() <= broadcastRowLimit(16)
       for (_ <- 1 to 3)
         labels = lpaRound(edges, labels, broadcastLabels = bcastLbl)
           .localCheckpoint(true)
@@ -1292,7 +1314,7 @@ object ScaleOps {
       // score tables are bounded by the edge count; one cheap count
       // of the checkpointed table picks broadcast vs shuffle rounds
       val (a, h) = hitsScores(e, rounds = 3,
-        broadcastScores = e.count() <= 10000000L)
+        broadcastScores = e.count() <= broadcastRowLimit(24))
       val topA = a.select(lit("auth").as("role"), col("sp").as("id"),
         col("score")).orderBy(col("score").desc, col("id").asc).limit(10)
       val topH = h.select(lit("hub").as("role"), col("c").as("id"),
@@ -2471,7 +2493,8 @@ object ScaleOps {
     // pageRankFixedPoint idiom — a vertex table GROWS, so the hint
     // must be a runtime decision, never mandatory)
     def bc(df: DataFrame): DataFrame =
-      if (degStats.getLong(0) <= 10000000L) broadcast(df) else df
+      if (degStats.getLong(0) <= broadcastRowLimit(16)) broadcast(df)
+      else df
     val keyed = edges
       .join(bc(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
       .join(bc(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
@@ -3179,7 +3202,8 @@ object ScaleOps {
     // deg is vertex-sized (GROWS): counted broadcast gate, same idiom
     // as triangleStats/pageRankFixedPoint — the wedge side is already
     // keyed by w, so the shuffle-join fallback co-partitions cleanly
-    val degBc = if (deg.count() <= 10000000L) broadcast(deg) else deg
+    val degBc =
+      if (deg.count() <= broadcastRowLimit(16)) broadcast(deg) else deg
     wedges.join(degBc, "w")
       .withColumn("term",
         round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))

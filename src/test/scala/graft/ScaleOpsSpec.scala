@@ -140,6 +140,20 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(coPart == bcast) // fixed-point BIGINTs: exact, not approx
   }
 
+  test("broadcastRowLimit: heap-derived, clamped, monotone in row width") {
+    // r12 advice: the runtime broadcast gates must not hold a fixed
+    // 10M-row cutoff regardless of driver heap — the cutoff derives
+    // from maxMemory and clamps to [500k, 10M]
+    val lim16 = ScaleOps.broadcastRowLimit(16)
+    val lim24 = ScaleOps.broadcastRowLimit(24)
+    assert(lim16 >= 500000L && lim16 <= 10000000L)
+    assert(lim24 <= lim16, "wider rows must never allow MORE of them")
+    // the heap budget (1/16th) over the per-row cost is the formula
+    val expect = math.min(10000000L, math.max(500000L,
+      Runtime.getRuntime.maxMemory() / 16 / (16 + 80)))
+    assert(lim16 == expect)
+  }
+
   test("q286 PPR: exact fixed-point recurrence on a 3-node path") {
     import spark.implicits._
     // undirected path a(1)–b(2)–c(3), seed {a}: share 1e10, restart
