@@ -121,6 +121,31 @@ object Bench {
     * evidence. */
   private val TailCount = 20
 
+  /** Outcome of one capped measurement ([[Bench.main]]'s runCapped):
+    * completed inside the cap (value + wall), cancelled-or-late at
+    * the cap (partial wall — never a reading), or a genuine failure
+    * well under the cap (original exception carried for the callers
+    * that rethrow). */
+  private sealed trait Capped[+P]
+  private final case class CapDone[P](value: P, sec: Double)
+    extends Capped[P]
+  private final case class CapHit(sec: Double) extends Capped[Nothing]
+  private final case class CapFail(e: Throwable, sec: Double)
+    extends Capped[Nothing]
+
+  /** Estimated quiet-host wall of each family's harness FLOOR (its
+    * smallest default point, from the harnesses' own fixedEst tables,
+    * plus headroom for gen + guard overheads). Reserved out of the
+    * budget at startup and released family-by-family right before
+    * each floor runs — `fits` arithmetic, not section ordering, is
+    * what guarantees all four floors a window (r12 lost 3 of 4 floors
+    * to an uncapped reading upstream). */
+  private[graft] val FloorReserve = Seq(
+    "vector" -> 12.0, // fixedEst 10k = 6s
+    "graph" -> 50.0, // fixedEst 100k = 32s
+    "stream" -> 55.0, // fixedEst 200k = 35s
+    "text" -> 45.0) // lsh 10 + sub 8 + hh 8 + web 4 at 100k
+
   /** Mutable emission snapshot, shared between the main thread (writes
     * at section checkpoints) and the watchdog thread (reads at the
     * hard stop). Fields hold immutable values; @volatile for
@@ -130,6 +155,8 @@ object Bench {
     @volatile var results: Seq[(String, Double)] = Nil
     @volatile var mainFailures: Seq[String] = Nil
     @volatile var capped: Seq[(String, Double)] = Nil
+    @volatile var regressions: Seq[String] = Nil
+    @volatile var scalePriors: Seq[(String, Double)] = Nil
     @volatile var scaleJson: String = "null"
     @volatile var exponents: Seq[(String, Double)] = Nil
     @volatile var noiseJson: String = "null"
@@ -200,6 +227,16 @@ object Bench {
       } catch { case _: Throwable => "" }
     val priorQueries: Map[String, Double] = DriftBaseline.queriesOf(priorText)
     val priorHeadline: Map[String, Double] = DriftBaseline.headlineOf(priorText)
+    // Small-point (sf0.01) baselines for the scale pass's order and
+    // caps, CLIPPED at the big-point prior: a small-point reading
+    // larger than its 10x-rows big twin is starvation by construction
+    // (the twin rule the noise guard runs on), and the r12 bootstrap
+    // source — the driver artifact's own `small` map — carries
+    // exactly such readings (q110 56.8s small vs 3.4s big prior).
+    val scalePriors: Map[String, Double] =
+      DriftBaseline.scaleOf(priorText).map { case (k, v) =>
+        k -> math.min(v, priorQueries.getOrElse(k, v))
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -216,6 +253,7 @@ object Bench {
     val st = new EmitState
     st.priors = priorQueries.toSeq.sortBy(_._1) // a mid-run kill ships
     st.headlinePriors = priorHeadline.toSeq.sortBy(_._1) // old priors
+    st.scalePriors = scalePriors.toSeq.sortBy(_._1)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     def jsonMap(kv: Seq[(String, Double)]) = kv
@@ -239,6 +277,7 @@ object Bench {
         s""""recall":${jsonMap(GateMetrics.snapshot)},""" +
         s""""failures":${jsonArr(st.mainFailures)},""" +
         s""""capped":${jsonMap(st.capped)},""" +
+        s""""regressions":${jsonArr(st.regressions)},""" +
         s""""scale":${st.scaleJson},""" +
         s""""vector_scale":${st.vectorJson},""" +
         s""""text_scale":${st.textJson},""" +
@@ -249,6 +288,7 @@ object Bench {
         s""""drift_guard":${st.driftJson},""" +
         s""""priors":${jsonMap(st.priors)},""" +
         s""""headline_priors":${jsonMap(st.headlinePriors)},""" +
+        s""""scale_priors":${jsonMap(st.scalePriors)},""" +
         s""""contention":{"median_vs_prior":${r3(st.contRatio)},""" +
         s""""contended":${st.contRatio > DriftBaseline.MaxQuietRatio}},""" +
         s""""skipped":${jsonArr(budget.skipped)},""" +
@@ -278,10 +318,12 @@ object Bench {
         else s""","headline":${jsonMap(st.headline.map {
           case (k, v) => k -> r3(v) })}"""
       // the run self-declares its weather (r11 verdict item 7): how
-      // many queries hit the per-query cap, and this run's median
-      // reading-vs-prior ratio
+      // many queries hit the per-query cap, this run's median
+      // reading-vs-prior ratio, and (r12 advice) how many QUIET-window
+      // caps survived escalation as genuine-regression suspects
       val weatherCompact =
-        s""","capped":${st.capped.size},"cont_mult":${r3(st.contRatio)}"""
+        s""","capped":${st.capped.size},"cont_mult":${r3(st.contRatio)}""" +
+          s""","regr":${st.regressions.size}"""
       val skippedCompact =
         s""","skipped_n":${budget.skipped.size}"""
       val detailJsonRef = if (detailOk) s""""$detailPath"""" else "null"
@@ -368,8 +410,14 @@ object Bench {
       // timed region: each guarded query's first execution otherwise
       // carries the guard's full-table signature scan (and a rebuild
       // when the source regenerated), inflating its first reading.
-      Seq("q84_date_partition_prune", "q113_source_roundtrip",
-          "q139_snapshot_read", "q165_ivm_join").foreach { g =>
+      // q83 belongs here too (r13): its bucketed tables are gated on
+      // catalog.tableExists, which is PER-JVM — every fresh JVM's
+      // first q83 execution silently re-ran the one-time layout write
+      // (~3.5s at sf0.1 vs 0.28s for the join itself), which is the
+      // real identity of the recurring "q83 13.8x drift" flag.
+      Seq("q83_bucketed_join", "q84_date_partition_prune",
+          "q113_source_roundtrip", "q139_snapshot_read",
+          "q165_ivm_join").foreach { g =>
         SparkEntry.queries.get(g).foreach(fn => fn(spark, sfDir).count())
       }
     } catch { case _: Throwable => () }
@@ -411,36 +459,72 @@ object Bench {
     checkpoint()
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    // Hermetic per-query measurement: caches cleared before each query
-    // so no query pays for (or benefits from) another's cached state.
-    // SINGLE run per query (r10 verdict item 3: universal best-of-2
-    // pushed the main pass alone to ~475s); the noise/drift guards
-    // below re-measure (best-of-2) exactly the readings that look
-    // starved — the warmup block absorbs cold codegen for the shared
-    // paths.
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
-    def run(name: String, fn: QFn, dir: String): Option[Double] = {
+
+    // ---- the capped-measurement primitive (r12 verdict item 1) --------
+    // EVERY measured section — main pass, sf0.01/sf0.001 scale passes,
+    // family floors, harness points (via budget.capper), guard
+    // re-measures — runs through one hermetic primitive: caches
+    // cleared, the work inside its own Spark job group, a REPEATED
+    // cancel from the cap on (a single cancel can land between a
+    // multi-job query's jobs — cancelJobGroup only kills ACTIVE jobs;
+    // r12's rework watched q66 outlive its 30s cap to 39.1s exactly
+    // that way). r12's artifact lost 3 of 4 family floors and 20 tail
+    // queries to ONE uncapped 56.8s sf0.01 reading — the cap machinery
+    // existed but only the main pass used it.
+    val capScheduler =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "bench-query-cap")
+        t.setDaemon(true)
+        t
+      })
+    def runCapped[P](tag: String, capSec: Double)(body: => P): Capped[P] = {
+      spark.catalog.clearCache()
+      val group = s"bench-$tag"
+      spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = true)
+      val cancel = capScheduler.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit =
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => () }
+      }, (capSec * 1000).toLong, 2000L,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
       val t0q = System.nanoTime()
       try {
-        fn(spark, dir).count()
-        Some((System.nanoTime() - t0q) / 1e9)
+        val v = body
+        val t = (System.nanoTime() - t0q) / 1e9
+        // completed but past the cap (the cancel raced a job
+        // boundary): starved beyond what the cap deems usable —
+        // a capped marker, never a reading
+        if (t > capSec) CapHit(t) else CapDone(v, t)
       } catch { case e: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        None // a fast failure must never masquerade as the query time
+        val el = (System.nanoTime() - t0q) / 1e9
+        if (el >= capSec * 0.9) CapHit(el) else CapFail(e, el)
+      } finally {
+        cancel.cancel(false)
+        spark.sparkContext.clearJobGroup()
       }
     }
-    def run1(name: String, fn: QFn, dir: String): Option[Double] = {
-      spark.catalog.clearCache()
-      run(name, fn, dir)
-    }
-    def bestOf2(name: String, fn: QFn, dir: String): Option[Double] = {
-      spark.catalog.clearCache()
-      val cold = run(name, fn, dir)
-      spark.catalog.clearCache()
-      val warm = run(name, fn, dir)
-      (cold.toSeq ++ warm.toSeq).reduceOption((a, b) => math.min(a, b))
-    }
+    // wire the same primitive into the harness sections' point loop
+    // (BenchBudget.gatedPoints/gatedGuard): a starved floor or rest
+    // point is cancelled at pointCapSec(est) and recorded
+    // `<fam>_<n>_capped`; a genuine in-cap failure still reaches the
+    // section's fail-loud marker
+    budget.capper = Some(new BenchBudget.Capper {
+      def apply[P](tag: String, capSec: Double)(body: => P): Option[P] =
+        runCapped(tag, capSec)(body) match {
+          case CapDone(v, _) => Some(v)
+          case CapHit(t) =>
+            System.err.println(
+              f"[bench] $tag CAPPED at $t%.1fs (cap $capSec%.1fs)")
+            None
+          case CapFail(e, _) => throw e
+        }
+    })
+    // hold the floors' estimated wall out of every earlier fits call
+    // — released share-by-share right before each floor section, so
+    // a contended main pass CANNOT eat the per-family scale evidence
+    FloorReserve.foreach { case (_, share) => budget.addReserve(share) }
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
 
@@ -461,6 +545,9 @@ object Bench {
       vs.lift(vs.size / 2).getOrElse(1.0)
     }
     def estOf(name: String): Double = priorQueries.getOrElse(name, priorMedian)
+    def mainCapSec(name: String): Double = priorQueries.get(name)
+      .map(p => math.min(math.max(8 * p, 5.0), 30.0))
+      .getOrElse(30.0)
     val ratioBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
     def contMult: Double = {
       val rs = ratioBuf.sorted
@@ -470,70 +557,63 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val resultsBuf =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // flag-time drift evidence (r12 verdict item 2): name ->
+    // (prior, first reading, best-of-2 final); `confirmed` marks
+    // entries whose immediate re-measure RAN (raise-grade evidence
+    // for the priors merge) — the old end-of-run drift pass was
+    // starved out of the window two rounds straight, shipping
+    // final == first on every flag
+    val driftBuf = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double)]
+    val driftConfirmed = scala.collection.mutable.Set.empty[String]
     var mainSkips = 0
-    val capScheduler =
-      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-        val t = new Thread(r, "bench-query-cap")
-        t.setDaemon(true)
-        t
-      })
     def runMainQuery(name: String, fn: QFn): Unit = {
       if (!budget.fits(s"main_$name", estOf(name) * contMult)) {
         mainSkips += 1
         return
       }
       val prior = priorQueries.get(name)
-      val capSec = prior
-        .map(p => math.min(math.max(8 * p, 5.0), 30.0))
-        .getOrElse(30.0)
-      spark.catalog.clearCache()
-      val group = s"bench-$name"
-      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-      // REPEATED cancel from the cap on: a single cancel can land
-      // between a multi-job query's jobs (cancelJobGroup only kills
-      // ACTIVE jobs) — run 1 of this rework watched q66 outlive its
-      // 30s cap to 39.1s exactly that way
-      val cancel = capScheduler.scheduleWithFixedDelay(new Runnable {
-        def run(): Unit =
-          try spark.sparkContext.cancelJobGroup(group)
-          catch { case _: Throwable => () }
-      }, (capSec * 1000).toLong, 2000L,
-        java.util.concurrent.TimeUnit.MILLISECONDS)
-      val t0q = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val t = (System.nanoTime() - t0q) / 1e9
-        if (t > capSec) {
-          // completed, but past the cap (the cancel raced a job
-          // boundary): the reading is starved beyond what the cap
-          // deems usable — record it as capped, never as a time
-          cappedBuf += name -> t
-          st.capped = cappedBuf.toSeq
-          budget.skip(s"capped_$name")
-          System.err.println(f"[bench] $name CAPPED (late) at $t%.1fs " +
-            f"(cap $capSec%.1fs)")
-        } else {
-          resultsBuf += name -> t
-          prior.filter(_ > 0.05).foreach(p => ratioBuf += t / p)
+      val capSec = mainCapSec(name)
+      runCapped(name, capSec)(fn(spark, sfDir).count()) match {
+        case CapDone(_, t) =>
+          // drift is re-measured AT FLAG TIME, inside the same cap:
+          // one immediate best-of-2 confirms a genuine slowdown or
+          // clears a starved reading while the window still exists
+          var fin = t
+          if (DriftBaseline.drifted(prior, t) &&
+              budget.fits(s"drift_remeasure_$name",
+                math.min(t, capSec) + 1)) {
+            runCapped(s"drift-$name", capSec)(
+              fn(spark, sfDir).count()) match {
+              case CapDone(_, t2) =>
+                fin = math.min(t, t2)
+                driftConfirmed += name
+              case _ => ()
+            }
+          }
+          if (DriftBaseline.drifted(prior, t))
+            driftBuf(name) = ((prior.get, t, fin))
+          resultsBuf += name -> fin
+          prior.filter(_ > 0.05).foreach(p => ratioBuf += fin / p)
           st.contRatio = contMult
-        }
-      } catch { case e: Throwable =>
-        val el = (System.nanoTime() - t0q) / 1e9
-        if (el >= capSec * 0.9) {
+        case CapHit(el) =>
           cappedBuf += name -> el
           st.capped = cappedBuf.toSeq
           budget.skip(s"capped_$name")
+          // the capped wall is a LOWER BOUND on the true reading —
+          // fold it into the contention evidence (r12 advice: a
+          // window whose worst queries all capped must not rate
+          // quiet off the survivors alone)
+          prior.filter(_ > 0.05).foreach(p => ratioBuf += el / p)
           System.err.println(f"[bench] $name CAPPED at $el%.1fs " +
             f"(cap $capSec%.1fs, prior ${prior.getOrElse(-1.0)}%.2fs)")
-        } else if (budget.remainingSec <= 0) {
-          budget.skip(s"main_deadline_$name")
-        } else {
-          failures += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-      } finally {
-        cancel.cancel(false)
-        spark.sparkContext.clearJobGroup()
+        case CapFail(e, _) =>
+          if (budget.remainingSec <= 0) {
+            budget.skip(s"main_deadline_$name")
+          } else {
+            failures += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
       }
       if (resultsBuf.size % 25 == 0) {
         st.results = resultsBuf.toSeq
@@ -555,21 +635,68 @@ object Bench {
     // third point, and the mid point), the rest AFTER the harness
     // sections — a contended host then degrades to core-exponents +
     // harness points instead of full-exponents + nothing.
-    def scalePass(fams: Seq[String], tag: String): Seq[(String, Double)] = {
-      var truncated = false
-      if (scaleDir == sfDir) Seq.empty
-      else selected.filter(q => fams.contains(q._1)).flatMap {
-        case (name, fn) =>
-          if (!truncated && budget.remainingSec < 25.0) {
-            truncated = true
-            budget.skip(s"${tag}_from_$name")
-          }
-          if (truncated) None
-          else run1(name, fn, scaleDir).map(name -> _)
-      }
+    //
+    // r12 verdict items 1/4: this pass used to run a FIXED list,
+    // uncapped — q110_pagerank read 56.8s at sf0.01 (quiet same-HEAD:
+    // 3.4s) and single-handedly starved 3 of 4 family floors plus the
+    // 20-query tail out of the artifact. Now it is scheduled exactly
+    // like the main pass: CHEAPEST-FIRST by its own min-merged small
+    // priors (the measured order is visible in the detail artifact's
+    // `scale.small` map, which preserves run order), each query gated
+    // on prior x the rolling contention multiplier, each cancelled at
+    // min(max(8 x small-prior, 5s), 30s) in its own job group.
+    val scaleMedian: Double = {
+      val vs = scalePriors.values.toSeq.sorted
+      vs.lift(vs.size / 2).getOrElse(1.0)
     }
-    val scaleSmallCore = scalePass(ScaleCore, "scale_core")
-    checkpoint()
+    def scaleEstOf(name: String): Double =
+      scalePriors.getOrElse(name, scaleMedian)
+    def scalePass(fams: Seq[String], tag: String): Seq[(String, Double)] =
+      if (scaleDir == sfDir) Seq.empty
+      else selected.filter(q => fams.contains(q._1))
+        .sortBy { case (n, _) => (scaleEstOf(n), n) }
+        .flatMap { case (name, fn) =>
+          if (!budget.fits(s"${tag}_$name", scaleEstOf(name) * contMult))
+            None
+          else {
+            val capSec = scalePriors.get(name)
+              .map(p => math.min(math.max(8 * p, 5.0), 30.0))
+              .getOrElse(30.0)
+            runCapped(s"$tag-$name", capSec)(
+              fn(spark, scaleDir).count()) match {
+              case CapDone(_, t) =>
+                // small readings vs small priors are contention
+                // evidence too — the earlier this run knows its
+                // weather, the better every later gate's estimate
+                scalePriors.get(name).filter(_ > 0.05)
+                  .foreach(p => ratioBuf += t / p)
+                Some(name -> t)
+              case CapHit(el) =>
+                cappedBuf += s"$tag:$name" -> el
+                st.capped = cappedBuf.toSeq
+                budget.skip(s"capped_${tag}_$name")
+                scalePriors.get(name).filter(_ > 0.05)
+                  .foreach(p => ratioBuf += el / p)
+                System.err.println(f"[bench] $tag $name CAPPED at " +
+                  f"$el%.1fs (cap $capSec%.1fs)")
+                None
+              case CapFail(e, _) =>
+                if (budget.remainingSec <= 0)
+                  budget.skip(s"${tag}_deadline_$name")
+                else {
+                  failures += name
+                  System.err.println(
+                    s"[bench] $tag $name FAILED: ${e.getMessage}")
+                }
+                None
+            }
+          }
+        }
+    // (The core pass itself runs AFTER the family floors — r13: run 1
+    // of this rework held the floors' 162s reserve through the core
+    // pass and fits-skipped 12 of its 21 queries on a contended
+    // window; the floors releasing their shares first gives the core
+    // pass the same window it had before the reserve existed.)
 
     // ---- reserved harness floor (r11 verdict item 3) -------------------
     // One SMALL point per scale family, run BEFORE the main pass's
@@ -612,24 +739,34 @@ object Bench {
         System.err.println(s"[bench] $tag $why: ${e.getMessage}")
         (None, "\"" + why + "\"")
       }
+    // Each floor releases ITS reserve share right before running (the
+    // share was held out of every earlier fits call), so the floor's
+    // own inner gates see the window that was reserved for it. A
+    // family disabled by env still releases — the reserve protects
+    // floors that WILL run, never pads the budget.
+    val reserveShare = FloorReserve.toMap
+    budget.releaseReserve(reserveShare("vector"))
     val (vFloor, vFloorJson) = vectorSizes.map(ss =>
       trySection("vector_floor")(
         VectorScaleBench.run(spark, ss.take(1), None, budget))(_.json))
       .getOrElse((None, "null"))
     st.vectorJson = vFloorJson
     checkpoint()
+    budget.releaseReserve(reserveShare("graph"))
     val (gFloor, gFloorJson) = graphSizes.map(ss =>
       trySection("graph_floor")(
         GraphScaleBench.run(spark, ss.take(1), budget))(_.json))
       .getOrElse((None, "null"))
     st.graphJson = gFloorJson
     checkpoint()
+    budget.releaseReserve(reserveShare("stream"))
     val (sFloor, sFloorJson) = streamSizes.map(ss =>
       trySection("stream_floor")(
         StreamScaleBench.run(spark, ss.take(1), budget))(_.json))
       .getOrElse((None, "null"))
     st.streamJson = sFloorJson
     checkpoint()
+    budget.releaseReserve(reserveShare("text"))
     val (tFloor, tFloorJson) = textSizes.map(ss =>
       trySection("text_floor")(
         TextScaleBench.run(spark, ss.take(1), None, budget))(_.json))
@@ -637,8 +774,62 @@ object Bench {
     st.textJson = tFloorJson
     checkpoint()
 
+    // core sf0.01 pass, now that every floor has run and the reserve
+    // is fully released (see the comment at scalePass)
+    val scaleSmallCore = scalePass(ScaleCore, "scale_core")
+    checkpoint()
+
     // ---- main-pass tail (the slowest-by-prior queries) -----------------
     mainTail.foreach { case (name, fn) => runMainQuery(name, fn) }
+
+    // ---- quiet-window cap escalation (r12 advice, medium) --------------
+    // A cap that fires on a QUIET window is evidence of code, not
+    // weather — and without escalation a genuine >=8x regression can
+    // never produce a reading again: the cap cancels it every round,
+    // its old prior rides forward via mergePriors, and the drift
+    // guard never sees it. Each main-pass capped query gets ONE
+    // re-run at a 4x-cap ceiling: a completion is a real reading
+    // (recorded in results, visible to drift + priors), and one that
+    // completes past its original cap — or still won't finish, or
+    // can't afford its slot — stays a loud `regressions` entry.
+    val regressionsBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qByName = selected.toMap
+    val mainCapped = cappedBuf.toSeq.collect {
+      case (n, w) if !n.contains(":") => (n, w) // scale-pass caps keep
+    } //  their small-point cap; escalation is a big-point re-reading
+    if (contMult <= DriftBaseline.MaxQuietRatio) {
+      mainCapped.foreach { case (name, _) =>
+        val capSec = mainCapSec(name)
+        val escCap = math.min(4 * capSec, 120.0)
+        if (budget.fits(s"cap_escalate_$name", escCap)) {
+          runCapped(s"escalate-$name", escCap)(
+            qByName(name)(spark, sfDir).count()) match {
+            case CapDone(_, t) =>
+              resultsBuf += name -> t
+              if (t > capSec) {
+                regressionsBuf += name
+                // a completed past-cap reading is raise-grade
+                // evidence: it reproduced under escalation, so the
+                // baseline may adopt it (loudly, via `regressions`)
+                priorQueries.get(name).foreach { p =>
+                  driftBuf(name) = ((p, t, t))
+                }
+                driftConfirmed += name
+              }
+            case CapHit(el) =>
+              regressionsBuf += name
+              System.err.println(f"[bench] $name still capped at " +
+                f"$el%.1fs under escalation (cap $escCap%.1fs)")
+            case CapFail(e, _) =>
+              if (budget.remainingSec > 0) failures += name
+              System.err.println(
+                s"[bench] escalate $name FAILED: ${e.getMessage}")
+          }
+        } else regressionsBuf += name // unresolved quiet-window cap
+      }
+      st.regressions = regressionsBuf.toSeq.sorted
+    }
+
     val results = resultsBuf.toSeq
     st.results = results
     val mainFailures = failures.distinct.toSeq
@@ -667,18 +858,40 @@ object Bench {
     // systemically contended host the median rule flags dozens of
     // readings, and run after run showed an uncapped pass eating the
     // entire harness window to shave modest inflations.
-    val qByName = selected.toMap
+    /** One capped re-measure attempt pair: each run bounded at
+      * `capSec` in its own job group (the guards must never become
+      * the thing that eats the window — r12 verdict item 1 lists the
+      * guard re-measures among the uncapped sections). Returns the
+      * minimum of the attempts that completed; None when both were
+      * cancelled or failed. */
+    def bestOf2Capped(name: String, fn: QFn, dir: String,
+        capSec: Double): Option[Double] = {
+      def one(tag: String): Option[Double] =
+        runCapped(tag, capSec)(fn(spark, dir).count()) match {
+          case CapDone(_, t) => Some(t)
+          case CapHit(_) => None
+          case CapFail(e, _) =>
+            System.err.println(s"[bench] $tag FAILED: ${e.getMessage}")
+            None
+        }
+      val a = one(s"re1-$name")
+      val b = one(s"re2-$name")
+      (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
+    }
     /** Returns (guarded readings, flagged names, RE-MEASURED names) —
       * the third set feeds the priors merge: only a best-of-2-confirmed
       * raise may lift a baseline (see the priors block below). `priors`
       * scopes the median rule to prior-anomalous readings; the small
-      * passes pass Map.empty (their readings have no same-dir priors). */
+      * passes pass Map.empty (their readings have no same-dir priors).
+      * Each re-measure run is capped at 1.5x the flagged reading (the
+      * true value can only be LOWER than a starved one; a rerun that
+      * cannot even match the flagged wall is itself starved). */
     def remeasurePass(first: Seq[(String, Double)], twins: Map[String, Double],
-        dir: String, bigSide: Boolean, capSec: Double,
+        dir: String, bigSide: Boolean, passWallSec: Double,
         priors: Map[String, Double] = Map.empty)
         : (Seq[(String, Double)], Seq[String], Set[String]) = {
       val passEnd = budget.elapsedSec +
-        math.min(capSec, 0.25 * budget.remainingSec)
+        math.min(passWallSec, 0.25 * budget.remainingSec)
       val med = first.map(_._2).sorted.lift(first.size / 2).getOrElse(0.0)
       val flagged = first.filter { case (n, t) =>
         val twin = twins.get(n)
@@ -691,7 +904,9 @@ object Bench {
         .flatMap { case (n, t) =>
           if (budget.elapsedSec < passEnd &&
               budget.fits(s"noise_remeasure_$n", 2 * t + 1))
-            bestOf2(n, qByName(n), dir).map(v => n -> math.min(t, v))
+            bestOf2Capped(n, qByName(n), dir,
+              math.min(1.5 * t + 2.0, 45.0))
+              .map(v => n -> math.min(t, v))
           else None
         }.toMap
       val redone = first.map { case (n, t) =>
@@ -704,41 +919,21 @@ object Bench {
     // runs after the harnesses) — the non-core families get their twin
     // check in the LATE pass below, once scale_rest lands; until then
     // only the 3x-median rule covers them.
-    val (results2a, mainFlagged, noiseRemeasured) =
+    val (results2, mainFlagged, noiseRemeasured) =
       remeasurePass(results, scaleSmallCore.toMap, sfDir,
-        bigSide = true, capSec = 90.0, priors = priorQueries)
+        bigSide = true, passWallSec = 90.0, priors = priorQueries)
 
-    // ---- cross-round drift guard (r9 verdict item 2) ------------------
-    // any reading >1.5x its prior-round value (and >1s, and +0.5s
-    // absolute — sub-second jitter is not drift) gets ONE extra
-    // re-measure (budget-gated); the artifact records prior/first/final
-    // so a jump that stands is auditable and a starved one is corrected.
-    val driftFlagged: Set[String] = results2a.collect {
-      case (n, t) if DriftBaseline.drifted(priorQueries.get(n), t) => n
-    }.toSet
-    // worst drift ratio first (same budget-ordering rationale and
-    // pass-wall cap as the noise pass)
-    val driftPassEnd = budget.elapsedSec +
-      math.min(60.0, 0.2 * budget.remainingSec)
-    val driftUpdates = results2a.filter(p => driftFlagged(p._1))
-      .sortBy { case (n, t) => -t / priorQueries(n) }
-      .flatMap { case (n, t) =>
-        if (budget.elapsedSec < driftPassEnd &&
-            budget.fits(s"drift_remeasure_$n", 2 * t + 1))
-          bestOf2(n, qByName(n), sfDir).map(v => n -> math.min(t, v))
-        else None
-      }.toMap
-    val results2 = results2a.map { case (n, t) =>
-      n -> driftUpdates.getOrElse(n, t)
-    }
+    // Cross-round drift (r9 verdict item 2) was re-measured AT FLAG
+    // TIME inside the main pass (r12 verdict item 2: the end-of-run
+    // drift pass shipped `final == first` on all five r12 flags —
+    // starved out of the window two rounds straight). The artifact's
+    // drift block reads the flag-time evidence.
     val driftEntries: Seq[(String, (Double, Double, Double))] =
-      results2.collect { case (n, t) if driftFlagged(n) =>
-        n -> ((priorQueries(n), results2a.toMap.apply(n), t))
-      }
+      driftBuf.toSeq
     st.results = results2
-    val (scaleCore2, coreFlagged, _) =
+    val (scaleCore2, coreFlagged, coreRemeasured) =
       remeasurePass(scaleSmallCore, results2.toMap, scaleDir,
-        bigSide = false, capSec = 40.0)
+        bigSide = false, passWallSec = 40.0)
 
     // first readings keyed per pass: a query measured at BOTH scale
     // points would otherwise collide and report the wrong original
@@ -811,31 +1006,52 @@ object Bench {
         case Some(v) => Some(v.trim.toLong)
         case None => Some(200000L)
       }
+    // The rest call runs the sizes the floor did NOT measure (r12
+    // advice: positional drop(1) never re-attempted a floor size that
+    // was budget-skipped or capped — now a lost floor point is
+    // retried here once the window recovers), and a rest call that
+    // FAILS keeps the floor JSON with an explicit `"rest"` marker
+    // spliced in instead of silently shipping floor-only output.
+    def restSizes[P](all: Seq[Long], seedPts: Seq[P])(n: P => Long)
+        : Seq[Long] = {
+      val seen = seedPts.map(n).toSet
+      all.filterNot(seen)
+    }
+    def withRestMarker(floorJson: String, restJson: String): String =
+      if (floorJson.endsWith("}"))
+        floorJson.dropRight(1) + s""","rest":$restJson}"""
+      else floorJson
     val (vsResult0, vsJson) = vectorSizes.map(ss =>
       trySection("vector_scale")(
-        VectorScaleBench.run(spark, ss.drop(1), None, budget,
+        VectorScaleBench.run(spark,
+          restSizes(ss, vFloor.map(_.points).getOrElse(Seq.empty))(_.n),
+          None, budget,
           seed = vFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
       .getOrElse((None, "null"))
     st.vectorJson = if (vsResult0.isDefined || vFloor.isEmpty) vsJson
-      else vFloorJson
+      else withRestMarker(vFloorJson, vsJson)
     checkpoint()
 
     val (gsResult, gsJson) = graphSizes.map(ss =>
       trySection("graph_scale")(
-        GraphScaleBench.run(spark, ss.drop(1), budget,
+        GraphScaleBench.run(spark,
+          restSizes(ss, gFloor.map(_.points).getOrElse(Seq.empty))(_.n),
+          budget,
           seed = gFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
       .getOrElse((None, "null"))
     st.graphJson = if (gsResult.isDefined || gFloor.isEmpty) gsJson
-      else gFloorJson
+      else withRestMarker(gFloorJson, gsJson)
     checkpoint()
 
     val (ssResult, ssJson) = streamSizes.map(ss =>
       trySection("stream_scale")(
-        StreamScaleBench.run(spark, ss.drop(1), budget,
+        StreamScaleBench.run(spark,
+          restSizes(ss, sFloor.map(_.points).getOrElse(Seq.empty))(_.n),
+          budget,
           seed = sFloor.map(_.points).getOrElse(Seq.empty)))(_.json))
       .getOrElse((None, "null"))
     st.streamJson = if (ssResult.isDefined || sFloor.isEmpty) ssJson
-      else sFloorJson
+      else withRestMarker(sFloorJson, ssJson)
     checkpoint()
 
     // SPARK_GRAFT_TEXT_SWEEP: the hard-corpus banding sweep's size
@@ -848,11 +1064,13 @@ object Bench {
     }
     val (tsResult, tsJson) = textSizes.map(ss =>
       trySection("text_scale")(
-        TextScaleBench.run(spark, ss.drop(1), sweepN, budget,
-          seed = tFloor))(_.json))
+        TextScaleBench.run(spark,
+          restSizes(ss,
+            tFloor.map(_.points).getOrElse(Seq.empty))(_.n),
+          sweepN, budget, seed = tFloor))(_.json))
       .getOrElse((None, "null"))
     st.textJson = if (tsResult.isDefined || tFloor.isEmpty) tsJson
-      else tFloorJson
+      else withRestMarker(tFloorJson, tsJson)
     checkpoint()
 
     // ---- vector hard sweep (post-harness refinement) -------------------
@@ -883,11 +1101,24 @@ object Bench {
       if (scale3Dir == sfDir || scale3Dir == scaleDir ||
           !budget.fits("scale3_pass", 20.0)) Seq.empty
       else selected.filter(q => ScaleFamilies3.contains(q._1)).flatMap {
-        case (name, fn) => run1(name, fn, scale3Dir).map(name -> _)
+        case (name, fn) =>
+          // tiny-point readings are sub-second on a quiet host; a
+          // fixed 15s cap bounds a starved one at ~1.7% of the window
+          runCapped(s"tiny-$name", 15.0)(
+            fn(spark, scale3Dir).count()) match {
+            case CapDone(_, t) => Some(name -> t)
+            case CapHit(_) =>
+              budget.skip(s"capped_tiny_$name"); None
+            case CapFail(e, _) =>
+              failures += name
+              System.err.println(
+                s"[bench] tiny $name FAILED: ${e.getMessage}")
+              None
+          }
       }
     val (scale3, _, _) =
       remeasurePass(scale3First, scaleCore2.toMap, scale3Dir,
-        bigSide = false, capSec = 20.0)
+        bigSide = false, passWallSec = 20.0)
     val smallMap = scaleCore2.toMap
     val exponents3 = scale3.collect {
       case (k, tiny) if tiny > 0 && smallMap.contains(k) =>
@@ -920,7 +1151,16 @@ object Bench {
         val n = spark.read.parquet(s"$midDir/documents.parquet").count()
         selected.filter(q => MidFamilies.contains(q._1)).flatMap {
           case (name, fn) =>
-            run1(name, fn, midDir).map(t => (name, t, n))
+            runCapped(s"mid-$name", 30.0)(
+              fn(spark, midDir).count()) match {
+              case CapDone(_, t) => Some((name, t, n))
+              case CapHit(_) =>
+                budget.skip(s"capped_mid_$name"); None
+              case CapFail(e, _) =>
+                System.err.println(
+                  s"[bench] mid $name FAILED: ${e.getMessage}")
+                None
+            }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mid point FAILED: ${e.getMessage}")
@@ -963,16 +1203,16 @@ object Bench {
         budget.remainingSec > 40.0)
       prewarmGates(scaleDir, 40.0)
     val scaleSmallRest = scalePass(restFams, "scale_rest")
-    val (scaleRest2, restFlagged, _) =
+    val (scaleRest2, restFlagged, restRemeasured) =
       remeasurePass(scaleSmallRest, st.results.toMap, scaleDir,
-        bigSide = false, capSec = 30.0)
+        bigSide = false, passWallSec = 30.0)
     // LATE twin pass (r11 ADVICE item 3): now that the non-core small
     // twins exist, give the main-pass readings outside ScaleCore their
     // big-vs-4x-small-twin check too (they only had the 3x-median rule
     // at the early pass) — re-measures budget-gated as always.
     val (results3, lateFlagged, lateRemeasured) =
       remeasurePass(st.results, scaleRest2.toMap, sfDir,
-        bigSide = true, capSec = 30.0, priors = priorQueries)
+        bigSide = true, passWallSec = 30.0, priors = priorQueries)
     st.results = results3
     refreshScaleState(scaleCore2 ++ scaleRest2,
       (coreFlagged ++ restFlagged).sorted,
@@ -1038,19 +1278,39 @@ object Bench {
     // richest evidence); the harness headline merge reuses it ORed
     // with the headline map's own rating (few entries, so its own
     // median may be uninformative).
-    val remeasured = noiseRemeasured ++ driftUpdates.keySet ++
+    val remeasured = noiseRemeasured ++ driftConfirmed ++
       lateRemeasured
     val finalMap = DriftBaseline.protectRaises(priorQueries,
       st.results.toMap, remeasured)
     // weather is rated on the RAW readings (the finalMap filter above
-    // only protects baselines, it must not flatter the rating)
-    val queryRatio =
-      DriftBaseline.contentionRatio(priorQueries, st.results.toMap)
+    // only protects baselines, it must not flatter the rating), PLUS
+    // the capped walls as LOWER-BOUND ratios (r12 advice: the rating
+    // had survivorship bias — a window whose worst queries all capped
+    // could still rate quiet off the survivors and let mergePriors
+    // adopt their sub-1.5x-inflated readings)
+    val resultNames = st.results.map(_._1).toSet
+    val cappedLowerBounds = mainCapped.collect {
+      case (n, w) if !resultNames(n) => n -> w
+    }.toMap
+    val queryRatio = DriftBaseline.contentionRatio(priorQueries,
+      st.results.toMap ++ cappedLowerBounds)
     st.contRatio = queryRatio
     val headlineRatio =
       DriftBaseline.contentionRatio(priorHeadline, headlineNow.toMap)
-    val contended = queryRatio > DriftBaseline.MaxQuietRatio
+    // several caps in one window are themselves contention evidence
+    // (each is a >=8x-or-30s excursion) even when the survivor median
+    // reads quiet
+    val contended = queryRatio > DriftBaseline.MaxQuietRatio ||
+      cappedLowerBounds.size >= 3
     st.priors = DriftBaseline.mergePriors(priorQueries, finalMap,
+      contended).toSeq.sortBy(_._1)
+    // small-point baselines for next round's scale-pass order + caps:
+    // identical min-merge discipline (protectRaises with the small
+    // passes' own best-of-2-confirmed re-measures as raise evidence)
+    val smallFinal = (scaleCore2 ++ scaleRest2).toMap
+    st.scalePriors = DriftBaseline.mergePriors(scalePriors,
+      DriftBaseline.protectRaises(scalePriors, smallFinal,
+        coreRemeasured ++ restRemeasured),
       contended).toSeq.sortBy(_._1)
     // headline entries get the same per-entry protection as queries,
     // but stricter: there is NO in-run best-of-2 for a harness point

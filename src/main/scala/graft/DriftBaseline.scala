@@ -28,6 +28,18 @@ object DriftBaseline {
       .orElse(flatField(priorText, "queries"))
       .getOrElse(Map.empty)
 
+  /** Small-point (sf0.01 scale pass) baselines: the min-merged
+    * `scale_priors` map when present (r13+), else the prior run's own
+    * `"small"` readings inside the scale block (the r12 bootstrap).
+    * These feed the small pass's cheapest-first order and per-query
+    * caps (r12 verdict items 1/4: the small pass ran a fixed list
+    * uncapped and one starved 56.8s reading starved 3 of 4 family
+    * floors out of the artifact). */
+  def scaleOf(priorText: String): Map[String, Double] =
+    flatField(priorText, "scale_priors")
+      .orElse(flatField(priorText, "small"))
+      .getOrElse(Map.empty)
+
   /** The biggest-point metrics every harness headline rests on. */
   val HeadlineKeys: Seq[String] = Seq("lsh_sec", "sub_sec", "tri_sec",
     "pr_sec", "kcore_sec", "mst_sec", "session_sec", "brute_sec")

@@ -117,6 +117,85 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(tight.skipped == Seq("fam_1000"))
   }
 
+  test("pointCapSec: 3x estimate, floored at 30s, ceiling at 300s") {
+    assert(BenchBudget.pointCapSec(2.0) == 30.0)
+    assert(BenchBudget.pointCapSec(20.0) == 60.0)
+    assert(BenchBudget.pointCapSec(200.0) == 300.0)
+  }
+
+  test("gatedPoints: a capped point is recorded <fam>_<n>_capped and " +
+      "the family continues with its remaining sizes") {
+    val b = budgetWith(1000.0)
+    b.capper = Some(new BenchBudget.Capper {
+      def apply[P](tag: String, capSec: Double)(body: => P): Option[P] =
+        if (tag == "fam_100") None else Some(body)
+    })
+    val pts = BenchBudget.gatedPoints(b, "fam", Seq(100L, 1000L),
+      firstEst = 1.0)(n => (n, 0.5))(_._1, _._2)
+    assert(pts.map(_._1) == Seq(1000L))
+    assert(b.skipped == Seq("fam_100_capped"))
+  }
+
+  test("gatedPoints: a genuine in-cap failure is rethrown through the " +
+      "capper (section fail-loud markers keep working)") {
+    val b = budgetWith(1000.0)
+    b.capper = Some(new BenchBudget.Capper {
+      def apply[P](tag: String, capSec: Double)(body: => P): Option[P] =
+        Some(body)
+    })
+    intercept[RuntimeException] {
+      BenchBudget.gatedPoints(b, "fam", Seq(100L), firstEst = 1.0)(
+        n => sys.error("boom"): (Long, Double))(_._1, _._2)
+    }
+  }
+
+  test("gatedGuard: a capped re-measure ships the original point and " +
+      "records <fam>_guard_<n>_capped") {
+    val b = budgetWith(500.0)
+    b.capper = Some(new BenchBudget.Capper {
+      def apply[P](tag: String, capSec: Double)(body: => P): Option[P] =
+        None // every redo is 'cancelled'
+    })
+    val pts = Seq((100L, 1.0), (1000L, 50.0)) // flagged (exp > 4*sqrt(10))
+    val r = BenchBudget.gatedGuard(b, "fam", pts)(_._1, _._2)(
+      n => (n, 2.0), (a, x) => (a._1, math.min(a._2, x._2)))
+    assert(r.last._2 == 50.0, "original reading ships when the redo caps")
+    assert(b.skipped.contains("fam_guard_1000_capped"))
+  }
+
+  test("floor reserve: held out of every fits call, released " +
+      "share-by-share, clamped at zero") {
+    val b = budgetWith(200.0)
+    b.addReserve(150.0)
+    assert(!b.fits("main_big", 50.0)) // 200 - 15 - 150 = 35 < 50
+    assert(b.fits("main_small", 30.0))
+    b.releaseReserve(100.0)
+    assert(b.fits("floor1", 80.0)) // 200 - 15 - 50 = 135 >= 80
+    b.releaseReserve(100.0) // over-release clamps
+    assert(b.reservedSec == 0.0)
+  }
+
+  test("floor reserve covers all four family floors at quiet-host " +
+      "cost inside a 900s window (r12 verdict item 3: >=1 headline " +
+      "point per family)") {
+    val shares = Bench.FloorReserve.toMap
+    assert(shares.keySet == Set("vector", "graph", "stream", "text"))
+    // the harnesses' own quiet-host fixedEst floor costs (vector 10k
+    // = 6s, graph 100k = 32s, stream 200k = 35s, text 100k = 10+8+8+4
+    // = 30s across its four sub-families) — each share must cover its
+    // floor with >=25% headroom so the floor's OWN inner gates accept
+    // it on a mildly slow host...
+    val floorCost = Map("vector" -> 6.0, "graph" -> 32.0,
+      "stream" -> 35.0, "text" -> 30.0)
+    floorCost.foreach { case (f, c) =>
+      assert(shares(f) >= 1.25 * c, s"$f share ${shares(f)} vs cost $c")
+    }
+    // ...and the whole reserve must stay a modest fraction of the
+    // 900s driver window, or reserving it would itself starve the
+    // main pass it is protecting the floors FROM
+    assert(shares.values.sum <= 0.25 * 900.0)
+  }
+
   test("gatedGuard: unflagged curve is untouched") {
     val pts = Seq((100L, 1.0), (1000L, 8.0)) // ~linear, no flag
     var redone = 0

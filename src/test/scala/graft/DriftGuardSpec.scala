@@ -86,6 +86,23 @@ class DriftGuardSpec extends AnyFunSuite {
       Map("sub_sec@1000000" -> 60.0))
   }
 
+  test("scaleOf: prefers the min-merged scale_priors map, falls back " +
+      "to the scale block's small readings, empty otherwise") {
+    val withBoth =
+      """{"scale":{"small_sf":"/x","small":{"q1":1.5,"q2":0.4},""" +
+        """"log10_ratio_for_10x_rows":{"q1":0.9}},""" +
+        """"scale_priors":{"q1":1.2}}"""
+    assert(DriftBaseline.scaleOf(withBoth) == Map("q1" -> 1.2))
+    // the r12 bootstrap shape: only the run's own small readings —
+    // and noise_guard's "small_first" key must NOT shadow-match
+    val smallOnly =
+      """{"scale":{"small_sf":"/x","small":{"q1":1.5,"q2":0.4},""" +
+        """"failures":[]},"noise_guard":{"small_first":{"q9":9.0}}}"""
+    assert(DriftBaseline.scaleOf(smallOnly) ==
+      Map("q1" -> 1.5, "q2" -> 0.4))
+    assert(DriftBaseline.scaleOf("{}") == Map.empty)
+  }
+
   test("contentionRatio: median reading-vs-prior; 1.0 under 3 samples") {
     val prior = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 0.01)
     // d's prior is below the 0.05s comparability floor — excluded
