@@ -1160,6 +1160,54 @@ object TextOps {
         .limit(20)
     }),
 
+    // DoReMi-style learned domain reweighting (Xie et al. 2023,
+    // "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    // Pretraining"): multiplicative-weights / group-DRO update over
+    // the per-SOURCE stats — each round, domains whose loss exceeds
+    // the current WEIGHTED-mixture reference loss gain weight, so
+    // mass shifts toward the domains the proxy model is worst at.
+    // The loss proxy here is the mean document length per domain (any
+    // per-doc score column drops in — the op is the update, not the
+    // loss). Arithmetic is the pageRankFixedPoint discipline: BIGINT
+    // 1e-6 fixed point, every division non-negative (floor == trunc,
+    // so DuckDB `//` and JVM `/` agree bit for bit), excess
+    // normalized by the static loss spread, eta = 1/4, 5 rounds,
+    // final weights in ppm of the total. Scale shape: the ONLY
+    // distributed work is one groupBy over the corpus (per-domain
+    // sum/count — map-side combined); the update itself is O(domains
+    // x rounds) driver scalars, exactly how mixture weights are fit
+    // against a 100 TB corpus. (The 1e6 x sum(n_chars) product is
+    // exact BIGINT to ~9e12 chars per domain; past that, aggregate
+    // to DECIMAL first.)
+    "q308_doremi_weights" -> ((s, d) => {
+      import s.implicits._
+      val dom = Tables.load(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          expr("(1000000L * sum(n_chars)) div count(*)").as("loss_fp"))
+        .collect() // bounded: sources are an enum, never corpus-sized
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val S = 1000000L
+      val minLoss = dom.map(_._3).min
+      val spread = math.max(dom.map(_._3).max - minLoss, 1L)
+      var w = dom.map(_ => S)
+      for (_ <- 1 to 5) {
+        val sumW = w.sum
+        val refLoss = dom.zip(w).map { case ((_, _, l), wi) =>
+          wi * l }.sum / sumW
+        val refTerm = ((refLoss - minLoss) * S / spread) / 4
+        w = dom.zip(w).map { case ((_, _, l), wi) =>
+          val excTerm = ((l - minLoss) * S / spread) / 4
+          wi * (S + excTerm - refTerm) / S
+        }
+      }
+      val sumW = w.sum
+      dom.zip(w).map { case ((src, n, l), wi) =>
+        (src, n, l, wi * S / sumW)
+      }.toSeq.toDF("source", "n_docs", "loss_fp", "weight_ppm")
+        .orderBy("source")
+    }),
+
     // Zipf rank-frequency diagnostic: least-squares slope of
     // ln(count) against ln(rank) over the top-1000 vocabulary — the
     // corpus-health check that catches template farms (slope near 0)
@@ -2552,6 +2600,42 @@ object TextOps {
         |FROM t JOIN w USING (t)
         |GROUP BY doc_id
         |ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin,
+    // q308: the 5-round multiplicative-weights fixed point unrolled —
+    // every division non-negative by construction (terms are shifted
+    // by min(loss) before dividing), so DuckDB's // and the JVM's /
+    // agree exactly; r_t CTEs are MATERIALIZED (each is referenced
+    // twice: the weighted-reference subquery and the FROM)
+    "q308_doremi_weights" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT source, n_docs, loss_fp,
+           |    ((w * (1000000
+           |      + (((loss_fp - mn) * 1000000) // spr) // 4
+           |      - ((((SELECT sum(w * loss_fp) // sum(w) FROM $prev)
+           |          - mn) * 1000000) // spr) // 4
+           |    )) // 1000000)::BIGINT AS w
+           |  FROM $prev, base
+           |)""".stripMargin
+      s"""WITH dom AS MATERIALIZED (
+         |  SELECT source, count(*) AS n_docs,
+         |    ((1000000 * sum(n_chars)) // count(*))::BIGINT AS loss_fp
+         |  FROM documents GROUP BY 1
+         |), base AS MATERIALIZED (
+         |  SELECT min(loss_fp) AS mn,
+         |    GREATEST(max(loss_fp) - min(loss_fp), 1) AS spr
+         |  FROM dom
+         |), r0 AS MATERIALIZED (
+         |  SELECT source, n_docs, loss_fp, 1000000::BIGINT AS w FROM dom
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")},
+         |${round("r4", "r5")}
+         |SELECT source, n_docs, loss_fp,
+         |  ((w * 1000000) // (SELECT sum(w) FROM r5))::BIGINT
+         |    AS weight_ppm
+         |FROM r5 ORDER BY source""".stripMargin
+    },
     "q177_zipf_slope" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))

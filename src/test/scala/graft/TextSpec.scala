@@ -264,6 +264,43 @@ class TextSpec extends SparkSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("q308 DoReMi weights: DRO direction, exact fixed point, " +
+      "ppm normalization") {
+    val rows = TextOps.queries("q308_doremi_weights")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("loss_fp"), r.getAs[Long]("weight_ppm")))
+    assert(rows.length == 20, "sources are a 20-value enum at every sf")
+    // DRO direction: weight must be MONOTONE in domain loss (higher
+    // mixture loss -> more weight) — the factor is monotone in loss
+    // and every round applies the same reference to all domains
+    val byLoss = rows.sortBy(_._3)
+    assert(byLoss.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+      "weights must not invert the loss order")
+    assert(byLoss.last._4 > byLoss.head._4,
+      "spread domains must separate")
+    // ppm normalization: floor division loses < 1 ppm per domain
+    val total = rows.map(_._4).sum
+    assert(total <= 1000000L && total > 1000000L - rows.length)
+    // exact fixed point: replicate the 5-round BIGINT update
+    // independently from the domain aggregates
+    val S = 1000000L
+    val mn = rows.map(_._3).min
+    val spr = math.max(rows.map(_._3).max - mn, 1L)
+    var w = rows.map(_ => S)
+    for (_ <- 1 to 5) {
+      val ref = rows.zip(w).map { case ((_, _, l, _), wi) =>
+        wi * l }.sum / w.sum
+      val rt = ((ref - mn) * S / spr) / 4
+      w = rows.zip(w).map { case ((_, _, l, _), wi) =>
+        wi * (S + ((l - mn) * S / spr) / 4 - rt) / S
+      }
+    }
+    val sumW = w.sum
+    rows.zip(w).foreach { case ((src, _, _, ppm), wi) =>
+      assert(ppm == wi * S / sumW, s"$src weight diverged")
+    }
+  }
+
   test("q194 kappa is consistent with q193's matrix and bounded") {
     val m = TextOps.queries("q193_lang_confusion")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1),
