@@ -479,6 +479,20 @@ object Bench {
         t
       })
     def runCapped[P](tag: String, capSec: Double)(body: => P): Capped[P] = {
+      // clearCache drops the SQL cache but NOT raw persisted /
+      // localCheckpointed RDDs: the iterative ops eagerly
+      // localCheckpoint every round, and those blocks survive until
+      // their dead RDD objects happen to be GC'd — which a 128GB
+      // heap rarely does mid-run. Three consecutive driver windows
+      // read the iterative small points (q110/q125 at sf0.01, q203)
+      // at ~10x their fresh-JVM values LATE in the window while the
+      // run rated quiet overall; a fresh-JVM rerun of the same
+      // queries at the same HEAD measured normal. Orphaned blocks
+      // squeeze the unified memory pool's execution share, so drop
+      // every leftover persisted RDD at the query boundary — the
+      // measurement is hermetic, nothing may live across it anyway.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       val group = s"bench-$tag"
       spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = true)
@@ -549,9 +563,22 @@ object Bench {
       .map(p => math.min(math.max(8 * p, 5.0), 30.0))
       .getOrElse(30.0)
     val ratioBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // The scheduling multiplier is the WORSE of the global median and
+    // a last-12 windowed median. The global median alone is blind to
+    // bursts: this host's starvation arrives in multi-minute waves,
+    // and a wave starting at query 250 is invisible in the median of
+    // 250 quiet readings — run 3 of the r13 rework watched the main
+    // head overshoot its fits boundary by ~8 capped-out queries and
+    // starve every floor. The windowed median sees a wave within ~6
+    // queries (estimates scale up, fits starts refusing, the head
+    // stops early, the floors run while the window still exists) and
+    // recovers as fast when the wave passes.
     def contMult: Double = {
       val rs = ratioBuf.sorted
-      if (rs.size < 5) 1.0 else math.max(1.0, rs(rs.size / 2))
+      val global = if (rs.size < 5) 1.0 else rs(rs.size / 2)
+      val win = ratioBuf.takeRight(12).sorted
+      val recent = if (win.size < 6) 1.0 else win(win.size / 2)
+      math.max(1.0, math.max(global, recent))
     }
     val cappedBuf =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
