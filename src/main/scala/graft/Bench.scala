@@ -494,14 +494,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // Caps exist to protect the DEADLINE window; a deadline-off run
+      // wants every reading even when starved (the full-evidence
+      // substring-1M point — quiet 97.5s — was cancelled at the 300s
+      // cap clamp under a ~3x burst, losing the round's refresh of
+      // its curve). With the deadline off, measure uncapped — the
+      // noise/drift best-of-2 guards still correct starved readings,
+      // which is exactly how the pre-cap full-evidence runs worked.
+      val capped = deadlineSec != Double.MaxValue
       val group = s"bench-$tag"
       spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = true)
-      val cancel = capScheduler.scheduleWithFixedDelay(new Runnable {
-        def run(): Unit =
-          try spark.sparkContext.cancelJobGroup(group)
-          catch { case _: Throwable => () }
-      }, (capSec * 1000).toLong, 2000L,
-        java.util.concurrent.TimeUnit.MILLISECONDS)
+      val cancel =
+        if (!capped) None
+        else Some(capScheduler.scheduleWithFixedDelay(new Runnable {
+          def run(): Unit =
+            try spark.sparkContext.cancelJobGroup(group)
+            catch { case _: Throwable => () }
+        }, (capSec * 1000).toLong, 2000L,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
       val t0q = System.nanoTime()
       try {
         val v = body
@@ -509,12 +519,12 @@ object Bench {
         // completed but past the cap (the cancel raced a job
         // boundary): starved beyond what the cap deems usable —
         // a capped marker, never a reading
-        if (t > capSec) CapHit(t) else CapDone(v, t)
+        if (capped && t > capSec) CapHit(t) else CapDone(v, t)
       } catch { case e: Throwable =>
         val el = (System.nanoTime() - t0q) / 1e9
-        if (el >= capSec * 0.9) CapHit(el) else CapFail(e, el)
+        if (capped && el >= capSec * 0.9) CapHit(el) else CapFail(e, el)
       } finally {
-        cancel.cancel(false)
+        cancel.foreach(_.cancel(false))
         spark.sparkContext.clearJobGroup()
       }
     }
