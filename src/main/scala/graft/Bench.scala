@@ -873,6 +873,22 @@ object Bench {
     st.mainFailures = mainFailures
     checkpoint()
 
+    // Burst-capped CORE small points get one retry now that the tail
+    // has run — the starvation waves on this host last minutes, and a
+    // wave that covers the core pass has usually passed by here (runs
+    // 2 and 5 of this rework each lost 4-7 sub-2s-quiet core twins to
+    // a wave that was over before the window was). Only when the
+    // windowed multiplier has recovered; a still-contended run keeps
+    // its honest capped markers.
+    val coreCapped = cappedBuf.toSeq.collect {
+      case (n, _) if n.startsWith("scale_core:") =>
+        n.stripPrefix("scale_core:")
+    }
+    val scaleSmallCoreAll =
+      if (coreCapped.isEmpty || contMult > DriftBaseline.MaxQuietRatio)
+        scaleSmallCore
+      else scaleSmallCore ++ scalePass(coreCapped, "scale_core_retry")
+
     // ---- host-noise guard -------------------------------------------
     // This box has documented intermittent hypervisor CPU starvation:
     // identical code swings a random subset of queries 5-100x between
@@ -957,7 +973,7 @@ object Bench {
     // check in the LATE pass below, once scale_rest lands; until then
     // only the 3x-median rule covers them.
     val (results2, mainFlagged, noiseRemeasured) =
-      remeasurePass(results, scaleSmallCore.toMap, sfDir,
+      remeasurePass(results, scaleSmallCoreAll.toMap, sfDir,
         bigSide = true, passWallSec = 90.0, priors = priorQueries)
 
     // Cross-round drift (r9 verdict item 2) was re-measured AT FLAG
@@ -969,7 +985,7 @@ object Bench {
       driftBuf.toSeq
     st.results = results2
     val (scaleCore2, coreFlagged, coreRemeasured) =
-      remeasurePass(scaleSmallCore, results2.toMap, scaleDir,
+      remeasurePass(scaleSmallCoreAll, results2.toMap, scaleDir,
         bigSide = false, passWallSec = 40.0)
 
     // first readings keyed per pass: a query measured at BOTH scale
@@ -1014,7 +1030,7 @@ object Bench {
             jsonMap(smallFlagged.flatMap(n =>
               firstSmall.get(n).map(n -> _)))}}"""
     }
-    refreshScaleState(scaleCore2, coreFlagged, scaleSmallCore.toMap,
+    refreshScaleState(scaleCore2, coreFlagged, scaleSmallCoreAll.toMap,
       mainFlagged)
     st.driftJson =
       s"""{"prior_path":"$priorPath",""" +
@@ -1253,7 +1269,7 @@ object Bench {
     st.results = results3
     refreshScaleState(scaleCore2 ++ scaleRest2,
       (coreFlagged ++ restFlagged).sorted,
-      (scaleSmallCore ++ scaleSmallRest).toMap,
+      (scaleSmallCoreAll ++ scaleSmallRest).toMap,
       (mainFlagged ++ lateFlagged).distinct.sorted)
 
     // flat harness headline metrics, one entry per COMPLETED point,
