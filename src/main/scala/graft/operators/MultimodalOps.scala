@@ -32,6 +32,21 @@ object MultimodalOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Parallelism decoupling for the per-row decode kernels (the
+    * DedupOps.docShingles idiom; guide §2.5 "input skew" / §6
+    * unsplittable input): a single-row-group parquet file arrives as
+    * ONE split, so without this the whole encode+decode pipeline of a
+    * query runs on one core (measured: q251's entire 6.2s wall was a
+    * single 1-task stage). The shuffle moves only (doc_id, payload) —
+    * a few hundred KB here — and at production scale, where the scan
+    * already has at least a split per core, the branch never fires,
+    * keeping the decode pipelines shuffle-free exactly where it
+    * matters. */
+  private[graft] def spread(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+  }
+
   /** Typed decode outputs: the Encoder keeps mapPartitions inside SQL
     * land (UnsafeRow in/out, AQE + codegen above and below) — no RDD
     * round-trip, no InternalRow -> Row -> InternalRow per row. */
@@ -202,7 +217,8 @@ object MultimodalOps {
   def decodeImagesBmp(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodeBmp(id, encodeBmp(b)) })
       .toDF()
@@ -376,7 +392,8 @@ object MultimodalOps {
   def decodeImagesTiff(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodeTiff(id, encodeTiff(b)) })
@@ -821,7 +838,7 @@ object MultimodalOps {
   def decodeGifAnimations(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.filter(length(col("text")) >= 8)
+    spread(docs.filter(length(col("text")) >= 8))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
@@ -835,7 +852,8 @@ object MultimodalOps {
   def decodeImagesGif(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodeGif(id, encodeGif(b)) })
       .toDF()
@@ -848,7 +866,8 @@ object MultimodalOps {
   def decodeImagesGifLct(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodeGif(id, encodeGifLct(b)) })
@@ -1109,7 +1128,8 @@ object MultimodalOps {
   def decodeImagesPngPal(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodePngPal(id, encodePngPal(b)) })
@@ -1371,7 +1391,8 @@ object MultimodalOps {
   def decodeImagesPng(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodePng(id, encodePng(b)) })
       .toDF()
@@ -1384,7 +1405,8 @@ object MultimodalOps {
   def decodeImagesPngRgb(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodePngRgb(id, encodePngRgb(b)) })
@@ -1396,7 +1418,8 @@ object MultimodalOps {
   def decodeImagesPngRgba(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodePngRgba(id, encodePngRgba(b)) })
@@ -1694,7 +1717,8 @@ object MultimodalOps {
   def decodeAudioAlaw(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1707,7 +1731,8 @@ object MultimodalOps {
   def decodeAudioMulaw(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1720,7 +1745,8 @@ object MultimodalOps {
   def decodeAudioStereo(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1734,7 +1760,8 @@ object MultimodalOps {
   def decodeAudio(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) => decodeWav(id, encodeWav(bytes)) }
@@ -1748,7 +1775,8 @@ object MultimodalOps {
   def decodeImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pipeline: init codec once here, per partition
@@ -1765,7 +1793,8 @@ object MultimodalOps {
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pipeline: init the demuxer once per partition
@@ -1788,7 +1817,8 @@ object MultimodalOps {
   def resize(docs: DataFrame, stride: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -2589,7 +2619,8 @@ object MultimodalOps {
   def decodeImagesJpeg420(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         if (b.length < 5)
@@ -2607,7 +2638,8 @@ object MultimodalOps {
   def decodeImagesPngAdam7(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodePng(id, encodePngAdam7(b)) })
@@ -3223,7 +3255,8 @@ object MultimodalOps {
   def extractExif(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+    spread(docs).select(col("doc_id"),
+        length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, n) =>
         decodeExif(id, encodeExif(id, n)) })
@@ -3338,7 +3371,8 @@ object MultimodalOps {
   def extractFlacInfo(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+    spread(docs).select(col("doc_id"),
+        length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, n) =>
         decodeFlac(id, encodeFlac(id, n)) })
@@ -3457,7 +3491,8 @@ object MultimodalOps {
   def extractMp4Meta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), length(col("text")).cast("int").as("n"))
+    spread(docs).select(col("doc_id"),
+        length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, n) =>
         decodeMp4(id, encodeMp4(id, n)) })
@@ -3476,7 +3511,8 @@ object MultimodalOps {
   def codecMatrix(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, text) =>
         val orig = new Array[Byte](text.length * 4)
@@ -3583,7 +3619,7 @@ object MultimodalOps {
   private[graft] def phashHammingPairs(docs: DataFrame, maxHamming: Int)
       : DataFrame = {
     require(maxHamming <= 3, "pigeonhole over 4 blocks covers <= 3 bits")
-    val hashed = docs
+    val hashed = spread(docs)
       .filter(length(col("text")) >= 12)
       .withColumn("h", expr("CAST(FLOOR(length(text) / 12.0) AS INT)"))
       .withColumn("phash", expr(phashSql("text", "h")))
@@ -3614,7 +3650,8 @@ object MultimodalOps {
   def decodeImagesJpeg(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         if (b.length < 2)
@@ -3860,7 +3897,7 @@ object MultimodalOps {
   def decodeMp3Files(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    spread(docs).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val n = text.trim.toLowerCase.split("\\s+").length
@@ -3886,7 +3923,8 @@ object MultimodalOps {
   def sniffFormats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, text) =>
         val container = (id % 6) match {
@@ -4188,7 +4226,8 @@ object MultimodalOps {
   def sniffModernImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, text) =>
         val w = 1 + (text.length % 1000)
@@ -4325,7 +4364,8 @@ object MultimodalOps {
   def decodeIcons(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => decodeIco(id, encodeIco(b)) })
       .toDF()
@@ -4501,7 +4541,8 @@ object MultimodalOps {
   def decodeOggStreams(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    spread(docs).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         decodeOgg(id, encodeOgg(id, b))
@@ -4639,7 +4680,7 @@ object MultimodalOps {
   def decodeProtoRecords(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    spread(docs).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val norm = text.trim.toLowerCase
@@ -4907,8 +4948,11 @@ object MultimodalOps {
     // rows are hash-keyed so the report shuffles |groups|, not
     // pixels.
     "q168_phash_dedup" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"))
+      // spread BEFORE the anchor self-join: the join broadcasts one
+      // side, so the per-row phash expression evaluates in the probe
+      // side's (spread) scan stage instead of one single-split task
+      val docs = spread(Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text")))
       val pay = docs
         .select((col("doc_id") - col("doc_id") % 2).as("anchor"),
           col("doc_id"))
