@@ -51,18 +51,18 @@ object DedupOps {
     * leads) — q71's repetition signal needs every occurrence, not the
     * set; everything set-shaped goes through [[docShingles]]'s narrow
     * codegen pass instead. */
-  private def gramStream(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t2", lead("t", 1).over(w))
-      .withColumn("t3", lead("t", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
-  }
+  private def gramStream(s: SparkSession, d: String): DataFrame =
+    // r13: narrow array construction instead of posexplode + doc_id
+    // window leads (guide §2.4 — the window shuffled and sorted the
+    // whole token stream); spreadInput decouples the kernel from the
+    // single-split scan (§2.5). Same (doc_id, g) occurrence rows.
+    graft.Util.spreadInput(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> " +
+          "concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
 
   /** Distinct 3-gram shingle set per doc — ONE narrow codegen'd pass
     * ([[org.apache.spark.sql.graft.DistinctShingles]]), zero shuffles.
@@ -1178,8 +1178,11 @@ object DedupOps {
     * metric (a one-token substitution scores the token's edit cost,
     * a reorder scores both) and the blocking guarantee on planted
     * pairs. */
-  private[graft] def editDistanceDedup(docs: DataFrame, maxDist: Int)
+  private[graft] def editDistanceDedup(docs0: DataFrame, maxDist: Int)
       : DataFrame = {
+    // spreadInput: the 4-gram zip/explode kernel and the inventory
+    // checkpoint otherwise run on the single-split scan's one core
+    val docs = graft.Util.spreadInput(docs0)
     val toks = split(lower(trim(col("text"))), "\\s+")
     val parts = (0 until 4).map(i =>
       slice(toks, lit(i + 1), size(toks) - 3))
@@ -1218,22 +1221,30 @@ object DedupOps {
 
   private[graft] def substringSpans(docs: DataFrame, cap: Int)
       : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // r13: the 4-gram stream is built NARROW from the token array
+    // (transform + posexplode) instead of posexplode + a doc_id
+    // window with three leads — the window shuffled AND sorted the
+    // full |docs|x|tokens| token stream just to look 3 rows ahead,
+    // and at the 1M-doc harness point that exchange+sort was the
+    // dominant cost (guide §2.4 "remove shuffles outright"). Rows
+    // (doc_id, pos, g) are identical: posexplode over the gram array
+    // yields the same 0-based start position the old filter kept.
+    // spreadInput: the single-row-group scan otherwise runs the whole
+    // tokenize+gram kernel on one core (§2.5).
     // localCheckpoint is load-bearing: the gram stream feeds the df
     // cap AND both self-join sides — left lazy, Spark re-derives it
-    // (posexplode + window + corpus scan) once per consumer, and the
-    // executed q184 plan read the documents parquet FOUR times. One
-    // materialization, every consumer reads the cached partitions.
-    val grams = docs
-      .select(col("doc_id"), posexplode(
-        split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .withColumn("t3", lead("t", 3).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3")).as("g"))
+    // once per consumer, and the executed q184 plan read the
+    // documents parquet FOUR times. One materialization, every
+    // consumer reads the cached partitions.
+    val grams = graft.Util.spreadInput(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 4)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ts) - 4), i -> " +
+          "concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3]))"))
+        .as(Seq("pos", "g")))
       .localCheckpoint(true)
     val kept = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap).select("g")

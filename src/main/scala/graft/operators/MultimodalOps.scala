@@ -42,10 +42,8 @@ object MultimodalOps {
     * already has at least a split per core, the branch never fires,
     * keeping the decode pipelines shuffle-free exactly where it
     * matters. */
-  private[graft] def spread(docs: DataFrame): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
-  }
+  private[graft] def spread(docs: DataFrame): DataFrame =
+    graft.Util.spreadInput(docs)
 
   /** Typed decode outputs: the Encoder keeps mapPartitions inside SQL
     * land (UnsafeRow in/out, AQE + codegen above and below) — no RDD

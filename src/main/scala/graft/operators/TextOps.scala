@@ -2014,20 +2014,21 @@ object TextOps {
     * leads; codegen, one shuffle on doc_id), two tokens wider: dedup
     * wants recall (short grams), decontamination wants precision
     * (longer grams ~ GPT-3's 13-gram rule, scaled to this corpus). */
-  private[graft] def gram5Stream(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .withColumn("t3", lead("t", 3).over(w))
-      .withColumn("t4", lead("t", 4).over(w))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"),
-        col("t2"), col("t3"), col("t4")).as("g"))
-  }
+  private[graft] def gram5Stream(s: SparkSession, d: String): DataFrame =
+    // r13: built NARROW from the token array (the heavyShingles
+    // idiom) instead of posexplode + a doc_id window with four leads
+    // — the window shuffled and sorted the whole token stream to
+    // look 4 rows ahead (guide §2.4); spreadInput decouples the
+    // kernel from the single-split scan (§2.5). Same (doc_id, g)
+    // occurrence rows in the same per-doc order.
+    graft.Util.spreadInput(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 5), i -> " +
+          "concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))"))
+        .as("g"))
 
   /** ROBUST winnowing fingerprints (Schleimer/Wilkerson/Aiken §4):
     * rolling 4-token hashes, each sliding window of 4 selects its
@@ -2038,25 +2039,31 @@ object TextOps {
     * <= G for G windows) even when a repetitive doc collapses the
     * distinct hash VALUES. All codegen/window ops; one shuffle on
     * doc_id. */
-  def winnow(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val grams = Tables.load(s, d, "documents")
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .withColumn("t3", lead("t", 3).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("t"), col("t1"), col("t2"), col("t3")).as("h"))
-    grams
-      // min over (h, -pos) = rightmost occurrence of the minimal hash
-      .withColumn("sel", min(struct(col("h").as("h"),
-        (-col("pos")).as("np"))).over(w.rowsBetween(0, 3)))
+  def winnow(s: SparkSession, d: String): DataFrame =
+    // r13: whole-doc array pipeline instead of posexplode + TWO
+    // doc_id window passes (leads for the gram hash, a rowsBetween
+    // min for the selection) — the windows shuffled and sorted the
+    // full token stream twice-over (guide §2.4). Semantics are
+    // row-identical: hs[p] = (xxhash64 of tokens p..p+3, -p), the
+    // selection at p is array_min over the (tail-truncated) slice
+    // p..p+3 — struct ordering (h, np) gives the same rightmost
+    // minimal hash the old min(struct(h, -pos)) window picked —
+    // and distinct collapses repeats. spreadInput: single-split
+    // scan, per-row CPU kernel (§2.5).
+    graft.Util.spreadInput(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 4)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(ts) - 4), i -> named_struct(" +
+          "'h', xxhash64(ts[i], ts[i+1], ts[i+2], ts[i+3]), " +
+          "'np', -i))").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(hs) - 1), p -> " +
+          "array_min(slice(hs, p + 1, 4)))")).as("sel"))
       .select(col("doc_id"), col("sel.h").as("fp"),
         (-col("sel.np")).as("pos"))
       .distinct()
-  }
 
   /** q188's χ² table over any (doc_id, lang, text) frame — one row
     * per token: (token, n_docs, chi2). Split out so TextOpsSpec pins
