@@ -37,6 +37,43 @@ object Util {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Run independent Spark job CHAINS concurrently from a small
+    * driver pool (guide §2.6 "overlap independent jobs"): actions are
+    * only sequential because driver code calls them sequentially, so
+    * the tail of one chain's stages backfills executors the others
+    * freed. Results return in `bodies` order. The caller's job group /
+    * description / interrupt flag (thread-local) are re-installed in
+    * every pool thread so a surrounding cancelJobGroup
+    * (Bench.runCapped's cap) still kills all of them. Failures
+    * rethrow the original exception — fail-loud order preserved. */
+  def inParallel[A](s: SparkSession, bodies: Seq[() => A]): Seq[A] = {
+    val sc = s.sparkContext
+    val props = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel")
+      .map(k => k -> sc.getLocalProperty(k))
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+    try {
+      val futs = bodies.map { b =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = {
+            props.foreach { case (k, v) =>
+              if (v != null) sc.setLocalProperty(k, v)
+            }
+            b()
+          }
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Write a small text file through the Hadoop filesystem API,
     * overwriting any existing file. */
   def writeSmallFile(s: SparkSession, path: org.apache.hadoop.fs.Path,

@@ -1256,7 +1256,12 @@ object ScaleOps {
       val edges = eo.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(eo.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
-      Seq(8, 20, 40).map(k => kCore(edges, k)).reduce(_ unionByName _)
+      // the three peels are INDEPENDENT job chains over the same
+      // checkpointed edges — run them from a driver pool (guide §2.6)
+      // so each peel's small-stage tail backfills the others' cores
+      graft.Util.inParallel(s,
+          Seq(8, 20, 40).map(k => () => kCore(edges, k)))
+        .reduce(_ unionByName _)
         .orderBy("k")
     }),
 

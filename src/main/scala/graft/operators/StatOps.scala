@@ -691,20 +691,22 @@ object StatOps {
     // the skew ranking.
     "q220_join_forecast" -> ((s, d) => {
       import s.implicits._
-      val rows = Seq(
-        joinForecast("orders*lineitem@orderkey",
+      // three INDEPENDENT forecast chains (each ~7 sequential scalar
+      // jobs) — overlap them from a driver pool (guide §2.6)
+      val rows = graft.Util.inParallel(s, Seq(
+        () => joinForecast("orders*lineitem@orderkey",
           Tables.load(s, d, "orders")
             .select(col("o_orderkey").cast("string").as("k")),
           Tables.load(s, d, "lineitem")
             .select(col("l_orderkey").cast("string").as("k"))),
-        joinForecast("events*events@user_id",
+        () => joinForecast("events*events@user_id",
           Tables.load(s, d, "events")
             .select(col("user_id").cast("string").as("k")),
           Tables.load(s, d, "events")
             .select(col("user_id").cast("string").as("k"))),
-        joinForecast("documents*documents@lang",
+        () => joinForecast("documents*documents@lang",
           Tables.load(s, d, "documents").select(col("lang").as("k")),
-          Tables.load(s, d, "documents").select(col("lang").as("k"))))
+          Tables.load(s, d, "documents").select(col("lang").as("k")))))
       rows.toDF("join_name", "n_left", "n_right", "keys_left",
         "keys_right", "keys_matching", "out_rows", "top_key",
         "top_key_out", "top_share_ppm", "expansion")
