@@ -607,6 +607,11 @@ object ScaleOps {
         .select((col("o_custkey").cast("long") * 2).as("a"),
           (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
+        // checkpoint the pair table ONCE (the q157/q197/q203 idiom):
+        // left lazy, the orders⋈lineitem⋈distinct subtree re-executes
+        // for deg.count(), and again under BOTH sides of the
+        // edges⋈deg join that seeds the round cache
+        .localCheckpoint(true)
       val edges = ol.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
       val ranks = pageRankFixedPoint(edges, rounds = 5)
@@ -634,6 +639,7 @@ object ScaleOps {
         .select((col("o_custkey").cast("long") * 2).as("a"),
           (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(true) // one materialization (q110 comment)
       val edges = ol.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(ol.select(col("b").as("src"), col("a").as("dst")))
       val seeds = Tables.load(s, d, "orders")

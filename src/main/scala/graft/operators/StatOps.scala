@@ -97,10 +97,14 @@ object StatOps {
     val s = pairs.sparkSession
     import s.implicits._
     val p = pairs.localCheckpoint(true)
-    val ra = rankTable(p.select(col("a").as("v")))
-      .select(col("v").as("a"), col("r2").as("ra"))
-    val rb = rankTable(p.select(col("b").as("v")))
-      .select(col("v").as("b"), col("r2").as("rb"))
+    // the two rank-table scans (each runs a DistributedPrefix action)
+    // are independent chains over the checkpointed pairs — overlap
+    // them (guide §2.6)
+    val Seq(ra0, rb0) = graft.Util.inParallel(s, Seq(
+      () => rankTable(p.select(col("a").as("v"))),
+      () => rankTable(p.select(col("b").as("v")))))
+    val ra = ra0.select(col("v").as("a"), col("r2").as("ra"))
+    val rb = rb0.select(col("v").as("b"), col("r2").as("rb"))
     val m = p.join(ra, "a").join(rb, "b")
       .agg(count(lit(1)).as("n"), sum(col("ra")).as("sa"),
         sum(col("rb")).as("sb"),

@@ -1559,11 +1559,16 @@ object TextOps {
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
     val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
     val toks = tokens(col("text"))
-    val pairs = docs.filter(size(toks) >= 5)
+    // spreadInput: single-split scan, per-row shingle kernel (§2.5);
+    // localCheckpoint: `pairs` feeds the first-occurrence agg AND the
+    // join probe — left lazy, the scan+explode+distinct subtree
+    // executes once per consumer (the q184 lesson)
+    val pairs = graft.Util.spreadInput(docs.filter(size(toks) >= 5))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(toks) - 4),
         i => concat_ws(" ", slice(toks, i, lit(5))))).as("sh"))
       .distinct()
+      .localCheckpoint(true)
     val first = pairs.groupBy("sh").agg(min("doc_id").as("fd"))
     pairs.join(first, "sh")
       .groupBy(expr(s"((doc_id - $lo) * 10) DIV $span").as("bucket"))
