@@ -449,9 +449,13 @@ object DedupOps {
   /** Packed 64-bit SimHash per doc — one codegen'd pass over the
     * distinct-token array, no explode/shuffle. */
   private[graft] def simhashes(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents").select(col("doc_id"),
-      org.apache.spark.sql.graft.SimHash64.column(
-        array_distinct(TextOps.tokens(col("text")))).as("sim"))
+    // spreadInput: the 64-lane SimHash kernel is the query's heaviest
+    // narrow stage and otherwise runs on the single-split scan (§2.5)
+    graft.Util.spreadInput(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64.column(
+          array_distinct(TextOps.tokens(col("text")))).as("sim"))
 
   /** SimHash near-dup pairs, hamming <= 3, EXACT via 4x16-bit segment
     * blocking (pigeonhole: <= 3 differing bits cannot touch all 4
