@@ -302,8 +302,11 @@ object GraphScaleBench {
       .filter(col("id") % ClusterSize < ClusterSize - 100)
       .agg(sum("id")).head().getLong(0)
     val (kcOk, kcSec) = timeIt {
-      val c2 = ScaleOps.kCore(ctSym, 2).head()
-      val c5 = ScaleOps.kCore(ctSym, 5).head()
+      // two independent peels — overlap the job chains (guide §2.6,
+      // the q197 idiom)
+      val Seq(c2, c5) = Util.inParallel(spark, Seq(
+        () => ScaleOps.kCore(ctSym, 2).head(),
+        () => ScaleOps.kCore(ctSym, 5).head()))
       c2.getAs[Long]("n_core") == n * 9 / 10 &&
         c2.getAs[Long]("id_sum") == ringSum &&
         c2.getAs[Int]("rounds") == 6 &&
